@@ -1,0 +1,195 @@
+"""Integer-plane lightweight codecs: frame-of-reference + bit-packing, RLE, dict.
+
+All codecs operate on a canonical *plane*: a ``uint64`` numpy array of bit
+patterns. Fixed-width Arrow values (ints of any width/signedness, floats,
+timestamps, bools) are mapped onto this plane losslessly by
+``blockcodec.to_plane`` / ``from_plane``; the codecs never need to know the
+original logical type.
+
+Frame-of-reference uses *modular* arithmetic in uint64 (two's-complement
+wraparound), so a signed int64 range that straddles zero still produces
+small deltas: ``delta = (pattern - pattern_of_min) mod 2**64``.
+
+Design derives from the reference's dtype-width-aware blob coding
+(/root/reference/src/include/band_decoder.hpp:46-65 `dtype_size`,
+/root/reference/src/band_encoder.cpp:48-145 clamp/round re-encode) but the
+codecs themselves are the standard lightweight columnar suite (FOR,
+bit-packing, RLE, dictionary) from the public literature (Zukowski et al.,
+"Super-Scalar RAM-CPU Cache Compression", ICDE 2006).
+
+Every encoder returns ``(sections, desc)`` where ``sections`` is a list of
+``bytes`` and ``desc`` a JSON-able descriptor; ``decode_plane`` consumes the
+concatenated blob plus the descriptor and returns the exact uint64 plane.
+Round-trip is bit-exact for every input (property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+
+# ---------------------------------------------------------------------------
+# bit-packing kernel (vectorized via np.packbits over a (n, width) bit matrix)
+# ---------------------------------------------------------------------------
+
+
+def bit_width(max_delta: int) -> int:
+    """Number of bits needed to represent max_delta (0 -> width 0)."""
+    return int(max_delta).bit_length()
+
+
+def pack_bits(deltas: np.ndarray, width: int) -> bytes:
+    """Pack ``deltas`` (uint64, all < 2**width) into a big-endian-bit stream."""
+    n = len(deltas)
+    if width == 0 or n == 0:
+        return b""
+    bits = np.empty((n, width), dtype=np.uint8)
+    for b in range(width):
+        shift = U64(width - 1 - b)
+        bits[:, b] = (deltas >> shift) & U64(1)
+    return np.packbits(bits).tobytes()
+
+
+def unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` -> uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=U64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
+    bits = bits.reshape(n, width)
+    out = np.zeros(n, dtype=U64)
+    for b in range(width):
+        shift = U64(width - 1 - b)
+        out |= bits[:, b].astype(U64) << shift
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frame-of-reference + bit-pack
+# ---------------------------------------------------------------------------
+
+
+def _minmax_base(plane: np.ndarray, signed: bool) -> tuple[int, int]:
+    """(base_pattern, max_modular_delta) choosing base = logical min."""
+    if len(plane) == 0:
+        return 0, 0
+    if signed:
+        as_i = plane.view(np.int64)
+        base = np.array([as_i.min()], dtype=np.int64).view(U64)[0]
+    else:
+        base = plane.min()
+    deltas = plane - base  # modular uint64 arithmetic
+    return int(base), int(deltas.max())
+
+
+def encode_for_bitpack(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
+    base, maxd = _minmax_base(plane, signed)
+    width = bit_width(maxd)
+    deltas = plane - U64(base)
+    data = pack_bits(deltas, width)
+    desc = {"codec": "for_bitpack", "n": len(plane), "base": base, "width": width}
+    return [data], desc
+
+
+def decode_for_bitpack(blob: bytes, desc: dict) -> np.ndarray:
+    deltas = unpack_bits(blob, desc["n"], desc["width"])
+    return deltas + U64(desc["base"])
+
+
+# ---------------------------------------------------------------------------
+# run-length encoding (values and run-lengths each FOR-bitpacked)
+# ---------------------------------------------------------------------------
+
+
+def run_starts(plane: np.ndarray) -> np.ndarray:
+    """Indices where a new run starts (always includes 0 for non-empty)."""
+    n = len(plane)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(plane[1:] != plane[:-1])
+    return np.concatenate(([0], change + 1))
+
+
+def encode_rle(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
+    n = len(plane)
+    starts = run_starts(plane)
+    values = plane[starts] if n else plane
+    lengths = (
+        np.diff(np.concatenate((starts, [n]))).astype(U64) if n else np.zeros(0, dtype=U64)
+    )
+    vsec, vdesc = encode_for_bitpack(values, signed)
+    lsec, ldesc = encode_for_bitpack(lengths, False)
+    desc = {
+        "codec": "rle",
+        "n": n,
+        "runs": len(starts),
+        "values": vdesc,
+        "lengths": ldesc,
+        "sections": [len(vsec[0]), len(lsec[0])],
+    }
+    return [vsec[0], lsec[0]], desc
+
+
+def decode_rle(blob: bytes, desc: dict) -> np.ndarray:
+    s0, s1 = desc["sections"]
+    values = decode_for_bitpack(blob[:s0], desc["values"])
+    lengths = decode_for_bitpack(blob[s0 : s0 + s1], desc["lengths"])
+    return np.repeat(values, lengths.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# dictionary (sorted-unique deltas + packed codes)
+# ---------------------------------------------------------------------------
+
+
+def encode_dict(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
+    uniq, inv = np.unique(plane, return_inverse=True)
+    # delta-encode the sorted unique patterns, then bit-pack
+    usec, udesc = encode_for_bitpack(uniq, signed)
+    codes = inv.astype(U64)
+    width = bit_width(max(len(uniq) - 1, 0))
+    csec = pack_bits(codes, width)
+    desc = {
+        "codec": "dict",
+        "n": len(plane),
+        "card": len(uniq),
+        "uniq": udesc,
+        "code_width": width,
+        "sections": [len(usec[0]), len(csec)],
+    }
+    return [usec[0], csec], desc
+
+
+def decode_dict(blob: bytes, desc: dict) -> np.ndarray:
+    s0, s1 = desc["sections"]
+    uniq = decode_for_bitpack(blob[:s0], desc["uniq"])
+    codes = unpack_bits(blob[s0 : s0 + s1], desc["n"], desc["code_width"])
+    if len(uniq) == 0:
+        return np.zeros(desc["n"], dtype=U64)
+    return uniq[codes.astype(np.int64)]
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {
+    "for_bitpack": encode_for_bitpack,
+    "rle": encode_rle,
+    "dict": encode_dict,
+}
+
+_DECODERS = {
+    "for_bitpack": decode_for_bitpack,
+    "rle": decode_rle,
+    "dict": decode_dict,
+}
+
+
+def encode_plane(plane: np.ndarray, codec: str, signed: bool) -> tuple[bytes, dict]:
+    sections, desc = _ENCODERS[codec](plane, signed)
+    return b"".join(sections), desc
+
+
+def decode_plane(blob: bytes, desc: dict) -> np.ndarray:
+    return _DECODERS[desc["codec"]](blob, desc)

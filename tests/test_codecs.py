@@ -1,0 +1,145 @@
+"""Codec-kernel micro-fixtures with arithmetic goldens + round-trip properties.
+
+Mirrors the reference test strategy (SURVEY.md §5; fixtures from FIXTURES.md
+F2): hand-crafted inputs with hand-checkable encodings, then seeded random
+round-trip properties per codec x dtype x edge case.
+"""
+
+import numpy as np
+import pytest
+
+from duckdb_raquet_ray.codecs import fsst, general, intcodec
+
+U64 = np.uint64
+
+
+class TestBitpack:
+    def test_ramp_width4(self):
+        # F2 "ramp": [100..115] -> FOR base=100, width=4 bits
+        vals = np.arange(100, 116, dtype=np.int64).view(U64)
+        blob, desc = intcodec.encode_plane(vals, "for_bitpack", True)
+        assert desc["base"] == 100
+        assert desc["width"] == 4
+        assert len(blob) == 16 * 4 // 8
+        out = intcodec.decode_plane(blob, desc)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_const_width0(self):
+        # F2 "const": [7]*16 -> width 0 after FOR, zero payload bytes
+        vals = np.full(16, 7, dtype=np.uint64)
+        blob, desc = intcodec.encode_plane(vals, "for_bitpack", False)
+        assert desc["width"] == 0
+        assert blob == b""
+        np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+    def test_negatives_modular(self):
+        # F2 "negmax": int32 extremes survive the modular-FOR round trip
+        raw = np.array([-(2**31), 2**31 - 1, 0, -1], dtype=np.int64)
+        vals = raw.view(U64)
+        blob, desc = intcodec.encode_plane(vals, "for_bitpack", True)
+        assert desc["base"] == int(np.int64(-(2**31)).view(U64))
+        out = intcodec.decode_plane(blob, desc)
+        np.testing.assert_array_equal(out.view(np.int64), raw)
+
+    def test_int64_full_range(self):
+        raw = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0], dtype=np.int64)
+        vals = raw.view(U64)
+        blob, desc = intcodec.encode_plane(vals, "for_bitpack", True)
+        out = intcodec.decode_plane(blob, desc)
+        np.testing.assert_array_equal(out.view(np.int64), raw)
+
+    def test_empty_and_single(self):
+        for raw in ([], [42]):
+            vals = np.array(raw, dtype=np.uint64)
+            blob, desc = intcodec.encode_plane(vals, "for_bitpack", False)
+            np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+
+class TestRle:
+    def test_runs_golden(self):
+        # F2 "runs": [1,1,1,2,2,9,9,9,9] -> runs (1,3),(2,2),(9,4)
+        vals = np.array([1, 1, 1, 2, 2, 9, 9, 9, 9], dtype=np.uint64)
+        blob, desc = intcodec.encode_plane(vals, "rle", False)
+        assert desc["runs"] == 3
+        np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+    def test_const_one_run(self):
+        vals = np.full(1000, 7, dtype=np.uint64)
+        blob, desc = intcodec.encode_plane(vals, "rle", False)
+        assert desc["runs"] == 1
+        assert len(blob) < 16
+        np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+
+class TestDict:
+    def test_dict4_golden(self):
+        # F2 "dict4": 64 values over {3,17,99,1000} -> card 4, 2-bit codes
+        rng = np.random.default_rng(42)
+        vals = rng.choice([3, 17, 99, 1000], size=64).astype(np.uint64)
+        blob, desc = intcodec.encode_plane(vals, "dict", False)
+        assert desc["card"] == 4
+        assert desc["code_width"] == 2
+        np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+
+@pytest.mark.parametrize("codec", ["for_bitpack", "rle", "dict"])
+@pytest.mark.parametrize("seed", range(8))
+def test_plane_roundtrip_property(codec, seed):
+    """decode(encode(x)) == x bit-exactly for seeded random planes."""
+    rng = np.random.default_rng(seed)
+    kind = seed % 4
+    n = int(rng.integers(0, 5000))
+    if kind == 0:
+        raw = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+        vals, signed = raw.view(U64), True
+    elif kind == 1:
+        vals, signed = rng.integers(0, 100, size=n, dtype=np.uint64), False
+    elif kind == 2:
+        vals, signed = np.repeat(rng.integers(0, 50, size=max(n // 10, 1), dtype=np.uint64), 10)[:n], False
+    else:
+        raw = rng.integers(-5, 5, size=n, dtype=np.int64)
+        vals, signed = raw.view(U64), True
+    blob, desc = intcodec.encode_plane(vals, codec, signed)
+    np.testing.assert_array_equal(intcodec.decode_plane(blob, desc), vals)
+
+
+class TestGeneral:
+    def test_roundtrip(self):
+        data = b"hello world " * 100
+        for method in (["zstd"] if general.HAVE_ZSTD else []) + ["zlib", "none"]:
+            z = general.compress(data, method)
+            assert general.decompress(z, method, len(data)) == data
+        assert general.HAVE_ZSTD  # pyarrow ships zstd in this environment
+
+
+class TestFsst:
+    def test_shared_prefix_compresses(self):
+        # F2 "strings": shared-prefix doc-ids gain from the symbol table
+        data = b"".join(f"web/doc-{i:012d}".encode() for i in range(500))
+        blob, desc = fsst.encode_bytes(data)
+        assert len(blob) < len(data) // 2
+        assert fsst.decode_bytes(blob, desc) == data
+        assert desc["table_hash"].startswith("sha256:")
+
+    def test_roundtrip_arbitrary_bytes(self):
+        rng = np.random.default_rng(7)
+        for trial in range(6):
+            n = int(rng.integers(0, 4000))
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            blob, desc = fsst.encode_bytes(data)
+            assert fsst.decode_bytes(blob, desc) == data
+
+    def test_roundtrip_ff_literals(self):
+        data = b"\xff" * 37 + b"ab\xff\xffcd" + bytes(range(256))
+        blob, desc = fsst.encode_bytes(data)
+        assert fsst.decode_bytes(blob, desc) == data
+
+    def test_empty(self):
+        blob, desc = fsst.encode_bytes(b"")
+        assert fsst.decode_bytes(blob, desc) == b""
+
+    def test_deterministic(self):
+        data = b"the quick brown fox " * 64
+        b1, d1 = fsst.encode_bytes(data)
+        b2, d2 = fsst.encode_bytes(data)
+        assert b1 == b2 and d1["table_hash"] == d2["table_hash"]
