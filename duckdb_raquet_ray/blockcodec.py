@@ -168,7 +168,7 @@ def _read_validity(blob: bytes, off: int, size: int, n: int) -> tuple[np.ndarray
 # primitive (fixed-width) columns
 # ---------------------------------------------------------------------------
 
-PLANE_CODECS = ("for_bitpack", "rle", "dict")
+PLANE_CODECS = ("for_bitpack", "rle", "dict", "for_bss")
 
 
 def _fill_nulls_primitive(arr: pa.Array) -> pa.Array:

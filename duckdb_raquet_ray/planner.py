@@ -1,0 +1,169 @@
+"""Codec auto-selection: a deterministic sampling cost model per
+(partition, column).
+
+The analogue of the reference's dual-mode band statistics
+(/root/reference/src/band_stats_v01.cpp:27-378): a deterministic sample
+(fixed stride — a pure function of the partition contents, never of
+cluster topology or timing, so resumed runs re-plan identically; cf. the
+mt19937 fixed seed at band_stats_v01.cpp:109) feeds per-column histograms —
+cardinality (dict viability), run count (RLE), min/max bit-width (FOR),
+byte-sample compression ratio (general fallback) — and the cheapest
+estimated encoding wins.
+
+Estimates are *sizes in bytes*; exact for FOR/bit-pack, sample-extrapolated
+for the rest. The chooser is intentionally simple and fully deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import blockcodec as bc
+from .codecs import fsst as fsst_mod
+from .codecs import general, intcodec
+
+U64 = np.uint64
+
+SAMPLE_TARGET = 4096  # values sampled per column
+BYTES_SAMPLE = 64 * 1024  # byte-sample for general/fsst ratio estimation
+_HEADER_OVERHEAD = 48  # descriptor/JSON amortized guess per blob
+
+
+def _stride_sample(n: int, target: int = SAMPLE_TARGET) -> slice | np.ndarray:
+    """Deterministic stride sample indices over n elements."""
+    if n <= target:
+        return np.arange(n)
+    stride = n // target
+    return np.arange(0, n, stride)
+
+
+N_WINDOWS = 8
+WINDOW = 4096
+
+
+def _window_sample(arr: np.ndarray) -> np.ndarray:
+    """Deterministic scattered contiguous windows — representative of
+    locally-structured data (runs, per-row patterns) where a prefix or a
+    stride sample is not. Pure function of len(arr)."""
+    n = len(arr)
+    if n <= N_WINDOWS * WINDOW:
+        return arr
+    step = n // N_WINDOWS
+    return np.concatenate([arr[i * step : i * step + WINDOW] for i in range(N_WINDOWS)])
+
+
+def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str, dict[str, float]]:
+    """Pick the cheapest plane codec for a fixed-width column."""
+    n = len(plane)
+    if n == 0:
+        return "for_bitpack", {"for_bitpack": 0.0}
+    idx = _stride_sample(n)
+    sample = plane[idx]
+    sn = len(sample)
+    scale = n / sn
+
+    est: dict[str, float] = {}
+
+    # FOR + bitpack: exact width from the full plane is cheap (min/max scan)
+    if signed:
+        as_i = plane.view(np.int64)
+        base = np.array([as_i.min()], dtype=np.int64).view(U64)[0]
+    else:
+        base = plane.min()
+    width = intcodec.bit_width(int((plane - base).max()))
+    est["for_bitpack"] = n * width / 8 + _HEADER_OVERHEAD
+
+    # RLE: run count needs contiguity, so measure on scattered windows
+    prefix = _window_sample(plane)
+    runs_prefix = len(intcodec.run_starts(prefix))
+    runs_est = runs_prefix * (n / len(prefix))
+    val_w = max(width, 1)
+    est["rle"] = runs_est * (val_w + 16) / 8 + _HEADER_OVERHEAD
+
+    # dict: cardinality from sample; if sample card is near sample size the
+    # column is high-cardinality and dict is hopeless
+    card = len(np.unique(sample))
+    if card < sn * 0.75:
+        card_est = min(card * scale**0.5, float(n))  # sublinear growth guess
+        code_w = max(intcodec.bit_width(int(card_est)), 1)
+        est["dict"] = card_est * val_w / 8 + n * code_w / 8 + _HEADER_OVERHEAD
+    # for_bss: FOR -> minimal byte width -> byte-stream-split -> zstd;
+    # estimated by trial-compressing the contiguous prefix the same way
+    w = intcodec._byte_width(int((plane - base).max()))
+    pre_deltas = (prefix - base).astype(intcodec._BYTE_WIDTH_DTYPE[w])
+    if len(pre_deltas):
+        streams = np.ascontiguousarray(pre_deltas.view(np.uint8).reshape(-1, w).T).tobytes()
+        zr = len(general.compress(streams[:BYTES_SAMPLE])) / max(min(len(streams), BYTES_SAMPLE), 1)
+        est["for_bss"] = n * w * zr + _HEADER_OVERHEAD
+
+    # general (zstd) on the original-width little-endian bytes of the sample
+    # (truncating the uint64 plane to itemsize bytes reproduces them exactly)
+    raw = prefix.astype(intcodec._BYTE_WIDTH_DTYPE[itemsize]).tobytes()
+    z = general.compress(raw[:BYTES_SAMPLE])
+    ratio = len(z) / max(min(len(raw), BYTES_SAMPLE), 1)
+    est["general"] = n * itemsize * ratio + _HEADER_OVERHEAD
+
+    best = min(sorted(est), key=lambda k: est[k])
+    return best, est
+
+
+def plan_string(arr: pa.Array) -> tuple[str, dict[str, float]]:
+    n = len(arr)
+    if n == 0:
+        return "plain", {"plain": 0.0}
+    lengths, data = bc._string_parts(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+    total = len(data)
+    est: dict[str, float] = {"plain": total + n * 1.5 + _HEADER_OVERHEAD}
+
+    # cardinality on a stride sample of the strings
+    idx = _stride_sample(n, 1024)
+    sample_vals = arr.take(pa.array(idx)).to_pylist()
+    card = len(set(sample_vals))
+    sn = len(sample_vals)
+    if card < sn * 0.75:
+        card_est = min(card * (n / sn) ** 0.5, float(n))
+        avg_len = total / n if n else 0
+        code_w = max(intcodec.bit_width(int(card_est)), 1)
+        est["dict"] = card_est * (avg_len + 1.5) + n * code_w / 8 + _HEADER_OVERHEAD
+
+    bsample = data[:BYTES_SAMPLE]
+    if bsample:
+        z = general.compress(bsample)
+        est["general"] = total * (len(z) / len(bsample)) + n * 1.5 + _HEADER_OVERHEAD
+        fsst_blob, _ = fsst_mod.encode_bytes(bsample[: 16 * 1024])
+        fr = len(fsst_blob) / max(len(bsample[: 16 * 1024]), 1)
+        # fsst pays off vs zstd only on short individual strings where random
+        # access matters; bias slightly toward zstd which is cheaper to run
+        est["fsst"] = total * fr * 1.05 + n * 1.5 + _HEADER_OVERHEAD
+
+    best = min(sorted(est), key=lambda k: est[k])
+    return best, est
+
+
+def plan_array(arr: pa.Array | pa.ChunkedArray) -> dict:
+    """-> choice dict for :func:`blockcodec.encode_array`."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        child = arr.flatten()
+        return {"codec": "list", "child": plan_array(child)}
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        codec, _ = plan_string(arr)
+        return {"codec": codec}
+    # fixed-width primitive
+    vals = bc._primitive_np(arr)
+    plane, signed = bc.to_plane(vals)
+    codec, _ = plan_plane(plane, signed, vals.dtype.itemsize)
+    return {"codec": codec}
+
+
+def plan_table(table: pa.Table) -> dict[str, dict]:
+    """Per-column codec choices for one partition."""
+    return {name: plan_array(table.column(name)) for name in table.column_names}

@@ -1,0 +1,151 @@
+"""Deterministic synthesis of the primary input table (FIXTURES.md F1).
+
+Schema (BASELINE.json input_hint): doc_id:string, tokens:list<int32>,
+n_tok:int32, source:string. Everything is a pure function of
+(seed, shard index), generated fully vectorized, so any scale can be
+re-materialized identically on any machine — the analogue of the
+reference's committed seed-42 fixture
+(/root/reference/test/sql/read_raster_metadata.test:12-16).
+
+Token mixture per row (exercises every codec):
+  30% uniform in [0, vocab)        -> bit-pack
+  30% narrow band [base, base+256) -> frame-of-reference
+  20% runs of repeated ids         -> RLE
+  20% 64-symbol dictionary         -> dict
+`source` is Zipf(a=1.2) over 20 names (head key ~40% of rows) — the skew
+regression input (SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50_257
+SOURCES = [
+    "web", "code", "books", "wiki", "news", "forums", "papers", "social",
+    "legal", "medical", "patents", "reviews", "mail", "chat", "docs",
+    "finance", "edu", "gov", "tech", "misc",
+]
+ZIPF_A = 1.2
+
+SIZES = {
+    "smoke": (1_000, 1),
+    "correctness": (50_000, 8),
+    "bench": (2_000_000, 64),
+}
+
+
+def _zipf_probs(k: int = len(SOURCES), a: float = ZIPF_A) -> np.ndarray:
+    w = 1.0 / np.arange(1, k + 1) ** a
+    return w / w.sum()
+
+
+def generate_shard(
+    shard: int,
+    rows: int,
+    *,
+    seed: int = 42,
+    vocab: int = VOCAB,
+    row_offset: int = 0,
+    skew_head: float | None = None,
+) -> pa.Table:
+    """One shard as an Arrow table; pure function of (seed, shard)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, shard]))
+
+    n_tok = np.clip(rng.lognormal(5.5, 1.0, size=rows), 1, 8192).astype(np.int32)
+    total = int(n_tok.sum())
+    offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+
+    cls = rng.choice(4, size=rows, p=[0.30, 0.30, 0.20, 0.20])
+    flat = rng.integers(0, vocab, size=total).astype(np.int32)
+    row_of = np.repeat(np.arange(rows), n_tok)
+    cls_of = cls[row_of]
+
+    # class 1: narrow band [base, base+256)
+    m1 = cls_of == 1
+    if m1.any():
+        base = rng.integers(0, vocab - 256, size=rows).astype(np.int32)
+        flat[m1] = base[row_of[m1]] + rng.integers(0, 256, size=int(m1.sum())).astype(np.int32)
+
+    # class 2: runs of repeated ids (change prob 1/8, reset at row starts)
+    m2 = cls_of == 2
+    if m2.any():
+        k = int(m2.sum())
+        change = rng.random(k) < 0.125
+        # force a new run at each row boundary within the masked stream
+        row_ids = row_of[m2]
+        change[np.concatenate(([True], row_ids[1:] != row_ids[:-1]))] = True
+        seg = np.cumsum(change) - 1
+        seg_vals = rng.integers(0, vocab, size=int(seg[-1]) + 1 if k else 0).astype(np.int32)
+        flat[m2] = seg_vals[seg]
+
+    # class 3: 64-symbol dictionary (alphabet fixed per shard)
+    m3 = cls_of == 3
+    if m3.any():
+        alphabet = rng.choice(vocab, size=64, replace=False).astype(np.int32)
+        flat[m3] = alphabet[rng.integers(0, 64, size=int(m3.sum()))]
+
+    if skew_head is None:
+        src_idx = rng.choice(len(SOURCES), size=rows, p=_zipf_probs())
+    else:
+        # F4 skew table: `skew_head` fraction of rows on the head key
+        p = np.full(len(SOURCES), (1 - skew_head) / (len(SOURCES) - 1))
+        p[0] = skew_head
+        src_idx = rng.choice(len(SOURCES), size=rows, p=p)
+    sources = np.array(SOURCES)[src_idx]
+
+    gids = row_offset + np.arange(rows)
+    doc_id = pa.array([f"{s}/doc-{g:012d}" for s, g in zip(sources, gids)], type=pa.string())
+
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(sources, type=pa.string()),
+        }
+    )
+
+
+def write_corpus(
+    out_dir: str,
+    rows: int,
+    shards: int,
+    *,
+    seed: int = 42,
+    vocab: int = VOCAB,
+    skew_head: float | None = None,
+    row_group_rows: int = 8192,
+) -> list[str]:
+    """Materialize a corpus as Parquet shards (idempotent: existing complete
+    shards are kept — the generator is deterministic so re-use is safe)."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = rows // shards
+    paths = []
+    for k in range(shards):
+        n = per + (rows % shards if k == shards - 1 else 0)
+        path = os.path.join(out_dir, f"shard-{k:05d}.parquet")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        table = generate_shard(k, n, seed=seed, vocab=vocab, row_offset=k * per, skew_head=skew_head)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, row_group_size=row_group_rows)
+        os.replace(tmp, path)
+    return paths
+
+
+def corpus_paths(out_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".parquet")
+    )

@@ -1,0 +1,190 @@
+"""Partition-key math (quadbin.test analogue: round-trip identities,
+known goldens) and manifest write/validate/resume (FIXTURES.md F3)."""
+
+import json
+import os
+
+import pytest
+
+from duckdb_raquet_ray.functions import partition_keys as pk
+from duckdb_raquet_ray.state import manifest as mf
+
+
+class TestPartitionKeys:
+    def test_pack_unpack_roundtrip(self):
+        for shard, part in [(0, 0), (1, 2), (1000, 123456), (pk.MAX_SHARD, pk.MAX_PART)]:
+            pid = pk.pack(shard, part)
+            assert pk.unpack(pid) == (shard, part)
+            assert not pk.is_grouped(pid)
+
+    def test_golden_values(self):
+        assert pk.pack(0, 0) == 0
+        assert pk.pack(1, 0) == 1 << 31
+        assert pk.pack(2, 5) == (2 << 31) | 5
+
+    def test_sort_order_matches_lineage(self):
+        pids = [pk.pack(s, p) for s in range(5) for p in range(4)]
+        assert pids == sorted(pids)
+
+    def test_parent_and_range(self):
+        pid = pk.pack(7, 99)
+        assert pk.parent(pid) == pk.pack(7, 0)
+        lo, hi = pk.shard_range(7)
+        assert lo <= pid < hi
+        assert pk.pack(8, 0) == hi
+
+    def test_children(self):
+        assert pk.children(3, 2) == [pk.pack(3, 0), pk.pack(3, 1)]
+
+    def test_grouped_roundtrip(self):
+        pid = pk.pack_grouped("web", 5)
+        assert pk.is_grouped(pid)
+        h, salt = pk.unpack_grouped(pid)
+        assert salt == 5
+        assert h == pk.source_hash("web")
+        with pytest.raises(ValueError):
+            pk.unpack(pid)
+
+    def test_source_hash_stable(self):
+        # sha256-based, never Python's randomized hash()
+        assert pk.source_hash("web") == pk.source_hash("web")
+        assert pk.source_hash("web") != pk.source_hash("code")
+
+    def test_part_file_name_sorts(self):
+        names = [pk.part_file_name(pk.pack(s, p)) for s in range(3) for p in range(3)]
+        assert names == sorted(names)
+
+    def test_out_of_range(self):
+        with pytest.raises(ValueError):
+            pk.pack(-1, 0)
+        with pytest.raises(ValueError):
+            pk.pack(0, pk.MAX_PART + 1)
+
+
+GOLDEN_ENTRY = {
+    "partition_id": 17,
+    "input_shard": "tokens_input/shard-00002.parquet",
+    "row_range": [8192, 12288],
+    "n_rows": 4096,
+    "codecs": {"doc_id": "fsst", "tokens": "list", "n_tok": "rle", "source": "dict"},
+    "fsst_symbol_table_hash": "sha256:abc",
+    "input_bytes": 1048576,
+    "encoded_bytes": 262144,
+    "checksum": "sha256:def",
+    "status": "done",
+}
+
+
+class TestManifest:
+    def test_append_and_load(self, tmp_path):
+        w = mf.ManifestWriter(str(tmp_path))
+        w.append(GOLDEN_ENTRY)
+        w.append({**GOLDEN_ENTRY, "partition_id": 18})
+        entries = mf.load_entries(str(tmp_path))
+        assert set(entries) == {17, 18}
+        assert entries[17]["codecs"]["source"] == "dict"
+        w.close()
+
+    def test_torn_tail_tolerated(self, tmp_path):
+        w = mf.ManifestWriter(str(tmp_path))
+        w.append(GOLDEN_ENTRY)
+        w.close()
+        with open(os.path.join(tmp_path, mf.MANIFEST_JSONL), "a") as fh:
+            fh.write('{"partition_id": 99, "trunc')
+        entries = mf.load_entries(str(tmp_path))
+        assert set(entries) == {17}
+
+    def test_done_requires_file(self, tmp_path):
+        from duckdb_raquet_ray.functions import partition_keys as pk
+
+        w = mf.ManifestWriter(str(tmp_path))
+        w.append(GOLDEN_ENTRY)
+        w.close()
+        assert mf.done_partition_ids(str(tmp_path)) == set()
+        open(os.path.join(tmp_path, pk.part_file_name(17)), "wb").close()
+        assert mf.done_partition_ids(str(tmp_path)) == {17}
+
+    def test_finalize_metadata(self, tmp_path):
+        w = mf.ManifestWriter(str(tmp_path))
+        w.append(GOLDEN_ENTRY)
+        meta = w.finalize("doc_id: string", extra={"k": "v"})
+        w.close()
+        loaded = mf.load_metadata(str(tmp_path))
+        assert loaded == meta
+        assert loaded["num_rows"] == 4096
+        assert loaded["encoded_bytes"] == 262144
+        assert loaded["partition_ids"] == [17]
+        assert loaded["k"] == "v"
+
+    def test_validator_golden(self):
+        res = mf.validate_entries([GOLDEN_ENTRY])
+        assert res["is_valid"] and not res["errors"]
+        assert res["num_rows"] == 4096
+
+    def test_validator_unknown_codec(self):
+        bad = json.loads(json.dumps(GOLDEN_ENTRY))
+        bad["codecs"]["tokens"] = "quantum"
+        res = mf.validate_entries([bad])
+        assert not res["is_valid"]
+        assert any("unknown codec" in e for e in res["errors"])
+
+    def test_validator_nrows_mismatch(self):
+        bad = {**GOLDEN_ENTRY, "n_rows": 5}
+        res = mf.validate_entries([bad])
+        assert not res["is_valid"]
+        assert any("n_rows" in e for e in res["errors"])
+
+    def test_validator_duplicate_pid(self):
+        res = mf.validate_entries([GOLDEN_ENTRY, GOLDEN_ENTRY])
+        assert not res["is_valid"]
+
+    def test_validator_missing_optional_is_warning(self):
+        e = {k: v for k, v in GOLDEN_ENTRY.items() if k not in ("checksum", "fsst_symbol_table_hash")}
+        res = mf.validate_entries([e])
+        assert res["is_valid"]
+        assert len(res["warnings"]) == 2
+
+
+class TestTokensSource:
+    def test_deterministic(self):
+        from duckdb_raquet_ray.sources import tokens as tk
+
+        a = tk.generate_shard(0, 500)
+        b = tk.generate_shard(0, 500)
+        assert a.equals(b)
+        c = tk.generate_shard(1, 500)
+        assert not a.equals(c)
+
+    def test_schema_and_invariant(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from duckdb_raquet_ray.sources import tokens as tk
+
+        t = tk.generate_shard(2, 1000)
+        assert t.schema.names == ["doc_id", "tokens", "n_tok", "source"]
+        assert t.schema.field("tokens").type == pa.list_(pa.int32())
+        assert t.schema.field("n_tok").type == pa.int32()
+        # INVARIANT: n_tok == len(tokens)
+        assert pc.all(
+            pc.equal(pc.list_value_length(t.column("tokens")), t.column("n_tok"))
+        ).as_py()
+        flat = t.column("tokens").combine_chunks().flatten()
+        assert pc.min(flat).as_py() >= 0
+        assert pc.max(flat).as_py() < tk.VOCAB
+
+    def test_zipf_skew(self):
+        from duckdb_raquet_ray.sources import tokens as tk
+
+        t = tk.generate_shard(0, 5000)
+        counts = t.column("source").to_pandas().value_counts()
+        assert counts.iloc[0] / 5000 > 0.30  # head key ~40%
+
+    def test_write_corpus_idempotent(self, tmp_path):
+        from duckdb_raquet_ray.sources import tokens as tk
+
+        p1 = tk.write_corpus(str(tmp_path), 100, 2)
+        m1 = [os.path.getmtime(p) for p in p1]
+        p2 = tk.write_corpus(str(tmp_path), 100, 2)
+        assert p1 == p2
+        assert m1 == [os.path.getmtime(p) for p in p2]
