@@ -94,14 +94,14 @@ def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str,
     pre_deltas = (prefix - base).astype(intcodec._BYTE_WIDTH_DTYPE[w])
     if len(pre_deltas):
         streams = np.ascontiguousarray(pre_deltas.view(np.uint8).reshape(-1, w).T).tobytes()
-        zr = len(general.compress(streams[:BYTES_SAMPLE])) / max(min(len(streams), BYTES_SAMPLE), 1)
+        zr = len(general.compress(streams)) / max(len(streams), 1)
         est["for_bss"] = n * w * zr + _HEADER_OVERHEAD
 
     # general (zstd) on the original-width little-endian bytes of the sample
     # (truncating the uint64 plane to itemsize bytes reproduces them exactly)
     raw = prefix.astype(intcodec._BYTE_WIDTH_DTYPE[itemsize]).tobytes()
-    z = general.compress(raw[:BYTES_SAMPLE])
-    ratio = len(z) / max(min(len(raw), BYTES_SAMPLE), 1)
+    z = general.compress(raw)
+    ratio = len(z) / max(len(raw), 1)
     est["general"] = n * itemsize * ratio + _HEADER_OVERHEAD
 
     best = min(sorted(est), key=lambda k: est[k])
