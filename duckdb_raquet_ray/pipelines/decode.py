@@ -1,0 +1,134 @@
+"""Decode/read side: encoded partition dir -> Dataset of original rows.
+
+The read_raquet family re-expressed (SURVEY.md §2.1):
+
+  read_encoded(dir)                     ~ read_raquet(file)
+                                          (/root/reference/src/raquet_extension.cpp:36-45)
+  read_encoded(dir, partition_ids=...)  ~ spatial-filtered read: driver
+                                          computes the wanted id set, only
+                                          those part files are opened
+                                          (raquet_extension.cpp:49-81 ->
+                                          partition pruning at the file level)
+  read_encoded(dir, columns=[...])      ~ band projection: blobs are one
+                                          binary column per source column,
+                                          so Parquet column pruning skips
+                                          un-requested blobs entirely
+  point_lookup(dir, pid)                ~ read_raquet_at point query
+                                          (raquet_extension.cpp:215-263):
+                                          one file, one row group, ~one blob
+  verify_job(...)                       ~ the round-trip invariant gate
+                                          (st_value_mask.cpp:100-114 decode->
+                                          encode->decode closure), run as an
+                                          embarrassingly parallel comparison
+
+The metadata broadcast pattern: manifest.json is loaded ONCE on the driver
+and closed over into the decode stage (fn_constructor_kwargs) — the
+broadcast-small-side join of the reference's metadata row
+(raquet_extension.cpp:40-44), never a shuffle.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions import partition_keys as pk
+from ..stages import encoder as enc
+from ..state import manifest as mf
+
+
+def encoded_part_files(out_dir: str, partition_ids: list[int] | None = None) -> list[str]:
+    """Resolve partition files from the manifest (falling back to listdir),
+    sorted by partition id — ordered by key by construction."""
+    try:
+        meta = mf.load_metadata(out_dir)
+        pids = meta["partition_ids"]
+    except FileNotFoundError:
+        pids = sorted(mf.done_partition_ids(out_dir))
+    if partition_ids is not None:
+        wanted = set(partition_ids)
+        pids = [p for p in pids if p in wanted]
+    return [os.path.join(out_dir, pk.part_file_name(p)) for p in pids]
+
+
+def read_encoded(
+    out_dir: str,
+    *,
+    partition_ids: list[int] | None = None,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Encoded dir -> Dataset of decoded original rows (streaming)."""
+    files = encoded_part_files(out_dir, partition_ids)
+    read_cols = None
+    if columns is not None:
+        read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+    ds = rd.read_parquet(files, columns=read_cols)
+    return ds.map_batches(
+        functools.partial(enc.decode_batch, columns=columns),
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def read_encoded_for_shard(out_dir: str, shard_idx: int, **kw) -> rd.Dataset:
+    """Range-predicate pruning on the lineage key: all partitions of one
+    input shard (the block BETWEEN analogue)."""
+    lo, hi = pk.shard_range(shard_idx)
+    meta = mf.load_metadata(out_dir)
+    pids = [p for p in meta["partition_ids"] if lo <= p < hi]
+    return read_encoded(out_dir, partition_ids=pids, **kw)
+
+
+def point_lookup(out_dir: str, pid: int, columns: list[str] | None = None) -> pa.Table:
+    """Fetch + decode exactly one partition (driver-side, no Dataset):
+    the read_raquet_at path — cheap because file naming is keyed."""
+    path = os.path.join(out_dir, pk.part_file_name(pid))
+    read_cols = None
+    if columns is not None:
+        read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+    t = pq.read_table(path, columns=read_cols)
+    return enc.decode_rows(t, columns)
+
+
+def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Re-read the input row range and the encoded partition; compare
+    bit-exactly. One work item per row, embarrassingly parallel."""
+    results = []
+    for item in batch.to_pylist():
+        pid = item["partition_id"]
+        original = pq.ParquetFile(item["shard"]).read_row_groups(item["row_groups"])
+        decoded = point_lookup(out_dir, pid)
+        ok = decoded.equals(original)
+        results.append({"partition_id": pid, "ok": ok, "n_rows": original.num_rows})
+    return pa.Table.from_pylist(results)
+
+
+def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> dict:
+    """Full-corpus bit-identity gate (per-row token-array equality via
+    pa.Table.equals on every partition). Returns summary dict."""
+    from .encode import plan_partitions
+
+    items = plan_partitions(input_paths, **encode_plan_kwargs)
+    ds = rd.from_items(items)
+    res = ds.map_batches(
+        functools.partial(_verify_partitions, out_dir=out_dir),
+        batch_size=1,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    rows = res.take_all()
+    bad = [r["partition_id"] for r in rows if not r["ok"]]
+    return {
+        "partitions": len(rows),
+        "rows": sum(r["n_rows"] for r in rows),
+        "mismatched_partitions": bad,
+        "ok": not bad,
+    }

@@ -1,0 +1,160 @@
+"""The encode job: Parquet shards -> encoded partition files + manifest.
+
+Ray-Data-native translation of the reference's `read_raster` ingest
+(/root/reference/src/read_raster.cpp:733-1626, traced in SURVEY.md §3.1),
+redesigned for partition independence:
+
+  driver: plan_partitions()        -- enumerate (shard, row-group range)
+                                      work units, like the tile work queue
+                                      (read_raster.cpp:1143-1147), but ids
+                                      are pure lineage functions so resume
+                                      and two-cluster runs re-plan identically
+  Dataset(work items) ->
+    map_batches(PartitionEncoder,   -- actor pool; each actor reads its row
+                concurrency=N)         groups (pyarrow), plans codecs,
+                                       encodes, writes part-<pid>.parquet
+                                       tmp->rename, emits a manifest entry
+  driver: append entries + finalize manifest.json
+                                    -- the phase-3 metadata barrier
+                                       (read_raster.cpp:1486-1590), reduced
+                                       to a driver-side fold
+
+Reading inside the encode task (instead of read_parquet -> shuffle ->
+encode) is exactly how Ray Data's own read operator works — a read task IS
+an item — and it keeps the pipeline shuffle-free: block ≡ partition
+(SURVEY.md §1.1). At 100 TB the work-item list is ~10^5-10^6 tiny dicts —
+nothing — while the data itself streams through the actor pool with
+backpressure, one partition at a time per actor.
+
+Resume: completed partition ids (manifest 'done' + file exists) are
+filtered from the work list before launch — idempotent, no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions import partition_keys as pk
+from ..util import default_concurrency
+from ..stages import encoder as enc
+from ..state import manifest as mf
+
+DEFAULT_PART_BYTES = 64 * 1024 * 1024  # decoded bytes per partition
+
+
+def plan_partitions(
+    input_paths: list[str], target_part_bytes: int = DEFAULT_PART_BYTES
+) -> list[dict]:
+    """Enumerate deterministic work items from Parquet metadata only.
+
+    Row groups are the atomic units (cheap range reads); contiguous row
+    groups are greedily packed to ~target_part_bytes of decoded data. The
+    plan is a pure function of (input file list, target) — never of
+    cluster size — so partition ids are stable across runs and topologies
+    (SURVEY.md §7 hard-part 1).
+    """
+    items: list[dict] = []
+    for shard_idx, path in enumerate(sorted(input_paths)):
+        md = pq.ParquetFile(path).metadata
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_bytes = 0
+        for rg in range(md.num_row_groups):
+            size = md.row_group(rg).total_byte_size
+            if cur and cur_bytes + size > target_part_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(rg)
+            cur_bytes += size
+        if cur:
+            groups.append(cur)
+        row_start = 0
+        rg_rows = [md.row_group(rg).num_rows for rg in range(md.num_row_groups)]
+        rg_offsets = [0]
+        for r in rg_rows:
+            rg_offsets.append(rg_offsets[-1] + r)
+        for part_idx, rgs in enumerate(groups):
+            row_start = rg_offsets[rgs[0]]
+            row_end = rg_offsets[rgs[-1] + 1]
+            items.append(
+                {
+                    "partition_id": pk.pack(shard_idx, part_idx),
+                    "shard": path,
+                    "row_groups": rgs,
+                    "row_range": [row_start, row_end],
+                }
+            )
+    return items
+
+
+class PartitionEncoder:
+    """Actor-pool stage: encode one work item per input row.
+
+    Per-actor state (scratch, nothing heavyweight today; the slot where a
+    shared model/symbol-table cache would live) is created once in
+    __init__ — the reference's per-thread lazy state
+    (read_raster.cpp:264-286, 1230-1242)."""
+
+    def __init__(self, out_dir: str | None):
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        entries = []
+        for item in batch.to_pylist():
+            pid = item["partition_id"]
+            pf = pq.ParquetFile(item["shard"])
+            table = pf.read_row_groups(item["row_groups"])
+            encoded, entry = enc.encode_table(
+                table, pid, input_shard=item["shard"], row_range=tuple(item["row_range"])
+            )
+            if self.out_dir:
+                path = os.path.join(self.out_dir, pk.part_file_name(pid))
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(encoded, tmp, compression="none")  # blobs are already compressed
+                os.replace(tmp, path)
+            entries.append({"entry_json": json.dumps(entry)})
+        return pa.Table.from_pylist(entries, schema=pa.schema([("entry_json", pa.string())]))
+
+
+def encode_job(
+    input_paths: list[str],
+    out_dir: str,
+    *,
+    target_part_bytes: int = DEFAULT_PART_BYTES,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Run the full encode job; returns the finalized manifest metadata."""
+    items = plan_partitions(input_paths, target_part_bytes)
+    schema_str = str(pq.ParquetFile(sorted(input_paths)[0]).schema_arrow)
+    done = mf.done_partition_ids(out_dir) if resume else set()
+    todo = [it for it in items if it["partition_id"] not in done]
+
+    writer = mf.ManifestWriter(out_dir)
+    try:
+        if todo:
+            if concurrency is None:
+                concurrency = default_concurrency(cap=len(todo))
+            ds = rd.from_items(todo)
+            results = ds.map_batches(
+                PartitionEncoder,
+                fn_constructor_kwargs={"out_dir": out_dir},
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            # entries are tiny; stream them back and append in completion order
+            for row in results.iter_rows():
+                writer.append(json.loads(row["entry_json"]))
+        meta = writer.finalize(schema_str, extra={"input_shards": sorted(input_paths)})
+    finally:
+        writer.close()
+    return meta

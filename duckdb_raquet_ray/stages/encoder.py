@@ -1,0 +1,153 @@
+"""Partition encode/decode kernels + Ray Data stage callables.
+
+One *partition* (a contiguous row range of one input shard, or one
+(source, salt) group) becomes ONE row of the encoded table:
+
+    partition_id: uint64   -- lineage key (functions/partition_keys.py);
+                              the `block` column analogue
+                              (/root/reference/CLAUDE.md:41-43)
+    n_rows:       int64
+    codec_meta:   string   -- JSON {column: descriptor}; the per-row
+                              metadata the reference broadcasts from its
+                              block=0 row (raquet_extension.cpp:36-45) —
+                              ours rides along per partition row, so a
+                              partition decodes from (row, nothing else)
+    col_<name>:   binary   -- one self-contained blob per source column
+                              (the band_1..band_N blobs analogue,
+                              read_raster.cpp:1068-1077)
+
+Stage callables are plain classes for `map_batches(Cls, concurrency=...)`
+actor pools: scratch and per-source FSST/plan caches live in __init__
+(the reference's lazily-initialized per-thread state,
+read_raster.cpp:264-286), work happens per batch in __call__.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .. import blockcodec as bc
+from .. import planner
+
+ENCODED_FIXED_COLS = ("partition_id", "n_rows", "codec_meta")
+
+
+def encoded_schema(column_names: list[str]) -> pa.Schema:
+    fields = [
+        pa.field("partition_id", pa.uint64()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("codec_meta", pa.string()),
+    ]
+    fields += [pa.field(f"col_{c}", pa.binary()) for c in column_names]
+    return pa.schema(fields)
+
+
+def _collect_fsst_hashes(desc: dict, out: list[str]) -> None:
+    if desc.get("codec") == "fsst" and "fsst" in desc:
+        out.append(desc["fsst"]["table_hash"])
+    for key in ("child", "dictionary", "lengths", "plane", "indices", "fsst"):
+        sub = desc.get(key)
+        if isinstance(sub, dict):
+            _collect_fsst_hashes(sub, out)
+
+
+def _codec_summary(desc: dict) -> str:
+    c = desc.get("codec", desc.get("kind", "?"))
+    if desc.get("kind") == "list":
+        return f"list<{_codec_summary(desc['child'])}>"
+    return c
+
+
+def encode_table(
+    table: pa.Table,
+    pid: int,
+    input_shard: str,
+    row_range: tuple[int, int] | None = None,
+    plan: dict | None = None,
+) -> tuple[pa.Table, dict]:
+    """Encode one partition -> (one-row encoded table, manifest entry)."""
+    plan = plan or planner.plan_table(table)
+    descs: dict[str, dict] = {}
+    blobs: dict[str, bytes] = {}
+    fsst_hashes: list[str] = []
+    for name in table.column_names:
+        blob, desc = bc.encode_array(table.column(name), plan[name])
+        blobs[name] = blob
+        descs[name] = desc
+        _collect_fsst_hashes(desc, fsst_hashes)
+    # NOTE: no sort_keys — key order IS the column order on decode
+    meta_json = json.dumps(descs)
+    cols: dict[str, pa.Array] = {
+        "partition_id": pa.array([pid], type=pa.uint64()),
+        "n_rows": pa.array([table.num_rows], type=pa.int64()),
+        "codec_meta": pa.array([meta_json], type=pa.string()),
+    }
+    for name, blob in blobs.items():
+        cols[f"col_{name}"] = pa.array([blob], type=pa.binary())
+    encoded = pa.table(cols)
+
+    checksum = hashlib.sha256()
+    for name in table.column_names:
+        checksum.update(blobs[name])
+    entry = {
+        "partition_id": pid,
+        "input_shard": input_shard,
+        "row_range": list(row_range) if row_range else None,
+        "n_rows": table.num_rows,
+        "codecs": {name: _codec_summary(d) for name, d in descs.items()},
+        "input_bytes": table.nbytes,
+        "encoded_bytes": sum(len(b) for b in blobs.values()) + len(meta_json),
+        "checksum": "sha256:" + checksum.hexdigest(),
+        "status": "done",
+    }
+    if fsst_hashes:
+        entry["fsst_symbol_table_hash"] = fsst_hashes[0] if len(fsst_hashes) == 1 else fsst_hashes
+    return encoded, entry
+
+
+def decode_rows(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Decode a batch of encoded partition rows back to original rows."""
+    out: list[pa.Table] = []
+    metas = batch.column("codec_meta").to_pylist()
+    for i in range(batch.num_rows):
+        descs = json.loads(metas[i])
+        names = [c for c in descs if columns is None or c in columns]
+        cols = {}
+        for name in names:
+            blob = batch.column(f"col_{name}")[i].as_py()
+            cols[name] = bc.decode_array(blob, descs[name])
+        out.append(pa.table(cols))
+    if not out:
+        return pa.table({})
+    return pa.concat_tables(out)
+
+
+def encode_batch(batch: pa.Table, key_column: str | None = None) -> pa.Table:
+    """Dataset-in/dataset-out encoder stage (stateless task — use with
+    ``map_batches(functools.partial(encode_batch, ...))``): each input batch
+    becomes one encoded partition row. Partition ids here are
+    content-derived (stable hash of the first doc key + row count) because
+    Ray's batch boundaries are not topology-deterministic — use the
+    file-writing job (pipelines/encode.py) when exact lineage/resume is
+    required."""
+    if batch.num_rows == 0:
+        return encoded_schema(batch.column_names).empty_table()
+    key_col = key_column or batch.column_names[0]
+    first = str(batch.column(key_col)[0].as_py())
+    h = hashlib.sha256(f"{first}:{batch.num_rows}".encode()).digest()
+    pid = int.from_bytes(h[:8], "little") >> 1  # keep mode bit clear
+    encoded, _ = encode_table(batch, pid, input_shard="<stream>")
+    return encoded
+
+
+def decode_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Inverse stage (stateless task): encoded partition rows -> original
+    rows. A plain function on purpose: stateless stages as task pools stay
+    elastic and can never reserve-deadlock a small cluster the way a
+    fleet of actor pools can; actor pools are kept for stages with real
+    per-worker state (pipelines/encode.py PartitionEncoder)."""
+    return decode_rows(batch, columns)

@@ -147,6 +147,9 @@ def validate_entries(entries: list[dict]) -> dict:
         codecs = e.get("codecs", {})
         for col, choice in codecs.items():
             name = choice["codec"] if isinstance(choice, dict) else choice
+            # unwrap nested list<...> summaries (e.g. "list<for_bss>")
+            while isinstance(name, str) and name.startswith("list<") and name.endswith(">"):
+                name = name[5:-1]
             if name not in KNOWN_CODECS:
                 errors.append(f"entry {i}: unknown codec {name!r} for column {col!r}")
         n = e.get("n_rows")

@@ -1,0 +1,175 @@
+"""End-to-end Ray pipeline tests: encode job -> decode -> bit-identity;
+resume (FIXTURES.md F5); pruned reads and point lookup (F6); the
+dataset-in/dataset-out stages."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_raquet_ray.functions import partition_keys as pk
+from duckdb_raquet_ray.pipelines import decode as dec
+from duckdb_raquet_ray.pipelines import encode as encj
+from duckdb_raquet_ray.sources import tokens as tk
+from duckdb_raquet_ray.state import manifest as mf
+
+
+def _read_all_input(corpus_dir):
+    paths = tk.corpus_paths(corpus_dir)
+    return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+class TestPlanPartitions:
+    def test_deterministic_and_covering(self, corpus_dir):
+        paths = tk.corpus_paths(corpus_dir)
+        items = encj.plan_partitions(paths, target_part_bytes=1 << 20)
+        assert items == encj.plan_partitions(paths, target_part_bytes=1 << 20)
+        # covers every row exactly once, ids strictly increasing
+        pids = [it["partition_id"] for it in items]
+        assert pids == sorted(pids) and len(set(pids)) == len(pids)
+        by_shard = {}
+        for it in items:
+            by_shard.setdefault(it["shard"], []).append(it)
+        total = 0
+        for path, its in by_shard.items():
+            md = pq.ParquetFile(path).metadata
+            rgs = [rg for it in its for rg in it["row_groups"]]
+            assert rgs == list(range(md.num_row_groups))
+            total += sum(it["row_range"][1] - it["row_range"][0] for it in its)
+        assert total == 4000
+
+    def test_independent_of_target_only_in_boundaries(self, corpus_dir):
+        paths = tk.corpus_paths(corpus_dir)
+        a = encj.plan_partitions(paths, target_part_bytes=1 << 18)
+        b = encj.plan_partitions(paths, target_part_bytes=1 << 24)
+        assert len(a) > len(b)
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(ray_session, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("encoded"))
+    meta = encj.encode_job(tk.corpus_paths(corpus_dir), out, target_part_bytes=1 << 20)
+    return out, meta
+
+
+class TestEncodeJob:
+    def test_manifest_metadata(self, encoded_dir, corpus_dir):
+        out, meta = encoded_dir
+        assert meta["num_rows"] == 4000
+        assert meta["num_partitions"] >= 4
+        assert meta["encoded_bytes"] < meta["input_bytes"]
+        entries = list(mf.load_entries(out).values())
+        res = mf.validate_entries(entries)
+        assert res["is_valid"], res["errors"]
+
+    def test_part_files_exist_sorted(self, encoded_dir):
+        out, meta = encoded_dir
+        for pid in meta["partition_ids"]:
+            assert os.path.exists(os.path.join(out, pk.part_file_name(pid)))
+
+    def test_roundtrip_bit_identical(self, encoded_dir, corpus_dir):
+        out, _ = encoded_dir
+        decoded = dec.read_encoded(out).take_all()
+        original = _read_all_input(corpus_dir)
+        got = pa.Table.from_pylist(decoded, schema=original.schema)
+        # order: partitions sorted by pid = input order by construction
+        assert got.equals(original)
+
+    def test_verify_job(self, encoded_dir, corpus_dir):
+        out, _ = encoded_dir
+        res = dec.verify_job(tk.corpus_paths(corpus_dir), out, target_part_bytes=1 << 20)
+        assert res["ok"] and res["rows"] == 4000
+
+    def test_point_lookup(self, encoded_dir, corpus_dir):
+        out, meta = encoded_dir
+        pid = meta["partition_ids"][2]
+        t = dec.point_lookup(out, pid)
+        entries = mf.load_entries(out)
+        assert t.num_rows == entries[pid]["n_rows"]
+        # matches the exact input row range
+        e = entries[pid]
+        shard = e["input_shard"]
+        lo, hi = e["row_range"]
+        orig = pq.read_table(shard).slice(lo, hi - lo)
+        assert t.equals(orig)
+
+    def test_column_pruned_read(self, encoded_dir, corpus_dir):
+        out, _ = encoded_dir
+        rows = dec.read_encoded(out, columns=["doc_id", "n_tok"]).take_all()
+        assert set(rows[0].keys()) == {"doc_id", "n_tok"}
+        original = _read_all_input(corpus_dir)
+        got_col = pa.Table.from_pylist(rows).column("n_tok").combine_chunks()
+        assert got_col.equals(original.column("n_tok").combine_chunks().cast(got_col.type))
+
+    def test_shard_pruned_read(self, encoded_dir, corpus_dir):
+        out, _ = encoded_dir
+        ds = dec.read_encoded_for_shard(out, 1)
+        got = pa.Table.from_pylist(ds.take_all())
+        orig = pq.read_table(tk.corpus_paths(corpus_dir)[1])
+        assert got.num_rows == orig.num_rows
+        assert got.column("doc_id").combine_chunks().equals(orig.column("doc_id").combine_chunks())
+
+
+class TestResume:
+    def test_resume_skips_done_and_matches(self, ray_session, corpus_dir, tmp_path):
+        """F5: kill after ~half the partitions -> resume -> byte-identical
+        output set vs an uninterrupted run."""
+        out_full = str(tmp_path / "full")
+        out_resume = str(tmp_path / "resumed")
+        paths = tk.corpus_paths(corpus_dir)
+        encj.encode_job(paths, out_full, target_part_bytes=1 << 20)
+
+        # simulate a crash: run fully, then delete half the outputs and
+        # truncate the manifest to the surviving half
+        encj.encode_job(paths, out_resume, target_part_bytes=1 << 20)
+        entries = sorted(mf.load_entries(out_resume).values(), key=lambda e: e["partition_id"])
+        keep = entries[: len(entries) // 2]
+        kept_ids = {e["partition_id"] for e in keep}
+        for e in entries:
+            if e["partition_id"] not in kept_ids:
+                os.remove(os.path.join(out_resume, pk.part_file_name(e["partition_id"])))
+        with open(os.path.join(out_resume, mf.MANIFEST_JSONL), "w") as fh:
+            for e in keep:
+                fh.write(json.dumps(e, sort_keys=True) + "\n")
+        os.remove(os.path.join(out_resume, mf.MANIFEST_JSON))
+        kept_mtimes = {
+            pid: os.path.getmtime(os.path.join(out_resume, pk.part_file_name(pid)))
+            for pid in kept_ids
+        }
+
+        meta2 = encj.encode_job(paths, out_resume, target_part_bytes=1 << 20)
+
+        # (a) completed partitions were skipped (files untouched)
+        for pid, mtime in kept_mtimes.items():
+            assert os.path.getmtime(os.path.join(out_resume, pk.part_file_name(pid))) == mtime
+        # (b) final output byte-identical to the uninterrupted run
+        meta1 = mf.load_metadata(out_full)
+        assert meta1["partition_ids"] == meta2["partition_ids"]
+        for pid in meta1["partition_ids"]:
+            a = open(os.path.join(out_full, pk.part_file_name(pid)), "rb").read()
+            b = open(os.path.join(out_resume, pk.part_file_name(pid)), "rb").read()
+            assert a == b, f"partition {pid} differs after resume"
+
+
+class TestStreamStages:
+    def test_dataset_roundtrip(self, ray_session, corpus_dir):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import encoder as enc
+
+        paths = tk.corpus_paths(corpus_dir)
+        ds = rd.read_parquet(paths)
+        encoded = ds.map_batches(enc.encode_batch, batch_size=1000, batch_format="pyarrow")
+        decoded = encoded.map_batches(enc.decode_batch, batch_format="pyarrow")
+        got = pa.Table.from_pylist(decoded.take_all())
+        original = _read_all_input(corpus_dir)
+        assert got.num_rows == original.num_rows
+        # stream mode doesn't guarantee order; compare sorted by doc_id
+        got = got.sort_by("doc_id")
+        exp = original.sort_by("doc_id")
+        assert got.column("doc_id").combine_chunks().equals(exp.column("doc_id").combine_chunks())
+        assert got.column("tokens").combine_chunks().cast(exp.column("tokens").type).equals(
+            exp.column("tokens").combine_chunks()
+        )
