@@ -1,0 +1,86 @@
+"""Salted groupby-on-source encode: skew regression (FIXTURES.md F4) +
+bit-identity + determinism of salted bucketing."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_raquet_ray.functions import partition_keys as pk
+from duckdb_raquet_ray.pipelines import decode as dec
+from duckdb_raquet_ray.pipelines import encode_grouped as eg
+from duckdb_raquet_ray.sources import tokens as tk
+from duckdb_raquet_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(tmp_path_factory):
+    """F4: 90% of rows on the head source key."""
+    d = tmp_path_factory.mktemp("skew")
+    tk.write_corpus(str(d), 20_000, 4, skew_head=0.9, row_group_rows=2048)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def grouped_out(ray_session, skew_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("grouped"))
+    meta = eg.encode_job_grouped(
+        tk.corpus_paths(skew_corpus), out, target_group_rows=2000
+    )
+    return out, meta
+
+
+class TestGroupedEncode:
+    def test_skew_broken(self, grouped_out):
+        """No encoder partition > 2x the median partition size."""
+        out, meta = grouped_out
+        entries = mf.load_entries(out)
+        sizes = sorted(e["n_rows"] for e in entries.values())
+        median = sizes[len(sizes) // 2]
+        assert sizes[-1] <= 2 * max(median, 2000)
+        # the head key actually fanned out
+        head_parts = [
+            e for e in entries.values() if e["group"]["source"] == tk.SOURCES[0]
+        ]
+        assert len(head_parts) >= 5
+
+    def test_rows_complete_and_bit_identical(self, grouped_out, skew_corpus):
+        out, meta = grouped_out
+        assert meta["num_rows"] == 20_000
+        decoded = pa.Table.from_pylist(dec.read_encoded(out).take_all())
+        original = pa.concat_tables(
+            [pq.read_table(p) for p in tk.corpus_paths(skew_corpus)]
+        )
+        got = decoded.sort_by("doc_id")
+        exp = original.sort_by("doc_id").select(got.column_names)
+        for name in exp.column_names:
+            a = got.column(name).combine_chunks().cast(exp.column(name).type)
+            assert a.equals(exp.column(name).combine_chunks()), name
+
+    def test_partition_ids_grouped_mode(self, grouped_out):
+        out, meta = grouped_out
+        assert all(pk.is_grouped(p) for p in meta["partition_ids"])
+
+    def test_salt_map_deterministic(self, ray_session, skew_corpus):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tk.corpus_paths(skew_corpus))
+        m1 = eg.compute_salt_map(ds, 2000)
+        m2 = eg.compute_salt_map(ds, 2000)
+        assert m1 == m2
+        assert m1[tk.SOURCES[0]] >= 8  # head key fans out
+
+    def test_grouped_resume_skips(self, ray_session, skew_corpus, grouped_out, tmp_path):
+        """Re-running over a completed output is a no-op for entries."""
+        out, meta = grouped_out
+        import os
+
+        mtimes = {
+            p: os.path.getmtime(os.path.join(out, pk.part_file_name(p)))
+            for p in meta["partition_ids"]
+        }
+        meta2 = eg.encode_job_grouped(
+            tk.corpus_paths(skew_corpus), out, target_group_rows=2000
+        )
+        assert meta2["partition_ids"] == meta["partition_ids"]
+        for p, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, pk.part_file_name(p))) == mt
