@@ -1,0 +1,211 @@
+"""Token-space per-batch transforms — the reference's decode->transform->
+re-encode scalar-function family re-expressed over `tokens:list<int32>`.
+
+Reference analogues (SURVEY.md §2.2):
+
+  mask_tokens_list / range / eq   ~ ST_MaskBandValuesList/Range/Eq
+                                    (/root/reference/src/st_value_mask.cpp:116-280):
+                                    keep values in a whitelist / inclusive
+                                    range (NULL bound = open) / equal to v,
+                                    others -> sentinel; operates on the
+                                    flattened child values, vectorized
+  clip_tokens                     ~ ST_Clip (+nodata)
+                                    (st_clip.cpp:318-455): *filter* elements
+                                    by predicate, shrinking each list
+  map_tokens                      ~ ST_ColorMapRaquet classification
+                                    (st_png_colormap.cpp:308-396): value ->
+                                    value via a broadcast lookup table
+  token_stats                     ~ ST_RasterSummaryStats per row
+                                    (st_raster_stats.cpp:14-349): per-row
+                                    count/min/max/sum/mean over tokens
+  ndiff_columns                   ~ ST_NormalizedDifference band math
+                                    (band_math.cpp:39-229): elementwise
+                                    (a-b)/(a+b) with 0/0 -> 0 on two
+                                    numeric columns
+
+All are vectorized over the Arrow list child buffer (never per-row Python)
+and compose as Dataset.map_batches stages. The masking functions preserve
+list lengths bit-exactly (the re-encode closure of st_value_mask.cpp:100-114:
+a masked dataset re-encodes to a valid partition with identical shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SENTINEL = -1  # the nodata analogue for masked token slots
+
+
+def _child_and_rebuild(batch: pa.Table, column: str):
+    """-> (flat child int64 numpy, rebuild(new_child_np) -> pa.ListArray)."""
+    arr = batch.column(column)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    child_type = arr.type.value_type
+    lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+    child = arr.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(arr) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    valid = np.asarray(arr.is_valid()) if arr.null_count else None
+
+    def rebuild(new_child: np.ndarray) -> pa.Array:
+        values = pa.array(new_child.astype(child_type.to_pandas_dtype()), type=child_type)
+        out = pa.ListArray.from_arrays(pa.array(offsets), values)
+        if valid is not None:
+            out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
+        return out
+
+    return child, offsets, rebuild
+
+
+def mask_tokens_range(
+    batch: pa.Table,
+    column: str = "tokens",
+    low: int | None = None,
+    high: int | None = None,
+    sentinel: int = SENTINEL,
+) -> pa.Table:
+    """Values outside [low, high] -> sentinel; None bound = open
+    (ST_MaskBandValuesRange semantics, st_value_mask.cpp:176-236)."""
+    child, _, rebuild = _child_and_rebuild(batch, column)
+    keep = np.ones(len(child), dtype=bool)
+    if low is not None:
+        keep &= child >= low
+    if high is not None:
+        keep &= child <= high
+    out = np.where(keep, child, sentinel)
+    return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
+
+
+def mask_tokens_list(
+    batch: pa.Table,
+    allowed: list[int],
+    column: str = "tokens",
+    sentinel: int = SENTINEL,
+) -> pa.Table:
+    """Values not in the whitelist -> sentinel (ST_MaskBandValuesList,
+    st_value_mask.cpp:116-171). Lookup via sorted searchsorted."""
+    child, _, rebuild = _child_and_rebuild(batch, column)
+    table = np.asarray(sorted(set(allowed)), dtype=child.dtype)
+    idx = np.searchsorted(table, child)
+    idx_c = np.clip(idx, 0, len(table) - 1)
+    keep = (len(table) > 0) & (table[idx_c] == child)
+    out = np.where(keep, child, sentinel)
+    return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
+
+
+def mask_tokens_eq(
+    batch: pa.Table, value: int, column: str = "tokens", sentinel: int = SENTINEL
+) -> pa.Table:
+    """Values != v -> sentinel (ST_MaskBandValuesEq, st_value_mask.cpp:240-280)."""
+    child, _, rebuild = _child_and_rebuild(batch, column)
+    out = np.where(child == value, child, sentinel)
+    return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
+
+
+def clip_tokens(
+    batch: pa.Table,
+    low: int,
+    high: int,
+    column: str = "tokens",
+    length_column: str | None = "n_tok",
+) -> pa.Table:
+    """Drop elements outside [low, high], shrinking each list (the ST_Clip
+    projection, st_clip.cpp:318-455 — predicate-projected decode). Updates
+    the length column if given."""
+    arr = batch.column(column)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    child, offsets, _ = _child_and_rebuild(batch, column)
+    keep = (child >= low) & (child <= high)
+    # new per-row lengths: sum of keep within each row's span
+    csum = np.concatenate(([0], np.cumsum(keep)))
+    new_lengths = csum[offsets[1:]] - csum[offsets[:-1]]
+    new_offsets = np.zeros(len(new_lengths) + 1, dtype=np.int32)
+    np.cumsum(new_lengths, out=new_offsets[1:])
+    child_type = arr.type.value_type
+    values = pa.array(child[keep].astype(child_type.to_pandas_dtype()), type=child_type)
+    out = pa.ListArray.from_arrays(pa.array(new_offsets), values)
+    if arr.null_count:
+        out = pc.if_else(arr.is_valid(), out, pa.scalar(None, type=out.type))
+    batch = batch.set_column(batch.schema.get_field_index(column), column, out)
+    if length_column and length_column in batch.column_names:
+        lt = batch.schema.field(length_column).type
+        batch = batch.set_column(
+            batch.schema.get_field_index(length_column),
+            length_column,
+            pa.array(new_lengths.astype(np.int64), type=pa.int64()).cast(lt),
+        )
+    return batch
+
+
+def map_tokens(
+    batch: pa.Table,
+    mapping: np.ndarray,
+    column: str = "tokens",
+    default: int = SENTINEL,
+) -> pa.Table:
+    """value -> mapping[value] lookup projection (the colormap
+    classification shape, st_png_colormap.cpp:308-396). `mapping` is a
+    dense vocab-sized int array, broadcast once per task via closure/
+    ray.put — never shuffled."""
+    child, _, rebuild = _child_and_rebuild(batch, column)
+    in_range = (child >= 0) & (child < len(mapping))
+    out = np.where(in_range, mapping[np.clip(child, 0, len(mapping) - 1)], default)
+    return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
+
+
+def token_stats(
+    batch: pa.Table, column: str = "tokens", sentinel: int | None = None
+) -> pa.Table:
+    """Per-row summary stats over the token list (ST_RasterSummaryStats
+    analogue): count, min, max, sum, mean. `sentinel` values are skipped
+    (the nodata-skipping rule, band_decoder.cpp:267-270)."""
+    child, offsets, _ = _child_and_rebuild(batch, column)
+    child = child.astype(np.int64)
+    valid = np.ones(len(child), dtype=bool) if sentinel is None else child != sentinel
+    w = np.where(valid, 1, 0)
+    v = np.where(valid, child, 0)
+    csum_n = np.concatenate(([0], np.cumsum(w)))
+    csum_v = np.concatenate(([0], np.cumsum(v)))
+    counts = csum_n[offsets[1:]] - csum_n[offsets[:-1]]
+    sums = csum_v[offsets[1:]] - csum_v[offsets[:-1]]
+    # min/max per row via reduceat (empty rows -> sentinel handling below)
+    starts = offsets[:-1].astype(np.int64)
+    n_rows = len(counts)
+    if len(child):
+        masked_min = np.where(valid, child, np.iinfo(np.int64).max)
+        masked_max = np.where(valid, child, np.iinfo(np.int64).min)
+        nonempty = offsets[1:] > offsets[:-1]
+        mins = np.full(n_rows, np.iinfo(np.int64).max)
+        maxs = np.full(n_rows, np.iinfo(np.int64).min)
+        if nonempty.any():
+            mins[nonempty] = np.minimum.reduceat(masked_min, starts[nonempty])
+            maxs[nonempty] = np.maximum.reduceat(masked_max, starts[nonempty])
+    else:
+        mins = np.full(n_rows, np.iinfo(np.int64).max)
+        maxs = np.full(n_rows, np.iinfo(np.int64).min)
+    has = counts > 0
+    mean = np.divide(sums, counts, out=np.zeros(len(sums)), where=has)
+    return batch.append_column(
+        "tok_count", pa.array(counts.astype(np.int64))
+    ).append_column(
+        "tok_min", pa.array(np.where(has, mins, 0).astype(np.int64), type=pa.int64())
+    ).append_column(
+        "tok_max", pa.array(np.where(has, maxs, 0).astype(np.int64), type=pa.int64())
+    ).append_column(
+        "tok_sum", pa.array(sums.astype(np.int64))
+    ).append_column(
+        "tok_mean", pa.array(np.where(has, mean, 0.0), type=pa.float64())
+    )
+
+
+def ndiff_columns(batch: pa.Table, a: str, b: str, out: str = "ndiff") -> pa.Table:
+    """(a-b)/(a+b) with 0/0 -> 0 (band_math.cpp ndiff rule :197-229)."""
+    av = batch.column(a).to_numpy(zero_copy_only=False).astype(np.float64)
+    bv = batch.column(b).to_numpy(zero_copy_only=False).astype(np.float64)
+    denom = av + bv
+    nd = np.divide(av - bv, denom, out=np.zeros(len(av)), where=denom != 0)
+    return batch.append_column(out, pa.array(nd, type=pa.float64()))

@@ -1,0 +1,80 @@
+"""Distributed grouped statistics: partial Welford per batch + pairwise
+combine — the ST_RegionStats execution shape
+(/root/reference/src/st_region_stats.cpp:330-807): per-input update into a
+thread-local state (:531-541), parallel combine with the numerically-stable
+pairwise formula (:382-411), finalize (:413-448). Here: `map_batches`
+emits one partial row per (key, batch) — a pre-aggregation that shrinks the
+shuffle from O(rows) to O(keys x batches) — then a small
+`groupby(key).map_groups` merges partials and finalizes.
+
+stddev is the sample standard deviation (m2/(n-1)) like compute_band_stats
+(band_decoder.cpp:226-297), matching DuckDB's STDDEV_SAMP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
+    """One partial state row per key in this batch (vectorized)."""
+    df = pd.DataFrame(
+        {
+            "k": batch.column(key).to_pandas(),
+            "v": batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64),
+        }
+    )
+    df = df.dropna(subset=["v"])
+    g = df.groupby("k")["v"]
+    out = pd.DataFrame(
+        {
+            key: g.count().index,
+            "n": g.count().to_numpy(),
+            "sum": g.sum().to_numpy(),
+            "mean": g.mean().to_numpy(),
+            "m2": (g.var(ddof=0) * g.count()).fillna(0.0).to_numpy(),
+            "min": g.min().to_numpy(),
+            "max": g.max().to_numpy(),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _combine_and_finalize(group: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Pairwise Welford merge of partial states (st_region_stats.cpp:382-411)."""
+    n_t, mean_t, m2_t = 0.0, 0.0, 0.0
+    for n, mean, m2 in zip(group["n"], group["mean"], group["m2"]):
+        if n == 0:
+            continue
+        delta = mean - mean_t
+        tot = n_t + n
+        m2_t = m2_t + m2 + delta * delta * n_t * n / tot
+        mean_t = mean_t + delta * n / tot
+        n_t = tot
+    std = float(np.sqrt(m2_t / (n_t - 1))) if n_t > 1 else 0.0
+    return pd.DataFrame(
+        {
+            key: [group[key].iloc[0]],
+            "cnt": [int(n_t)],
+            "sum_v": [float(group["sum"].sum())],
+            "mean_v": [mean_t],
+            "min_v": [float(group["min"].min())],
+            "max_v": [float(group["max"].max())],
+            "std_v": [std],
+        }
+    )
+
+
+def grouped_stats(ds: rd.Dataset, key: str, value: str) -> rd.Dataset:
+    """Per-key {cnt, sum_v, mean_v, min_v, max_v, std_v} — partial+final."""
+    partials = ds.map_batches(
+        lambda b: welford_partials(b, key, value),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    return partials.groupby(key).map_groups(
+        lambda g: _combine_and_finalize(g, key), batch_format="pandas"
+    )

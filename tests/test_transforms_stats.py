@@ -1,0 +1,147 @@
+"""Token-space transforms (mask/clip/map/stats/ndiff) goldens +
+distributed Welford grouped stats vs exact numpy."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from duckdb_raquet_ray.pipelines import transforms as tr
+
+
+def make_batch(tokens, n_tok=None, extra=None):
+    cols = {
+        "doc_id": pa.array([f"d{i}" for i in range(len(tokens))]),
+        "tokens": pa.array(tokens, type=pa.list_(pa.int32())),
+        "n_tok": pa.array(
+            n_tok or [len(t) if t is not None else 0 for t in tokens], type=pa.int32()
+        ),
+    }
+    if extra:
+        cols.update(extra)
+    return pa.table(cols)
+
+
+class TestMask:
+    def test_range_golden(self):
+        b = make_batch([[1, 5, 9], [10, 3]])
+        out = tr.mask_tokens_range(b, low=3, high=9)
+        assert out.column("tokens").to_pylist() == [[-1, 5, 9], [-1, 3]]
+
+    def test_range_open_bounds(self):
+        b = make_batch([[1, 5, 9]])
+        assert tr.mask_tokens_range(b, low=None, high=5).column("tokens").to_pylist() == [[1, 5, -1]]
+        assert tr.mask_tokens_range(b, low=5, high=None).column("tokens").to_pylist() == [[-1, 5, 9]]
+
+    def test_list_golden(self):
+        b = make_batch([[1, 2, 3, 4], [99, 2]])
+        out = tr.mask_tokens_list(b, allowed=[2, 99])
+        assert out.column("tokens").to_pylist() == [[-1, 2, -1, -1], [99, 2]]
+
+    def test_eq_golden(self):
+        b = make_batch([[7, 8, 7]])
+        out = tr.mask_tokens_eq(b, value=7)
+        assert out.column("tokens").to_pylist() == [[7, -1, 7]]
+
+    def test_null_rows_preserved(self):
+        b = make_batch([[1, 2], None, []])
+        out = tr.mask_tokens_range(b, low=2, high=2)
+        assert out.column("tokens").to_pylist() == [[-1, 2], None, []]
+
+    def test_length_preserved_reencodable(self):
+        """The re-encode closure: masked table still encodes/decodes
+        bit-exactly (st_value_mask round-trip invariant)."""
+        from duckdb_raquet_ray import blockcodec as bc
+        from duckdb_raquet_ray import planner
+
+        b = make_batch([[1, 2, 3], [4, 5], [6]])
+        out = tr.mask_tokens_range(b, low=2, high=4)
+        col = out.column("tokens").combine_chunks()
+        blob, desc = bc.encode_array(col, planner.plan_array(col))
+        assert bc.decode_array(blob, desc).equals(col)
+
+
+class TestClip:
+    def test_clip_golden(self):
+        b = make_batch([[1, 5, 9], [10, 3], []])
+        out = tr.clip_tokens(b, low=3, high=9)
+        assert out.column("tokens").to_pylist() == [[5, 9], [3], []]
+        assert out.column("n_tok").to_pylist() == [2, 1, 0]
+
+    def test_clip_nulls(self):
+        b = make_batch([[1, 5], None])
+        out = tr.clip_tokens(b, low=5, high=5)
+        assert out.column("tokens").to_pylist() == [[5], None]
+
+
+class TestMap:
+    def test_map_golden(self):
+        mapping = np.arange(100) * 2
+        b = make_batch([[1, 2], [50]])
+        out = tr.map_tokens(b, mapping)
+        assert out.column("tokens").to_pylist() == [[2, 4], [100]]
+
+    def test_map_out_of_range_default(self):
+        mapping = np.arange(10)
+        b = make_batch([[5, 99]])
+        out = tr.map_tokens(b, mapping, default=-7)
+        assert out.column("tokens").to_pylist() == [[5, -7]]
+
+
+class TestTokenStats:
+    def test_golden(self):
+        b = make_batch([[1, 2, 3, 4], [], [7]])
+        out = tr.token_stats(b)
+        assert out.column("tok_count").to_pylist() == [4, 0, 1]
+        assert out.column("tok_min").to_pylist() == [1, 0, 7]
+        assert out.column("tok_max").to_pylist() == [4, 0, 7]
+        assert out.column("tok_sum").to_pylist() == [10, 0, 7]
+        assert out.column("tok_mean").to_pylist() == [2.5, 0.0, 7.0]
+
+    def test_sentinel_skipped(self):
+        b = make_batch([[1, -1, 3], [-1]])
+        out = tr.token_stats(b, sentinel=-1)
+        assert out.column("tok_count").to_pylist() == [2, 0]
+        assert out.column("tok_sum").to_pylist() == [4, 0]
+        assert out.column("tok_min").to_pylist() == [1, 0]
+
+    def test_random_vs_numpy(self):
+        rng = np.random.default_rng(5)
+        tokens = [rng.integers(0, 1000, size=rng.integers(0, 30)).tolist() for _ in range(200)]
+        b = make_batch(tokens)
+        out = tr.token_stats(b)
+        for i, t in enumerate(tokens):
+            if t:
+                assert out.column("tok_min")[i].as_py() == min(t)
+                assert out.column("tok_max")[i].as_py() == max(t)
+                assert out.column("tok_sum")[i].as_py() == sum(t)
+
+
+class TestNdiff:
+    def test_golden_and_zero_rule(self):
+        b = pa.table({"a": pa.array([4.0, 0.0, 1.0]), "b": pa.array([2.0, 0.0, 3.0])})
+        out = tr.ndiff_columns(b, "a", "b")
+        nd = out.column("ndiff").to_pylist()
+        assert nd[0] == pytest.approx((4 - 2) / 6)
+        assert nd[1] == 0.0  # 0/0 -> 0
+        assert nd[2] == pytest.approx(-0.5)
+
+
+class TestGroupedStats:
+    def test_vs_numpy(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        rng = np.random.default_rng(11)
+        keys = rng.choice(["a", "b", "c"], size=5000)
+        vals = rng.normal(10, 3, size=5000)
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        ds = rd.from_arrow(t)
+        res = {r["k"]: r for r in st.grouped_stats(ds, "k", "v").take_all()}
+        for k in ("a", "b", "c"):
+            m = vals[keys == k]
+            assert res[k]["cnt"] == len(m)
+            assert res[k]["mean_v"] == pytest.approx(m.mean(), rel=1e-9)
+            assert res[k]["std_v"] == pytest.approx(m.std(ddof=1), rel=1e-9)
+            assert res[k]["min_v"] == m.min()
+            assert res[k]["max_v"] == m.max()
