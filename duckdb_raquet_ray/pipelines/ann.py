@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- brute_force_topk: exact cosine top-k — numpy matmul per batch against a
+  broadcast query matrix (`ray.put` once, read per task), per-batch
+  top-k candidates, driver merges k x n_batches candidate rows. The
+  baseline and the verification oracle for the approximate path.
+- ivf_topk: the scale path — coarse k-means centroids trained on a
+  deterministic sample, each vector assigned to its nearest centroid
+  (one int bucket column), queries probe only the nearest `n_probe`
+  buckets. At 100 TB the bucket column would be written alongside the
+  encoded partitions so probes become partition-pruned reads
+  (the read_raquet(geometry) pruning shape,
+  /root/reference/src/raquet_extension.cpp:49-81).
+
+Cosines are computed in float64 so results match a DuckDB
+list_cosine_similarity oracle bit-for-bit on ranking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _matrix(batch_col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = dim or (len(flat) // max(len(arr), 1))
+    return flat.reshape(len(arr), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k -> (key, sim, rank), rank 1-based, ties broken by
+    key (deterministic)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize(_matrix(batch.column(vec_col), dim=len(qv)))
+        sims = m @ qv
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        keys = batch.column(key_col).take(pa.array(idx))
+        return pa.table({key_col: keys, "sim": pa.array(sims[idx], type=pa.float64())})
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=65536).take_all()
+    t = pa.Table.from_pylist(cands)
+    if t.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())})
+    t = t.sort_by([("sim", "descending"), (key_col, "ascending")]).slice(0, k)
+    return t.append_column("rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64()))
+
+
+class IvfIndex:
+    """Coarse centroids + bucket assignment, deterministic (seeded sample,
+    fixed Lloyd iterations)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def train(
+        cls, ds: rd.Dataset, vec_col: str = "embedding", n_centroids: int = 16, iters: int = 5, sample_rows: int = 4096, seed: int = 42
+    ) -> "IvfIndex":
+        sample = ds.limit(sample_rows).take_all()
+        m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+        rng = np.random.default_rng(seed)
+        c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+        for _ in range(iters):
+            assign = (m @ c.T).argmax(axis=1)
+            for j in range(len(c)):
+                mask = assign == j
+                if mask.any():
+                    v = m[mask].mean(axis=0)
+                    c[j] = v / (np.linalg.norm(v) or 1.0)
+        return cls(c)
+
+    def add_buckets(self, ds: rd.Dataset, vec_col: str = "embedding") -> rd.Dataset:
+        c_ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _normalize(_matrix(batch.column(vec_col), dim=c.shape[1]))
+            bucket = (m @ c.T).argmax(axis=1)
+            return batch.append_column("ivf_bucket", pa.array(bucket.astype(np.int32)))
+
+        return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+
+    def probe_buckets(self, query: np.ndarray, n_probe: int = 4) -> list[int]:
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        sims = self.centroids @ qn
+        return np.argsort(-sims)[:n_probe].tolist()
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    index: IvfIndex,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: filter to the probed buckets, then exact cosine
+    within them. (Bucketed filter is a vectorized predicate, not a shuffle.)"""
+    buckets = set(index.probe_buckets(query, n_probe))
+    with_buckets = index.add_buckets(ds, vec_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([b in buckets for b in batch.column("ivf_bucket").to_pylist()])
+        return batch.filter(mask)
+
+    filtered = with_buckets.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(filtered, query, k, vec_col, key_col)

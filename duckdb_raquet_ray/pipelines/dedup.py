@@ -1,0 +1,291 @@
+"""Deduplication suite over document tables — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+No analogue exists in the reference (blocks are unique by construction,
+SURVEY.md §2.7); these are the training-data-pipeline operators the engine
+adds as first-class components. All follow the same scale shape:
+
+  vectorized per-batch signature computation (map_batches)
+    -> explode to (bucket key, doc key) rows            [small rows only]
+    -> groupby(bucket) -> candidate pairs                [the one shuffle,
+                                                          over signatures,
+                                                          never over text]
+    -> verify (exact compare / jaccard / cosine)
+    -> survivors = all docs minus confirmed dups of a smaller key
+
+Keep-rule everywhere: the duplicate with the smallest key survives —
+deterministic, so results are stable across topologies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# exact dedup: content hash -> hash-partitioned first-wins
+# ---------------------------------------------------------------------------
+
+
+def _content_hash(batch: pa.Table, text_col: str) -> pa.Table:
+    s = batch.column(text_col).to_pandas()
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()  # stable 64-bit
+    return batch.append_column("_h", pa.array(h.astype(np.uint64)))
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
+    """Keep the smallest key per distinct text. Hash-partition + per-group
+    first (the guide's exact-dedup shape): the shuffle moves (hash, row)
+    pairs; within a hash bucket the actual text is compared, so hash
+    collisions cannot merge distinct texts."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(text_col, sort=True)[key_col].idxmin()
+        return g.loc[sorted(idx)].drop(columns=["_h"])
+
+    hashed = ds.map_batches(
+        lambda b: _content_hash(b, text_col), batch_format="pyarrow", batch_size=8192
+    )
+    return hashed.groupby("_h").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct char-k-gram hashes of one document (uint64), via a
+    vectorized polynomial rolling hash over the byte sequence."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        data = np.pad(data, (0, k - n), constant_values=0)
+        n = k
+    # rolling polynomial hash base 257 mod 2^61-1, windows of length k
+    base = np.uint64(257)
+    powers = np.array([pow(257, k - 1 - i, _MERSENNE) for i in range(k)], dtype=np.uint64)
+    # windows matrix trick via strided cumulative evaluation
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for i in range(k):  # k is tiny (5); inner ops vectorized over windows
+        out = (out + (data[i : n - k + 1 + i] * powers[i]) % _MERSENNE) % _MERSENNE
+    return np.unique(out)
+
+
+def _minhash_sig(shingles: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x+b) mod p over the shingle set."""
+    if len(shingles) == 0:
+        return np.full(len(perms_a), _MERSENNE, dtype=np.uint64)
+    # (num_perm, n_shingles) without materializing huge matrices: shingle
+    # sets are small (|text| k-grams)
+    vals = (shingles[None, :] * perms_a[:, None] + perms_b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def _perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> pa.Table:
+    """Explode each doc into `bands` (band_id, band_hash, key) rows —
+    the shuffle payload is signatures, never text."""
+    a, b = _perms(num_perm)
+    rows_per_band = num_perm // bands
+    keys = batch.column(key_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_key, out_band, out_hash = [], [], []
+    for key, text in zip(keys, texts):
+        sig = _minhash_sig(_shingle_hashes(text or "", shingle_k), a, b)
+        for bi in range(bands):
+            chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+            bh = int(pd.util.hash_array(chunk.astype(np.uint64)).sum() % (1 << 63))
+            out_key.append(key)
+            out_band.append(bi)
+            out_hash.append(bh)
+    return pa.table(
+        {
+            key_col: pa.array(out_key),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """LSH bucket groupby -> unordered candidate pairs (a < b)."""
+    band_rows = ds.map_batches(
+        lambda t: minhash_band_rows(t, text_col, key_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key_col].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        out_a, out_b = [], []
+        anchor = ks[0]
+        for other in ks[1:]:
+            out_a.append(anchor)
+            out_b.append(other)
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    return band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact n-gram Jaccard similarity of two documents."""
+    sa = _shingle_hashes(text_a or "", k)
+    sb = _shingle_hashes(text_b or "", k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """Near-dup removal: LSH candidates -> exact Jaccard verify (texts
+    fetched per pair via a broadcast key->text lookup built from the
+    candidate keys only) -> drop docs confirmed >= threshold similar to a
+    smaller key. Candidate sets are tiny relative to the corpus; the
+    text lookup is broadcast, not shuffled."""
+    import ray
+
+    cand = minhash_candidate_pairs(ds, text_col, key_col, num_perm, bands, shingle_k)
+    pairs = cand.take_all()
+    pair_set = sorted({(r["a"], r["b"]) for r in pairs if r["a"] != r["b"]})
+    if not pair_set:
+        return ds
+    needed = sorted({k for p in pair_set for k in p})
+    needed_set = set(needed)
+    # fetch only candidate texts (filter pushdown at the batch level)
+    texts: dict = {}
+    for b in ds.map_batches(
+        lambda t: t.select([key_col, text_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for k, s in zip(b.column(key_col).to_pylist(), b.column(text_col).to_pylist()):
+            if k in needed_set:
+                texts[k] = s
+    drop = set()
+    for a, b_key in pair_set:
+        if jaccard(texts.get(a, ""), texts.get(b_key, ""), shingle_k) >= threshold:
+            drop.add(max(a, b_key))
+    drop_ref = ray.put(drop)
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        keep = [k not in d for k in t.column(key_col).to_pylist()]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash fingerprint per document from word hashes."""
+    texts = batch.column(text_col).to_pylist()
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        words = (text or "").lower().split()
+        if not words:
+            continue
+        hs = pd.util.hash_array(np.array(words, dtype=object))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        fps[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    return batch.append_column("simhash", pa.array(fps.astype(np.int64).tolist(), type=pa.int64()))
+
+
+def simhash_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
+    """Drop docs whose exact SimHash fingerprint collides with a smaller
+    key (identical-fingerprint dedup; near-dup variants band the 64 bits)."""
+    fp = ds.map_batches(lambda b: simhash_batch(b, text_col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_col).head(1).drop(columns=["simhash"])
+
+    return fp.groupby("simhash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Near-dup by cosine >= threshold. Random-hyperplane LSH buckets the
+    shuffle (vectors with cosine ~1 land in the same bucket whp); exact
+    pairwise cosine verifies within each bucket; the larger key of each
+    confirmed pair is dropped."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        arr = batch.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        dim = len(arr[0].as_py())
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(dim, n_planes))
+        m = np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(len(arr), dim)
+        bits = (m @ planes > 0).astype(np.uint64)
+        bucket = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return batch.append_column("_bucket", pa.array(bucket.astype(np.int64)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col).reset_index(drop=True)
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        drop = set()
+        for i in range(len(g)):
+            if i in drop:
+                continue
+            for j in np.flatnonzero(sims[i, i + 1 :] >= threshold) + i + 1:
+                drop.add(int(j))
+        return g.drop(index=sorted(drop)).drop(columns=["_bucket"])
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+    return bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")

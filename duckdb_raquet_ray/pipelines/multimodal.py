@@ -1,0 +1,151 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads with
+typed metadata; decode / feature-extract / resize / frame-sample as
+actor-pool map_batches stages.
+
+The decode kernels themselves are STUBS in this container (no image/audio
+libraries are installed): each stage routes through `_decode_payload`,
+which raises NotImplementedError unless constructed with
+``fake=True`` — a clearly-marked deterministic fake (shape and features
+derived from a stable hash of the payload bytes) that keeps the Ray-side
+plumbing — schema, byte-budgeted batch sizing, actor signature, output
+layout — real and tested. Swap `_decode_payload` for a real
+PIL/libav-backed implementation on a cluster with the libs installed.
+
+Batch sizing note (SURVEY.md §7 hard-part 2): payloads are large binaries;
+stages size batches by BYTES (suggest_batch_size), not rows, mirroring the
+engine's byte-budgeted encode partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_frames", pa.int32()),
+    ]
+)
+
+DEFAULT_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def suggest_batch_size(avg_payload_bytes: int, budget: int = DEFAULT_BATCH_BYTES) -> int:
+    """Rows per batch so a batch stays within the byte budget."""
+    return max(1, budget // max(avg_payload_bytes, 1))
+
+
+def _stable_bytes_hash(data: bytes) -> np.ndarray:
+    """32 deterministic uint8 features from the payload bytes."""
+    return np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
+
+
+class ImageDecoder:
+    """payload -> (decoded shape, pixel feature vector). STUB: real decode
+    needs an imaging library not present in this container."""
+
+    def __init__(self, fake: bool = False, feature_dim: int = 32):
+        self.fake = fake
+        self.feature_dim = feature_dim
+
+    def _decode_payload(self, data: bytes, width: int, height: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an imaging library (PIL/opencv) not "
+                "installed in this container; construct with fake=True for "
+                "the deterministic test double"
+            )
+        h = _stable_bytes_hash(data)
+        return np.resize(h, self.feature_dim).astype(np.float32) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        feats = [self._decode_payload(p or b"", w, h) for p, w, h in zip(payloads, widths, heights)]
+        flat = np.concatenate(feats) if feats else np.zeros(0, dtype=np.float32)
+        offsets = np.arange(0, (len(feats) + 1) * self.feature_dim, self.feature_dim, dtype=np.int32)
+        col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.float32()))
+        return batch.drop_columns(["payload"]).append_column("features", col)
+
+
+class ImageResizer:
+    """payload -> resized payload. STUB with deterministic fake: truncated/
+    cycled bytes proportional to the target area."""
+
+    def __init__(self, target_w: int, target_h: int, fake: bool = False):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("resize requires an imaging library; use fake=True")
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out = []
+        for p, w, h in zip(payloads, widths, heights):
+            p = p or b""
+            scale = (self.target_w * self.target_h) / max(int(w) * int(h), 1)
+            n = max(1, int(len(p) * min(scale, 1.0)))
+            out.append(p[:n])
+        t = batch.set_column(batch.schema.get_field_index("payload"), "payload", pa.array(out, type=pa.binary()))
+        t = t.set_column(t.schema.get_field_index("width"), "width", pa.array([self.target_w] * len(out), type=pa.int32()))
+        return t.set_column(t.schema.get_field_index("height"), "height", pa.array([self.target_h] * len(out), type=pa.int32()))
+
+
+class FrameSampler:
+    """video payload -> every k-th frame's feature row (flat_map shape:
+    one input row -> n_frames/k output rows). STUB slicing on byte ranges."""
+
+    def __init__(self, every_k: int = 10, fake: bool = False):
+        self.every_k = every_k
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("frame sampling requires a video library; use fake=True")
+        rows = []
+        for r in batch.to_pylist():
+            n = max(int(r.get("n_frames") or 0), 0)
+            payload = r.get("payload") or b""
+            frame_sz = max(1, len(payload) // max(n, 1))
+            for f in range(0, n, self.every_k):
+                chunk = payload[f * frame_sz : (f + 1) * frame_sz]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "frame_index": f,
+                        "frame_hash": int.from_bytes(hashlib.sha256(chunk).digest()[:8], "little") >> 1,
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("media_id", pa.string()), ("frame_index", pa.int32()), ("frame_hash", pa.int64())]
+            ),
+        )
+
+
+def synthesize_media_table(rows: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests (no external data)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(rows)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"m-{i:08d}" for i in range(rows)]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/fake"] * rows),
+            "width": pa.array(rng.integers(64, 1024, size=rows).astype(np.int32)),
+            "height": pa.array(rng.integers(64, 1024, size=rows).astype(np.int32)),
+            "n_frames": pa.array(rng.integers(1, 100, size=rows).astype(np.int32)),
+        }
+    )

@@ -1,0 +1,118 @@
+"""Text analysis stages: language-ID, quality metrics, token counting,
+document fingerprinting — vectorized per-batch map stages over the
+documents table (training-data-pipeline first-class ops; no reference
+analogue, SURVEY.md §2.7/§2.8 note the gap).
+
+Compiled regexes and stopword tables are per-actor state
+(`map_batches(TextAnalyzer, concurrency=N)`): built once in __init__,
+the reference's lazily-initialized thread-local pattern
+(/root/reference/src/read_raster.cpp:264-286).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# small per-language stopword tables for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "pas", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+}
+
+_WS_RE = re.compile(r"\S+")
+# GPT-2-ish BPE pre-tokenizer pattern (public regex from the GPT-2 paper's
+# released tokenizer), simplified to ASCII classes
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_DIGIT_RE = re.compile(r"[0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+
+class TextAnalyzer:
+    """Actor-pool stage computing all text-analysis columns in one pass."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws = _WS_RE
+        self.bpe = _BPE_RE
+        self.stop = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        ws_tokens = s.str.count(self.ws)
+        bpe_tokens = s.str.count(self.bpe)
+        n_chars = s.str.len()
+        n_punct = s.str.count(_PUNCT_RE)
+        n_digit = s.str.count(_DIGIT_RE)
+        n_upper = s.str.count(_UPPER_RE)
+        langs, stop_ratio = self._langid(s)
+        fp = fingerprint_series(s)
+        out = batch
+        for name, arr in (
+            ("ws_tokens", pa.array(ws_tokens.to_numpy(np.int64))),
+            ("bpe_tokens", pa.array(bpe_tokens.to_numpy(np.int64))),
+            ("n_chars_m", pa.array(n_chars.to_numpy(np.int64))),
+            ("n_punct", pa.array(n_punct.to_numpy(np.int64))),
+            ("n_digit", pa.array(n_digit.to_numpy(np.int64))),
+            ("n_upper", pa.array(n_upper.to_numpy(np.int64))),
+            ("lang_pred", pa.array(langs)),
+            ("stop_ratio", pa.array(stop_ratio, type=pa.float64())),
+            ("fingerprint", pa.array(fp.astype(np.int64))),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+    def _langid(self, s: pd.Series) -> tuple[list[str], list[float]]:
+        langs: list[str] = []
+        ratios: list[float] = []
+        for text in s:
+            words = text.lower().split()
+            if not words:
+                langs.append("und")
+                ratios.append(0.0)
+                continue
+            scores = {
+                lang: sum(w in table for w in words) for lang, table in self.stop.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            hits = scores[best]
+            langs.append(best if hits > 0 else "und")
+            ratios.append(hits / len(words))
+        return langs, ratios
+
+
+def fingerprint_series(s: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit content fingerprint per document — vectorized
+    (pandas' stable siphash-based hasher, fixed key, C speed). Pure
+    function of the text; stable across runs and machines. For *rolling*
+    window fingerprints (winnowing-style) use
+    pipelines.dedup._shingle_hashes, the polynomial rolling-hash kernel."""
+    return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count only (the cheap, oracle-checkable subset)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    return batch.append_column("ws_tokens", pa.array(s.str.count(_WS_RE).to_numpy(np.int64)))
+
+
+def quality_metrics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality counters (chars/punct/digits/uppercase) — exact,
+    SQL-replicable components; ratios derive downstream."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    out = batch
+    for name, rx in (
+        ("n_chars_m", None),
+        ("n_punct", _PUNCT_RE),
+        ("n_digit", _DIGIT_RE),
+        ("n_upper", _UPPER_RE),
+    ):
+        vals = s.str.len() if rx is None else s.str.count(rx)
+        out = out.append_column(name, pa.array(vals.to_numpy(np.int64)))
+    return out

@@ -1,0 +1,195 @@
+"""Training-data ops: dedup family, text analysis, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from duckdb_raquet_ray.pipelines import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestExactDedup:
+    def test_synthetic_duplicates(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(["aa", "aa", "bb", "aa", "cc"]),
+            }
+        )
+        out = dedup.exact_dedup(rd.from_arrow(t)).take_all()
+        kept = sorted((r["doc_id"], r["text"]) for r in out)
+        assert kept == [(1, "aa"), (2, "bb"), (4, "cc")]
+
+    def test_real_docs_matches_pandas(self, docs_ds):
+        out = dedup.exact_dedup(docs_ds).take_all()
+        df = docs_ds.to_pandas()
+        expected = df.loc[df.groupby("text")["doc_id"].idxmin()]
+        assert sorted(r["doc_id"] for r in out) == sorted(expected["doc_id"])
+
+
+class TestMinhash:
+    def test_shingle_rolling_hash_deterministic(self):
+        a = dedup._shingle_hashes("hello world hello", 5)
+        b = dedup._shingle_hashes("hello world hello", 5)
+        np.testing.assert_array_equal(a, b)
+        assert len(a) > 0
+
+    def test_jaccard_bounds(self):
+        assert dedup.jaccard("abcdefgh", "abcdefgh") == 1.0
+        assert dedup.jaccard("abcdefgh", "zyxwvuts") == 0.0
+        mid = dedup.jaccard("the quick brown fox", "the quick brown cat")
+        assert 0.0 < mid < 1.0
+
+    def test_near_dup_detected(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        near = base[:-10] + " extra tail"
+        other = "completely different content about databases " * 10
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([base, near, other]),
+            }
+        )
+        out = dedup.minhash_dedup(rd.from_arrow(t), threshold=0.5).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]  # near-dup 2 dropped
+
+    def test_no_false_positive_on_distinct(self, ray_session):
+        rng = np.random.default_rng(3)
+        texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, 200)) for _ in range(20)]
+        t = pa.table({"doc_id": pa.array(range(20), type=pa.int64()), "text": pa.array(texts)})
+        out = dedup.minhash_dedup(rd.from_arrow(t), threshold=0.8).take_all()
+        assert len(out) == 20
+
+
+class TestSimhash:
+    def test_identical_docs_collide(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([2, 1, 3], type=pa.int64()),
+                "text": pa.array(["same words here", "same words here", "other thing entirely"]),
+            }
+        )
+        out = dedup.simhash_dedup(rd.from_arrow(t)).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+    def test_fingerprint_deterministic(self):
+        t = pa.table({"text": pa.array(["hello world", "hello world", "bye"])})
+        a = dedup.simhash_batch(t).column("simhash").to_pylist()
+        assert a[0] == a[1] != a[2]
+
+
+class TestEmbeddingDedup:
+    def test_near_identical_vectors_dropped(self, ray_session):
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=16)
+        vecs = [base, base + 1e-6 * rng.normal(size=16), rng.normal(size=16)]
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs], type=pa.list_(pa.float32())),
+            }
+        )
+        out = dedup.embedding_dedup(rd.from_arrow(t), threshold=0.999)
+        assert sorted(r["vec_id"] for r in out.take_all()) == [1, 3]
+
+
+class TestTextAnalysis:
+    def test_analyzer_columns(self, ray_session, docs_ds):
+        out = docs_ds.limit(50).map_batches(
+            text.TextAnalyzer, batch_format="pyarrow", concurrency=1
+        ).take_all()
+        r = out[0]
+        for col in ("ws_tokens", "bpe_tokens", "n_chars_m", "n_punct", "n_digit", "n_upper", "lang_pred", "stop_ratio", "fingerprint"):
+            assert col in r
+        assert all(x["n_chars_m"] == len(x["text"]) for x in out)
+
+    def test_ws_tokens_matches_split(self, docs_ds):
+        t = pa.table({"text": pa.array(["a b  c", "", "  x ", "one"])})
+        out = text.token_count_batch(t)
+        assert out.column("ws_tokens").to_pylist() == [3, 0, 1, 1]
+
+    def test_langid_english_docs(self):
+        t = pa.table({"text": pa.array(["the cat and the dog went to the park", "der hund ist nicht da und das ist gut"])})
+        an = text.TextAnalyzer()
+        out = an(t)
+        assert out.column("lang_pred").to_pylist() == ["en", "de"]
+
+    def test_fingerprint_stable(self):
+        s = pd.Series(["abc", "abc", "abd"])
+        fp = text.fingerprint_series(s)
+        assert fp[0] == fp[1] != fp[2]
+
+
+class TestAnn:
+    def test_brute_force_matches_numpy(self, ray_session, emb_ds):
+        rows = emb_ds.take_all()
+        m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        ids = np.array([r["vec_id"] for r in rows])
+        q = m[0]
+        got = ann.brute_force_topk(emb_ds, q, k=10)
+        mn = m / np.linalg.norm(m, axis=1)[:, None]
+        sims = mn @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids, -sims))[:10]
+        assert got.column("vec_id").to_pylist() == ids[order].tolist()
+        assert got.column("rank").to_pylist() == list(range(1, 11))
+
+    def test_ivf_recall(self, ray_session, emb_ds):
+        rows = emb_ds.take_all()
+        q = np.asarray(rows[3]["embedding"], dtype=np.float64)
+        exact = set(ann.brute_force_topk(emb_ds, q, k=10).column("vec_id").to_pylist())
+        idx = ann.IvfIndex.train(emb_ds, n_centroids=8)
+        approx = set(ann.ivf_topk(emb_ds, idx, q, k=10, n_probe=4).column("vec_id").to_pylist())
+        assert len(exact & approx) >= 6  # recall >= 0.6 with half the probes
+
+    def test_ivf_deterministic(self, ray_session, emb_ds):
+        i1 = ann.IvfIndex.train(emb_ds, n_centroids=8)
+        i2 = ann.IvfIndex.train(emb_ds, n_centroids=8)
+        np.testing.assert_array_equal(i1.centroids, i2.centroids)
+
+
+class TestMultimodal:
+    def test_stub_raises_without_fake(self):
+        dec = multimodal.ImageDecoder(fake=False)
+        t = multimodal.synthesize_media_table(2)
+        with pytest.raises(NotImplementedError):
+            dec(t)
+
+    def test_fake_decode_pipeline(self, ray_session):
+        t = multimodal.synthesize_media_table(20)
+        ds = rd.from_arrow(t)
+        out = ds.map_batches(
+            multimodal.ImageDecoder,
+            fn_constructor_kwargs={"fake": True},
+            batch_size=multimodal.suggest_batch_size(4096),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+        assert len(out) == 20
+        assert len(out[0]["features"]) == 32
+        # deterministic features
+        out2 = multimodal.ImageDecoder(fake=True)(t)
+        a = out2.column("features").to_pylist()
+        assert a == [r["features"].tolist() if hasattr(r["features"], "tolist") else list(r["features"]) for r in out]
+
+    def test_resizer_and_frame_sampler(self):
+        t = multimodal.synthesize_media_table(5)
+        rs = multimodal.ImageResizer(64, 64, fake=True)(t)
+        assert rs.column("width").to_pylist() == [64] * 5
+        fs = multimodal.FrameSampler(every_k=10, fake=True)(t)
+        assert fs.num_rows == sum(int(np.ceil(n / 10)) for n in t.column("n_frames").to_pylist())
+
+    def test_batch_size_suggestion(self):
+        assert multimodal.suggest_batch_size(1 << 20, budget=64 << 20) == 64
+        assert multimodal.suggest_batch_size(1 << 30) == 1
