@@ -3,42 +3,520 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+The engine's primary input (BASELINE.json input_hint) is a Parquet table
+of pre-tokenized training sequences ``(doc_id:string, tokens:list<int32>,
+n_tok:int32, source:string)``.  That table is synthesized
+deterministically (seed 42, pure function of (seed, shard) —
+duckdb_raquet_ray/sources/tokens.py) under /tmp at small scale; the
+oracle SQL reads the very same Parquet shards via ``read_parquet``, so
+the encode→decode round-trip queries are value-checked against ground
+truth, not merely row-counted.  Float-summation caveats: queries paired
+with an oracle only return columns whose values are bit-reproducible
+across execution orders (integer-valued aggregates, single-expression
+double arithmetic, ranks); genuinely heuristic / non-SQL ops (MinHash,
+SimHash, IVF, multimodal stubs) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import functools
+import importlib
+import os
+import pkgutil
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# import bootstrap: the driver may import this module from any cwd, and Ray
+# workers spawned before this import cannot be given a new PYTHONPATH — so
+# the library is registered for cloudpickle BY-VALUE serialization: every
+# function/class shipped into map_batches carries its module along instead
+# of requiring `import duckdb_raquet_ray` on the worker.
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _bootstrap_by_value() -> None:
+    picklers = []
+    try:
+        from ray import cloudpickle as ray_cp  # what Ray actually serializes with
+
+        picklers.append(ray_cp)
+    except Exception:
+        pass
+    try:
+        import cloudpickle
+
+        picklers.append(cloudpickle)
+    except Exception:
+        pass
+
+    import duckdb_raquet_ray as pkg
+
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        importlib.import_module(info.name)
+    for name, mod in list(sys.modules.items()):
+        if name == pkg.__name__ or name.startswith(pkg.__name__ + "."):
+            for cp in picklers:
+                try:
+                    cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+
+
+_bootstrap_by_value()
+
+# ---------------------------------------------------------------------------
+# deterministic check corpus (the input_hint table) + encoded outputs
+# ---------------------------------------------------------------------------
+
+ENGINE_TAG = "r1"  # bump when codec bytes change so stale /tmp encodes drop
+CORPUS_DIR = "/tmp/raquet_corpus_check"
+CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
+ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS
+ENC_DIR = f"/tmp/raquet_encoded_check_{ENGINE_TAG}"
+ENC_GROUPED_DIR = f"/tmp/raquet_encoded_check_grouped_{ENGINE_TAG}"
+PART_BYTES = 1 << 20  # small target -> several partitions per shard
+
+STATS_COLS = ["doc_id", "n_tok", "source", "tok_count", "tok_min", "tok_max", "tok_sum"]
+MASK_LOW, MASK_HIGH = 100, 40_000
+ALLOWED = list(range(0, 50_257, 211))
+MAP_MOD = 1009
+
+
+def _ensure_corpus() -> list[str]:
+    from duckdb_raquet_ray.sources import tokens as tok
+
+    return tok.write_corpus(CORPUS_DIR, CORPUS_ROWS, CORPUS_SHARDS, row_group_rows=1024)
+
+
+def _ensure_encoded() -> str:
+    from duckdb_raquet_ray.pipelines import encode
+
+    paths = _ensure_corpus()
+    if not os.path.exists(os.path.join(ENC_DIR, "manifest.json")):
+        encode.encode_job(paths, ENC_DIR, target_part_bytes=PART_BYTES)
+    return ENC_DIR
+
+
+def _ensure_encoded_grouped() -> str:
+    from duckdb_raquet_ray.pipelines import encode_grouped
+
+    paths = _ensure_corpus()
+    if not os.path.exists(os.path.join(ENC_GROUPED_DIR, "manifest.json")):
+        encode_grouped.encode_job_grouped(paths, ENC_GROUPED_DIR, target_group_rows=2000)
+    return ENC_GROUPED_DIR
+
+
+def _corpus_ds():
+    import ray.data as rd
+
+    return rd.read_parquet(_ensure_corpus())
+
+
+def _token_stats_view(ds, sentinel: int | None = None):
+    """tokens Dataset -> per-row integer summary columns (oracle-safe)."""
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    stats = ds.map_batches(
+        functools.partial(tr.token_stats, sentinel=sentinel),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return stats.select_columns(STATS_COLS)
+
+
+# ---------------------------------------------------------------------------
+# query callables (each takes sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def _q_roundtrip(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded(_ensure_encoded()))
+
+
+def _q_roundtrip_grouped(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded(_ensure_encoded_grouped()))
+
+
+def _q_pruned_read(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded_for_shard(_ensure_encoded(), 0))
+
+
+def _q_clip(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.clip_tokens, low=MASK_LOW, high=MASK_HIGH),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    from_stats = _token_stats_view(ds)
+    return from_stats.select_columns(["doc_id", "tok_count", "tok_sum"])
+
+
+def _q_mask_range(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.mask_tokens_range, low=MASK_LOW, high=MASK_HIGH),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return _token_stats_view(ds, sentinel=tr.SENTINEL).select_columns(
+        ["doc_id", "tok_count", "tok_sum"]
+    )
+
+
+def _q_mask_list(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.mask_tokens_list, allowed=ALLOWED),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return _token_stats_view(ds, sentinel=tr.SENTINEL).select_columns(
+        ["doc_id", "tok_count", "tok_sum"]
+    )
+
+
+def _q_map_tokens(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    mapping = (np.arange(50_257, dtype=np.int64) % MAP_MOD).astype(np.int32)
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.map_tokens, mapping=mapping),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return _token_stats_view(ds).select_columns(["doc_id", "tok_count", "tok_sum"])
+
+
+def _q_source_stats(sf_dir: str):
+    import pandas as pd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    out = st.grouped_stats(_corpus_ds(), "source", "n_tok").to_pandas()
+    # mean recomputed from the exact integer sum so it is bit-identical to
+    # the oracle's SUM/COUNT double division (Welford's running mean is
+    # numerically stabler but may differ in the last ulp)
+    out["mean_v"] = out["sum_v"] / out["cnt"]
+    return pd.DataFrame(out[["source", "cnt", "sum_v", "min_v", "max_v", "mean_v"]])
+
+
+def _q_ws_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.token_count_batch, batch_format="pyarrow", batch_size=4096)
+    return out.select_columns(["doc_id", "ws_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.quality_metrics_batch, batch_format="pyarrow", batch_size=4096)
+    return out.select_columns(["doc_id", "n_chars_m", "n_punct", "n_digit", "n_upper"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.exact_dedup(ds, text_col="text", key_col="doc_id")
+
+
+def _query_vec(dim: int = 64) -> np.ndarray:
+    return np.ones(dim, dtype=np.float64)
+
+
+def _q_topk(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ann.brute_force_topk(ds, _query_vec(), k=10)
+    return t.select(["vec_id", "rank"])
+
+
+def _q_ndiff(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_discount", "l_tax"],
+    )
+    out = ds.map_batches(
+        functools.partial(tr.ndiff_columns, a="l_discount", b="l_tax"),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return out.select_columns(["l_orderkey", "l_linenumber", "ndiff"])
+
+
+def _q_events_stats(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+    out = st.grouped_stats(ds, "event_type", "value").to_pandas()
+    return pd.DataFrame(out[["event_type", "cnt", "min_v", "max_v"]])
+
+
+# --- rows-only (heuristic / non-SQL-expressible) ---------------------------
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.minhash_dedup(ds, text_col="text", key_col="doc_id")
+
+
+def _q_simhash_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.simhash_dedup(ds, text_col="text", key_col="doc_id")
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_dedup(ds, vec_col="embedding", key_col="vec_id")
+
+
+def _q_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = ann.IvfIndex.train(ds)
+    t = ann.ivf_topk(ds, idx, _query_vec(), k=10)
+    return t.select(["vec_id", "rank"])
+
+
+def _q_langid(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        text.TextAnalyzer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.select_columns(["doc_id", "lang_pred", "stop_ratio", "fingerprint"])
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    t = mm.synthesize_media_table(200)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        mm.ImageDecoder,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out
+
+
+def _q_frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    t = mm.synthesize_media_table(100)
+    ds = rd.from_arrow(t)
+    return ds.map_batches(
+        mm.FrameSampler,
+        fn_constructor_kwargs={"fake": True, "every_k": 10},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _q_point_lookup(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import decode
+    from duckdb_raquet_ray.state import manifest as mf
+
+    out_dir = _ensure_encoded()
+    meta = mf.load_metadata(out_dir)
+    pid = meta["partition_ids"][0]
+    return decode.point_lookup(out_dir, pid)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: encode → manifest → decode → per-row token stats on the
+    deterministic check corpus, after touching the sf0.001 tables."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    docs.map_batches(text.token_count_batch, batch_format="pyarrow").count()
+    return _q_roundtrip("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_corpus()
+    return {
+        "roundtrip_stats": _q_roundtrip,
+        "roundtrip_grouped_stats": _q_roundtrip_grouped,
+        "pruned_read_shard0": _q_pruned_read,
+        "clip_tokens_sum": _q_clip,
+        "mask_range_sum": _q_mask_range,
+        "mask_list_sum": _q_mask_list,
+        "map_tokens_sum": _q_map_tokens,
+        "source_ntok_stats": _q_source_stats,
+        "ws_token_count": _q_ws_tokens,
+        "quality_metrics": _q_quality,
+        "exact_dedup_docs": _q_exact_dedup,
+        "topk_similar": _q_topk,
+        "ndiff_lineitem": _q_ndiff,
+        "events_type_stats": _q_events_stats,
+        # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_dedup_docs": _q_simhash_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "ivf_topk_similar": _q_ivf_topk,
+        "langid_docs": _q_langid,
+        "multimodal_features": _q_multimodal,
+        "frame_sample": _q_frame_sample,
+        "point_lookup_partition": _q_point_lookup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _ensure_corpus()
+    corpus = f"read_parquet('{CORPUS_DIR}/shard-*.parquet')"
+    stats_sql = (
+        "SELECT doc_id, n_tok, source, "
+        "len(tokens)::BIGINT AS tok_count, "
+        "list_min(tokens)::BIGINT AS tok_min, "
+        "list_max(tokens)::BIGINT AS tok_max, "
+        "list_sum(tokens)::BIGINT AS tok_sum "
+        f"FROM {corpus}"
+    )
+    clip_sql = (
+        "SELECT doc_id, "
+        f"len(list_filter(tokens, x -> x BETWEEN {MASK_LOW} AND {MASK_HIGH}))::BIGINT AS tok_count, "
+        f"coalesce(list_sum(list_filter(tokens, x -> x BETWEEN {MASK_LOW} AND {MASK_HIGH})), 0)::BIGINT AS tok_sum "
+        f"FROM {corpus}"
+    )
+    allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
+    ones = "[" + ",".join(["1.0"] * 64) + "]"
+    return {
+        "roundtrip_stats": stats_sql,
+        "roundtrip_grouped_stats": stats_sql,
+        "pruned_read_shard0": (
+            stats_sql + f" WHERE CAST(right(doc_id, 12) AS BIGINT) < {ROWS_PER_SHARD}"
+        ),
+        "clip_tokens_sum": clip_sql,
+        "mask_range_sum": clip_sql,
+        "mask_list_sum": (
+            "SELECT doc_id, "
+            f"len(list_filter(tokens, x -> list_contains({allowed_lit}, x)))::BIGINT AS tok_count, "
+            f"coalesce(list_sum(list_filter(tokens, x -> list_contains({allowed_lit}, x))), 0)::BIGINT AS tok_sum "
+            f"FROM {corpus}"
+        ),
+        "map_tokens_sum": (
+            "SELECT doc_id, len(tokens)::BIGINT AS tok_count, "
+            f"coalesce(list_sum(list_transform(tokens, x -> x % {MAP_MOD})), 0)::BIGINT AS tok_sum "
+            f"FROM {corpus}"
+        ),
+        "source_ntok_stats": (
+            "SELECT source, COUNT(*)::BIGINT AS cnt, SUM(n_tok)::DOUBLE AS sum_v, "
+            "MIN(n_tok)::DOUBLE AS min_v, MAX(n_tok)::DOUBLE AS max_v, "
+            "SUM(n_tok)::DOUBLE / COUNT(*) AS mean_v "
+            f"FROM {corpus} GROUP BY source"
+        ),
+        "ws_token_count": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens "
+            "FROM documents"
+        ),
+        "quality_metrics": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars_m, "
+            r"len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct, "
+            "len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit, "
+            "len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper "
+            "FROM documents"
+        ),
+        "exact_dedup_docs": (
+            "SELECT * FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "topk_similar": (
+            "SELECT vec_id, CAST(row_number() OVER "
+            f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
+            "AS BIGINT) AS rank FROM embeddings "
+            f"ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id LIMIT 10"
+        ),
+        "ndiff_lineitem": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_discount + l_tax = 0 THEN 0.0 "
+            "ELSE (l_discount - l_tax) / (l_discount + l_tax) END AS ndiff "
+            "FROM lineitem"
+        ),
+        "events_type_stats": (
+            "SELECT event_type, COUNT(*)::BIGINT AS cnt, "
+            "MIN(value) AS min_v, MAX(value) AS max_v "
+            "FROM events GROUP BY event_type"
+        ),
+    }

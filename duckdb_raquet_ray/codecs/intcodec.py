@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import general
+
 U64 = np.uint64
 
 # ---------------------------------------------------------------------------
@@ -192,7 +194,6 @@ def _byte_width(max_delta: int) -> int:
 
 
 def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
-    from . import general
 
     base, maxd = _minmax_base(plane, signed)
     w = _byte_width(maxd)
@@ -214,7 +215,6 @@ def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
 
 
 def decode_for_bss(blob: bytes, desc: dict) -> np.ndarray:
-    from . import general
 
     n = desc["n"]
     w = desc["byte_width"]

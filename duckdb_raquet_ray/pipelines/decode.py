@@ -40,6 +40,7 @@ import ray.data as rd
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
 from ..state import manifest as mf
+from .encode import plan_partitions
 
 
 def encoded_part_files(out_dir: str, partition_ids: list[int] | None = None) -> list[str]:
@@ -114,7 +115,6 @@ def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
 def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> dict:
     """Full-corpus bit-identity gate (per-row token-array equality via
     pa.Table.equals on every partition). Returns summary dict."""
-    from .encode import plan_partitions
 
     items = plan_partitions(input_paths, **encode_plan_kwargs)
     ds = rd.from_items(items)

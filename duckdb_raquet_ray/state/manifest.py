@@ -27,6 +27,8 @@ import json
 import os
 import time
 
+from ..functions import partition_keys as pk
+
 MANIFEST_JSONL = "manifest.jsonl"
 MANIFEST_JSON = "manifest.json"
 
@@ -111,7 +113,6 @@ def load_entries(out_dir: str) -> dict[int, dict]:
 def done_partition_ids(out_dir: str) -> set[int]:
     """Partition ids safe to skip on resume: recorded done AND the output
     file actually exists."""
-    from ..functions import partition_keys as pk
 
     done = set()
     for pid, e in load_entries(out_dir).items():
