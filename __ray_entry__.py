@@ -346,7 +346,7 @@ def _q_langid(sf_dir: str):
         text.TextAnalyzer,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(1, 2),
         num_cpus=1,
     )
     return out.select_columns(["doc_id", "lang_pred", "stop_ratio", "fingerprint"])
@@ -364,7 +364,7 @@ def _q_multimodal(sf_dir: str):
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=mm.suggest_batch_size(4096),
-        concurrency=2,
+        concurrency=(1, 2),
         num_cpus=1,
     )
     return out
@@ -382,7 +382,7 @@ def _q_frame_sample(sf_dir: str):
         fn_constructor_kwargs={"fake": True, "every_k": 10},
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=2,
+        concurrency=(1, 2),
         num_cpus=1,
     )
 

@@ -1,0 +1,227 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Default mode times the headline pipelines at ``$RAY_GRAFT_CPUS`` (default
+32) over the synthesized tokenized-sequence corpus (the BASELINE.json
+input table) plus a few operators over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1):
+
+    python bench.py
+
+``--scaling`` runs the headline encode job twice in FRESH processes —
+``ray.init(num_cpus=8)`` then ``ray.init(num_cpus=32)`` — on the same
+input and reports throughput at both levels plus the scaling efficiency
+(T_small/T_large) / (32/8); the sandbox stand-in for the north rule's
+N vs 4N cluster sizes (see BASELINE.md).
+
+Corpus generation and the zstd-Parquet reference artifact are cached
+under /tmp and excluded from all timings.  bench.py OWNS its Ray session
+(the only script that does, besides tests' conftest fixture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "2000000"))
+BENCH_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "64"))
+CORPUS_DIR = f"/tmp/raquet_bench_corpus_{BENCH_ROWS}"
+ZSTD_REF = f"/tmp/raquet_bench_zstd_ref_{BENCH_ROWS}.json"
+
+
+def ensure_corpus() -> list[str]:
+    from duckdb_raquet_ray.sources import tokens as tok
+
+    return tok.write_corpus(
+        CORPUS_DIR, BENCH_ROWS, BENCH_SHARDS, processes=max(os.cpu_count() // 2, 1)
+    )
+
+
+def zstd_reference(paths: list[str]) -> dict:
+    """Reference compressed size: the same table rewritten as zstd Parquet
+    (cached — one-time cost, excluded from timings)."""
+    if os.path.exists(ZSTD_REF):
+        return json.load(open(ZSTD_REF))
+    import pyarrow.parquet as pq
+
+    total_in, total_zstd, rows = 0, 0, 0
+    tmp = "/tmp/raquet_zstd_probe.parquet"
+    for p in paths[:: max(len(paths) // 8, 1)]:  # deterministic 8-shard sample
+        t = pq.read_table(p)
+        pq.write_table(t, tmp, compression="zstd")
+        total_in += t.nbytes
+        total_zstd += os.path.getsize(tmp)
+        rows += t.num_rows
+    os.unlink(tmp)
+    ref = {"sampled_rows": rows, "decoded_bytes": total_in, "zstd_bytes": total_zstd,
+           "zstd_ratio": total_in / total_zstd}
+    json.dump(ref, open(ZSTD_REF, "w"))
+    return ref
+
+
+def run_encode(paths: list[str], out_dir: str, cpus: int) -> dict:
+    """The headline: lineage-partitioned encode job, fresh output."""
+    from duckdb_raquet_ray.pipelines import encode
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    meta = encode.encode_job(paths, out_dir, concurrency=cpus)
+    dt = time.time() - t0
+    gb = meta["input_bytes"] / 1e9
+    return {
+        "sec": dt,
+        "decoded_gb": gb,
+        "gbps": gb / dt,
+        "rows_per_s": meta["num_rows"] / dt,
+        "rows": meta["num_rows"],
+        "ratio": meta["input_bytes"] / meta["encoded_bytes"],
+        "partitions": len(meta["partition_ids"]),
+    }
+
+
+def bench_all(cpus: int) -> dict:
+    import functools
+
+    import numpy as np
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann, decode, dedup, encode_grouped, text
+    from duckdb_raquet_ray.pipelines import transforms as tr
+    from duckdb_raquet_ray.stages import stats as st
+
+    paths = ensure_corpus()
+    ref = zstd_reference(paths)
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    enc_out = "/tmp/raquet_bench_out"
+    enc_stats = run_encode(paths, enc_out, cpus)
+    queries["encode"] = round(enc_stats["sec"], 3)
+    extra["encode"] = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in enc_stats.items()}
+    extra["zstd_reference"] = {"ratio": round(ref["zstd_ratio"], 4)}
+
+    t0 = time.time()
+    n = (
+        decode.read_encoded(enc_out)
+        .map_batches(tr.token_stats, batch_format="pyarrow", batch_size=4096)
+        .count()
+    )
+    queries["decode_stats"] = round(time.time() - t0, 3)
+    assert n == enc_stats["rows"], (n, enc_stats["rows"])
+    extra["decode"] = {"gbps": round(enc_stats["decoded_gb"] / queries["decode_stats"], 4)}
+
+    grouped_out = "/tmp/raquet_bench_grouped_out"
+    shutil.rmtree(grouped_out, ignore_errors=True)
+    t0 = time.time()
+    encode_grouped.encode_job_grouped(paths, grouped_out, target_group_rows=100_000)
+    queries["encode_grouped"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    st.grouped_stats(rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok").to_pandas()
+    queries["grouped_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    rd.read_parquet(paths, columns=["tokens"]).map_batches(
+        functools.partial(tr.clip_tokens, low=100, high=40_000, length_column=None),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).count()
+    queries["clip_tokens"] = round(time.time() - t0, 3)
+
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    t0 = time.time()
+    rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+        text.TextAnalyzer, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, min(cpus, 8)), num_cpus=1,
+    ).count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.exact_dedup(rd.read_parquet(docs)).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.minhash_dedup(rd.read_parquet(docs)).count()
+    queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    emb = os.path.join(SF_DIR, "embeddings.parquet")
+    t0 = time.time()
+    ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10)
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    return {"queries": queries, "extra": extra}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.scaling:
+        ensure_corpus()  # generate once, outside both timed subprocesses
+        levels = {}
+        for cpus in (8, 32):
+            out = f"/tmp/raquet_scaling_{cpus}.json"
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--encode-only",
+                 "--cpus", str(cpus), "--json-out", out],
+                check=True, cwd=REPO,
+            )
+            levels[str(cpus)] = json.load(open(out))["encode"]
+        speedup = levels["8"]["sec"] / levels["32"]["sec"]
+        eff = speedup / (32 / 8)
+        print(json.dumps({
+            "metric": "encode_scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "speedup": round(speedup, 4),
+            "levels": levels,
+            "sf": SF_DIR,
+            "corpus_rows": BENCH_ROWS,
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+    try:
+        if args.encode_only:
+            paths = ensure_corpus()
+            enc_stats = run_encode(paths, f"/tmp/raquet_bench_out_c{args.cpus}", args.cpus)
+            result = {"encode": enc_stats, "num_cpus": args.cpus}
+            if args.json_out:
+                json.dump(result, open(args.json_out, "w"))
+            print(json.dumps(result))
+            return
+        res = bench_all(args.cpus)
+        line = {
+            "metric": "headline_pipelines_total_sec",
+            "value": round(sum(res["queries"].values()), 3),
+            "unit": "sec",
+            "queries": res["queries"],
+            "sf": SF_DIR,
+            "num_cpus": args.cpus,
+            "corpus_rows": BENCH_ROWS,
+            **res["extra"],
+        }
+        print(json.dumps(line))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

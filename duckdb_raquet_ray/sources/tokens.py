@@ -115,6 +115,18 @@ def generate_shard(
     )
 
 
+def _write_one_shard(args: tuple) -> str:
+    out_dir, k, n, seed, vocab, row_offset, skew_head, row_group_rows = args
+    path = os.path.join(out_dir, f"shard-{k:05d}.parquet")
+    if os.path.exists(path):
+        return path
+    table = generate_shard(k, n, seed=seed, vocab=vocab, row_offset=row_offset, skew_head=skew_head)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=row_group_rows)
+    os.replace(tmp, path)
+    return path
+
+
 def write_corpus(
     out_dir: str,
     rows: int,
@@ -124,23 +136,25 @@ def write_corpus(
     vocab: int = VOCAB,
     skew_head: float | None = None,
     row_group_rows: int = 8192,
+    processes: int = 1,
 ) -> list[str]:
     """Materialize a corpus as Parquet shards (idempotent: existing complete
-    shards are kept — the generator is deterministic so re-use is safe)."""
+    shards are kept — the generator is deterministic so re-use is safe).
+    ``processes > 1`` fans shard generation out over a process pool (each
+    shard is a pure function of (seed, shard), so parallel generation is
+    bit-identical to sequential)."""
     os.makedirs(out_dir, exist_ok=True)
     per = rows // shards
-    paths = []
+    jobs = []
     for k in range(shards):
         n = per + (rows % shards if k == shards - 1 else 0)
-        path = os.path.join(out_dir, f"shard-{k:05d}.parquet")
-        paths.append(path)
-        if os.path.exists(path):
-            continue
-        table = generate_shard(k, n, seed=seed, vocab=vocab, row_offset=k * per, skew_head=skew_head)
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp, row_group_size=row_group_rows)
-        os.replace(tmp, path)
-    return paths
+        jobs.append((out_dir, k, n, seed, vocab, k * per, skew_head, row_group_rows))
+    if processes > 1 and shards > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=processes) as ex:
+            return list(ex.map(_write_one_shard, jobs))
+    return [_write_one_shard(j) for j in jobs]
 
 
 def corpus_paths(out_dir: str) -> list[str]:
