@@ -82,7 +82,7 @@ _bootstrap_by_value()
 # deterministic check corpus (the input_hint table) + encoded outputs
 # ---------------------------------------------------------------------------
 
-ENGINE_TAG = "r1"  # bump when codec bytes change so stale /tmp encodes drop
+ENGINE_TAG = "r2"  # bump when codec bytes change so stale /tmp encodes drop
 CORPUS_DIR = "/tmp/raquet_corpus_check"
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS

@@ -86,35 +86,52 @@ def str_to_type(s: str) -> pa.DataType:
 # ---------------------------------------------------------------------------
 
 
+_UNSIGNED_OF_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
 def to_plane(vals: np.ndarray) -> tuple[np.ndarray, bool]:
-    """numpy values -> (uint64 bit patterns, signed?) — lossless."""
+    """numpy values -> (native-width unsigned bit patterns, signed?).
+
+    Lossless and, for ints/floats/timestamps, ZERO-COPY (a reinterpreting
+    view): the plane keeps the column's own width so every later pass moves
+    the minimum number of bytes (encode is memory-bandwidth-bound at high
+    parallelism — widening int32 tokens to a uint64 plane doubled traffic).
+    """
     dt = vals.dtype
+    u = _UNSIGNED_OF_WIDTH.get(dt.itemsize, np.uint64)
     if dt.kind == "i":
-        return vals.astype(np.int64).view(U64), True
-    if dt.kind in ("u", "b"):
-        return vals.astype(U64), False
+        return np.ascontiguousarray(vals).view(u), True
+    if dt.kind == "b":
+        return vals.astype(np.uint8), False
+    if dt.kind == "u":
+        return vals, False
     if dt.kind == "f":
-        bits = {2: np.uint16, 4: np.uint32, 8: np.uint64}[dt.itemsize]
-        return vals.view(bits).astype(U64), False
-    if dt.kind == "M":  # datetime64
-        return vals.view(np.int64).astype(np.int64).view(U64), True
+        return np.ascontiguousarray(vals).view(u), False
+    if dt.kind == "M":  # datetime64 is 8-byte
+        return np.ascontiguousarray(vals).view(np.uint64), True
     raise ValueError(f"unsupported numpy dtype {dt}")
 
 
 def from_plane(plane: np.ndarray, np_dtype: np.dtype) -> np.ndarray:
+    """Inverse of :func:`to_plane`; ``plane`` arrives at the width recorded
+    in the codec descriptor, which equals the original column width."""
     dt = np.dtype(np_dtype)
-    if dt.kind == "i":
-        return plane.view(np.int64).astype(dt)
     if dt.kind == "b":
         return plane.astype(np.bool_)
-    if dt.kind == "u":
-        return plane.astype(dt)
-    if dt.kind == "f":
-        bits = {2: np.uint16, 4: np.uint32, 8: np.uint64}[dt.itemsize]
-        return plane.astype(bits).view(dt)
-    if dt.kind == "M":
-        return plane.view(np.int64).astype(np.int64).view(dt)
-    raise ValueError(f"unsupported numpy dtype {dt}")
+    if dt.itemsize != plane.dtype.itemsize:  # defensive: legacy u64 planes
+        if dt.kind == "i":
+            return plane.view(_SIGNED_OF_WIDTH_BC[plane.dtype.itemsize]).astype(dt)
+        if dt.kind in ("u",):
+            return plane.astype(dt)
+        if dt.kind == "f":
+            return plane.astype(_UNSIGNED_OF_WIDTH[dt.itemsize]).view(dt)
+        if dt.kind == "M":
+            return plane.view(np.int64).astype(np.int64).view(dt)
+        raise ValueError(f"unsupported numpy dtype {dt}")
+    return plane.view(dt)
+
+
+_SIGNED_OF_WIDTH_BC = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
 
 
 _NP_OF_ARROW = {
@@ -265,7 +282,9 @@ def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     buffers = arr.buffers()
     offs = np.frombuffer(buffers[1], dtype=off_dt)[arr.offset : arr.offset + n + 1]
     data_buf = buffers[2]
-    data = data_buf.to_pybytes()[offs[0] : offs[-1]] if data_buf is not None else b""
+    # zero-copy view into the arrow data buffer — the bytes flow into the
+    # compressor without ever being copied into a python bytes object
+    data = memoryview(data_buf).toreadonly()[offs[0] : offs[-1]] if data_buf is not None else b""
     lengths = np.diff(offs.astype(np.int64))
     return lengths, data
 

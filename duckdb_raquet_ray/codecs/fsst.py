@@ -157,6 +157,8 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> SymbolTable:
 
 
 def encode_bytes(data: bytes) -> tuple[bytes, dict]:
+    if not isinstance(data, bytes):
+        data = bytes(data)  # training/coding index by hashed byte windows
     table = train(data)
     codes, exceptions = table.encode(data)
     tbl = table.serialize()

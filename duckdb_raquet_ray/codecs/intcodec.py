@@ -1,14 +1,18 @@
 """Integer-plane lightweight codecs: frame-of-reference + bit-packing, RLE, dict.
 
-All codecs operate on a canonical *plane*: a ``uint64`` numpy array of bit
-patterns. Fixed-width Arrow values (ints of any width/signedness, floats,
-timestamps, bools) are mapped onto this plane losslessly by
-``blockcodec.to_plane`` / ``from_plane``; the codecs never need to know the
-original logical type.
+All codecs operate on a canonical *plane*: an unsigned numpy array of bit
+patterns at the column's NATIVE width (uint8/16/32/64). Fixed-width Arrow
+values (ints of any width/signedness, floats, timestamps, bools) are mapped
+onto this plane losslessly — and usually zero-copy, a reinterpreting view —
+by ``blockcodec.to_plane`` / ``from_plane``; the codecs never need to know
+the original logical type. Keeping the native width matters at scale: a
+uint64 compute plane would double the memory traffic of every pass over an
+int32 token stream, and encode is memory-bandwidth-bound at high
+parallelism.
 
-Frame-of-reference uses *modular* arithmetic in uint64 (two's-complement
-wraparound), so a signed int64 range that straddles zero still produces
-small deltas: ``delta = (pattern - pattern_of_min) mod 2**64``.
+Frame-of-reference uses *modular* arithmetic in the plane's width (two's-
+complement wraparound), so a signed range that straddles zero still
+produces small deltas: ``delta = (pattern - pattern_of_min) mod 2**(8w)``.
 
 Design derives from the reference's dtype-width-aware blob coding
 (/root/reference/src/include/band_decoder.hpp:46-65 `dtype_size`,
@@ -19,17 +23,29 @@ bit-packing, RLE, dictionary) from the public literature (Zukowski et al.,
 
 Every encoder returns ``(sections, desc)`` where ``sections`` is a list of
 ``bytes`` and ``desc`` a JSON-able descriptor; ``decode_plane`` consumes the
-concatenated blob plus the descriptor and returns the exact uint64 plane.
-Round-trip is bit-exact for every input (property-tested).
+concatenated blob plus the descriptor and returns the exact plane (dtype
+from the descriptor's ``pw`` plane-width field). Round-trip is bit-exact
+for every input (property-tested). Blob BYTES are identical to the former
+uint64-plane implementation; only the descriptor gained ``pw`` and stores
+``base`` as the plane-width pattern.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as _pa
 
 from . import general
 
 U64 = np.uint64
+
+_BYTE_WIDTH_DTYPE = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+_SIGNED_OF_WIDTH = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
+
+
+def plane_dtype(desc: dict) -> np.dtype:
+    return np.dtype(_BYTE_WIDTH_DTYPE[desc.get("pw", 8)])
+
 
 # ---------------------------------------------------------------------------
 # bit-packing kernel (vectorized via np.packbits over a (n, width) bit matrix)
@@ -42,27 +58,29 @@ def bit_width(max_delta: int) -> int:
 
 
 def pack_bits(deltas: np.ndarray, width: int) -> bytes:
-    """Pack ``deltas`` (uint64, all < 2**width) into a big-endian-bit stream."""
+    """Pack ``deltas`` (unsigned, all < 2**width) into a big-endian-bit stream."""
     n = len(deltas)
     if width == 0 or n == 0:
         return b""
+    one = deltas.dtype.type(1)
     bits = np.empty((n, width), dtype=np.uint8)
     for b in range(width):
-        shift = U64(width - 1 - b)
-        bits[:, b] = (deltas >> shift) & U64(1)
+        shift = deltas.dtype.type(width - 1 - b)
+        bits[:, b] = (deltas >> shift) & one
     return np.packbits(bits).tobytes()
 
 
-def unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits` -> uint64 array of length n."""
+def unpack_bits(data: bytes, n: int, width: int, dtype=U64) -> np.ndarray:
+    """Inverse of :func:`pack_bits` -> unsigned array of length n."""
+    dtype = np.dtype(dtype)
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=U64)
+        return np.zeros(n, dtype=dtype)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
     bits = bits.reshape(n, width)
-    out = np.zeros(n, dtype=U64)
+    out = np.zeros(n, dtype=dtype)
     for b in range(width):
-        shift = U64(width - 1 - b)
-        out |= bits[:, b].astype(U64) << shift
+        shift = dtype.type(width - 1 - b)
+        out |= bits[:, b].astype(dtype) << shift
     return out
 
 
@@ -71,31 +89,58 @@ def unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _minmax_base(plane: np.ndarray, signed: bool) -> tuple[int, int]:
-    """(base_pattern, max_modular_delta) choosing base = logical min."""
+def for_minmax(plane: np.ndarray, signed: bool) -> tuple[int, int]:
+    """(base_pattern_in_width, max modular delta) with base = logical min.
+
+    One fused arrow min_max pass, NO materialized delta array — at 32-way
+    parallelism the encode path is memory-bandwidth-bound and a full-size
+    intermediate costs more than the arithmetic."""
     if len(plane) == 0:
         return 0, 0
-    if signed:
-        as_i = plane.view(np.int64)
-        base = np.array([as_i.min()], dtype=np.int64).view(U64)[0]
-    else:
-        base = plane.min()
-    deltas = plane - base  # modular uint64 arithmetic
-    return int(base), int(deltas.max())
+    w = plane.dtype.itemsize
+    view = plane.view(_SIGNED_OF_WIDTH[w]) if signed else plane
+    try:  # arrow's fused min_max: ONE pass instead of two (SIMD, zero-copy)
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(_pa.array(view))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    except Exception:
+        lo, hi = int(view.min()), int(view.max())
+    base = lo & ((1 << (8 * w)) - 1) if signed else lo
+    return base, hi - lo
+
+
+def narrow_deltas(plane: np.ndarray, base: int, byte_w: int) -> np.ndarray:
+    """FOR deltas computed directly at the target byte width (one read of
+    the plane, one narrow write): (a - b) mod 2**(8*byte_w) equals the true
+    delta whenever max delta < 2**(8*byte_w), which the caller guarantees."""
+    dt = _BYTE_WIDTH_DTYPE[byte_w]
+    return np.subtract(plane, plane.dtype.type(base), dtype=dt, casting="same_kind")
+
+
+def _minmax_base(plane: np.ndarray, signed: bool) -> tuple[int, int]:
+    return for_minmax(plane, signed)
 
 
 def encode_for_bitpack(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
-    base, maxd = _minmax_base(plane, signed)
+    base, maxd = for_minmax(plane, signed)
     width = bit_width(maxd)
-    deltas = plane - U64(base)
+    deltas = narrow_deltas(plane, base, _byte_width(maxd)) if len(plane) else plane
     data = pack_bits(deltas, width)
-    desc = {"codec": "for_bitpack", "n": len(plane), "base": base, "width": width}
+    desc = {
+        "codec": "for_bitpack",
+        "n": len(plane),
+        "base": base,
+        "width": width,
+        "pw": plane.dtype.itemsize,
+    }
     return [data], desc
 
 
 def decode_for_bitpack(blob: bytes, desc: dict) -> np.ndarray:
-    deltas = unpack_bits(blob, desc["n"], desc["width"])
-    return deltas + U64(desc["base"])
+    dt = plane_dtype(desc)
+    deltas = unpack_bits(blob, desc["n"], desc["width"], dt)
+    return deltas + dt.type(desc["base"])
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +172,7 @@ def encode_rle(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
         "runs": len(starts),
         "values": vdesc,
         "lengths": ldesc,
+        "pw": plane.dtype.itemsize,
         "sections": [len(vsec[0]), len(lsec[0])],
     }
     return [vsec[0], lsec[0]], desc
@@ -157,6 +203,7 @@ def encode_dict(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
         "card": len(uniq),
         "uniq": udesc,
         "code_width": width,
+        "pw": plane.dtype.itemsize,
         "sections": [len(usec[0]), len(csec)],
     }
     return [usec[0], csec], desc
@@ -167,7 +214,7 @@ def decode_dict(blob: bytes, desc: dict) -> np.ndarray:
     uniq = decode_for_bitpack(blob[:s0], desc["uniq"])
     codes = unpack_bits(blob[s0 : s0 + s1], desc["n"], desc["code_width"])
     if len(uniq) == 0:
-        return np.zeros(desc["n"], dtype=U64)
+        return np.zeros(desc["n"], dtype=plane_dtype(desc))
     return uniq[codes.astype(np.int64)]
 
 
@@ -182,8 +229,6 @@ def decode_dict(blob: bytes, desc: dict) -> np.ndarray:
 # Measured ~18% smaller than zstd-on-raw and ~12% smaller than
 # bitpack+zstd on the F1 token mixture, at full C speed (no per-bit loops).
 
-_BYTE_WIDTH_DTYPE = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
-
 
 def _byte_width(max_delta: int) -> int:
     bits = bit_width(max_delta)
@@ -194,12 +239,13 @@ def _byte_width(max_delta: int) -> int:
 
 
 def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
-
-    base, maxd = _minmax_base(plane, signed)
+    base, maxd = for_minmax(plane, signed)
     w = _byte_width(maxd)
-    deltas = (plane - U64(base)).astype(_BYTE_WIDTH_DTYPE[w])
+    deltas = narrow_deltas(plane, base, w) if len(plane) else plane
     if len(deltas):
-        streams = np.ascontiguousarray(deltas.view(np.uint8).reshape(-1, w).T).tobytes()
+        # .T.tobytes() performs the single C-order copy that materializes
+        # the per-byte streams — no intermediate ascontiguousarray copy
+        streams = deltas.view(np.uint8).reshape(-1, w).T.tobytes()
     else:
         streams = b""
     z = general.compress(streams)
@@ -208,6 +254,7 @@ def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
         "n": len(plane),
         "base": base,
         "byte_width": w,
+        "pw": plane.dtype.itemsize,
         "general": general.DEFAULT_GENERAL,
         "raw_size": len(streams),
     }
@@ -215,15 +262,17 @@ def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
 
 
 def decode_for_bss(blob: bytes, desc: dict) -> np.ndarray:
-
     n = desc["n"]
     w = desc["byte_width"]
+    dt = plane_dtype(desc)
     raw = general.decompress(blob, desc["general"], desc["raw_size"])
     if n == 0:
-        return np.zeros(0, dtype=U64)
+        return np.zeros(0, dtype=dt)
     lanes = np.frombuffer(raw, dtype=np.uint8).reshape(w, n)
-    deltas = np.ascontiguousarray(lanes.T).view(_BYTE_WIDTH_DTYPE[w]).ravel().astype(U64)
-    return deltas + U64(desc["base"])
+    deltas = np.ascontiguousarray(lanes.T).view(_BYTE_WIDTH_DTYPE[w]).ravel()
+    if deltas.dtype != dt:
+        deltas = deltas.astype(dt)
+    return deltas + dt.type(desc["base"])
 
 
 # ---------------------------------------------------------------------------

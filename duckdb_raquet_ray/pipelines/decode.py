@@ -105,7 +105,7 @@ def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
     results = []
     for item in batch.to_pylist():
         pid = item["partition_id"]
-        original = pq.ParquetFile(item["shard"]).read_row_groups(item["row_groups"])
+        original = pq.ParquetFile(item["shard"]).read_row_groups(item["row_groups"], use_threads=False)
         decoded = point_lookup(out_dir, pid)
         ok = decoded.equals(original)
         results.append({"partition_id": pid, "ok": ok, "n_rows": original.num_rows})
@@ -117,7 +117,7 @@ def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> di
     pa.Table.equals on every partition). Returns summary dict."""
 
     items = plan_partitions(input_paths, **encode_plan_kwargs)
-    ds = rd.from_items(items)
+    ds = rd.from_items(items, override_num_blocks=len(items))
     res = ds.map_batches(
         functools.partial(_verify_partitions, out_dir=out_dir),
         batch_size=1,

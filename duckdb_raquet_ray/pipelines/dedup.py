@@ -58,6 +58,20 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id")
 _MERSENNE = (1 << 61) - 1
 
 
+_POWERS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _shingle_powers(k: int) -> np.ndarray:
+    # plain dict cache, NOT functools.lru_cache: lru_cache wrappers always
+    # pickle by reference, which breaks cloudpickle by-value shipping of
+    # this module to Ray workers that cannot import the package
+    p = _POWERS_CACHE.get(k)
+    if p is None:
+        p = np.array([pow(257, k - 1 - i, _MERSENNE) for i in range(k)], dtype=np.uint64)
+        _POWERS_CACHE[k] = p
+    return p
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct char-k-gram hashes of one document (uint64), via a
     vectorized polynomial rolling hash over the byte sequence."""
@@ -67,9 +81,7 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         data = np.pad(data, (0, k - n), constant_values=0)
         n = k
     # rolling polynomial hash base 257 mod 2^61-1, windows of length k
-    base = np.uint64(257)
-    powers = np.array([pow(257, k - 1 - i, _MERSENNE) for i in range(k)], dtype=np.uint64)
-    # windows matrix trick via strided cumulative evaluation
+    powers = _shingle_powers(k)
     out = np.zeros(n - k + 1, dtype=np.uint64)
     for i in range(k):  # k is tiny (5); inner ops vectorized over windows
         out = (out + (data[i : n - k + 1 + i] * powers[i]) % _MERSENNE) % _MERSENNE
@@ -107,20 +119,23 @@ def minhash_band_rows(
     rows_per_band = num_perm // bands
     keys = batch.column(key_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
-    out_key, out_band, out_hash = [], [], []
-    for key, text in zip(keys, texts):
-        sig = _minhash_sig(_shingle_hashes(text or "", shingle_k), a, b)
-        for bi in range(bands):
-            chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-            bh = int(pd.util.hash_array(chunk.astype(np.uint64)).sum() % (1 << 63))
-            out_key.append(key)
-            out_band.append(bi)
-            out_hash.append(bh)
+    n_docs = len(keys)
+    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    for i, text in enumerate(texts):  # shingle sets vary per doc; sig math vectorized
+        sigs[i] = _minhash_sig(_shingle_hashes(text or "", shingle_k), a, b)
+    # band hash: FNV-style fold over the band's signature rows — one
+    # vectorized pass over (docs, bands) instead of a pandas hash per band
+    sig_b = sigs.reshape(n_docs, bands, rows_per_band)
+    h = np.full((n_docs, bands), np.uint64(1469598103934665603))
+    prime = np.uint64(1099511628211)
+    for r in range(rows_per_band):
+        h = (h * prime) ^ sig_b[:, :, r]
+    band_hash = (h >> np.uint64(1)).astype(np.int64)  # non-negative
     return pa.table(
         {
-            key_col: pa.array(out_key),
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
+            key_col: pa.array(np.repeat(np.asarray(keys, dtype=object), bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs)),
+            "band_hash": pa.array(band_hash.reshape(-1)),
         }
     )
 

@@ -110,7 +110,10 @@ class PartitionEncoder:
         for item in batch.to_pylist():
             pid = item["partition_id"]
             pf = pq.ParquetFile(item["shard"])
-            table = pf.read_row_groups(item["row_groups"])
+            # single-threaded read: each actor owns one CPU; pyarrow's
+            # default pool is sized to the whole machine, and N actors x
+            # N arrow threads thrash the scheduler at high concurrency
+            table = pf.read_row_groups(item["row_groups"], use_threads=False)
             encoded, entry = enc.encode_table(
                 table, pid, input_shard=item["shard"], row_range=tuple(item["row_range"])
             )
@@ -142,7 +145,10 @@ def encode_job(
         if todo:
             if concurrency is None:
                 concurrency = default_concurrency(cap=len(todo))
-            ds = rd.from_items(todo)
+            # one block per work item: map_batches parallelism is per-BLOCK
+            # (batch_size only slices batches within a task), so without
+            # this the whole work list can serialize onto one actor
+            ds = rd.from_items(todo, override_num_blocks=len(todo))
             results = ds.map_batches(
                 PartitionEncoder,
                 fn_constructor_kwargs={"out_dir": out_dir},

@@ -8,7 +8,7 @@ reuses it across tiles of the same frame
 Zipf: an unsalted groupby('source') serializes the job on the head key
 (SURVEY.md §7 hard-part 4). So the group key is salted:
 
-    salt = crc32(doc_id) % S(source),   S(source) = ceil(rows / target)
+    salt = siphash64(doc_id) % S(source),   S(source) = ceil(rows / target)
 
 with S from a driver-side `groupby('source').count()` — a tiny aggregate
 over a low-cardinality column. Same source => same string/token
@@ -32,8 +32,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import zlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -44,18 +42,25 @@ from ..stages import encoder as enc
 from ..state import manifest as mf
 
 DEFAULT_GROUP_ROWS = 100_000
+_ENTRY_SCHEMA = pa.schema([("entry_json", pa.string())])
 
 
 def _salts(batch: pa.Table, salt_map: dict[str, int], key: str = "doc_id") -> pa.Table:
-    """Vectorized-ish salt column: crc32 over the key bytes, modulo the
-    source's bucket count. (crc32 is C-speed per call; the loop is one
-    cheap call per row over short ids.)"""
-    sources = batch.column("source").to_pylist()
-    keys = batch.column(key).to_pylist()
-    salts = [
-        zlib.crc32(k.encode() if isinstance(k, str) else k) % salt_map.get(s, 1)
-        for s, k in zip(sources, keys)
-    ]
+    """Vectorized salt column: pandas' stable 64-bit string hasher (siphash,
+    fixed key — C speed, deterministic across runs and topologies) over the
+    doc key, modulo the source's bucket count."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(batch.column(key).to_pandas(), index=False).to_numpy()
+    mods = (
+        batch.column("source")
+        .to_pandas()
+        .map(salt_map)
+        .fillna(1)
+        .to_numpy(dtype=np.uint64)
+    )
+    salts = (h % mods).astype(np.int32)
     return batch.append_column("_salt", pa.array(salts, type=pa.int32()))
 
 
@@ -89,9 +94,7 @@ def encode_job_grouped(
         salt = group.column("_salt")[0].as_py()
         pid = pk.pack_grouped(source, salt)
         if pid in done:
-            return pa.Table.from_pylist(
-                [], schema=pa.schema([("entry_json", pa.string())])
-            )
+            return _ENTRY_SCHEMA.empty_table()
         group = group.sort_by("doc_id").drop_columns(["_salt"])
         encoded, entry = enc.encode_table(
             group, pid, input_shard=f"group:{source}/{salt}", row_range=None
@@ -101,7 +104,7 @@ def encode_job_grouped(
         tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(encoded, tmp, compression="none")
         os.replace(tmp, path)
-        return pa.Table.from_pylist([{"entry_json": json.dumps(entry)}])
+        return pa.Table.from_pylist([{"entry_json": json.dumps(entry)}], schema=_ENTRY_SCHEMA)
 
     salted = ds.map_batches(
         lambda b: _salts(b, salt_map), batch_format="pyarrow", batch_size=16384

@@ -65,17 +65,16 @@ def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str,
 
     est: dict[str, float] = {}
 
-    # FOR + bitpack: exact width from the full plane is cheap (min/max scan)
-    if signed:
-        as_i = plane.view(np.int64)
-        base = np.array([as_i.min()], dtype=np.int64).view(U64)[0]
-    else:
-        base = plane.min()
-    width = intcodec.bit_width(int((plane - base).max()))
+    # All plan estimates come from bounded samples — planning must never
+    # scan the full plane (encode computes the exact min/max itself, so a
+    # sample-underestimated width only perturbs the cost model, never
+    # correctness). `prefix` = scattered contiguous windows, ~32k values.
+    prefix = _window_sample(plane)
+    base, maxd = intcodec.for_minmax(prefix, signed)
+    width = intcodec.bit_width(maxd)
     est["for_bitpack"] = n * width / 8 + _HEADER_OVERHEAD
 
-    # RLE: run count needs contiguity, so measure on scattered windows
-    prefix = _window_sample(plane)
+    # RLE: run count needs contiguity, so measure on the same windows
     runs_prefix = len(intcodec.run_starts(prefix))
     runs_est = runs_prefix * (n / len(prefix))
     val_w = max(width, 1)
@@ -90,16 +89,16 @@ def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str,
         est["dict"] = card_est * val_w / 8 + n * code_w / 8 + _HEADER_OVERHEAD
     # for_bss: FOR -> minimal byte width -> byte-stream-split -> zstd;
     # estimated by trial-compressing the contiguous prefix the same way
-    w = intcodec._byte_width(int((plane - base).max()))
-    pre_deltas = (prefix - base).astype(intcodec._BYTE_WIDTH_DTYPE[w])
+    w = intcodec._byte_width(maxd)
+    pre_deltas = intcodec.narrow_deltas(prefix, base, w)
     if len(pre_deltas):
-        streams = np.ascontiguousarray(pre_deltas.view(np.uint8).reshape(-1, w).T).tobytes()
+        streams = pre_deltas.view(np.uint8).reshape(-1, w).T.tobytes()
         zr = len(general.compress(streams)) / max(len(streams), 1)
         est["for_bss"] = n * w * zr + _HEADER_OVERHEAD
 
     # general (zstd) on the original-width little-endian bytes of the sample
-    # (truncating the uint64 plane to itemsize bytes reproduces them exactly)
-    raw = prefix.astype(intcodec._BYTE_WIDTH_DTYPE[itemsize]).tobytes()
+    # (the native-width plane IS those bytes)
+    raw = prefix.tobytes()
     z = general.compress(raw)
     ratio = len(z) / max(len(raw), 1)
     est["general"] = n * itemsize * ratio + _HEADER_OVERHEAD
