@@ -82,7 +82,7 @@ _bootstrap_by_value()
 # deterministic check corpus (the input_hint table) + encoded outputs
 # ---------------------------------------------------------------------------
 
-ENGINE_TAG = "r2"  # bump when codec bytes change so stale /tmp encodes drop
+ENGINE_TAG = "r3"  # bump when codec bytes change so stale /tmp encodes drop
 CORPUS_DIR = "/tmp/raquet_corpus_check"
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS
@@ -295,7 +295,65 @@ def _q_events_stats(sf_dir: str):
     return pd.DataFrame(out[["event_type", "cnt", "min_v", "max_v"]])
 
 
+def _q_manifest_totals(sf_dir: str):
+    """Stats passthrough: corpus totals from the manifest ONLY (no blob is
+    decoded), value-checked against SQL over the raw corpus."""
+    import pandas as pd
+
+    from duckdb_raquet_ray.state import manifest as mf
+
+    t = mf.totals_passthrough(_ensure_encoded(), column="tokens")
+    return pd.DataFrame([{k: int(v) for k, v in t.items()}])
+
+
+def _q_events_yearly(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return b.append_column("y", pc.year(b.column("ts")).cast(pa.int64()))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+    counts = ds.map_batches(add_year, batch_format="pyarrow").groupby(["y", "event_type"]).count()
+    df = counts.to_pandas().rename(columns={"count()": "cnt"})
+    return pd.DataFrame(df[["y", "event_type", "cnt"]])
+
+
 # --- rows-only (heuristic / non-SQL-expressible) ---------------------------
+
+
+def _q_validate_manifest(sf_dir: str):
+    import pandas as pd
+
+    from duckdb_raquet_ray.state import manifest as mf
+
+    entries = list(mf.load_entries(_ensure_encoded()).values())
+    v = mf.validate_entries(entries)
+    return pd.DataFrame(
+        [
+            {
+                "is_valid": v["is_valid"],
+                "num_partitions": v["num_partitions"],
+                "num_rows": v["num_rows"],
+                "n_errors": len(v["errors"]),
+                "n_warnings": len(v["warnings"]),
+            }
+        ]
+    )
+
+
+def _q_verify_bitidentity(sf_dir: str):
+    """The north-rule gate as a query: re-read every input row range and its
+    encoded partition; per-row token-array equality via pa.Table.equals."""
+    import pandas as pd
+
+    from duckdb_raquet_ray.pipelines import decode
+
+    res = decode.verify_job(_ensure_corpus(), _ensure_encoded(), target_part_bytes=PART_BYTES)
+    return pd.DataFrame(
+        [{"partitions": res["partitions"], "rows": res["rows"], "ok": res["ok"]}]
+    )
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -431,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_similar": _q_topk,
         "ndiff_lineitem": _q_ndiff,
         "events_type_stats": _q_events_stats,
+        "manifest_totals": _q_manifest_totals,
+        "events_yearly": _q_events_yearly,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -440,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "frame_sample": _q_frame_sample,
         "point_lookup_partition": _q_point_lookup,
+        "validate_manifest": _q_validate_manifest,
+        "verify_bitidentity": _q_verify_bitidentity,
     }
 
 
@@ -518,5 +580,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*)::BIGINT AS cnt, "
             "MIN(value) AS min_v, MAX(value) AS max_v "
             "FROM events GROUP BY event_type"
+        ),
+        "manifest_totals": (
+            "SELECT COUNT(*)::BIGINT AS total_rows, "
+            "SUM(n_tok)::BIGINT AS total_values, "
+            "SUM(list_sum(tokens))::BIGINT AS values_sum, "
+            "MIN(list_min(tokens))::BIGINT AS values_min, "
+            "MAX(list_max(tokens))::BIGINT AS values_max "
+            f"FROM {corpus}"
+        ),
+        "events_yearly": (
+            "SELECT CAST(YEAR(ts) AS BIGINT) AS y, event_type, "
+            "COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1, 2"
         ),
     }

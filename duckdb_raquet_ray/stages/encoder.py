@@ -62,6 +62,40 @@ def _codec_summary(desc: dict) -> str:
     return c
 
 
+def column_stats(table: pa.Table) -> dict[str, dict]:
+    """Per-column {count,min,max,sum} for integer (and list<integer>)
+    columns — the reference's optional pre-computed per-tile stats columns
+    (/root/reference/src/read_raster.cpp:1079-1090), recorded in the
+    manifest entry so scans that only need stats never decode a blob
+    (the ST_RasterSummaryStats precomputed-passthrough,
+    st_raster_stats.cpp:351-402). Arrow SIMD kernels; adds ~2 cheap
+    passes per column."""
+    import pyarrow.compute as pc
+
+    stats: dict[str, dict] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            col = col.flatten()
+            t = col.type
+        if not pa.types.is_integer(t):
+            continue
+        n_valid = len(col) - col.null_count
+        if n_valid == 0:
+            stats[name] = {"count": 0, "min": None, "max": None, "sum": 0}
+            continue
+        mm = pc.min_max(col)
+        stats[name] = {
+            "count": n_valid,
+            "min": mm["min"].as_py(),
+            "max": mm["max"].as_py(),
+            "sum": int(pc.sum(col).as_py()),
+        }
+    return stats
+
+
 def encode_table(
     table: pa.Table,
     pid: int,
@@ -102,6 +136,7 @@ def encode_table(
         "input_bytes": table.nbytes,
         "encoded_bytes": sum(len(b) for b in blobs.values()) + len(meta_json),
         "checksum": "sha256:" + checksum.hexdigest(),
+        "stats": column_stats(table),
         "status": "done",
     }
     if fsst_hashes:

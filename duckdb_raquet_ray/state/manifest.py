@@ -129,6 +129,40 @@ def load_metadata(out_dir: str) -> dict:
         return json.load(fh)
 
 
+def stats_passthrough(out_dir: str) -> list[dict]:
+    """Per-partition stats straight from the manifest — no blob is decoded
+    (the reference's precomputed-stats fast path: ST_RasterSummaryStats'
+    passthrough overload skips decompression entirely when stats columns
+    exist, /root/reference/src/st_raster_stats.cpp:351-402)."""
+    out = []
+    entries = load_entries(out_dir)
+    for pid in sorted(entries):
+        e = entries[pid]
+        if e.get("status") != "done":
+            continue
+        row = {"partition_id": pid, "n_rows": e["n_rows"]}
+        for col, s in (e.get("stats") or {}).items():
+            for k, v in s.items():
+                row[f"{col}_{k}"] = v
+        out.append(row)
+    return out
+
+
+def totals_passthrough(out_dir: str, column: str = "tokens") -> dict:
+    """Corpus-level totals for one column folded from manifest stats —
+    an O(partitions) driver-side reduce, zero data reads."""
+    entries = [e for e in load_entries(out_dir).values() if e.get("status") == "done"]
+    stats = [e["stats"][column] for e in entries if column in (e.get("stats") or {})]
+    nonempty = [s for s in stats if s["count"]]
+    return {
+        "total_rows": sum(e["n_rows"] for e in entries),
+        "total_values": sum(s["count"] for s in stats),
+        "values_sum": sum(s["sum"] for s in stats),
+        "values_min": min((s["min"] for s in nonempty), default=None),
+        "values_max": max((s["max"] for s in nonempty), default=None),
+    }
+
+
 def validate_entries(entries: list[dict]) -> dict:
     """Structural validation -> {is_valid, errors, warnings, num_partitions,
     num_rows} (raquet_validate_metadata analogue)."""
