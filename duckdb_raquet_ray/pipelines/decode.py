@@ -57,6 +57,31 @@ def encoded_part_files(out_dir: str, partition_ids: list[int] | None = None) -> 
     return [os.path.join(out_dir, pk.part_file_name(p)) for p in pids]
 
 
+class PartitionDecoder:
+    """Actor-pool stage: one partition file per input row — read + decode
+    in-process, so the large encoded blobs never round-trip through the
+    object store; only the decoded rows enter plasma and stream on with
+    backpressure. An ACTOR pool on purpose, symmetric with
+    PartitionEncoder: (a) the descriptor/manifest caches live per actor,
+    and (b) an actor operator never fuses with a downstream task operator
+    — a fused task-task chain re-bundles the one-row path blocks up to the
+    downstream batch_size and can collapse the whole file list into a
+    single serial task."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+        self.read_cols = None
+        if columns is not None:
+            self.read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path, columns=self.read_cols, use_threads=False)
+            out.append(enc.decode_rows(t, self.columns))
+        return pa.concat_tables(out)
+
+
 def read_encoded(
     out_dir: str,
     *,
@@ -65,14 +90,16 @@ def read_encoded(
     concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Encoded dir -> Dataset of decoded original rows (streaming)."""
+    from ..util import default_concurrency
+
     files = encoded_part_files(out_dir, partition_ids)
-    read_cols = None
-    if columns is not None:
-        read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
-    ds = rd.read_parquet(files, columns=read_cols)
+    ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
+    if concurrency is None:
+        concurrency = (1, default_concurrency(cap=max(len(files), 1)))
     return ds.map_batches(
-        functools.partial(enc.decode_batch, columns=columns),
-        batch_size=None,
+        PartitionDecoder,
+        fn_constructor_kwargs={"columns": columns},
+        batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

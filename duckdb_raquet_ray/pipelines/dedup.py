@@ -35,20 +35,38 @@ def _content_hash(batch: pa.Table, text_col: str) -> pa.Table:
     return batch.append_column("_h", pa.array(h.astype(np.uint64)))
 
 
+# The wide steps shuffle on a COARSE bucket key (a fixed bucket count) and
+# do the fine-grained grouping vectorized in pandas INSIDE each bucket:
+# Ray's groupby().map_groups pays per-group overhead, so grouping by a
+# high-cardinality key (content hash, band hash) directly costs ~0.5ms x
+# millions of groups. Bucketing keeps the shuffle payload identical and the
+# result unchanged (a full group always lands in one bucket).
+#
+# Group UDFs are ARROW in / ARROW out with an explicit uniform schema:
+# returning pandas frames from map_groups hits a per-group block-building
+# slow path in Ray (measured 25x slower than emitting pa.Tables).
+N_SHUFFLE_BUCKETS = 256
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
     """Keep the smallest key per distinct text. Hash-partition + per-group
     first (the guide's exact-dedup shape): the shuffle moves (hash, row)
     pairs; within a hash bucket the actual text is compared, so hash
     collisions cannot merge distinct texts."""
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        idx = g.groupby(text_col, sort=True)[key_col].idxmin()
-        return g.loc[sorted(idx)].drop(columns=["_h"])
+    def keep_first(g: pa.Table) -> pa.Table:
+        df = g.select([text_col, key_col]).to_pandas()
+        idx = df.groupby(text_col, sort=True)[key_col].idxmin()
+        keep = np.sort(idx.to_numpy())
+        return g.take(pa.array(keep)).drop_columns(["_h", "_b"])
 
-    hashed = ds.map_batches(
-        lambda b: _content_hash(b, text_col), batch_format="pyarrow", batch_size=8192
-    )
-    return hashed.groupby("_h").map_groups(keep_first, batch_format="pandas")
+    def bucketed(b: pa.Table) -> pa.Table:
+        t = _content_hash(b, text_col)
+        bucket = (t.column("_h").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)
+        return t.append_column("_b", pa.array(bucket))
+
+    hashed = ds.map_batches(bucketed, batch_format="pyarrow", batch_size=8192)
+    return hashed.groupby("_b").map_groups(keep_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -155,19 +173,28 @@ def minhash_candidate_pairs(
         batch_size=4096,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key_col].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
-        anchor = ks[0]
-        for other in ks[1:]:
-            out_a.append(anchor)
-            out_b.append(other)
-        return pd.DataFrame({"a": out_a, "b": out_b})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = (
+            t.column("band_hash").to_numpy() % N_SHUFFLE_BUCKETS
+        ).astype(np.int32)
+        return t.append_column("_b", pa.array(bucket))
 
-    return band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs(g: pa.Table) -> pa.Table:
+        # vectorized within the bucket: anchor = min key per LSH cell;
+        # every other member pairs with its anchor
+        df = g.to_pandas()
+        anchors = df.groupby(["band_id", "band_hash"])[key_col].transform("min")
+        mask = (df[key_col] != anchors).to_numpy()
+        out = pd.DataFrame(
+            {"a": anchors[mask].to_numpy(), "b": df.loc[mask, key_col].to_numpy()}
+        ).drop_duplicates(ignore_index=True)
+        kt = g.schema.field(key_col).type
+        return pa.table({"a": pa.array(out["a"], type=kt), "b": pa.array(out["b"], type=kt)})
+
+    return (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -212,9 +239,24 @@ def minhash_dedup(
         for k, s in zip(b.column(key_col).to_pylist(), b.column(text_col).to_pylist()):
             if k in needed_set:
                 texts[k] = s
+    sh_cache: dict = {}
+
+    def shingles_of(key) -> np.ndarray:
+        v = sh_cache.get(key)
+        if v is None:
+            v = _shingle_hashes(texts.get(key, "") or "", shingle_k)
+            sh_cache[key] = v
+        return v
+
     drop = set()
     for a, b_key in pair_set:
-        if jaccard(texts.get(a, ""), texts.get(b_key, ""), shingle_k) >= threshold:
+        sa, sb = shingles_of(a), shingles_of(b_key)
+        if len(sa) == 0 and len(sb) == 0:
+            sim = 1.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            sim = inter / (len(sa) + len(sb) - inter)
+        if sim >= threshold:
             drop.add(max(a, b_key))
     drop_ref = ray.put(drop)
 
@@ -249,12 +291,19 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def simhash_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
     """Drop docs whose exact SimHash fingerprint collides with a smaller
     key (identical-fingerprint dedup; near-dup variants band the 64 bits)."""
-    fp = ds.map_batches(lambda b: simhash_batch(b, text_col), batch_format="pyarrow")
+    def bucketed(b: pa.Table) -> pa.Table:
+        t = simhash_batch(b, text_col)
+        bucket = (t.column("simhash").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)
+        return t.append_column("_b", pa.array(bucket))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1).drop(columns=["simhash"])
+    def keep_first(g: pa.Table) -> pa.Table:
+        df = g.select(["simhash", key_col]).to_pandas()
+        idx = df.groupby("simhash", sort=True)[key_col].idxmin()
+        keep = np.sort(idx.to_numpy())
+        return g.take(pa.array(keep)).drop_columns(["simhash", "_b"])
 
-    return fp.groupby("simhash").map_groups(keep_first, batch_format="pandas")
+    fp = ds.map_batches(bucketed, batch_format="pyarrow")
+    return fp.groupby("_b").map_groups(keep_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -287,20 +336,50 @@ def embedding_dedup(
         bucket = (bits << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
         return batch.append_column("_bucket", pa.array(bucket.astype(np.int64)))
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col).reset_index(drop=True)
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        sims = mn @ mn.T
-        drop = set()
-        for i in range(len(g)):
-            if i in drop:
-                continue
-            for j in np.flatnonzero(sims[i, i + 1 :] >= threshold) + i + 1:
-                drop.add(int(j))
-        return g.drop(index=sorted(drop)).drop(columns=["_bucket"])
+    def dedup_shuffle_bucket(part: pa.Table) -> pa.Table:
+        # one coarse shuffle bucket may hold many LSH cells; dedup each
+        # cell independently (identical semantics to per-cell map_groups)
+        df = pd.DataFrame(
+            {
+                "_bucket": part.column("_bucket").to_pandas(),
+                key_col: part.column(key_col).to_pandas(),
+                "_pos": np.arange(part.num_rows),
+            }
+        )
+        dim = len(part.column(vec_col)[0]) if part.num_rows else 0
+        vecs = part.column(vec_col)
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        mat = (
+            vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+            if part.num_rows
+            else np.zeros((0, 0))
+        )
+        keep_pos: list[int] = []
+        for _, g in df.groupby("_bucket", sort=True):
+            g = g.sort_values(key_col)
+            pos = g["_pos"].to_numpy()
+            m = mat[pos]
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            sims = mn @ mn.T
+            drop = set()
+            for i in range(len(pos)):
+                if i in drop:
+                    continue
+                for j in np.flatnonzero(sims[i, i + 1 :] >= threshold) + i + 1:
+                    drop.add(int(j))
+            keep_pos.extend(int(p) for k, p in enumerate(pos) if k not in drop)
+        out = part.take(pa.array(sorted(keep_pos)))
+        return out.drop_columns(["_bucket", "_sb"])
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
-    return bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column(
+            "_sb",
+            pa.array((t.column("_bucket").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)),
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("_sb").map_groups(dedup_shuffle_bucket, batch_format="pyarrow")

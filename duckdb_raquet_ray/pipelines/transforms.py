@@ -162,31 +162,43 @@ def token_stats(
 ) -> pa.Table:
     """Per-row summary stats over the token list (ST_RasterSummaryStats
     analogue): count, min, max, sum, mean. `sentinel` values are skipped
-    (the nodata-skipping rule, band_decoder.cpp:267-270)."""
+    (the nodata-skipping rule, band_decoder.cpp:267-270).
+
+    Fast path (no sentinel) never widens the child values: one
+    ``cumsum(dtype=int64)`` pass reading the native-width child plus
+    native-width reduceat min/max — the stage is memory-bandwidth-bound
+    on billions of tokens, so pass count is the whole game."""
     child, offsets, _ = _child_and_rebuild(batch, column)
-    child = child.astype(np.int64)
-    valid = np.ones(len(child), dtype=bool) if sentinel is None else child != sentinel
-    w = np.where(valid, 1, 0)
-    v = np.where(valid, child, 0)
-    csum_n = np.concatenate(([0], np.cumsum(w)))
-    csum_v = np.concatenate(([0], np.cumsum(v)))
-    counts = csum_n[offsets[1:]] - csum_n[offsets[:-1]]
-    sums = csum_v[offsets[1:]] - csum_v[offsets[:-1]]
-    # min/max per row via reduceat (empty rows -> sentinel handling below)
+    n_rows = len(offsets) - 1
     starts = offsets[:-1].astype(np.int64)
-    n_rows = len(counts)
-    if len(child):
-        masked_min = np.where(valid, child, np.iinfo(np.int64).max)
-        masked_max = np.where(valid, child, np.iinfo(np.int64).min)
-        nonempty = offsets[1:] > offsets[:-1]
+    nonempty = offsets[1:] > offsets[:-1]
+
+    if sentinel is None:
+        counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        csum_v = np.zeros(len(child) + 1, dtype=np.int64)
+        np.cumsum(child, dtype=np.int64, out=csum_v[1:])
+        sums = csum_v[offsets[1:]] - csum_v[offsets[:-1]]
         mins = np.full(n_rows, np.iinfo(np.int64).max)
         maxs = np.full(n_rows, np.iinfo(np.int64).min)
-        if nonempty.any():
+        if len(child) and nonempty.any():
+            mins[nonempty] = np.minimum.reduceat(child, starts[nonempty])
+            maxs[nonempty] = np.maximum.reduceat(child, starts[nonempty])
+    else:
+        child = child.astype(np.int64)
+        valid = child != sentinel
+        w = np.where(valid, 1, 0)
+        v = np.where(valid, child, 0)
+        csum_n = np.concatenate(([0], np.cumsum(w)))
+        csum_v = np.concatenate(([0], np.cumsum(v)))
+        counts = csum_n[offsets[1:]] - csum_n[offsets[:-1]]
+        sums = csum_v[offsets[1:]] - csum_v[offsets[:-1]]
+        mins = np.full(n_rows, np.iinfo(np.int64).max)
+        maxs = np.full(n_rows, np.iinfo(np.int64).min)
+        if len(child) and nonempty.any():
+            masked_min = np.where(valid, child, np.iinfo(np.int64).max)
+            masked_max = np.where(valid, child, np.iinfo(np.int64).min)
             mins[nonempty] = np.minimum.reduceat(masked_min, starts[nonempty])
             maxs[nonempty] = np.maximum.reduceat(masked_max, starts[nonempty])
-    else:
-        mins = np.full(n_rows, np.iinfo(np.int64).max)
-        maxs = np.full(n_rows, np.iinfo(np.int64).min)
     has = counts > 0
     mean = np.divide(sums, counts, out=np.zeros(len(sums)), where=has)
     return batch.append_column(
