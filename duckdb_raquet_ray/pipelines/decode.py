@@ -126,6 +126,37 @@ def point_lookup(out_dir: str, pid: int, columns: list[str] | None = None) -> pa
     return enc.decode_rows(t, columns)
 
 
+def export_job(out_dir: str, dest_dir: str, *, columns: list[str] | None = None) -> int:
+    """Decode an encoded dir back to PLAIN partitioned Parquet — the export
+    sink (the reference's ST_AsPNG / COPY TO export path, SURVEY.md §2.1-2.2).
+    One output file per encoded partition (same lineage file name), written
+    tmp→rename, so a failed export resumes by skipping existing files —
+    the resumable-output rule: never one giant file."""
+    files = encoded_part_files(out_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def export_one(batch: pa.Table) -> pa.Table:
+        done = []
+        for path in batch.column("path").to_pylist():
+            name = os.path.basename(path)
+            dest = os.path.join(dest_dir, name)
+            if not os.path.exists(dest):
+                read_cols = None
+                if columns is not None:
+                    read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+                t = pq.read_table(path, columns=read_cols, use_threads=False)
+                decoded = enc.decode_rows(t, columns)
+                tmp = dest + f".tmp-{os.getpid()}"
+                pq.write_table(decoded, tmp)
+                os.replace(tmp, dest)
+            done.append({"file": name})
+        return pa.Table.from_pylist(done, schema=pa.schema([("file", pa.string())]))
+
+    ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
+    n = ds.map_batches(export_one, batch_size=1, batch_format="pyarrow", num_cpus=1).count()
+    return n
+
+
 def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
     """Re-read the input row range and the encoded partition; compare
     bit-exactly. One work item per row, embarrassingly parallel."""

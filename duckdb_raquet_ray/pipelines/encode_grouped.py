@@ -85,7 +85,11 @@ def encode_job_grouped(
     ds = rd.read_parquet(sorted(input_paths))
     schema_str = str(pq.ParquetFile(sorted(input_paths)[0]).schema_arrow)
     if salt_map is None:
-        salt_map = compute_salt_map(ds, target_group_rows)
+        # count from a source-column-only read: the driver-side salt map
+        # needs one tiny column, not a shuffle of the whole table
+        salt_map = compute_salt_map(
+            rd.read_parquet(sorted(input_paths), columns=["source"]), target_group_rows
+        )
     done = mf.done_partition_ids(out_dir) if resume else set()
     os.makedirs(out_dir, exist_ok=True)
 

@@ -1,0 +1,78 @@
+"""Manifest stats passthrough + export sink (round-1 additions).
+
+Passthrough mirrors the reference's precomputed-stats fast path
+(/root/reference/src/st_raster_stats.cpp:351-402): stats answered from
+metadata alone must equal stats computed from the data."""
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_raquet_ray.pipelines import decode, encode
+from duckdb_raquet_ray.sources import tokens as tok
+from duckdb_raquet_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pp")
+    paths = tok.write_corpus(str(root / "corpus"), 2000, 2, row_group_rows=512)
+    out = str(root / "enc")
+    encode.encode_job(paths, out, target_part_bytes=1 << 19)
+    return paths, out
+
+
+class TestStatsPassthrough:
+    def test_totals_match_data(self, encoded):
+        paths, out = encoded
+        t = mf.totals_passthrough(out, column="tokens")
+        raw = pq.read_table(paths[0]).column("tokens")
+        raw2 = pq.read_table(paths[1]).column("tokens")
+        flat = pc.list_flatten(raw).combine_chunks()
+        flat2 = pc.list_flatten(raw2).combine_chunks()
+        assert t["total_rows"] == 2000
+        assert t["total_values"] == len(flat) + len(flat2)
+        assert t["values_sum"] == int(pc.sum(flat).as_py()) + int(pc.sum(flat2).as_py())
+        assert t["values_min"] == min(pc.min(flat).as_py(), pc.min(flat2).as_py())
+        assert t["values_max"] == max(pc.max(flat).as_py(), pc.max(flat2).as_py())
+
+    def test_per_partition_rows(self, encoded):
+        _, out = encoded
+        rows = mf.stats_passthrough(out)
+        meta = mf.load_metadata(out)
+        assert [r["partition_id"] for r in rows] == meta["partition_ids"]
+        assert sum(r["n_rows"] for r in rows) == meta["num_rows"]
+        # n_tok stats present for every partition; count == n_rows
+        for r in rows:
+            assert r["n_tok_count"] == r["n_rows"]
+            assert r["tokens_sum"] >= 0
+
+    def test_entry_stats_shape(self, encoded):
+        _, out = encoded
+        e = next(iter(mf.load_entries(out).values()))
+        assert set(e["stats"]) == {"tokens", "n_tok"}  # integer columns only
+        for s in e["stats"].values():
+            assert set(s) == {"count", "min", "max", "sum"}
+
+
+class TestExport:
+    def test_export_roundtrip(self, encoded, tmp_path):
+        paths, out = encoded
+        dest = str(tmp_path / "plain")
+        n = decode.export_job(out, dest)
+        meta = mf.load_metadata(out)
+        assert n == len(meta["partition_ids"])
+        got = pq.read_table(dest).sort_by("doc_id")
+        want = pq.read_table(paths).sort_by("doc_id")
+        assert got.equals(want)
+
+    def test_export_resume_skips_existing(self, encoded, tmp_path):
+        _, out = encoded
+        dest = str(tmp_path / "plain2")
+        decode.export_job(out, dest)
+        stamps = {f: os.path.getmtime(os.path.join(dest, f)) for f in os.listdir(dest)}
+        decode.export_job(out, dest)  # second run must not rewrite
+        for f, ts in stamps.items():
+            assert os.path.getmtime(os.path.join(dest, f)) == ts
