@@ -101,13 +101,13 @@ def run_encode(paths: list[str], out_dir: str, cpus: int, runs: int = 2) -> dict
     }
 
 
-def bench_all(cpus: int) -> dict:
+def bench_corpus_phase(cpus: int) -> dict:
+    """Headline pipelines over the token corpus (own Ray session)."""
     import functools
 
-    import numpy as np
     import ray.data as rd
 
-    from duckdb_raquet_ray.pipelines import ann, decode, dedup, encode_grouped, text
+    from duckdb_raquet_ray.pipelines import decode, encode_grouped
     from duckdb_raquet_ray.pipelines import transforms as tr
     from duckdb_raquet_ray.stages import stats as st
 
@@ -137,6 +137,13 @@ def bench_all(cpus: int) -> dict:
     t0 = time.time()
     encode_grouped.encode_job_grouped(paths, grouped_out, target_group_rows=100_000)
     queries["encode_grouped"] = round(time.time() - t0, 3)
+    from duckdb_raquet_ray.state import manifest as mf
+
+    gmeta = mf.load_metadata(grouped_out)
+    extra["encode_grouped"] = {
+        "ratio": round(gmeta["input_bytes"] / gmeta["encoded_bytes"], 4),
+        "partitions": gmeta["num_partitions"],
+    }
 
     t0 = time.time()
     st.grouped_stats(rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok").to_pandas()
@@ -149,7 +156,19 @@ def bench_all(cpus: int) -> dict:
         batch_size=4096,
     ).count()
     queries["clip_tokens"] = round(time.time() - t0, 3)
+    return {"queries": queries, "extra": extra}
 
+
+def bench_tables_phase(cpus: int) -> dict:
+    """Operator queries over the $GRAFT_SF_DIR tables (own Ray session —
+    a fresh session keeps these timings free of worker/object-store state
+    accumulated by the corpus phase)."""
+    import numpy as np
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann, dedup, text
+
+    queries: dict[str, float] = {}
     docs = os.path.join(SF_DIR, "documents.parquet")
     t0 = time.time()
     rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
@@ -171,7 +190,7 @@ def bench_all(cpus: int) -> dict:
     ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10)
     queries["ann_topk"] = round(time.time() - t0, 3)
 
-    return {"queries": queries, "extra": extra}
+    return {"queries": queries, "extra": {}}
 
 
 def main() -> None:
@@ -227,30 +246,42 @@ def main() -> None:
 
     import ray
 
-    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
-    try:
-        if args.encode_only:
+    if args.encode_only:
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+        try:
             paths = ensure_corpus()
             enc_stats = run_encode(paths, f"/tmp/raquet_bench_out_c{args.cpus}", args.cpus)
             result = {"encode": enc_stats, "num_cpus": args.cpus}
             if args.json_out:
                 json.dump(result, open(args.json_out, "w"))
             print(json.dumps(result))
-            return
-        res = bench_all(args.cpus)
-        line = {
-            "metric": "headline_pipelines_total_sec",
-            "value": round(sum(res["queries"].values()), 3),
-            "unit": "sec",
-            "queries": res["queries"],
-            "sf": SF_DIR,
-            "num_cpus": args.cpus,
-            "corpus_rows": BENCH_ROWS,
-            **res["extra"],
-        }
-        print(json.dumps(line))
-    finally:
-        ray.shutdown()
+        finally:
+            ray.shutdown()
+        return
+
+    # each phase in its own Ray session: long sessions accumulate workers
+    # and object-store state that distort later timings
+    queries: dict = {}
+    extra: dict = {}
+    for phase in (bench_corpus_phase, bench_tables_phase):
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+        try:
+            res = phase(args.cpus)
+            queries.update(res["queries"])
+            extra.update(res["extra"])
+        finally:
+            ray.shutdown()
+    line = {
+        "metric": "headline_pipelines_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": args.cpus,
+        "corpus_rows": BENCH_ROWS,
+        **extra,
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
