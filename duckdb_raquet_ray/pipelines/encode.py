@@ -45,6 +45,30 @@ from ..stages import encoder as enc
 from ..state import manifest as mf
 
 DEFAULT_PART_BYTES = 64 * 1024 * 1024  # decoded bytes per partition
+MIN_PART_BYTES = 16 * 1024 * 1024
+MAX_PART_BYTES = 256 * 1024 * 1024
+TASKS_PER_CPU = 4  # target work-items per core, for pipelining + stragglers
+
+
+def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = None) -> int:
+    """Pick a partition size so the job yields ~TASKS_PER_CPU work items
+    per core, clamped to [16 MB, 256 MB] — the reference's auto resolution
+    selection (ST_RegionStats picks the zoom whose tile count stays under
+    a target, /root/reference/src/st_region_stats.cpp:255-324), inverted
+    for a fixed-size cluster: enough partitions to pipeline and absorb
+    stragglers, few enough that per-task overhead stays negligible.
+    Deterministic given (inputs, cpus): resume must re-plan identically,
+    so pass the SAME cluster_cpus when resuming a run started elsewhere."""
+    if cluster_cpus is None:
+        from ..util import default_concurrency
+
+        cluster_cpus = default_concurrency()
+    total = 0
+    for path in input_paths:
+        md = pq.ParquetFile(path).metadata
+        total += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    target = total // max(cluster_cpus * TASKS_PER_CPU, 1)
+    return max(MIN_PART_BYTES, min(MAX_PART_BYTES, target))
 
 
 def plan_partitions(

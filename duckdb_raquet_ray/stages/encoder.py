@@ -63,7 +63,8 @@ def _codec_summary(desc: dict) -> str:
 
 
 def column_stats(table: pa.Table) -> dict[str, dict]:
-    """Per-column {count,min,max,sum} for integer (and list<integer>)
+    """Per-column {count,min,max,sum} plus sampled top-10 values and
+    decile quantiles for integer (and list<integer>)
     columns — the reference's optional pre-computed per-tile stats columns
     (/root/reference/src/read_raster.cpp:1079-1090), recorded in the
     manifest entry so scans that only need stats never decode a blob
@@ -87,12 +88,27 @@ def column_stats(table: pa.Table) -> dict[str, dict]:
             stats[name] = {"count": 0, "min": None, "max": None, "sum": 0}
             continue
         mm = pc.min_max(col)
-        stats[name] = {
+        s = {
             "count": n_valid,
             "min": mm["min"].as_py(),
             "max": mm["max"].as_py(),
             "sum": int(pc.sum(col).as_py()),
         }
+        # deterministic stride sample -> top-10 values + decile quantiles,
+        # the reference's approx per-band sample statistics
+        # (band_stats_v01.cpp:104-181: fixed-seed 1000-value sample feeding
+        # top_values and quantile keys); ours is a fixed-stride sample so
+        # resumed runs reproduce it bit-exactly
+        vals = col.drop_null().to_numpy(zero_copy_only=False)
+        if len(vals) > 4096:
+            vals = vals[:: len(vals) // 4096]
+        if len(vals):
+            uniq, counts = np.unique(vals, return_counts=True)
+            order = np.lexsort((uniq, -counts))[:10]
+            s["top_values"] = [[int(uniq[i]), int(counts[i])] for i in order]
+            qs = np.quantile(vals, np.linspace(0.1, 0.9, 9), method="nearest")
+            s["quantiles"] = [int(q) for q in qs]
+        stats[name] = s
     return stats
 
 
