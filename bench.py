@@ -122,15 +122,21 @@ def bench_corpus_phase(cpus: int) -> dict:
     extra["encode"] = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in enc_stats.items()}
     extra["zstd_reference"] = {"ratio": round(ref["zstd_ratio"], 4)}
 
-    t0 = time.time()
-    n = (
-        decode.read_encoded(enc_out)
-        .map_batches(tr.token_stats, batch_format="pyarrow", batch_size=4096)
-        .count()
-    )
-    queries["decode_stats"] = round(time.time() - t0, 3)
-    assert n == enc_stats["rows"], (n, enc_stats["rows"])
-    extra["decode"] = {"gbps": round(enc_stats["decoded_gb"] / queries["decode_stats"], 4)}
+    times = []
+    for _ in range(2):  # cold then warm, same policy as run_encode
+        t0 = time.time()
+        n = (
+            decode.read_encoded(enc_out)
+            .map_batches(tr.token_stats, batch_format="pyarrow", batch_size=4096)
+            .count()
+        )
+        times.append(time.time() - t0)
+        assert n == enc_stats["rows"], (n, enc_stats["rows"])
+    queries["decode_stats"] = round(times[-1], 3)
+    extra["decode"] = {
+        "gbps": round(enc_stats["decoded_gb"] / times[-1], 4),
+        "cold_sec": round(times[0], 3),
+    }
 
     grouped_out = "/tmp/raquet_bench_grouped_out"
     shutil.rmtree(grouped_out, ignore_errors=True)
