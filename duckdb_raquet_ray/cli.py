@@ -1,0 +1,139 @@
+"""Command-line entry point — the `ray job submit` surface of the engine.
+
+    python -m duckdb_raquet_ray.cli encode  --input 'dir/*.parquet' --out DIR
+    python -m duckdb_raquet_ray.cli encode  --input ... --out DIR --grouped
+    python -m duckdb_raquet_ray.cli verify  --out DIR
+    python -m duckdb_raquet_ray.cli export  --out DIR --dest DIR2
+    python -m duckdb_raquet_ray.cli info    --out DIR
+    python -m duckdb_raquet_ray.cli synth   --dest DIR --rows N --shards K
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m duckdb_raquet_ray.cli encode --input 's3://bucket/shards/*.parquet' --out s3out
+
+Each command prints one JSON line. `ray.init` is guarded so the CLI works
+both standalone (auto-connects to `RAY_ADDRESS` or starts local) and
+inside an existing session (e.g. under `ray job submit`, which sets the
+address); the library itself never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def _inputs(pattern: str) -> list[str]:
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise SystemExit(f"no input files match {pattern!r}")
+    return paths
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="duckdb_raquet_ray")
+    ap.add_argument("--num-cpus", type=int, default=None, help="local ray.init cpu cap")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="encode Parquet shards -> partition files + manifest")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--out", required=True)
+    p.add_argument("--grouped", action="store_true", help="salted groupby-on-source mode")
+    p.add_argument("--part-bytes", type=int, default=None,
+                   help="target decoded bytes per partition (default: auto)")
+    p.add_argument("--no-resume", action="store_true")
+
+    p = sub.add_parser("verify", help="bit-identity gate: decode vs input, per row "
+                       "(partitioning read from the manifest)")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("export", help="decode an encoded dir back to plain Parquet")
+    p.add_argument("--out", required=True, help="encoded dir")
+    p.add_argument("--dest", required=True, help="destination dir for plain parquet")
+
+    p = sub.add_parser("info", help="print manifest metadata + passthrough totals")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("synth", help="synthesize the deterministic token corpus")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--rows", type=int, default=100_000)
+    p.add_argument("--shards", type=int, default=8)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":  # no Ray needed
+        from .sources import tokens as tok
+
+        paths = tok.write_corpus(args.dest, args.rows, args.shards, processes=4)
+        print(json.dumps({"cmd": "synth", "shards": len(paths), "rows": args.rows}))
+        return
+
+    _ensure_ray(args.num_cpus)
+    try:
+        if args.cmd == "encode":
+            from .pipelines import encode, encode_grouped
+
+            paths = _inputs(args.input)
+            if args.grouped:
+                meta = encode_grouped.encode_job_grouped(
+                    paths, args.out, resume=not args.no_resume
+                )
+            else:
+                part_bytes = args.part_bytes or encode.auto_target_part_bytes(paths)
+                meta = encode.encode_job(
+                    paths, args.out,
+                    target_part_bytes=part_bytes,
+                    resume=not args.no_resume,
+                )
+            print(json.dumps({
+                "cmd": "encode",
+                "partitions": meta["num_partitions"],
+                "rows": meta["num_rows"],
+                "input_bytes": meta["input_bytes"],
+                "encoded_bytes": meta["encoded_bytes"],
+                "ratio": round(meta["input_bytes"] / max(meta["encoded_bytes"], 1), 4),
+            }))
+        elif args.cmd == "verify":
+            from .pipelines import decode
+
+            res = decode.verify_encoded(args.out)
+            print(json.dumps({"cmd": "verify", **{k: res[k] for k in ("partitions", "rows", "ok")}}))
+            if not res["ok"]:
+                sys.exit(1)
+        elif args.cmd == "export":
+            from .pipelines import decode
+
+            n = decode.export_job(args.out, args.dest)
+            print(json.dumps({"cmd": "export", "files": n}))
+        elif args.cmd == "info":
+            from .state import manifest as mf
+
+            meta = mf.load_metadata(args.out)
+            out = {k: meta[k] for k in
+                   ("format_version", "num_partitions", "num_rows", "input_bytes", "encoded_bytes")}
+            try:
+                out["totals_tokens"] = mf.totals_passthrough(args.out, "tokens")
+            except Exception:
+                pass
+            print(json.dumps({"cmd": "info", **out}))
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,11 +170,48 @@ def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(results)
 
 
+def items_from_manifest(out_dir: str) -> list[dict]:
+    """Reconstruct lineage-mode work items from the manifest itself, so
+    verification checks exactly the partitioning that was encoded (no
+    re-planning — an encode run with auto partition sizing would not
+    re-plan identically without the original target)."""
+    entries = mf.load_entries(out_dir)
+    items: list[dict] = []
+    shard_offsets: dict[str, list[int]] = {}
+    for pid in sorted(entries):
+        e = entries[pid]
+        if e.get("status") != "done" or not e.get("row_range"):
+            continue  # grouped-mode entries carry no row range
+        shard = e["input_shard"]
+        offs = shard_offsets.get(shard)
+        if offs is None:
+            md = pq.ParquetFile(shard).metadata
+            offs = [0]
+            for i in range(md.num_row_groups):
+                offs.append(offs[-1] + md.row_group(i).num_rows)
+            shard_offsets[shard] = offs
+        lo, hi = e["row_range"]
+        rgs = [i for i in range(len(offs) - 1) if offs[i] >= lo and offs[i + 1] <= hi]
+        items.append(
+            {"partition_id": pid, "shard": shard, "row_groups": rgs, "row_range": [lo, hi]}
+        )
+    return items
+
+
+def verify_encoded(out_dir: str) -> dict:
+    """Bit-identity gate driven purely by the manifest (lineage mode)."""
+    return _run_verify(items_from_manifest(out_dir), out_dir)
+
+
 def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> dict:
     """Full-corpus bit-identity gate (per-row token-array equality via
     pa.Table.equals on every partition). Returns summary dict."""
 
     items = plan_partitions(input_paths, **encode_plan_kwargs)
+    return _run_verify(items, out_dir)
+
+
+def _run_verify(items: list[dict], out_dir: str) -> dict:
     ds = rd.from_items(items, override_num_blocks=len(items))
     res = ds.map_batches(
         functools.partial(_verify_partitions, out_dir=out_dir),
