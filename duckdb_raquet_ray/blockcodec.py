@@ -192,6 +192,12 @@ def _fill_nulls_primitive(arr: pa.Array) -> pa.Array:
     if arr.null_count == 0:
         return arr
     t = arr.type
+    if pa.types.is_float16(t):
+        # arrow has no fill_null/coalesce kernel for halffloat: fill in numpy
+        valid = np.asarray(arr.is_valid())
+        vals = arr.to_numpy(zero_copy_only=False)
+        filled = np.where(valid, vals, np.float16(0.0)).astype(np.float16)
+        return pa.array(filled, type=t)
     if pa.types.is_timestamp(t):
         zero = pa.scalar(0, type=t)
     elif pa.types.is_date(t):
@@ -261,8 +267,6 @@ def decode_primitive(blob: bytes, desc: dict) -> pa.Array:
     else:
         raise ValueError(f"unknown primitive codec {codec!r}")
     mask = None if valid is None else ~valid
-    if np_dtype.kind == "M":
-        return pa.array(vals, type=t, mask=mask)
     return pa.array(vals, type=t, mask=mask)
 
 
@@ -324,10 +328,11 @@ def encode_string(arr: pa.Array, codec: str, general_method: str | None = None) 
         lengths, data = _string_parts(arr)
         len_blob, len_desc = _encode_lengths(lengths)
         desc["lengths"] = len_desc
+        trial_z = None
         if codec == "auto_bytes":
             # deterministic small chooser for dictionary payloads
-            z = general.compress(data)
-            codec = "general" if len(z) < len(data) else "plain"
+            trial_z = general.compress(data)
+            codec = "general" if len(trial_z) < len(data) else "plain"
             desc["codec"] = codec
         if codec == "plain":
             body, bdesc = data, None
@@ -335,7 +340,11 @@ def encode_string(arr: pa.Array, codec: str, general_method: str | None = None) 
             method = general_method or general.DEFAULT_GENERAL
             desc["general"] = method
             desc["raw_size"] = len(data)
-            body, bdesc = general.compress(data, method), None
+            # reuse the trial compression when it used the same method
+            if trial_z is not None and method == general.DEFAULT_GENERAL:
+                body, bdesc = trial_z, None
+            else:
+                body, bdesc = general.compress(data, method), None
         elif codec == "fsst":
             body, bdesc = fsst_mod.encode_bytes(data)
             desc["fsst"] = bdesc

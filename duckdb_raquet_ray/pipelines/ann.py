@@ -62,7 +62,11 @@ def brute_force_topk(
     cands = ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=65536).take_all()
     t = pa.Table.from_pylist(cands)
     if t.num_rows == 0:
-        return pa.table({key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())})
+        try:
+            key_type = ds.schema().base_schema.field(key_col).type
+        except Exception:
+            key_type = pa.int64()
+        return pa.table({key_col: pa.array([], key_type), "sim": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())})
     t = t.sort_by([("sim", "descending"), (key_col, "ascending")]).slice(0, k)
     return t.append_column("rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64()))
 

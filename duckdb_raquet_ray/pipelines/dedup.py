@@ -56,7 +56,9 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id")
 
     def keep_first(g: pa.Table) -> pa.Table:
         df = g.select([text_col, key_col]).to_pandas()
-        idx = df.groupby(text_col, sort=True)[key_col].idxmin()
+        # dropna=False: null-text rows form their own group and are kept —
+        # pandas' default silently DELETED every null-text document
+        idx = df.groupby(text_col, sort=True, dropna=False)[key_col].idxmin()
         keep = np.sort(idx.to_numpy())
         return g.take(pa.array(keep)).drop_columns(["_h", "_b"])
 
@@ -133,6 +135,8 @@ def minhash_band_rows(
 ) -> pa.Table:
     """Explode each doc into `bands` (band_id, band_hash, key) rows —
     the shuffle payload is signatures, never text."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     a, b = _perms(num_perm)
     rows_per_band = num_perm // bands
     keys = batch.column(key_col).to_pylist()
@@ -325,6 +329,8 @@ def embedding_dedup(
     confirmed pair is dropped."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_bucket", pa.array([], type=pa.int64()))
         arr = batch.column(vec_col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()

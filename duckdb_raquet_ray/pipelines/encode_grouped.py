@@ -103,7 +103,7 @@ def encode_job_grouped(
         encoded, entry = enc.encode_table(
             group, pid, input_shard=f"group:{source}/{salt}", row_range=None
         )
-        entry["group"] = {"source": source, "salt": salt, "n_buckets": salt_map[source]}
+        entry["group"] = {"source": source, "salt": salt, "n_buckets": salt_map.get(source, 1)}
         path = os.path.join(out_dir, pk.part_file_name(pid))
         tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(encoded, tmp, compression="none")

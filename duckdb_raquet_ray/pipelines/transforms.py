@@ -89,9 +89,14 @@ def mask_tokens_list(
     st_value_mask.cpp:116-171). Lookup via sorted searchsorted."""
     child, _, rebuild = _child_and_rebuild(batch, column)
     table = np.asarray(sorted(set(allowed)), dtype=child.dtype)
+    if len(table) == 0:  # empty whitelist -> everything masked
+        out = np.full(len(child), sentinel, dtype=child.dtype)
+        return batch.set_column(
+            batch.schema.get_field_index(column), column, rebuild(out)
+        )
     idx = np.searchsorted(table, child)
     idx_c = np.clip(idx, 0, len(table) - 1)
-    keep = (len(table) > 0) & (table[idx_c] == child)
+    keep = table[idx_c] == child
     out = np.where(keep, child, sentinel)
     return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
 

@@ -28,7 +28,8 @@ def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
         }
     )
     df = df.dropna(subset=["v"])
-    g = df.groupby("k")["v"]
+    # dropna=False keeps the NULL key group (SQL GROUP BY semantics)
+    g = df.groupby("k", dropna=False)["v"]
     out = pd.DataFrame(
         {
             key: g.count().index,

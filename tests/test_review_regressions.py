@@ -1,0 +1,70 @@
+"""Regressions from the round-1 adversarial code review."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from duckdb_raquet_ray import blockcodec as bc
+from duckdb_raquet_ray.pipelines import ann, dedup
+from duckdb_raquet_ray.pipelines import transforms as tr
+from duckdb_raquet_ray.stages import stats as st
+
+
+def test_exact_dedup_keeps_null_text_rows(ray_session):
+    """Null-text documents must survive dedup (pandas groupby dropna
+    default silently deleted them)."""
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", None, None, "a"]})
+    out = dedup.exact_dedup(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    # 'a' dedups to doc 1; the null-text group keeps its smallest key doc 2
+    assert list(out["doc_id"]) == [1, 2]
+
+
+def test_float16_with_nulls_roundtrips():
+    arr = pa.array([np.float16(1.5), None, np.float16(-2.0)], type=pa.float16())
+    blob, desc = bc.encode_array(arr, {"codec": "general"})
+    out = bc.decode_array(blob, desc)
+    assert out.equals(arr)
+
+
+def test_mask_tokens_list_empty_whitelist():
+    batch = pa.table({"tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))})
+    out = tr.mask_tokens_list(batch, allowed=[])
+    assert out.column("tokens").to_pylist() == [[-1, -1], [-1]]
+
+
+def test_minhash_bands_must_divide_num_perm():
+    batch = pa.table({"doc_id": ["a"], "text": ["hello world"]})
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_band_rows(batch, num_perm=100, bands=16)
+
+
+def test_embedding_bucketize_empty_batch(ray_session):
+    t = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.embedding_dedup(rd.from_arrow(t))
+    assert out.count() == 0
+
+
+def test_topk_empty_keeps_key_type(ray_session):
+    t = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.string()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        }
+    )
+    out = ann.brute_force_topk(rd.from_arrow(t), np.ones(4), k=3)
+    assert out.schema.field("vec_id").type == pa.string()
+    assert out.num_rows == 0
+
+
+def test_grouped_stats_null_keys(ray_session):
+    t = pa.table({"k": ["a", None, "a", None], "v": [1.0, 2.0, 3.0, 4.0]})
+    out = st.grouped_stats(rd.from_arrow(t), "k", "v").to_pandas()
+    # the NULL key forms its own group (SQL GROUP BY semantics)
+    assert len(out) == 2
+    assert int(out["cnt"].sum()) == 4
