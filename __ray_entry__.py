@@ -83,8 +83,8 @@ _bootstrap_by_value()
 # ---------------------------------------------------------------------------
 
 ENGINE_TAG = "r3"  # bump when codec bytes change so stale /tmp encodes drop
-CORPUS_DIR = "/tmp/raquet_corpus_check"
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
+CORPUS_DIR = f"/tmp/raquet_corpus_check_{CORPUS_ROWS}x{CORPUS_SHARDS}"
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS
 ENC_DIR = f"/tmp/raquet_encoded_check_{ENGINE_TAG}"
 ENC_GROUPED_DIR = f"/tmp/raquet_encoded_check_grouped_{ENGINE_TAG}"

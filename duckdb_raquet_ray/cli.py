@@ -26,14 +26,18 @@ import json
 import sys
 
 
-def _ensure_ray(num_cpus: int | None) -> None:
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Init Ray if needed; returns True if WE initialized it (and so own
+    the shutdown — never tear down a caller's live session)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if num_cpus is not None:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = {"include_dashboard": False}
+    if num_cpus is not None:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
 
 
 def _inputs(pattern: str) -> list[str]:
@@ -53,7 +57,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--grouped", action="store_true", help="salted groupby-on-source mode")
     p.add_argument("--part-bytes", type=int, default=None,
-                   help="target decoded bytes per partition (default: auto)")
+                   help="lineage mode: target decoded bytes per partition (default: auto)")
+    p.add_argument("--group-rows", type=int, default=None,
+                   help="grouped mode: target rows per (source, salt) bucket")
     p.add_argument("--no-resume", action="store_true")
 
     p = sub.add_parser("verify", help="bit-identity gate: decode vs input, per row "
@@ -81,15 +87,21 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"cmd": "synth", "shards": len(paths), "rows": args.rows}))
         return
 
-    _ensure_ray(args.num_cpus)
+    owns_ray = _ensure_ray(args.num_cpus)
     try:
         if args.cmd == "encode":
             from .pipelines import encode, encode_grouped
 
             paths = _inputs(args.input)
             if args.grouped:
+                if args.part_bytes:
+                    raise SystemExit("--part-bytes applies to lineage mode; "
+                                     "use --group-rows with --grouped")
+                kw = {}
+                if args.group_rows:
+                    kw["target_group_rows"] = args.group_rows
                 meta = encode_grouped.encode_job_grouped(
-                    paths, args.out, resume=not args.no_resume
+                    paths, args.out, resume=not args.no_resume, **kw
                 )
             else:
                 part_bytes = args.part_bytes or encode.auto_target_part_bytes(paths)
@@ -130,9 +142,10 @@ def main(argv: list[str] | None = None) -> None:
                 pass
             print(json.dumps({"cmd": "info", **out}))
     finally:
-        import ray
+        if owns_ray:
+            import ray
 
-        ray.shutdown()
+            ray.shutdown()
 
 
 if __name__ == "__main__":

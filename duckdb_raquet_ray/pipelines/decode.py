@@ -33,7 +33,9 @@ import functools
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -199,8 +201,102 @@ def items_from_manifest(out_dir: str) -> list[dict]:
 
 
 def verify_encoded(out_dir: str) -> dict:
-    """Bit-identity gate driven purely by the manifest (lineage mode)."""
-    return _run_verify(items_from_manifest(out_dir), out_dir)
+    """Bit-identity gate driven purely by the manifest. Lineage-mode
+    partitions verify by direct row-range comparison; grouped-mode
+    partitions (no row ranges — rows were shuffled) verify by an
+    order-insensitive multiset fingerprint of decoded vs input rows."""
+    items = items_from_manifest(out_dir)
+    if items:
+        return _run_verify(items, out_dir)
+    meta = mf.load_metadata(out_dir)
+    inputs = meta.get("input_shards")
+    if not inputs:
+        raise ValueError(f"nothing to verify in {out_dir}: no lineage items and no input_shards")
+    return verify_multiset(inputs, out_dir)
+
+
+_FP_POW_BASE = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    for i in range(1, n):
+        powers[i] = powers[i - 1] * _FP_POW_BASE  # mod 2^64 wraparound
+    return powers
+
+
+def _row_fingerprints(batch: pa.Table) -> np.ndarray:
+    """Order-insensitive-summable per-row uint64 fingerprints covering every
+    byte of every column (strings via stable siphash, ints via mixed bit
+    patterns, list<int> via a position-weighted polynomial over the child
+    values — all vectorized)."""
+    import pandas as pd
+
+    n = batch.num_rows
+    fp = np.full(n, np.uint64(0x243F6A8885A308D3))
+    mix = np.uint64(0xFF51AFD7ED558CCD)
+    for name in sorted(batch.column_names):
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            lengths = pc.fill_null(pc.list_value_length(col), -1).to_numpy(zero_copy_only=False)
+            child = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.maximum(lengths, 0), out=offs[1:])
+            pos = np.arange(len(child), dtype=np.int64) - np.repeat(offs[:-1], np.maximum(lengths, 0))
+            max_len = int(np.maximum(lengths, 0).max()) if n else 0
+            powers = _fp_powers(max_len + 1)
+            weighted = (child + np.uint64(1)) * powers[pos]
+            csum = np.zeros(len(child) + 1, dtype=np.uint64)
+            np.cumsum(weighted, out=csum[1:])  # mod 2^64
+            h = (csum[offs[1:]] - csum[offs[:-1]]) + lengths.astype(np.uint64)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+            h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+        else:
+            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            null_mark = np.where(np.asarray(col.is_valid()), 0, 1 << 62) if col.null_count else 0
+            h = (vals.astype(np.int64).view(np.uint64) + np.uint64(3)) + null_mark
+        fp = (fp ^ h) * mix
+    return fp
+
+
+def _fingerprint_agg(ds: rd.Dataset) -> tuple[int, int]:
+    """(row count, sum of row fingerprints mod 2^64) — order-insensitive."""
+    def agg(batch: pa.Table) -> pa.Table:
+        fps = _row_fingerprints(batch)
+        return pa.table(
+            {
+                "n": pa.array([len(fps)], type=pa.int64()),
+                "s": pa.array([int(fps.sum(dtype=np.uint64))], type=pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(agg, batch_format="pyarrow").take_all()
+    total = sum(r["n"] for r in rows)
+    ssum = 0
+    for r in rows:
+        ssum = (ssum + r["s"]) & ((1 << 64) - 1)
+    return total, ssum
+
+
+def verify_multiset(input_paths: list[str], out_dir: str) -> dict:
+    """Order-insensitive equality gate: the decoded corpus and the input
+    corpus must agree on (row count, summed per-row fingerprint). Used for
+    grouped mode, where partitions are shuffled row sets; collision odds
+    are ~2^-64 per corpus."""
+    n_in, s_in = _fingerprint_agg(rd.read_parquet(sorted(input_paths)))
+    n_out, s_out = _fingerprint_agg(read_encoded(out_dir))
+    ok = n_in == n_out and s_in == s_out
+    return {
+        "partitions": len(encoded_part_files(out_dir)),
+        "rows": n_out,
+        "mismatched_partitions": [] if ok else ["<multiset mismatch>"],
+        "ok": ok,
+        "mode": "multiset",
+    }
 
 
 def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> dict:

@@ -35,3 +35,38 @@ def test_verify_encoded_from_manifest(ray_session, tmp_path):
     assert res["ok"] and res["rows"] == 2000
     items = decode.items_from_manifest(out)
     assert all(it["row_groups"] for it in items)
+
+
+def test_verify_encoded_grouped_multiset(ray_session, tmp_path):
+    """Grouped-mode partitions have no row ranges; verify_encoded falls
+    back to the order-insensitive multiset fingerprint gate — and that
+    gate catches a single flipped token."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.pipelines import encode_grouped
+    from duckdb_raquet_ray.sources import tokens as tok
+    from duckdb_raquet_ray.stages import encoder as enc
+
+    paths = tok.write_corpus(str(tmp_path / "c"), 2000, 2, row_group_rows=512)
+    out = str(tmp_path / "g")
+    encode_grouped.encode_job_grouped(paths, out, target_group_rows=500)
+    res = decode.verify_encoded(out)
+    assert res["ok"] and res["mode"] == "multiset" and res["rows"] == 2000
+
+    # tamper: flip one token in one partition, re-encode in place
+    import glob
+
+    p = sorted(glob.glob(out + "/part-*.parquet"))[0]
+    t = pq.read_table(p)
+    rows = enc.decode_rows(t)
+    toks = rows.column("tokens").to_pylist()
+    toks[0] = list(toks[0])
+    toks[0][0] = (toks[0][0] + 1) % 50257
+    tampered = rows.set_column(
+        rows.schema.get_field_index("tokens"), "tokens", pa.array(toks, type=pa.list_(pa.int32()))
+    )
+    pid = t.column("partition_id")[0].as_py()
+    enc2, _ = enc.encode_table(tampered, pid, "tamper")
+    pq.write_table(enc2, p, compression="none")
+    assert not decode.verify_encoded(out)["ok"]
