@@ -138,6 +138,14 @@ def bench_corpus_phase(cpus: int) -> dict:
         "cold_sec": round(times[0], 3),
     }
 
+    # column-pruned decode: only the n_tok blob is read (parquet column
+    # selection skips the token blobs entirely), then a grouped aggregate
+    t0 = time.time()
+    st.grouped_stats(
+        decode.read_encoded(enc_out, columns=["n_tok", "source"]), "source", "n_tok"
+    ).to_pandas()
+    queries["pruned_decode_stats"] = round(time.time() - t0, 3)
+
     grouped_out = "/tmp/raquet_bench_grouped_out"
     shutil.rmtree(grouped_out, ignore_errors=True)
     t0 = time.time()
