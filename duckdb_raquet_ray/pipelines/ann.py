@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -83,6 +84,8 @@ class IvfIndex:
         cls, ds: rd.Dataset, vec_col: str = "embedding", n_centroids: int = 16, iters: int = 5, sample_rows: int = 4096, seed: int = 42
     ) -> "IvfIndex":
         sample = ds.limit(sample_rows).take_all()
+        if not sample:
+            raise ValueError("cannot train an IVF index on an empty dataset")
         m = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
         rng = np.random.default_rng(seed)
         c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -127,9 +130,10 @@ def ivf_topk(
     buckets = set(index.probe_buckets(query, n_probe))
     with_buckets = index.add_buckets(ds, vec_col)
 
+    value_set = pa.array(sorted(buckets), type=pa.int32())
+
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pa.array([b in buckets for b in batch.column("ivf_bucket").to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch.column("ivf_bucket"), value_set=value_set))
 
     filtered = with_buckets.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(filtered, query, k, vec_col, key_col)

@@ -44,23 +44,16 @@ class TextAnalyzer:
         self.stop = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # counter columns come from the SAME standalone stage functions the
+        # SQL oracles check — one implementation, no drift
+        out = token_count_batch(batch, self.text_col)
+        out = quality_metrics_batch(out, self.text_col)
         s = batch.column(self.text_col).to_pandas().fillna("")
-        ws_tokens = s.str.count(self.ws)
         bpe_tokens = s.str.count(self.bpe)
-        n_chars = s.str.len()
-        n_punct = s.str.count(_PUNCT_RE)
-        n_digit = s.str.count(_DIGIT_RE)
-        n_upper = s.str.count(_UPPER_RE)
         langs, stop_ratio = self._langid(s)
         fp = fingerprint_series(s)
-        out = batch
         for name, arr in (
-            ("ws_tokens", pa.array(ws_tokens.to_numpy(np.int64))),
             ("bpe_tokens", pa.array(bpe_tokens.to_numpy(np.int64))),
-            ("n_chars_m", pa.array(n_chars.to_numpy(np.int64))),
-            ("n_punct", pa.array(n_punct.to_numpy(np.int64))),
-            ("n_digit", pa.array(n_digit.to_numpy(np.int64))),
-            ("n_upper", pa.array(n_upper.to_numpy(np.int64))),
             ("lang_pred", pa.array(langs)),
             ("stop_ratio", pa.array(stop_ratio, type=pa.float64())),
             ("fingerprint", pa.array(fp.astype(np.int64))),

@@ -39,25 +39,39 @@ SENTINEL = -1  # the nodata analogue for masked token slots
 
 
 def _child_and_rebuild(batch: pa.Table, column: str):
-    """-> (flat child int64 numpy, rebuild(new_child_np) -> pa.ListArray)."""
+    """-> (flat child numpy with nulls filled to 0, offsets, rebuild fn,
+    child validity bool array or None).
+
+    Null LIST ELEMENTS are surfaced via the validity array (and preserved
+    by ``rebuild``), never silently cast — to_numpy on a nullable child
+    would turn nulls into float NaN and corrupt integer math downstream."""
     arr = batch.column(column)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     child_type = arr.type.value_type
     lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
-    child = arr.flatten().to_numpy(zero_copy_only=False)
+    child_arr = arr.flatten()
+    child_valid = (
+        np.asarray(child_arr.is_valid()) if child_arr.null_count else None
+    )
+    if child_valid is not None:
+        child_arr = pc.fill_null(child_arr, 0)
+    child = child_arr.to_numpy(zero_copy_only=False)
     offsets = np.zeros(len(arr) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     valid = np.asarray(arr.is_valid()) if arr.null_count else None
 
     def rebuild(new_child: np.ndarray) -> pa.Array:
-        values = pa.array(new_child.astype(child_type.to_pandas_dtype()), type=child_type)
+        mask = None if child_valid is None else ~child_valid
+        values = pa.array(
+            new_child.astype(child_type.to_pandas_dtype()), type=child_type, mask=mask
+        )
         out = pa.ListArray.from_arrays(pa.array(offsets), values)
         if valid is not None:
             out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
         return out
 
-    return child, offsets, rebuild
+    return child, offsets, rebuild, child_valid
 
 
 def mask_tokens_range(
@@ -69,7 +83,7 @@ def mask_tokens_range(
 ) -> pa.Table:
     """Values outside [low, high] -> sentinel; None bound = open
     (ST_MaskBandValuesRange semantics, st_value_mask.cpp:176-236)."""
-    child, _, rebuild = _child_and_rebuild(batch, column)
+    child, _, rebuild, _ = _child_and_rebuild(batch, column)
     keep = np.ones(len(child), dtype=bool)
     if low is not None:
         keep &= child >= low
@@ -87,7 +101,7 @@ def mask_tokens_list(
 ) -> pa.Table:
     """Values not in the whitelist -> sentinel (ST_MaskBandValuesList,
     st_value_mask.cpp:116-171). Lookup via sorted searchsorted."""
-    child, _, rebuild = _child_and_rebuild(batch, column)
+    child, _, rebuild, _ = _child_and_rebuild(batch, column)
     table = np.asarray(sorted(set(allowed)), dtype=child.dtype)
     if len(table) == 0:  # empty whitelist -> everything masked
         out = np.full(len(child), sentinel, dtype=child.dtype)
@@ -105,7 +119,7 @@ def mask_tokens_eq(
     batch: pa.Table, value: int, column: str = "tokens", sentinel: int = SENTINEL
 ) -> pa.Table:
     """Values != v -> sentinel (ST_MaskBandValuesEq, st_value_mask.cpp:240-280)."""
-    child, _, rebuild = _child_and_rebuild(batch, column)
+    child, _, rebuild, _ = _child_and_rebuild(batch, column)
     out = np.where(child == value, child, sentinel)
     return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
 
@@ -123,8 +137,10 @@ def clip_tokens(
     arr = batch.column(column)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    child, offsets, _ = _child_and_rebuild(batch, column)
+    child, offsets, _, child_valid = _child_and_rebuild(batch, column)
     keep = (child >= low) & (child <= high)
+    if child_valid is not None:  # null elements fail the predicate (nodata rule)
+        keep &= child_valid
     # new per-row lengths: sum of keep within each row's span
     csum = np.concatenate(([0], np.cumsum(keep)))
     new_lengths = csum[offsets[1:]] - csum[offsets[:-1]]
@@ -156,7 +172,7 @@ def map_tokens(
     classification shape, st_png_colormap.cpp:308-396). `mapping` is a
     dense vocab-sized int array, broadcast once per task via closure/
     ray.put — never shuffled."""
-    child, _, rebuild = _child_and_rebuild(batch, column)
+    child, _, rebuild, _ = _child_and_rebuild(batch, column)
     in_range = (child >= 0) & (child < len(mapping))
     out = np.where(in_range, mapping[np.clip(child, 0, len(mapping) - 1)], default)
     return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
@@ -173,12 +189,12 @@ def token_stats(
     ``cumsum(dtype=int64)`` pass reading the native-width child plus
     native-width reduceat min/max — the stage is memory-bandwidth-bound
     on billions of tokens, so pass count is the whole game."""
-    child, offsets, _ = _child_and_rebuild(batch, column)
+    child, offsets, _, child_valid = _child_and_rebuild(batch, column)
     n_rows = len(offsets) - 1
     starts = offsets[:-1].astype(np.int64)
     nonempty = offsets[1:] > offsets[:-1]
 
-    if sentinel is None:
+    if sentinel is None and child_valid is None:
         counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
         csum_v = np.zeros(len(child) + 1, dtype=np.int64)
         np.cumsum(child, dtype=np.int64, out=csum_v[1:])
@@ -190,7 +206,9 @@ def token_stats(
             maxs[nonempty] = np.maximum.reduceat(child, starts[nonempty])
     else:
         child = child.astype(np.int64)
-        valid = child != sentinel
+        valid = np.ones(len(child), dtype=bool) if sentinel is None else child != sentinel
+        if child_valid is not None:  # null elements skipped like nodata
+            valid &= child_valid
         w = np.where(valid, 1, 0)
         v = np.where(valid, child, 0)
         csum_n = np.concatenate(([0], np.cumsum(w)))
@@ -220,9 +238,15 @@ def token_stats(
 
 
 def ndiff_columns(batch: pa.Table, a: str, b: str, out: str = "ndiff") -> pa.Table:
-    """(a-b)/(a+b) with 0/0 -> 0 (band_math.cpp ndiff rule :197-229)."""
-    av = batch.column(a).to_numpy(zero_copy_only=False).astype(np.float64)
-    bv = batch.column(b).to_numpy(zero_copy_only=False).astype(np.float64)
+    """(a-b)/(a+b) with 0/0 -> 0 (band_math.cpp ndiff rule :197-229);
+    NULL in either input -> NULL out (SQL semantics)."""
+    ca, cb = batch.column(a), batch.column(b)
+    av = pc.fill_null(ca, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+    bv = pc.fill_null(cb, 0).to_numpy(zero_copy_only=False).astype(np.float64)
     denom = av + bv
     nd = np.divide(av - bv, denom, out=np.zeros(len(av)), where=denom != 0)
-    return batch.append_column(out, pa.array(nd, type=pa.float64()))
+    mask = None
+    if ca.null_count or cb.null_count:
+        valid = np.asarray(pc.and_(pc.is_valid(ca), pc.is_valid(cb)))
+        mask = ~valid
+    return batch.append_column(out, pa.array(nd, type=pa.float64(), mask=mask))

@@ -102,6 +102,12 @@ def generate_shard(
     gids = row_offset + np.arange(rows)
     doc_id = pa.array([f"{s}/doc-{g:012d}" for s, g in zip(sources, gids)], type=pa.string())
 
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"shard has {total} tokens, over the int32 list-offset limit; "
+            "use more shards (the fixture keeps plain list<int32> so the "
+            "schema matches the input_hint exactly)"
+        )
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
     )

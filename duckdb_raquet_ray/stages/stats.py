@@ -20,23 +20,27 @@ import ray.data as rd
 
 
 def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
-    """One partial state row per key in this batch (vectorized)."""
+    """One partial state row per key in this batch (vectorized).
+
+    Keys are grouped over ALL rows (dropna=False: the NULL key forms a
+    group, and a key whose values are all NULL still appears with n=0 —
+    SQL GROUP BY / COUNT(v) semantics); pandas reductions skip NaN
+    values, which is exactly the SQL aggregate null rule."""
     df = pd.DataFrame(
         {
             "k": batch.column(key).to_pandas(),
             "v": batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64),
         }
     )
-    df = df.dropna(subset=["v"])
-    # dropna=False keeps the NULL key group (SQL GROUP BY semantics)
     g = df.groupby("k", dropna=False)["v"]
+    n = g.count()  # non-null count, one scan reused below
     out = pd.DataFrame(
         {
-            key: g.count().index,
-            "n": g.count().to_numpy(),
+            key: n.index,
+            "n": n.to_numpy(),
             "sum": g.sum().to_numpy(),
             "mean": g.mean().to_numpy(),
-            "m2": (g.var(ddof=0) * g.count()).fillna(0.0).to_numpy(),
+            "m2": (g.var(ddof=0) * n).fillna(0.0).to_numpy(),
             "min": g.min().to_numpy(),
             "max": g.max().to_numpy(),
         }
@@ -55,14 +59,18 @@ def _combine_and_finalize(group: pd.DataFrame, key: str) -> pd.DataFrame:
         m2_t = m2_t + m2 + delta * delta * n_t * n / tot
         mean_t = mean_t + delta * n / tot
         n_t = tot
-    std = float(np.sqrt(m2_t / (n_t - 1))) if n_t > 1 else 0.0
+    # NaN encodes SQL NULL for the double columns (DuckDB's to-pandas
+    # convention): STDDEV_SAMP is NULL for n<2, SUM/MEAN/MIN/MAX are NULL
+    # for an all-null group
+    std = float(np.sqrt(m2_t / (n_t - 1))) if n_t > 1 else float("nan")
+    empty = n_t == 0
     return pd.DataFrame(
         {
             key: [group[key].iloc[0]],
             "cnt": [int(n_t)],
-            "sum_v": [float(group["sum"].sum())],
-            "mean_v": [mean_t],
-            "min_v": [float(group["min"].min())],
+            "sum_v": [float("nan") if empty else float(group["sum"].sum())],
+            "mean_v": [float("nan") if empty else mean_t],
+            "min_v": [float(group["min"].min())],   # pandas min skips NaN -> NaN if all
             "max_v": [float(group["max"].max())],
             "std_v": [std],
         }

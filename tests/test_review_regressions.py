@@ -68,3 +68,61 @@ def test_grouped_stats_null_keys(ray_session):
     # the NULL key forms its own group (SQL GROUP BY semantics)
     assert len(out) == 2
     assert int(out["cnt"].sum()) == 4
+
+
+def test_token_stats_null_elements_skipped():
+    """Null list ELEMENTS are nodata: skipped in stats, never cast to
+    NaN->int64 garbage."""
+    batch = pa.table({"tokens": pa.array([[1, None, 5]], type=pa.list_(pa.int32()))})
+    out = tr.token_stats(batch)
+    r = out.to_pylist()[0]
+    assert r["tok_count"] == 2 and r["tok_sum"] == 6
+    assert r["tok_min"] == 1 and r["tok_max"] == 5
+
+
+def test_mask_preserves_null_elements():
+    batch = pa.table({"tokens": pa.array([[1, None, 99]], type=pa.list_(pa.int32()))})
+    out = tr.mask_tokens_range(batch, low=0, high=10)
+    assert out.column("tokens").to_pylist() == [[1, None, -1]]
+
+
+def test_clip_drops_null_elements():
+    batch = pa.table({"tokens": pa.array([[1, None, 99]], type=pa.list_(pa.int32()))})
+    out = tr.clip_tokens(batch, 0, 10, length_column=None)
+    assert out.column("tokens").to_pylist() == [[1]]
+
+
+def test_ndiff_null_propagates():
+    batch = pa.table({"a": [1.0, None, 0.0], "b": [3.0, 2.0, 0.0]})
+    out = tr.ndiff_columns(batch, "a", "b")
+    assert out.column("ndiff").to_pylist() == [-0.5, None, 0.0]
+
+
+def test_grouped_stats_all_null_key_and_single_value(ray_session):
+    import math
+
+    t = pa.table({"k": ["a", "b", "b"], "v": [1.0, None, None]})
+    out = st.grouped_stats(rd.from_arrow(t), "k", "v").to_pandas().set_index("k")
+    assert out.loc["b", "cnt"] == 0 and math.isnan(out.loc["b", "mean_v"])
+    # single-value group: STDDEV_SAMP is NULL (NaN), not 0.0
+    assert out.loc["a", "cnt"] == 1 and math.isnan(out.loc["a", "std_v"])
+
+
+def test_shard_token_overflow_guard(monkeypatch):
+    """The int32 list-offset guard fires before ListArray construction
+    (generating a genuinely-overflowing shard needs >2^31 tokens, too
+    heavy for CI — shrink the limit instead)."""
+    import numpy as np
+
+    from duckdb_raquet_ray.sources import tokens as tok
+
+    real_iinfo = np.iinfo
+
+    class TinyInfo:
+        max = 1000
+
+    monkeypatch.setattr(
+        tok.np, "iinfo", lambda dt: TinyInfo if dt is np.int32 else real_iinfo(dt)
+    )
+    with pytest.raises(ValueError, match="int32 list-offset"):
+        tok.generate_shard(0, 50)
