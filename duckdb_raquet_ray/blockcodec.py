@@ -224,6 +224,12 @@ def encode_primitive(arr: pa.Array, codec: str, general_method: str | None = Non
         "codec": codec,
     }
     vals = _primitive_np(arr)
+    # normalize to the canonical numpy dtype the decoder will read back:
+    # date32 arrives from arrow as datetime64[D] (8 bytes) but decodes as
+    # int32 days — a width mismatch that silently corrupted plain/general
+    cdt = _np_dtype_of(arr.type)
+    if vals.dtype != cdt:
+        vals = vals.astype(cdt)
     if codec in PLANE_CODECS:
         plane, signed = to_plane(vals)
         blob, cdesc = intcodec.encode_plane(plane, codec, signed)

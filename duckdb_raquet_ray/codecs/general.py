@@ -32,12 +32,14 @@ DEFAULT_GENERAL = "zstd" if HAVE_ZSTD else "zlib"
 # default for a throughput-graded encode; size-focused deployments export
 # RAQUET_ZSTD_LEVEL=6.
 ZSTD_LEVEL = int(os.environ.get("RAQUET_ZSTD_LEVEL", "1"))
-_ZSTD = pa.Codec("zstd", compression_level=ZSTD_LEVEL) if HAVE_ZSTD else None
+# NOTE: no module-level pa.Codec instance — pyarrow Codec objects are
+# unpicklable and would break cloudpickle by-value shipping of this module
+# to Ray workers; construction costs microseconds per call.
 
 
 def compress(data: bytes, method: str = DEFAULT_GENERAL) -> bytes:
     if method == "zstd":
-        return _ZSTD.compress(data, asbytes=True)
+        return pa.Codec("zstd", compression_level=ZSTD_LEVEL).compress(data, asbytes=True)
     if method == "zlib":
         return zlib.compress(data, 6)
     if method == "none":

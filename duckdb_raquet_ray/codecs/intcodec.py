@@ -118,10 +118,6 @@ def narrow_deltas(plane: np.ndarray, base: int, byte_w: int) -> np.ndarray:
     return np.subtract(plane, plane.dtype.type(base), dtype=dt, casting="same_kind")
 
 
-def _minmax_base(plane: np.ndarray, signed: bool) -> tuple[int, int]:
-    return for_minmax(plane, signed)
-
-
 def encode_for_bitpack(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
     base, maxd = for_minmax(plane, signed)
     width = bit_width(maxd)

@@ -59,6 +59,14 @@ def encoded_part_files(out_dir: str, partition_ids: list[int] | None = None) -> 
     return [os.path.join(out_dir, pk.part_file_name(p)) for p in pids]
 
 
+def _read_projection(columns: list[str] | None) -> list[str] | None:
+    """Parquet column selection for an encoded file: fixed columns + the
+    requested blobs (un-requested blobs are never read)."""
+    if columns is None:
+        return None
+    return list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+
+
 class PartitionDecoder:
     """Actor-pool stage: one partition file per input row — read + decode
     in-process, so the large encoded blobs never round-trip through the
@@ -72,15 +80,15 @@ class PartitionDecoder:
 
     def __init__(self, columns: list[str] | None = None):
         self.columns = columns
-        self.read_cols = None
-        if columns is not None:
-            self.read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
+        self.read_cols = _read_projection(columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for path in batch.column("path").to_pylist():
             t = pq.read_table(path, columns=self.read_cols, use_threads=False)
             out.append(enc.decode_rows(t, self.columns))
+        if not out:  # an empty work block must not crash the stage
+            return pa.table({})
         return pa.concat_tables(out)
 
 
@@ -121,10 +129,7 @@ def point_lookup(out_dir: str, pid: int, columns: list[str] | None = None) -> pa
     """Fetch + decode exactly one partition (driver-side, no Dataset):
     the read_raquet_at path — cheap because file naming is keyed."""
     path = os.path.join(out_dir, pk.part_file_name(pid))
-    read_cols = None
-    if columns is not None:
-        read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
-    t = pq.read_table(path, columns=read_cols)
+    t = pq.read_table(path, columns=_read_projection(columns))
     return enc.decode_rows(t, columns)
 
 
@@ -143,10 +148,7 @@ def export_job(out_dir: str, dest_dir: str, *, columns: list[str] | None = None)
             name = os.path.basename(path)
             dest = os.path.join(dest_dir, name)
             if not os.path.exists(dest):
-                read_cols = None
-                if columns is not None:
-                    read_cols = list(enc.ENCODED_FIXED_COLS) + [f"col_{c}" for c in columns]
-                t = pq.read_table(path, columns=read_cols, use_threads=False)
+                t = pq.read_table(path, columns=_read_projection(columns), use_threads=False)
                 decoded = enc.decode_rows(t, columns)
                 tmp = dest + f".tmp-{os.getpid()}"
                 pq.write_table(decoded, tmp)
@@ -159,6 +161,17 @@ def export_job(out_dir: str, dest_dir: str, *, columns: list[str] | None = None)
     return n
 
 
+def _tables_bitexact(a: pa.Table, b: pa.Table) -> bool:
+    """Bit-exact row-ordered equality that pa.Table.equals gets wrong for
+    NaN (NaN != NaN) and for nullable-flag-only schema differences: fast
+    path via equals, fallback via ordered bit-pattern fingerprints."""
+    if a.column_names != b.column_names or a.num_rows != b.num_rows:
+        return False
+    if a.equals(b):
+        return True
+    return bool(np.array_equal(_row_fingerprints(a), _row_fingerprints(b)))
+
+
 def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
     """Re-read the input row range and the encoded partition; compare
     bit-exactly. One work item per row, embarrassingly parallel."""
@@ -167,7 +180,7 @@ def _verify_partitions(batch: pa.Table, out_dir: str) -> pa.Table:
         pid = item["partition_id"]
         original = pq.ParquetFile(item["shard"]).read_row_groups(item["row_groups"], use_threads=False)
         decoded = point_lookup(out_dir, pid)
-        ok = decoded.equals(original)
+        ok = _tables_bitexact(decoded, original)
         results.append({"partition_id": pid, "ok": ok, "n_rows": original.num_rows})
     return pa.Table.from_pylist(results)
 
@@ -226,16 +239,35 @@ def _fp_powers(n: int) -> np.ndarray:
     return powers
 
 
+def _fixed_width_plane_u64(col: pa.Array) -> np.ndarray:
+    """Any fixed-width arrow column -> uint64 BIT PATTERNS (nulls as 0) —
+    floats keep their full mantissa, never a lossy int cast."""
+    from .. import blockcodec as bc
+
+    t = col.type
+    if pa.types.is_boolean(t):
+        col = col.cast(pa.uint8())
+    elif pa.types.is_date(t) or pa.types.is_timestamp(t):
+        col = col.cast(pa.int64())
+    if col.null_count:
+        col = pc.fill_null(col, 0)
+    plane, _ = bc.to_plane(col.to_numpy(zero_copy_only=False))
+    return plane.astype(np.uint64)
+
+
 def _row_fingerprints(batch: pa.Table) -> np.ndarray:
     """Order-insensitive-summable per-row uint64 fingerprints covering every
-    byte of every column (strings via stable siphash, ints via mixed bit
-    patterns, list<int> via a position-weighted polynomial over the child
-    values — all vectorized)."""
+    byte of every column (strings/binaries via stable siphash, fixed-width
+    values via their full bit patterns, list<numeric> via a
+    position-weighted polynomial over the child bit patterns — all
+    vectorized). Null positions are folded in separately so a null is
+    never confused with a zero."""
     import pandas as pd
 
     n = batch.num_rows
     fp = np.full(n, np.uint64(0x243F6A8885A308D3))
     mix = np.uint64(0xFF51AFD7ED558CCD)
+    null_bit = np.uint64(1) << np.uint64(62)
     for name in sorted(batch.column_names):
         col = batch.column(name)
         if isinstance(col, pa.ChunkedArray):
@@ -243,7 +275,10 @@ def _row_fingerprints(batch: pa.Table) -> np.ndarray:
         t = col.type
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             lengths = pc.fill_null(pc.list_value_length(col), -1).to_numpy(zero_copy_only=False)
-            child = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            flat = col.flatten()
+            child = _fixed_width_plane_u64(flat)
+            if flat.null_count:  # null element != literal zero
+                child = child + (~np.asarray(flat.is_valid())).astype(np.uint64) * null_bit
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(np.maximum(lengths, 0), out=offs[1:])
             pos = np.arange(len(child), dtype=np.int64) - np.repeat(offs[:-1], np.maximum(lengths, 0))
@@ -253,12 +288,17 @@ def _row_fingerprints(batch: pa.Table) -> np.ndarray:
             csum = np.zeros(len(child) + 1, dtype=np.uint64)
             np.cumsum(weighted, out=csum[1:])  # mod 2^64
             h = (csum[offs[1:]] - csum[offs[:-1]]) + lengths.astype(np.uint64)
-        elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        elif (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
             h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
         else:
-            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
-            null_mark = np.where(np.asarray(col.is_valid()), 0, 1 << 62) if col.null_count else 0
-            h = (vals.astype(np.int64).view(np.uint64) + np.uint64(3)) + null_mark
+            h = _fixed_width_plane_u64(col) + np.uint64(3)
+            if col.null_count:
+                h = h + (~np.asarray(col.is_valid())).astype(np.uint64) * null_bit
         fp = (fp ^ h) * mix
     return fp
 

@@ -60,8 +60,6 @@ def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = No
     Deterministic given (inputs, cpus): resume must re-plan identically,
     so pass the SAME cluster_cpus when resuming a run started elsewhere."""
     if cluster_cpus is None:
-        from ..util import default_concurrency
-
         cluster_cpus = default_concurrency()
     total = 0
     for path in input_paths:
@@ -97,7 +95,6 @@ def plan_partitions(
             cur_bytes += size
         if cur:
             groups.append(cur)
-        row_start = 0
         rg_rows = [md.row_group(rg).num_rows for rg in range(md.num_row_groups)]
         rg_offsets = [0]
         for r in rg_rows:

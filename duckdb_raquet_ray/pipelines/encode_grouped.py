@@ -33,7 +33,6 @@ import json
 import math
 import os
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -42,6 +41,7 @@ from ..stages import encoder as enc
 from ..state import manifest as mf
 
 DEFAULT_GROUP_ROWS = 100_000
+NULL_SOURCE_KEY = "\x00<null-source>"  # partition-key stand-in for source IS NULL
 _ENTRY_SCHEMA = pa.schema([("entry_json", pa.string())])
 
 
@@ -53,24 +53,33 @@ def _salts(batch: pa.Table, salt_map: dict[str, int], key: str = "doc_id") -> pa
     import pandas as pd
 
     h = pd.util.hash_pandas_object(batch.column(key).to_pandas(), index=False).to_numpy()
-    mods = (
-        batch.column("source")
-        .to_pandas()
-        .map(salt_map)
-        .fillna(1)
-        .to_numpy(dtype=np.uint64)
-    )
+    src = batch.column("source").to_pandas().fillna(NULL_SOURCE_KEY)
+    mods = src.map(salt_map).fillna(1).to_numpy(dtype=np.uint64)
     salts = (h % mods).astype(np.int32)
+    # group key column with nulls replaced: Ray's sort shuffle cannot
+    # compare None with str; the real (nullable) source column rides along
+    # untouched and round-trips bit-exactly
+    gsrc = src.to_numpy(dtype=object)
+    batch = batch.append_column("_gsrc", pa.array(gsrc, type=pa.string()))
     return batch.append_column("_salt", pa.array(salts, type=pa.int32()))
 
 
 def compute_salt_map(ds: rd.Dataset, target_rows: int = DEFAULT_GROUP_ROWS) -> dict[str, int]:
-    """Driver-side per-source row counts -> bucket counts. Small shuffle
-    over a low-cardinality key; result is broadcast by closure."""
-    counts = ds.groupby("source").count().take_all()
-    return {
-        r["source"]: max(1, math.ceil(r["count()"] / target_rows)) for r in counts
-    }
+    """Driver-side per-source row counts -> bucket counts. Per-batch
+    value_counts folded on the driver — a pre-aggregation over a
+    low-cardinality column, no shuffle at all (and unlike Ray's sort-based
+    groupby, null sources are handled: they count under NULL_SOURCE_KEY)."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        vc = b.column("source").to_pandas().fillna(NULL_SOURCE_KEY).value_counts()
+        return pa.table(
+            {"source": pa.array(vc.index.astype(str)), "cnt": pa.array(vc.to_numpy())}
+        )
+
+    agg: dict[str, int] = {}
+    for r in ds.map_batches(counts, batch_format="pyarrow").take_all():
+        agg[r["source"]] = agg.get(r["source"], 0) + int(r["cnt"])
+    return {s: max(1, math.ceil(c / target_rows)) for s, c in agg.items()}
 
 
 def encode_job_grouped(
@@ -94,12 +103,18 @@ def encode_job_grouped(
     os.makedirs(out_dir, exist_ok=True)
 
     def encode_group(group: pa.Table) -> pa.Table:
-        source = group.column("source")[0].as_py()
+        source = group.column("_gsrc")[0].as_py()
         salt = group.column("_salt")[0].as_py()
         pid = pk.pack_grouped(source, salt)
         if pid in done:
             return _ENTRY_SCHEMA.empty_table()
-        group = group.sort_by("doc_id").drop_columns(["_salt"])
+        # composite sort key: bit-identity across runs requires a total
+        # order; doc_id alone leaves duplicate-key rows in shuffle-arrival
+        # order (rows identical in all three keys but differing elsewhere
+        # remain the one unordered residue — documented limitation)
+        group = group.sort_by(
+            [("doc_id", "ascending"), ("n_tok", "ascending"), ("_gsrc", "ascending")]
+        ).drop_columns(["_salt", "_gsrc"])
         encoded, entry = enc.encode_table(
             group, pid, input_shard=f"group:{source}/{salt}", row_range=None
         )
@@ -113,7 +128,7 @@ def encode_job_grouped(
     salted = ds.map_batches(
         lambda b: _salts(b, salt_map), batch_format="pyarrow", batch_size=16384
     )
-    results = salted.groupby(["source", "_salt"]).map_groups(
+    results = salted.groupby(["_gsrc", "_salt"]).map_groups(
         encode_group, batch_format="pyarrow", num_cpus=1
     )
     writer = mf.ManifestWriter(out_dir)

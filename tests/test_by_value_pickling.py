@@ -1,0 +1,51 @@
+"""Every package module must survive cloudpickle BY-VALUE serialization.
+
+__ray_entry__ ships the library to Ray workers by value (the driver may
+import it from a cwd where workers cannot `import duckdb_raquet_ray`).
+Any unpicklable module-level object — a pyarrow Codec instance, an
+lru_cache wrapper, an open handle — silently breaks EVERY driver query
+in that mode while local imports (and this test suite) keep passing.
+This guard registers the WHOLE package by value exactly like
+__ray_entry__._bootstrap_by_value does (cross-module references only
+fail under full registration) and pickles every module and function."""
+
+import importlib
+import pkgutil
+
+import pytest
+
+import duckdb_raquet_ray as pkg
+
+
+def _module_names():
+    names = [pkg.__name__]
+    names += [i.name for i in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + ".")]
+    return names
+
+
+@pytest.fixture(scope="module")
+def registered_modules():
+    from ray import cloudpickle as cp
+
+    mods = [importlib.import_module(n) for n in _module_names()]
+    for m in mods:
+        cp.register_pickle_by_value(m)
+    yield {m.__name__: m for m in mods}
+    for m in mods:
+        try:
+            cp.unregister_pickle_by_value(m)
+        except Exception:
+            pass
+
+
+@pytest.mark.parametrize("name", _module_names())
+def test_module_pickles_by_value(registered_modules, name):
+    from ray import cloudpickle as cp
+
+    mod = registered_modules[name]
+    cp.dumps(mod)
+    # module-level functions must also serialize (they carry the globals
+    # they reference, including sibling by-value modules)
+    for attr, val in vars(mod).items():
+        if callable(val) and getattr(val, "__module__", None) == name:
+            cp.dumps(val)

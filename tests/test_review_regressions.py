@@ -126,3 +126,85 @@ def test_shard_token_overflow_guard(monkeypatch):
     )
     with pytest.raises(ValueError, match="int32 list-offset"):
         tok.generate_shard(0, 50)
+
+
+def test_date32_plain_general_roundtrip():
+    """date32 arrives from arrow as datetime64[D] (8B) but decodes as int32
+    days — the width mismatch silently corrupted plain/general codecs."""
+    from datetime import date
+
+    arr = pa.array([date(2020, 1, 1), date(1969, 12, 31), None], type=pa.date32())
+    for codec in ("plain", "general", "for_bss", "for_bitpack"):
+        blob, desc = bc.encode_array(arr, {"codec": codec})
+        out = bc.decode_array(blob, desc)
+        assert out.equals(arr), codec
+
+
+def test_date64_roundtrip():
+    from datetime import date
+
+    arr = pa.array([date(2020, 1, 1), date(1969, 12, 31)], type=pa.date64())
+    for codec in ("plain", "general", "for_bss"):
+        blob, desc = bc.encode_array(arr, {"codec": codec})
+        assert bc.decode_array(blob, desc).equals(arr), codec
+
+
+def test_verify_nan_floats(ray_session, tmp_path):
+    """pa.Table.equals says NaN != NaN; the verify gate must not report a
+    bit-exact NaN round trip as corruption."""
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.pipelines import decode as dec
+    from duckdb_raquet_ray.pipelines import encode as enc_job
+
+    t = pa.table({"k": [1, 2, 3], "v": [1.5, float("nan"), float("inf")]})
+    src = str(tmp_path / "nan.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    enc_job.encode_job([src], out, target_part_bytes=1 << 19)
+    assert dec.verify_encoded(out)["ok"]
+
+
+def test_fingerprints_cover_types_and_nulls():
+    from duckdb_raquet_ray.pipelines.decode import _row_fingerprints
+
+    t = pa.table(
+        {
+            "b": pa.array([True, None, False]),
+            "f": pa.array([0.5, None, float("nan")]),
+            "s": pa.array([b"x", None, b"y"], type=pa.large_binary()),
+            "l": pa.array([[1, None], [], None], type=pa.list_(pa.int32())),
+        }
+    )
+    fp = _row_fingerprints(t)  # must not crash
+    assert len(fp) == 3
+    # floats fingerprint by BIT PATTERN: 0.5 vs 0.7 differ
+    a = _row_fingerprints(pa.table({"f": [0.5]}))
+    b = _row_fingerprints(pa.table({"f": [0.7]}))
+    assert a[0] != b[0]
+    # null != zero
+    c = _row_fingerprints(pa.table({"f": pa.array([None], type=pa.float64())}))
+    d = _row_fingerprints(pa.table({"f": pa.array([0.0], type=pa.float64())}))
+    assert c[0] != d[0]
+
+
+def test_grouped_encode_null_source(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.pipelines import decode as dec
+    from duckdb_raquet_ray.pipelines import encode_grouped as eg
+
+    t = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(20)],
+            "tokens": pa.array([[i, i + 1] for i in range(20)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 20, type=pa.int32()),
+            "source": pa.array((["web"] * 10) + ([None] * 10)),
+        }
+    )
+    src = str(tmp_path / "ns.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "g")
+    meta = eg.encode_job_grouped([src], out, target_group_rows=8)
+    assert meta["num_rows"] == 20  # null-source rows are encoded, not lost
+    assert dec.verify_encoded(out)["ok"]
