@@ -181,6 +181,23 @@ def _read_validity(blob: bytes, off: int, size: int, n: int) -> tuple[np.ndarray
     return bits.astype(bool), off + size
 
 
+def _validity_prefix(blob: bytes, desc: dict) -> tuple[np.ndarray | None, int, int]:
+    """Consume the optional leading validity-bitmap section of a blob ->
+    (valid bool array or None, byte offset past it, next section index).
+    One implementation for every decode path — the blob layout lives here."""
+    if desc["null_count"] > 0:
+        valid, off = _read_validity(blob, 0, desc["sections"][0], desc["n"])
+        return valid, off, 1
+    return None, 0, 0
+
+
+def _validity_buffer(valid: np.ndarray | None) -> tuple[pa.Buffer | None, int]:
+    """(arrow validity buffer or None, null count) for from_buffers."""
+    if valid is None:
+        return None, 0
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()), int((~valid).sum())
+
+
 # ---------------------------------------------------------------------------
 # primitive (fixed-width) columns
 # ---------------------------------------------------------------------------
@@ -253,12 +270,7 @@ def decode_primitive(blob: bytes, desc: dict) -> pa.Array:
     t = str_to_type(desc["type"])
     np_dtype = _np_dtype_of(t)
     n = desc["n"]
-    off = 0
-    valid = None
-    si = 0
-    if desc["null_count"] > 0:
-        valid, off = _read_validity(blob, 0, desc["sections"][0], n)
-        si = 1
+    valid, off, si = _validity_prefix(blob, desc)
     size = desc["sections"][si]
     body = blob[off : off + size]
     codec = desc["codec"]
@@ -366,11 +378,7 @@ def _rebuild_string(t: pa.DataType, n: int, lengths: np.ndarray, data: bytes, va
     off_dt = np.int64 if big else np.int32
     offsets = np.zeros(n + 1, dtype=off_dt)
     np.cumsum(lengths, out=offsets[1:])
-    validity_buf = None
-    null_count = 0
-    if valid is not None:
-        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
-        null_count = int((~valid).sum())
+    validity_buf, null_count = _validity_buffer(valid)
     return pa.Array.from_buffers(
         t,
         n,
@@ -382,12 +390,7 @@ def _rebuild_string(t: pa.DataType, n: int, lengths: np.ndarray, data: bytes, va
 def decode_string(blob: bytes, desc: dict) -> pa.Array:
     t = str_to_type(desc["type"])
     n = desc["n"]
-    off = 0
-    valid = None
-    si = 0
-    if desc["null_count"] > 0:
-        valid, off = _read_validity(blob, 0, desc["sections"][0], n)
-        si = 1
+    valid, off, si = _validity_prefix(blob, desc)
     codec = desc["codec"]
     if codec == "dict":
         s_idx = desc["sections"][si]
@@ -450,12 +453,7 @@ def encode_list(arr: pa.Array, child_choice: dict) -> tuple[bytes, dict]:
 
 def decode_list(blob: bytes, desc: dict) -> pa.Array:
     n = desc["n"]
-    off = 0
-    valid = None
-    si = 0
-    if desc["null_count"] > 0:
-        valid, off = _read_validity(blob, 0, desc["sections"][0], n)
-        si = 1
+    valid, off, si = _validity_prefix(blob, desc)
     s_len = desc["sections"][si]
     s_child = desc["sections"][si + 1]
     lengths = intcodec.decode_plane(blob[off : off + s_len], desc["lengths"]).astype(np.int64)
@@ -465,11 +463,7 @@ def decode_list(blob: bytes, desc: dict) -> pa.Array:
     off_dt = np.int64 if desc.get("large") else np.int32
     offsets = np.zeros(n + 1, dtype=off_dt)
     np.cumsum(lengths, out=offsets[1:])
-    validity_buf = None
-    null_count = 0
-    if valid is not None:
-        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
-        null_count = int((~valid).sum())
+    validity_buf, null_count = _validity_buffer(valid)
     return pa.Array.from_buffers(
         list_type,
         n,

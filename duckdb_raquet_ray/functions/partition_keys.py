@@ -40,7 +40,12 @@ def pack(shard: int, part: int) -> int:
 
 
 def unpack(pid: int) -> tuple[int, int]:
-    """partition_id -> (shard, part). Raises on grouped-mode ids."""
+    """partition_id -> (shard, part). Raises on grouped-mode ids.
+
+    Accepts numpy integers (pids read from the encoded uint64 column):
+    everything is coerced through int() because numpy uint64 refuses
+    mixed-type shifts/masks with python ints."""
+    pid = int(pid)
     if pid & MODE_BIT:
         raise ValueError("grouped-mode partition id; use unpack_grouped")
     return pid >> _PART_BITS, pid & _PART_MASK
@@ -49,6 +54,9 @@ def unpack(pid: int) -> tuple[int, int]:
 def parent(pid: int) -> int:
     """The shard-level key of a lineage pid (part index zeroed) —
     the quadbin_to_parent analogue (quadbin.hpp:175-199)."""
+    pid = int(pid)
+    if pid & MODE_BIT:
+        raise ValueError("grouped-mode partition id has no shard parent")
     return pid & ~_PART_MASK
 
 
@@ -80,6 +88,7 @@ def pack_grouped(source: str, salt: int) -> int:
 
 def unpack_grouped(pid: int) -> tuple[int, int]:
     """grouped pid -> (source_hash, salt)."""
+    pid = int(pid)
     if not pid & MODE_BIT:
         raise ValueError("not a grouped-mode partition id")
     body = pid & ~MODE_BIT
@@ -87,7 +96,7 @@ def unpack_grouped(pid: int) -> tuple[int, int]:
 
 
 def is_grouped(pid: int) -> bool:
-    return bool(pid & MODE_BIT)
+    return bool(int(pid) & MODE_BIT)
 
 
 def part_file_name(pid: int) -> str:

@@ -79,7 +79,25 @@ def compute_salt_map(ds: rd.Dataset, target_rows: int = DEFAULT_GROUP_ROWS) -> d
     agg: dict[str, int] = {}
     for r in ds.map_batches(counts, batch_format="pyarrow").take_all():
         agg[r["source"]] = agg.get(r["source"], 0) + int(r["cnt"])
+    _check_source_hash_collisions(agg.keys())
     return {s: max(1, math.ceil(c / target_rows)) for s, c in agg.items()}
+
+
+def _check_source_hash_collisions(sources) -> None:
+    """The 43-bit source hash leaves ~0.06% collision odds at 100k distinct
+    sources; a collision would make two sources share partition ids and the
+    last writer would silently replace the other's file. The driver sees
+    the full source list here, so collisions fail LOUDLY instead."""
+    seen: dict[int, str] = {}
+    for s in sources:
+        h = pk.source_hash(s)
+        if h in seen and seen[h] != s:
+            raise ValueError(
+                f"source-hash collision between {seen[h]!r} and {s!r}: "
+                "grouped mode would assign them the same partition ids; "
+                "use lineage mode or rename one source"
+            )
+        seen[h] = s
 
 
 def encode_job_grouped(

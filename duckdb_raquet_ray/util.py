@@ -16,4 +16,6 @@ def default_concurrency(cap: int | None = None) -> int:
         import os
 
         n = os.cpu_count() or 4
-    return min(n, cap) if cap else n
+    if cap is None:
+        return n
+    return max(1, min(n, cap))

@@ -208,3 +208,34 @@ def test_grouped_encode_null_source(ray_session, tmp_path):
     meta = eg.encode_job_grouped([src], out, target_group_rows=8)
     assert meta["num_rows"] == 20  # null-source rows are encoded, not lost
     assert dec.verify_encoded(out)["ok"]
+
+
+def test_partition_keys_numpy_safe():
+    import numpy as np
+
+    from duckdb_raquet_ray.functions import partition_keys as pk
+
+    pid = np.uint64(pk.pack(3, 7))
+    assert pk.unpack(pid) == (3, 7)
+    assert pk.parent(pid) == pk.pack(3, 0)
+    g = np.uint64(pk.pack_grouped("web", 2))
+    assert pk.is_grouped(g) and pk.unpack_grouped(g)[1] == 2
+    with pytest.raises(ValueError, match="no shard parent"):
+        pk.parent(g)
+
+
+def test_source_hash_collision_raises(monkeypatch):
+    from duckdb_raquet_ray.functions import partition_keys as pk
+    from duckdb_raquet_ray.pipelines import encode_grouped as eg
+
+    monkeypatch.setattr(pk, "source_hash", lambda s: 42)  # force a collision
+    with pytest.raises(ValueError, match="source-hash collision"):
+        eg._check_source_hash_collisions(["a", "b"])
+
+
+def test_default_concurrency_cap_contract():
+    from duckdb_raquet_ray.util import default_concurrency
+
+    assert default_concurrency(cap=None) >= 1
+    assert default_concurrency(cap=0) == 1  # explicit cap honored, floor 1
+    assert default_concurrency(cap=2) <= 2
