@@ -70,3 +70,31 @@ def test_verify_encoded_grouped_multiset(ray_session, tmp_path):
     enc2, _ = enc.encode_table(tampered, pid, "tamper")
     pq.write_table(enc2, p, compression="none")
     assert not decode.verify_encoded(out)["ok"]
+
+
+def test_nullable_everything_roundtrip(ray_session, tmp_path):
+    """End-to-end encode job over a table with nulls in every column kind
+    (incl. null list elements, empty lists, null rows) — bit identity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "s": pa.array(["a", None, "", "dup", "dup", None] * 50),
+            "i": pa.array([1, None, -5, 2**40, None, 0] * 50, type=pa.int64()),
+            "f": pa.array([1.5, None, float("nan"), float("-inf"), -0.0, None] * 50),
+            "ts": pa.array([0, None, 10**15, None, 42, 7] * 50, type=pa.timestamp("us")),
+            "l": pa.array(
+                [[1, None, 3], None, [], [2**30], [None], [0, 0]] * 50,
+                type=pa.list_(pa.int32()),
+            ),
+            "b": pa.array([b"x", None, b"", b"yy", None, b"z"] * 50, type=pa.binary()),
+        }
+    )
+    src = str(tmp_path / "nullable.parquet")
+    pq.write_table(t, src, row_group_size=75)
+    out = str(tmp_path / "enc")
+    encode.encode_job([src], out, target_part_bytes=1 << 16)
+    res = decode.verify_encoded(out)
+    assert res["ok"] and res["rows"] == 300
