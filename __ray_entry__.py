@@ -295,6 +295,18 @@ def _q_events_stats(sf_dir: str):
     return pd.DataFrame(out[["event_type", "cnt", "min_v", "max_v"]])
 
 
+NTOK_LO, NTOK_HI = 500, 2000
+
+
+def _q_range_read(sf_dir: str):
+    """Zone-map range read: manifest stats prune partitions outside the
+    n_tok range (no file opened), residual filter inside survivors."""
+    from duckdb_raquet_ray.pipelines import decode
+
+    ds = decode.read_encoded_range(_ensure_encoded(), "n_tok", NTOK_LO, NTOK_HI)
+    return _token_stats_view(ds)
+
+
 def _q_manifest_totals(sf_dir: str):
     """Stats passthrough: corpus totals from the manifest ONLY (no blob is
     decoded), value-checked against SQL over the raw corpus."""
@@ -489,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_similar": _q_topk,
         "ndiff_lineitem": _q_ndiff,
         "events_type_stats": _q_events_stats,
+        "range_read_ntok": _q_range_read,
         "manifest_totals": _q_manifest_totals,
         "events_yearly": _q_events_yearly,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
@@ -580,6 +593,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*)::BIGINT AS cnt, "
             "MIN(value) AS min_v, MAX(value) AS max_v "
             "FROM events GROUP BY event_type"
+        ),
+        "range_read_ntok": (
+            stats_sql + f" WHERE n_tok BETWEEN {NTOK_LO} AND {NTOK_HI}"
         ),
         "manifest_totals": (
             "SELECT COUNT(*)::BIGINT AS total_rows, "

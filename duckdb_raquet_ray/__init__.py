@@ -20,6 +20,7 @@ from .pipelines.decode import (  # noqa: F401
     point_lookup,
     read_encoded,
     read_encoded_for_shard,
+    read_encoded_range,
     verify_encoded,
     verify_job,
     verify_multiset,

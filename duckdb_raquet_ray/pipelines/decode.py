@@ -116,6 +116,29 @@ def read_encoded(
     )
 
 
+def read_encoded_range(
+    out_dir: str, column: str, lo=None, hi=None, **kw
+) -> rd.Dataset:
+    """Value-range read: manifest zone-map pruning skips partitions whose
+    [min, max] cannot intersect [lo, hi] (no file is even opened), then a
+    vectorized residual filter drops the stragglers inside surviving
+    partitions — the spatial-filtered read_raquet(geometry) shape
+    (/root/reference/src/raquet_extension.cpp:49-81) over value ranges."""
+    pids = mf.prune_partitions(out_dir, column, lo, hi)
+    ds = read_encoded(out_dir, partition_ids=pids, **kw)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        keep = pc.is_valid(col)
+        if lo is not None:
+            keep = pc.and_(keep, pc.greater_equal(col, pa.scalar(lo)))
+        if hi is not None:
+            keep = pc.and_(keep, pc.less_equal(col, pa.scalar(hi)))
+        return batch.filter(keep)
+
+    return ds.map_batches(residual, batch_format="pyarrow")
+
+
 def read_encoded_for_shard(out_dir: str, shard_idx: int, **kw) -> rd.Dataset:
     """Range-predicate pruning on the lineage key: all partitions of one
     input shard (the block BETWEEN analogue)."""

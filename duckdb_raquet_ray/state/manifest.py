@@ -163,6 +163,30 @@ def totals_passthrough(out_dir: str, column: str = "tokens") -> dict:
     }
 
 
+def prune_partitions(out_dir: str, column: str, lo=None, hi=None) -> list[int]:
+    """Zone-map pruning: partition ids that MAY contain values of
+    ``column`` within [lo, hi], decided from manifest stats alone — the
+    reference's sorted-block + row-group min/max pruning
+    (/root/reference/CLAUDE.md:44, raquet_extension.cpp:49-81) with the
+    manifest as the zone map. Partitions lacking stats are kept
+    (pruning must never lose data); callers apply the residual row filter
+    after decode."""
+    keep: list[int] = []
+    for pid, e in sorted(load_entries(out_dir).items()):
+        if e.get("status") != "done":
+            continue
+        s = (e.get("stats") or {}).get(column)
+        if not s or s.get("count", 0) == 0 or s.get("min") is None:
+            keep.append(pid)
+            continue
+        if lo is not None and s["max"] < lo:
+            continue
+        if hi is not None and s["min"] > hi:
+            continue
+        keep.append(pid)
+    return keep
+
+
 def validate_entries(entries: list[dict]) -> dict:
     """Structural validation -> {is_valid, errors, warnings, num_partitions,
     num_rows} (raquet_validate_metadata analogue)."""

@@ -98,3 +98,42 @@ def test_nullable_everything_roundtrip(ray_session, tmp_path):
     encode.encode_job([src], out, target_part_bytes=1 << 16)
     res = decode.verify_encoded(out)
     assert res["ok"] and res["rows"] == 300
+
+
+def test_zone_map_range_read(ray_session, tmp_path):
+    """Manifest zone-map pruning: only partitions whose [min,max] overlap
+    the range are opened; the residual filter handles stragglers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.state import manifest as mf
+
+    # three value bands -> three partitions with disjoint n_tok ranges
+    rows = []
+    for band, (lo, hi) in enumerate([(1, 10), (100, 110), (1000, 1010)]):
+        for i in range(100):
+            v = lo + (i % (hi - lo))
+            rows.append({"doc_id": f"d{band}-{i}", "tokens": [v], "n_tok": v, "source": "web"})
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("tokens", pa.list_(pa.int64())),
+                ("n_tok", pa.int64()),
+                ("source", pa.string()),
+            ]
+        )
+    )
+    src = str(tmp_path / "bands.parquet")
+    pq.write_table(t, src, row_group_size=100)
+    out = str(tmp_path / "enc")
+    encode.encode_job([src], out, target_part_bytes=1)  # one partition per row group
+    assert len(mf.load_metadata(out)["partition_ids"]) == 3
+    # range [100, 110] must open exactly the middle partition
+    pruned = mf.prune_partitions(out, "n_tok", 100, 110)
+    assert len(pruned) == 1
+    got = decode.read_encoded_range(out, "n_tok", 100, 110).to_pandas()
+    assert len(got) == 100 and got["n_tok"].between(100, 110).all()
+    # open range: everything >= 1000
+    got = decode.read_encoded_range(out, "n_tok", lo=1000).to_pandas()
+    assert len(got) == 100 and (got["n_tok"] >= 1000).all()
