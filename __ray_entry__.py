@@ -335,6 +335,16 @@ def _q_events_yearly(sf_dir: str):
 # --- rows-only (heuristic / non-SQL-expressible) ---------------------------
 
 
+def _q_winnow_docs(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(text.winnow_batch, batch_format="pyarrow", batch_size=2048)
+    return out.select_columns(["doc_id", "winnow_fp"])
+
+
 def _q_validate_manifest(sf_dir: str):
     import pandas as pd
 
@@ -513,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "frame_sample": _q_frame_sample,
         "point_lookup_partition": _q_point_lookup,
+        "winnow_docs": _q_winnow_docs,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
     }

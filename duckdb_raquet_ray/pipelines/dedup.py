@@ -92,20 +92,24 @@ def _shingle_powers(k: int) -> np.ndarray:
     return p
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct char-k-gram hashes of one document (uint64), via a
-    vectorized polynomial rolling hash over the byte sequence."""
+def _shingle_hashes_ordered(text: str, k: int = 5) -> np.ndarray:
+    """Char-k-gram rolling hashes in document order (with repeats) —
+    vectorized polynomial rolling hash base 257 mod 2^61-1."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     n = len(data)
     if n < k:
         data = np.pad(data, (0, k - n), constant_values=0)
         n = k
-    # rolling polynomial hash base 257 mod 2^61-1, windows of length k
     powers = _shingle_powers(k)
     out = np.zeros(n - k + 1, dtype=np.uint64)
     for i in range(k):  # k is tiny (5); inner ops vectorized over windows
         out = (out + (data[i : n - k + 1 + i] * powers[i]) % _MERSENNE) % _MERSENNE
-    return np.unique(out)
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct char-k-gram hashes of one document (uint64)."""
+    return np.unique(_shingle_hashes_ordered(text, k))
 
 
 def _minhash_sig(shingles: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray) -> np.ndarray:

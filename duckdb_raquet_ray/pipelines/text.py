@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .dedup import _shingle_hashes_ordered
+
 # small per-language stopword tables for the n-gram/stopword heuristic
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
@@ -87,6 +89,39 @@ def fingerprint_series(s: pd.Series) -> np.ndarray:
     window fingerprints (winnowing-style) use
     pipelines.dedup._shingle_hashes, the polynomial rolling-hash kernel."""
     return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+
+
+def winnow_fingerprints(
+    text: str, k: int = 5, window: int = 4
+) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003, public algorithm): the minimum rolling k-gram hash of
+    every length-`window` window, deduplicated — the standard local
+    fingerprint set whose selection is position-robust. Uses the same
+    polynomial rolling-hash kernel as the MinHash shingles."""
+    from .dedup import _shingle_hashes_ordered
+
+    hashes = _shingle_hashes_ordered(text or "", k)
+    n = len(hashes)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(windows.min(axis=1))
+
+
+def winnow_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4
+) -> pa.Table:
+    """Per-document winnowed fingerprint sets as list<uint64> (stage form)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [winnow_fingerprints(t or "", k, window) for t in texts]
+    offsets = np.zeros(len(fps) + 1, dtype=np.int64)
+    np.cumsum([len(f) for f in fps], out=offsets[1:])
+    flat = np.concatenate(fps) if fps else np.zeros(0, dtype=np.uint64)
+    col = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.uint64()))
+    return batch.append_column("winnow_fp", col)
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

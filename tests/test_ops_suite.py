@@ -193,3 +193,29 @@ class TestMultimodal:
     def test_batch_size_suggestion(self):
         assert multimodal.suggest_batch_size(1 << 20, budget=64 << 20) == 64
         assert multimodal.suggest_batch_size(1 << 30) == 1
+
+
+class TestWinnowing:
+    def test_deterministic_and_position_robust(self):
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        a = tx.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+        b = tx.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+        assert (a == b).all() and len(a) > 0
+        # a shared long substring shares fingerprints despite a shifted prefix
+        c = tx.winnow_fingerprints("PREFIX the quick brown fox jumps over the lazy dog")
+        import numpy as np
+
+        overlap = len(np.intersect1d(a, c)) / len(a)
+        assert overlap > 0.6
+
+    def test_batch_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({"doc_id": [1, 2, 3], "text": ["hello world", "", None]})
+        out = rd.from_arrow(t).map_batches(tx.winnow_batch, batch_format="pyarrow").to_pandas()
+        assert len(out) == 3
+        assert len(out["winnow_fp"][0]) > 0 and len(out["winnow_fp"][1]) >= 1
