@@ -39,8 +39,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .. import blockcodec as bc
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
+from ..util import default_concurrency
 from ..state import manifest as mf
 from .encode import plan_partitions
 
@@ -100,8 +102,6 @@ def read_encoded(
     concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Encoded dir -> Dataset of decoded original rows (streaming)."""
-    from ..util import default_concurrency
-
     files = encoded_part_files(out_dir, partition_ids)
     ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
     if concurrency is None:
@@ -265,8 +265,6 @@ def _fp_powers(n: int) -> np.ndarray:
 def _fixed_width_plane_u64(col: pa.Array) -> np.ndarray:
     """Any fixed-width arrow column -> uint64 BIT PATTERNS (nulls as 0) —
     floats keep their full mantissa, never a lossy int cast."""
-    from .. import blockcodec as bc
-
     t = col.type
     if pa.types.is_boolean(t):
         col = col.cast(pa.uint8())

@@ -98,9 +98,8 @@ def winnow_fingerprints(
     SIGMOD 2003, public algorithm): the minimum rolling k-gram hash of
     every length-`window` window, deduplicated — the standard local
     fingerprint set whose selection is position-robust. Uses the same
-    polynomial rolling-hash kernel as the MinHash shingles."""
-    from .dedup import _shingle_hashes_ordered
-
+    polynomial rolling-hash kernel as the MinHash shingles (imported at
+    module level — a lazy relative import breaks by-value worker shipping)."""
     hashes = _shingle_hashes_ordered(text or "", k)
     n = len(hashes)
     if n == 0:

@@ -49,3 +49,32 @@ def test_module_pickles_by_value(registered_modules, name):
     for attr, val in vars(mod).items():
         if callable(val) and getattr(val, "__module__", None) == name:
             cp.dumps(val)
+
+
+def test_no_lazy_package_relative_imports():
+    """Lazy `from .x import y` inside function bodies defers the import to
+    call time ON THE WORKER, where by-value-shipped code cannot resolve the
+    package — the failure only appears at runtime under a foreign-cwd
+    driver, invisible to this test suite. Ban them statically."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(pkg.__path__[0])
+    offenders = []
+    for path in root.rglob("*.py"):
+        if path.name == "cli.py":  # driver-only entry point, never worker-shipped
+            continue
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom) and sub.level > 0:
+                    offenders.append(f"{path.relative_to(root)}:{sub.lineno}")
+                if (
+                    isinstance(sub, ast.ImportFrom)
+                    and sub.module
+                    and sub.module.startswith(pkg.__name__)
+                ):
+                    offenders.append(f"{path.relative_to(root)}:{sub.lineno}")
+    assert not offenders, f"lazy package-relative imports in function bodies: {offenders}"
