@@ -199,6 +199,22 @@ def _q_mask_list(sf_dir: str):
     )
 
 
+EQ_VALUE = 4096
+
+
+def _q_mask_eq(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.mask_tokens_eq, value=EQ_VALUE),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return _token_stats_view(ds, sentinel=tr.SENTINEL).select_columns(
+        ["doc_id", "tok_count", "tok_sum"]
+    )
+
+
 def _q_map_tokens(sf_dir: str):
     from duckdb_raquet_ray.pipelines import transforms as tr
 
@@ -503,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_tokens_sum": _q_clip,
         "mask_range_sum": _q_mask_range,
         "mask_list_sum": _q_mask_list,
+        "mask_eq_sum": _q_mask_eq,
         "map_tokens_sum": _q_map_tokens,
         "source_ntok_stats": _q_source_stats,
         "ws_token_count": _q_ws_tokens,
@@ -560,6 +577,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             f"len(list_filter(tokens, x -> list_contains({allowed_lit}, x)))::BIGINT AS tok_count, "
             f"coalesce(list_sum(list_filter(tokens, x -> list_contains({allowed_lit}, x))), 0)::BIGINT AS tok_sum "
+            f"FROM {corpus}"
+        ),
+        "mask_eq_sum": (
+            "SELECT doc_id, "
+            f"len(list_filter(tokens, x -> x = {EQ_VALUE}))::BIGINT AS tok_count, "
+            f"coalesce(list_sum(list_filter(tokens, x -> x = {EQ_VALUE})), 0)::BIGINT AS tok_sum "
             f"FROM {corpus}"
         ),
         "map_tokens_sum": (
