@@ -91,24 +91,29 @@ def main(argv: list[str] | None = None) -> None:
     try:
         if args.cmd == "encode":
             from .pipelines import encode, encode_grouped
+            from .state import manifest as mf
 
             paths = _inputs(args.input)
+            resume = not args.no_resume
             if args.grouped:
                 if args.part_bytes:
                     raise SystemExit("--part-bytes applies to lineage mode; "
                                      "use --group-rows with --grouped")
-                kw = {}
-                if args.group_rows:
-                    kw["target_group_rows"] = args.group_rows
                 meta = encode_grouped.encode_job_grouped(
-                    paths, args.out, resume=not args.no_resume, **kw
+                    paths, args.out, resume=resume,
+                    target_group_rows=args.group_rows,  # None -> persisted/default
                 )
             else:
-                part_bytes = args.part_bytes or encode.auto_target_part_bytes(paths)
+                # auto sizing depends on cluster CPU count, so it applies
+                # only to FRESH jobs: a resume must reuse the persisted plan
+                # (encode_job reads job.json) or partition ids shift
+                part_bytes = args.part_bytes
+                if part_bytes is None and (not resume or mf.load_job_config(args.out) is None):
+                    part_bytes = encode.auto_target_part_bytes(paths)
                 meta = encode.encode_job(
                     paths, args.out,
                     target_part_bytes=part_bytes,
-                    resume=not args.no_resume,
+                    resume=resume,
                 )
             print(json.dumps({
                 "cmd": "encode",

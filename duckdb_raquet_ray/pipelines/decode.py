@@ -80,9 +80,16 @@ class PartitionDecoder:
     downstream batch_size and can collapse the whole file list into a
     single serial task."""
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(self, columns: list[str] | None = None, schema: pa.Schema | None = None):
         self.columns = columns
         self.read_cols = _read_projection(columns)
+        # the projected decoded schema, for empty work blocks: returning a
+        # zero-column pa.table({}) produces a block whose schema diverges
+        # from real decoded blocks (Ray logs a RefBundle schema warning and
+        # downstream select_columns on an empty dataset can fail)
+        if schema is not None and columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns if c in schema.names])
+        self.schema = schema
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -90,7 +97,7 @@ class PartitionDecoder:
             t = pq.read_table(path, columns=self.read_cols, use_threads=False)
             out.append(enc.decode_rows(t, self.columns))
         if not out:  # an empty work block must not crash the stage
-            return pa.table({})
+            return self.schema.empty_table() if self.schema is not None else pa.table({})
         return pa.concat_tables(out)
 
 
@@ -103,12 +110,16 @@ def read_encoded(
 ) -> rd.Dataset:
     """Encoded dir -> Dataset of decoded original rows (streaming)."""
     files = encoded_part_files(out_dir, partition_ids)
+    try:
+        schema = mf.schema_from_b64(mf.load_metadata(out_dir)["schema_ipc"])
+    except (FileNotFoundError, KeyError):
+        schema = None  # pre-schema_ipc manifest: empty blocks fall back
     ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
     if concurrency is None:
         concurrency = (1, default_concurrency(cap=max(len(files), 1)))
     return ds.map_batches(
         PartitionDecoder,
-        fn_constructor_kwargs={"columns": columns},
+        fn_constructor_kwargs={"columns": columns, "schema": schema},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -252,26 +263,35 @@ def verify_encoded(out_dir: str) -> dict:
 
 
 _FP_POW_BASE = np.uint64(0x9E3779B97F4A7C15)
+_FP_POW_CACHE: dict[str, np.ndarray] = {"powers": np.ones(1, dtype=np.uint64)}
 
 
 def _fp_powers(n: int) -> np.ndarray:
-    powers = np.empty(n, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    for i in range(1, n):
-        powers[i] = powers[i - 1] * _FP_POW_BASE  # mod 2^64 wraparound
+    """base**i mod 2^64 for i in [0, n) — vectorized cumprod (array-op
+    integer overflow wraps silently in numpy; the old per-scalar loop both
+    ran in Python and warned on every wrap), cached by max length (plain
+    dict — lru_cache pickles by reference and breaks by-value shipping)."""
+    cached = _FP_POW_CACHE["powers"]
+    if len(cached) >= n:
+        return cached[:n]
+    powers = np.full(n, _FP_POW_BASE, dtype=np.uint64)
+    powers[0] = 1
+    np.cumprod(powers, out=powers)  # mod 2^64 wraparound intended
+    _FP_POW_CACHE["powers"] = powers
     return powers
 
 
 def _fixed_width_plane_u64(col: pa.Array) -> np.ndarray:
     """Any fixed-width arrow column -> uint64 BIT PATTERNS (nulls as 0) —
     floats keep their full mantissa, never a lossy int cast."""
+    # fill nulls FIRST via the type-aware helper: arrow has no fill_null
+    # kernel for halffloat (nullable float16 raised ArrowTypeError here)
+    col = bc._fill_nulls_primitive(col)
     t = col.type
     if pa.types.is_boolean(t):
         col = col.cast(pa.uint8())
     elif pa.types.is_date(t) or pa.types.is_timestamp(t):
         col = col.cast(pa.int64())
-    if col.null_count:
-        col = pc.fill_null(col, 0)
     plane, _ = bc.to_plane(col.to_numpy(zero_copy_only=False))
     return plane.astype(np.uint64)
 

@@ -151,13 +151,30 @@ def encode_job(
     input_paths: list[str],
     out_dir: str,
     *,
-    target_part_bytes: int = DEFAULT_PART_BYTES,
+    target_part_bytes: int | None = None,
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
 ) -> dict:
-    """Run the full encode job; returns the finalized manifest metadata."""
+    """Run the full encode job; returns the finalized manifest metadata.
+
+    The resolved ``target_part_bytes`` is persisted to job.json at start;
+    a resume reuses the persisted value (partition ids are functions of the
+    plan — re-planning with a different target under the same ids would
+    silently skip rows) and an explicit conflicting value raises."""
+    prior = mf.resolve_job_config(
+        out_dir, "lineage", {"target_part_bytes": target_part_bytes}, resume
+    )
+    if prior is not None:
+        target_part_bytes = prior["target_part_bytes"]
+    else:
+        if target_part_bytes is None:
+            target_part_bytes = DEFAULT_PART_BYTES
+        mf.persist_job_config(
+            out_dir, {"mode": "lineage", "target_part_bytes": target_part_bytes}
+        )
     items = plan_partitions(input_paths, target_part_bytes)
-    schema_str = str(pq.ParquetFile(sorted(input_paths)[0]).schema_arrow)
+    schema_arrow = pq.ParquetFile(sorted(input_paths)[0]).schema_arrow
+    schema_str = str(schema_arrow)
     done = mf.done_partition_ids(out_dir) if resume else set()
     todo = [it for it in items if it["partition_id"] not in done]
 
@@ -181,7 +198,13 @@ def encode_job(
             # entries are tiny; stream them back and append in completion order
             for row in results.iter_rows():
                 writer.append(json.loads(row["entry_json"]))
-        meta = writer.finalize(schema_str, extra={"input_shards": sorted(input_paths)})
+        meta = writer.finalize(
+            schema_str,
+            extra={
+                "input_shards": sorted(input_paths),
+                "schema_ipc": mf.schema_to_b64(schema_arrow),
+            },
+        )
     finally:
         writer.close()
     return meta

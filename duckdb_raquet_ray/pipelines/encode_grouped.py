@@ -64,6 +64,36 @@ def _salts(batch: pa.Table, salt_map: dict[str, int], key: str = "doc_id") -> pa
     return batch.append_column("_salt", pa.array(salts, type=pa.int32()))
 
 
+def _done_salts_by_source(done: set[int], salt_map: dict[str, int]) -> dict[str, object]:
+    """Invert finished partition ids -> {source: sorted array of done salts}
+    by enumerating the (source, salt) domain from the salt map (tiny:
+    sum of bucket counts). Lets resume drop finished groups' rows BEFORE
+    the shuffle instead of after it."""
+    import numpy as np
+
+    out: dict[str, object] = {}
+    for s, buckets in salt_map.items():
+        salts = [k for k in range(buckets) if pk.pack_grouped(s, k) in done]
+        if salts:
+            out[s] = np.array(salts, dtype=np.int32)
+    return out
+
+
+def _drop_done_groups(batch: pa.Table, done_by_source: dict[str, object]) -> pa.Table:
+    """Filter out rows of already-encoded (source, salt) groups. Vectorized
+    per distinct source (low-cardinality by construction)."""
+    import numpy as np
+
+    src = batch.column("_gsrc").to_numpy(zero_copy_only=False)
+    salt = batch.column("_salt").to_numpy(zero_copy_only=False)
+    keep = np.ones(len(src), dtype=bool)
+    for s, done_salts in done_by_source.items():
+        rows = src == s
+        if rows.any():
+            keep[rows] &= ~np.isin(salt[rows], done_salts)
+    return batch.filter(pa.array(keep))
+
+
 def compute_salt_map(ds: rd.Dataset, target_rows: int = DEFAULT_GROUP_ROWS) -> dict[str, int]:
     """Driver-side per-source row counts -> bucket counts. Per-batch
     value_counts folded on the driver — a pre-aggregation over a
@@ -104,18 +134,39 @@ def encode_job_grouped(
     input_paths: list[str],
     out_dir: str,
     *,
-    target_group_rows: int = DEFAULT_GROUP_ROWS,
+    target_group_rows: int | None = None,
     resume: bool = True,
     salt_map: dict[str, int] | None = None,
 ) -> dict:
-    """source-salted shuffle encode job -> partition files + manifest."""
+    """source-salted shuffle encode job -> partition files + manifest.
+
+    The salt map (and target_group_rows) is persisted to job.json at job
+    start and REUSED on resume: partition ids are pure functions of the
+    salt map, so re-deriving it with a different target would re-plan
+    different groups under colliding ids. An explicit conflicting
+    target_group_rows on resume raises."""
+    prior = mf.resolve_job_config(
+        out_dir, "grouped", {"target_group_rows": target_group_rows}, resume
+    )
+    if prior is not None:
+        target_group_rows = prior["target_group_rows"]
+        if salt_map is None:
+            salt_map = prior["salt_map"]
+    if target_group_rows is None:
+        target_group_rows = DEFAULT_GROUP_ROWS
     ds = rd.read_parquet(sorted(input_paths))
-    schema_str = str(pq.ParquetFile(sorted(input_paths)[0]).schema_arrow)
+    schema_arrow = pq.ParquetFile(sorted(input_paths)[0]).schema_arrow
+    schema_str = str(schema_arrow)
     if salt_map is None:
         # count from a source-column-only read: the driver-side salt map
         # needs one tiny column, not a shuffle of the whole table
         salt_map = compute_salt_map(
             rd.read_parquet(sorted(input_paths), columns=["source"]), target_group_rows
+        )
+    if prior is None:
+        mf.persist_job_config(
+            out_dir,
+            {"mode": "grouped", "target_group_rows": target_group_rows, "salt_map": salt_map},
         )
     done = mf.done_partition_ids(out_dir) if resume else set()
     os.makedirs(out_dir, exist_ok=True)
@@ -146,6 +197,14 @@ def encode_job_grouped(
     salted = ds.map_batches(
         lambda b: _salts(b, salt_map), batch_format="pyarrow", batch_size=16384
     )
+    if done:
+        # resume: drop finished groups' rows BEFORE the all-to-all shuffle —
+        # a resumed run shuffles only the remaining rows, not 100% of the
+        # corpus just to skip groups inside encode_group
+        done_by_source = _done_salts_by_source(done, salt_map)
+        salted = salted.map_batches(
+            lambda b: _drop_done_groups(b, done_by_source), batch_format="pyarrow"
+        )
     results = salted.groupby(["_gsrc", "_salt"]).map_groups(
         encode_group, batch_format="pyarrow", num_cpus=1
     )
@@ -159,6 +218,7 @@ def encode_job_grouped(
                 "mode": "grouped",
                 "salt_map": salt_map,
                 "input_shards": sorted(input_paths),
+                "schema_ipc": mf.schema_to_b64(schema_arrow),
             },
         )
     finally:

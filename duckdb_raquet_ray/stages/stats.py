@@ -48,10 +48,17 @@ def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _combine_and_finalize(group: pd.DataFrame, key: str) -> pd.DataFrame:
-    """Pairwise Welford merge of partial states (st_region_stats.cpp:382-411)."""
+def _combine_and_finalize(group: pa.Table, key: str) -> pa.Table:
+    """Pairwise Welford merge of partial states (st_region_stats.cpp:382-411).
+
+    Arrow in, Arrow out with an explicit uniform schema: pandas-out
+    map_groups hits a per-group block-building slow path (measured 25x on
+    the dedup pipeline — see pipelines/dedup.py)."""
+    ns = group.column("n").to_numpy(zero_copy_only=False)
+    means = group.column("mean").to_numpy(zero_copy_only=False)
+    m2s = group.column("m2").to_numpy(zero_copy_only=False)
     n_t, mean_t, m2_t = 0.0, 0.0, 0.0
-    for n, mean, m2 in zip(group["n"], group["mean"], group["m2"]):
+    for n, mean, m2 in zip(ns, means, m2s):
         if n == 0:
             continue
         delta = mean - mean_t
@@ -64,15 +71,21 @@ def _combine_and_finalize(group: pd.DataFrame, key: str) -> pd.DataFrame:
     # for an all-null group
     std = float(np.sqrt(m2_t / (n_t - 1))) if n_t > 1 else float("nan")
     empty = n_t == 0
-    return pd.DataFrame(
+    nan = float("nan")
+    mins = group.column("min").to_numpy(zero_copy_only=False)
+    maxs = group.column("max").to_numpy(zero_copy_only=False)
+    return pa.table(
         {
-            key: [group[key].iloc[0]],
-            "cnt": [int(n_t)],
-            "sum_v": [float("nan") if empty else float(group["sum"].sum())],
-            "mean_v": [float("nan") if empty else mean_t],
-            "min_v": [float(group["min"].min())],   # pandas min skips NaN -> NaN if all
-            "max_v": [float(group["max"].max())],
-            "std_v": [std],
+            key: group.column(key).slice(0, 1),
+            "cnt": pa.array([int(n_t)], type=pa.int64()),
+            "sum_v": pa.array(
+                [nan if empty else float(np.nansum(group.column("sum").to_numpy(zero_copy_only=False)))],
+                type=pa.float64(),
+            ),
+            "mean_v": pa.array([nan if empty else mean_t], type=pa.float64()),
+            "min_v": pa.array([float(np.nanmin(mins)) if not np.isnan(mins).all() else nan], type=pa.float64()),
+            "max_v": pa.array([float(np.nanmax(maxs)) if not np.isnan(maxs).all() else nan], type=pa.float64()),
+            "std_v": pa.array([std], type=pa.float64()),
         }
     )
 
@@ -85,5 +98,5 @@ def grouped_stats(ds: rd.Dataset, key: str, value: str) -> rd.Dataset:
         batch_size=65536,
     )
     return partials.groupby(key).map_groups(
-        lambda g: _combine_and_finalize(g, key), batch_format="pandas"
+        lambda g: _combine_and_finalize(g, key), batch_format="pyarrow"
     )

@@ -23,6 +23,7 @@ errors vs warnings, returned as a dict.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import time
@@ -31,6 +32,7 @@ from ..functions import partition_keys as pk
 
 MANIFEST_JSONL = "manifest.jsonl"
 MANIFEST_JSON = "manifest.json"
+JOB_JSON = "job.json"
 
 FORMAT_VERSION = "0.1.0"
 
@@ -88,6 +90,77 @@ class ManifestWriter:
             json.dump(meta, fh, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(self.out_dir, MANIFEST_JSON))
         return meta
+
+
+def schema_to_b64(schema) -> str:
+    """Arrow schema -> base64 IPC string (JSON-safe manifest field). The
+    human-readable `schema` string can't be parsed back; this one can, so
+    readers of an EMPTY or projected dataset still get the real schema."""
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_b64(s: str):
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s)))
+
+
+def load_job_config(out_dir: str) -> dict | None:
+    """Read the persisted plan parameters written at job start (or None)."""
+    path = os.path.join(out_dir, JOB_JSON)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def persist_job_config(out_dir: str, config: dict) -> None:
+    """Write job.json (tmp -> rename) — the resolved plan parameters.
+
+    Partition ids are pure functions of these parameters, so a resumed run
+    MUST re-plan with the same values: e.g. `auto_target_part_bytes` depends
+    on cluster CPU count, and resuming on a different host would otherwise
+    silently re-plan different row ranges under the SAME partition ids
+    (old part 0 = rows 0-1000 marked done; new plan's part 0 = rows 0-2000
+    skipped => rows 1000-2000 never encoded). Persist-at-start + reuse-on-
+    resume removes the hazard; validate_entries' coverage check catches a
+    mixed-plan manifest after the fact."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, JOB_JSON + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(config, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, JOB_JSON))
+
+
+def resolve_job_config(
+    out_dir: str, mode: str, requested: dict, resume: bool
+) -> dict:
+    """Resolve plan parameters against a persisted job.json.
+
+    ``requested`` maps parameter name -> explicitly requested value or None
+    (= caller has no opinion). On resume with a persisted config: the mode
+    must match, any explicit non-None value must equal the persisted one
+    (mismatch raises — never silently re-plan), and persisted values win.
+    Otherwise the requested dict (with the caller's defaults already
+    substituted for None) is persisted and returned."""
+    prior = load_job_config(out_dir) if resume else None
+    if prior is not None:
+        if prior.get("mode") != mode:
+            raise ValueError(
+                f"{out_dir} was started in {prior.get('mode')!r} mode; "
+                f"cannot resume it in {mode!r} mode"
+            )
+        for k, v in requested.items():
+            if v is not None and k in prior and prior[k] != v:
+                raise ValueError(
+                    f"resume plan mismatch for {k!r}: job started with "
+                    f"{prior[k]!r}, resume requested {v!r}; partition ids "
+                    "are functions of the plan — pass the original value "
+                    "or encode to a fresh directory (resume=False)"
+                )
+        return prior
+    return prior  # None: caller resolves defaults then calls persist_job_config
 
 
 def load_entries(out_dir: str) -> dict[int, dict]:
@@ -221,6 +294,35 @@ def validate_entries(entries: list[dict]) -> dict:
             warnings.append(f"entry {i}: missing checksum")
         if "fsst_symbol_table_hash" not in e:
             warnings.append(f"entry {i}: missing fsst_symbol_table_hash")
+    # per-shard row-range coverage: lineage partitions of one shard must
+    # tile [0, N) with no overlap and no gap — a mixed-plan manifest (e.g.
+    # a resume that re-planned with a different target_part_bytes) fails
+    # loudly here instead of silently dropping rows
+    by_shard: dict[str, list[tuple[int, int, int]]] = {}
+    for i, e in enumerate(entries):
+        rr = e.get("row_range")
+        if rr:
+            by_shard.setdefault(e.get("input_shard", "?"), []).append((rr[0], rr[1], i))
+    for shard, ranges in by_shard.items():
+        ranges.sort()
+        if ranges[0][0] != 0:
+            # warning, not error: a subset of entries (e.g. one partition)
+            # can be validated standalone; gaps/overlaps BETWEEN entries
+            # are always a mixed-plan defect
+            warnings.append(
+                f"shard {shard!r}: coverage starts at row {ranges[0][0]}, not 0"
+            )
+        for (a_lo, a_hi, ai), (b_lo, b_hi, bi) in zip(ranges, ranges[1:]):
+            if b_lo < a_hi:
+                errors.append(
+                    f"shard {shard!r}: entries {ai} and {bi} overlap "
+                    f"(rows [{a_lo},{a_hi}) vs [{b_lo},{b_hi})) — mixed plans?"
+                )
+            elif b_lo > a_hi:
+                errors.append(
+                    f"shard {shard!r}: coverage gap between rows {a_hi} and "
+                    f"{b_lo} — rows never encoded (mixed plans?)"
+                )
     return {
         "is_valid": not errors,
         "errors": errors,

@@ -84,3 +84,36 @@ class TestGroupedEncode:
         assert meta2["partition_ids"] == meta["partition_ids"]
         for p, mt in mtimes.items():
             assert os.path.getmtime(os.path.join(out, pk.part_file_name(p))) == mt
+
+    def test_grouped_resume_plan_mismatch_raises(self, ray_session, skew_corpus, grouped_out):
+        out, _ = grouped_out
+        import pytest
+
+        with pytest.raises(ValueError, match="resume plan mismatch"):
+            eg.encode_job_grouped(tk.corpus_paths(skew_corpus), out, target_group_rows=999)
+        # no explicit target -> persisted plan (incl. salt map) reused
+        from duckdb_raquet_ray.state import manifest as mf
+
+        cfg = mf.load_job_config(out)
+        assert cfg["mode"] == "grouped" and cfg["target_group_rows"] == 2000
+        assert cfg["salt_map"]
+
+    def test_done_group_rows_dropped_before_shuffle(self):
+        """Resume pre-filter: rows of finished (source, salt) groups are
+        removed from the stream BEFORE the groupby shuffle."""
+        import numpy as np
+        import pyarrow as pa
+
+        salt_map = {"web": 3, "code": 1}
+        done = {pk.pack_grouped("web", 1), pk.pack_grouped("code", 0)}
+        by_src = eg._done_salts_by_source(done, salt_map)
+        assert list(by_src["web"]) == [1] and list(by_src["code"]) == [0]
+        batch = pa.table(
+            {
+                "_gsrc": pa.array(["web", "web", "web", "code", "web"]),
+                "_salt": pa.array(np.array([0, 1, 2, 0, 1], dtype=np.int32)),
+                "doc_id": pa.array(list("abcde")),
+            }
+        )
+        kept = eg._drop_done_groups(batch, by_src)
+        assert kept.column("doc_id").to_pylist() == ["a", "c"]

@@ -153,6 +153,63 @@ class TestResume:
             assert a == b, f"partition {pid} differs after resume"
 
 
+class TestJobConfigPersistence:
+    """ADVICE r1 (medium): resume must re-plan with the SAME partition-size
+    parameters, or rows silently fall between old and new partition ids."""
+
+    def test_resume_reuses_persisted_plan(self, ray_session, corpus_dir, tmp_path):
+        out = str(tmp_path / "enc")
+        paths = tk.corpus_paths(corpus_dir)
+        meta1 = encj.encode_job(paths, out, target_part_bytes=1 << 19)
+        # resume with NO explicit target: persisted 1<<19 must win (a
+        # different default/auto would re-plan different row ranges)
+        meta2 = encj.encode_job(paths, out)
+        assert meta1["partition_ids"] == meta2["partition_ids"]
+        assert mf.load_job_config(out)["target_part_bytes"] == 1 << 19
+
+    def test_resume_explicit_mismatch_raises(self, ray_session, corpus_dir, tmp_path):
+        out = str(tmp_path / "enc")
+        paths = tk.corpus_paths(corpus_dir)
+        encj.encode_job(paths, out, target_part_bytes=1 << 19)
+        with pytest.raises(ValueError, match="resume plan mismatch"):
+            encj.encode_job(paths, out, target_part_bytes=1 << 20)
+        # resume=False re-plans from scratch: allowed (fresh job semantics)
+        encj.encode_job(paths, out, target_part_bytes=1 << 22, resume=False)
+        assert mf.load_job_config(out)["target_part_bytes"] == 1 << 22
+
+    def test_mode_mismatch_raises(self, ray_session, corpus_dir, tmp_path):
+        from duckdb_raquet_ray.pipelines import encode_grouped as eg
+
+        out = str(tmp_path / "enc")
+        paths = tk.corpus_paths(corpus_dir)
+        encj.encode_job(paths, out, target_part_bytes=1 << 19)
+        with pytest.raises(ValueError, match="mode"):
+            eg.encode_job_grouped(paths, out, target_group_rows=500)
+
+    def test_validator_flags_mixed_plan(self):
+        base = {
+            "partition_id": 1, "input_shard": "s.parquet", "n_rows": 10,
+            "codecs": {}, "input_bytes": 1, "encoded_bytes": 1, "status": "done",
+        }
+        overlap = [
+            {**base, "partition_id": 1, "row_range": [0, 10]},
+            {**base, "partition_id": 2, "row_range": [5, 15], "n_rows": 10},
+        ]
+        res = mf.validate_entries(overlap)
+        assert not res["is_valid"] and any("overlap" in e for e in res["errors"])
+        gap = [
+            {**base, "partition_id": 1, "row_range": [0, 10]},
+            {**base, "partition_id": 2, "row_range": [20, 30], "n_rows": 10},
+        ]
+        res = mf.validate_entries(gap)
+        assert not res["is_valid"] and any("gap" in e for e in res["errors"])
+        good = [
+            {**base, "partition_id": 1, "row_range": [0, 10]},
+            {**base, "partition_id": 2, "row_range": [10, 20], "n_rows": 10},
+        ]
+        assert mf.validate_entries(good)["is_valid"]
+
+
 class TestStreamStages:
     def test_dataset_roundtrip(self, ray_session, corpus_dir):
         import ray.data as rd

@@ -142,7 +142,8 @@ class TestManifest:
         e = {k: v for k, v in GOLDEN_ENTRY.items() if k not in ("checksum", "fsst_symbol_table_hash")}
         res = mf.validate_entries([e])
         assert res["is_valid"]
-        assert len(res["warnings"]) == 2
+        # missing checksum + missing fsst hash + nonzero coverage start
+        assert len(res["warnings"]) == 3
 
 
 class TestTokensSource:
