@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import general, intcodec
+from .codecs import general, intcodec, rowcodec
 from .codecs import fsst as fsst_mod
 
 U64 = np.uint64
@@ -425,6 +425,30 @@ def decode_string(blob: bytes, desc: dict) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+def _encode_child_for_rows(child: pa.Array, lengths: np.ndarray) -> tuple[bytes, dict]:
+    """Child encoding with per-row structure (codecs/rowcodec.py). Only
+    valid inside a list blob: decode needs the row lengths the list codec
+    stores, so the descriptor kind is ``row_child`` and only
+    :func:`decode_list` dispatches it."""
+    vals = _primitive_np(child)
+    cdt = _np_dtype_of(child.type)
+    if vals.dtype != cdt:
+        vals = vals.astype(cdt)
+    plane, signed = to_plane(vals)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    secs, rdesc = rowcodec.encode_child(plane, offsets, signed)
+    desc = {
+        "kind": "row_child",
+        "type": type_to_str(child.type),
+        "n": len(child),
+        "null_count": 0,
+        "codec": "for_rows",
+        "plane": rdesc,
+    }
+    return b"".join(secs), desc
+
+
 def encode_list(arr: pa.Array, child_choice: dict) -> tuple[bytes, dict]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -433,7 +457,10 @@ def encode_list(arr: pa.Array, child_choice: dict) -> tuple[bytes, dict]:
     lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
     child = arr.flatten()  # skips null slots' ranges
     len_blob, len_desc = _encode_lengths(lengths)
-    child_blob, child_desc = encode_array(child, child_choice)
+    if child_choice.get("codec") == "for_rows" and child.null_count == 0:
+        child_blob, child_desc = _encode_child_for_rows(child, lengths)
+    else:
+        child_blob, child_desc = encode_array(child, child_choice)
     field = arr.type.value_field
     desc = {
         "kind": "list",
@@ -457,7 +484,15 @@ def decode_list(blob: bytes, desc: dict) -> pa.Array:
     s_len = desc["sections"][si]
     s_child = desc["sections"][si + 1]
     lengths = intcodec.decode_plane(blob[off : off + s_len], desc["lengths"]).astype(np.int64)
-    child = decode_array(blob[off + s_len : off + s_len + s_child], desc["child"])
+    cdesc = desc["child"]
+    if cdesc.get("kind") == "row_child":
+        plane = rowcodec.decode_child(
+            blob[off + s_len : off + s_len + s_child], cdesc["plane"], lengths
+        )
+        child = pa.array(from_plane(plane, _np_dtype_of(str_to_type(cdesc["type"]))),
+                         type=str_to_type(cdesc["type"]))
+    else:
+        child = decode_array(blob[off + s_len : off + s_len + s_child], cdesc)
     field = pa.field(desc["field_name"], child.type, nullable=desc["field_nullable"])
     list_type = pa.large_list(field) if desc.get("large") else pa.list_(field)
     off_dt = np.int64 if desc.get("large") else np.int32

@@ -2,10 +2,18 @@
 sequences, each occurrence replaced by a 1-byte code.
 
 Follows the public FSST design (Boncz, Neumann, Leis — "FSST: Fast Random
-Access String Compression", VLDB 2020): up to 254 symbols of 1..8 bytes,
-one reserved escape code; bytes not covered by the table are emitted as
-escapes. Two deviations, both for vectorizability in Python/numpy:
+Access String Compression", VLDB 2020): up to 254 symbols, one reserved
+escape code; bytes not covered by the table are emitted as escapes. Three
+deviations, all for vectorizability in Python/numpy (the paper gets its
+speed from an AVX512 kernel; a Python per-match loop was measured at
+~2 MB/s/core — unusable):
 
+- symbols are 1 or 2 bytes and 2-byte symbols match only at EVEN offsets
+  of the buffer, so encode is a single uint16-view table lookup plus a
+  cumsum scatter — no sequential longest-match scan. (The paper's general
+  8-byte symbols compress denser; aligned pairs trade ~10-15 % ratio for
+  a ~100x vectorized encoder. The DECODER still accepts any symbol
+  lengths, so the format is unchanged and old blobs stay readable.)
 - escaped literal bytes go to a *side stream* (code 0xFF in the code stream
   means "take the next byte from the exceptions stream"), which removes the
   sequential escape-pair scan from the decoder;
@@ -26,15 +34,13 @@ Round-trip bit-identity is property-tested for arbitrary bytes (including
 from __future__ import annotations
 
 import hashlib
-import re
 from collections import Counter
 
 import numpy as np
 
 ESCAPE = 255
 MAX_SYMBOLS = 254  # codes 0..253
-_SYM_LENGTHS = (2, 3, 4, 6, 8)
-_TRAIN_SAMPLE = 32 * 1024
+_TRAIN_SAMPLE = 64 * 1024
 
 
 class SymbolTable:
@@ -44,12 +50,16 @@ class SymbolTable:
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
         self.code_of = {s: i for i, s in enumerate(symbols)}
-        # encode-side regex: longest alternatives first for greedy longest match,
-        # then any single byte as fallback
-        alts = sorted(symbols, key=lambda s: (-len(s), s))
-        pattern = b"|".join(re.escape(s) for s in alts)
-        pattern = (pattern + b"|" if pattern else b"") + b"(?s:.)"
-        self._rx = re.compile(pattern, re.S)
+        # encode-side vectorized lookup tables: pair value -> code (65536
+        # entries) and single byte -> code (256 entries); ESCAPE = absent.
+        # Built lazily-free: ~64 KB per table, once per trained partition.
+        self._pair_lut = np.full(65536, ESCAPE, dtype=np.uint8)
+        self._byte_lut = np.full(256, ESCAPE, dtype=np.uint8)
+        for i, s in enumerate(symbols):
+            if len(s) == 2:
+                self._pair_lut[s[0] | (s[1] << 8)] = i  # little-endian u16 view
+            elif len(s) == 1:
+                self._byte_lut[s[0]] = i
         # decode-side lookup arrays
         symflat = b"".join(symbols)
         lens = np.ones(256, dtype=np.int64)
@@ -84,21 +94,41 @@ class SymbolTable:
 
     # -- codec --------------------------------------------------------------
     def encode(self, data: bytes) -> tuple[bytes, bytes]:
-        """-> (code stream, exceptions stream)."""
-        code_of = self.code_of
-        exceptions = bytearray()
-        esc = bytes([ESCAPE])
-
-        def repl(m: re.Match) -> bytes:
-            s = m.group(0)
-            c = code_of.get(s)
-            if c is None:
-                exceptions.extend(s)  # single byte fallback
-                return esc
-            return _CODE_BYTES[c]
-
-        codes = self._rx.sub(repl, data)
-        return codes, bytes(exceptions)
+        """-> (code stream, exceptions stream). Fully vectorized: pair
+        lookup on the even-aligned uint16 view, then a cumsum scatter
+        builds the variable-width code stream."""
+        n = len(data)
+        if n == 0:
+            return b"", b""
+        a = np.frombuffer(data, dtype=np.uint8)
+        even = a[: (n // 2) * 2]
+        pair_codes = self._pair_lut[even.view("<u2")]  # (cells,)
+        matched = pair_codes != ESCAPE
+        # per-cell output width: 1 byte (pair code) or 2 bytes (two
+        # single-byte codes / escapes)
+        out_len = np.where(matched, np.int64(1), np.int64(2))
+        pos = np.empty(len(out_len) + 1, dtype=np.int64)
+        pos[0] = 0
+        np.cumsum(out_len, out=pos[1:])
+        total = int(pos[-1])
+        out = np.empty(total + (n & 1), dtype=np.uint8)
+        out[pos[:-1][matched]] = pair_codes[matched]
+        nm = ~matched
+        cells = even.reshape(-1, 2)[nm]  # (k, 2) literal bytes
+        bcodes = self._byte_lut[cells]  # (k, 2) codes or ESCAPE
+        npos = pos[:-1][nm]
+        out[npos] = bcodes[:, 0]
+        out[npos + 1] = bcodes[:, 1]
+        # exceptions: literal bytes at ESCAPE slots, in code-stream order
+        # (row-major over non-matching cells == linear scan order)
+        exc = cells[bcodes == ESCAPE]
+        if n & 1:  # odd tail byte: one single-byte code or escape
+            tail = int(a[-1])
+            tc = int(self._byte_lut[tail])
+            out[total] = tc
+            if tc == ESCAPE:
+                exc = np.concatenate([exc, np.array([tail], dtype=np.uint8)])
+        return out.tobytes(), exc.tobytes()
 
     def decode(self, codes: bytes, exceptions: bytes) -> bytes:
         if not codes:
@@ -119,33 +149,30 @@ class SymbolTable:
         return buf[idx].tobytes()
 
 
-_CODE_BYTES = [bytes([i]) for i in range(256)]
-
-
 def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> SymbolTable:
-    """Deterministically train a symbol table on a byte sample.
+    """Deterministically train a symbol table on a byte sample (vectorized:
+    one np.unique over the even-aligned pair view + one bincount).
 
-    Greedy one-pass selection by estimated gain: a multi-byte symbol of
-    length L occurring f times saves ~(L-1)*f bytes; a single-byte symbol
-    saves f bytes (vs a 2-byte escape). Ties broken by symbol bytes, so the
-    result is a pure function of the sample (bit-identity across resumed
-    runs — SURVEY.md §7 hard-part 1).
-    """
+    Gain model matches the aligned-pair encoder: a pair symbol occurring f
+    times (at even offsets) turns 2 bytes into 1 (saves f); a single-byte
+    symbol turns an escape (2 output bytes) into 1 code (saves f). Ties
+    broken by symbol bytes, so the result is a pure function of the sample
+    (bit-identity across resumed runs — SURVEY.md §7 hard-part 1)."""
     sample = sample[:_TRAIN_SAMPLE]
     n = len(sample)
     if n == 0:
         return SymbolTable([])
+    a = np.frombuffer(sample, dtype=np.uint8)
     scores: Counter = Counter()
-    for L in _SYM_LENGTHS:
-        if n < L:
-            continue
-        c: Counter = Counter(sample[i : i + L] for i in range(n - L + 1))
-        for s, f in c.items():
+    even = a[: (n // 2) * 2]
+    if len(even):
+        pairs, counts = np.unique(even.view("<u2"), return_counts=True)
+        for p, f in zip(pairs.tolist(), counts.tolist()):
             if f >= 2:
-                scores[s] = (L - 1) * f
-    # single bytes: gain = frequency (escape costs 2 bytes)
-    for s, f in Counter(sample[i : i + 1] for i in range(n)).items():
-        scores[s] = f
+                scores[bytes([p & 0xFF, p >> 8])] = f
+    bc = np.bincount(a, minlength=256)
+    for b in np.flatnonzero(bc).tolist():
+        scores[bytes([b])] = int(bc[b])
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     symbols = [s for s, _ in ranked[:max_symbols]]
     return SymbolTable(symbols)

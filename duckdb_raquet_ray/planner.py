@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from . import blockcodec as bc
 from .codecs import fsst as fsst_mod
-from .codecs import general, intcodec
+from .codecs import general, intcodec, rowcodec
 
 U64 = np.uint64
 
@@ -92,7 +92,7 @@ def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str,
     w = intcodec._byte_width(maxd)
     pre_deltas = intcodec.narrow_deltas(prefix, base, w)
     if len(pre_deltas):
-        streams = pre_deltas.view(np.uint8).reshape(-1, w).T.tobytes()
+        streams = intcodec.split_streams(pre_deltas)
         zr = len(general.compress(streams)) / max(len(streams), 1)
         est["for_bss"] = n * w * zr + _HEADER_OVERHEAD
 
@@ -132,9 +132,11 @@ def plan_string(arr: pa.Array) -> tuple[str, dict[str, float]]:
         est["general"] = total * (len(z) / len(bsample)) + n * 1.5 + _HEADER_OVERHEAD
         fsst_blob, _ = fsst_mod.encode_bytes(bsample[: 16 * 1024])
         fr = len(fsst_blob) / max(len(bsample[: 16 * 1024]), 1)
-        # fsst pays off vs zstd only on short individual strings where random
-        # access matters; bias slightly toward zstd which is cheaper to run
-        est["fsst"] = total * fr * 1.05 + n * 1.5 + _HEADER_OVERHEAD
+        # straight size comparison: the aligned-pair fsst encoder runs at
+        # >100 MB/s/core, so speed no longer justifies a bias — it is
+        # selected exactly when its trial size wins (on F1 doc_ids,
+        # dict/zstd wins and that is the honest answer)
+        est["fsst"] = total * fr + n * 1.5 + _HEADER_OVERHEAD
 
     best = min(sorted(est), key=lambda k: est[k])
     return best, est
@@ -147,7 +149,8 @@ def plan_array(arr: pa.Array | pa.ChunkedArray) -> dict:
     t = arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         child = arr.flatten()
-        return {"codec": "list", "child": plan_array(child)}
+        flat_choice = plan_array(child)
+        return {"codec": "list", "child": _plan_list_child(arr, child, flat_choice)}
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -161,6 +164,50 @@ def plan_array(arr: pa.Array | pa.ChunkedArray) -> dict:
     plane, signed = bc.to_plane(vals)
     codec, _ = plan_plane(plane, signed, vals.dtype.itemsize)
     return {"codec": codec}
+
+
+ROW_WINDOWS = 8
+ROW_WINDOW = 64  # rows per window: ~8x64 rows of tokens ≈ 100-200k values
+
+
+def _plan_list_child(arr: pa.Array, child: pa.Array, flat_choice: dict) -> dict:
+    """Decide flat child codec vs per-row FOR (codecs/rowcodec.py) by a
+    trial encode of BOTH on the same deterministic row-window sample —
+    per-row structure (narrow bands, runs, per-doc alphabets) is invisible
+    to the flattened-plane histograms, so only a real trial can price it."""
+    t = child.type
+    if child.null_count or len(child) == 0 or not pa.types.is_integer(t):
+        return flat_choice
+    rows = len(arr)
+    if rows <= ROW_WINDOWS * ROW_WINDOW:
+        sample = arr
+    else:
+        step = rows // ROW_WINDOWS
+        sample = pa.concat_arrays(
+            [arr.slice(i * step, ROW_WINDOW) for i in range(ROW_WINDOWS)]
+        )
+    import pyarrow.compute as pc
+
+    s_child = sample.flatten()
+    if len(s_child) == 0:
+        return flat_choice
+    lengths = pc.fill_null(pc.list_value_length(sample), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    vals = bc._primitive_np(s_child)
+    cdt = bc._np_dtype_of(t)
+    if vals.dtype != cdt:
+        vals = vals.astype(cdt)
+    plane, signed = bc.to_plane(vals)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    row_secs, _ = rowcodec.encode_child(plane, offsets, signed)
+    size_rows = sum(len(s) for s in row_secs)
+    flat_blob, _ = bc.encode_array(s_child, flat_choice)
+    # small deterministic margin: prefer the simpler flat codec on a tie
+    if size_rows < len(flat_blob) * 0.98:
+        return {"codec": "for_rows"}
+    return flat_choice
 
 
 def plan_table(table: pa.Table) -> dict[str, dict]:

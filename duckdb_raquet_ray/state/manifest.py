@@ -36,7 +36,9 @@ JOB_JSON = "job.json"
 
 FORMAT_VERSION = "0.1.0"
 
-KNOWN_CODECS = {"for_bitpack", "for_bss", "rle", "dict", "plain", "general", "fsst", "list"}
+KNOWN_CODECS = {
+    "for_bitpack", "for_bss", "for_rows", "rle", "dict", "plain", "general", "fsst", "list",
+}
 
 REQUIRED_ENTRY_FIELDS = (
     "partition_id",

