@@ -129,11 +129,10 @@ def bench_corpus_phase(cpus: int) -> dict:
     times = []
     for _ in range(2):  # best-of-2, same policy as run_encode
         t0 = time.time()
-        n = (
-            decode.read_encoded(enc_out)
-            .map_batches(tr.token_stats, batch_format="pyarrow", batch_size=4096)
-            .count()
-        )
+        # token_stats pushed INTO the decode actors (transform=): the
+        # pipeline ships per-row stats (~40 B/row) instead of the full
+        # decoded rows (~1.7 kB/row) through the object store
+        n = decode.read_encoded(enc_out, transform=tr.token_stats).count()
         times.append(time.time() - t0)
         assert n == enc_stats["rows"], (n, enc_stats["rows"])
     best = min(times)

@@ -37,13 +37,16 @@ ZSTD_LEVEL = int(os.environ.get("RAQUET_ZSTD_LEVEL", "1"))
 # to Ray workers; construction costs microseconds per call.
 
 
-def compress(data: bytes, method: str = DEFAULT_GENERAL) -> bytes:
+def compress(data, method: str = DEFAULT_GENERAL) -> bytes:
+    """``data`` may be bytes or any buffer-protocol object (e.g. a numpy
+    scratch array) — compressors read it zero-copy; only the compressed
+    output is a fresh bytes object."""
     if method == "zstd":
         return pa.Codec("zstd", compression_level=ZSTD_LEVEL).compress(data, asbytes=True)
     if method == "zlib":
         return zlib.compress(data, 6)
     if method == "none":
-        return data
+        return data if isinstance(data, bytes) else bytes(memoryview(data))
     raise ValueError(f"unknown general compression {method!r}")
 
 

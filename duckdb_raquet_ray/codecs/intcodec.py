@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as _pa
 
-from . import general
+from . import general, scratch
 
 U64 = np.uint64
 
@@ -234,22 +234,24 @@ def _byte_width(max_delta: int) -> int:
     return 8
 
 
-def split_streams(deltas: np.ndarray) -> bytes:
+def split_streams(deltas: np.ndarray) -> np.ndarray:
     """Narrowed deltas -> lane-major byte streams (low bytes of every value
-    together, then the next byte lane, ...). Per-lane slice assignment: a
+    together, then the next byte lane, ...) as a 1-D uint8 SCRATCH view —
+    callers compress it immediately (general.compress reads any buffer),
+    so the bytes never get copied out. Per-lane slice assignment: a
     transposed `.T.tobytes()` copy iterates the output in C order with a
     w-element inner loop and measured ~5x slower; per-lane strided reads
-    with contiguous writes keep numpy's inner loop long. Byte output is
+    with contiguous writes keep numpy's inner loop long. Byte layout is
     identical either way."""
     w = deltas.dtype.itemsize
     n = len(deltas)
     if w == 1:
-        return deltas.tobytes()
+        return deltas.view(np.uint8)
     dv = deltas.view(np.uint8).reshape(n, w)
-    out = np.empty((w, n), dtype=np.uint8)
+    out = scratch.arr("ic.split", n * w, np.uint8).reshape(w, n)
     for j in range(w):
         out[j] = dv[:, j]
-    return out.tobytes()
+    return out.reshape(-1)
 
 
 def merge_streams(raw, n: int, w: int) -> np.ndarray:
@@ -271,8 +273,17 @@ def merge_streams(raw, n: int, w: int) -> np.ndarray:
 def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
     base, maxd = for_minmax(plane, signed)
     w = _byte_width(maxd)
-    deltas = narrow_deltas(plane, base, w) if len(plane) else plane
-    streams = split_streams(deltas) if len(deltas) else b""
+    if len(plane):
+        # fused narrow-FOR into scratch: (plane - base) computed in plane
+        # width, truncated to the target width on store — identical bytes
+        # to narrow_deltas, no fresh allocation
+        deltas = scratch.arr("ic.narrow", len(plane), _BYTE_WIDTH_DTYPE[w])
+        np.subtract(plane, plane.dtype.type(base), out=deltas, casting="unsafe")
+        streams = split_streams(deltas)
+        raw_size = int(streams.nbytes)
+    else:
+        streams = b""
+        raw_size = 0
     z = general.compress(streams)
     desc = {
         "codec": "for_bss",
@@ -281,7 +292,7 @@ def encode_for_bss(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
         "byte_width": w,
         "pw": plane.dtype.itemsize,
         "general": general.DEFAULT_GENERAL,
-        "raw_size": len(streams),
+        "raw_size": raw_size,
     }
     return [z], desc
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import intcodec
+from . import general, intcodec, scratch
 
 _WIDTH_OF_CODE = {1: 1, 2: 2, 3: 4, 4: 8}
 _CODE_OF_WIDTH = {1: 1, 2: 2, 4: 3, 8: 4}
@@ -61,6 +61,44 @@ def row_ranges(plane: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.n
     return bases, ranges
 
 
+def fill_rowwise(per_row: np.ndarray, offsets: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """``out[k] = per_row[row containing k]`` without the ``np.repeat``
+    allocation: scatter per-row DIFFS at the row starts, then an in-place
+    modular cumsum reconstructs the expansion. out dtype == per_row dtype;
+    arithmetic wraps in that width, which is exactly what the modular FOR
+    needs. Rationale for the extra pass vs ``np.repeat``: `out` is scratch
+    — repeat's fresh allocation page-faults on every call (see
+    codecs/scratch.py), which dominates encode at high parallelism."""
+    lengths = np.diff(offsets)
+    ne = lengths > 0
+    out[:] = 0
+    if ne.any():
+        v = per_row[ne]
+        d = v.copy()
+        d[1:] -= v[:-1]  # modular diffs
+        out[offsets[:-1][ne]] = d
+    np.cumsum(out, out=out)
+    return out
+
+
+def _encode_bucket(narrow: np.ndarray) -> tuple[bytes, dict]:
+    """Lean for_bss for an already-narrowed residual bucket: base 0 (row
+    bases absorbed the frame), byte-stream-split via scratch, zstd straight
+    from the scratch buffer — zero fresh allocations besides the compressed
+    output. Descriptor-compatible with intcodec.decode_for_bss."""
+    streams = intcodec.split_streams(narrow)
+    z = general.compress(streams)
+    return z, {
+        "codec": "for_bss",
+        "n": len(narrow),
+        "base": 0,
+        "byte_width": narrow.dtype.itemsize,
+        "pw": narrow.dtype.itemsize,
+        "general": general.DEFAULT_GENERAL,
+        "raw_size": int(np.asarray(streams).nbytes),
+    }
+
+
 def encode_child(
     plane: np.ndarray, offsets: np.ndarray, signed: bool
 ) -> tuple[list[bytes], dict]:
@@ -68,7 +106,10 @@ def encode_child(
 
     ``signed`` orders the per-row min/max on the logical values (the same
     rule as :func:`intcodec.for_minmax`); residual arithmetic is modular
-    in the plane width so the bit patterns round-trip exactly."""
+    in the plane width so the bit patterns round-trip exactly. All O(n)
+    temporaries come from the scratch pool (codecs/scratch.py) — this
+    kernel runs inside long-lived encoder actors and must not re-fault
+    half a GB of pages per partition."""
     lengths = np.diff(offsets).astype(np.int64)
     n = len(plane)
     rows = len(lengths)
@@ -77,7 +118,9 @@ def encode_child(
     bases = bases_v.view(plane.dtype) if signed else bases_v
     # ranges must be computed on the UNSIGNED modular residual magnitude:
     # (pattern - base_pattern) mod 2^(8w) — recompute from the plane
-    resid = plane - np.repeat(bases, lengths)
+    bot = fill_rowwise(bases, offsets, scratch.arr("rc.bot", n, plane.dtype))
+    resid = scratch.arr("rc.resid", n, plane.dtype)
+    np.subtract(plane, bot, out=resid)
     _, ranges = row_ranges(resid, offsets)
 
     codes = np.zeros(rows, dtype=np.uint8)
@@ -89,17 +132,20 @@ def encode_child(
     if plane.dtype.itemsize > 4:
         codes[ranges > 0xFFFFFFFF] = 4
 
-    wtok = np.repeat(codes, lengths)
+    wtok = fill_rowwise(codes, offsets, scratch.arr("rc.wtok", n, np.uint8))
+    mask = scratch.arr("rc.mask", n, bool)
     sections: list[bytes] = []
     buckets: list[dict] = []
     for code in (1, 2, 3, 4):
-        mask = wtok == code
-        cnt = int(mask.sum())
+        np.equal(wtok, code, out=mask)
+        cnt = int(np.count_nonzero(mask))
         if cnt == 0:
             continue
         w = _WIDTH_OF_CODE[code]
-        sub = resid[mask].astype(_NP_OF_WIDTH[w])  # values < 2^(8w): exact
-        blob, bdesc = intcodec.encode_plane(sub, "for_bss", False)
+        sub = np.compress(mask, resid, out=scratch.arr("rc.gather", cnt, resid.dtype))
+        narrow = scratch.arr("rc.narrow", cnt, _NP_OF_WIDTH[w])
+        np.copyto(narrow, sub, casting="unsafe")  # values < 2^(8w): exact
+        blob, bdesc = _encode_bucket(narrow)
         sections.append(blob)
         buckets.append({"code": code, "plane": bdesc})
 
@@ -135,11 +181,18 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
     off += secs[1]
 
     lengths = np.asarray(lengths, dtype=np.int64)
-    wtok = np.repeat(codes, lengths)
-    resid = np.zeros(n, dtype=dt)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    wtok = fill_rowwise(codes, offsets, scratch.arr("rc.dwtok", n, np.uint8))
+    out = np.empty(n, dtype=dt)  # the returned plane — never scratch
+    out[:] = 0
+    mask = scratch.arr("rc.dmask", n, bool)
     for i, b in enumerate(desc["buckets"]):
         size = secs[2 + i]
         sub = intcodec.decode_plane(blob[off : off + size], b["plane"])
         off += size
-        resid[wtok == b["code"]] = sub.astype(dt)
-    return resid + np.repeat(bases, lengths)
+        np.equal(wtok, b["code"], out=mask)
+        out[mask] = sub  # setitem upcasts narrow unsigned in place
+    bot = fill_rowwise(bases, offsets, scratch.arr("rc.dbot", n, dt))
+    np.add(out, bot, out=out)
+    return out

@@ -45,9 +45,15 @@ from ..stages import encoder as enc
 from ..state import manifest as mf
 
 DEFAULT_PART_BYTES = 64 * 1024 * 1024  # decoded bytes per partition
-MIN_PART_BYTES = 16 * 1024 * 1024
+MIN_PART_BYTES = 8 * 1024 * 1024
 MAX_PART_BYTES = 256 * 1024 * 1024
 TASKS_PER_CPU = 4  # target work-items per core, for pipelining + stragglers
+# encoder actors reserve 2 logical CPUs each: the kernel is memory-bandwidth
+# bound (measured: 16 concurrent encoders beat 32 on a 32-vCPU box, 0.72 vs
+# 0.36 GB/s — DRAM and host fault handling saturate near half the cores), so
+# half-density slots are the right per-node sizing, and each actor then sees
+# 2x the partitions, amortizing its scratch pool (codecs/scratch.py) better
+ENCODER_NUM_CPUS = 2
 
 
 def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = None) -> int:
@@ -125,6 +131,14 @@ class PartitionEncoder:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+        try:
+            # keep jemalloc from purging freed arrow buffers back to the OS:
+            # this actor re-reads similar-sized row groups every task, and
+            # re-faulting purged pages measurably dominates encode at high
+            # parallelism (same rationale as codecs/scratch.py for numpy)
+            pa.jemalloc_set_decay_ms(-1)
+        except Exception:
+            pass  # non-jemalloc arrow builds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         entries = []
@@ -168,7 +182,9 @@ def encode_job(
         target_part_bytes = prior["target_part_bytes"]
     else:
         if target_part_bytes is None:
-            target_part_bytes = DEFAULT_PART_BYTES
+            # auto-size from input volume and cluster width; persisted below
+            # so a resume on a different-width cluster re-plans identically
+            target_part_bytes = auto_target_part_bytes(input_paths)
         mf.persist_job_config(
             out_dir, {"mode": "lineage", "target_part_bytes": target_part_bytes}
         )
@@ -182,7 +198,14 @@ def encode_job(
     try:
         if todo:
             if concurrency is None:
-                concurrency = default_concurrency(cap=len(todo))
+                concurrency = default_concurrency()
+            # `concurrency` is a CPU budget; encoder actors are half-density
+            # (ENCODER_NUM_CPUS) because the kernel saturates memory
+            # bandwidth before core count — see the constant's rationale
+            if isinstance(concurrency, int):
+                n_actors = max(1, min(concurrency // ENCODER_NUM_CPUS, len(todo)))
+            else:
+                n_actors = concurrency
             # one block per work item: map_batches parallelism is per-BLOCK
             # (batch_size only slices batches within a task), so without
             # this the whole work list can serialize onto one actor
@@ -192,8 +215,8 @@ def encode_job(
                 fn_constructor_kwargs={"out_dir": out_dir},
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=concurrency,
-                num_cpus=1,
+                concurrency=n_actors,
+                num_cpus=ENCODER_NUM_CPUS,
             )
             # entries are tiny; stream them back and append in completion order
             for row in results.iter_rows():

@@ -51,6 +51,28 @@ def test_module_pickles_by_value(registered_modules, name):
             cp.dumps(val)
 
 
+def test_scratch_pool_pickles_empty(registered_modules):
+    """The codec scratch pool must NOT travel inside UDF pickles: a
+    populated pool would bloat every task payload with the driver's
+    buffers, and unpickled arrays arrive read-only — `out[:] = 0` in the
+    worker then raises (observed live: point_lookup populated the driver
+    pool, the next query's UDF shipped it, verify_bitidentity crashed)."""
+    from ray import cloudpickle as cp
+
+    from duckdb_raquet_ray.codecs import scratch
+
+    scratch.buf("guard.test", 1 << 20)
+    assert len(scratch._BUFS) > 0
+    blob = cp.dumps(scratch)
+    assert len(blob) < 256 * 1024, "scratch buffers leaked into the module pickle"
+    restored = cp.loads(cp.dumps(scratch._BUFS))
+    assert restored == {}  # pool pickles as empty
+    # a function referencing the module must stay small too
+    blob_fn = cp.dumps(scratch.buf)
+    assert len(blob_fn) < 256 * 1024
+    scratch.clear()
+
+
 def test_no_lazy_package_relative_imports():
     """Lazy `from .x import y` inside function bodies defers the import to
     call time ON THE WORKER, where by-value-shipped code cannot resolve the
