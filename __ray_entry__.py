@@ -94,6 +94,8 @@ STATS_COLS = ["doc_id", "n_tok", "source", "tok_count", "tok_min", "tok_max", "t
 MASK_LOW, MASK_HIGH = 100, 40_000
 ALLOWED = list(range(0, 50_257, 211))
 MAP_MOD = 1009
+# continuous ramp spec: absolute (value, code) stops + outside="nodata"
+RAMP_STOPS = [(500, 0), (8000, 64), (20000, 128), (45000, 255)]
 
 
 def _ensure_corpus() -> list[str]:
@@ -207,6 +209,19 @@ def _q_mask_eq(sf_dir: str):
 
     ds = _corpus_ds().map_batches(
         functools.partial(tr.mask_tokens_eq, value=EQ_VALUE),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return _token_stats_view(ds, sentinel=tr.SENTINEL).select_columns(
+        ["doc_id", "tok_count", "tok_sum"]
+    )
+
+
+def _q_ramp_tokens(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    ds = _corpus_ds().map_batches(
+        functools.partial(tr.ramp_tokens, stops=RAMP_STOPS, outside="nodata"),
         batch_format="pyarrow",
         batch_size=4096,
     )
@@ -445,7 +460,10 @@ def _q_langid(sf_dir: str):
         concurrency=(1, 2),
         num_cpus=1,
     )
-    return out.select_columns(["doc_id", "lang_pred", "stop_ratio", "fingerprint"])
+    # fingerprint (siphash) is not SQL-expressible; keep langid's output
+    # SQL-replicable so the query graduates to a value-checked oracle —
+    # fingerprints stay covered by winnow_docs / simhash (rows-only)
+    return out.select_columns(["doc_id", "lang_pred", "stop_ratio"])
 
 
 def _q_multimodal(sf_dir: str):
@@ -521,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_list_sum": _q_mask_list,
         "mask_eq_sum": _q_mask_eq,
         "map_tokens_sum": _q_map_tokens,
+        "ramp_tokens_sum": _q_ramp_tokens,
         "source_ntok_stats": _q_source_stats,
         "ws_token_count": _q_ws_tokens,
         "quality_metrics": _q_quality,
@@ -590,6 +609,22 @@ def oracle_sql() -> dict[str, str]:
             f"coalesce(list_sum(list_transform(tokens, x -> x % {MAP_MOD})), 0)::BIGINT AS tok_sum "
             f"FROM {corpus}"
         ),
+        # the piecewise-linear expression mirrors ramp_tokens op-for-op
+        # (t*(c1-c0)+c0, floor(y+0.5)) so float64 results hash-match
+        "ramp_tokens_sum": (
+            "SELECT doc_id, "
+            "len(list_filter(tokens, x -> x BETWEEN 500 AND 45000))::BIGINT AS tok_count, "
+            "coalesce(list_sum(list_transform("
+            "  list_filter(tokens, x -> x BETWEEN 500 AND 45000), "
+            "  x -> CASE "
+            "    WHEN x <= 500 THEN 0 "
+            "    WHEN x >= 45000 THEN 255 "
+            "    WHEN x <= 8000 THEN CAST(floor(0 + (x - 500) / (8000.0 - 500) * (64 - 0) + 0.5) AS BIGINT) "
+            "    WHEN x <= 20000 THEN CAST(floor(64 + (x - 8000) / (20000.0 - 8000) * (128 - 64) + 0.5) AS BIGINT) "
+            "    ELSE CAST(floor(128 + (x - 20000) / (45000.0 - 20000) * (255 - 128) + 0.5) AS BIGINT) "
+            "  END)), 0)::BIGINT AS tok_sum "
+            f"FROM {corpus}"
+        ),
         "source_ntok_stats": (
             "SELECT source, COUNT(*)::BIGINT AS cnt, SUM(n_tok)::DOUBLE AS sum_v, "
             "MIN(n_tok)::DOUBLE AS min_v, MAX(n_tok)::DOUBLE AS max_v, "
@@ -599,6 +634,25 @@ def oracle_sql() -> dict[str, str]:
         "ws_token_count": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens "
             "FROM documents"
+        ),
+        # the token regex (?<!\S)word(?!\S) in TextAnalyzer counts exact
+        # whitespace-delimited token matches == list_filter equality below;
+        # lang CASE order mirrors argmax-first-max over sorted lang names
+        "langid_docs": (
+            "WITH w AS (SELECT doc_id, "
+            r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words "
+            "FROM documents), h AS (SELECT doc_id, len(words) AS nw, "
+            "len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de, "
+            "len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en, "
+            "len(list_filter(words, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS h_es, "
+            "len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','des','pas','pour'))) AS h_fr "
+            "FROM w) SELECT doc_id, "
+            "CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und' "
+            "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+            "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "
+            "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred, "
+            "CASE WHEN nw = 0 THEN 0.0 ELSE greatest(h_de,h_en,h_es,h_fr) / nw::DOUBLE END AS stop_ratio "
+            "FROM h"
         ),
         "quality_metrics": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars_m, "

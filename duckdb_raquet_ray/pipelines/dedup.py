@@ -216,6 +216,44 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+class PairVerifier:
+    """Actor-pool stage: exact n-gram Jaccard over candidate pairs.
+
+    The candidate key->text lookup arrives as an object-store reference
+    (`ray.put` once on the driver, fetched ONCE per actor in __init__ —
+    zero-copy plasma read, never re-shipped per batch); shingle sets are
+    memoized per actor since LSH pairs share anchors."""
+
+    def __init__(self, texts_ref, threshold: float, shingle_k: int):
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.threshold = threshold
+        self.k = shingle_k
+        self._sh: dict = {}
+
+    def _shingles(self, key) -> np.ndarray:
+        v = self._sh.get(key)
+        if v is None:
+            v = _shingle_hashes(self.texts.get(key, "") or "", self.k)
+            self._sh[key] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        drops = []
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            sa, sb = self._shingles(a), self._shingles(b)
+            if len(sa) == 0 and len(sb) == 0:
+                sim = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                sim = inter / (len(sa) + len(sb) - inter)
+            if sim >= self.threshold:
+                drops.append(max(a, b))
+        kt = batch.schema.field("a").type
+        return pa.table({"drop_key": pa.array(drops, type=kt)})
+
+
 def minhash_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -224,54 +262,68 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    verify_concurrency: int | tuple[int, int] = (1, 8),
 ) -> rd.Dataset:
-    """Near-dup removal: LSH candidates -> exact Jaccard verify (texts
-    fetched per pair via a broadcast key->text lookup built from the
-    candidate keys only) -> drop docs confirmed >= threshold similar to a
-    smaller key. Candidate sets are tiny relative to the corpus; the
-    text lookup is broadcast, not shuffled."""
+    """Near-dup removal: LSH candidates -> DISTRIBUTED exact-Jaccard verify
+    -> drop docs confirmed >= threshold similar to a smaller key.
+
+    Scale shape (nothing corpus-sized ever lands on the driver):
+      1. candidate pairs stay a Dataset; only their KEY SET (O(pairs))
+         is pulled to build a broadcast filter,
+      2. candidate texts are fetched by a distributed `pc.is_in` filter
+         over the corpus (the driver never iterates corpus batches) and
+         broadcast via one ray.put,
+      3. Jaccard verification runs in a PairVerifier actor pool over the
+         pairs Dataset (map_batches), not a driver loop,
+      4. the final filter is a vectorized inverted `pc.is_in` with the
+         (small) confirmed-drop key set."""
     import ray
+    import pyarrow.compute as pc
 
     cand = minhash_candidate_pairs(ds, text_col, key_col, num_perm, bands, shingle_k)
-    pairs = cand.take_all()
-    pair_set = sorted({(r["a"], r["b"]) for r in pairs if r["a"] != r["b"]})
-    if not pair_set:
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("a"), t.column("b"))
+        return t.filter(keep)
+
+    pairs_ds = cand.map_batches(dedup_pairs, batch_format="pyarrow").materialize()
+    # O(pairs) driver state: just the candidate KEYS, for the text filter
+    needed: set = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        needed.update(b.column("a").to_pylist())
+        needed.update(b.column("b").to_pylist())
+    if not needed:
         return ds
-    needed = sorted({k for p in pair_set for k in p})
-    needed_set = set(needed)
-    # fetch only candidate texts (filter pushdown at the batch level)
-    texts: dict = {}
-    for b in ds.map_batches(
-        lambda t: t.select([key_col, text_col]), batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for k, s in zip(b.column(key_col).to_pylist(), b.column(text_col).to_pylist()):
-            if k in needed_set:
-                texts[k] = s
-    sh_cache: dict = {}
+    needed_arr = pa.array(sorted(needed))
+    needed_ref = ray.put(needed_arr)
 
-    def shingles_of(key) -> np.ndarray:
-        v = sh_cache.get(key)
-        if v is None:
-            v = _shingle_hashes(texts.get(key, "") or "", shingle_k)
-            sh_cache[key] = v
-        return v
+    def fetch_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(needed_ref)
+        return t.select([key_col, text_col]).filter(pc.is_in(t.column(key_col), wanted))
 
-    drop = set()
-    for a, b_key in pair_set:
-        sa, sb = shingles_of(a), shingles_of(b_key)
-        if len(sa) == 0 and len(sb) == 0:
-            sim = 1.0
-        else:
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            sim = inter / (len(sa) + len(sb) - inter)
-        if sim >= threshold:
-            drop.add(max(a, b_key))
-    drop_ref = ray.put(drop)
+    cand_rows = ds.map_batches(fetch_candidates, batch_format="pyarrow").take_all()
+    texts_ref = ray.put({r[key_col]: r[text_col] for r in cand_rows})
+
+    verified = pairs_ds.map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={
+            "texts_ref": texts_ref,
+            "threshold": threshold,
+            "shingle_k": shingle_k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=verify_concurrency,
+        num_cpus=1,
+    )
+    drop_keys = sorted({r["drop_key"] for r in verified.take_all()})
+    if not drop_keys:
+        return ds
+    drop_ref = ray.put(pa.array(drop_keys))
 
     def filter_batch(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        keep = [k not in d for k in t.column(key_col).to_pylist()]
-        return t.filter(pa.array(keep))
+        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
 
@@ -282,18 +334,35 @@ def minhash_dedup(
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash fingerprint per document from word hashes."""
-    texts = batch.column(text_col).to_pylist()
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        words = (text or "").lower().split()
-        if not words:
-            continue
-        hs = pd.util.hash_array(np.array(words, dtype=object))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        fps[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
-    return batch.append_column("simhash", pa.array(fps.astype(np.int64).tolist(), type=pa.int64()))
+    """64-bit SimHash fingerprint per document from word hashes.
+
+    Vectorized across the whole batch: ALL words of all documents are
+    hashed in ONE pd.util.hash_array call (elementwise-stable, so the
+    fingerprints are identical to the former per-document loop), then each
+    bit's +1/-1 vote is segment-summed per document with a cumsum
+    difference — 64 C passes instead of a Python loop per doc."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    word_lists = s.str.lower().str.split()
+    lens = word_lists.map(len).to_numpy(np.int64)
+    n_docs = len(s)
+    fps = np.zeros(n_docs, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        exploded = word_lists.explode()
+        flat = exploded[exploded.notna()].to_numpy(dtype=object)
+        hs = pd.util.hash_array(flat)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        ne = lens > 0
+        votes_pos = np.empty((int(ne.sum()), 64), dtype=np.uint8)
+        csum = np.zeros(total + 1, dtype=np.int64)
+        for b in range(64):
+            bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            np.cumsum(bit, out=csum[1:])
+            ones = csum[offsets[1:][ne]] - csum[offsets[:-1][ne]]
+            votes_pos[:, b] = (2 * ones - lens[ne]) > 0  # sum(2*bit-1) > 0
+        fps[ne] = np.packbits(votes_pos, axis=1, bitorder="little").view(np.uint64).ravel()
+    return batch.append_column("simhash", pa.array(fps.astype(np.int64), type=pa.int64()))
 
 
 def simhash_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:

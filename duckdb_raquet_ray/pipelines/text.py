@@ -43,7 +43,16 @@ class TextAnalyzer:
         self.text_col = text_col
         self.ws = _WS_RE
         self.bpe = _BPE_RE
-        self.stop = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
+        # per-language stopword-token regex: (?<!\S)word(?!\S) matches a
+        # whole whitespace-delimited token, which is EXACTLY equality
+        # against an element of text.lower().split() — so the count is
+        # SQL-replicable (list_filter over regexp_split_to_array) and the
+        # per-row Python word loop is gone (one C regex pass per language)
+        self.langs = sorted(_STOPWORDS)
+        self.stop_re = {
+            lang: re.compile(r"(?<!\S)(?:" + "|".join(sorted(ws)) + r")(?!\S)")
+            for lang, ws in _STOPWORDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # counter columns come from the SAME standalone stage functions the
@@ -63,22 +72,22 @@ class TextAnalyzer:
             out = out.append_column(name, arr)
         return out
 
-    def _langid(self, s: pd.Series) -> tuple[list[str], list[float]]:
-        langs: list[str] = []
-        ratios: list[float] = []
-        for text in s:
-            words = text.lower().split()
-            if not words:
-                langs.append("und")
-                ratios.append(0.0)
-                continue
-            scores = {
-                lang: sum(w in table for w in words) for lang, table in self.stop.items()
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            hits = scores[best]
-            langs.append(best if hits > 0 else "und")
-            ratios.append(hits / len(words))
+    def _langid(self, s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """Stopword-hit language ID, fully vectorized: one str.count pass
+        per language over the lowercased text. Ties break to the first
+        language in sorted order (argmax returns the first maximum), the
+        same rule as the scalar max-over-sorted-keys it replaced."""
+        lowered = s.str.lower()
+        n_words = s.str.count(self.ws).to_numpy(np.int64)
+        hits = np.stack(
+            [lowered.str.count(self.stop_re[lang]).to_numpy(np.int64) for lang in self.langs]
+        )
+        best_idx = hits.argmax(axis=0)
+        best_hits = hits[best_idx, np.arange(len(s))]
+        langs = np.where(best_hits > 0, np.array(self.langs, dtype=object)[best_idx], "und")
+        ratios = np.divide(
+            best_hits, n_words, out=np.zeros(len(s), dtype=np.float64), where=n_words > 0
+        )
         return langs, ratios
 
 

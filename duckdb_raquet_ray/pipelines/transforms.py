@@ -178,6 +178,63 @@ def map_tokens(
     return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
 
 
+def ramp_tokens(
+    batch: pa.Table,
+    stops: list[tuple[float, float]],
+    vmin: float | None = None,
+    vmax: float | None = None,
+    outside: str = "clamp",
+    sentinel: int = SENTINEL,
+    column: str = "tokens",
+) -> pa.Table:
+    """Piecewise-linear value->code ramp over the token list — the
+    continuous classification transform (ST_ColorMapContinuousRaquet,
+    /root/reference/src/raster/st_png_colormap.cpp:567-994), single
+    channel. ``stops`` are absolute (value, code) pairs, sorted by value;
+    between stops the code is linearly interpolated and rounded half-up
+    (the reference's llround); at/past the end stops the end code is used
+    (ColorAlongStops end rule). ``vmin``/``vmax`` window the input
+    (default: the stop endpoints); ``outside`` is the reference's
+    clamp-vs-nodata switch: "clamp" pins values into the window, "nodata"
+    maps them to ``sentinel`` (the unmapped color analogue). Input values
+    equal to ``sentinel`` stay ``sentinel`` (nodata passthrough).
+
+    Fully vectorized: one searchsorted for segment selection, one fused
+    lerp. The arithmetic (q-v0)/(v1-v0)*(c1-c0)+c0 and floor(y+0.5) is
+    written to match the SQL oracle expression op-for-op so float64
+    results are bit-identical."""
+    child, _, rebuild, child_valid = _child_and_rebuild(batch, column)
+    st = sorted((float(v), float(c)) for v, c in stops)
+    if len(st) < 2:
+        raise ValueError("ramp_tokens needs >= 2 stops")
+    xs = np.array([v for v, _ in st], dtype=np.float64)
+    cs = np.array([c for _, c in st], dtype=np.float64)
+    lo = xs[0] if vmin is None else float(vmin)
+    hi = xs[-1] if vmax is None else float(vmax)
+    p = child.astype(np.float64)
+    unmapped = child == sentinel
+    if child_valid is not None:
+        unmapped |= ~child_valid
+    if outside == "clamp":
+        q = np.minimum(np.maximum(p, lo), hi)
+    elif outside == "nodata":
+        q = p
+        unmapped |= (p < lo) | (p > hi)
+    else:
+        raise ValueError('outside must be "clamp" or "nodata"')
+    idx = np.clip(np.searchsorted(xs, q, side="right") - 1, 0, len(xs) - 2)
+    v0, v1 = xs[idx], xs[idx + 1]
+    c0, c1 = cs[idx], cs[idx + 1]
+    denom = v1 - v0
+    t = np.divide(q - v0, denom, out=np.zeros_like(q), where=denom != 0)
+    y = c0 + t * (c1 - c0)
+    y = np.where(q <= xs[0], cs[0], y)
+    y = np.where(q >= xs[-1], cs[-1], y)
+    code = np.floor(y + 0.5).astype(child.dtype)
+    out = np.where(unmapped, child.dtype.type(sentinel), code)
+    return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
+
+
 def token_stats(
     batch: pa.Table, column: str = "tokens", sentinel: int | None = None
 ) -> pa.Table:

@@ -65,6 +65,43 @@ class TestMinhash:
         out = dedup.minhash_dedup(rd.from_arrow(t), threshold=0.5).take_all()
         assert sorted(r["doc_id"] for r in out) == [1, 3]  # near-dup 2 dropped
 
+    def test_exact_jaccard_gate_on_crafted_fixture(self, ray_session):
+        """Crafted near-dup cluster with hand-checkable Jaccard: the LSH
+        candidates must be verified by EXACT Jaccard, so a pair under the
+        threshold survives even if it shares an LSH band."""
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        near = base + "iota"  # jaccard ~ 0.92 -> dropped
+        # shares half the vocabulary -> moderate jaccard, below threshold
+        farish = "alpha beta gamma delta omega psi chi phi " * 8
+        sim_near = dedup.jaccard(base, near)
+        sim_far = dedup.jaccard(base, farish)
+        assert sim_near >= 0.9 and sim_far < 0.8
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([base, near, farish]),
+            }
+        )
+        out = dedup.minhash_dedup(rd.from_arrow(t), threshold=0.8).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+    def test_verifier_stage_drops_larger_key(self, ray_session):
+        """PairVerifier is the distributed verify stage: feed it a pair
+        dataset directly and check the drop rule (max key of a confirmed
+        pair) and the threshold gate."""
+        import ray
+
+        texts_ref = ray.put({1: "aaaa bbbb cccc dddd", 2: "aaaa bbbb cccc dddd", 3: "zz"})
+        pairs = pa.table({"a": pa.array([1, 1], type=pa.int64()), "b": pa.array([2, 3], type=pa.int64())})
+        out = rd.from_arrow(pairs).map_batches(
+            dedup.PairVerifier,
+            fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": 0.8, "shingle_k": 5},
+            batch_format="pyarrow",
+            concurrency=1,
+            num_cpus=1,
+        ).take_all()
+        assert [r["drop_key"] for r in out] == [2]
+
     def test_no_false_positive_on_distinct(self, ray_session):
         rng = np.random.default_rng(3)
         texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, 200)) for _ in range(20)]

@@ -87,6 +87,45 @@ class TestMap:
         assert out.column("tokens").to_pylist() == [[5, -7]]
 
 
+class TestRamp:
+    STOPS = [(0, 0), (100, 50), (200, 255)]
+
+    def test_ramp_golden(self):
+        b = make_batch([[0, 50, 100, 150, 200]])
+        out = tr.ramp_tokens(b, stops=self.STOPS)
+        # 50 -> 25, 150 -> halfway 50..255 = 152.5 -> round half up 153
+        assert out.column("tokens").to_pylist() == [[0, 25, 50, 153, 255]]
+
+    def test_outside_clamp_vs_nodata(self):
+        b = make_batch([[-5, 300]])
+        clamped = tr.ramp_tokens(b, stops=self.STOPS, outside="clamp")
+        assert clamped.column("tokens").to_pylist() == [[0, 255]]
+        nodata = tr.ramp_tokens(b, stops=self.STOPS, outside="nodata")
+        assert nodata.column("tokens").to_pylist() == [[tr.SENTINEL, tr.SENTINEL]]
+
+    def test_window_overrides_stops(self):
+        b = make_batch([[0, 100, 200]])
+        out = tr.ramp_tokens(b, stops=self.STOPS, vmin=50, vmax=150, outside="nodata")
+        assert out.column("tokens").to_pylist() == [[tr.SENTINEL, 50, tr.SENTINEL]]
+
+    def test_sentinel_passthrough_and_empty_rows(self):
+        b = make_batch([[tr.SENTINEL, 10], [], None])
+        out = tr.ramp_tokens(b, stops=self.STOPS)
+        assert out.column("tokens").to_pylist() == [[tr.SENTINEL, 5], [], None]
+
+    def test_round_half_up_matches_sql_floor(self):
+        # code 152.5 must round UP (floor(x+0.5)), not banker's-round to 152
+        b = make_batch([[150]])
+        out = tr.ramp_tokens(b, stops=self.STOPS)
+        assert out.column("tokens").to_pylist() == [[153]]
+
+    def test_duplicate_stop_value(self):
+        # a vertical segment (v1 == v0) must not divide by zero
+        b = make_batch([[100]])
+        out = tr.ramp_tokens(b, stops=[(0, 0), (100, 50), (100, 80), (200, 255)])
+        assert out.column("tokens").to_pylist()[0][0] in (50, 80)
+
+
 class TestTokenStats:
     def test_golden(self):
         b = make_batch([[1, 2, 3, 4], [], [7]])
