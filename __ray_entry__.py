@@ -82,7 +82,7 @@ _bootstrap_by_value()
 # deterministic check corpus (the input_hint table) + encoded outputs
 # ---------------------------------------------------------------------------
 
-ENGINE_TAG = "r4"  # bump when codec bytes change so stale /tmp encodes drop
+ENGINE_TAG = "r5"  # bump when codec bytes change so stale /tmp encodes drop
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
 CORPUS_DIR = f"/tmp/raquet_corpus_check_{CORPUS_ROWS}x{CORPUS_SHARDS}"
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS
@@ -441,9 +441,16 @@ def _q_ivf_topk(sf_dir: str):
 
     from duckdb_raquet_ray.pipelines import ann
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    idx = ann.IvfIndex.train(ds)
-    t = ann.ivf_topk(ds, idx, _query_vec(), k=10)
+    # persisted bucket layout (built once per sf dir, reused): probes are
+    # partition-pruned reads. Probing ALL centroids makes the result exact,
+    # which is what the brute-force SQL oracle checks; partial-probe recall
+    # is pytest territory (data-dependent).
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_ivf_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(idx_dir, "centroids.json")):
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ann.build_ivf_index(ds, idx_dir)
+    t = ann.ivf_topk_indexed(idx_dir, _query_vec(), k=10, n_probe=16)
     return t.select(["vec_id", "rank"])
 
 
@@ -666,6 +673,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"
         ),
         "topk_similar": (
+            "SELECT vec_id, CAST(row_number() OVER "
+            f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
+            "AS BIGINT) AS rank FROM embeddings "
+            f"ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id LIMIT 10"
+        ),
+        # full-probe IVF over the persisted bucket layout is exact, so the
+        # brute-force ranking is its oracle (rank-match per VERDICT r1 #5)
+        "ivf_topk_similar": (
             "SELECT vec_id, CAST(row_number() OVER "
             f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
             "AS BIGINT) AS rank FROM embeddings "

@@ -18,6 +18,9 @@ list_cosine_similarity oracle bit-for-bit on ranking.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -125,8 +128,10 @@ def ivf_topk(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
 ) -> pa.Table:
-    """Approximate top-k: filter to the probed buckets, then exact cosine
-    within them. (Bucketed filter is a vectorized predicate, not a shuffle.)"""
+    """Approximate top-k WITHOUT a persisted layout: assigns buckets on the
+    fly and filters (full scan — every query recomputes assignments). Use
+    :func:`build_ivf_index` + :func:`ivf_topk_indexed` when more than one
+    query will run: probes then become partition-pruned READS."""
     buckets = set(index.probe_buckets(query, n_probe))
     with_buckets = index.add_buckets(ds, vec_col)
 
@@ -137,3 +142,71 @@ def ivf_topk(
 
     filtered = with_buckets.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(filtered, query, k, vec_col, key_col)
+
+
+_CENTROIDS_JSON = "centroids.json"
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    **train_kw,
+) -> IvfIndex:
+    """Train the coarse index and PERSIST the bucket layout: the dataset is
+    rewritten as hive-partitioned Parquet (`ivf_bucket=<j>/...`) plus a
+    centroids.json, so every later probe opens ONLY its probed buckets'
+    files — the reference's partition-id pruning shape
+    (/root/reference/src/raquet_extension.cpp:49-81) applied to vector
+    search, and the fix for the r1 ivf_topk full-scan anti-pattern. The
+    write is a streamed map_batches write (no shuffle: each task splits its
+    own batch across bucket subdirectories)."""
+    index = IvfIndex.train(ds, vec_col, n_centroids=n_centroids, **train_kw)
+    os.makedirs(out_dir, exist_ok=True)
+    index.add_buckets(ds, vec_col).write_parquet(out_dir, partition_cols=["ivf_bucket"])
+    payload = {"centroids": index.centroids.tolist(), "n_centroids": len(index.centroids)}
+    tmp = os.path.join(out_dir, _CENTROIDS_JSON + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(out_dir, _CENTROIDS_JSON))
+    return index
+
+
+def load_ivf_index(index_dir: str) -> IvfIndex:
+    with open(os.path.join(index_dir, _CENTROIDS_JSON)) as f:
+        payload = json.load(f)
+    return IvfIndex(np.asarray(payload["centroids"], dtype=np.float64))
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k over a persisted IVF layout: only the probed
+    buckets' partition directories are read (file-level pruning — the
+    un-probed buckets' files are never opened), then exact cosine within.
+    With ``n_probe >= n_centroids`` this is EXACT (all partitions probed),
+    which is the oracle-checked configuration; recall at partial probe is
+    property-tested instead (data-dependent)."""
+    index = load_ivf_index(index_dir)
+    buckets = index.probe_buckets(query, n_probe)
+    # explicit file list: ray.data's multi-path read_parquet expects files
+    files = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"ivf_bucket={b}")
+        if os.path.isdir(d):
+            files += sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    if not files:
+        return pa.table(
+            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    ds = rd.read_parquet(files)
+    return brute_force_topk(ds, query, k, vec_col, key_col)

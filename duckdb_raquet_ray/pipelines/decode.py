@@ -153,15 +153,53 @@ def read_encoded(
     )
 
 
+def prune_partitions_parquet(out_dir: str, column: str, lo=None, hi=None) -> list[int]:
+    """Zone-map pruning WITHOUT the manifest: every encoded partition file
+    carries stat_<col>_{count,min,max} as real Parquet columns (the
+    reference's band_N_* stats columns, read_raster.cpp:1079-1090), so any
+    plain Parquet engine — or this fallback when manifest.json is lost —
+    prunes from tiny one-row column reads. Files lacking the stat columns
+    (or with no values) are kept: pruning must never lose data."""
+    import glob
+
+    keep: list[int] = []
+    stat_cols = [f"stat_{column}_count", f"stat_{column}_min", f"stat_{column}_max"]
+    for path in sorted(glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        t = pf.read(columns=["partition_id"] + [c for c in stat_cols if c in names])
+        pid = t.column("partition_id")[0].as_py()
+        if not all(c in names for c in stat_cols):
+            keep.append(pid)
+            continue
+        cnt = t.column(stat_cols[0])[0].as_py()
+        mn = t.column(stat_cols[1])[0].as_py()
+        mx = t.column(stat_cols[2])[0].as_py()
+        if not cnt or mn is None:
+            keep.append(pid)
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(pid)
+    return keep
+
+
 def read_encoded_range(
-    out_dir: str, column: str, lo=None, hi=None, **kw
+    out_dir: str, column: str, lo=None, hi=None, pruning: str = "manifest", **kw
 ) -> rd.Dataset:
-    """Value-range read: manifest zone-map pruning skips partitions whose
-    [min, max] cannot intersect [lo, hi] (no file is even opened), then a
-    vectorized residual filter drops the stragglers inside surviving
-    partitions — the spatial-filtered read_raquet(geometry) shape
-    (/root/reference/src/raquet_extension.cpp:49-81) over value ranges."""
-    pids = mf.prune_partitions(out_dir, column, lo, hi)
+    """Value-range read: zone-map pruning skips partitions whose [min, max]
+    cannot intersect [lo, hi] (no blob is even decoded), then a vectorized
+    residual filter drops the stragglers inside surviving partitions — the
+    spatial-filtered read_raquet(geometry) shape
+    (/root/reference/src/raquet_extension.cpp:49-81) over value ranges.
+    ``pruning="manifest"`` decides from manifest stats alone (no file
+    opened); ``"parquet"`` uses the in-file stat columns (manifest-less)."""
+    if pruning == "parquet":
+        pids = prune_partitions_parquet(out_dir, column, lo, hi)
+    else:
+        pids = mf.prune_partitions(out_dir, column, lo, hi)
     ds = read_encoded(out_dir, partition_ids=pids, **kw)
 
     def residual(batch: pa.Table) -> pa.Table:

@@ -36,13 +36,38 @@ from .. import planner
 ENCODED_FIXED_COLS = ("partition_id", "n_rows", "codec_meta")
 
 
-def encoded_schema(column_names: list[str]) -> pa.Schema:
+def _stat_col_names(schema: pa.Schema) -> list[str]:
+    """Columns that get stat_<name>_{count,min,max} companions: integer
+    and list<integer> source columns (mirrors column_stats coverage)."""
+    out = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            t = t.value_type
+        if pa.types.is_integer(t):
+            out.append(f.name)
+    return out
+
+
+def encoded_schema(schema_or_names: pa.Schema | list[str]) -> pa.Schema:
     fields = [
         pa.field("partition_id", pa.uint64()),
         pa.field("n_rows", pa.int64()),
         pa.field("codec_meta", pa.string()),
     ]
-    fields += [pa.field(f"col_{c}", pa.binary()) for c in column_names]
+    if isinstance(schema_or_names, pa.Schema):
+        names = schema_or_names.names
+        stat_names = _stat_col_names(schema_or_names)
+    else:
+        names = list(schema_or_names)
+        stat_names = []
+    fields += [pa.field(f"col_{c}", pa.binary()) for c in names]
+    for c in stat_names:
+        fields += [
+            pa.field(f"stat_{c}_count", pa.int64()),
+            pa.field(f"stat_{c}_min", pa.int64()),
+            pa.field(f"stat_{c}_max", pa.int64()),
+        ]
     return pa.schema(fields)
 
 
@@ -131,6 +156,7 @@ def encode_table(
         _collect_fsst_hashes(desc, fsst_hashes)
     # NOTE: no sort_keys — key order IS the column order on decode
     meta_json = json.dumps(descs)
+    stats = column_stats(table)
     cols: dict[str, pa.Array] = {
         "partition_id": pa.array([pid], type=pa.uint64()),
         "n_rows": pa.array([table.num_rows], type=pa.int64()),
@@ -138,6 +164,15 @@ def encode_table(
     }
     for name, blob in blobs.items():
         cols[f"col_{name}"] = pa.array([blob], type=pa.binary())
+    # per-column stats as REAL Parquet columns (one row per partition), the
+    # reference's band_N_* stats columns (read_raster.cpp:1079-1090): any
+    # plain Parquet engine gets zone-map pruning and the summary-stats
+    # passthrough without our manifest
+    for name in _stat_col_names(table.schema):
+        s = stats.get(name, {})
+        cols[f"stat_{name}_count"] = pa.array([s.get("count", 0)], type=pa.int64())
+        cols[f"stat_{name}_min"] = pa.array([s.get("min")], type=pa.int64())
+        cols[f"stat_{name}_max"] = pa.array([s.get("max")], type=pa.int64())
     encoded = pa.table(cols)
 
     checksum = hashlib.sha256()
@@ -152,7 +187,7 @@ def encode_table(
         "input_bytes": table.nbytes,
         "encoded_bytes": sum(len(b) for b in blobs.values()) + len(meta_json),
         "checksum": "sha256:" + checksum.hexdigest(),
-        "stats": column_stats(table),
+        "stats": stats,
         "status": "done",
     }
     if fsst_hashes:
@@ -186,7 +221,7 @@ def encode_batch(batch: pa.Table, key_column: str | None = None) -> pa.Table:
     file-writing job (pipelines/encode.py) when exact lineage/resume is
     required."""
     if batch.num_rows == 0:
-        return encoded_schema(batch.column_names).empty_table()
+        return encoded_schema(batch.schema).empty_table()
     key_col = key_column or batch.column_names[0]
     first = str(batch.column(key_col)[0].as_py())
     h = hashlib.sha256(f"{first}:{batch.num_rows}".encode()).digest()

@@ -195,6 +195,27 @@ class TestAnn:
         i2 = ann.IvfIndex.train(emb_ds, n_centroids=8)
         np.testing.assert_array_equal(i1.centroids, i2.centroids)
 
+    def test_persisted_index_prunes_and_full_probe_is_exact(
+        self, ray_session, emb_ds, tmp_path
+    ):
+        import os
+
+        idx_dir = str(tmp_path / "ivf")
+        ann.build_ivf_index(emb_ds, idx_dir, n_centroids=8)
+        # hive layout on disk: one directory per non-empty bucket + centroids
+        buckets = [d for d in os.listdir(idx_dir) if d.startswith("ivf_bucket=")]
+        assert len(buckets) >= 2
+        assert os.path.exists(os.path.join(idx_dir, "centroids.json"))
+        rows = emb_ds.take_all()
+        q = np.asarray(rows[3]["embedding"], dtype=np.float64)
+        exact = ann.brute_force_topk(emb_ds, q, k=10).column("vec_id").to_pylist()
+        # full probe == exact (the oracle-checked configuration)
+        full = ann.ivf_topk_indexed(idx_dir, q, k=10, n_probe=8).column("vec_id").to_pylist()
+        assert full == exact
+        # partial probe: reads fewer partitions, still decent recall
+        part = ann.ivf_topk_indexed(idx_dir, q, k=10, n_probe=4).column("vec_id").to_pylist()
+        assert len(set(part) & set(exact)) >= 6
+
 
 class TestMultimodal:
     def test_stub_raises_without_fake(self):

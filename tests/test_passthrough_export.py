@@ -57,6 +57,51 @@ class TestStatsPassthrough:
             assert {"count", "min", "max", "sum"} <= set(s)
 
 
+class TestStatColumns:
+    """stat_<col>_{count,min,max} live as REAL Parquet columns in every
+    encoded partition file (reference read_raster.cpp:1079-1090), so plain
+    Parquet engines get zone maps without our manifest."""
+
+    def test_external_engine_reads_stats(self, encoded):
+        import duckdb
+
+        paths, out = encoded
+        got = duckdb.connect().execute(
+            "SELECT sum(stat_n_tok_count), min(stat_n_tok_min), max(stat_n_tok_max) "
+            f"FROM read_parquet('{out}/part-*.parquet')"
+        ).fetchone()
+        import pyarrow as pa
+
+        all_ntok = pa.concat_tables(
+            [pq.read_table(p, columns=["n_tok"]) for p in paths]
+        ).column("n_tok")
+        assert got[0] == len(all_ntok)
+        assert got[1] == pc.min(all_ntok).as_py()
+        assert got[2] == pc.max(all_ntok).as_py()
+
+    def test_parquet_pruning_matches_manifest(self, encoded):
+        _, out = encoded
+        lo, hi = 100, 260
+        assert decode.prune_partitions_parquet(out, "n_tok", lo, hi) == mf.prune_partitions(
+            out, "n_tok", lo, hi
+        )
+
+    def test_range_read_served_by_parquet_stats(self, encoded):
+        paths, out = encoded
+        lo, hi = 100, 260
+        got = (
+            decode.read_encoded_range(out, "n_tok", lo, hi, pruning="parquet")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        raw = pd.concat([pq.read_table(p).to_pandas() for p in paths])
+        want = raw[(raw.n_tok >= lo) & (raw.n_tok <= hi)].sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 class TestExport:
     def test_export_roundtrip(self, encoded, tmp_path):
         paths, out = encoded
