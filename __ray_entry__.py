@@ -163,6 +163,14 @@ def _q_pruned_read(sf_dir: str):
     return _token_stats_view(decode.read_encoded_for_shard(_ensure_encoded(), 0))
 
 
+def _q_source_read(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import decode
+
+    # the grouped layout's read-side payoff: only source='web' partitions
+    # are opened (partition-id pruning on the group key)
+    return _token_stats_view(decode.read_encoded_source(_ensure_encoded_grouped(), "web"))
+
+
 def _q_clip(sf_dir: str):
     from duckdb_raquet_ray.pipelines import transforms as tr
 
@@ -540,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_stats": _q_roundtrip,
         "roundtrip_grouped_stats": _q_roundtrip_grouped,
+        "grouped_source_read": _q_source_read,
         "pruned_read_shard0": _q_pruned_read,
         "clip_tokens_sum": _q_clip,
         "mask_range_sum": _q_mask_range,
@@ -594,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_stats": stats_sql,
         "roundtrip_grouped_stats": stats_sql,
+        "grouped_source_read": stats_sql + " WHERE source = 'web'",
         "pruned_read_shard0": (
             stats_sql + f" WHERE CAST(right(doc_id, 12) AS BIGINT) < {ROWS_PER_SHARD}"
         ),

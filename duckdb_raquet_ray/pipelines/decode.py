@@ -214,6 +214,28 @@ def read_encoded_range(
     return ds.map_batches(residual, batch_format="pyarrow")
 
 
+def read_encoded_source(out_dir: str, source: str, **kw) -> rd.Dataset:
+    """Source-pruned read over a GROUPED encode: partition ids are
+    pack_grouped(source, salt), so one source's rows live in exactly its
+    salted partitions — the read opens only those files (partition-id
+    pruning on the group key, the reference's block-key filtered read
+    re-keyed on source). This is the read-side payoff of the grouped
+    layout: a domain-filtered scan (e.g. "train on source='code' only")
+    reads |source| bytes, not |corpus| bytes; a lineage encode must open
+    every partition for the same query."""
+    meta = mf.load_metadata(out_dir)
+    salt_map = meta.get("salt_map")
+    if not salt_map:
+        raise ValueError(f"{out_dir} is not a grouped-mode encode (no salt_map)")
+    have = set(meta["partition_ids"])
+    pids = [
+        pid
+        for s in range(int(salt_map.get(source, 0)))
+        if (pid := pk.pack_grouped(source, s)) in have
+    ]
+    return read_encoded(out_dir, partition_ids=pids, **kw)
+
+
 def read_encoded_for_shard(out_dir: str, shard_idx: int, **kw) -> rd.Dataset:
     """Range-predicate pruning on the lineage key: all partitions of one
     input shard (the block BETWEEN analogue)."""

@@ -44,6 +44,22 @@ def _zipf_probs(k: int = len(SOURCES), a: float = ZIPF_A) -> np.ndarray:
     return w / w.sum()
 
 
+def _source_bands(vocab: int) -> tuple[np.ndarray, int]:
+    """Per-source vocab band starts + width for the source-coherent mode."""
+    band = vocab // len(SOURCES)
+    starts = (np.arange(len(SOURCES)) * band).astype(np.int32)
+    return starts, band
+
+
+def _source_alphabet(seed: int, src_idx: int, vocab: int) -> np.ndarray:
+    """64-symbol dictionary alphabet of ONE source, shared across shards —
+    a pure function of (seed, source), so grouped-by-source partitions see
+    one coherent alphabet no matter which shards fed them."""
+    starts, band = _source_bands(vocab)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 1_000_000 + src_idx]))
+    return (starts[src_idx] + rng.choice(band, size=64, replace=False)).astype(np.int32)
+
+
 def generate_shard(
     shard: int,
     rows: int,
@@ -52,8 +68,17 @@ def generate_shard(
     vocab: int = VOCAB,
     row_offset: int = 0,
     skew_head: float | None = None,
+    source_coherent: bool = False,
 ) -> pa.Table:
-    """One shard as an Arrow table; pure function of (seed, shard)."""
+    """One shard as an Arrow table; pure function of (seed, shard[, mode]).
+
+    ``source_coherent=True`` is the F5 variant: every token class draws
+    from the row's SOURCE-specific vocab band (and the dict alphabet is a
+    function of the source, not the shard) — the realistic regime where
+    domains have distinct token distributions, so grouping by source
+    before encoding genuinely narrows the per-partition value structure.
+    The default F1 mixture is deliberately source-INDEPENDENT (per-row /
+    per-shard structure only), the adversarial case for grouped encode."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, shard]))
 
     n_tok = np.clip(rng.lognormal(5.5, 1.0, size=rows), 1, 8192).astype(np.int32)
@@ -62,9 +87,47 @@ def generate_shard(
     np.cumsum(n_tok, out=offsets[1:])
 
     cls = rng.choice(4, size=rows, p=[0.30, 0.30, 0.20, 0.20])
-    flat = rng.integers(0, vocab, size=total).astype(np.int32)
     row_of = np.repeat(np.arange(rows), n_tok)
     cls_of = cls[row_of]
+
+    if source_coherent:
+        # F5 path: sources drawn FIRST (values key on them). The default
+        # path below keeps the ORIGINAL rng draw order untouched so the
+        # committed F1 fixture stays bit-identical across versions.
+        if skew_head is None:
+            src_idx = rng.choice(len(SOURCES), size=rows, p=_zipf_probs())
+        else:
+            p = np.full(len(SOURCES), (1 - skew_head) / (len(SOURCES) - 1))
+            p[0] = skew_head
+            src_idx = rng.choice(len(SOURCES), size=rows, p=p)
+        sources = np.array(SOURCES)[src_idx]
+        starts, band = _source_bands(vocab)
+        row_base = starts[src_idx]
+        tok_base = row_base[row_of]
+        flat = tok_base + rng.integers(0, band, size=total).astype(np.int32)
+        m1 = cls_of == 1
+        if m1.any():
+            base = row_base + rng.integers(0, band - 256, size=rows).astype(np.int32)
+            flat[m1] = base[row_of[m1]] + rng.integers(0, 256, size=int(m1.sum())).astype(np.int32)
+        m2 = cls_of == 2
+        if m2.any():
+            k = int(m2.sum())
+            change = rng.random(k) < 0.125
+            row_ids = row_of[m2]
+            change[np.concatenate(([True], row_ids[1:] != row_ids[:-1]))] = True
+            seg = np.cumsum(change) - 1
+            seg_vals = rng.integers(0, band, size=int(seg[-1]) + 1 if k else 0).astype(np.int32)
+            flat[m2] = tok_base[m2] + seg_vals[seg]
+        m3 = cls_of == 3
+        if m3.any():
+            alphabets = np.stack(
+                [_source_alphabet(seed, i, vocab) for i in range(len(SOURCES))]
+            )
+            picks = rng.integers(0, 64, size=int(m3.sum()))
+            flat[m3] = alphabets[src_idx[row_of[m3]], picks]
+        return _assemble(sources, flat, n_tok, offsets, rows, row_offset, total)
+
+    flat = rng.integers(0, vocab, size=total).astype(np.int32)
 
     # class 1: narrow band [base, base+256)
     m1 = cls_of == 1
@@ -99,6 +162,10 @@ def generate_shard(
         src_idx = rng.choice(len(SOURCES), size=rows, p=p)
     sources = np.array(SOURCES)[src_idx]
 
+    return _assemble(sources, flat, n_tok, offsets, rows, row_offset, total)
+
+
+def _assemble(sources, flat, n_tok, offsets, rows, row_offset, total) -> pa.Table:
     gids = row_offset + np.arange(rows)
     doc_id = pa.array([f"{s}/doc-{g:012d}" for s, g in zip(sources, gids)], type=pa.string())
 
@@ -122,11 +189,14 @@ def generate_shard(
 
 
 def _write_one_shard(args: tuple) -> str:
-    out_dir, k, n, seed, vocab, row_offset, skew_head, row_group_rows = args
+    out_dir, k, n, seed, vocab, row_offset, skew_head, row_group_rows, coherent = args
     path = os.path.join(out_dir, f"shard-{k:05d}.parquet")
     if os.path.exists(path):
         return path
-    table = generate_shard(k, n, seed=seed, vocab=vocab, row_offset=row_offset, skew_head=skew_head)
+    table = generate_shard(
+        k, n, seed=seed, vocab=vocab, row_offset=row_offset, skew_head=skew_head,
+        source_coherent=coherent,
+    )
     tmp = path + ".tmp"
     pq.write_table(table, tmp, row_group_size=row_group_rows)
     os.replace(tmp, path)
@@ -143,6 +213,7 @@ def write_corpus(
     skew_head: float | None = None,
     row_group_rows: int = 8192,
     processes: int = 1,
+    source_coherent: bool = False,
 ) -> list[str]:
     """Materialize a corpus as Parquet shards (idempotent: existing complete
     shards are kept — the generator is deterministic so re-use is safe).
@@ -154,7 +225,9 @@ def write_corpus(
     jobs = []
     for k in range(shards):
         n = per + (rows % shards if k == shards - 1 else 0)
-        jobs.append((out_dir, k, n, seed, vocab, k * per, skew_head, row_group_rows))
+        jobs.append(
+            (out_dir, k, n, seed, vocab, k * per, skew_head, row_group_rows, source_coherent)
+        )
     if processes > 1 and shards > 1:
         from concurrent.futures import ProcessPoolExecutor
 

@@ -7,6 +7,7 @@ import pytest
 
 from duckdb_raquet_ray.functions import partition_keys as pk
 from duckdb_raquet_ray.pipelines import decode as dec
+from duckdb_raquet_ray.pipelines import encode as enc_mod
 from duckdb_raquet_ray.pipelines import encode_grouped as eg
 from duckdb_raquet_ray.sources import tokens as tk
 from duckdb_raquet_ray.state import manifest as mf
@@ -30,6 +31,47 @@ def grouped_out(ray_session, skew_corpus, tmp_path_factory):
 
 
 class TestGroupedEncode:
+    def test_grouped_beats_lineage_on_source_coherent_corpus(
+        self, ray_session, tmp_path
+    ):
+        """The F5 regime grouped mode exists for: token distributions keyed
+        on source (real corpora: code vs prose vs legal). Grouping must buy
+        compression there. On the default F1 mixture the gain is ~0 BY
+        CONSTRUCTION (token structure is per-row/per-shard, independent of
+        source — and the per-row FOR codec extracts row structure without
+        any shuffle), which is measured and documented in BASELINE.md, not
+        asserted here."""
+        paths = tk.write_corpus(
+            str(tmp_path / "f5"), 24000, 4, source_coherent=True, row_group_rows=2048
+        )
+        out_l = str(tmp_path / "enc_l")
+        out_g = str(tmp_path / "enc_g")
+        ml = enc_mod.encode_job(paths, out_l, target_part_bytes=8 << 20)
+        mg = eg.encode_job_grouped(paths, out_g, target_group_rows=12000)
+        rl = ml["input_bytes"] / ml["encoded_bytes"]
+        rg = mg["input_bytes"] / mg["encoded_bytes"]
+        assert mg["num_rows"] == ml["num_rows"] == 24000
+        # deterministic data + deterministic codecs -> a stable inequality;
+        # the margin grows with group size (BASELINE.md: +2% at 100k-row
+        # groups, +3.5% per-partition at 31k rows)
+        assert rg > rl, (rl, rg)
+
+    def test_source_pruned_read(self, ray_session, grouped_out, skew_corpus):
+        """read_encoded_source opens ONLY the source's partitions and
+        returns exactly its rows — the grouped layout's read-side payoff."""
+        out, meta = grouped_out
+        got = dec.read_encoded_source(out, tk.SOURCES[0]).to_pandas()
+        original = pa.concat_tables(
+            [pq.read_table(p) for p in tk.corpus_paths(skew_corpus)]
+        ).to_pandas()
+        want = original[original.source == tk.SOURCES[0]]
+        assert sorted(got.doc_id) == sorted(want.doc_id)
+        # pruning was real: fewer partitions opened than exist
+        n_src = len(
+            [e for e in mf.load_entries(out).values() if e["group"]["source"] == tk.SOURCES[0]]
+        )
+        assert n_src < meta["num_partitions"]
+
     def test_skew_broken(self, grouped_out):
         """No encoder partition > 2x the median partition size."""
         out, meta = grouped_out
