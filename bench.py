@@ -153,7 +153,7 @@ def bench_corpus_phase(cpus: int) -> dict:
     grouped_out = "/tmp/raquet_bench_grouped_out"
     shutil.rmtree(grouped_out, ignore_errors=True)
     t0 = time.time()
-    encode_grouped.encode_job_grouped(paths, grouped_out, target_group_rows=100_000)
+    encode_grouped.encode_job_grouped(paths, grouped_out)  # default group sizing
     queries["encode_grouped"] = round(time.time() - t0, 3)
     from duckdb_raquet_ray.state import manifest as mf
 

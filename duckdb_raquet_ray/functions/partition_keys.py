@@ -72,6 +72,30 @@ def children(shard: int, n_parts: int) -> list[int]:
     return [pack(shard, p) for p in range(n_parts)]
 
 
+def sibling(pid: int, offset: int = 1) -> int | None:
+    """The partition `offset` steps away WITHIN the same shard — the
+    quadbin sibling navigation (quadbin.hpp:201-232) on lineage keys,
+    where adjacency means adjacent row ranges of the same input shard.
+    Returns None when the step leaves the shard's part-index space."""
+    shard, part = unpack(pid)
+    p = part + offset
+    if not (0 <= p <= MAX_PART):
+        return None
+    return pack(shard, p)
+
+
+def kring(pid: int, k: int = 1) -> list[int]:
+    """All partition ids within `k` steps of `pid` in the same shard,
+    including `pid` — the quadbin_kring analogue (quadbin.hpp:234-284).
+    On lineage keys the ring is the 1-D window of adjacent row-range
+    partitions (e.g. fetch surrounding context for a boundary record).
+    Ids past either end of the part-index space are clipped."""
+    shard, part = unpack(pid)
+    lo = max(0, part - k)
+    hi = min(MAX_PART, part + k)
+    return [pack(shard, p) for p in range(lo, hi + 1)]
+
+
 def source_hash(source: str) -> int:
     """Stable 43-bit hash of a source key (sha256-based; never Python's
     randomized hash())."""

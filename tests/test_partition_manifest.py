@@ -36,6 +36,16 @@ class TestPartitionKeys:
     def test_children(self):
         assert pk.children(3, 2) == [pk.pack(3, 0), pk.pack(3, 1)]
 
+    def test_sibling_and_kring(self):
+        pid = pk.pack(4, 10)
+        assert pk.sibling(pid) == pk.pack(4, 11)
+        assert pk.sibling(pid, -1) == pk.pack(4, 9)
+        assert pk.sibling(pk.pack(4, 0), -1) is None  # clipped at shard edge
+        assert pk.kring(pid, 2) == [pk.pack(4, p) for p in (8, 9, 10, 11, 12)]
+        assert pk.kring(pk.pack(4, 0), 1) == [pk.pack(4, 0), pk.pack(4, 1)]
+        # a kring never crosses into another shard
+        assert all(pk.unpack(p)[0] == 4 for p in pk.kring(pid, 3))
+
     def test_grouped_roundtrip(self):
         pid = pk.pack_grouped("web", 5)
         assert pk.is_grouped(pid)
