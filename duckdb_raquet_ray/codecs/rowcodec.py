@@ -113,38 +113,52 @@ def encode_child(
     lengths = np.diff(offsets).astype(np.int64)
     n = len(plane)
     rows = len(lengths)
-    view = plane.view(intcodec._SIGNED_OF_WIDTH[plane.dtype.itemsize]) if signed else plane
-    bases_v, _ = row_ranges(view, offsets)
+    pw = plane.dtype.itemsize
+    view = plane.view(intcodec._SIGNED_OF_WIDTH[pw]) if signed else plane
+    bases_v, ranges_v = row_ranges(view, offsets)
     bases = bases_v.view(plane.dtype) if signed else bases_v
-    # ranges must be computed on the UNSIGNED modular residual magnitude:
-    # (pattern - base_pattern) mod 2^(8w) — recompute from the plane
+    # per-row residual range == (max - min) mod 2^(8pw): reuse the ONE
+    # reduceat pass above (viewed unsigned — the modular diff IS the
+    # residual magnitude) instead of re-scanning the residual plane
+    ranges = ranges_v.view(plane.dtype) if signed else ranges_v
     bot = fill_rowwise(bases, offsets, scratch.arr("rc.bot", n, plane.dtype))
     resid = scratch.arr("rc.resid", n, plane.dtype)
     np.subtract(plane, bot, out=resid)
-    _, ranges = row_ranges(resid, offsets)
 
     codes = np.zeros(rows, dtype=np.uint8)
     codes[ranges > 0] = 1
-    if plane.dtype.itemsize > 1:
+    if pw > 1:
         codes[ranges > 0xFF] = 2
-    if plane.dtype.itemsize > 2:
+    if pw > 2:
         codes[ranges > 0xFFFF] = 3
-    if plane.dtype.itemsize > 4:
+    if pw > 4:
         codes[ranges > 0xFFFFFFFF] = 4
 
-    wtok = fill_rowwise(codes, offsets, scratch.arr("rc.wtok", n, np.uint8))
-    mask = scratch.arr("rc.mask", n, bool)
+    # per-code token counts from a rows-sized bincount — the expanded wtok
+    # plane and per-bucket equality masks are built only when more than
+    # one bucket actually exists (the common single-bucket partition skips
+    # three full passes over the child)
+    cnt_by_code = np.bincount(codes, weights=lengths, minlength=5).astype(np.int64)
+    present = [c for c in (1, 2, 3, 4) if cnt_by_code[c] > 0]
+    need_masks = len(present) > 1 or (present and cnt_by_code[1:].sum() < n)
+    if need_masks:
+        wtok = fill_rowwise(codes, offsets, scratch.arr("rc.wtok", n, np.uint8))
+        mask = scratch.arr("rc.mask", n, bool)
     sections: list[bytes] = []
     buckets: list[dict] = []
-    for code in (1, 2, 3, 4):
-        np.equal(wtok, code, out=mask)
-        cnt = int(np.count_nonzero(mask))
-        if cnt == 0:
-            continue
+    for code in present:
+        cnt = int(cnt_by_code[code])
         w = _WIDTH_OF_CODE[code]
-        sub = np.compress(mask, resid, out=scratch.arr("rc.gather", cnt, resid.dtype))
+        # gather straight from the LOW-ORDER byte lane of the residuals:
+        # the strided view reads w of every pw bytes, so the narrow cast
+        # is fused into the gather (values < 2^(8w) make it exact)
+        lane = resid.view(_NP_OF_WIDTH[w])[:: pw // w]
         narrow = scratch.arr("rc.narrow", cnt, _NP_OF_WIDTH[w])
-        np.copyto(narrow, sub, casting="unsafe")  # values < 2^(8w): exact
+        if need_masks:
+            np.equal(wtok, code, out=mask)
+            np.compress(mask, lane, out=narrow)
+        else:
+            np.copyto(narrow, lane)  # one bucket covers every token
         blob, bdesc = _encode_bucket(narrow)
         sections.append(blob)
         buckets.append({"code": code, "plane": bdesc})
@@ -183,16 +197,24 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
     lengths = np.asarray(lengths, dtype=np.int64)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    wtok = fill_rowwise(codes, offsets, scratch.arr("rc.dwtok", n, np.uint8))
     out = np.empty(n, dtype=dt)  # the returned plane — never scratch
-    out[:] = 0
-    mask = scratch.arr("rc.dmask", n, bool)
-    for i, b in enumerate(desc["buckets"]):
-        size = secs[2 + i]
-        sub = intcodec.decode_plane(blob[off : off + size], b["plane"])
-        off += size
-        np.equal(wtok, b["code"], out=mask)
-        out[mask] = sub  # setitem upcasts narrow unsigned in place
+    bks = desc["buckets"]
+    if len(bks) == 1 and bks[0]["plane"]["n"] == n:
+        # single bucket covering every token: no expanded code plane, no
+        # scatter mask — one widening copy
+        sub = intcodec.decode_plane(blob[off : off + secs[2]], bks[0]["plane"])
+        off += secs[2]
+        np.copyto(out, sub, casting="unsafe")
+    else:
+        wtok = fill_rowwise(codes, offsets, scratch.arr("rc.dwtok", n, np.uint8))
+        out[:] = 0
+        mask = scratch.arr("rc.dmask", n, bool)
+        for i, b in enumerate(bks):
+            size = secs[2 + i]
+            sub = intcodec.decode_plane(blob[off : off + size], b["plane"])
+            off += size
+            np.equal(wtok, b["code"], out=mask)
+            out[mask] = sub  # setitem upcasts narrow unsigned in place
     bot = fill_rowwise(bases, offsets, scratch.arr("rc.dbot", n, dt))
     np.add(out, bot, out=out)
     return out
