@@ -111,7 +111,7 @@ def bench_corpus_phase(cpus: int) -> dict:
 
     import ray.data as rd
 
-    from duckdb_raquet_ray.pipelines import decode, encode_grouped
+    from duckdb_raquet_ray.pipelines import decode
     from duckdb_raquet_ray.pipelines import transforms as tr
     from duckdb_raquet_ray.stages import stats as st
 
@@ -150,19 +150,6 @@ def bench_corpus_phase(cpus: int) -> dict:
     ).to_pandas()
     queries["pruned_decode_stats"] = round(time.time() - t0, 3)
 
-    grouped_out = "/tmp/raquet_bench_grouped_out"
-    shutil.rmtree(grouped_out, ignore_errors=True)
-    t0 = time.time()
-    encode_grouped.encode_job_grouped(paths, grouped_out)  # default group sizing
-    queries["encode_grouped"] = round(time.time() - t0, 3)
-    from duckdb_raquet_ray.state import manifest as mf
-
-    gmeta = mf.load_metadata(grouped_out)
-    extra["encode_grouped"] = {
-        "ratio": round(gmeta["input_bytes"] / gmeta["encoded_bytes"], 4),
-        "partitions": gmeta["num_partitions"],
-    }
-
     t0 = time.time()
     st.grouped_stats(rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok").to_pandas()
     queries["grouped_stats"] = round(time.time() - t0, 3)
@@ -174,6 +161,37 @@ def bench_corpus_phase(cpus: int) -> dict:
         batch_size=4096,
     ).count()
     queries["clip_tokens"] = round(time.time() - t0, 3)
+    return {"queries": queries, "extra": extra}
+
+
+def bench_grouped_phase(cpus: int) -> dict:
+    """The grouped (salted-shuffle) encode in its OWN Ray session: a long
+    session's accumulated workers/object-store state was measured to
+    inflate this wide operation ~4x (64 s late-session vs 16 s fresh)."""
+    import shutil as sh
+    import time as t
+
+    from duckdb_raquet_ray.pipelines import encode_grouped
+    from duckdb_raquet_ray.state import manifest as mf
+
+    paths = ensure_corpus()
+    queries: dict[str, float] = {}
+    grouped_out = "/tmp/raquet_bench_grouped_out"
+    best = None
+    for _ in range(2):  # best-of-2, same policy as run_encode
+        sh.rmtree(grouped_out, ignore_errors=True)
+        t0 = t.time()
+        encode_grouped.encode_job_grouped(paths, grouped_out)  # default sizing
+        dt = t.time() - t0
+        best = dt if best is None else min(best, dt)
+    queries["encode_grouped"] = round(best, 3)
+    gmeta = mf.load_metadata(grouped_out)
+    extra = {
+        "encode_grouped": {
+            "ratio": round(gmeta["input_bytes"] / gmeta["encoded_bytes"], 4),
+            "partitions": gmeta["num_partitions"],
+        }
+    }
     return {"queries": queries, "extra": extra}
 
 
@@ -269,6 +287,16 @@ def main() -> None:
     if args.encode_only:
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
         try:
+            from duckdb_raquet_ray.pipelines import encode as _enc
+
+            # full-density slots for the scaling comparison: the half-density
+            # default (ENCODER_NUM_CPUS=2) exists to stop a 32-vCPU box from
+            # oversubscribing its saturated DRAM; the N->4N NODE proxy
+            # compares small, unsaturated levels (2 and 8 cpus), where one
+            # encoder per core is the faithful per-node sizing — and the
+            # config must be IDENTICAL across levels for the ratio to mean
+            # anything
+            _enc.ENCODER_NUM_CPUS = 1
             paths = ensure_corpus()
             enc_stats = run_encode(
                 paths, f"/tmp/raquet_bench_out_c{args.cpus}", args.cpus,
@@ -286,7 +314,7 @@ def main() -> None:
     # and object-store state that distort later timings
     queries: dict = {}
     extra: dict = {}
-    for phase in (bench_corpus_phase, bench_tables_phase):
+    for phase in (bench_corpus_phase, bench_grouped_phase, bench_tables_phase):
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
         try:
             res = phase(args.cpus)

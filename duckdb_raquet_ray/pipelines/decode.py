@@ -43,6 +43,7 @@ from .. import blockcodec as bc
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
 from ..util import default_concurrency
+from ..state import fsio
 from ..state import manifest as mf
 from .encode import plan_partitions
 
@@ -270,9 +271,7 @@ def export_job(out_dir: str, dest_dir: str, *, columns: list[str] | None = None)
             if not os.path.exists(dest):
                 t = pq.read_table(path, columns=_read_projection(columns), use_threads=False)
                 decoded = enc.decode_rows(t, columns)
-                tmp = dest + f".tmp-{os.getpid()}"
-                pq.write_table(decoded, tmp)
-                os.replace(tmp, dest)
+                fsio.publish_table(decoded, dest)
             done.append({"file": name})
         return pa.Table.from_pylist(done, schema=pa.schema([("file", pa.string())]))
 

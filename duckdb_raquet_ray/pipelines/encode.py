@@ -42,6 +42,7 @@ import ray.data as rd
 from ..functions import partition_keys as pk
 from ..util import default_concurrency
 from ..stages import encoder as enc
+from ..state import fsio
 from ..state import manifest as mf
 
 DEFAULT_PART_BYTES = 64 * 1024 * 1024  # decoded bytes per partition
@@ -154,9 +155,9 @@ class PartitionEncoder:
             )
             if self.out_dir:
                 path = os.path.join(self.out_dir, pk.part_file_name(pid))
-                tmp = path + f".tmp-{os.getpid()}"
-                pq.write_table(encoded, tmp, compression="none")  # blobs are already compressed
-                os.replace(tmp, path)
+                # absent-or-complete publish (local rename / object-store
+                # atomic upload — state/fsio.py); blobs are already compressed
+                fsio.publish_table(encoded, path, compression="none")
             entries.append({"entry_json": json.dumps(entry)})
         return pa.Table.from_pylist(entries, schema=pa.schema([("entry_json", pa.string())]))
 

@@ -38,6 +38,7 @@ import ray.data as rd
 
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
+from ..state import fsio
 from ..state import manifest as mf
 
 # ~25k rows ≈ 40 MB decoded per group: measured 7x faster end-to-end than
@@ -194,9 +195,7 @@ def encode_job_grouped(
         )
         entry["group"] = {"source": source, "salt": salt, "n_buckets": salt_map.get(source, 1)}
         path = os.path.join(out_dir, pk.part_file_name(pid))
-        tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(encoded, tmp, compression="none")
-        os.replace(tmp, path)
+        fsio.publish_table(encoded, path, compression="none")
         return pa.Table.from_pylist([{"entry_json": json.dumps(entry)}], schema=_ENTRY_SCHEMA)
 
     salted = ds.map_batches(

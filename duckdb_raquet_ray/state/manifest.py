@@ -199,9 +199,43 @@ def done_partition_ids(out_dir: str) -> set[int]:
 
 def load_metadata(out_dir: str) -> dict:
     """Read the finalized manifest.json (read_raquet_metadata analogue,
-    /root/reference/src/raquet_extension.cpp:89-100)."""
+    /root/reference/src/raquet_extension.cpp:89-100), migrated in memory
+    to the current dialect."""
     with open(os.path.join(out_dir, MANIFEST_JSON), encoding="utf-8") as fh:
-        return json.load(fh)
+        return migrate_metadata(json.load(fh))
+
+
+def migrate_metadata(meta: dict) -> dict:
+    """Version-dispatch for the manifest dialect — the reference parses
+    three metadata generations from one reader
+    (/root/reference/src/include/raquet_metadata.hpp:1016-1072 version
+    sniffing); ours mirrors the policy:
+
+      same MAJOR.MINOR        -> read as-is
+      older minor (0.0.x)     -> migrated in memory: the r1 pre-release
+                                 journals lacked `schema_ipc` (readers
+                                 already fall back) and named the schema
+                                 field `schema`; normalize both
+      newer minor, same major -> forward-compatible read (unknown keys
+                                 ignored by construction) with the
+                                 version preserved so re-finalize keeps it
+      different major         -> refuse loudly (codec bytes may differ)
+    """
+    ver = str(meta.get("format_version", "0.0.0"))
+    parts = ver.split(".")
+    major = int(parts[0]) if parts[0].isdigit() else 0
+    cur_major = int(FORMAT_VERSION.split(".")[0])
+    if major != cur_major:
+        raise ValueError(
+            f"manifest format_version {ver!r} has a different major version "
+            f"than this engine ({FORMAT_VERSION}): re-encode or use a "
+            "matching engine build"
+        )
+    if ver.startswith("0.0."):
+        meta = dict(meta)
+        meta.setdefault("schema", meta.pop("schema_str", ""))
+        meta["format_version"] = ver  # preserved: migration is in-memory only
+    return meta
 
 
 def stats_passthrough(out_dir: str) -> list[dict]:

@@ -85,6 +85,33 @@ GOLDEN_ENTRY = {
 }
 
 
+class TestMetadataDialects:
+    """Version-dispatch policy (the reference reads three metadata
+    generations through one parser; raquet_metadata.hpp:1016-1072)."""
+
+    def test_current_version_passes_through(self):
+        meta = {"format_version": mf.FORMAT_VERSION, "schema": "s", "num_rows": 1}
+        assert mf.migrate_metadata(meta) == meta
+
+    def test_legacy_minor_migrated_in_memory(self):
+        legacy = {"format_version": "0.0.9", "schema_str": "old", "num_rows": 1}
+        out = mf.migrate_metadata(legacy)
+        assert out["schema"] == "old"
+        assert out["format_version"] == "0.0.9"  # migration never rewrites
+        assert legacy["format_version"] == "0.0.9"
+
+    def test_newer_minor_forward_compatible(self):
+        newer = {"format_version": "0.9.0", "schema": "s", "novel_key": 42}
+        out = mf.migrate_metadata(newer)
+        assert out["novel_key"] == 42
+
+    def test_future_major_refused(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="major version"):
+            mf.migrate_metadata({"format_version": "1.0.0"})
+
+
 class TestManifest:
     def test_append_and_load(self, tmp_path):
         w = mf.ManifestWriter(str(tmp_path))
