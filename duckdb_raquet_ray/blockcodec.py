@@ -425,7 +425,9 @@ def decode_string(blob: bytes, desc: dict) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def _encode_child_for_rows(child: pa.Array, lengths: np.ndarray) -> tuple[bytes, dict]:
+def _encode_child_for_rows(
+    child: pa.Array, lengths: np.ndarray, try_dict: bool = True
+) -> tuple[bytes, dict]:
     """Child encoding with per-row structure (codecs/rowcodec.py). Only
     valid inside a list blob: decode needs the row lengths the list codec
     stores, so the descriptor kind is ``row_child`` and only
@@ -437,7 +439,7 @@ def _encode_child_for_rows(child: pa.Array, lengths: np.ndarray) -> tuple[bytes,
     plane, signed = to_plane(vals)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    secs, rdesc = rowcodec.encode_child(plane, offsets, signed)
+    secs, rdesc = rowcodec.encode_child(plane, offsets, signed, try_dict=try_dict)
     desc = {
         "kind": "row_child",
         "type": type_to_str(child.type),
@@ -458,7 +460,9 @@ def encode_list(arr: pa.Array, child_choice: dict) -> tuple[bytes, dict]:
     child = arr.flatten()  # skips null slots' ranges
     len_blob, len_desc = _encode_lengths(lengths)
     if child_choice.get("codec") == "for_rows" and child.null_count == 0:
-        child_blob, child_desc = _encode_child_for_rows(child, lengths)
+        child_blob, child_desc = _encode_child_for_rows(
+            child, lengths, try_dict=child_choice.get("dict", True)
+        )
     else:
         child_blob, child_desc = encode_array(child, child_choice)
     field = arr.type.value_field

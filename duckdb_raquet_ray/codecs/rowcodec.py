@@ -39,6 +39,18 @@ _WIDTH_OF_CODE = {1: 1, 2: 2, 3: 4, 4: 8}
 _CODE_OF_WIDTH = {1: 1, 2: 2, 4: 3, 8: 4}
 _NP_OF_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 
+# row code 5: partition-global dictionary bucket. Per-row FOR DESTROYS
+# shared-alphabet structure — rows drawing from one partition-wide alphabet
+# get shifted by their own bases, so identical alphabets land on different
+# residuals and zstd can't align them. Rows whose values all fall in a
+# small set of partition-hot values are coded as dictionary INDICES against
+# one shared table instead (the reference's per-overview shared-transformer
+# reuse, read_raster.cpp:273-286, as a value dictionary).
+DICT_CODE = 5
+_DICT_MAX_PLANE = 1 << 20  # bincount/LUT domain bound (token ids are ~50k)
+_DICT_MAX_CARD = 4096
+_DICT_HOT_FACTOR = 32.0  # hot = count >= 32x the mean distinct-value count
+
 
 def row_ranges(plane: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row (base bit pattern, modular range) in one reduceat pass.
@@ -99,10 +111,57 @@ def _encode_bucket(narrow: np.ndarray) -> tuple[bytes, dict]:
     }
 
 
+def _detect_dict(plane, bases, ranges, codes, offsets, n, rows, pw):
+    """Find a partition-global hot-value table and re-class rows fully
+    covered by it (and wider than its code width) to DICT_CODE, mutating
+    ``codes`` in place. Returns (sorted hot values | None, code byte width).
+
+    Hot = value count >= 32x the mean distinct-value count: a shared
+    alphabet's members appear orders of magnitude more often than the
+    background (uniform/band values), so the threshold is scale-free and
+    deterministic. Domain-bounded to 2^20 bit patterns (token ids) so the
+    bincount/LUT stay a few MB; signed-negative planes fall outside the
+    bound and skip."""
+    if n == 0 or rows == 0 or pw > 4:
+        return None, 0
+    gmax = int(np.max(bases.astype(np.uint64) + ranges.astype(np.uint64))) if rows else 0
+    if gmax >= _DICT_MAX_PLANE:
+        return None, 0
+    p64 = scratch.arr("rc.p64", n, np.int64)
+    np.copyto(p64, plane, casting="unsafe")
+    counts = np.bincount(p64, minlength=gmax + 1)
+    distinct = int((counts > 0).sum())
+    mean_c = n / max(distinct, 1)
+    hot = np.flatnonzero(counts >= max(_DICT_HOT_FACTOR * mean_c, 16.0))
+    if not (2 <= len(hot) <= _DICT_MAX_CARD):
+        return None, 0
+    code_w = 1 if len(hot) <= 256 else 2
+    lut = np.zeros(gmax + 1, dtype=bool)
+    lut[hot] = True
+    flags = scratch.arr("rc.dflag", n, bool)
+    np.take(lut, p64, out=flags)
+    lengths = np.diff(offsets)
+    ne = lengths > 0
+    covered = np.zeros(rows, dtype=bool)
+    if ne.any():
+        covered[ne] = np.minimum.reduceat(flags, offsets[:-1][ne])
+    w_bytes = np.array([0, 1, 2, 4, 8, 0], dtype=np.int64)[codes]
+    eligible = covered & (w_bytes > code_w)
+    if not eligible.any():
+        return None, 0
+    codes[eligible] = DICT_CODE
+    return hot, code_w
+
+
 def encode_child(
-    plane: np.ndarray, offsets: np.ndarray, signed: bool
+    plane: np.ndarray, offsets: np.ndarray, signed: bool, try_dict: bool = True
 ) -> tuple[list[bytes], dict]:
     """Encode a list child plane with per-row FOR + width buckets.
+
+    ``try_dict=False`` skips the global-dictionary detection passes —
+    the planner sets it from its trial encode (a sample that found no
+    dict bucket predicts the full partition won't either), so dict-less
+    data never pays the detection's extra plane scans.
 
     ``signed`` orders the per-row min/max on the logical values (the same
     rule as :func:`intcodec.for_minmax`); residual arithmetic is modular
@@ -121,9 +180,6 @@ def encode_child(
     # reduceat pass above (viewed unsigned — the modular diff IS the
     # residual magnitude) instead of re-scanning the residual plane
     ranges = ranges_v.view(plane.dtype) if signed else ranges_v
-    bot = fill_rowwise(bases, offsets, scratch.arr("rc.bot", n, plane.dtype))
-    resid = scratch.arr("rc.resid", n, plane.dtype)
-    np.subtract(plane, bot, out=resid)
 
     codes = np.zeros(rows, dtype=np.uint8)
     codes[ranges > 0] = 1
@@ -134,12 +190,29 @@ def encode_child(
     if pw > 4:
         codes[ranges > 0xFFFFFFFF] = 4
 
+    hot, code_w = (
+        _detect_dict(plane, bases, ranges, codes, offsets, n, rows, pw)
+        if try_dict
+        else (None, 0)
+    )
+    if hot is not None:
+        # dict rows carry ABSOLUTE values (indices into the shared table);
+        # zero their bases BEFORE the residual pass so decode's base add
+        # is a no-op for them
+        bases = bases.copy()
+        bases[codes == DICT_CODE] = 0
+
+    # residual pass AFTER dict detection: dict rows must keep absolute values
+    bot = fill_rowwise(bases, offsets, scratch.arr("rc.bot", n, plane.dtype))
+    resid = scratch.arr("rc.resid", n, plane.dtype)
+    np.subtract(plane, bot, out=resid)
+
     # per-code token counts from a rows-sized bincount — the expanded wtok
     # plane and per-bucket equality masks are built only when more than
     # one bucket actually exists (the common single-bucket partition skips
     # three full passes over the child)
-    cnt_by_code = np.bincount(codes, weights=lengths, minlength=5).astype(np.int64)
-    present = [c for c in (1, 2, 3, 4) if cnt_by_code[c] > 0]
+    cnt_by_code = np.bincount(codes, weights=lengths, minlength=6).astype(np.int64)
+    present = [c for c in (1, 2, 3, 4, DICT_CODE) if cnt_by_code[c] > 0]
     need_masks = len(present) > 1 or (present and cnt_by_code[1:].sum() < n)
     if need_masks:
         wtok = fill_rowwise(codes, offsets, scratch.arr("rc.wtok", n, np.uint8))
@@ -148,6 +221,30 @@ def encode_child(
     buckets: list[dict] = []
     for code in present:
         cnt = int(cnt_by_code[code])
+        if code == DICT_CODE:
+            # gather ABSOLUTE values, map to table ranks via a LUT, code
+            # the ranks; the table itself (sorted ascending -> tiny FOR
+            # deltas) rides in the same section before the ranks
+            gathered = scratch.arr("rc.gdict", cnt, plane.dtype)
+            if need_masks:
+                np.equal(wtok, DICT_CODE, out=mask)
+                np.compress(mask, plane, out=gathered)
+            else:
+                np.copyto(gathered, plane)
+            rank_lut = np.zeros(int(hot[-1]) + 1, dtype=_NP_OF_WIDTH[code_w])
+            rank_lut[hot] = np.arange(len(hot), dtype=rank_lut.dtype)
+            ranks = scratch.arr("rc.ranks", cnt, _NP_OF_WIDTH[code_w])
+            np.take(rank_lut, gathered, out=ranks)
+            vals_blob, vals_desc = intcodec.encode_plane(
+                hot.astype(plane.dtype), "for_bss", False
+            )
+            idx_blob, idx_desc = _encode_bucket(ranks)
+            sections.append(vals_blob + idx_blob)
+            buckets.append(
+                {"code": DICT_CODE, "plane": idx_desc, "values": vals_desc,
+                 "split": len(vals_blob)}
+            )
+            continue
         w = _WIDTH_OF_CODE[code]
         # gather straight from the LOW-ORDER byte lane of the residuals:
         # the strided view reads w of every pw bytes, so the narrow cast
@@ -198,11 +295,20 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     out = np.empty(n, dtype=dt)  # the returned plane — never scratch
+
+    def bucket_values(section: bytes, b: dict) -> np.ndarray:
+        if b["code"] == DICT_CODE:
+            split = b["split"]
+            vals = intcodec.decode_plane(section[:split], b["values"])
+            ranks = intcodec.decode_plane(section[split:], b["plane"])
+            return vals[ranks]  # table gather -> absolute values
+        return intcodec.decode_plane(section, b["plane"])
+
     bks = desc["buckets"]
     if len(bks) == 1 and bks[0]["plane"]["n"] == n:
         # single bucket covering every token: no expanded code plane, no
         # scatter mask — one widening copy
-        sub = intcodec.decode_plane(blob[off : off + secs[2]], bks[0]["plane"])
+        sub = bucket_values(blob[off : off + secs[2]], bks[0])
         off += secs[2]
         np.copyto(out, sub, casting="unsafe")
     else:
@@ -211,7 +317,7 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
         mask = scratch.arr("rc.dmask", n, bool)
         for i, b in enumerate(bks):
             size = secs[2 + i]
-            sub = intcodec.decode_plane(blob[off : off + size], b["plane"])
+            sub = bucket_values(blob[off : off + size], b)
             off += size
             np.equal(wtok, b["code"], out=mask)
             out[mask] = sub  # setitem upcasts narrow unsigned in place

@@ -201,12 +201,15 @@ def _plan_list_child(arr: pa.Array, child: pa.Array, flat_choice: dict) -> dict:
     plane, signed = bc.to_plane(vals)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    row_secs, _ = rowcodec.encode_child(plane, offsets, signed)
+    row_secs, rdesc = rowcodec.encode_child(plane, offsets, signed)
     size_rows = sum(len(s) for s in row_secs)
     flat_blob, _ = bc.encode_array(s_child, flat_choice)
     # small deterministic margin: prefer the simpler flat codec on a tie
     if size_rows < len(flat_blob) * 0.98:
-        return {"codec": "for_rows"}
+        # dict hint from the trial: if the sample grew no global-dict
+        # bucket, the full partition skips the detection passes entirely
+        has_dict = any(b["code"] == rowcodec.DICT_CODE for b in rdesc["buckets"])
+        return {"codec": "for_rows", "dict": has_dict}
     return flat_choice
 
 

@@ -31,16 +31,18 @@ def grouped_out(ray_session, skew_corpus, tmp_path_factory):
 
 
 class TestGroupedEncode:
-    def test_grouped_beats_lineage_on_source_coherent_corpus(
+    def test_grouped_ratio_parity_on_source_coherent_corpus(
         self, ray_session, tmp_path
     ):
-        """The F5 regime grouped mode exists for: token distributions keyed
-        on source (real corpora: code vs prose vs legal). Grouping must buy
-        compression there. On the default F1 mixture the gain is ~0 BY
-        CONSTRUCTION (token structure is per-row/per-shard, independent of
-        source — and the per-row FOR codec extracts row structure without
-        any shuffle), which is measured and documented in BASELINE.md, not
-        asserted here."""
+        """Characterization: on source-coherent data (the regime the
+        source shuffle was designed for) the round-2 codec — per-row FOR
+        plus the partition-global dictionary bucket — extracts the shared
+        per-shard alphabet WITHOUT any shuffle, so lineage mode reaches
+        ratio parity (measured: lineage 3.790 vs grouped 3.734 at 24k
+        rows). Grouped mode's remaining value is the source-partitioned
+        LAYOUT (test_source_pruned_read) and skew-safe wide-op machinery,
+        not compression; this test pins the parity band so a codec
+        regression that re-opens a large gap is caught."""
         paths = tk.write_corpus(
             str(tmp_path / "f5"), 24000, 4, source_coherent=True, row_group_rows=2048
         )
@@ -51,10 +53,8 @@ class TestGroupedEncode:
         rl = ml["input_bytes"] / ml["encoded_bytes"]
         rg = mg["input_bytes"] / mg["encoded_bytes"]
         assert mg["num_rows"] == ml["num_rows"] == 24000
-        # deterministic data + deterministic codecs -> a stable inequality;
-        # the margin grows with group size (BASELINE.md: +2% at 100k-row
-        # groups, +3.5% per-partition at 31k rows)
-        assert rg > rl, (rl, rg)
+        assert rg > rl * 0.95, (rl, rg)  # grouped never collapses
+        assert rl > rg * 0.95, (rl, rg)  # and lineage stays at parity too
 
     def test_source_pruned_read(self, ray_session, grouped_out, skew_corpus):
         """read_encoded_source opens ONLY the source's partitions and
