@@ -49,7 +49,7 @@ _NP_OF_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 DICT_CODE = 5
 _DICT_MAX_PLANE = 1 << 20  # bincount/LUT domain bound (token ids are ~50k)
 _DICT_MAX_CARD = 4096
-_DICT_HOT_FACTOR = 32.0  # hot = count >= 32x the mean distinct-value count
+_DICT_MIN_REPEATS = 4  # a dict value must repeat at least this often
 
 
 def row_ranges(plane: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -112,16 +112,26 @@ def _encode_bucket(narrow: np.ndarray) -> tuple[bytes, dict]:
 
 
 def _detect_dict(plane, bases, ranges, codes, offsets, n, rows, pw):
-    """Find a partition-global hot-value table and re-class rows fully
-    covered by it (and wider than its code width) to DICT_CODE, mutating
-    ``codes`` in place. Returns (sorted hot values | None, code byte width).
+    """Find a partition-global value table and re-class rows fully covered
+    by it (and wider than its 1-byte code) to DICT_CODE, mutating
+    ``codes`` in place. Returns (sorted table values | None, code width 1).
 
-    Hot = value count >= 32x the mean distinct-value count: a shared
-    alphabet's members appear orders of magnitude more often than the
-    background (uniform/band values), so the threshold is scale-free and
-    deterministic. Domain-bounded to 2^20 bit patterns (token ids) so the
-    bincount/LUT stay a few MB; signed-negative planes fall outside the
-    bound and skip."""
+    Two-stage, so it works both when a shared alphabet coexists with a
+    diverse background (top-K candidates separate them) AND when the whole
+    partition IS the alphabet (coverage then selects every row):
+
+      1. candidates = the top-_DICT_MAX_CARD values by occurrence count
+         (deterministic tie-break by value), floored at 4 repeats;
+      2. rows of width >= 2 bytes whose values ALL fall in the candidate
+         set are eligible; the FINAL table is exactly the distinct values
+         those rows use — accepted only if its cardinality fits 1-byte
+         codes (256), which also guarantees every eligible row wins
+         (1 byte/token vs its >= 2).
+
+    Domain-bounded to 2^20 bit patterns (token ids) so the bincount/LUT
+    stay a few MB; signed-negative planes fall outside the bound and
+    skip. The planner's trial-encode hint gates these passes entirely for
+    dict-less data."""
     if n == 0 or rows == 0 or pw > 4:
         return None, 0
     gmax = int(np.max(bases.astype(np.uint64) + ranges.astype(np.uint64))) if rows else 0
@@ -130,14 +140,16 @@ def _detect_dict(plane, bases, ranges, codes, offsets, n, rows, pw):
     p64 = scratch.arr("rc.p64", n, np.int64)
     np.copyto(p64, plane, casting="unsafe")
     counts = np.bincount(p64, minlength=gmax + 1)
-    distinct = int((counts > 0).sum())
-    mean_c = n / max(distinct, 1)
-    hot = np.flatnonzero(counts >= max(_DICT_HOT_FACTOR * mean_c, 16.0))
-    if not (2 <= len(hot) <= _DICT_MAX_CARD):
+    nz = np.flatnonzero(counts >= _DICT_MIN_REPEATS)
+    if len(nz) < 2:
         return None, 0
-    code_w = 1 if len(hot) <= 256 else 2
+    if len(nz) > _DICT_MAX_CARD:
+        order = np.lexsort((nz, -counts[nz]))[:_DICT_MAX_CARD]
+        cand = np.sort(nz[order])
+    else:
+        cand = nz
     lut = np.zeros(gmax + 1, dtype=bool)
-    lut[hot] = True
+    lut[cand] = True
     flags = scratch.arr("rc.dflag", n, bool)
     np.take(lut, p64, out=flags)
     lengths = np.diff(offsets)
@@ -146,9 +158,22 @@ def _detect_dict(plane, bases, ranges, codes, offsets, n, rows, pw):
     if ne.any():
         covered[ne] = np.minimum.reduceat(flags, offsets[:-1][ne])
     w_bytes = np.array([0, 1, 2, 4, 8, 0], dtype=np.int64)[codes]
-    eligible = covered & (w_bytes > code_w)
+    eligible = covered & (w_bytes >= 2)
     if not eligible.any():
         return None, 0
+    # final table: the distinct values the eligible rows actually use.
+    # card <= 256 -> 1-byte codes (always a win over the >= 2-byte rows).
+    # card <= 4096 -> 2-byte codes: byte-equal with w2 rows, but the
+    # shared-table alignment usually beats misaligned residual entropy —
+    # the planner's dict-on/off trial makes that call empirically.
+    tok_elig = fill_rowwise(
+        eligible.view(np.uint8), offsets, scratch.arr("rc.delig", n, np.uint8)
+    ).view(bool)
+    cov_counts = np.bincount(p64, weights=tok_elig, minlength=gmax + 1)
+    hot = np.flatnonzero(cov_counts > 0)
+    if not (2 <= len(hot) <= _DICT_MAX_CARD):
+        return None, 0
+    code_w = 1 if len(hot) <= 256 else 2
     codes[eligible] = DICT_CODE
     return hot, code_w
 

@@ -203,12 +203,20 @@ def _plan_list_child(arr: pa.Array, child: pa.Array, flat_choice: dict) -> dict:
     np.cumsum(lengths, out=offsets[1:])
     row_secs, rdesc = rowcodec.encode_child(plane, offsets, signed)
     size_rows = sum(len(s) for s in row_secs)
+    has_dict = any(b["code"] == rowcodec.DICT_CODE for b in rdesc["buckets"])
+    if has_dict:
+        # dict-on/off decided EMPIRICALLY on the same sample: a 2-byte
+        # dict is byte-equal with w2 residual rows, so only a real trial
+        # can price the entropy difference (shared-table alignment vs
+        # misaligned residuals)
+        nd_secs, _ = rowcodec.encode_child(plane, offsets, signed, try_dict=False)
+        if sum(len(s) for s in nd_secs) <= size_rows:
+            has_dict = False
+            size_rows = sum(len(s) for s in nd_secs)
     flat_blob, _ = bc.encode_array(s_child, flat_choice)
     # small deterministic margin: prefer the simpler flat codec on a tie
     if size_rows < len(flat_blob) * 0.98:
-        # dict hint from the trial: if the sample grew no global-dict
-        # bucket, the full partition skips the detection passes entirely
-        has_dict = any(b["code"] == rowcodec.DICT_CODE for b in rdesc["buckets"])
+        # the hint lets dict-less data skip the detection passes entirely
         return {"codec": "for_rows", "dict": has_dict}
     return flat_choice
 

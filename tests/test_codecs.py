@@ -8,7 +8,7 @@ round-trip properties per codec x dtype x edge case.
 import numpy as np
 import pytest
 
-from duckdb_raquet_ray.codecs import fsst, general, intcodec
+from duckdb_raquet_ray.codecs import fsst, general, intcodec, rowcodec
 
 U64 = np.uint64
 
@@ -146,3 +146,63 @@ class TestFsst:
         b1, d1 = fsst.encode_bytes(data)
         b2, d2 = fsst.encode_bytes(data)
         assert b1 == b2 and d1["table_hash"] == d2["table_hash"]
+
+
+class TestRowcodecDictBucket:
+    """Partition-global dictionary bucket (row code 5): rows drawing from
+    one shared alphabet must be dictionary-coded, beat the FOR-only
+    encoding, and round-trip bit-exactly."""
+
+    @staticmethod
+    def _alphabet_plane(rows=400, row_len=64, card=64, seed=7):
+        rng = np.random.default_rng(seed)
+        alphabet = np.sort(rng.choice(50_000, size=card, replace=False)).astype(np.uint32)
+        vals = alphabet[rng.integers(0, card, size=rows * row_len)]
+        offsets = np.arange(rows + 1, dtype=np.int64) * row_len
+        return vals, offsets, alphabet
+
+    def test_dict_bucket_detected_and_smaller(self):
+        plane, offsets, _ = self._alphabet_plane()
+        secs, desc = rowcodec.encode_child(plane, offsets, signed=False)
+        codes = [b["code"] for b in desc["buckets"]]
+        assert rowcodec.DICT_CODE in codes
+        secs_no, _ = rowcodec.encode_child(plane, offsets, signed=False, try_dict=False)
+        assert sum(len(s) for s in secs) < 0.8 * sum(len(s) for s in secs_no)
+
+    def test_dict_bucket_roundtrip_bitexact(self):
+        plane, offsets, _ = self._alphabet_plane()
+        secs, desc = rowcodec.encode_child(plane, offsets, signed=False)
+        out = rowcodec.decode_child(b"".join(secs), desc, np.diff(offsets))
+        np.testing.assert_array_equal(out, plane)
+
+    def test_mixed_dict_and_for_rows_roundtrip(self):
+        vals, offsets, alphabet = self._alphabet_plane(rows=100)
+        rng = np.random.default_rng(11)
+        # append narrow-band rows (w1) and wide random rows (w2, uncovered)
+        extra = [rng.integers(1000, 1100, size=50).astype(np.uint32),
+                 rng.integers(0, 50_000, size=50).astype(np.uint32)]
+        plane = np.concatenate([vals] + extra)
+        offs = np.concatenate([offsets, [offsets[-1] + 50, offsets[-1] + 100]])
+        secs, desc = rowcodec.encode_child(plane, offs, signed=False)
+        codes = {b["code"] for b in desc["buckets"]}
+        assert rowcodec.DICT_CODE in codes and len(codes) >= 2
+        out = rowcodec.decode_child(b"".join(secs), desc, np.diff(offs))
+        np.testing.assert_array_equal(out, plane)
+
+    def test_no_dict_on_uniform_values(self):
+        rng = np.random.default_rng(3)
+        plane = rng.integers(0, 50_000, size=40_000).astype(np.uint32)
+        offsets = np.arange(0, 40_001, 100, dtype=np.int64)
+        _, desc = rowcodec.encode_child(plane, offsets, signed=False)
+        assert all(b["code"] != rowcodec.DICT_CODE for b in desc["buckets"])
+
+    def test_signed_plane_patterns_roundtrip(self):
+        # negative values have patterns >= 2^31: the dict gate must skip
+        # them and the FOR path must still round-trip exactly
+        vals = np.array([-5, -1, -3] * 500, dtype=np.int32)
+        plane = vals.view(np.uint32)
+        offsets = np.arange(0, 1501, 3, dtype=np.int64)
+        secs, desc = rowcodec.encode_child(plane, offsets, signed=True)
+        assert all(b["code"] != rowcodec.DICT_CODE for b in desc["buckets"])
+        out = rowcodec.decode_child(b"".join(secs), desc, np.diff(offsets))
+        np.testing.assert_array_equal(out, plane)
