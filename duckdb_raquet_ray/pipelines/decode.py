@@ -144,10 +144,15 @@ def read_encoded(
     ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
     if concurrency is None:
         concurrency = (1, default_concurrency(cap=max(len(files), 1)))
+    # several files per task: per-task dispatch overhead (~tens of ms)
+    # dominates small column-pruned reads when every file is its own task;
+    # cap the batch so the pool still has ~4 waves for pipelining
+    max_actors = concurrency[1] if isinstance(concurrency, tuple) else int(concurrency)
+    files_per_task = max(1, min(8, len(files) // max(4 * max_actors, 1)))
     return ds.map_batches(
         PartitionDecoder,
         fn_constructor_kwargs={"columns": columns, "schema": schema, "transform": transform},
-        batch_size=1,
+        batch_size=files_per_task,
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
