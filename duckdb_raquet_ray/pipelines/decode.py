@@ -42,7 +42,7 @@ import ray.data as rd
 from .. import blockcodec as bc
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
-from ..util import default_concurrency
+from ..util import default_concurrency, retain_heap
 from ..state import fsio
 from ..state import manifest as mf
 from .encode import plan_partitions
@@ -89,10 +89,7 @@ class PartitionDecoder:
     ):
         self.columns = columns
         self.read_cols = _read_projection(columns)
-        try:
-            pa.jemalloc_set_decay_ms(-1)  # see PartitionEncoder.__init__
-        except Exception:
-            pass
+        retain_heap()  # see PartitionEncoder.__init__ / util.retain_heap
         # compute pushdown: apply a batch transform to each decoded
         # partition IN the decode actor, so only the transform's output
         # (often per-row stats or an aggregate — a fraction of the decoded

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions import partition_keys as pk
-from ..util import default_concurrency
+from ..util import default_concurrency, retain_heap
 from ..stages import encoder as enc
 from ..state import fsio
 from ..state import manifest as mf
@@ -132,14 +132,10 @@ class PartitionEncoder:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
-        try:
-            # keep jemalloc from purging freed arrow buffers back to the OS:
-            # this actor re-reads similar-sized row groups every task, and
-            # re-faulting purged pages measurably dominates encode at high
-            # parallelism (same rationale as codecs/scratch.py for numpy)
-            pa.jemalloc_set_decay_ms(-1)
-        except Exception:
-            pass  # non-jemalloc arrow builds
+        # keep freed task memory mapped (glibc mmap thresholds + jemalloc
+        # decay): re-faulting purged pages measurably dominates encode at
+        # high parallelism (same rationale as codecs/scratch.py for numpy)
+        retain_heap()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         entries = []

@@ -36,6 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .. import util
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
 from ..state import fsio
@@ -178,6 +179,7 @@ def encode_job_grouped(
     os.makedirs(out_dir, exist_ok=True)
 
     def encode_group(group: pa.Table) -> pa.Table:
+        util.retain_heap()  # task workers are long-lived; idempotent per pid
         source = group.column("_gsrc")[0].as_py()
         salt = group.column("_salt")[0].as_py()
         pid = pk.pack_grouped(source, salt)

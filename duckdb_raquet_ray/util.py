@@ -3,6 +3,50 @@
 from __future__ import annotations
 
 
+_HEAP_RETAINED_PID: int | None = None
+
+
+def retain_heap() -> None:
+    """Make a long-lived worker keep freed memory mapped, for both
+    allocators in play:
+
+    - glibc malloc (numpy temporaries): allocations over ~128 KB default
+      to mmap and are munmapped on free, so every task re-faults its large
+      planes (~15 ms per 50 MB warm; under 32-way concurrency the kernel
+      serializes fault handling and this dominates wall time — measured as
+      in-actor task times 2-8x the same work in a warm single process).
+      Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps big blocks on the
+      brk heap and reusable: the 50 MB alloc+touch drops to ~0.1 ms.
+    - jemalloc (pyarrow buffers): disable decay so freed buffers are not
+      purged back to the OS between tasks.
+
+    Call from every actor-pool ``__init__`` (or hot task fn) whose tasks
+    move partition-sized arrays; idempotent and ~free when repeated."""
+    # pid-keyed, not a bool: the flag travels INTO workers when the module
+    # ships by value (see codecs/scratch.py on by-value module state), and
+    # a driver-set True must not make a fresh worker skip the mallopt
+    import os
+
+    global _HEAP_RETAINED_PID
+    if _HEAP_RETAINED_PID == os.getpid():
+        return
+    _HEAP_RETAINED_PID = os.getpid()
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform
+    try:
+        import pyarrow as pa
+
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass  # non-jemalloc arrow builds
+
+
 def default_concurrency(cap: int | None = None) -> int:
     """Actor-pool size default: the cluster's CPU count (map_batches with a
     callable class requires explicit concurrency in Ray 2.49)."""
