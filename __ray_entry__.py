@@ -481,14 +481,26 @@ def _q_langid(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "stop_ratio"])
 
 
-def _q_multimodal(sf_dir: str):
+MEDIA_FEAT_ROWS, MEDIA_FRAME_ROWS = 200, 100
+
+
+def _media_path(rows: int) -> str:
+    """Persisted synthetic media corpus: the Ray pipeline and the SQL
+    oracle must read the SAME rows from disk (payloads are printable
+    ASCII so DuckDB's sha256(decode(payload)) replicates the fake
+    decode hashes — see multimodal.synthesize_media_table)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_media_table(rows, f"/tmp/raquet_media_v2_{rows}.parquet")
+
+
+def _decoded_media(rows: int):
     import ray.data as rd
 
     from duckdb_raquet_ray.pipelines import multimodal as mm
 
-    t = mm.synthesize_media_table(200)
-    ds = rd.from_arrow(t)
-    out = ds.map_batches(
+    ds = rd.read_parquet(_media_path(rows))
+    return ds.map_batches(
         mm.ImageDecoder,
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
@@ -496,7 +508,17 @@ def _q_multimodal(sf_dir: str):
         concurrency=(1, 2),
         num_cpus=1,
     )
-    return out
+
+
+def _q_multimodal(sf_dir: str):
+    return _decoded_media(MEDIA_FEAT_ROWS)
+
+
+def _q_multimodal_sums(sf_dir: str):
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    out = _decoded_media(MEDIA_FEAT_ROWS)
+    return out.map_batches(mm.feature_sums_batch, batch_format="pyarrow", batch_size=4096)
 
 
 def _q_frame_sample(sf_dir: str):
@@ -504,8 +526,7 @@ def _q_frame_sample(sf_dir: str):
 
     from duckdb_raquet_ray.pipelines import multimodal as mm
 
-    t = mm.synthesize_media_table(100)
-    ds = rd.from_arrow(t)
+    ds = rd.read_parquet(_media_path(MEDIA_FRAME_ROWS))
     return ds.map_batches(
         mm.FrameSampler,
         fn_constructor_kwargs={"fake": True, "every_k": 10},
@@ -524,6 +545,38 @@ def _q_point_lookup(sf_dir: str):
     meta = mf.load_metadata(out_dir)
     pid = meta["partition_ids"][0]
     return decode.point_lookup(out_dir, pid)
+
+
+def _q_point_lookup_stats(sf_dir: str):
+    """Point query + per-row token checksum — the oracle-checkable face of
+    point_lookup_partition (list columns stay rows-only by harness
+    convention; scalars value-hash)."""
+    from duckdb_raquet_ray.pipelines import decode
+    from duckdb_raquet_ray.state import manifest as mf
+
+    out_dir = _ensure_encoded()
+    meta = mf.load_metadata(out_dir)
+    pid = meta["partition_ids"][0]
+    t = decode.point_lookup(out_dir, pid)
+    tok = t.column("tokens").combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(tok).to_numpy().astype(np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    sums = np.zeros(len(lens), np.int64)
+    ne = lens > 0
+    if ne.any():
+        sums[ne] = np.add.reduceat(flat, offs[:-1][ne])
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tok": t.column("n_tok"),
+            "source": t.column("source"),
+            "tok_sum": pa.array(sums, type=pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,12 +626,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_similar": _q_ivf_topk,
         "langid_docs": _q_langid,
         "multimodal_features": _q_multimodal,
+        "multimodal_feature_sums": _q_multimodal_sums,
         "frame_sample": _q_frame_sample,
         "point_lookup_partition": _q_point_lookup,
+        "point_lookup_stats": _q_point_lookup_stats,
         "winnow_docs": _q_winnow_docs,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
     }
+
+
+# value of hex pair i (0-based) of digest column d, as an integer
+_HEXPAIR = (
+    "(strpos('0123456789abcdef', substr(d, 2*i+1, 1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(d, 2*i+2, 1))-1)"
+)
+_HEXPAIR0 = (
+    "(strpos('0123456789abcdef', substr(d,1,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(d,2,1))-1)"
+)
+
+
+def _point_lookup_oracle() -> str:
+    """SQL for the first planned partition: plan_partitions is a pure
+    function of (sorted input files, PART_BYTES) — no Ray, metadata only —
+    so the oracle recomputes the same row range the encode job used."""
+    from duckdb_raquet_ray.pipelines.encode import plan_partitions
+
+    first = plan_partitions(_ensure_corpus(), PART_BYTES)[0]
+    n0 = first["row_range"][1] - first["row_range"][0]
+    return (
+        "SELECT doc_id, n_tok, source, coalesce(list_sum(tokens), 0)::BIGINT AS tok_sum "
+        f"FROM (SELECT * FROM read_parquet('{first['shard']}') LIMIT {n0})"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -722,4 +802,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(YEAR(ts) AS BIGINT) AS y, event_type, "
             "COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1, 2"
         ),
+        # multimodal fake-decode oracles: payloads are printable ASCII, so
+        # DuckDB sha256(decode(payload)) == hashlib.sha256(payload bytes);
+        # hex pairs are turned into byte values with strpos arithmetic
+        "multimodal_feature_sums": (
+            "SELECT media_id, "
+            f"CAST(list_sum(list_transform(generate_series(0,31), i -> {_HEXPAIR})) AS BIGINT) AS feat_sum, "
+            f"CAST({_HEXPAIR0} AS BIGINT) AS feat_first "
+            "FROM (SELECT media_id, sha256(decode(payload)) AS d "
+            f"FROM read_parquet('{_media_path(MEDIA_FEAT_ROWS)}'))"
+        ),
+        "frame_sample": (
+            "WITH m AS (SELECT media_id, decode(payload) AS p, n_frames, "
+            "GREATEST(length(decode(payload)) // GREATEST(n_frames, 1), 1) AS fs "
+            f"FROM read_parquet('{_media_path(MEDIA_FRAME_ROWS)}')), "
+            "f AS (SELECT media_id, fs, p, unnest(range(0, n_frames, 10)) AS fi FROM m), "
+            "h AS (SELECT media_id, fi, sha256(substr(p, fi*fs+1, fs)) AS d FROM f) "
+            "SELECT media_id, CAST(fi AS INTEGER) AS frame_index, "
+            f"CAST(list_sum(list_transform(generate_series(0,7), i -> ({_HEXPAIR})::HUGEINT "
+            "* ([1,256,65536,16777216,4294967296,1099511627776,281474976710656,"
+            "72057594037927936][i+1])::HUGEINT)) // 2 AS BIGINT) AS frame_hash "
+            "FROM h"
+        ),
+        # first-partition point lookup with a per-row token checksum; the
+        # plan is a pure function of (sorted inputs, PART_BYTES), so the
+        # partition's row count is recomputed here from metadata alone
+        "point_lookup_stats": _point_lookup_oracle(),
     }

@@ -136,9 +136,18 @@ class FrameSampler:
 
 
 def synthesize_media_table(rows: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests (no external data)."""
+    """Deterministic fake media corpus for plumbing tests (no external data).
+
+    Payload bytes are drawn from the printable-ASCII band on purpose: the
+    pipeline treats them as opaque ``binary`` either way, but an
+    ASCII-valued blob is also a valid UTF-8 string, which lets a SQL
+    oracle recompute the deterministic fake-decode hashes
+    (``sha256(decode(payload))`` in DuckDB == ``hashlib.sha256(bytes)``)
+    and value-check the multimodal plumbing end to end."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(rows)]
+    payloads = [
+        rng.integers(32, 127, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(rows)
+    ]
     return pa.table(
         {
             "media_id": pa.array([f"m-{i:08d}" for i in range(rows)]),
@@ -147,5 +156,36 @@ def synthesize_media_table(rows: int, seed: int = 42, payload_bytes: int = 4096)
             "width": pa.array(rng.integers(64, 1024, size=rows).astype(np.int32)),
             "height": pa.array(rng.integers(64, 1024, size=rows).astype(np.int32)),
             "n_frames": pa.array(rng.integers(1, 100, size=rows).astype(np.int32)),
+        }
+    )
+
+
+def persist_media_table(rows: int, path: str, seed: int = 42, payload_bytes: int = 4096) -> str:
+    """Write (once) the synthesized media corpus to Parquet so both the Ray
+    pipeline and a SQL oracle read the SAME rows from disk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_media_table(rows, seed, payload_bytes), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def feature_sums_batch(batch: pa.Table) -> pa.Table:
+    """Scalarize fake-decode feature vectors for a SQL oracle: features are
+    digest_byte/255 as float32, so rint(f*255) recovers the exact digest
+    bytes (relative error <= 255 * 2^-24 << 0.5)."""
+    f = batch.column("features").combine_chunks()
+    n = batch.num_rows
+    arr = np.rint(f.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * 255.0)
+    m = arr.astype(np.int64).reshape(n, -1) if n else np.zeros((0, 1), np.int64)
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "feat_sum": pa.array(m.sum(axis=1), type=pa.int64()),
+            "feat_first": pa.array(m[:, 0], type=pa.int64()),
         }
     )
