@@ -547,6 +547,17 @@ def _q_point_lookup(sf_dir: str):
     return decode.point_lookup(out_dir, pid)
 
 
+def _q_token_posweight(sf_dir: str):
+    """Decode with the position-weighted checksum pushed into the decode
+    actors: pins in-row token ORDER end-to-end from the encoded files
+    (the interleaved-layout parity check, transforms.explode_tokens)."""
+    from duckdb_raquet_ray.pipelines import decode
+    from duckdb_raquet_ray.pipelines import transforms as tr
+
+    out_dir = _ensure_encoded()
+    return decode.read_encoded(out_dir, transform=tr.position_weighted)
+
+
 def _q_point_lookup_stats(sf_dir: str):
     """Point query + per-row token checksum — the oracle-checkable face of
     point_lookup_partition (list columns stay rows-only by harness
@@ -630,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "point_lookup_partition": _q_point_lookup,
         "point_lookup_stats": _q_point_lookup_stats,
+        "token_posweight": _q_token_posweight,
         "winnow_docs": _q_winnow_docs,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
@@ -828,4 +840,12 @@ def oracle_sql() -> dict[str, str]:
         # plan is a pure function of (sorted inputs, PART_BYTES), so the
         # partition's row count is recomputed here from metadata alone
         "point_lookup_stats": _point_lookup_oracle(),
+        # order-sensitive checksum: catches any in-row permutation the
+        # multiset-style sums cannot
+        "token_posweight": (
+            "SELECT doc_id, n_tok, source, "
+            "coalesce(list_sum(list_transform(generate_series(1, len(tokens)), "
+            "i -> (i-1)::BIGINT * tokens[i]::BIGINT)), 0)::BIGINT AS posw "
+            f"FROM {corpus}"
+        ),
     }

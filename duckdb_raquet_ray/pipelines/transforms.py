@@ -307,3 +307,49 @@ def ndiff_columns(batch: pa.Table, a: str, b: str, out: str = "ndiff") -> pa.Tab
         valid = np.asarray(pc.and_(pc.is_valid(ca), pc.is_valid(cb)))
         mask = ~valid
     return batch.append_column(out, pa.array(nd, type=pa.float64(), mask=mask))
+
+
+def explode_tokens(batch: pa.Table, column: str = "tokens", key: str = "doc_id") -> pa.Table:
+    """Long-format view: one output row per token, with its in-row
+    position — the positional/interleaved access path (the reference's
+    interleaved band layout keeps per-pixel ordering explicit,
+    read_raster.cpp:524-531; here the in-row offset math is surfaced as a
+    first-class column so token-level analytics can address order).
+    Fully vectorized: repeat for keys, arange-minus-starts for positions."""
+    child, offsets, _, _ = _child_and_rebuild(batch, column)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    pos = np.arange(len(child), dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lengths
+    )
+    keys = batch.column(key).take(pa.array(idx))
+    return pa.table(
+        {
+            key: keys,
+            "pos": pa.array(pos.astype(np.int32), type=pa.int32()),
+            "token": pa.array(child.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def position_weighted(
+    batch: pa.Table, column: str = "tokens", id_cols: tuple = ("doc_id", "n_tok", "source")
+) -> pa.Table:
+    """Per-row position-weighted checksum sum(pos * token): a value that
+    changes if any two tokens swap places, so it pins the decode path's
+    in-row ORDER (the offset math `explode_tokens` exposes), not just the
+    multiset of values. Null token elements contribute 0."""
+    child, offsets, _, child_valid = _child_and_rebuild(batch, column)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    pos = np.arange(len(child), dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lengths
+    )
+    w = pos * child.astype(np.int64)
+    if child_valid is not None:
+        w = np.where(child_valid, w, 0)
+    csum = np.zeros(len(child) + 1, np.int64)
+    np.cumsum(w, out=csum[1:])
+    posw = csum[offsets[1:]] - csum[offsets[:-1]]
+    cols = {c: batch.column(c) for c in id_cols if c in batch.column_names}
+    cols["posw"] = pa.array(posw, type=pa.int64())
+    return pa.table(cols)

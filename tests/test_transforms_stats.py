@@ -184,3 +184,51 @@ class TestGroupedStats:
             assert res[k]["std_v"] == pytest.approx(m.std(ddof=1), rel=1e-9)
             assert res[k]["min_v"] == m.min()
             assert res[k]["max_v"] == m.max()
+
+
+class TestExplodeAndPosweight:
+    def _fixture(self):
+        return pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "n_tok": pa.array([3, 0, 2], type=pa.int32()),
+                "source": ["x", "y", "z"],
+                "tokens": pa.array([[5, 6, 7], [], [10, 40]], type=pa.list_(pa.int32())),
+            }
+        )
+
+    def test_explode_long_format(self):
+        out = tr.explode_tokens(self._fixture())
+        assert out.column("doc_id").to_pylist() == ["a", "a", "a", "c", "c"]
+        assert out.column("pos").to_pylist() == [0, 1, 2, 0, 1]
+        assert out.column("token").to_pylist() == [5, 6, 7, 10, 40]
+
+    def test_posweight_matches_python(self):
+        t = self._fixture()
+        out = tr.position_weighted(t)
+        expect = [sum(i * v for i, v in enumerate(row)) for row in t.column("tokens").to_pylist()]
+        assert out.column("posw").to_pylist() == expect
+        assert out.column("doc_id").to_pylist() == ["a", "b", "c"]
+
+    def test_posweight_order_sensitive(self):
+        t = self._fixture()
+        swapped = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_tok"),
+                "source": t.column("source"),
+                "tokens": pa.array([[6, 5, 7], [], [10, 40]], type=pa.list_(pa.int32())),
+            }
+        )
+        a = tr.position_weighted(t).column("posw").to_pylist()
+        b = tr.position_weighted(swapped).column("posw").to_pylist()
+        assert a[0] != b[0] and a[1:] == b[1:]
+
+    def test_posweight_null_elements_contribute_zero(self):
+        t = pa.table(
+            {
+                "doc_id": ["a"],
+                "tokens": pa.array([[7, None, 3]], type=pa.list_(pa.int32())),
+            }
+        )
+        assert tr.position_weighted(t, id_cols=("doc_id",)).column("posw").to_pylist() == [6]
