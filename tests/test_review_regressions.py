@@ -239,3 +239,27 @@ def test_default_concurrency_cap_contract():
     assert default_concurrency(cap=None) >= 1
     assert default_concurrency(cap=0) == 1  # explicit cap honored, floor 1
     assert default_concurrency(cap=2) <= 2
+
+
+def test_greedy_keep_blocked_matches_naive():
+    """Blocked degenerate-cell dedup (VERDICT r1: unbounded c x c matrix)
+    must keep byte-identical survivors vs the single-matrix greedy."""
+    rng = np.random.default_rng(7)
+    # 300 vectors in 3 tight clusters + noise -> plenty of cross-block kills
+    base = rng.normal(size=(3, 8)).astype(np.float32)
+    m = np.vstack([base[rng.integers(0, 3, 280)] + rng.normal(scale=0.01, size=(280, 8)).astype(np.float32),
+                   rng.normal(size=(20, 8)).astype(np.float32)])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    thr = 0.9
+    # naive reference
+    sims = mn @ mn.T
+    drop: set[int] = set()
+    for i in range(len(mn)):
+        if i in drop:
+            continue
+        for j in np.flatnonzero(sims[i, i + 1:] >= thr) + i + 1:
+            drop.add(int(j))
+    naive = [i for i in range(len(mn)) if i not in drop]
+    for block in (16, 64, 300, 1000):
+        got = dedup._greedy_keep(mn, thr, block=block).tolist()
+        assert got == naive, f"block={block}"
