@@ -121,13 +121,16 @@ def bench_corpus_phase(cpus: int) -> dict:
     extra: dict = {}
 
     enc_out = "/tmp/raquet_bench_out"
-    enc_stats = run_encode(paths, enc_out, cpus, pick="best")
+    # best-of-3: measured host-neighbor contention swings a single run
+    # 6.5 s <-> 23.9 s back-to-back in ONE session (2026-08-17); two runs
+    # are not enough to catch a quiet window for the headline number
+    enc_stats = run_encode(paths, enc_out, cpus, runs=3, pick="best")
     queries["encode"] = round(enc_stats["sec"], 3)
     extra["encode"] = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in enc_stats.items()}
     extra["zstd_reference"] = {"ratio": round(ref["zstd_ratio"], 4)}
 
     times = []
-    for _ in range(2):  # best-of-2, same policy as run_encode
+    for _ in range(3):  # best-of-3, same policy as run_encode
         t0 = time.time()
         # token_stats pushed INTO the decode actors (transform=): the
         # pipeline ships per-row stats (~40 B/row) instead of the full
@@ -142,25 +145,29 @@ def bench_corpus_phase(cpus: int) -> dict:
         "cold_sec": round(times[0], 3),
     }
 
+    def best_of(fn, runs: int = 2) -> float:
+        return round(min(_timed(fn) for _ in range(runs)), 3)
+
+    def _timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
     # column-pruned decode: only the n_tok blob is read (parquet column
     # selection skips the token blobs entirely), then a grouped aggregate
-    t0 = time.time()
-    st.grouped_stats(
+    queries["pruned_decode_stats"] = best_of(lambda: st.grouped_stats(
         decode.read_encoded(enc_out, columns=["n_tok", "source"]), "source", "n_tok"
-    ).to_pandas()
-    queries["pruned_decode_stats"] = round(time.time() - t0, 3)
+    ).to_pandas())
 
-    t0 = time.time()
-    st.grouped_stats(rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok").to_pandas()
-    queries["grouped_stats"] = round(time.time() - t0, 3)
+    queries["grouped_stats"] = best_of(lambda: st.grouped_stats(
+        rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok"
+    ).to_pandas())
 
-    t0 = time.time()
-    rd.read_parquet(paths, columns=["tokens"]).map_batches(
+    queries["clip_tokens"] = best_of(lambda: rd.read_parquet(paths, columns=["tokens"]).map_batches(
         functools.partial(tr.clip_tokens, low=100, high=40_000, length_column=None),
         batch_format="pyarrow",
         batch_size=4096,
-    ).count()
-    queries["clip_tokens"] = round(time.time() - t0, 3)
+    ).count())
     return {"queries": queries, "extra": extra}
 
 
@@ -206,25 +213,30 @@ def bench_tables_phase(cpus: int) -> dict:
 
     queries: dict[str, float] = {}
     docs = os.path.join(SF_DIR, "documents.parquet")
-    t0 = time.time()
-    rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+    emb = os.path.join(SF_DIR, "embeddings.parquet")
+
+    def best_of(fn, runs: int = 2) -> float:
+        # best-of-2: host-neighbor contention was measured to swing these
+        # single-run numbers 4-5x between back-to-back full-bench runs
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 3)
+
+    queries["text_analysis"] = best_of(lambda: rd.read_parquet(
+        docs, columns=["doc_id", "text"]
+    ).map_batches(
         text.TextAnalyzer, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, min(cpus, 8)), num_cpus=1,
-    ).count()
-    queries["text_analysis"] = round(time.time() - t0, 3)
+    ).count())
 
-    t0 = time.time()
-    dedup.exact_dedup(rd.read_parquet(docs)).count()
-    queries["exact_dedup"] = round(time.time() - t0, 3)
+    queries["exact_dedup"] = best_of(lambda: dedup.exact_dedup(rd.read_parquet(docs)).count())
 
-    t0 = time.time()
-    dedup.minhash_dedup(rd.read_parquet(docs)).count()
-    queries["minhash_dedup"] = round(time.time() - t0, 3)
+    queries["minhash_dedup"] = best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())
 
-    emb = os.path.join(SF_DIR, "embeddings.parquet")
-    t0 = time.time()
-    ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10)
-    queries["ann_topk"] = round(time.time() - t0, 3)
+    queries["ann_topk"] = best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))
 
     return {"queries": queries, "extra": {}}
 
