@@ -340,20 +340,28 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
     bks = desc["buckets"]
     if len(bks) == 1 and bks[0]["plane"]["n"] == n:
         # single bucket covering every token: no expanded code plane, no
-        # scatter mask — one widening copy
+        # scatter — expand the row bases straight into the output plane and
+        # add the residuals over them (one fewer full-plane pass than
+        # copy-then-add)
         sub = bucket_values(blob[off : off + secs[2]], bks[0])
         off += secs[2]
-        np.copyto(out, sub, casting="unsafe")
-    else:
-        wtok = fill_rowwise(codes, offsets, scratch.arr("rc.dwtok", n, np.uint8))
-        out[:] = 0
-        mask = scratch.arr("rc.dmask", n, bool)
-        for i, b in enumerate(bks):
-            size = secs[2 + i]
-            sub = bucket_values(blob[off : off + size], b)
-            off += size
-            np.equal(wtok, b["code"], out=mask)
-            out[mask] = sub  # setitem upcasts narrow unsigned in place
+        fill_rowwise(bases, offsets, out)
+        np.add(out, sub, out=out, casting="unsafe")
+        return out
+    # Multi-bucket: expand the per-row width codes to per-token, then
+    # mask-scatter each bucket's residuals. (A row-granularity rewrite —
+    # concatenated-range indices per bucket, fused base-add — was tried
+    # and measured SLOWER: the int32 index plane costs more passes than
+    # the uint8 code plane + boolean masks it replaces.)
+    wtok = fill_rowwise(codes, offsets, scratch.arr("rc.dwtok", n, np.uint8))
+    out[:] = 0
+    mask = scratch.arr("rc.dmask", n, bool)
+    for i, b in enumerate(bks):
+        size = secs[2 + i]
+        sub = bucket_values(blob[off : off + size], b)
+        off += size
+        np.equal(wtok, b["code"], out=mask)
+        out[mask] = sub  # setitem upcasts narrow unsigned in place
     bot = fill_rowwise(bases, offsets, scratch.arr("rc.dbot", n, dt))
     np.add(out, bot, out=out)
     return out

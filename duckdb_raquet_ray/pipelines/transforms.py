@@ -35,6 +35,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from duckdb_raquet_ray.codecs import scratch
+
 SENTINEL = -1  # the nodata analogue for masked token slots
 
 
@@ -253,7 +255,10 @@ def token_stats(
 
     if sentinel is None and child_valid is None:
         counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        csum_v = np.zeros(len(child) + 1, dtype=np.int64)
+        # scratch, not np.zeros: a fresh 8 B/token buffer per batch is an
+        # mmap + full zero pass + first-touch faults (see codecs/scratch.py)
+        csum_v = scratch.arr("tr.csum", len(child) + 1, np.int64)
+        csum_v[0] = 0
         np.cumsum(child, dtype=np.int64, out=csum_v[1:])
         sums = csum_v[offsets[1:]] - csum_v[offsets[:-1]]
         mins = np.full(n_rows, np.iinfo(np.int64).max)
