@@ -384,6 +384,19 @@ def _q_winnow_docs(sf_dir: str):
     return out.select_columns(["doc_id", "winnow_fp"])
 
 
+def _q_winnow_fps(sf_dir: str):
+    """Winnowed fingerprints LONG form (doc_id, fp) — value-hash-checkable:
+    the k-gram polynomial hash (base 257 mod 2^61-1, k=5 so every term
+    < 2^43) and the window-min selection are both exactly replicable in
+    ANSI SQL (see the winnow_fps oracle)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(text.winnow_long_batch, batch_format="pyarrow", batch_size=2048)
+
+
 def _q_validate_manifest(sf_dir: str):
     import pandas as pd
 
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_stats": _q_point_lookup_stats,
         "token_posweight": _q_token_posweight,
         "winnow_docs": _q_winnow_docs,
+        "winnow_fps": _q_winnow_fps,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
     }
@@ -743,6 +757,29 @@ def oracle_sql() -> dict[str, str]:
         "ws_token_count": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens "
             "FROM documents"
+        ),
+        # winnowing (SIGMOD 2003) exactly: k=5-gram polynomial rolling hash
+        # (base 257 mod 2^61-1; bytes are ASCII here and powers < 2^33, so
+        # every term fits BIGINT with no uint64 wrap), zero-padded past the
+        # text end, window=4 minima, deduplicated — mirrors
+        # text.winnow_fingerprints / dedup._shingle_hashes_ordered
+        "winnow_fps": (
+            "WITH d AS (SELECT doc_id, text, greatest(length(text), 5) - 4 AS n_grams "
+            "FROM documents), "
+            "ix AS (SELECT doc_id, text, n_grams, "
+            "unnest(generate_series(1, n_grams)) AS i FROM d), "
+            "g AS (SELECT doc_id, i, n_grams, "
+            "( (CASE WHEN i   <= length(text) THEN ascii(substr(text, i::INT,   1)) ELSE 0 END) * 4362470401 "
+            "+ (CASE WHEN i+1 <= length(text) THEN ascii(substr(text, i::INT+1, 1)) ELSE 0 END) * 16974593 "
+            "+ (CASE WHEN i+2 <= length(text) THEN ascii(substr(text, i::INT+2, 1)) ELSE 0 END) * 66049 "
+            "+ (CASE WHEN i+3 <= length(text) THEN ascii(substr(text, i::INT+3, 1)) ELSE 0 END) * 257 "
+            "+ (CASE WHEN i+4 <= length(text) THEN ascii(substr(text, i::INT+4, 1)) ELSE 0 END) "
+            ") % 2305843009213693951 AS h FROM ix), "
+            "w AS (SELECT doc_id, i, n_grams, min(h) OVER ("
+            "PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm "
+            "FROM g) "
+            "SELECT DISTINCT doc_id, wm AS fp FROM w "
+            "WHERE i <= greatest(n_grams - 3, 1)"
         ),
         # the token regex (?<!\S)word(?!\S) in TextAnalyzer counts exact
         # whitespace-delimited token matches == list_filter equality below;

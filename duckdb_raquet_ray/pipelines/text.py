@@ -132,6 +132,24 @@ def winnow_batch(
     return batch.append_column("winnow_fp", col)
 
 
+def winnow_long_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4
+) -> pa.Table:
+    """Winnowed fingerprints in LONG format — one (doc_id, fp) row per
+    fingerprint, int64 — the oracle-checkable face of winnow_batch (list
+    columns stay rows-only by harness convention; the base-257 mod 2^61-1
+    k-gram hash is small enough that every term fits plain BIGINT, so the
+    whole selection is replicable in ANSI SQL)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [winnow_fingerprints(t or "", k, window) for t in texts]
+    counts = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
+    flat = np.concatenate(fps) if fps else np.zeros(0, dtype=np.uint64)
+    doc_ids = pa.array(
+        np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), counts)
+    )
+    return pa.table({"doc_id": doc_ids, "fp": pa.array(flat.astype(np.int64))})
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count only (the cheap, oracle-checkable subset)."""
     s = batch.column(text_col).to_pandas().fillna("")

@@ -277,3 +277,19 @@ class TestWinnowing:
         out = rd.from_arrow(t).map_batches(tx.winnow_batch, batch_format="pyarrow").to_pandas()
         assert len(out) == 3
         assert len(out["winnow_fp"][0]) > 0 and len(out["winnow_fp"][1]) >= 1
+
+    def test_long_form_matches_list_form(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                      "text": ["hello world hello world", "tiny", "", "x" * 200]})
+        long = tx.winnow_long_batch(t).to_pandas()
+        lists = tx.winnow_batch(t).to_pandas()
+        for doc, fps in zip(lists["doc_id"], lists["winnow_fp"]):
+            got = np.sort(long.loc[long["doc_id"] == doc, "fp"].to_numpy())
+            assert (got == np.sort(np.asarray(fps, dtype=np.int64))).all()
+        # every fingerprint fits int64 (hash < 2^61): the long form casts
+        assert (long["fp"] >= 0).all()
