@@ -488,9 +488,10 @@ def _q_langid(sf_dir: str):
         concurrency=(1, 2),
         num_cpus=1,
     )
-    # fingerprint (siphash) is not SQL-expressible; keep langid's output
-    # SQL-replicable so the query graduates to a value-checked oracle —
-    # fingerprints stay covered by winnow_docs / simhash (rows-only)
+    # the content fingerprint (siphash) is not SQL-expressible; keep
+    # langid's output SQL-replicable so the query graduates to a
+    # value-checked oracle — document fingerprints are value-checked
+    # separately via winnow_fps / simhash_dedup_docs / minhash_dedup_docs
     return out.select_columns(["doc_id", "lang_pred", "stop_ratio"])
 
 
@@ -688,6 +689,8 @@ def _point_lookup_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from duckdb_raquet_ray.pipelines import dedup as _dedup
+
     _ensure_corpus()
     corpus = f"read_parquet('{CORPUS_DIR}/shard-*.parquet')"
     stats_sql = (
@@ -811,6 +814,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"
         ),
+        # the whole MinHash+LSH pipeline is deterministic (seeded perms,
+        # FNV band fold, anchor-min pairs, exact-Jaccard verify), so
+        # near-dup removal gets a FULL value-checked oracle — built next to
+        # the kernel it mirrors (pipelines/dedup.py:minhash_oracle_sql)
+        "minhash_dedup_docs": _dedup.minhash_oracle_sql("documents"),
+        # SimHash word hash is polynomial + splitmix64 (modular integer
+        # math only) precisely so this oracle exists (dedup._word_hashes)
+        "simhash_dedup_docs": _dedup.simhash_oracle_sql("documents"),
         "topk_similar": (
             "SELECT vec_id, CAST(row_number() OVER "
             f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "

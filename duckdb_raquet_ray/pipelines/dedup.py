@@ -333,12 +333,49 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+# splitmix64 finalizer constants (Steele/Lea/Flood, public domain PRNG —
+# used here only as a bit mixer so short words still spread over 64 bits)
+_SM64_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM64_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _word_hashes(flat: np.ndarray) -> np.ndarray:
+    """uint64 hash per word: byte-polynomial base 257 (Horner, mod 2^64)
+    + splitmix64 finalizer. Chosen over pandas' siphash because every step
+    is plain modular integer arithmetic — exactly replicable in ANSI SQL
+    (simhash_oracle_sql), which graduates SimHash dedup from rows-only to
+    a full value-checked oracle. Vectorized: one encode of the whole word
+    stream, one table-gathered multiply, one segment reduceat."""
+    joined = "".join(flat.tolist())
+    data = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    lens = np.fromiter((len(w) for w in flat), np.int64, count=len(flat))
+    if int(lens.sum()) != len(data):  # non-ASCII words: char len != byte len
+        lens = np.fromiter(
+            (len(w.encode("utf-8")) for w in flat), np.int64, count=len(flat)
+        )
+    ends = np.cumsum(lens)
+    # exponent of 257 for each byte: position from its word's END
+    wend = np.repeat(ends, lens)
+    exp = wend - 1 - np.arange(len(data), dtype=np.int64)
+    powers = np.ones(int(lens.max()) + 1, dtype=np.uint64)
+    powers[1:] = 257
+    np.multiply.accumulate(powers, out=powers)  # 257^j mod 2^64 (wraps)
+    terms = data.astype(np.uint64) * powers[exp]
+    h = np.add.reduceat(terms, ends - lens)  # words are non-empty (str.split)
+    # splitmix64 finalizer (every op wraps mod 2^64)
+    z = h + _SM64_C1
+    z = (z ^ (z >> np.uint64(30))) * _SM64_C2
+    z = (z ^ (z >> np.uint64(27))) * _SM64_C3
+    return z ^ (z >> np.uint64(31))
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash fingerprint per document from word hashes.
 
     Vectorized across the whole batch: ALL words of all documents are
-    hashed in ONE pd.util.hash_array call (elementwise-stable, so the
-    fingerprints are identical to the former per-document loop), then each
+    hashed in ONE _word_hashes call (elementwise-stable polynomial +
+    splitmix64 — SQL-replicable, see simhash_oracle_sql), then each
     bit's +1/-1 vote is segment-summed per document with a cumsum
     difference — 64 C passes instead of a Python loop per doc."""
     s = batch.column(text_col).to_pandas().fillna("")
@@ -350,7 +387,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if total:
         exploded = word_lists.explode()
         flat = exploded[exploded.notna()].to_numpy(dtype=object)
-        hs = pd.util.hash_array(flat)
+        hs = _word_hashes(flat)
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         ne = lens > 0
@@ -483,3 +520,170 @@ def embedding_dedup(
         batch_format="pyarrow",
     )
     return bucketed.groupby("_sb").map_groups(dedup_shuffle_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL parity oracle
+# ---------------------------------------------------------------------------
+
+
+def minhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """ANSI-SQL (DuckDB) replica of :func:`minhash_dedup` over `table` —
+    the whole pipeline is deterministic, so near-dup removal is exactly
+    value-checkable:
+
+    - k=5-gram polynomial rolling hash (base 257 mod 2^61-1): every term
+      < 2^43, plain BIGINT (see text.winnow oracle for the same kernel),
+    - minhash sigs min((h*a + b) mod 2^64 mod M): the uint64 wrap is
+      replicated with HUGEINT ``% 2^64``; (a, b) come from the same seeded
+      generator as :func:`_perms`, inlined as a VALUES list,
+    - FNV-1a-style band fold (xor/multiply mod 2^64) and ``>> 1``,
+    - LSH cells -> (anchor=min key, member) pairs, exact-Jaccard verify
+      over the distinct shingle sets, drop the member when >= threshold.
+
+    ASCII corpora only (the gram hash reads UTF-8 BYTES; ascii(substr())
+    equals the byte only for 7-bit text — true for the test tables)."""
+    a, b = _perms(num_perm)
+    rows_per_band = num_perm // bands
+    T = 1 << 64
+    offset_basis = 1469598103934665603
+    prime = 1099511628211
+    c1 = (offset_basis * prime) % T
+
+    perm_vals = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
+    )
+    s_cols = ", ".join(
+        f"max(CASE WHEN p % {rows_per_band} = {r} THEN s END) AS s{r}"
+        for r in range(rows_per_band)
+    )
+    fnv = f"xor({c1}::UBIGINT, s0)"
+    for r in range(1, rows_per_band):
+        fnv = f"xor((({fnv}::HUGEINT * {prime}) % {T})::UBIGINT, s{r})"
+
+    return f"""
+WITH perms(p, pa, pb) AS (VALUES {perm_vals}),
+d AS (
+  SELECT {key_col} AS k, {text_col} AS t, greatest(length({text_col}), 5) - 4 AS n_grams
+  FROM {table}
+),
+ix AS (SELECT k, t, unnest(generate_series(1, n_grams)) AS i FROM d),
+sh AS (
+  SELECT DISTINCT k,
+    ( (CASE WHEN i   <= length(t) THEN ascii(substr(t, i::INT,   1)) ELSE 0 END) * 4362470401
+    + (CASE WHEN i+1 <= length(t) THEN ascii(substr(t, i::INT+1, 1)) ELSE 0 END) * 16974593
+    + (CASE WHEN i+2 <= length(t) THEN ascii(substr(t, i::INT+2, 1)) ELSE 0 END) * 66049
+    + (CASE WHEN i+3 <= length(t) THEN ascii(substr(t, i::INT+3, 1)) ELSE 0 END) * 257
+    + (CASE WHEN i+4 <= length(t) THEN ascii(substr(t, i::INT+4, 1)) ELSE 0 END)
+    ) % {_MERSENNE} AS h
+  FROM ix
+),
+sig AS (
+  SELECT k, p, (min( ((h::HUGEINT * pa) % {T} + pb) % {T} % {_MERSENNE} ))::UBIGINT AS s
+  FROM sh CROSS JOIN perms GROUP BY k, p
+),
+bandsig AS (
+  SELECT k, (p // {rows_per_band})::INT AS band_id, {s_cols}
+  FROM sig GROUP BY k, band_id
+),
+cells AS (
+  SELECT k, band_id, (({fnv}) >> 1)::BIGINT AS band_hash FROM bandsig
+),
+anchors AS (SELECT band_id, band_hash, min(k) AS a FROM cells GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT an.a, c.k AS b
+  FROM cells c JOIN anchors an USING (band_id, band_hash)
+  WHERE c.k <> an.a
+),
+sizes AS (SELECT k, count(*) AS ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p JOIN sh sa ON sa.k = p.a JOIN sh sb ON sb.k = p.b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT p.b FROM pairs p
+  JOIN sizes za ON za.k = p.a
+  JOIN sizes zb ON zb.k = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  WHERE coalesce(i.ni, 0)::DOUBLE / (za.ns + zb.ns - coalesce(i.ni, 0)) >= {threshold}
+)
+SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """ANSI-SQL (DuckDB) replica of :func:`simhash_dedup` over `table`:
+    the word hash (_word_hashes: byte polynomial base 257 mod 2^64 +
+    splitmix64) and the per-bit majority vote are plain modular integer
+    arithmetic, so identical-fingerprint dedup is exactly value-checkable.
+    ASCII corpora only (same caveat as minhash_oracle_sql)."""
+    T = 1 << 64
+    c1, c2, c3 = int(_SM64_C1), int(_SM64_C2), int(_SM64_C3)
+    # 257^j mod 2^64, j up to a generous word-length bound
+    pw, acc = [], 1
+    for _ in range(129):
+        pw.append(acc)
+        acc = (acc * 257) % T
+    pow_vals = ", ".join(f"({j}, {v}::HUGEINT)" for j, v in enumerate(pw))
+    # per-bit majority vote -> bit weight, summed into the unsigned fp
+    fp_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH pow257(j, v) AS (VALUES {pow_vals}),
+w AS (
+  -- wi disambiguates REPEATED words in a doc: each occurrence votes
+  -- (parallel unnests zip positionally in DuckDB)
+  SELECT {key_col} AS k,
+    unnest(wl) AS word,
+    unnest(generate_series(1, len(wl))) AS wi
+  FROM (
+    SELECT {key_col},
+      list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), x -> x <> '') AS wl
+    FROM {table}
+  )
+),
+ch AS (
+  SELECT k, wi, word, unnest(generate_series(1, length(word))) AS i FROM w
+),
+raw AS (
+  SELECT k, wi, (sum((ascii(substr(word, i::INT, 1))::HUGEINT * p.v) % {T}) % {T}) AS r
+  FROM ch JOIN pow257 p ON p.j = length(ch.word) - ch.i
+  GROUP BY k, wi, word, length(word)
+),
+z1 AS (SELECT k, ((r + {c1}) % {T})::UBIGINT AS z FROM raw),
+-- (z * C) mod 2^64 with a 64x64 multiply would overflow INT128, so split
+-- z into 32-bit halves: (lo*C mod 2^64 + (hi*C mod 2^32) << 32) mod 2^64
+z2 AS (SELECT k, (
+    ( ((xor(z, z >> 30) & 4294967295)::HUGEINT * {c2}) % {T}
+    + (((xor(z, z >> 30) >> 32)::HUGEINT * {c2}) % 4294967296) * 4294967296
+    ) % {T})::UBIGINT AS z FROM z1),
+z3 AS (SELECT k, (
+    ( ((xor(z, z >> 27) & 4294967295)::HUGEINT * {c3}) % {T}
+    + (((xor(z, z >> 27) >> 32)::HUGEINT * {c3}) % 4294967296) * 4294967296
+    ) % {T})::UBIGINT AS z FROM z2),
+wh AS (SELECT k, xor(z, z >> 31) AS h FROM z3),
+fpu AS (SELECT k, ({fp_terms}) AS fpu FROM wh GROUP BY k),
+fp AS (
+  SELECT d.{key_col} AS k,
+    (CASE WHEN coalesce(f.fpu, 0) >= {1 << 63}::HUGEINT
+          THEN coalesce(f.fpu, 0) - {T} ELSE coalesce(f.fpu, 0) END)::BIGINT AS simhash
+  FROM {table} d LEFT JOIN fpu f ON f.k = d.{key_col}
+)
+SELECT * FROM {table}
+WHERE {key_col} IN (SELECT min(k) FROM fp GROUP BY simhash)
+"""
