@@ -246,6 +246,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--encode-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -260,17 +261,29 @@ def main() -> None:
         #                 this pair reports the single-box ceiling, not
         #                 node scaling. Reported for transparency.
         ensure_corpus()  # generate once, outside the timed subprocesses
-        levels = {}
-        for cpus in (2, 8, 32):
-            out = f"/tmp/raquet_scaling_{cpus}.json"
-            # capture child stdout: the harness contract is ONE JSON line
-            # on OUR stdout; children persist results via --json-out
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--encode-only",
-                 "--cpus", str(cpus), "--json-out", out],
-                check=True, cwd=REPO, capture_output=True,
-            )
-            levels[str(cpus)] = json.load(open(out))["encode"]
+        # INTERLEAVED rounds of (2, 8, 32) children, per-level best across
+        # rounds: host-neighbor contention comes in multi-minute bursts
+        # (measured 2026-08-17: the 8-cpu level swung 0.15-0.41 GB/s
+        # between back-to-back scaling runs), and sequential per-level
+        # ordering lands a whole burst on ONE level, corrupting the pair
+        # ratio. Interleaving spreads a burst across levels; best-of-rounds
+        # then recovers the uncontended number for each.
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+        levels: dict[str, dict] = {}
+        for _ in range(rounds):
+            for cpus in (2, 8, 32):
+                out = f"/tmp/raquet_scaling_{cpus}.json"
+                # capture child stdout: the harness contract is ONE JSON
+                # line on OUR stdout; children persist via --json-out
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--encode-only",
+                     "--cpus", str(cpus), "--runs", "2", "--json-out", out],
+                    check=True, cwd=REPO, capture_output=True,
+                )
+                enc = json.load(open(out))["encode"]
+                cur = levels.get(str(cpus))
+                if cur is None or enc["sec"] < cur["sec"]:
+                    levels[str(cpus)] = enc
 
         def eff(lo: str, hi: str) -> dict:
             speedup = levels[lo]["sec"] / levels[hi]["sec"]
@@ -312,7 +325,7 @@ def main() -> None:
             paths = ensure_corpus()
             enc_stats = run_encode(
                 paths, f"/tmp/raquet_bench_out_c{args.cpus}", args.cpus,
-                runs=3, pick="best",
+                runs=args.runs, pick="best",
             )
             result = {"encode": enc_stats, "num_cpus": args.cpus}
             if args.json_out:
