@@ -357,6 +357,31 @@ def _q_manifest_totals(sf_dir: str):
     return pd.DataFrame([{k: int(v) for k, v in t.items()}])
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Global token-frequency top-100 over the corpus — the vocabulary-
+    coverage health check of a training-data pipeline. Scale shape: one
+    dense bincount PARTIAL per block (shuffle payload O(vocab)/block,
+    independent of block rows), coarse-bucket reduce, deterministic
+    (cnt desc, token asc) cutoff."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    return st.vocab_topk(ds, vocab_size=50_257, k=100)
+
+
+def _q_seqlen_quantiles(sf_dir: str):
+    """Exact sequence-length quantiles (packing-efficiency planning) from
+    the full n_tok histogram; percentile semantics == SQL percentile_disc."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["n_tok"])
+    return st.seqlen_quantiles(ds, max_len=1 << 14)
+
+
 def _q_events_yearly(sf_dir: str):
     import pandas as pd
     import pyarrow.compute as pc
@@ -644,6 +669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_read_ntok": _q_range_read,
         "manifest_totals": _q_manifest_totals,
         "events_yearly": _q_events_yearly,
+        "vocab_topk": _q_vocab_topk,
+        "seqlen_quantiles": _q_seqlen_quantiles,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -822,6 +849,19 @@ def oracle_sql() -> dict[str, str]:
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)
         "simhash_dedup_docs": _dedup.simhash_oracle_sql("documents"),
+        "vocab_topk": (
+            "SELECT t AS token, count(*)::BIGINT AS cnt "
+            f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
+            "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "seqlen_quantiles": (
+            "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p25, "
+            "percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p50, "
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p75, "
+            "percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p90, "
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p99 "
+            f"FROM {corpus}"
+        ),
         "topk_similar": (
             "SELECT vec_id, CAST(row_number() OVER "
             f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "

@@ -100,3 +100,93 @@ def grouped_stats(ds: rd.Dataset, key: str, value: str) -> rd.Dataset:
     return partials.groupby(key).map_groups(
         lambda g: _combine_and_finalize(g, key), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# dense-domain histograms (vocabulary frequency, sequence-length quantiles)
+# ---------------------------------------------------------------------------
+
+
+def _hist_partials(batch: pa.Table, column: str, domain: int, flatten: bool) -> pa.Table:
+    """One dense np.bincount per BLOCK, emitted as nonzero (value, cnt)
+    rows + a coarse shuffle bucket. The shuffle payload is O(domain) per
+    block — independent of how many rows/tokens the block held — which is
+    the whole point: a token-frequency groupby shipped row-wise would be
+    an all-to-all over every token at 100 TB."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if flatten:
+        col = col.flatten()
+    vals = col.to_numpy(zero_copy_only=False)
+    c = np.bincount(vals, minlength=domain)
+    nz = np.flatnonzero(c)
+    return pa.table(
+        {
+            "value": pa.array(nz.astype(np.int64)),
+            "cnt": pa.array(c[nz].astype(np.int64)),
+            "_b": pa.array((nz % 256).astype(np.int32)),
+        }
+    )
+
+
+def _hist_reduce(group: pa.Table) -> pa.Table:
+    """Vectorized fine-grained sum inside one coarse bucket (the repo's
+    high-cardinality-groupby shape; Arrow out — see _combine_and_finalize)."""
+    df = group.select(["value", "cnt"]).to_pandas()
+    s = df.groupby("value", sort=True)["cnt"].sum()
+    return pa.table(
+        {
+            "value": pa.array(s.index.to_numpy(np.int64)),
+            "cnt": pa.array(s.to_numpy(np.int64)),
+        }
+    )
+
+
+def value_histogram(
+    ds: rd.Dataset, column: str, domain: int, flatten: bool = False
+) -> rd.Dataset:
+    """Exact global frequency of every value of a dense int column (or a
+    list column's elements with ``flatten=True``): in-block bincount
+    partials -> coarse-bucket shuffle -> vectorized in-bucket sum."""
+    parts = ds.map_batches(
+        lambda t: _hist_partials(t, column, domain, flatten),
+        batch_format="pyarrow",
+    )
+    return parts.groupby("_b").map_groups(_hist_reduce, batch_format="pyarrow")
+
+
+def vocab_topk(
+    ds: rd.Dataset, column: str = "tokens", vocab_size: int = 50_257, k: int = 100
+) -> rd.Dataset:
+    """Top-k most frequent tokens (vocabulary coverage — the training-data
+    health check). Deterministic cutoff: count desc, token asc."""
+    hist = value_histogram(ds, column, vocab_size, flatten=True)
+    return (
+        hist.rename_columns({"value": "token"})
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def seqlen_quantiles(
+    ds: rd.Dataset,
+    column: str = "n_tok",
+    max_len: int = 1 << 20,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pd.DataFrame:
+    """Exact sequence-length quantiles from the full length histogram
+    (packing-efficiency planning). The histogram result is O(max_len)
+    rows — small — so the final cumulative scan runs on the driver;
+    percentile semantics match SQL percentile_disc: the value whose
+    1-indexed rank is ceil(p * n)."""
+    hist = value_histogram(ds, column, max_len).to_pandas().sort_values("value")
+    counts = hist["cnt"].to_numpy(np.int64)
+    values = hist["value"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for p in ps:
+        rank = max(int(np.ceil(p * n)), 1)
+        out[f"p{int(p * 100)}"] = int(values[np.searchsorted(cum, rank)]) if n else 0
+    return pd.DataFrame([out])

@@ -232,3 +232,31 @@ class TestExplodeAndPosweight:
             }
         )
         assert tr.position_weighted(t, id_cols=("doc_id",)).column("posw").to_pylist() == [6]
+
+
+class TestValueHistogram:
+    def test_vocab_topk_matches_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        rng = np.random.default_rng(7)
+        rows = [rng.integers(0, 50, size=rng.integers(1, 30)).tolist() for _ in range(400)]
+        t = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+        got = st.vocab_topk(rd.from_arrow(t), vocab_size=50, k=10).to_pandas()
+        counts = collections.Counter(x for r in rows for x in r)
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["token"], got["cnt"])) == want
+
+    def test_seqlen_quantiles_percentile_disc(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        vals = np.concatenate([np.full(50, 3), np.full(30, 10), np.full(20, 99)])
+        t = pa.table({"n_tok": pa.array(vals, type=pa.int32())})
+        q = st.seqlen_quantiles(rd.from_arrow(t), max_len=128)
+        # percentile_disc: value at 1-indexed rank ceil(p*n), n=100
+        assert q.iloc[0].to_dict() == {"p25": 3, "p50": 3, "p75": 10, "p90": 99, "p99": 99}
