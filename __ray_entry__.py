@@ -382,6 +382,17 @@ def _q_seqlen_quantiles(sf_dir: str):
     return st.seqlen_quantiles(ds, max_len=1 << 14)
 
 
+def _q_packed_windows(sf_dir: str):
+    """GPT-style sequence packing (concat docs + separator, chop every
+    2048 tokens) summarized per window with an order-pinning positional
+    checksum — the two-pass prefix-sum operator (pipelines/packing.py):
+    shard base offsets planned from a pruned n_tok read, per-shard window
+    partials, merge touches only boundary-straddling windows."""
+    from duckdb_raquet_ray.pipelines import packing
+
+    return packing.packed_window_stats(_ensure_corpus(), window=2048)
+
+
 def _q_events_yearly(sf_dir: str):
     import pandas as pd
     import pyarrow.compute as pc
@@ -671,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_yearly": _q_events_yearly,
         "vocab_topk": _q_vocab_topk,
         "seqlen_quantiles": _q_seqlen_quantiles,
+        "packed_windows": _q_packed_windows,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -853,6 +865,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        # canonical packing order = the numeric doc suffix (globally
+        # sequential across shards == file/row order the Ray side reads);
+        # each doc contributes its tokens + ONE separator (50256), the
+        # stream is cut every 2048, and the per-window checksum weights
+        # each token by (1 + position inside the window)
+        "packed_windows": (
+            "WITH d AS (SELECT tokens, n_tok, "
+            "CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) AS idx "
+            f"FROM {corpus}), "
+            "o AS (SELECT tokens, n_tok, coalesce(sum(n_tok + 1) OVER ("
+            "ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base "
+            "FROM d), "
+            "t AS (SELECT base, n_tok, tokens, "
+            "unnest(generate_series(1, n_tok + 1)) AS i FROM o), "
+            "tok AS (SELECT base + i - 1 AS pos, "
+            "CASE WHEN i <= n_tok THEN tokens[i::INT] ELSE 50256 END AS tk FROM t) "
+            "SELECT (pos // 2048)::BIGINT AS window_id, count(*)::BIGINT AS n_tokens, "
+            "sum((pos % 2048 + 1) * tk)::BIGINT AS checksum "
+            "FROM tok GROUP BY window_id"
         ),
         "seqlen_quantiles": (
             "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)::BIGINT AS p25, "
