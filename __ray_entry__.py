@@ -393,6 +393,34 @@ def _q_packed_windows(sf_dir: str):
     return packing.packed_window_stats(_ensure_corpus(), window=2048)
 
 
+_MIXTURE_RATES = {"web": 0.25, "code": 0.5, "wiki": 0.9, "books": 1.0}
+_MIXTURE_SEED, _EPOCH_SEED = 7, 3
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic source-mixture subsampling (domain re-weighting):
+    keep iff mix64(hash(doc_id), seed) < floor(rate[source] * 2^64) —
+    stateless per-row decision, stable under any partitioning, integer
+    thresholds fixed at plan time (pipelines/sampling.py)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
+    return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
+
+
+def _q_epoch_order(sf_dir: str):
+    """Seeded reproducible epoch shuffle: first 200 docs by
+    mix64(hash(doc_id), seed) — partition-independent rank."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id"])
+    return sampling.epoch_order(ds, seed=_EPOCH_SEED).limit(200)
+
+
 def _q_events_yearly(sf_dir: str):
     import pandas as pd
     import pyarrow.compute as pc
@@ -683,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "seqlen_quantiles": _q_seqlen_quantiles,
         "packed_windows": _q_packed_windows,
+        "mixture_sample": _q_mixture_sample,
+        "epoch_order": _q_epoch_order,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -729,9 +759,12 @@ def _point_lookup_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import dedup as _dedup
+    from duckdb_raquet_ray.pipelines import sampling as _sampling
 
     _ensure_corpus()
     corpus = f"read_parquet('{CORPUS_DIR}/shard-*.parquet')"
+    # projection matching _q_mixture_sample's column selection
+    corpus_cols = f"(SELECT doc_id, source, n_tok FROM {corpus})"
     stats_sql = (
         "SELECT doc_id, n_tok, source, "
         "len(tokens)::BIGINT AS tok_count, "
@@ -865,6 +898,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        "mixture_sample": _sampling.mixture_oracle_sql(
+            corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
+        ),
+        "epoch_order": _sampling.epoch_order_oracle_sql(
+            corpus, seed=_EPOCH_SEED, limit=200
         ),
         # canonical packing order = the numeric doc suffix (globally
         # sequential across shards == file/row order the Ray side reads);

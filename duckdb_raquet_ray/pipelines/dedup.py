@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from duckdb_raquet_ray.functions import detmix
+
 # ---------------------------------------------------------------------------
 # exact dedup: content hash -> hash-partitioned first-wins
 # ---------------------------------------------------------------------------
@@ -335,39 +337,13 @@ def minhash_dedup(
 
 # splitmix64 finalizer constants (Steele/Lea/Flood, public domain PRNG —
 # used here only as a bit mixer so short words still spread over 64 bits)
-_SM64_C1 = np.uint64(0x9E3779B97F4A7C15)
-_SM64_C2 = np.uint64(0xBF58476D1CE4E5B9)
-_SM64_C3 = np.uint64(0x94D049BB133111EB)
-
-
-def _word_hashes(flat: np.ndarray) -> np.ndarray:
-    """uint64 hash per word: byte-polynomial base 257 (Horner, mod 2^64)
-    + splitmix64 finalizer. Chosen over pandas' siphash because every step
-    is plain modular integer arithmetic — exactly replicable in ANSI SQL
-    (simhash_oracle_sql), which graduates SimHash dedup from rows-only to
-    a full value-checked oracle. Vectorized: one encode of the whole word
-    stream, one table-gathered multiply, one segment reduceat."""
-    joined = "".join(flat.tolist())
-    data = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
-    lens = np.fromiter((len(w) for w in flat), np.int64, count=len(flat))
-    if int(lens.sum()) != len(data):  # non-ASCII words: char len != byte len
-        lens = np.fromiter(
-            (len(w.encode("utf-8")) for w in flat), np.int64, count=len(flat)
-        )
-    ends = np.cumsum(lens)
-    # exponent of 257 for each byte: position from its word's END
-    wend = np.repeat(ends, lens)
-    exp = wend - 1 - np.arange(len(data), dtype=np.int64)
-    powers = np.ones(int(lens.max()) + 1, dtype=np.uint64)
-    powers[1:] = 257
-    np.multiply.accumulate(powers, out=powers)  # 257^j mod 2^64 (wraps)
-    terms = data.astype(np.uint64) * powers[exp]
-    h = np.add.reduceat(terms, ends - lens)  # words are non-empty (str.split)
-    # splitmix64 finalizer (every op wraps mod 2^64)
-    z = h + _SM64_C1
-    z = (z ^ (z >> np.uint64(30))) * _SM64_C2
-    z = (z ^ (z >> np.uint64(27))) * _SM64_C3
-    return z ^ (z >> np.uint64(31))
+# word hash: byte-polynomial base 257 mod 2^64 + splitmix64 — chosen over
+# pandas' siphash because every step is plain modular integer arithmetic,
+# exactly replicable in ANSI SQL (simhash_oracle_sql), which graduates
+# SimHash dedup from rows-only to a full value-checked oracle. The shared
+# kernel (also behind mixture sampling / epoch ordering) lives in
+# functions/detmix.py.
+_word_hashes = detmix.string_hash64
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -630,7 +606,7 @@ def simhash_oracle_sql(
     arithmetic, so identical-fingerprint dedup is exactly value-checkable.
     ASCII corpora only (same caveat as minhash_oracle_sql)."""
     T = 1 << 64
-    c1, c2, c3 = int(_SM64_C1), int(_SM64_C2), int(_SM64_C3)
+    c1, c2, c3 = int(detmix.SM64_C1), int(detmix.SM64_C2), int(detmix.SM64_C3)
     # 257^j mod 2^64, j up to a generous word-length bound
     pw, acc = [], 1
     for _ in range(129):

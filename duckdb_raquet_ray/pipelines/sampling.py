@@ -1,0 +1,133 @@
+"""Deterministic corpus sampling & ordering — source-mixture (domain
+weighting) subsampling and seeded epoch shuffling.
+
+Training-data pipelines re-weight domains ("web at 25 %, books at 100 %")
+and need a reproducible global shuffle per epoch. Both are implemented as
+pure hash decisions per row — `keep iff mix64(key, seed) < threshold` and
+`order by mix64(key, seed)` — so they are:
+
+  - embarrassingly parallel (a stateless map_batches filter / key
+    assignment; no coordination, no sampling state),
+  - stable under any partitioning or cluster size (the decision depends
+    only on the row's key), resumable for free,
+  - exactly replicable in SQL (functions/detmix.py emits the byte-for-
+    byte DuckDB expressions), so both carry value-checked oracles.
+
+Thresholds are INTEGERS fixed at plan time (`floor(rate * 2^64)` computed
+once in Python and inlined into both the Ray op and the SQL), so no
+float rounding can diverge between the two sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from duckdb_raquet_ray.functions import detmix
+
+U64 = detmix.U64
+
+
+def rate_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """rate in [0, 1] -> integer keep-threshold on the uint64 hash."""
+    out = {}
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+        out[k] = U64 if r >= 1.0 else int(r * U64)
+    return out
+
+
+def source_mixture_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> rd.Dataset:
+    """Keep each row iff mix64(hash(key), seed) < threshold[source] —
+    deterministic domain re-weighting. Sources absent from `rates` keep
+    `default_rate` of their rows."""
+    thr = rate_thresholds(rates)
+    default_thr = rate_thresholds({"_": default_rate})["_"]
+    seed = int(seed)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        srcs = t.column(source_col).to_pandas()
+        limits = srcs.map(lambda s: thr.get(s, default_thr)).to_numpy(np.object_)
+        # object dtype: a threshold of 2^64 (rate 1.0) overflows uint64 —
+        # compare in Python ints via vectorized object math is slow; split
+        # instead: full-keep sources short-circuit, the rest compare u64
+        full = limits == U64
+        lim_arr = np.where(full, 0, limits).astype(np.uint64)
+        keep = full | (u < lim_arr)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")
+
+
+def epoch_order(
+    ds: rd.Dataset, key_col: str = "doc_id", seed: int = 0
+) -> rd.Dataset:
+    """Append `epoch_rank` = mix64(hash(key), seed) >> 1 (int64-safe) and
+    sort by it — the reproducible global shuffle for one training epoch.
+    Different seeds give independent orders; ranks are stable under any
+    partitioning, so a resumed epoch continues where it stopped."""
+    seed = int(seed)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        return t.append_column(
+            "epoch_rank", pa.array((u >> np.uint64(1)).astype(np.int64))
+        )
+
+    return ds.map_batches(add_rank, batch_format="pyarrow").sort("epoch_rank")
+
+
+# ---------------------------------------------------------------------------
+# SQL parity oracles (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _mix_ctes(table: str, key_col: str, seed: int) -> str:
+    """pow257_64 + kh + seeded-mix CTE chain -> ``mx(k, u)``."""
+    seed_mixed = int(detmix.splitmix64(seed % U64))
+    return f"""WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+{detmix.sql_string_hash_ctes(table, key_col)},
+mx AS (SELECT k, {detmix.sql_splitmix64(f"xor(h, {seed_mixed}::UBIGINT)")} AS u FROM kh)"""
+
+
+def mixture_oracle_sql(
+    table: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> str:
+    """SQL replica of :func:`source_mixture_sample` over `table`."""
+    thr = rate_thresholds(rates)
+    default_thr = rate_thresholds({"_": default_rate})["_"]
+    cases = " ".join(
+        f"WHEN '{s}' THEN {'TRUE' if t >= U64 else f'mx.u < {t}::UBIGINT'}"
+        for s, t in thr.items()
+    )
+    default_case = "TRUE" if default_thr >= U64 else f"mx.u < {default_thr}::UBIGINT"
+    return f"""{_mix_ctes(table, key_col, seed)}
+SELECT d.* FROM {table} d JOIN mx ON mx.k = d.{key_col}
+WHERE CASE d.{source_col} {cases} ELSE {default_case} END"""
+
+
+def epoch_order_oracle_sql(
+    table: str, key_col: str = "doc_id", seed: int = 0, limit: int = 200
+) -> str:
+    """SQL replica of :func:`epoch_order` (first `limit` rows by rank)."""
+    return f"""{_mix_ctes(table, key_col, seed)}
+SELECT d.{key_col}, (mx.u >> 1)::BIGINT AS epoch_rank
+FROM {table} d JOIN mx ON mx.k = d.{key_col}
+ORDER BY epoch_rank, d.{key_col} LIMIT {limit}"""

@@ -1,0 +1,79 @@
+"""Deterministic mixture sampling / epoch ordering (pipelines/sampling.py)
+and the shared mix kernel (functions/detmix.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines import sampling
+
+
+def _docs(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    srcs = rng.choice(["web", "books", "code"], size=n, p=[0.6, 0.2, 0.2])
+    return pa.table(
+        {
+            "doc_id": pa.array([f"{s}/doc-{i:08d}" for i, s in enumerate(srcs)]),
+            "source": pa.array(srcs.tolist()),
+            "n_tok": pa.array(rng.integers(1, 100, size=n), type=pa.int32()),
+        }
+    )
+
+
+class TestDetmix:
+    def test_splitmix_known_wrap(self):
+        # vectorized == scalar path, and wraps (no overflow error)
+        xs = np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)
+        v = detmix.splitmix64(xs)
+        assert v.dtype == np.uint64 and len(set(v.tolist())) == 4
+        assert int(detmix.splitmix64(1)) == int(v[1])
+
+    def test_string_hash_edges(self):
+        flat = np.array(["", "a", "a", "ab", "ba", "é"], dtype=object)
+        h = detmix.string_hash64(flat)
+        assert h[1] == h[2] and h[3] != h[4] and h[0] != h[1]
+        # non-ASCII path (byte lengths differ from char lengths) still works
+        assert h[5] != h[1]
+
+    def test_seeded_mix_changes_with_seed(self):
+        h = detmix.string_hash64(np.array(["x", "y"], dtype=object))
+        assert not np.array_equal(detmix.seeded_mix(h, 0), detmix.seeded_mix(h, 1))
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, ray_session):
+        t = _docs()
+        rates = {"web": 0.25, "books": 1.0}
+        a = sampling.source_mixture_sample(rd.from_arrow(t), rates, seed=1).to_pandas()
+        b = sampling.source_mixture_sample(
+            rd.from_arrow(t).repartition(7), rates, seed=1
+        ).to_pandas()
+        # identical keep-set regardless of partitioning
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+        by_src = a.groupby("source").size()
+        n_web = (np.asarray(t.column("source")) == "web").sum()
+        assert abs(by_src.get("web", 0) / n_web - 0.25) < 0.08  # hash-binomial
+        n_books = (np.asarray(t.column("source")) == "books").sum()
+        assert by_src.get("books", 0) == n_books  # rate 1.0 keeps all
+
+    def test_default_rate(self, ray_session):
+        t = _docs()
+        out = sampling.source_mixture_sample(
+            rd.from_arrow(t), {"web": 0.0}, default_rate=1.0, seed=2
+        ).to_pandas()
+        assert (out.source != "web").all()
+        assert len(out) == (np.asarray(t.column("source")) != "web").sum()
+
+
+class TestEpochOrder:
+    def test_seeds_give_distinct_stable_orders(self, ray_session):
+        t = _docs(n=500)
+        o1 = sampling.epoch_order(rd.from_arrow(t), seed=0).to_pandas().doc_id.tolist()
+        o1b = sampling.epoch_order(
+            rd.from_arrow(t).repartition(5), seed=0
+        ).to_pandas().doc_id.tolist()
+        o2 = sampling.epoch_order(rd.from_arrow(t), seed=1).to_pandas().doc_id.tolist()
+        assert o1 == o1b  # partition-independent
+        assert o1 != o2  # seed changes the epoch permutation
+        assert sorted(o1) == sorted(o2)  # …but it is a permutation
