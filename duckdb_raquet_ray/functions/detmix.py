@@ -22,11 +22,14 @@ SM64_C3 = np.uint64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
-    """splitmix64 finalizer over uint64 (vectorized; all ops wrap)."""
-    z = np.asarray(x, dtype=np.uint64) + SM64_C1
-    z = (z ^ (z >> np.uint64(30))) * SM64_C2
-    z = (z ^ (z >> np.uint64(27))) * SM64_C3
-    out = z ^ (z >> np.uint64(31))
+    """splitmix64 finalizer over uint64 (vectorized; all ops wrap —
+    errstate silences numpy's SCALAR-only overflow warning; mod-2^64
+    wraparound is the whole point)."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=np.uint64) + SM64_C1
+        z = (z ^ (z >> np.uint64(30))) * SM64_C2
+        z = (z ^ (z >> np.uint64(27))) * SM64_C3
+        out = z ^ (z >> np.uint64(31))
     return out if out.ndim else np.uint64(out)
 
 
