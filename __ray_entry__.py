@@ -421,6 +421,20 @@ def _q_epoch_order(sf_dir: str):
     return sampling.epoch_order(ds, seed=_EPOCH_SEED).limit(200)
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embedding table (ANN index
+    compression) summarized by exact integer checksums — every float step
+    (float32->float64, order-independent max|x|, round-half-away) is
+    bit-replicable in SQL (pipelines/ann.py:quantize_int8_batch)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ds.map_batches(ann.quantize_int8_batch, batch_format="pyarrow", batch_size=4096)
+    return out.select_columns(["vec_id", "q_checksum", "q_l1"])
+
+
 def _q_events_yearly(sf_dir: str):
     import pandas as pd
     import pyarrow.compute as pc
@@ -713,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_windows": _q_packed_windows,
         "mixture_sample": _q_mixture_sample,
         "epoch_order": _q_epoch_order,
+        "embedding_quantize": _q_embedding_quantize,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -898,6 +913,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        # int8 quantization: scale = list_max(|x|) (order-independent),
+        # q = round(x/scale*127) — DuckDB round() is half-away-from-zero,
+        # exactly the kernel's floor(|y|+0.5) for |y| <= 127.5
+        "embedding_quantize": (
+            "WITH e AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale "
+            "FROM embeddings), "
+            "t AS (SELECT vec_id, scale, "
+            "unnest(embedding) AS x, "
+            "unnest(generate_series(1, len(embedding))) AS i FROM e), "
+            "q AS (SELECT vec_id, i, CASE WHEN scale > 0 "
+            "THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv FROM t) "
+            "SELECT vec_id, sum(i * qv)::BIGINT AS q_checksum, "
+            "sum(abs(qv))::BIGINT AS q_l1 FROM q GROUP BY vec_id"
         ),
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED

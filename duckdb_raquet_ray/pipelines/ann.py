@@ -210,3 +210,45 @@ def ivf_topk_indexed(
         )
     ds = rd.read_parquet(files)
     return brute_force_topk(ds, query, k, vec_col, key_col)
+
+
+def quantize_int8_batch(
+    batch: pa.Table, vec_col: str = "embedding"
+) -> pa.Table:
+    """Per-vector symmetric int8 quantization — the standard index-
+    compression step before ANN at scale (4x smaller vectors, SIMD int8
+    dot products): scale = max|x| per vector, q = round_half_away(x /
+    scale * 127). Appends `qvec` (list<int8>) plus two integer summaries
+    (`q_checksum` position-weighted, `q_l1`) that pin the quantized values
+    exactly and are SQL-replicable: all math runs in float64 from the
+    float32 bits, max|x| is order-independent, and round-half-away equals
+    floor(|y| + 0.5) EXACTLY for |y| <= 127.5 (the 0.5 add is lossless
+    there), matching DuckDB's round()."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    child = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    ne = lengths > 0
+    scales = np.zeros(len(lengths), dtype=np.float64)
+    if ne.any():
+        scales[ne] = np.maximum.reduceat(np.abs(child), offsets[:-1][ne])
+    sc = np.repeat(scales, lengths)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = np.where(sc > 0, child / sc * 127.0, 0.0)
+    q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    pos = np.arange(len(child), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    csum = np.zeros(len(child) + 1, dtype=np.int64)
+    np.cumsum(q * (pos + 1), out=csum[1:])
+    l1 = np.zeros(len(child) + 1, dtype=np.int64)
+    np.cumsum(np.abs(q), out=l1[1:])
+    qvec = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(q.astype(np.int8))
+    )
+    return (
+        batch.append_column("qvec", qvec)
+        .append_column("q_checksum", pa.array(csum[offsets[1:]] - csum[offsets[:-1]]))
+        .append_column("q_l1", pa.array(l1[offsets[1:]] - l1[offsets[:-1]]))
+    )

@@ -293,3 +293,51 @@ class TestWinnowing:
             assert (got == np.sort(np.asarray(fps, dtype=np.int64))).all()
         # every fingerprint fits int64 (hash < 2^61): the long form casts
         assert (long["fp"] >= 0).all()
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_properties(self):
+        from duckdb_raquet_ray.pipelines import ann
+
+        rng = np.random.default_rng(11)
+        vecs = [rng.normal(size=16).astype(np.float32).tolist() for _ in range(50)]
+        vecs.append([0.0] * 16)  # zero vector -> all-zero quant, no div error
+        vecs.append([])          # empty vector
+        t = pa.table({"vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                      "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+        out = ann.quantize_int8_batch(t)
+        qv = out.column("qvec").to_pylist()
+        for orig, q in zip(vecs, qv):
+            q = np.asarray(q, dtype=np.int64)
+            assert (np.abs(q) <= 127).all()
+            if orig and max(abs(x) for x in orig) > 0:
+                # the max-|x| element quantizes to exactly +/-127
+                assert np.abs(q).max() == 127
+                # sign preserved
+                signs = np.sign(np.asarray(orig, dtype=np.float64))
+                nz = q != 0
+                assert (np.sign(q[nz]) == signs[nz]).all()
+            else:
+                assert (q == 0).all()
+        # integer summaries match the quantized vectors
+        for q, cs, l1 in zip(qv, out.column("q_checksum").to_pylist(),
+                             out.column("q_l1").to_pylist()):
+            q = np.asarray(q, dtype=np.int64)
+            assert cs == int((q * (np.arange(len(q)) + 1)).sum())
+            assert l1 == int(np.abs(q).sum())
+
+    def test_matches_duckdb_round_semantics(self):
+        import duckdb
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        # half-way cases: DuckDB round() is half-away-from-zero
+        vecs = [[1.0, 0.5, -0.5, 0.25, -0.25]]
+        t = pa.table({"vec_id": pa.array([0], type=pa.int64()),
+                      "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+        q = np.asarray(ann.quantize_int8_batch(t).column("qvec").to_pylist()[0])
+        want = duckdb.connect().execute(
+            "SELECT list_transform([1.0, 0.5, -0.5, 0.25, -0.25], "
+            "x -> round(x / 1.0 * 127)::BIGINT)"
+        ).fetchone()[0]
+        assert q.tolist() == want
