@@ -78,6 +78,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--rows", type=int, default=100_000)
     p.add_argument("--shards", type=int, default=8)
 
+    p = sub.add_parser("pack", help="GPT-style sequence packing: concat docs + "
+                       "separator, chop every --window tokens, write packed parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True, help="destination dir for packed parquet")
+    p.add_argument("--window", type=int, default=2048)
+
+    p = sub.add_parser("sample", help="deterministic source-mixture subsample "
+                       "(domain re-weighting) -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--rate", action="append", default=[],
+                   help="source=rate (repeatable), e.g. --rate web=0.25")
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -135,6 +150,28 @@ def main(argv: list[str] | None = None) -> None:
 
             n = decode.export_job(args.out, args.dest)
             print(json.dumps({"cmd": "export", "files": n}))
+        elif args.cmd == "pack":
+            from .pipelines import packing
+
+            ds = packing.pack_windows(_inputs(args.input), window=args.window)
+            ds.write_parquet(args.dest)
+            print(json.dumps({"cmd": "pack", "window": args.window, "dest": args.dest}))
+        elif args.cmd == "sample":
+            import ray.data as rd
+
+            from .pipelines import sampling
+
+            rates = {}
+            for spec in args.rate:
+                src, _, r = spec.partition("=")
+                rates[src] = float(r)
+            ds = sampling.source_mixture_sample(
+                rd.read_parquet(_inputs(args.input)), rates,
+                seed=args.seed, default_rate=args.default_rate,
+            )
+            ds.write_parquet(args.dest)
+            print(json.dumps({"cmd": "sample", "rates": rates, "seed": args.seed,
+                              "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 
