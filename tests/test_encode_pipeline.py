@@ -230,3 +230,41 @@ class TestStreamStages:
         assert got.column("tokens").combine_chunks().cast(exp.column("tokens").type).equals(
             exp.column("tokens").combine_chunks()
         )
+
+
+class TestIncrementalAppend:
+    def test_appending_shards_encodes_only_new(self, ray_session, tmp_path):
+        """Incremental ingest: re-running encode_job with NEW shards appended
+        to the input list re-encodes only the new shards' partitions —
+        lineage partition ids are pure functions of (shard, part), so old
+        ids stay stable and resume skips them."""
+        import os
+        import time
+
+        from duckdb_raquet_ray.pipelines import decode, encode
+        from duckdb_raquet_ray.sources import tokens as tok
+        from duckdb_raquet_ray.state import manifest as mf
+
+        corpus = str(tmp_path / "corpus")
+        out = str(tmp_path / "enc")
+        paths6 = tok.write_corpus(corpus, 3000, 6, row_group_rows=256)
+        first4 = paths6[:4]
+
+        encode.encode_job(first4, out, target_part_bytes=1 << 20)
+        done1 = mf.done_partition_ids(out)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.startswith("part-")
+        }
+        time.sleep(0.05)
+
+        meta = encode.encode_job(paths6, out, target_part_bytes=1 << 20)
+        done2 = mf.done_partition_ids(out)
+        assert done1 < done2  # strictly grew, nothing dropped
+        # previously-encoded partition files untouched (no re-encode)
+        for f, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, f)) == m
+        assert meta["num_rows"] == 3000
+        # the full 6-shard set decodes bit-identically
+        assert decode.verify_job(paths6, out, target_part_bytes=1 << 20)["ok"]
