@@ -41,11 +41,27 @@ _N_BUCKETS = 256  # coarse shuffle key (see pipelines/dedup.py rationale)
 
 def plan_offsets(paths: list[str], length_column: str = "n_tok") -> list[dict]:
     """Pass 1: per-shard exclusive base offsets of the packed stream
-    (each doc contributes n_tok + 1 — its tokens plus one separator)."""
-    totals = []
-    for p in paths:
-        t = pq.read_table(p, columns=[length_column])
-        totals.append(int(np.asarray(t.column(length_column)).sum()) + t.num_rows)
+    (each doc contributes n_tok + 1 — its tokens plus one separator).
+
+    The per-shard totals are computed by PARALLEL pruned column reads
+    (one tiny task per shard through Ray Data), not a serial driver loop —
+    at 10^5 shards a serial footer+column read per file would make pass 1
+    the job's wall-clock floor. Only O(#shards) scalars return to the
+    driver for the exclusive scan."""
+
+    def shard_total(batch: pa.Table) -> pa.Table:
+        totals = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=[length_column])
+            totals.append(int(np.asarray(t.column(length_column)).sum()) + t.num_rows)
+        return pa.table({"path": batch.column("path"), "total": pa.array(totals, pa.int64())})
+
+    items = rd.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
+    got = {
+        r["path"]: r["total"]
+        for r in items.map_batches(shard_total, batch_format="pyarrow").take_all()
+    }
+    totals = [got[p] for p in paths]  # restore input order (take_all may not)
     bases = np.zeros(len(paths), dtype=np.int64)
     np.cumsum(totals[:-1], out=bases[1:])
     return [
