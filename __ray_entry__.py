@@ -876,7 +876,7 @@ def oracle_sql() -> dict[str, str]:
         # lang CASE order mirrors argmax-first-max over sorted lang names
         "langid_docs": (
             "WITH w AS (SELECT doc_id, "
-            r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words "
+            r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\x0b\x0c]+'), x -> x <> '') AS words "
             "FROM documents), h AS (SELECT doc_id, len(words) AS nw, "
             "len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de, "
             "len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en, "
@@ -925,9 +925,13 @@ def oracle_sql() -> dict[str, str]:
             "unnest(embedding) AS x, "
             "unnest(generate_series(1, len(embedding))) AS i FROM e), "
             "q AS (SELECT vec_id, i, CASE WHEN scale > 0 "
-            "THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv FROM t) "
-            "SELECT vec_id, sum(i * qv)::BIGINT AS q_checksum, "
-            "sum(abs(qv))::BIGINT AS q_l1 FROM q GROUP BY vec_id"
+            "THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv FROM t), "
+            "s AS (SELECT vec_id, sum(i * qv)::BIGINT AS q_checksum, "
+            "sum(abs(qv))::BIGINT AS q_l1 FROM q GROUP BY vec_id) "
+            # LEFT JOIN: an empty embedding list unnests to zero rows but
+            # the Ray kernel still emits (vec_id, 0, 0) for it
+            "SELECT e.vec_id, coalesce(s.q_checksum, 0) AS q_checksum, "
+            "coalesce(s.q_l1, 0) AS q_l1 FROM embeddings e LEFT JOIN s USING (vec_id)"
         ),
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED

@@ -70,6 +70,18 @@ def zstd_reference(paths: list[str]) -> dict:
     return ref
 
 
+def best_of(fn, runs: int = 2) -> list[float]:
+    """Times of `runs` calls of fn() — callers take min(). One shared
+    helper: host-neighbor contention swings single runs 4-5x, and every
+    phase needs the same best-of-N guard."""
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return times
+
+
 def run_encode(paths: list[str], out_dir: str, cpus: int, runs: int = 2,
                pick: str = "last") -> dict:
     """The headline: lineage-partitioned encode job, fresh output.
@@ -129,15 +141,14 @@ def bench_corpus_phase(cpus: int) -> dict:
     extra["encode"] = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in enc_stats.items()}
     extra["zstd_reference"] = {"ratio": round(ref["zstd_ratio"], 4)}
 
-    times = []
-    for _ in range(3):  # best-of-3, same policy as run_encode
-        t0 = time.time()
-        # token_stats pushed INTO the decode actors (transform=): the
-        # pipeline ships per-row stats (~40 B/row) instead of the full
-        # decoded rows (~1.7 kB/row) through the object store
+    # token_stats pushed INTO the decode actors (transform=): the
+    # pipeline ships per-row stats (~40 B/row) instead of the full
+    # decoded rows (~1.7 kB/row) through the object store
+    def decode_stats_run():
         n = decode.read_encoded(enc_out, transform=tr.token_stats).count()
-        times.append(time.time() - t0)
         assert n == enc_stats["rows"], (n, enc_stats["rows"])
+
+    times = best_of(decode_stats_run, runs=3)
     best = min(times)
     queries["decode_stats"] = round(best, 3)
     extra["decode"] = {
@@ -145,29 +156,21 @@ def bench_corpus_phase(cpus: int) -> dict:
         "cold_sec": round(times[0], 3),
     }
 
-    def best_of(fn, runs: int = 2) -> float:
-        return round(min(_timed(fn) for _ in range(runs)), 3)
-
-    def _timed(fn) -> float:
-        t0 = time.time()
-        fn()
-        return time.time() - t0
-
     # column-pruned decode: only the n_tok blob is read (parquet column
     # selection skips the token blobs entirely), then a grouped aggregate
-    queries["pruned_decode_stats"] = best_of(lambda: st.grouped_stats(
+    queries["pruned_decode_stats"] = round(min(best_of(lambda: st.grouped_stats(
         decode.read_encoded(enc_out, columns=["n_tok", "source"]), "source", "n_tok"
-    ).to_pandas())
+    ).to_pandas())), 3)
 
-    queries["grouped_stats"] = best_of(lambda: st.grouped_stats(
+    queries["grouped_stats"] = round(min(best_of(lambda: st.grouped_stats(
         rd.read_parquet(paths, columns=["source", "n_tok"]), "source", "n_tok"
-    ).to_pandas())
+    ).to_pandas())), 3)
 
-    queries["clip_tokens"] = best_of(lambda: rd.read_parquet(paths, columns=["tokens"]).map_batches(
+    queries["clip_tokens"] = round(min(best_of(lambda: rd.read_parquet(paths, columns=["tokens"]).map_batches(
         functools.partial(tr.clip_tokens, low=100, high=40_000, length_column=None),
         batch_format="pyarrow",
         batch_size=4096,
-    ).count())
+    ).count())), 3)
     return {"queries": queries, "extra": extra}
 
 
@@ -215,28 +218,18 @@ def bench_tables_phase(cpus: int) -> dict:
     docs = os.path.join(SF_DIR, "documents.parquet")
     emb = os.path.join(SF_DIR, "embeddings.parquet")
 
-    def best_of(fn, runs: int = 2) -> float:
-        # best-of-2: host-neighbor contention was measured to swing these
-        # single-run numbers 4-5x between back-to-back full-bench runs
-        times = []
-        for _ in range(runs):
-            t0 = time.time()
-            fn()
-            times.append(time.time() - t0)
-        return round(min(times), 3)
-
-    queries["text_analysis"] = best_of(lambda: rd.read_parquet(
+    queries["text_analysis"] = round(min(best_of(lambda: rd.read_parquet(
         docs, columns=["doc_id", "text"]
     ).map_batches(
         text.TextAnalyzer, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, min(cpus, 8)), num_cpus=1,
-    ).count())
+    ).count())), 3)
 
-    queries["exact_dedup"] = best_of(lambda: dedup.exact_dedup(rd.read_parquet(docs)).count())
+    queries["exact_dedup"] = round(min(best_of(lambda: dedup.exact_dedup(rd.read_parquet(docs)).count())), 3)
 
-    queries["minhash_dedup"] = best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())
+    queries["minhash_dedup"] = round(min(best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())), 3)
 
-    queries["ann_topk"] = best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))
+    queries["ann_topk"] = round(min(best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))), 3)
 
     return {"queries": queries, "extra": {}}
 

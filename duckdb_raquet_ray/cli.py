@@ -163,8 +163,15 @@ def main(argv: list[str] | None = None) -> None:
 
             rates = {}
             for spec in args.rate:
-                src, _, r = spec.partition("=")
-                rates[src] = float(r)
+                src, sep, r = spec.partition("=")
+                try:
+                    if not sep:
+                        raise ValueError
+                    rates[src] = float(r)
+                except ValueError:
+                    raise SystemExit(
+                        f"--rate expects source=rate (e.g. web=0.25), got {spec!r}"
+                    )
             ds = sampling.source_mixture_sample(
                 rd.read_parquet(_inputs(args.input)), rates,
                 seed=args.seed, default_rate=args.default_rate,

@@ -90,22 +90,36 @@ def sql_splitmix64(expr: str) -> str:
     return f"xor({z3}, {z3} >> 31)"
 
 
-def sql_string_hash_ctes(source_sql: str, key_col: str) -> str:
+def sql_string_hash_ctes(source_sql: str, key_col: str, max_len: int = 128) -> str:
     """CTE chain (to splice after a ``pow257_64(j, v)`` CTE) computing
     ``kh(k, h)``: string_hash64 of DISTINCT `key_col` values of
     `source_sql`. ASCII keys only (ascii(substr()) == the UTF-8 byte for
-    7-bit text). Join ``kh`` back on k for per-row hashes."""
+    7-bit text). Join ``kh`` back on k for per-row hashes.
+
+    Empty keys hash as splitmix64(0) via the LEFT JOIN + coalesce (an
+    inner path would silently DROP them — the Ray kernel keeps them);
+    keys longer than the pow table raise loudly via error() instead of
+    losing high-order terms to a silent join miss."""
     return f"""
-kh_c AS (
-  SELECT k, unnest(generate_series(1, length(k))) AS i
+kh_d AS (
+  SELECT CASE WHEN length(k) > {max_len}
+              THEN error('detmix oracle: key longer than pow257_64 table ('
+                         || length(k) || ' > {max_len} chars)')
+              ELSE k END AS k
   FROM (SELECT DISTINCT {key_col} AS k FROM {source_sql})
+),
+kh_c AS (
+  SELECT k, unnest(generate_series(1, length(k))) AS i FROM kh_d
 ),
 kh_r AS (
   SELECT k, (sum((ascii(substr(k, i::INT, 1))::HUGEINT * p.v) % {U64}) % {U64}) AS r
   FROM kh_c JOIN pow257_64 p ON p.j = length(kh_c.k) - kh_c.i
   GROUP BY k, length(k)
 ),
-kh AS (SELECT k, {sql_splitmix64('r')} AS h FROM kh_r)"""
+kh AS (
+  SELECT d.k, {sql_splitmix64("coalesce(r.r, 0)")} AS h
+  FROM kh_d d LEFT JOIN kh_r r ON r.k = d.k
+)"""
 
 
 def sql_pow257_64_values(max_len: int = 128) -> str:

@@ -629,12 +629,19 @@ w AS (
     unnest(generate_series(1, len(wl))) AS wi
   FROM (
     SELECT {key_col},
-      list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), x -> x <> '') AS wl
+      list_filter(regexp_split_to_array(lower({text_col}), '[ \\t\\n\\r\\x0b\\x0c]+'), x -> x <> '') AS wl
     FROM {table}
   )
 ),
 ch AS (
-  SELECT k, wi, word, unnest(generate_series(1, length(word))) AS i FROM w
+  -- words longer than the pow table must fail loudly, not lose terms to
+  -- a silent join miss
+  SELECT k, wi,
+    CASE WHEN length(word) > 128
+         THEN error('simhash oracle: word longer than pow257 table')
+         ELSE word END AS word,
+    unnest(generate_series(1, length(word))) AS i
+  FROM w
 ),
 raw AS (
   SELECT k, wi, (sum((ascii(substr(word, i::INT, 1))::HUGEINT * p.v) % {T}) % {T}) AS r

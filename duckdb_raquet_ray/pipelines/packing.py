@@ -118,6 +118,12 @@ def packed_window_stats(
         for row in batch.to_pylist():
             t = pq.read_table(row["path"], columns=[tokens_column])
             flat = _flat_with_seps(t, tokens_column)
+            if len(flat) != row["total"]:
+                raise ValueError(
+                    f"{row['path']}: token stream length {len(flat)} != planned "
+                    f"{row['total']} — {length_column} disagrees with "
+                    f"len({tokens_column}); window offsets would corrupt"
+                )
             if len(flat) == 0:  # empty shard contributes nothing
                 continue
             base = row["base"]
@@ -187,14 +193,22 @@ def pack_windows(
         for row in batch.to_pylist():
             t = pq.read_table(row["path"], columns=[tokens_column])
             flat = _flat_with_seps(t, tokens_column)
+            if len(flat) != row["total"]:
+                raise ValueError(
+                    f"{row['path']}: token stream length {len(flat)} != planned "
+                    f"{row['total']} — {length_column} disagrees with "
+                    f"len({tokens_column}); window offsets would corrupt"
+                )
             if len(flat) == 0:
                 continue
             base = row["base"]
             starts, wins = _window_splits(base, len(flat), window)
             ends = np.append(starts[1:], len(flat))
             offs = np.concatenate(([0], np.cumsum(ends - starts)))
-            pieces = pa.ListArray.from_arrays(
-                pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+            # int64 offsets (LargeList): one shard can exceed 2^31 tokens
+            # at production scale; int32 offsets would wrap silently
+            pieces = pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.int64())
             )
             out.append(
                 pa.table(
@@ -226,14 +240,14 @@ def pack_windows(
         for w, sub in df.groupby("window_id", sort=True):
             wins.append(int(w))
             toks.append(np.concatenate([np.asarray(p) for p in sub["piece"]]))
-        offs = np.zeros(len(toks) + 1, dtype=np.int32)
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
         np.cumsum([len(x) for x in toks], out=offs[1:])
         child = np.concatenate(toks) if toks else np.zeros(0, dtype=np.int64)
         return pa.table(
             {
                 "window_id": pa.array(np.asarray(wins, dtype=np.int64)),
-                "tokens": pa.ListArray.from_arrays(
-                    pa.array(offs), pa.array(child, type=pa.int64())
+                "tokens": pa.LargeListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()), pa.array(child, type=pa.int64())
                 ),
             }
         )
