@@ -81,3 +81,20 @@ def test_plan_offsets_exclusive_scan(tmp_path):
     assert plan[0]["base"] == 0
     assert plan[1]["base"] == sum(per_doc[:5])
     assert plan[1]["total"] == sum(per_doc[5:])
+
+
+def test_stale_length_column_fails_loudly(ray_session, tmp_path):
+    """n_tok drives the pass-1 offsets; if it disagrees with len(tokens)
+    the window math would silently corrupt — the shard task must raise."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "tokens": pa.array([[1, 2, 3], [4, 5]], type=pa.list_(pa.int64())),
+            "n_tok": pa.array([3, 99], type=pa.int32()),  # stale second row
+        }
+    )
+    p = os.path.join(str(tmp_path), "bad.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(Exception, match="disagrees|corrupt|token stream"):
+        packing.packed_window_stats([p], window=8).to_pandas()

@@ -2,6 +2,7 @@
 and the shared mix kernel (functions/detmix.py)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -77,3 +78,24 @@ class TestEpochOrder:
         assert o1 == o1b  # partition-independent
         assert o1 != o2  # seed changes the epoch permutation
         assert sorted(o1) == sorted(o2)  # …but it is a permutation
+
+
+class TestOracleEdges:
+    def test_empty_and_long_keys(self):
+        """The SQL kh chain must keep empty keys (splitmix64(0)) and fail
+        loudly on keys longer than the pow table."""
+        import duckdb
+
+        t = "(SELECT unnest(['', 'a', 'bb']) AS doc_id, 'web' AS source)"
+        sql = sampling.epoch_order_oracle_sql(t, seed=0, limit=10)
+        df = duckdb.connect().execute(sql).df()
+        assert len(df) == 3  # empty key NOT dropped
+        h = detmix.seeded_mix(detmix.string_hash64(np.array(["", "a", "bb"], dtype=object)), 0)
+        want = sorted(int(x >> np.uint64(1)) for x in h)
+        assert sorted(df.epoch_rank.tolist()) == want
+
+        long_t = f"(SELECT repeat('x', 200) AS doc_id, 'web' AS source)"
+        with pytest.raises(Exception, match="pow257_64 table"):
+            duckdb.connect().execute(
+                sampling.epoch_order_oracle_sql(long_t, seed=0, limit=10)
+            ).df()
