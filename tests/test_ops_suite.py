@@ -341,3 +341,50 @@ class TestQuantizeInt8:
             "x -> round(x / 1.0 * 127)::BIGINT)"
         ).fetchone()[0]
         assert q.tolist() == want
+
+
+class TestDedupOracleParity:
+    """The SQL oracles must match the Ray pipelines on crafted edge docs —
+    not just the generated corpus (empty text, repeated words, control
+    whitespace, single-char docs, near-dup clusters)."""
+
+    DOCS = [
+        ("d0", ""),                                  # empty text
+        ("d1", "a"),                                 # shorter than shingle k
+        ("d2", "the the the the the the"),           # repeated words
+        ("d3", "foo\x0bbar baz"),                    # vertical-tab whitespace
+        ("d4", "foo bar baz"),
+        ("d5", "the quick brown fox jumps over the lazy dog " * 6),
+        ("d6", "the quick brown fox jumps over the lazy dog " * 6 + "tail"),
+        ("d7", "  leading and trailing   spaces  "),
+    ]
+
+    def _table(self):
+        ids, texts = zip(*self.DOCS)
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    def test_simhash_oracle_matches_pipeline(self, ray_session):
+        import duckdb
+
+        t = self._table()
+        kept_ray = sorted(
+            r["doc_id"] for r in dedup.simhash_dedup(rd.from_arrow(t)).take_all()
+        )
+        vals = ", ".join(f"('{d}', '{s}')".replace("\x0b", "' || chr(11) || '")
+                         for d, s in self.DOCS)
+        sql = dedup.simhash_oracle_sql(f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))")
+        kept_sql = sorted(duckdb.connect().execute(sql).df().doc_id.tolist())
+        assert kept_ray == kept_sql
+
+    def test_minhash_oracle_matches_pipeline(self, ray_session):
+        import duckdb
+
+        t = self._table()
+        kept_ray = sorted(
+            r["doc_id"] for r in dedup.minhash_dedup(rd.from_arrow(t)).take_all()
+        )
+        vals = ", ".join(f"('{d}', '{s}')".replace("\x0b", "' || chr(11) || '")
+                         for d, s in self.DOCS)
+        sql = dedup.minhash_oracle_sql(f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))")
+        kept_sql = sorted(duckdb.connect().execute(sql).df().doc_id.tolist())
+        assert kept_ray == kept_sql
