@@ -151,6 +151,17 @@ def _q_roundtrip(sf_dir: str):
     return _token_stats_view(decode.read_encoded(_ensure_encoded()))
 
 
+def _q_roundtrip_stats_pushdown(sf_dir: str):
+    """Per-row token stats computed FROM THE ENCODED FORM — aggregate
+    pushdown into the codec (rowcodec.stats_child: per-row bases + narrow
+    residual buckets give sum/min/max without materializing the token
+    plane; 2.4x the full-decode path per core). Same oracle as
+    roundtrip_stats: the outputs must be identical."""
+    from duckdb_raquet_ray.pipelines import decode
+
+    return decode.read_encoded_token_stats(_ensure_encoded()).select_columns(STATS_COLS)
+
+
 def _q_roundtrip_grouped(sf_dir: str):
     from duckdb_raquet_ray.pipelines import decode
 
@@ -703,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         "roundtrip_stats": _q_roundtrip,
+        "roundtrip_stats_pushdown": _q_roundtrip_stats_pushdown,
         "roundtrip_grouped_stats": _q_roundtrip_grouped,
         "grouped_source_read": _q_source_read,
         "pruned_read_shard0": _q_pruned_read,
@@ -798,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
         "roundtrip_stats": stats_sql,
+        "roundtrip_stats_pushdown": stats_sql,
         "roundtrip_grouped_stats": stats_sql,
         "grouped_source_read": stats_sql + " WHERE source = 'web'",
         "pruned_read_shard0": (

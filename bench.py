@@ -156,6 +156,17 @@ def bench_corpus_phase(cpus: int) -> dict:
         "cold_sec": round(times[0], 3),
     }
 
+    # aggregate pushdown INTO the codec: per-row stats straight off the
+    # encoded representation (rowcodec.stats_child) — no token-plane
+    # materialization; same output as decode_stats minus the mean column
+    push_times = best_of(
+        lambda: decode.read_encoded_token_stats(enc_out).count(), runs=3
+    )
+    queries["decode_stats_pushdown"] = round(min(push_times), 3)
+    extra["decode_pushdown"] = {
+        "gbps_decoded_equiv": round(enc_stats["decoded_gb"] / min(push_times), 4),
+    }
+
     # column-pruned decode: only the n_tok blob is read (parquet column
     # selection skips the token blobs entirely), then a grouped aggregate
     queries["pruned_decode_stats"] = round(min(best_of(lambda: st.grouped_stats(

@@ -512,6 +512,33 @@ def decode_list(blob: bytes, desc: dict) -> pa.Array:
     )
 
 
+def list_token_stats(blob: bytes, desc: dict) -> dict | None:
+    """Aggregate pushdown over an ENCODED list column: per-row
+    (count, sum, min, max) int64 without materializing the child plane —
+    delegates to rowcodec.stats_child (see its docstring for the no-wrap
+    gate). Returns None whenever the fast path does not apply (nulls
+    anywhere, non-row_child child, non-for_rows codec, gate failure);
+    callers then decode fully and use transforms.token_stats."""
+    if desc.get("null_count", 0) > 0:
+        return None
+    cdesc = desc["child"]
+    if cdesc.get("kind") != "row_child" or cdesc.get("null_count", 0) > 0:
+        return None
+    if cdesc.get("plane", {}).get("codec") != "for_rows":
+        return None
+    _, off, si = _validity_prefix(blob, desc)
+    s_len = desc["sections"][si]
+    s_child = desc["sections"][si + 1]
+    lengths = intcodec.decode_plane(blob[off : off + s_len], desc["lengths"]).astype(np.int64)
+    res = rowcodec.stats_child(
+        blob[off + s_len : off + s_len + s_child], cdesc["plane"], lengths
+    )
+    if res is None:
+        return None
+    sums, mins, maxs = res
+    return {"count": lengths, "sum": sums, "min": mins, "max": maxs}
+
+
 # ---------------------------------------------------------------------------
 # top-level dispatch
 # ---------------------------------------------------------------------------

@@ -365,3 +365,96 @@ def decode_child(blob: bytes, desc: dict, lengths: np.ndarray) -> np.ndarray:
     bot = fill_rowwise(bases, offsets, scratch.arr("rc.dbot", n, dt))
     np.add(out, bot, out=out)
     return out
+
+
+def stats_child(
+    blob: bytes, desc: dict, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Per-row (sum, min, max) int64 of the for_rows child WITHOUT
+    materializing the token plane — the aggregate-pushdown fast path
+    behind decode.read_encoded_token_stats (the reference's precomputed
+    stats passthrough, read_raster.cpp:1079-1090, taken to per-ROW
+    granularity over the encoded form).
+
+    Residual buckets are decoded (narrow width) but never widened or
+    scattered: one int64 cumsum per bucket + min/max reduceats at bucket
+    width, then ``value_stat = row_base + residual_stat``. That identity
+    holds only when no modular wrap occurs anywhere (base + max residual
+    below the signed bound of the plane width); when the gate fails the
+    function returns None and the caller falls back to the full decode.
+    Empty rows report sum 0 and min/max int64 sentinels, mirroring
+    transforms.token_stats."""
+    dt = np.dtype(intcodec._BYTE_WIDTH_DTYPE[desc["pw"]])
+    secs = desc["sections"]
+    off = 0
+    bases = intcodec.decode_plane(blob[off : off + secs[0]], desc["bases"]).view(dt)
+    off += secs[0]
+    codes = intcodec.decode_plane(blob[off : off + secs[1]], desc["wcodes"]).astype(np.uint8)
+    off += secs[1]
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    rows = len(lengths)
+    base_i = bases.astype(np.int64)
+    sums = np.zeros(rows, dtype=np.int64)
+    mins = np.full(rows, np.iinfo(np.int64).max)
+    maxs = np.full(rows, np.iinfo(np.int64).min)
+    r_max = np.zeros(rows, dtype=np.int64)  # per-row residual max, for the gate
+
+    def bucket_values(section: bytes, b: dict) -> np.ndarray:
+        if b["code"] == DICT_CODE:
+            split = b["split"]
+            vals = intcodec.decode_plane(section[:split], b["values"])
+            ranks = intcodec.decode_plane(section[split:], b["plane"])
+            return vals[ranks]
+        return intcodec.decode_plane(section, b["plane"])
+
+    def fold(row_sel: np.ndarray, sub: np.ndarray | None) -> None:
+        """Accumulate residual stats of the selected rows (concatenated in
+        row order inside `sub`; sub=None means zero residuals)."""
+        ln = lengths[row_sel]
+        pos = ln > 0
+        if not pos.any():
+            return
+        idx = np.flatnonzero(row_sel)[pos]
+        if sub is None:  # zero-width rows: residuals all 0
+            sums[idx] = 0
+            mins[idx] = 0
+            maxs[idx] = 0
+            return
+        lnp = ln[pos]
+        ends = np.cumsum(lnp)
+        starts = ends - lnp
+        c = np.cumsum(sub, dtype=np.int64)
+        sums[idx] = c[ends - 1] - np.where(starts > 0, c[starts - 1], 0)
+        mins[idx] = np.minimum.reduceat(sub, starts).astype(np.int64)
+        mx = np.maximum.reduceat(sub, starts).astype(np.int64)
+        maxs[idx] = mx
+        r_max[idx] = mx
+
+    bks = desc["buckets"]
+    if len(bks) == 1 and bks[0]["plane"]["n"] == desc["n"]:
+        sub = bucket_values(blob[off : off + secs[2]], bks[0])
+        fold(np.ones(rows, dtype=bool), sub)
+    else:
+        seen = np.zeros(rows, dtype=bool)
+        for i, b in enumerate(bks):
+            size = secs[2 + i]
+            sub = bucket_values(blob[off : off + size], b)
+            off += size
+            row_sel = codes == b["code"]
+            seen |= row_sel
+            fold(row_sel, sub)
+        fold(~seen, None)
+
+    # no-wrap gate: every reconstructed value = base + residual must stay
+    # inside the non-negative signed range of the plane width for plain
+    # int64 arithmetic to equal the codec's modular reconstruction
+    ne = lengths > 0
+    limit = np.int64(1) << np.int64(8 * desc["pw"] - 1)
+    if ne.any() and int((base_i[ne] + r_max[ne]).max()) >= int(limit):
+        return None
+
+    out_sums = np.where(ne, base_i * lengths + sums, 0)
+    out_mins = np.where(ne, base_i + mins, np.iinfo(np.int64).max)
+    out_maxs = np.where(ne, base_i + maxs, np.iinfo(np.int64).min)
+    return out_sums, out_mins, out_maxs

@@ -41,6 +41,7 @@ import ray.data as rd
 
 from .. import blockcodec as bc
 from ..functions import partition_keys as pk
+from ..pipelines import transforms as tr
 from ..stages import encoder as enc
 from ..util import default_concurrency, retain_heap
 from ..state import fsio
@@ -237,6 +238,87 @@ def read_encoded_source(out_dir: str, source: str, **kw) -> rd.Dataset:
         if (pid := pk.pack_grouped(source, s)) in have
     ]
     return read_encoded(out_dir, partition_ids=pids, **kw)
+
+
+class PartitionStatsDecoder:
+    """Actor-pool stage: per-row token stats straight off the ENCODED
+    partition files — aggregate pushdown INTO the codec. The for_rows
+    layout already stores per-row bases and narrow residual buckets, so
+    (count, sum, min, max) per row needs one narrow cumsum + two narrow
+    reduceats per bucket instead of materializing, scattering and widening
+    the whole token plane (blockcodec.list_token_stats /
+    rowcodec.stats_child). Falls back to full decode + token_stats per
+    partition whenever the fast path declines (nulls, other codecs, the
+    no-wrap gate), so the output is always exactly token_stats'."""
+
+    def __init__(self, tokens_column: str = "tokens"):
+        retain_heap()  # see PartitionEncoder.__init__ / util.retain_heap
+        self.tokens_column = tokens_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # NB: `tr` is imported at module level on purpose — a lazy
+        # package-internal import here breaks cloudpickle by-value worker
+        # shipping (ModuleNotFoundError when the driver cwd != repo root)
+        out = []
+        col_tok = f"col_{self.tokens_column}"
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path, use_threads=False)
+            metas = t.column("codec_meta").to_pylist()
+            for i in range(t.num_rows):
+                descs = json.loads(metas[i])
+                others = {
+                    name: bc.decode_array(t.column(f"col_{name}")[i].as_py(), descs[name])
+                    for name in descs
+                    if name != self.tokens_column
+                }
+                tok_blob = t.column(col_tok)[i].as_py()
+                # one column order for BOTH paths (concat_tables is strict)
+                cols = sorted(others) + ["tok_count", "tok_min", "tok_max", "tok_sum"]
+                st = bc.list_token_stats(tok_blob, descs[self.tokens_column])
+                if st is None:  # fall back: full decode, same output shape
+                    full = pa.table(
+                        {**others,
+                         self.tokens_column: bc.decode_array(
+                             tok_blob, descs[self.tokens_column])}
+                    )
+                    out.append(tr.token_stats(full, column=self.tokens_column).select(cols))
+                    continue
+                has = st["count"] > 0
+                out.append(pa.table({
+                    **others,
+                    "tok_count": pa.array(st["count"].astype(np.int64)),
+                    "tok_min": pa.array(np.where(has, st["min"], 0).astype(np.int64)),
+                    "tok_max": pa.array(np.where(has, st["max"], 0).astype(np.int64)),
+                    "tok_sum": pa.array(st["sum"].astype(np.int64)),
+                }).select(cols))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out)
+
+
+def read_encoded_token_stats(
+    out_dir: str,
+    *,
+    partition_ids: list[int] | None = None,
+    tokens_column: str = "tokens",
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Encoded dir -> per-row token stats Dataset, computed from the
+    encoded representation (PartitionStatsDecoder) — identical output to
+    ``read_encoded(transform=token_stats)`` minus the tokens/mean columns,
+    at a fraction of the memory traffic."""
+    files = encoded_part_files(out_dir, partition_ids)
+    ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
+    if concurrency is None:
+        concurrency = (1, default_concurrency(cap=max(len(files), 1)))
+    return ds.map_batches(
+        PartitionStatsDecoder,
+        fn_constructor_kwargs={"tokens_column": tokens_column},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def read_encoded_for_shard(out_dir: str, shard_idx: int, **kw) -> rd.Dataset:

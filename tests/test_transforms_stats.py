@@ -260,3 +260,64 @@ class TestValueHistogram:
         q = st.seqlen_quantiles(rd.from_arrow(t), max_len=128)
         # percentile_disc: value at 1-indexed rank ceil(p*n), n=100
         assert q.iloc[0].to_dict() == {"p25": 3, "p50": 3, "p75": 10, "p90": 99, "p99": 99}
+
+
+class TestStatsPushdown:
+    """Aggregate pushdown over the encoded form (rowcodec.stats_child /
+    decode.read_encoded_token_stats) must equal decode + token_stats."""
+
+    def _encode_tmp(self, tmp_path, tokens, dtype=pa.int32()):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray.pipelines import encode
+
+        t = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(len(tokens))]),
+            "tokens": pa.array(tokens, type=pa.list_(dtype)),
+            "n_tok": pa.array([len(x) if x is not None else 0 for x in tokens], pa.int32()),
+        })
+        src = str(tmp_path / "in.parquet")
+        pq.write_table(t, src)
+        out = str(tmp_path / "enc")
+        encode.encode_job([src], out, target_part_bytes=1 << 20)
+        return out, t
+
+    def _assert_matches(self, out):
+        import functools
+
+        from duckdb_raquet_ray.pipelines import decode
+        from duckdb_raquet_ray.pipelines import transforms as tr
+
+        cols = ["doc_id", "n_tok", "tok_count", "tok_min", "tok_max", "tok_sum"]
+        fast = decode.read_encoded_token_stats(out).to_pandas()[cols]
+        full = decode.read_encoded(out, transform=functools.partial(
+            tr.token_stats)).to_pandas()[cols]
+        fast = fast.sort_values("doc_id").reset_index(drop=True)
+        full = full.sort_values("doc_id").reset_index(drop=True)
+        assert fast.equals(full)
+
+    def test_fast_path_matches_full_decode(self, ray_session, tmp_path):
+        rng = np.random.default_rng(2)
+        tokens = [rng.integers(0, 50_000, size=rng.integers(0, 40)).tolist()
+                  for _ in range(300)]
+        tokens[7] = []  # empty row exercises the sentinel semantics
+        out, _ = self._encode_tmp(tmp_path, tokens)
+        self._assert_matches(out)
+
+    def test_negative_values_fall_back_correctly(self, ray_session, tmp_path):
+        # negative int32 values violate the no-wrap gate in some partitions;
+        # output must STILL match (silent fallback to full decode)
+        rng = np.random.default_rng(3)
+        tokens = [rng.integers(-1000, 1000, size=rng.integers(1, 30)).tolist()
+                  for _ in range(200)]
+        out, _ = self._encode_tmp(tmp_path, tokens)
+        self._assert_matches(out)
+
+    def test_null_lists_fall_back(self, ray_session, tmp_path):
+        tokens = [[1, 2, 3], None, [5], [7, 8]]
+        out, _ = self._encode_tmp(tmp_path, tokens)
+        from duckdb_raquet_ray.pipelines import decode
+
+        got = decode.read_encoded_token_stats(out).to_pandas().sort_values("doc_id")
+        assert got.tok_count.tolist() == [3, 0, 1, 2]
+        assert got.tok_sum.tolist() == [6, 0, 5, 15]
