@@ -693,6 +693,103 @@ def _q_point_lookup_stats(sf_dir: str):
     )
 
 
+_WEEK_US = 7 * 86_400_000_000
+_SESSION_GAP_US = 3 * 86_400_000_000
+
+
+def _q_broadcast_join(sf_dir: str):
+    """Fact-stream x broadcast-dimension equi-join (orders x customer)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return joins.broadcast_join(ds, cust, "o_custkey", "c_custkey")
+
+
+def _q_asof_join(sf_dir: str):
+    """Bucketed-shuffle as-of join (events x orders): latest order per user
+    at or before each event, ties to the largest orderkey. Timestamps are
+    surfaced as epoch-µs int64 so the value hash is exact."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ods = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    out = joins.asof_join(
+        ev, ods, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", tie_col="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"], n_buckets=64,
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def us(col):
+            return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": us(b.column("ts")),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_date_us": us(b.column("o_orderdate")),
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
+def _rename_window(ds):
+    def fix(b: pa.Table) -> pa.Table:
+        return b.rename_columns([
+            {"count()": "cnt", "min(value)": "min_v", "max(value)": "max_v"}.get(c, c)
+            for c in b.column_names
+        ])
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def _q_window_tumbling(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    return _rename_window(joins.window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), "ts", _WEEK_US, "value",
+        group_col="event_type",
+    ))
+
+
+def _q_window_sliding(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    return _rename_window(joins.window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), "ts", _WEEK_US, "value",
+        size_us=3 * _WEEK_US,
+    ))
+
+
+def _q_session_windows(sf_dir: str):
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    return joins.session_windows(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), "user_id", "ts",
+        _SESSION_GAP_US, "event_id", n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -740,6 +837,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "epoch_order": _q_epoch_order,
         "embedding_quantize": _q_embedding_quantize,
+        "broadcast_join_orders": _q_broadcast_join,
+        "asof_join_events": _q_asof_join,
+        "window_tumbling_events": _q_window_tumbling,
+        "window_sliding_events": _q_window_sliding,
+        "session_windows_events": _q_session_windows,
         # rows-only (no SQL oracle): heuristic / stateful / stubbed ops
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_dedup_docs": _q_simhash_dedup,
@@ -993,6 +1095,44 @@ def oracle_sql() -> dict[str, str]:
             f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
             "AS BIGINT) AS rank FROM embeddings "
             f"ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id LIMIT 10"
+        ),
+        "broadcast_join_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        # as-of = latest order with o_orderdate <= event ts per user; ties
+        # on the date break to the largest o_orderkey (joins.AsofJoiner)
+        "asof_join_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "o_orderkey, epoch_us(o_orderdate) AS o_date_us, o_totalprice FROM ("
+            "  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice, "
+            "         ROW_NUMBER() OVER (PARTITION BY e.event_id "
+            "           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn "
+            "  FROM events e JOIN orders o "
+            "    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) WHERE rn = 1"
+        ),
+        "window_tumbling_events": (
+            f"SELECT (epoch_us(ts) // {_WEEK_US}) * {_WEEK_US} AS w_us, event_type, "
+            "COUNT(*)::BIGINT AS cnt, MIN(value) AS min_v, MAX(value) AS max_v "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "window_sliding_events": (
+            "SELECT w_us, COUNT(*)::BIGINT AS cnt, MIN(value) AS min_v, MAX(value) AS max_v "
+            f"FROM (SELECT unnest(generate_series(epoch_us(ts) // {_WEEK_US} - 2, "
+            f"epoch_us(ts) // {_WEEK_US})) * {_WEEK_US} AS w_us, value FROM events) "
+            "GROUP BY 1"
+        ),
+        "session_windows_events": (
+            "WITH x AS (SELECT user_id, epoch_us(ts) t, event_id, "
+            "  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            f"         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US} "
+            "       THEN 1 ELSE 0 END brk "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
+            "      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) sid FROM x) "
+            "SELECT user_id, sid::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events, "
+            "MIN(t)::BIGINT AS start_us, MAX(t)::BIGINT AS end_us "
+            "FROM s GROUP BY 1, 2"
         ),
         "ndiff_lineitem": (
             "SELECT l_orderkey, l_linenumber, "

@@ -1,0 +1,427 @@
+"""Join-family and time-window operators — the relational surface a
+training-data pipeline needs around the encode engine (event/metadata
+enrichment, time-bucketed corpus stats, sessionization for interaction
+data).
+
+The reference has NO shuffled joins (SURVEY.md §2: its two join-like
+shapes are metadata broadcast and key lookup); these operators extend the
+same two scale disciplines to general relational work:
+
+  * small side        -> broadcast ONCE (``ray.put`` via actor-pool
+                         constructor args), vectorized lookup per batch —
+                         never a shuffle, never re-shipped per batch
+                         (the reference's metadata-row broadcast,
+                         /root/reference/src/raquet_extension.cpp:40-44,
+                         generalized to arbitrary dimension tables);
+  * large-large       -> ONE coarse hash-bucket shuffle (fixed bucket
+                         count, the dedup discipline in dedup.py) with the
+                         fine-grained merge fully vectorized inside each
+                         bucket — per-group overhead stays O(buckets), not
+                         O(keys).
+
+As-of semantics follow the standard definition (latest right row with
+``right_ts <= left_ts`` per key); ties on ``right_ts`` break to the
+largest ``tie_col`` so results are deterministic and oracle-checkable.
+
+All merges run on numpy views of Arrow columns; no per-row Python in any
+hot path (the per-batch merge is one lexsort + one maximum.accumulate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..util import default_concurrency
+
+N_JOIN_BUCKETS = 256
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join (small dimension table)
+# ---------------------------------------------------------------------------
+
+
+class BroadcastJoiner:
+    """Actor-pool stage: equi-join each batch against a small dimension
+    table held in actor state. The table ships ONCE per actor through the
+    constructor (Ray puts constructor args in the object store — the
+    broadcast pattern), and the per-batch work is two Arrow kernels:
+    ``index_in`` + ``take``."""
+
+    def __init__(self, small: pa.Table, left_key: str, right_key: str,
+                 how: str = "inner"):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner|left, got {how!r}")
+        self.left_key = left_key
+        self.how = how
+        # combine_chunks once: index_in against a chunked value_set re-chunks
+        # per call
+        small = small.combine_chunks()
+        self.keys = small.column(right_key)
+        self.payload = small.drop_columns([right_key])
+        if pc.count_distinct(self.keys).as_py() != len(self.keys):
+            raise ValueError(f"right key {right_key!r} is not unique")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column(self.left_key), value_set=self.keys)
+        if self.how == "inner":
+            keep = pc.is_valid(idx)
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        for name in self.payload.column_names:
+            # take with null indices yields nulls -> LEFT join semantics
+            batch = batch.append_column(name, self.payload.column(name).take(idx))
+        return batch
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    batch_size: int = 8192,
+    concurrency=None,
+) -> rd.Dataset:
+    """Equi-join a Dataset against a small unique-keyed table, broadcast-side.
+
+    The small table must fit in one worker heap (dimension tables — at
+    100 TB the fact side streams, the dimension side is ~MBs). For
+    large-large equi-joins, bucket both sides like :func:`asof_join`.
+    """
+    if concurrency is None:
+        concurrency = (1, default_concurrency())
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={"small": small, "left_key": left_key,
+                               "right_key": right_key, "how": how},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (vectorized merge kernel + broadcast / bucketed drivers)
+# ---------------------------------------------------------------------------
+
+
+def _asof_merge_indices(
+    l_key: np.ndarray, l_ts: np.ndarray,
+    r_key: np.ndarray, r_ts: np.ndarray, r_tie: np.ndarray,
+) -> np.ndarray:
+    """For each left row, the index of the matching right row (or -1).
+
+    Match = the right row with the same key and the greatest ``r_ts <=
+    l_ts``; ties on ``r_ts`` break to the greatest ``r_tie``. One combined
+    lexsort over both sides, then a running maximum of right-row ids:
+    within the sorted order every right row precedes the left rows it can
+    serve (left sorts AFTER right at equal (key, ts) — `<=` semantics), so
+    ``maximum.accumulate`` carries the best-so-far right id forward. A
+    carried id from a PREVIOUS key block is rejected by the final
+    key-equality check — no per-key reset pass needed."""
+    nr, nl = len(r_key), len(l_key)
+    if nr == 0 or nl == 0:
+        return np.full(nl, -1, np.int64)
+    # sort right by (key, ts, tie) so the LAST row of an eligible run is
+    # the max-ts / max-tie match; its position in this order is its id
+    r_order = np.lexsort((r_tie, r_ts, r_key))
+    rk, rt = r_key[r_order], r_ts[r_order]
+
+    key = np.concatenate([rk, l_key])
+    ts = np.concatenate([rt, l_ts])
+    side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+    order = np.lexsort((side, ts, key))
+
+    # right rows carry their sorted-right id (monotone in the sort since
+    # right ids were assigned in (key, ts) order); left rows carry -1
+    ids = np.where(order < nr, order, -1)
+    best = np.maximum.accumulate(ids)
+
+    skey = key[order]
+    left_pos = order >= nr
+    match = best[left_pos]  # aligned with left rows in sorted order
+    l_sorted = order[left_pos] - nr  # original left-row index per position
+    # reject matches inherited from a different key block
+    valid = (match >= 0) & (rk[np.maximum(match, 0)] == skey[left_pos])
+
+    out = np.full(nl, -1, np.int64)
+    out[l_sorted] = np.where(valid, r_order[np.maximum(match, 0)], -1)
+    return out
+
+
+def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp/int column -> int64 numpy (epoch µs for timestamps)."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    arr = pc.cast(col, pa.int64())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
+
+
+class AsofJoiner:
+    """Actor-pool stage: as-of join each batch against a broadcast right
+    table. Right side is sorted ONCE in ``__init__`` (per actor, never per
+    batch); each batch pays one merge over (right + batch)."""
+
+    def __init__(self, right: pa.Table, left_key: str, right_key: str,
+                 left_ts: str, right_ts: str, tie_col: str,
+                 right_cols: list[str] | None = None, how: str = "inner"):
+        right = right.combine_chunks()
+        self.left_key, self.left_ts, self.how = left_key, left_ts, how
+        self.r_key = right.column(right_key).to_numpy(zero_copy_only=False)
+        self.r_ts = _ts_i64(right.column(right_ts))
+        self.r_tie = right.column(tie_col).to_numpy(zero_copy_only=False)
+        keep = right_cols if right_cols is not None else [
+            c for c in right.column_names if c != right_key
+        ]
+        self.payload = right.select(keep)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        l_key = batch.column(self.left_key).to_numpy(zero_copy_only=False)
+        l_ts = _ts_i64(batch.column(self.left_ts))
+        match = _asof_merge_indices(l_key, l_ts, self.r_key, self.r_ts, self.r_tie)
+        if self.how == "inner":
+            keep = match >= 0
+            batch = batch.filter(pa.array(keep))
+            match = match[keep]
+        idx = pa.array(np.where(match >= 0, match, 0), type=pa.int64())
+        mask = pa.array(match >= 0)
+        for name in self.payload.column_names:
+            col = self.payload.column(name).take(idx)
+            if self.how == "left":
+                col = pc.if_else(mask, col, pa.scalar(None, type=col.type))
+            batch = batch.append_column(name, col)
+        return batch
+
+
+def asof_join_broadcast(
+    ds: rd.Dataset,
+    right: pa.Table,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tie_col: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    batch_size: int = 8192,
+    concurrency=None,
+) -> rd.Dataset:
+    """As-of join against a small broadcast right table (streaming left)."""
+    if concurrency is None:
+        concurrency = (1, default_concurrency())
+    return ds.map_batches(
+        AsofJoiner,
+        fn_constructor_kwargs=dict(right=right, left_key=left_key,
+                                   right_key=right_key, left_ts=left_ts,
+                                   right_ts=right_ts, tie_col=tie_col,
+                                   right_cols=right_cols, how=how),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tie_col: str,
+    right_cols: list[str] | None = None,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Large-large as-of join: ONE coarse hash-bucket shuffle of both
+    sides, vectorized merge inside each bucket (inner semantics).
+
+    A key's rows (both sides) always land in the same bucket, so the merge
+    is exact; bucket count is FIXED (shuffle fan-out never scales with key
+    cardinality). Skewed keys spread no further than their bucket — at
+    100 TB pick n_buckets ≳ cluster cores and salt only if one single key
+    exceeds a worker's heap (as-of state per key is just its right rows).
+    """
+    r_payload = right_cols if right_cols is not None else [
+        c for c in right.schema().names if c != right_key
+    ]
+    l_cols = list(left.schema().names)
+    out_names = l_cols + [c for c in r_payload if c not in l_cols]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        k = b.column(left_key).to_numpy(zero_copy_only=False)
+        return b.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        k = b.column(right_key).to_numpy(zero_copy_only=False)
+        return b.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    # union needs one schema: null-pad each side to the combined layout
+    def pad(b: pa.Table, names: list[str], side: int) -> pa.Table:
+        cols, fields = [], []
+        for n in names:
+            if n in b.column_names:
+                c = b.column(n)
+            else:
+                c = pa.nulls(b.num_rows, type=_SCHEMA_CACHE[n])
+            cols.append(c)
+            fields.append(n)
+        t = pa.table(dict(zip(fields, cols)))
+        return t.append_column("_side", pa.array(np.full(b.num_rows, side, np.int8)))
+
+    needed_r = sorted({right_key, right_ts, tie_col} | set(r_payload))
+    _SCHEMA_CACHE = {}
+    for name, typ in zip(left.schema().names, left.schema().types):
+        _SCHEMA_CACHE[name] = typ
+    for name, typ in zip(right.schema().names, right.schema().types):
+        _SCHEMA_CACHE.setdefault(name, typ)
+    all_names = list(dict.fromkeys(l_cols + needed_r))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        lambda b: pad(b, all_names + ["_b"], 1), batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow").map_batches(
+        lambda b: pad(b, all_names + ["_b"], 0), batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 1, side == 0
+        lg = g.filter(pa.array(lmask))
+        rg = g.filter(pa.array(rmask))
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return pa.table({n: pa.nulls(0, type=_SCHEMA_CACHE[n]) for n in out_names})
+        match = _asof_merge_indices(
+            lg.column(left_key).to_numpy(zero_copy_only=False),
+            _ts_i64(lg.column(left_ts)),
+            rg.column(right_key).to_numpy(zero_copy_only=False),
+            _ts_i64(rg.column(right_ts)),
+            rg.column(tie_col).to_numpy(zero_copy_only=False),
+        )
+        keep = match >= 0
+        lg = lg.filter(pa.array(keep))
+        idx = pa.array(match[keep], type=pa.int64())
+        cols = {n: lg.column(n) for n in l_cols}
+        for n in r_payload:
+            if n not in cols:
+                cols[n] = rg.column(n).take(idx)
+        return pa.table(cols)
+
+    return lt.union(rt).groupby("_b").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# time windows: tumbling / sliding aggregate, session windows
+# ---------------------------------------------------------------------------
+
+
+def window_agg(
+    ds: rd.Dataset,
+    ts_col: str,
+    every_us: int,
+    value_col: str,
+    group_col: str | None = None,
+    size_us: int | None = None,
+) -> rd.Dataset:
+    """Tumbling (or sliding, with ``size_us > every_us``) window aggregate.
+
+    Emits one row per (window start µs[, group]) with count/min/max of
+    ``value_col``. Window assignment is per-batch vectorized arithmetic —
+    the only wide step is the final small groupby over O(windows) rows
+    (pre-aggregated per batch by Ray's partial groupby). Sliding windows
+    replicate each row into its ``ceil(size/every)`` windows inside the
+    batch (row count grows by that constant factor, never by key skew)."""
+    size_us = size_us or every_us
+    nwin = -(-size_us // every_us)  # ceil
+
+    def assign(b: pa.Table) -> pa.Table:
+        t = _ts_i64(b.column(ts_col))
+        if nwin == 1:
+            w = (t // every_us) * every_us
+            return b.append_column("w_us", pa.array(w, type=pa.int64()))
+        # windows k*every covering t: k_max = t//every, back nwin-1 steps,
+        # keep those with k*every > t - size
+        reps = np.repeat(np.arange(b.num_rows), nwin)
+        k = (t // every_us)[reps] - np.tile(np.arange(nwin), b.num_rows)
+        w = k * every_us
+        keep = w > (t[reps] - size_us)
+        out = b.take(pa.array(reps[keep]))
+        return out.append_column("w_us", pa.array(w[keep], type=pa.int64()))
+
+    keys = ["w_us"] + ([group_col] if group_col else [])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            rd.aggregate.Count(),
+            rd.aggregate.Min(value_col),
+            rd.aggregate.Max(value_col),
+        )
+    )
+
+
+def session_windows(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    order_tie_col: str,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Gap-based sessionization: per key, rows ordered by (ts, tie) start a
+    new session whenever the gap to the previous row exceeds ``gap_us``.
+    Emits (key, session_id starting at 1, n_events, start_us, end_us).
+
+    One coarse bucket shuffle (a key's rows co-locate), then the session
+    assignment is one lexsort + cumsum per bucket — no per-key Python. The
+    explicit ``order_tie_col`` pins equal-timestamp ordering so session
+    boundaries are deterministic (and SQL-oracle-checkable)."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        cols = pa.table({
+            key_col: b.column(key_col),
+            "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
+            "_tie": b.column(order_tie_col),
+        })
+        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        t = g.column("_ts").to_numpy(zero_copy_only=False)
+        tie = g.column("_tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_ = k[order], t[order]
+        new_key = np.empty(len(ks), np.bool_)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (ts_[1:] - ts_[:-1]) > gap_us
+        # session id restarts at 1 per key: global cumsum minus the cumsum
+        # value at the key's first row
+        sid_global = np.cumsum(brk)
+        key_base = np.maximum.accumulate(np.where(new_key, sid_global - 1, 0))
+        sid = sid_global - key_base
+        # per-session aggregates via reduceat over session starts
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ks)]
+        return pa.table({
+            key_col: pa.array(ks[starts]),
+            "session_id": pa.array(sid[starts], type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "start_us": pa.array(ts_[starts], type=pa.int64()),
+            "end_us": pa.array(ts_[ends - 1], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )

@@ -1,0 +1,203 @@
+"""Join-family + window operators vs DuckDB ground truth (pipelines/joins).
+
+The merge kernel is also fuzzed directly against a brute-force reference —
+the Ray-level tests pin the distributed plumbing (broadcast vs bucketed
+shuffle both produce the identical relation)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_raquet_ray.pipelines import joins
+
+SF = "/root/testdata/sf0.001"
+WEEK_US = 7 * 86_400_000_000
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        c.sql(f"CREATE VIEW {t} AS FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_asof_merge_kernel_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        nl, nr = int(rng.integers(1, 50)), int(rng.integers(0, 50))
+        l_key = rng.integers(0, 6, nl)
+        l_ts = rng.integers(0, 40, nl)
+        r_key = rng.integers(0, 6, nr)
+        r_ts = rng.integers(0, 40, nr)
+        r_tie = rng.permutation(nr).astype(np.int64)
+        got = joins._asof_merge_indices(l_key, l_ts, r_key, r_ts, r_tie)
+        for i in range(nl):
+            cand = [j for j in range(nr) if r_key[j] == l_key[i] and r_ts[j] <= l_ts[i]]
+            if not cand:
+                exp = -1
+            else:
+                mts = max(r_ts[j] for j in cand)
+                exp = max((j for j in cand if r_ts[j] == mts), key=lambda j: r_tie[j])
+            assert got[i] == exp
+
+
+def test_broadcast_join_matches_sql(ray_session, con):
+    import ray.data as rd
+
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        joins.broadcast_join(ds, cust, "o_custkey", "c_custkey")
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    exp = con.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+    ).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_broadcast_join_left_and_unmatched(ray_session, con):
+    import pyarrow as pa
+    import ray.data as rd
+
+    # dimension covering only even keys -> odd keys unmatched
+    dim = pa.table({"k": pa.array([0, 2, 4], type=pa.int64()),
+                    "name": ["a", "b", "c"]})
+    ds = rd.from_items([{"k": i} for i in range(6)])
+    inner = joins.broadcast_join(ds, dim, "k", "k").to_pandas()
+    assert sorted(inner["k"]) == [0, 2, 4]
+    left = joins.broadcast_join(ds, dim, "k", "k", how="left").to_pandas()
+    assert len(left) == 6 and left["name"].isna().sum() == 3
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       o_orderkey, epoch_us(o_orderdate) AS o_date_us, o_totalprice FROM (
+  SELECT e.*, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def _asof_expected(con):
+    return con.sql(ASOF_SQL).df()
+
+
+def _norm_asof(df):
+    df = df.copy()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["o_date_us"] = df["o_orderdate"].astype("int64")
+    return (
+        df[["event_id", "user_id", "ts_us", "o_orderkey", "o_date_us", "o_totalprice"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def test_asof_join_broadcast_matches_sql(ray_session, con):
+    import ray.data as rd
+
+    orders = pq.read_table(f"{SF}/orders.parquet")
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = joins.asof_join_broadcast(
+        ev, orders, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", tie_col="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm_asof(out), _asof_expected(con))
+
+
+def test_asof_join_bucketed_matches_broadcast(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ods = rd.read_parquet(f"{SF}/orders.parquet")
+    out = joins.asof_join(
+        ev, ods, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", tie_col="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"], n_buckets=16,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm_asof(out), _asof_expected(con))
+
+
+def test_window_agg_tumbling(ray_session, con):
+    import ray.data as rd
+
+    out = joins.window_agg(
+        rd.read_parquet(f"{SF}/events.parquet"), "ts", WEEK_US, "value",
+        group_col="event_type",
+    ).to_pandas().rename(columns={"count()": "cnt", "min(value)": "min_v", "max(value)": "max_v"})
+    out = out.sort_values(["w_us", "event_type"]).reset_index(drop=True)
+    exp = con.sql(
+        f"SELECT (epoch_us(ts) // {WEEK_US}) * {WEEK_US} AS w_us, event_type, "
+        "COUNT(*)::BIGINT AS cnt, MIN(value) AS min_v, MAX(value) AS max_v "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_window_agg_sliding(ray_session, con):
+    import ray.data as rd
+
+    out = joins.window_agg(
+        rd.read_parquet(f"{SF}/events.parquet"), "ts", WEEK_US, "value",
+        size_us=3 * WEEK_US,
+    ).to_pandas().rename(columns={"count()": "cnt", "min(value)": "min_v", "max(value)": "max_v"})
+    out = out.sort_values("w_us").reset_index(drop=True)
+    exp = con.sql(
+        "SELECT w_us, COUNT(*)::BIGINT AS cnt, MIN(value) AS min_v, MAX(value) AS max_v "
+        f"FROM (SELECT unnest(generate_series(epoch_us(ts) // {WEEK_US} - 2, "
+        f"epoch_us(ts) // {WEEK_US})) * {WEEK_US} AS w_us, value FROM events) "
+        "GROUP BY 1 ORDER BY 1"
+    ).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_session_windows(ray_session, con):
+    import ray.data as rd
+
+    gap = 3 * 86_400_000_000
+    out = joins.session_windows(
+        rd.read_parquet(f"{SF}/events.parquet"), "user_id", "ts", gap, "event_id",
+        n_buckets=8,
+    ).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    exp = con.sql(f"""
+        WITH x AS (SELECT user_id, epoch_us(ts) t, event_id,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap}
+               THEN 1 ELSE 0 END brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id
+              ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) sid FROM x)
+        SELECT user_id, sid::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
+               MIN(t)::BIGINT AS start_us, MAX(t)::BIGINT AS end_us
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_session_windows_gap_edges(ray_session):
+    """Gap exactly equal to the threshold does NOT break a session; one
+    more microsecond does. Equal timestamps order by the tie column."""
+    import ray.data as rd
+
+    rows = [
+        {"k": 1, "ts": 0, "tie": 2},
+        {"k": 1, "ts": 0, "tie": 1},   # equal ts: tie orders them
+        {"k": 1, "ts": 10, "tie": 3},  # gap == 10 -> same session
+        {"k": 1, "ts": 21, "tie": 4},  # gap 11 > 10 -> new session
+        {"k": 2, "ts": 5, "tie": 5},
+    ]
+    ds = rd.from_items(rows)
+    out = joins.session_windows(ds, "k", "ts", 10, "tie", n_buckets=4).to_pandas()
+    out = out.sort_values(["k", "session_id"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"k": 1, "session_id": 1, "n_events": 3, "start_us": 0, "end_us": 10},
+        {"k": 1, "session_id": 2, "n_events": 1, "start_us": 21, "end_us": 21},
+        {"k": 2, "session_id": 1, "n_events": 1, "start_us": 5, "end_us": 5},
+    ]
