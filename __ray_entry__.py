@@ -460,6 +460,32 @@ def _q_events_yearly(sf_dir: str):
     return pd.DataFrame(df[["y", "event_type", "cnt"]])
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the public GPT-3 appendix-C n-gram
+    overlap rule): docs with doc_id % 50 == 7 stand in for the eval
+    suite; every training doc is annotated with the count of its distinct
+    word-5-grams that appear in the benchmark set. Word hash + n-gram
+    fold are deterministic modular arithmetic -> full value oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import contamination as cont
+
+    def split(b: pa.Table, keep_bench: bool) -> pa.Table:
+        m = (b.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
+        return b.filter(pa.array(m if keep_bench else ~m))
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    bench = cont.benchmark_ngram_set(
+        ds.map_batches(lambda b: split(b, True), batch_format="pyarrow"), n=5
+    )
+    train = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    out = cont.decontaminate(train, bench, n=5, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
+
+
 # --- rows-only (heuristic / non-SQL-expressible) ---------------------------
 
 
@@ -856,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_posweight": _q_token_posweight,
         "winnow_docs": _q_winnow_docs,
         "winnow_fps": _q_winnow_fps,
+        "decontaminate_docs": _q_decontaminate,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
     }
@@ -887,6 +914,7 @@ def _point_lookup_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import dedup as _dedup
     from duckdb_raquet_ray.pipelines import sampling as _sampling
 
@@ -1021,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         # near-dup removal gets a FULL value-checked oracle — built next to
         # the kernel it mirrors (pipelines/dedup.py:minhash_oracle_sql)
         "minhash_dedup_docs": _dedup.minhash_oracle_sql("documents"),
+        "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)
         "simhash_dedup_docs": _dedup.simhash_oracle_sql("documents"),

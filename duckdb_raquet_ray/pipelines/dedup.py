@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
 
 # ---------------------------------------------------------------------------
@@ -32,6 +33,7 @@ from duckdb_raquet_ray.functions import detmix
 
 
 def _content_hash(batch: pa.Table, text_col: str) -> pa.Table:
+    batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
     s = batch.column(text_col).to_pandas()
     h = pd.util.hash_pandas_object(s, index=False).to_numpy()  # stable 64-bit
     return batch.append_column("_h", pa.array(h.astype(np.uint64)))
@@ -354,6 +356,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     splitmix64 — SQL-replicable, see simhash_oracle_sql), then each
     bit's +1/-1 vote is segment-summed per document with a cumsum
     difference — 64 C passes instead of a Python loop per doc."""
+    batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
     s = batch.column(text_col).to_pandas().fillna("")
     word_lists = s.str.lower().str.split()
     lens = word_lists.map(len).to_numpy(np.int64)

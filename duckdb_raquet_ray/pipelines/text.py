@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .. import util
 from .dedup import _shingle_hashes_ordered
 
 # small per-language stopword tables for the n-gram/stopword heuristic
@@ -123,6 +124,7 @@ def winnow_batch(
     batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4
 ) -> pa.Table:
     """Per-document winnowed fingerprint sets as list<uint64> (stage form)."""
+    batch = util.strip_schema_metadata(batch)
     texts = batch.column(text_col).to_pylist()
     fps = [winnow_fingerprints(t or "", k, window) for t in texts]
     offsets = np.zeros(len(fps) + 1, dtype=np.int64)
@@ -152,6 +154,7 @@ def winnow_long_batch(
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count only (the cheap, oracle-checkable subset)."""
+    batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
     s = batch.column(text_col).to_pandas().fillna("")
     return batch.append_column("ws_tokens", pa.array(s.str.count(_WS_RE).to_numpy(np.int64)))
 

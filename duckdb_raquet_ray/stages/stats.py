@@ -45,7 +45,11 @@ def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
             "max": g.max().to_numpy(),
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # strip the b'pandas' schema metadata from_pandas attaches: a schema
+    # with metadata is unhashable (hash includes a dict), so every
+    # downstream block concat logs Ray's "Failed to hash the schemas"
+    # warning and defeats its schema-dedup fast path
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def _combine_and_finalize(group: pa.Table, key: str) -> pa.Table:

@@ -3,6 +3,17 @@
 from __future__ import annotations
 
 
+def strip_schema_metadata(batch):
+    """Drop Arrow schema-level metadata (zero-copy). Parquet written by
+    pandas carries a b'pandas' metadata blob; a schema with metadata is
+    UNHASHABLE (its hash includes a dict), so every downstream Ray block
+    concat logs "Failed to hash the schemas (for deduplication)" and
+    loses the schema-dedup fast path. Stages whose output derives from an
+    externally-read batch (append_column preserves metadata) call this
+    once on entry."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
 _HEAP_RETAINED_PID: int | None = None
 
 
