@@ -486,6 +486,46 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition metrics (duplicate word-2-gram mass + top
+    word mass per doc) — all-integer, embarrassingly parallel, full value
+    oracle (word identity is the detmix hash on BOTH sides)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality.repetition_metrics(ds, n=2).select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "n_grams",
+            "distinct_grams",
+            "dup_gram_positions",
+            "top_word_count",
+        ]
+    )
+
+
+def _q_doc_df_score(sf_dir: str):
+    """Global document-frequency scoring (the CCNet-style commonness
+    signal): vocab-sized partial dfs merged once, broadcast via ray.put,
+    streaming searchsorted probe — the corpus never leaves the workers."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    df_table = quality.global_word_df(ds)
+    return quality.doc_df_score(ds, df_table, concurrency=(1, 4)).select_columns(
+        ["doc_id", "n_distinct_words", "df_sum"]
+    )
+
+
 # --- rows-only (heuristic / non-SQL-expressible) ---------------------------
 
 
@@ -883,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_docs": _q_winnow_docs,
         "winnow_fps": _q_winnow_fps,
         "decontaminate_docs": _q_decontaminate,
+        "repetition_docs": _q_repetition,
+        "doc_df_score": _q_doc_df_score,
         "validate_manifest": _q_validate_manifest,
         "verify_bitidentity": _q_verify_bitidentity,
     }
@@ -916,6 +958,7 @@ def _point_lookup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import dedup as _dedup
+    from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
 
     _ensure_corpus()
@@ -1050,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
         # the kernel it mirrors (pipelines/dedup.py:minhash_oracle_sql)
         "minhash_dedup_docs": _dedup.minhash_oracle_sql("documents"),
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
+        "repetition_docs": _quality.repetition_oracle_sql("documents"),
+        "doc_df_score": _quality.df_score_oracle_sql("documents"),
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)
         "simhash_dedup_docs": _dedup.simhash_oracle_sql("documents"),

@@ -1,0 +1,333 @@
+"""Corpus-quality operators for training-data curation: Gopher-style
+repetition metrics and global-document-frequency scoring.
+
+No reference analogue (training-data-pipeline first-class ops, like
+`pipelines/dedup` and `pipelines/contamination`); the closest reference
+shapes are the per-unit stats kernels (/root/reference/src/
+band_stats_v01.cpp) and the broadcast small-side metadata join
+(/root/reference/src/raquet_extension.cpp:40-44).
+
+Scale contract (100 TB):
+- `repetition_metrics` is embarrassingly parallel — every metric is
+  per-document, one `map_batches` pass, no shuffle, nothing on the driver.
+- `global_word_df` reduces to one vocabulary-sized table: per-batch
+  partial document frequencies (combine inside map_batches), merged on
+  the driver. Natural-language vocabularies are bounded (the merge side
+  is hash+count, ~16 B/word), and a `top_n` cap keeps the broadcast side
+  fixed-size regardless of corpus size; the corpus itself never leaves
+  the workers. Scoring is then a broadcast (`ray.put`) + one streaming
+  `map_batches` probe — the same shape as `contamination.decontaminate`.
+
+Determinism / oracle: word identity is detmix.string_hash64 on BOTH the
+numpy and SQL sides (never the raw string on one side and the hash on
+the other — a hash collision must collide identically in both engines),
+and every emitted metric is an exact integer, so both operators carry
+full DuckDB value oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import util
+from ..functions import detmix
+from .contamination import NGRAM_P, _sql_fold, _word_lists
+
+# ---------------------------------------------------------------------------
+# shared kernel: flat word-hash stream with per-doc lengths
+# ---------------------------------------------------------------------------
+
+
+def _flat_word_hashes(batch: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """-> (lens int64 per doc, wh uint64 flat word hashes): lowercase
+    whitespace-split words of every doc in the batch, hashed in ONE
+    string_hash64 call (same split semantics as the SQL oracles)."""
+    word_lists = _word_lists(batch, text_col)
+    lens = word_lists.map(len).to_numpy(np.int64)
+    if int(lens.sum()) == 0:
+        return lens, np.zeros(0, np.uint64)
+    exploded = word_lists.explode()
+    flat = exploded[exploded.notna()].to_numpy(dtype=object)
+    return lens, detmix.string_hash64(flat)
+
+
+def _distinct_doc_words(
+    lens: np.ndarray, wh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (doc_index, word_hash) with one row per DISTINCT word per doc
+    (lexsort + run-boundary mask — no Python loop)."""
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((wh, doc_of))
+    d_s, w_s = doc_of[order], wh[order]
+    new = np.empty(len(wh), dtype=bool)
+    new[0] = True
+    np.logical_or(d_s[1:] != d_s[:-1], w_s[1:] != w_s[:-1], out=new[1:])
+    return d_s[new], w_s[new]
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (the published Gopher repetition-filter family:
+# duplicate n-gram mass and most-frequent-word mass per document)
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text", n: int = 2) -> pa.Table:
+    """Append per-doc integer repetition metrics:
+
+    - n_words              whitespace token count
+    - n_grams              word-n-gram positions (max(n_words - n + 1, 0))
+    - distinct_grams       distinct n-gram hashes
+    - dup_gram_positions   gram positions whose gram occurs >= 2x in the doc
+    - top_word_count       occurrences of the doc's most frequent word
+
+    (high dup_gram_positions / n_grams or top_word_count / n_words is the
+    Gopher drop rule; the fractions are left to the caller so the operator
+    stays integer-exact for the value oracle)."""
+    batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
+    lens, wh = _flat_word_hashes(batch, text_col)
+    ndocs = len(lens)
+    total = int(lens.sum())
+    top = np.zeros(ndocs, np.int64)
+    distinct = np.zeros(ndocs, np.int64)
+    dup = np.zeros(ndocs, np.int64)
+    if total:
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        # per-(doc, word) run lengths -> max = top word count
+        order = np.lexsort((wh, doc_of))
+        d_s, w_s = doc_of[order], wh[order]
+        new = np.empty(total, dtype=bool)
+        new[0] = True
+        np.logical_or(d_s[1:] != d_s[:-1], w_s[1:] != w_s[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, total))
+        np.maximum.at(top, d_s[starts], run_len)
+        # n-gram stream: Horner fold over shifted hash slices, windows
+        # masked at doc boundaries (identical to contamination's fold)
+        n_pos = total - n + 1
+        if n_pos > 0:
+            with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
+                acc = wh[:n_pos].copy()
+                for j in range(1, n):
+                    acc *= NGRAM_P
+                    acc += wh[j : j + n_pos]
+            valid = doc_of[:n_pos] == doc_of[n - 1 : total]
+            g, d = acc[valid], doc_of[:n_pos][valid]
+            if len(g):
+                order = np.lexsort((g, d))
+                d_s, g_s = d[order], g[order]
+                new = np.empty(len(g), dtype=bool)
+                new[0] = True
+                np.logical_or(d_s[1:] != d_s[:-1], g_s[1:] != g_s[:-1], out=new[1:])
+                starts = np.flatnonzero(new)
+                run_len = np.diff(np.append(starts, len(g)))
+                distinct = np.bincount(d_s[starts], minlength=ndocs).astype(np.int64)
+                rep = run_len >= 2
+                dup = np.bincount(
+                    d_s[starts[rep]], weights=run_len[rep], minlength=ndocs
+                ).astype(np.int64)
+    return (
+        batch.append_column("n_words", pa.array(lens))
+        .append_column("n_grams", pa.array(np.maximum(lens - n + 1, 0)))
+        .append_column("distinct_grams", pa.array(distinct))
+        .append_column("dup_gram_positions", pa.array(dup))
+        .append_column("top_word_count", pa.array(top))
+    )
+
+
+def repetition_metrics(
+    ds: rd.Dataset, *, text_col: str = "text", n: int = 2
+) -> rd.Dataset:
+    """One streaming map_batches pass — no shuffle, no driver state."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col=text_col, n=n),
+        batch_format="pyarrow",
+    )
+
+
+def repetition_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 2,
+) -> str:
+    """DuckDB replica: identical word split, word hash (detmix CTEs) and
+    n-gram fold; every metric is integer-exact. ASCII corpora only (same
+    caveat as contamination_oracle_sql)."""
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+wl AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower({text_col}), '{ws}'), x -> x <> '') AS wl
+  FROM {table}
+),
+w AS (
+  SELECT k, unnest(wl) AS word, unnest(generate_series(1, len(wl))) AS wi FROM wl
+),
+{detmix.sql_string_hash_ctes("w", "word")},
+wh AS (
+  SELECT w.k, w.wi, kh.h FROM w JOIN kh ON kh.k = w.word
+),
+topw AS (
+  SELECT k, max(c)::BIGINT AS top_word_count
+  FROM (SELECT k, h, count(*) AS c FROM wh GROUP BY k, h) GROUP BY k
+),
+hl AS (SELECT k, list(h ORDER BY wi) AS hl FROM wh GROUP BY k),
+ng AS (
+  SELECT k, ({_sql_fold(n)})::UBIGINT AS g
+  FROM (
+    SELECT k, hl, unnest(generate_series(1, len(hl) - {n} + 1)) AS i
+    FROM hl WHERE len(hl) >= {n}
+  )
+),
+gc AS (SELECT k, g, count(*) AS c FROM ng GROUP BY k, g),
+rep AS (
+  SELECT k, count(*)::BIGINT AS distinct_grams,
+         coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dup_gram_positions
+  FROM gc GROUP BY k
+)
+SELECT d.{key_col} AS doc_id,
+  coalesce(len(wl.wl), 0)::BIGINT AS n_words,
+  greatest(coalesce(len(wl.wl), 0) - {n} + 1, 0)::BIGINT AS n_grams,
+  coalesce(rep.distinct_grams, 0)::BIGINT AS distinct_grams,
+  coalesce(rep.dup_gram_positions, 0)::BIGINT AS dup_gram_positions,
+  coalesce(topw.top_word_count, 0)::BIGINT AS top_word_count
+FROM {table} d
+LEFT JOIN wl ON wl.k = d.{key_col}
+LEFT JOIN rep ON rep.k = d.{key_col}
+LEFT JOIN topw ON topw.k = d.{key_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# global document frequency + commonness scoring (the CCNet-style
+# "score each doc against corpus-wide term statistics" shape)
+# ---------------------------------------------------------------------------
+
+
+def global_word_df(
+    ds: rd.Dataset, *, text_col: str = "text", top_n: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (sorted word hashes uint64, document frequency int64): number of
+    docs containing each word. Per-batch PARTIAL dfs (distinct doc-word
+    inside map_batches — docs never span batches, a doc is one row), merged
+    on the driver; only vocabulary-sized partials ever leave the workers.
+    `top_n` keeps the broadcast side bounded at corpus scale (ties broken
+    by hash for determinism)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        lens, wh = _flat_word_hashes(batch, text_col)
+        if len(wh) == 0:
+            return pa.table(
+                {"wh": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
+            )
+        _, w_u = _distinct_doc_words(lens, wh)
+        u, c = np.unique(w_u, return_counts=True)
+        return pa.table({"wh": pa.array(u), "df": pa.array(c.astype(np.int64))})
+
+    hs, cs = [], []
+    for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="numpy"
+    ):
+        hs.append(b["wh"])
+        cs.append(b["df"])
+    if not hs:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    allh, allc = np.concatenate(hs), np.concatenate(cs)
+    u, inv = np.unique(allh, return_inverse=True)
+    df = np.bincount(inv, weights=allc).astype(np.int64)
+    if top_n is not None and len(u) > top_n:
+        order = np.lexsort((u, -df))[:top_n]  # by df desc, hash asc
+        keep = np.sort(order)
+        u, df = u[keep], df[keep]
+    return u, df
+
+
+class _DfScoreProbe:
+    """Actor-pool stage: (hashes, dfs) fetched ONCE per actor in __init__
+    (ray.put broadcast), per-batch vectorized searchsorted probe."""
+
+    def __init__(self, df_ref, text_col: str):
+        self.wh, self.df = (
+            ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        )
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        lens, wh = _flat_word_hashes(batch, self.text_col)
+        nd = batch.num_rows
+        n_distinct = np.zeros(nd, np.int64)
+        df_sum = np.zeros(nd, np.int64)
+        if len(wh):
+            d_u, w_u = _distinct_doc_words(lens, wh)
+            n_distinct = np.bincount(d_u, minlength=nd).astype(np.int64)
+            if len(self.wh):
+                idx = np.searchsorted(self.wh, w_u).clip(max=len(self.wh) - 1)
+                hit = self.wh[idx] == w_u
+                contrib = np.where(hit, self.df[idx], 0)
+                df_sum = np.bincount(d_u, weights=contrib, minlength=nd).astype(
+                    np.int64
+                )
+        return batch.append_column("n_distinct_words", pa.array(n_distinct)).append_column(
+            "df_sum", pa.array(df_sum)
+        )
+
+
+def doc_df_score(
+    ds: rd.Dataset,
+    df_table: tuple[np.ndarray, np.ndarray],
+    *,
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Annotate each doc with `n_distinct_words` and `df_sum` (the sum of
+    global document frequencies over its distinct words — high mean df =
+    boilerplate-common text, low = rare/noisy; the CCNet-style commonness
+    signal). Broadcast + streaming probe, no shuffle."""
+    wh, df = df_table
+    ref = ray.put((np.asarray(wh, dtype=np.uint64), np.asarray(df, dtype=np.int64)))
+    return ds.map_batches(
+        _DfScoreProbe,
+        fn_constructor_kwargs={"df_ref": ref, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def df_score_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of global_word_df + doc_df_score over `table`
+    (word identity by the SAME detmix hash, so a collision collides
+    identically in both engines)."""
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+wl AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower({text_col}), '{ws}'), x -> x <> '') AS wl
+  FROM {table}
+),
+w AS (
+  SELECT k, unnest(wl) AS word FROM wl
+),
+{detmix.sql_string_hash_ctes("w", "word")},
+dw AS (
+  SELECT DISTINCT w.k, kh.h FROM w JOIN kh ON kh.k = w.word
+),
+dft AS (SELECT h, count(*)::BIGINT AS df FROM dw GROUP BY h),
+agg AS (
+  SELECT dw.k, count(*)::BIGINT AS n_distinct_words, sum(dft.df)::BIGINT AS df_sum
+  FROM dw JOIN dft ON dft.h = dw.h GROUP BY dw.k
+)
+SELECT d.{key_col} AS doc_id,
+  coalesce(agg.n_distinct_words, 0)::BIGINT AS n_distinct_words,
+  coalesce(agg.df_sum, 0)::BIGINT AS df_sum
+FROM {table} d LEFT JOIN agg ON agg.k = d.{key_col}
+"""

@@ -1,0 +1,207 @@
+"""Repetition-metrics and global-DF scoring operators: kernel goldens,
+SQL-oracle parity, batch-split determinism, top_n cap, end-to-end Ray
+path, and schema-metadata hygiene."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from duckdb_raquet_ray.pipelines import quality as q
+
+DOCS = [
+    (1, "a b a b a b c"),  # heavy 2-gram repetition
+    (2, "x y z x y z x y"),
+    (3, "unique words only here"),
+    (4, "solo"),  # fewer words than n
+    (5, ""),  # empty text
+    (6, "a  b   a b"),  # whitespace runs: split parity
+]
+
+
+def _table(docs=DOCS) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [s for _, s in docs],
+        }
+    )
+
+
+def _values_src(docs=DOCS) -> str:
+    vals = ", ".join(f"({i}, '{s}')" for i, s in docs)
+    return f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))"
+
+
+REP_COLS = [
+    "doc_id",
+    "n_words",
+    "n_grams",
+    "distinct_grams",
+    "dup_gram_positions",
+    "top_word_count",
+]
+
+
+class TestRepetition:
+    def test_golden_metrics(self):
+        out = (
+            q.repetition_batch(_table(), n=2)
+            .select(REP_COLS)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 1 "a b a b a b c": grams ab,ba,ab,ba,ab,bc -> ab x3 + ba x2
+        assert out.loc[1].tolist() == [7, 6, 3, 5, 3]
+        # doc 3: all words and grams unique
+        assert out.loc[3].tolist() == [4, 3, 3, 0, 1]
+        # doc 4 "solo": one word, zero grams (not -1)
+        assert out.loc[4].tolist() == [1, 0, 0, 0, 1]
+        # doc 5 empty: all zeros
+        assert out.loc[5].tolist() == [0, 0, 0, 0, 0]
+
+    def test_sql_oracle_parity(self):
+        mine = (
+            q.repetition_batch(_table(), n=2)
+            .select(REP_COLS)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.connect()
+            .execute(q.repetition_oracle_sql(_values_src()))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in REP_COLS:
+            assert mine[c].tolist() == oracle[c].tolist(), c
+
+    def test_trigram_parity(self):
+        mine = (
+            q.repetition_batch(_table(), n=3)
+            .select(REP_COLS)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.connect()
+            .execute(q.repetition_oracle_sql(_values_src(), n=3))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in REP_COLS:
+            assert mine[c].tolist() == oracle[c].tolist(), c
+
+    def test_batch_split_invariance(self):
+        t = _table()
+        whole = q.repetition_batch(t).select(REP_COLS).to_pandas()
+        parts = pa.concat_tables(
+            [q.repetition_batch(t.slice(0, 2)), q.repetition_batch(t.slice(2))]
+        ).select(REP_COLS).to_pandas()
+        assert whole.equals(parts)
+
+
+class TestDfScore:
+    def _df_table(self, t):
+        lens, wh = q._flat_word_hashes(t, "text")
+        _, w_u = q._distinct_doc_words(lens, wh)
+        u, c = np.unique(w_u, return_counts=True)
+        return u, c.astype(np.int64)
+
+    def test_golden_df(self):
+        t = _table()
+        probe = q._DfScoreProbe(self._df_table(t), "text")
+        out = probe(t).select(["doc_id", "n_distinct_words", "df_sum"]).to_pandas()
+        out = out.set_index("doc_id")
+        # "a" appears in docs 1 and 6 -> df 2; doc 6 distinct {a,b} -> 2+2
+        assert out.loc[6].tolist() == [2, 4]
+        assert out.loc[4].tolist() == [1, 1]  # "solo" only in doc 4
+        assert out.loc[5].tolist() == [0, 0]
+
+    def test_sql_oracle_parity(self):
+        t = _table()
+        probe = q._DfScoreProbe(self._df_table(t), "text")
+        mine = (
+            probe(t)
+            .select(["doc_id", "n_distinct_words", "df_sum"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.connect()
+            .execute(q.df_score_oracle_sql(_values_src()))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("doc_id", "n_distinct_words", "df_sum"):
+            assert mine[c].tolist() == oracle[c].tolist(), c
+
+    def test_unknown_words_score_zero(self):
+        t = _table()
+        probe = q._DfScoreProbe(self._df_table(t), "text")
+        other = pa.table(
+            {"doc_id": pa.array([9], pa.int64()), "text": ["never seen tokens"]}
+        )
+        out = probe(other).to_pandas()
+        assert out["df_sum"].tolist() == [0]
+        assert out["n_distinct_words"].tolist() == [3]
+
+    def test_empty_df_table(self):
+        probe = q._DfScoreProbe(
+            (np.zeros(0, np.uint64), np.zeros(0, np.int64)), "text"
+        )
+        out = probe(_table()).to_pandas()
+        assert out["df_sum"].sum() == 0
+
+
+class TestEndToEnd:
+    def test_ray_path_matches_local(self, ray_session):
+        import ray.data as rd
+
+        t = _table()
+        ds = rd.from_arrow(t)
+        df_table = q.global_word_df(ds)
+        lens, wh = q._flat_word_hashes(t, "text")
+        _, w_u = q._distinct_doc_words(lens, wh)
+        u, c = np.unique(w_u, return_counts=True)
+        assert df_table[0].tolist() == u.tolist()
+        assert df_table[1].tolist() == c.tolist()
+        out = {
+            r["doc_id"]: r["df_sum"]
+            for r in q.doc_df_score(ds, df_table, concurrency=1).take_all()
+        }
+        local = q._DfScoreProbe(df_table, "text")(t).to_pandas()
+        assert out == dict(zip(local["doc_id"], local["df_sum"]))
+        rep = q.repetition_metrics(ds).take_all()
+        assert {r["doc_id"]: r["dup_gram_positions"] for r in rep}[1] == 5
+
+    def test_global_df_top_n_cap(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_table())
+        full = q.global_word_df(ds)
+        capped = q.global_word_df(ds, top_n=3)
+        assert len(capped[0]) == 3
+        # the cap keeps the highest-df words; hashes stay sorted
+        assert (np.diff(capped[0].astype(np.uint64)) > 0).all()
+        top_dfs = sorted(full[1].tolist(), reverse=True)[:3]
+        assert sorted(capped[1].tolist(), reverse=True) == top_dfs
+
+
+class TestSchemaMetadataHygiene:
+    def test_stage_outputs_metadata_free(self):
+        dirty = _table().replace_schema_metadata({"pandas": "{}"})
+        lens, wh = q._flat_word_hashes(_table(), "text")
+        _, w_u = q._distinct_doc_words(lens, wh)
+        u, c = np.unique(w_u, return_counts=True)
+        for out in (
+            q.repetition_batch(dirty),
+            q._DfScoreProbe((u, c.astype(np.int64)), "text")(dirty),
+        ):
+            assert out.schema.metadata is None
+            hash(out.schema)
