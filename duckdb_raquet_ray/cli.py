@@ -6,6 +6,10 @@
     python -m duckdb_raquet_ray.cli export  --out DIR --dest DIR2
     python -m duckdb_raquet_ray.cli info    --out DIR
     python -m duckdb_raquet_ray.cli synth   --dest DIR --rows N --shards K
+    python -m duckdb_raquet_ray.cli pack    --input ... --dest DIR --window 2048
+    python -m duckdb_raquet_ray.cli sample  --input ... --dest DIR --rate web=0.25
+    python -m duckdb_raquet_ray.cli quality --input ... --dest DIR --max-dup-frac 0.3
+    python -m duckdb_raquet_ray.cli decontaminate --input ... --benchmark ... --dest DIR --drop
 
 On a real cluster:
 
@@ -93,6 +97,26 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser("quality", help="annotate docs with repetition metrics; "
+                       "optional Gopher-style repetition drop -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ngram", type=int, default=2)
+    p.add_argument("--max-dup-frac", type=float, default=None,
+                   help="drop docs with dup_gram_positions/n_grams above this")
+    p.add_argument("--max-top-frac", type=float, default=None,
+                   help="drop docs with top_word_count/n_words above this")
+
+    p = sub.add_parser("decontaminate", help="flag (or drop) training docs sharing "
+                       "word n-grams with a benchmark set -> parquet")
+    p.add_argument("--input", required=True, help="glob of training parquet shards")
+    p.add_argument("--benchmark", required=True, help="glob of benchmark parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--drop", action="store_true", help="drop flagged docs instead of annotating")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -179,6 +203,40 @@ def main(argv: list[str] | None = None) -> None:
             ds.write_parquet(args.dest)
             print(json.dumps({"cmd": "sample", "rates": rates, "seed": args.seed,
                               "dest": args.dest}))
+        elif args.cmd == "quality":
+            import ray.data as rd
+
+            from .pipelines import quality
+
+            ds = quality.repetition_metrics(
+                rd.read_parquet(_inputs(args.input)),
+                text_col=args.text_col, n=args.ngram,
+            )
+            filtered = args.max_dup_frac is not None or args.max_top_frac is not None
+            if filtered:
+                ds = quality.gopher_filter(
+                    ds, max_dup_frac=args.max_dup_frac, max_top_frac=args.max_top_frac
+                )
+            ds.write_parquet(args.dest)
+            print(json.dumps({"cmd": "quality", "ngram": args.ngram,
+                              "filtered": filtered, "dest": args.dest}))
+        elif args.cmd == "decontaminate":
+            import ray.data as rd
+
+            from .pipelines import contamination as cont
+
+            bench = cont.benchmark_ngram_set(
+                rd.read_parquet(_inputs(args.benchmark)),
+                text_col=args.text_col, n=args.ngram,
+            )
+            out = cont.decontaminate(
+                rd.read_parquet(_inputs(args.input)), bench,
+                text_col=args.text_col, n=args.ngram, drop=args.drop,
+            )
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "decontaminate", "ngram": args.ngram,
+                              "benchmark_ngrams": int(len(bench)),
+                              "drop": args.drop, "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 

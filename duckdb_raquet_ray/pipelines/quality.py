@@ -147,6 +147,32 @@ def repetition_metrics(
     )
 
 
+def gopher_filter(
+    ds: rd.Dataset,
+    *,
+    max_dup_frac: float | None = None,
+    max_top_frac: float | None = None,
+) -> rd.Dataset:
+    """Drop docs whose repetition metrics exceed the published thresholds
+    (dup_gram_positions/n_grams, top_word_count/n_words). Expects the
+    columns repetition_metrics appends; docs with zero grams/words are
+    kept (no repetition evidence). Vectorized predicate, streaming."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.ones(batch.num_rows, dtype=bool)
+        if max_dup_frac is not None:
+            ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+            dup = batch.column("dup_gram_positions").to_numpy(zero_copy_only=False)
+            mask &= dup <= max_dup_frac * ng
+        if max_top_frac is not None:
+            nw = batch.column("n_words").to_numpy(zero_copy_only=False)
+            top = batch.column("top_word_count").to_numpy(zero_copy_only=False)
+            mask &= top <= max_top_frac * nw  # empty docs: 0 <= 0, kept
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def repetition_oracle_sql(
     table: str = "documents",
     *,

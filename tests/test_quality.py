@@ -193,6 +193,51 @@ class TestEndToEnd:
         assert sorted(capped[1].tolist(), reverse=True) == top_dfs
 
 
+class TestGopherFilter:
+    def test_thresholds(self, ray_session):
+        import ray.data as rd
+
+        ds = q.repetition_metrics(rd.from_arrow(_table()))
+        # doc 1: dup 5/6 grams, top 3/7 words; doc 3: dup 0/3
+        kept = q.gopher_filter(ds, max_dup_frac=0.5).take_all()
+        ids = sorted(r["doc_id"] for r in kept)
+        assert 1 not in ids and 2 not in ids and 3 in ids
+        # zero-gram and empty docs survive any dup threshold
+        assert 4 in ids and 5 in ids
+        # top-word rule: doc 4 "solo" has top 1/1 -> dropped at 0.9
+        kept2 = q.gopher_filter(ds, max_top_frac=0.9).take_all()
+        ids2 = sorted(r["doc_id"] for r in kept2)
+        assert 4 not in ids2 and 3 in ids2 and 5 in ids2
+
+    def test_cli_quality_and_decontaminate(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray import cli
+
+        src = tmp_path / "docs.parquet"
+        pq.write_table(_table(), src)
+        dest = tmp_path / "annotated"
+        cli.main(["quality", "--input", str(src), "--dest", str(dest)])
+        out = pq.read_table(str(dest))
+        assert "dup_gram_positions" in out.column_names
+        assert out.num_rows == len(DOCS)
+        dest2 = tmp_path / "filtered"
+        cli.main(["quality", "--input", str(src), "--dest", str(dest2),
+                  "--max-dup-frac", "0.5"])
+        out2 = pq.read_table(str(dest2))
+        assert out2.num_rows < len(DOCS)
+        # decontaminate: docs 1/2 as the benchmark side, 2-grams
+        bench = tmp_path / "bench.parquet"
+        pq.write_table(_table(DOCS[:2]), bench)
+        dest3 = tmp_path / "decon"
+        cli.main(["decontaminate", "--input", str(src), "--benchmark", str(bench),
+                  "--dest", str(dest3), "--ngram", "2", "--drop"])
+        out3 = pq.read_table(str(dest3))
+        ids = sorted(out3.column("doc_id").to_pylist())
+        # docs 1, 2 share their own grams; doc 6 shares "a b"; 3/4/5 clean
+        assert ids == [3, 4, 5]
+
+
 class TestSchemaMetadataHygiene:
     def test_stage_outputs_metadata_free(self):
         dirty = _table().replace_schema_metadata({"pandas": "{}"})
