@@ -223,7 +223,7 @@ def bench_tables_phase(cpus: int) -> dict:
     import numpy as np
     import ray.data as rd
 
-    from duckdb_raquet_ray.pipelines import ann, dedup, text
+    from duckdb_raquet_ray.pipelines import ann, dedup, quality, text
 
     queries: dict[str, float] = {}
     docs = os.path.join(SF_DIR, "documents.parquet")
@@ -241,6 +241,18 @@ def bench_tables_phase(cpus: int) -> dict:
     queries["minhash_dedup"] = round(min(best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())), 3)
 
     queries["ann_topk"] = round(min(best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))), 3)
+
+    queries["repetition"] = round(min(best_of(lambda: quality.repetition_metrics(
+        rd.read_parquet(docs, columns=["doc_id", "text"])
+    ).count())), 3)
+
+    def df_score_run() -> None:
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+        quality.doc_df_score(
+            ds, quality.global_word_df(ds), concurrency=(1, min(cpus, 8))
+        ).count()
+
+    queries["df_score"] = round(min(best_of(df_score_run)), 3)
 
     return {"queries": queries, "extra": {}}
 
