@@ -223,15 +223,16 @@ def bench_tables_phase(cpus: int) -> dict:
     import numpy as np
     import ray.data as rd
 
+    from duckdb_raquet_ray import util
     from duckdb_raquet_ray.pipelines import ann, dedup, quality, text
 
     queries: dict[str, float] = {}
     docs = os.path.join(SF_DIR, "documents.parquet")
     emb = os.path.join(SF_DIR, "embeddings.parquet")
 
-    queries["text_analysis"] = round(min(best_of(lambda: rd.read_parquet(
+    queries["text_analysis"] = round(min(best_of(lambda: util.clean_dataset(rd.read_parquet(
         docs, columns=["doc_id", "text"]
-    ).map_batches(
+    )).map_batches(
         text.TextAnalyzer, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, min(cpus, 8)), num_cpus=1,
     ).count())), 3)

@@ -71,7 +71,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id")
         bucket = (t.column("_h").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)
         return t.append_column("_b", pa.array(bucket))
 
-    hashed = ds.map_batches(bucketed, batch_format="pyarrow", batch_size=8192)
+    hashed = util.clean_dataset(ds).map_batches(bucketed, batch_format="pyarrow", batch_size=8192)
     return hashed.groupby("_b").map_groups(keep_first, batch_format="pyarrow")
 
 
@@ -179,7 +179,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 5,
 ) -> rd.Dataset:
     """LSH bucket groupby -> unordered candidate pairs (a < b)."""
-    band_rows = ds.map_batches(
+    band_rows = util.clean_dataset(ds).map_batches(
         lambda t: minhash_band_rows(t, text_col, key_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
         batch_size=4096,
@@ -490,7 +490,7 @@ def embedding_dedup(
         out = part.take(pa.array(sorted(keep_pos)))
         return out.drop_columns(["_bucket", "_sb"])
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+    bucketed = util.clean_dataset(ds).map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
     bucketed = bucketed.map_batches(
         lambda t: t.append_column(
             "_sb",

@@ -14,6 +14,17 @@ def strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
 
 
+def clean_dataset(ds):
+    """Insert a zero-copy whole-block metadata strip after an external
+    read. Needed where a downstream stage sets an explicit batch_size:
+    Ray's batch slicer then CONCATENATES raw read blocks BEFORE the stage
+    fn runs, and pandas-written parquet blocks carry the unhashable
+    b'pandas' schema metadata — per-stage strips can't reach that concat.
+    batch_size=None keeps it per-block (no slicing, no copy); Ray fuses
+    the stage into the consumer."""
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow", batch_size=None)
+
+
 _HEAP_RETAINED_PID: int | None = None
 
 
