@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .. import util
+
 
 def _matrix(batch_col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
     arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
@@ -63,7 +65,7 @@ def brute_force_topk(
         keys = batch.column(key_col).take(pa.array(idx))
         return pa.table({key_col: keys, "sim": pa.array(sims[idx], type=pa.float64())})
 
-    cands = ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=65536).take_all()
+    cands = util.clean_dataset(ds).map_batches(batch_topk, batch_format="pyarrow", batch_size=65536).take_all()
     t = pa.Table.from_pylist(cands)
     if t.num_rows == 0:
         try:
@@ -110,7 +112,7 @@ class IvfIndex:
             bucket = (m @ c.T).argmax(axis=1)
             return batch.append_column("ivf_bucket", pa.array(bucket.astype(np.int32)))
 
-        return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+        return util.clean_dataset(ds).map_batches(assign, batch_format="pyarrow", batch_size=65536)
 
     def probe_buckets(self, query: np.ndarray, n_probe: int = 4) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
