@@ -182,6 +182,15 @@ def bench_corpus_phase(cpus: int) -> dict:
         batch_format="pyarrow",
         batch_size=4096,
     ).count())), 3)
+
+    # sequence packing: the packed corpus is the actual training
+    # artifact, so this path runs at full scale — complete windows are
+    # emitted shard-locally, only boundary pieces shuffle (packing.py)
+    from duckdb_raquet_ray.pipelines import packing
+
+    queries["pack"] = round(
+        min(best_of(lambda: packing.pack_windows(paths, window=2048).count())), 3
+    )
     return {"queries": queries, "extra": extra}
 
 

@@ -174,21 +174,95 @@ def packed_window_stats(
     )
 
 
+def _complete_span(base: int, n: int, window: int, corpus_total: int) -> tuple[int, int]:
+    """Shard-relative [s, e) slice of the stream piece [base, base+n)
+    covered by COMPLETE windows — windows whose entire global span
+    [w*window, min((w+1)*window, corpus_total)) lies inside the shard.
+    The shard owning a window's full span can emit it without any
+    shuffle; everything outside [s, e) is boundary material (< window
+    tokens on each side by construction)."""
+    lo = -(-base // window) * window  # first window boundary >= base
+    hi = ((base + n) // window) * window  # last window boundary <= base+n
+    if base + n == corpus_total:
+        hi = base + n  # the corpus-final (possibly short) window is
+        # complete by definition — no later shard can extend it
+    if lo >= hi:
+        return 0, 0  # tiny shard strictly inside one window: all boundary
+    return lo - base, hi - base
+
+
+def _windows_table(first_win: int, flat: np.ndarray, window: int) -> pa.Table:
+    """(window_id, tokens) rows for a contiguous run of complete windows
+    starting at id `first_win` — pure reshape arithmetic, no per-window
+    loop. `flat` may end with one short (corpus-final) window."""
+    n = len(flat)
+    n_full = n // window
+    offs = np.arange(n_full + 1, dtype=np.int64) * window
+    if n % window:
+        offs = np.append(offs, n)
+    wins = np.arange(first_win, first_win + len(offs) - 1, dtype=np.int64)
+    return pa.table(
+        {
+            "window_id": pa.array(wins),
+            # int64 offsets (LargeList): one shard can exceed 2^31 tokens
+            # at production scale; int32 offsets would wrap silently
+            "tokens": pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.int64())
+            ),
+        }
+    )
+
+
+def _read_token_rows(path: str, r0: int, r1: int, tokens_column: str) -> pa.Table:
+    """Read ONLY rows [r0, r1) of a shard's token column by opening just
+    the row groups that cover them — the boundary path must not re-read
+    the whole shard pipeline-1 already decoded."""
+    f = pq.ParquetFile(path)
+    parts, seen = [], 0
+    for g in range(f.metadata.num_row_groups):
+        g_rows = f.metadata.row_group(g).num_rows
+        g0, g1 = seen, seen + g_rows
+        seen = g1
+        if g1 <= r0 or g0 >= r1:
+            continue
+        t = f.read_row_group(g, columns=[tokens_column])
+        parts.append(t.slice(max(r0 - g0, 0), min(r1, g1) - max(r0, g0)))
+    if not parts:
+        return pa.table({tokens_column: pa.array([], pa.large_list(pa.int64()))})
+    return pa.concat_tables(parts)
+
+
 def pack_windows(
     paths: list[str],
     window: int = DEFAULT_WINDOW,
     tokens_column: str = "tokens",
     length_column: str = "n_tok",
 ) -> rd.Dataset:
-    """-> Dataset of (window, tokens list<int64>): the actual packed
-    training windows. Shard tasks emit window PIECES (a window straddling
-    a shard boundary yields one piece per shard — at most 2 pieces per
-    window in practice); the groupby(window) concatenates pieces in
-    stream order. Every window has exactly `window` tokens except the
-    final one."""
-    plan = plan_offsets(paths, length_column)
+    """-> Dataset of (window_id, tokens list<int64>): the actual packed
+    training windows.
 
-    def shard_pieces(batch: pa.Table) -> pa.Table:
+    Scale shape (the corpus-sized output must NEVER take an all-to-all
+    trip): each shard task owns every window whose full span lies inside
+    its [base, base+n) stream slice — ownership is pure arithmetic from
+    the pass-1 base offset — and emits those complete windows DIRECTLY
+    (a reshape, no shuffle). Only the <window tokens on each shard edge
+    are boundary material; a second, tiny pass re-reads just the edge
+    rows (selective row-group read) and routes those pieces (≤2 per
+    shard) through a groupby to stitch straddling windows. At 100 TB the
+    shuffle therefore moves O(#shards × window) tokens, not the corpus.
+    Every window has exactly `window` tokens except the corpus-final one.
+    """
+    plan = plan_offsets(paths, length_column)
+    corpus_total = (plan[-1]["base"] + plan[-1]["total"]) if plan else 0
+
+    empty_out = pa.table(
+        {
+            "window_id": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.large_list(pa.int64())),
+        }
+    )
+
+    def shard_complete(batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             t = pq.read_table(row["path"], columns=[tokens_column])
@@ -202,58 +276,112 @@ def pack_windows(
             if len(flat) == 0:
                 continue
             base = row["base"]
-            starts, wins = _window_splits(base, len(flat), window)
-            ends = np.append(starts[1:], len(flat))
-            offs = np.concatenate(([0], np.cumsum(ends - starts)))
-            # int64 offsets (LargeList): one shard can exceed 2^31 tokens
-            # at production scale; int32 offsets would wrap silently
-            pieces = pa.LargeListArray.from_arrays(
-                pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.int64())
-            )
-            out.append(
-                pa.table(
-                    {
-                        "window_id": pa.array(wins),
-                        "piece_pos": pa.array(((starts + base) % window).astype(np.int64)),
-                        "piece": pieces,
-                        "_b": pa.array((wins % _N_BUCKETS).astype(np.int32)),
-                    }
+            s, e = _complete_span(base, len(flat), window, corpus_total)
+            if e > s:
+                out.append(_windows_table((base + s) // window, flat[s:e], window))
+        return pa.concat_tables(out) if out else empty_out
+
+    items = rd.from_items(plan, override_num_blocks=max(len(plan), 1))
+    complete = items.map_batches(shard_complete, batch_format="pyarrow", batch_size=1)
+
+    def shard_boundary_pieces(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            base, total = row["base"], row["total"]
+            if total == 0:
+                continue
+            s, e = _complete_span(base, total, window, corpus_total)
+            ranges = (
+                [(0, total)] if e <= s else [(0, s), (e, total)]
+            )  # shard-relative boundary stream ranges, each < window long
+            ranges = [(a, b) for a, b in ranges if b > a]
+            if not ranges:
+                continue
+            # locate the doc rows covering the edge ranges from the cheap
+            # length column, then read ONLY those rows' tokens
+            lens = np.asarray(
+                pq.read_table(row["path"], columns=[length_column]).column(
+                    length_column
                 )
-            )
+            ).astype(np.int64)
+            ends = np.cumsum(lens + 1)  # each doc contributes n_tok + 1
+            starts_doc = ends - (lens + 1)
+            for a, b in ranges:
+                r0 = int(np.searchsorted(ends, a, side="right"))
+                r1 = int(np.searchsorted(starts_doc, b, side="left"))
+                sub = _read_token_rows(row["path"], r0, r1, tokens_column)
+                flat = _flat_with_seps(sub, tokens_column)
+                local0 = int(starts_doc[r0])  # stream pos of flat[0]
+                piece = flat[a - local0 : b - local0]
+                p_starts, wins = _window_splits(base + a, len(piece), window)
+                p_ends = np.append(p_starts[1:], len(piece))
+                offs = np.concatenate(([0], np.cumsum(p_ends - p_starts)))
+                out.append(
+                    pa.table(
+                        {
+                            "window_id": pa.array(wins),
+                            "piece_pos": pa.array(
+                                ((p_starts + base + a) % window).astype(np.int64)
+                            ),
+                            "piece": pa.LargeListArray.from_arrays(
+                                pa.array(offs, pa.int64()),
+                                pa.array(piece, pa.int64()),
+                            ),
+                            "_b": pa.array((wins % _N_BUCKETS).astype(np.int32)),
+                        }
+                    )
+                )
         if not out:
             return pa.table(
                 {
                     "window_id": pa.array([], pa.int64()),
                     "piece_pos": pa.array([], pa.int64()),
-                    "piece": pa.array([], pa.list_(pa.int64())),
+                    "piece": pa.array([], pa.large_list(pa.int64())),
                     "_b": pa.array([], pa.int32()),
                 }
             )
         return pa.concat_tables(out)
 
-    items = rd.from_items(plan, override_num_blocks=max(len(plan), 1))
+    pieces = items.map_batches(
+        shard_boundary_pieces, batch_format="pyarrow", batch_size=1
+    )
 
     def merge(group: pa.Table) -> pa.Table:
-        df = group.select(["window_id", "piece_pos", "piece"]).to_pandas()
-        df = df.sort_values(["window_id", "piece_pos"])
-        wins, toks = [], []
-        for w, sub in df.groupby("window_id", sort=True):
-            wins.append(int(w))
-            toks.append(np.concatenate([np.asarray(p) for p in sub["piece"]]))
-        offs = np.zeros(len(toks) + 1, dtype=np.int64)
-        np.cumsum([len(x) for x in toks], out=offs[1:])
-        child = np.concatenate(toks) if toks else np.zeros(0, dtype=np.int64)
+        # stitch boundary windows from their shard pieces. Disjointness
+        # with pipeline 1 is structural: _complete_span admits a window
+        # only when its FULL span fits one shard, so any window id
+        # reaching this groupby was emitted by no shard task.
+        wins = np.asarray(group.column("window_id")).astype(np.int64)
+        pos = np.asarray(group.column("piece_pos")).astype(np.int64)
+        order = np.lexsort((pos, wins))
+        lst = group.column("piece")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lst = lst.take(pa.array(order))
+        lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        child = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, first_idx = np.unique(wins[order], return_index=True)
+        win_lens = np.add.reduceat(lengths, first_idx) if len(lengths) else lengths
+        offs = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(win_lens, out=offs[1:])
         return pa.table(
             {
-                "window_id": pa.array(np.asarray(wins, dtype=np.int64)),
+                "window_id": pa.array(uniq),
                 "tokens": pa.LargeListArray.from_arrays(
-                    pa.array(offs, type=pa.int64()), pa.array(child, type=pa.int64())
+                    pa.array(offs, pa.int64()), pa.array(child, pa.int64())
                 ),
             }
         )
 
-    return (
-        items.map_batches(shard_pieces, batch_format="pyarrow", batch_size=1)
-        .groupby("_b")
+    def norm_empty(t: pa.Table) -> pa.Table:
+        # groupby partitions holding no groups emit ZERO-COLUMN blocks;
+        # unioned with the complete stream they trip Ray's schema-drift
+        # warning — pin them to the canonical (window_id, tokens) schema
+        return empty_out if t.num_columns == 0 else t
+
+    stitched = (
+        pieces.groupby("_b")
         .map_groups(merge, batch_format="pyarrow")
+        .map_batches(norm_empty, batch_format="pyarrow")
     )
+    return complete.union(stitched)

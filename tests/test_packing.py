@@ -98,3 +98,64 @@ def test_stale_length_column_fails_loudly(ray_session, tmp_path):
     pq.write_table(t, p)
     with pytest.raises(Exception, match="disagrees|corrupt|token stream"):
         packing.packed_window_stats([p], window=8).to_pandas()
+
+
+def test_pack_windows_window_spans_many_shards(ray_session, tmp_path):
+    """Shards much smaller than the window: every window straddles several
+    shards, so the whole output flows through the boundary-stitch path."""
+    rng = np.random.default_rng(11)
+    paths, all_tokens = _write_shards(str(tmp_path), rng, n_shards=6, rows_per=3)
+    window = 997
+    out = packing.pack_windows(paths, window=window).to_pandas().sort_values("window_id")
+    want = _brute_pack(all_tokens, window)
+    assert out["window_id"].tolist() == list(range(len(want)))
+    for w, toks in zip(out["window_id"], out["tokens"]):
+        assert np.array_equal(np.asarray(toks, dtype=np.int64), want[w])
+
+
+def test_pack_windows_aligned_shards_emit_locally(ray_session, tmp_path):
+    """Shard totals that are exact window multiples: zero boundary pieces —
+    every window is complete inside one shard and must never shuffle."""
+    window = 16
+    paths, all_tokens = [], []
+    for s in range(3):
+        toks = [list(range(s * 100, s * 100 + window - 1)) for _ in range(4)]
+        all_tokens.extend(toks)
+        t = pa.table(
+            {
+                "tokens": pa.array(toks, type=pa.list_(pa.int64())),
+                "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            }
+        )
+        p = os.path.join(str(tmp_path), f"al-{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = packing.pack_windows(paths, window=window).to_pandas().sort_values("window_id")
+    want = _brute_pack(all_tokens, window)
+    assert out["window_id"].tolist() == list(range(len(want)))
+    for w, toks in zip(out["window_id"], out["tokens"]):
+        assert np.array_equal(np.asarray(toks, dtype=np.int64), want[w])
+
+
+def test_complete_span_ownership_is_exact():
+    """Pure-arithmetic check of the ownership rule across random layouts:
+    complete spans partition the stream with the boundary ranges."""
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        window = int(rng.integers(2, 50))
+        n_shards = int(rng.integers(1, 8))
+        totals = rng.integers(0, 120, size=n_shards)
+        bases = np.concatenate(([0], np.cumsum(totals[:-1])))
+        corpus = int(totals.sum())
+        owned = []
+        for b, n in zip(bases, totals):
+            s, e = packing._complete_span(int(b), int(n), window, corpus)
+            if e > s:
+                assert (b + s) % window == 0
+                owned.extend(range((int(b) + s) // window, -(-(int(b) + e) // window)))
+        # every owned window appears exactly once
+        assert len(owned) == len(set(owned))
+        # owned windows' spans are fully inside their shard by construction;
+        # the rest are stitched — together they must cover all windows
+        n_windows = -(-corpus // window) if corpus else 0
+        assert set(owned) <= set(range(n_windows))
