@@ -220,6 +220,28 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _verify_buckets(arr, n_buckets: int) -> np.ndarray:
+    """Deterministic verify-bucket id per key: detmix.string_hash64 % n —
+    identical on the driver (bucket map) and in workers (pair tagging)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = arr.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
+    return (detmix.string_hash64(s) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _empty_verify_table(key_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "_vb": pa.array([], pa.int32()),
+            "a": pa.array([], key_type),
+            "b": pa.array([], key_type),
+            "key": pa.array([], key_type),
+            "text": pa.array([], pa.string()),
+            "kind": pa.array([], pa.int8()),
+        }
+    )
+
+
 class PairVerifier:
     """Actor-pool stage: exact n-gram Jaccard over candidate pairs.
 
@@ -271,14 +293,18 @@ def minhash_dedup(
     """Near-dup removal: LSH candidates -> DISTRIBUTED exact-Jaccard verify
     -> drop docs confirmed >= threshold similar to a smaller key.
 
-    Scale shape (nothing corpus-sized ever lands on the driver):
-      1. candidate pairs stay a Dataset; only their KEY SET (O(pairs))
-         is pulled to build a broadcast filter,
+    Scale shape (nothing corpus-sized ever lands on the driver, and no
+    single broadcast object ever holds text):
+      1. candidate pairs stay a Dataset; only their KEY SET plus each
+         key's verify-bucket ids (O(pairs), keys only) is pulled to build
+         the broadcast filter/bucket map,
       2. candidate texts are fetched by a distributed `pc.is_in` filter
-         over the corpus (the driver never iterates corpus batches) and
-         broadcast via one ray.put,
-      3. Jaccard verification runs in a PairVerifier actor pool over the
-         pairs Dataset (map_batches), not a driver loop,
+         over the corpus and tagged with the verify buckets whose pairs
+         reference them — a bucketed pair<->text join, so per-bucket text
+         payload is O(that bucket's pairs), never the corpus-wide
+         candidate set in one `ray.put`,
+      3. Jaccard verification runs inside the bucket groupby
+         (map_groups), shingles memoized per bucket,
       4. the final filter is a vectorized inverted `pc.is_in` with the
          (small) confirmed-drop key set."""
     import ray
@@ -291,36 +317,112 @@ def minhash_dedup(
         return t.filter(keep)
 
     pairs_ds = cand.map_batches(dedup_pairs, batch_format="pyarrow").materialize()
-    # O(pairs) driver state: just the candidate KEYS, for the text filter
-    needed: set = set()
+    # O(pairs) driver state: candidate KEYS plus each key's verify
+    # buckets — never any text. Pair (a, b) verifies in bucket
+    # hash(a) % n, so key k must be shipped to every bucket holding a
+    # pair that references it (b-side keys can land in foreign buckets).
+    n_vb = N_SHUFFLE_BUCKETS
+    needed: dict = {}
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        needed.update(b.column("a").to_pylist())
-        needed.update(b.column("b").to_pylist())
+        if b.num_rows == 0:
+            continue
+        vb = _verify_buckets(b.column("a"), n_vb)
+        for a_key, b_key, bk in zip(
+            b.column("a").to_pylist(), b.column("b").to_pylist(), vb.tolist()
+        ):
+            needed.setdefault(a_key, set()).add(bk)
+            needed.setdefault(b_key, set()).add(bk)
     if not needed:
         return ds
-    needed_arr = pa.array(sorted(needed))
-    needed_ref = ray.put(needed_arr)
+    needed_ref = ray.put(pa.array(sorted(needed)))
+    bucket_map_ref = ray.put({k: tuple(v) for k, v in needed.items()})
+
+    kt = pairs_ds.schema().base_schema.field("a").type
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_verify_table(kt)
+        return pa.table(
+            {
+                "_vb": pa.array(_verify_buckets(t.column("a"), n_vb)),
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "key": pa.nulls(t.num_rows, kt),
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
 
     def fetch_candidates(t: pa.Table) -> pa.Table:
+        """Candidate texts, replicated to exactly the verify buckets whose
+        pairs reference them — the per-bucket text payload is bounded by
+        that bucket's pair keys, NOT the corpus-wide candidate set."""
         wanted = ray.get(needed_ref)
-        return t.select([key_col, text_col]).filter(pc.is_in(t.column(key_col), wanted))
+        sel = t.select([key_col, text_col]).filter(pc.is_in(t.column(key_col), wanted))
+        if sel.num_rows == 0:
+            return _empty_verify_table(kt)
+        bmap = ray.get(bucket_map_ref)
+        idx, buckets = [], []
+        for i, k in enumerate(sel.column(key_col).to_pylist()):
+            for bk in bmap.get(k, ()):
+                idx.append(i)
+                buckets.append(bk)
+        sub = sel.take(pa.array(idx, pa.int64()))
+        return pa.table(
+            {
+                "_vb": pa.array(buckets, pa.int32()),
+                "a": pa.nulls(len(idx), kt),
+                "b": pa.nulls(len(idx), kt),
+                "key": sub.column(key_col),
+                "text": sub.column(text_col).cast(pa.string()),
+                "kind": pa.array(np.ones(len(idx), dtype=np.int8)),
+            }
+        )
 
-    cand_rows = ds.map_batches(fetch_candidates, batch_format="pyarrow").take_all()
-    texts_ref = ray.put({r[key_col]: r[text_col] for r in cand_rows})
-
-    verified = pairs_ds.map_batches(
-        PairVerifier,
-        fn_constructor_kwargs={
-            "texts_ref": texts_ref,
-            "threshold": threshold,
-            "shingle_k": shingle_k,
-        },
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=verify_concurrency,
-        num_cpus=1,
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        ds.map_batches(fetch_candidates, batch_format="pyarrow")
     )
-    drop_keys = sorted({r["drop_key"] for r in verified.take_all()})
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        """One verify bucket: exact n-gram Jaccard of its pairs against its
+        (bucket-local) text slice; shingle sets memoized per bucket since
+        LSH pairs share anchors."""
+        kinds = np.asarray(g.column("kind"))
+        trows = g.filter(pa.array(kinds == 1))
+        prows = g.filter(pa.array(kinds == 0))
+        texts = dict(
+            zip(trows.column("key").to_pylist(), trows.column("text").to_pylist())
+        )
+        sh: dict = {}
+
+        def shingles(k) -> np.ndarray:
+            v = sh.get(k)
+            if v is None:
+                v = _shingle_hashes(texts.get(k, "") or "", shingle_k)
+                sh[k] = v
+            return v
+
+        drops = set()
+        for a, b in zip(prows.column("a").to_pylist(), prows.column("b").to_pylist()):
+            sa, sb = shingles(a), shingles(b)
+            if len(sa) == 0 and len(sb) == 0:
+                sim = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                sim = inter / (len(sa) + len(sb) - inter)
+            if sim >= threshold:
+                drops.add(max(a, b))
+        return pa.table({"drop_key": pa.array(sorted(drops), type=kt)})
+
+    verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
+    drop_keys = sorted(
+        {
+            k
+            for b in verified.iter_batches(batch_format="pyarrow")
+            if b.num_columns  # empty groupby partitions emit 0-col blocks
+            for k in b.column("drop_key").to_pylist()
+        }
+    )
     if not drop_keys:
         return ds
     drop_ref = ray.put(pa.array(drop_keys))

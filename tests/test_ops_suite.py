@@ -388,3 +388,47 @@ class TestDedupOracleParity:
         sql = dedup.minhash_oracle_sql(f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))")
         kept_sql = sorted(duckdb.connect().execute(sql).df().doc_id.tolist())
         assert kept_ray == kept_sql
+
+
+class TestMinhashBroadcastBound:
+    def test_no_broadcast_object_carries_text(self, ray_session, monkeypatch):
+        """100-TB guard: the verify phase is a bucketed pair<->text join —
+        the driver must never ray.put a corpus-wide {key: text} dict (or
+        any object that grows with document text). Spy on ray.put and
+        assert nothing put contains a document-sized string."""
+        import ray as ray_mod
+
+        bases = [
+            "tokenized web document payload about astronomy stars galaxies " * 200,
+            "database systems query planning vectorized execution engines " * 200,
+            "recipe flour butter sugar oven whisk bake golden crust layers " * 200,
+        ]  # 3 distinct ~12 kB clusters; members differ by a tiny tail
+        texts = [bases[i % 3] + f" tail{i}" for i in range(30)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i:03d}" for i in range(30)]),
+                "text": pa.array(texts),
+            }
+        )
+        put_objects = []
+        real_put = ray_mod.put
+
+        def spy_put(obj, **kw):
+            put_objects.append(obj)
+            return real_put(obj, **kw)
+
+        monkeypatch.setattr(ray_mod, "put", spy_put)
+        out = dedup.minhash_dedup(rd.from_arrow(t), threshold=0.5).take_all()
+        # dedup still works: one survivor per cluster
+        assert len(out) == 3
+
+        def holds_text(o) -> bool:
+            vals = o.values() if isinstance(o, dict) else o
+            try:
+                it = list(vals) if not isinstance(vals, (str, bytes)) else [vals]
+            except TypeError:
+                it = [vals]
+            return any(isinstance(v, str) and len(v) > 1000 for v in it)
+
+        assert put_objects, "expected driver-side broadcasts (keys/buckets)"
+        assert not any(holds_text(o) for o in put_objects)
