@@ -82,7 +82,7 @@ _bootstrap_by_value()
 # deterministic check corpus (the input_hint table) + encoded outputs
 # ---------------------------------------------------------------------------
 
-ENGINE_TAG = "r6"  # bump when codec bytes change so stale /tmp encodes drop
+ENGINE_TAG = "r7"  # bump when codec bytes change so stale /tmp encodes drop
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
 CORPUS_DIR = f"/tmp/raquet_corpus_check_{CORPUS_ROWS}x{CORPUS_SHARDS}"
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS

@@ -59,7 +59,10 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("encode", help="encode Parquet shards -> partition files + manifest")
     p.add_argument("--input", required=True, help="glob of input parquet shards")
     p.add_argument("--out", required=True)
-    p.add_argument("--grouped", action="store_true", help="salted groupby-on-source mode")
+    p.add_argument("--grouped", action="store_true",
+                   help="source-partitioned LAYOUT mode (salted hash-bucket "
+                        "repartition): per-source pruned reads; lineage mode "
+                        "compresses better and is the default")
     p.add_argument("--part-bytes", type=int, default=None,
                    help="lineage mode: target decoded bytes per partition (default: auto)")
     p.add_argument("--group-rows", type=int, default=None,

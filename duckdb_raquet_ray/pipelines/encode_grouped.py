@@ -16,10 +16,16 @@ distribution in every salted bucket (compression unaffected); skew broken
 because the head key fans out over S buckets. The salt is a pure function
 of doc_id, so bucket membership is deterministic across runs/topologies.
 
-This is the engine's ONE wide operation. Its `groupby(...).map_groups`
-moves every row; the lineage-partitioned `encode_job` (encode.py) needs no
-shuffle at all and is the default — use grouped mode when compression
-ratio matters more than a one-pass encode.
+This is the engine's ONE wide operation, and it is a hash-bucket
+streaming repartition, not a sort: map tasks append each block's rows to
+per-bucket piece files (bucket = partition_id % n_buckets, so a group
+always lands whole in one bucket), then one reduce task per bucket
+encodes its groups. The lineage-partitioned `encode_job` (encode.py)
+needs no shuffle at all and is the default — and since the r2 dict
+bucket, lineage partitions are the MORE coherent alphabet and compress
+BETTER (BASELINE.md addendum). Use grouped mode for its source-
+partitioned LAYOUT: `read_encoded_source` opens only one source's
+partition files (pruned reads), and skewed sources are salted flat.
 
 Partition id = pack_grouped(source, salt) (functions/partition_keys.py);
 within a group, rows are sorted by doc_id before encoding so the output is
@@ -32,6 +38,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
+import uuid
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
@@ -144,6 +153,7 @@ def encode_job_grouped(
     target_group_rows: int | None = None,
     resume: bool = True,
     salt_map: dict[str, int] | None = None,
+    shuffle_buckets: int | None = None,
 ) -> dict:
     """source-salted shuffle encode job -> partition files + manifest.
 
@@ -178,13 +188,11 @@ def encode_job_grouped(
     done = mf.done_partition_ids(out_dir) if resume else set()
     os.makedirs(out_dir, exist_ok=True)
 
-    def encode_group(group: pa.Table) -> pa.Table:
+    def encode_one_group(group: pa.Table, source: str, salt: int) -> dict | None:
         util.retain_heap()  # task workers are long-lived; idempotent per pid
-        source = group.column("_gsrc")[0].as_py()
-        salt = group.column("_salt")[0].as_py()
         pid = pk.pack_grouped(source, salt)
         if pid in done:
-            return _ENTRY_SCHEMA.empty_table()
+            return None
         # composite sort key: bit-identity across runs requires a total
         # order; doc_id alone leaves duplicate-key rows in shuffle-arrival
         # order (rows identical in all three keys but differing elsewhere
@@ -198,29 +206,111 @@ def encode_job_grouped(
         entry["group"] = {"source": source, "salt": salt, "n_buckets": salt_map.get(source, 1)}
         path = os.path.join(out_dir, pk.part_file_name(pid))
         fsio.publish_table(encoded, path, compression="none")
-        return pa.Table.from_pylist([{"entry_json": json.dumps(entry)}], schema=_ENTRY_SCHEMA)
+        return entry
 
     salted = ds.map_batches(
         lambda b: _salts(b, salt_map), batch_format="pyarrow", batch_size=16384
     )
     if done:
-        # resume: drop finished groups' rows BEFORE the all-to-all shuffle —
-        # a resumed run shuffles only the remaining rows, not 100% of the
-        # corpus just to skip groups inside encode_group
+        # resume: drop finished groups' rows BEFORE the shuffle — a resumed
+        # run spills only the remaining rows, not 100% of the corpus just
+        # to skip groups inside the encoder
         done_by_source = _done_salts_by_source(done, salt_map)
         salted = salted.map_batches(
             lambda b: _drop_done_groups(b, done_by_source), batch_format="pyarrow"
         )
-    results = salted.groupby(["_gsrc", "_salt"]).map_groups(
-        # half-density slots, same rationale as encode.ENCODER_NUM_CPUS:
-        # the group-encode kernel is memory-bandwidth/fault-bound, and 16
-        # concurrent encoders measurably beat 32 on a 32-vCPU box
-        encode_group, batch_format="pyarrow", num_cpus=2
-    )
+
+    # --- hash-bucket streaming repartition (NO sort shuffle) ------------
+    # The old shape was groupby(["_gsrc","_salt"]).map_groups — Ray's
+    # sort-based all-to-all over the whole corpus just to obtain a LAYOUT.
+    # Instead: map tasks append each block's rows to per-BUCKET piece
+    # files (bucket = partition_id % n_buckets, so a group always lands
+    # whole in one bucket), then one reduce task per bucket reads its
+    # pieces and encodes its few groups. Data flows through the job's
+    # output filesystem (shared storage on a real cluster — the same
+    # assumption the part files themselves make), never through a sort.
+    n_groups = sum(salt_map.values())
+    n_buckets = shuffle_buckets or max(1, min(4096, math.ceil(n_groups / 4)))
+    shuffle_dir = os.path.join(out_dir, "_shuffle")
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    os.makedirs(shuffle_dir, exist_ok=True)
+
+    def write_pieces(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "path": pa.array([], pa.string())})
+        src = batch.column("_gsrc").to_pandas()
+        salt = np.asarray(batch.column("_salt")).astype(np.uint64)
+        sh = {s: pk.source_hash(s) for s in src.unique()}  # few distinct
+        pid = (
+            np.uint64(pk.MODE_BIT)
+            | (src.map(sh).to_numpy(dtype=np.uint64) << np.uint64(pk.SALT_BITS))
+            | salt
+        )
+        bucket = (pid % np.uint64(n_buckets)).astype(np.int32)
+        order = np.argsort(bucket, kind="stable")
+        batch = batch.take(pa.array(order))
+        bsorted = bucket[order]
+        uniq, first = np.unique(bsorted, return_index=True)
+        ends = np.append(first[1:], len(bsorted))
+        tag = uuid.uuid4().hex[:12]
+        buckets_out, paths_out = [], []
+        for b, s0, s1 in zip(uniq.tolist(), first.tolist(), ends.tolist()):
+            p = os.path.join(shuffle_dir, f"b{b:05d}-{tag}.parquet")
+            pq.write_table(batch.slice(s0, s1 - s0), p, compression="lz4")
+            buckets_out.append(b)
+            paths_out.append(p)
+        return pa.table({"bucket": pa.array(buckets_out, pa.int32()),
+                         "path": pa.array(paths_out, pa.string())})
+
+    piece_rows = salted.map_batches(
+        write_pieces, batch_format="pyarrow", batch_size=None
+    ).take_all()  # O(blocks x buckets-present) tiny rows
+    by_bucket: dict[int, list[str]] = {}
+    for r in piece_rows:
+        by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
+
+    def encode_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        entries = []
+        for row in batch.to_pylist():
+            t = pa.concat_tables([pq.read_table(p) for p in row["paths"]])
+            src = t.column("_gsrc").to_numpy(zero_copy_only=False)
+            salt = t.column("_salt").to_numpy(zero_copy_only=False)
+            order = np.lexsort((salt, src))
+            t = t.take(pa.array(order))
+            src, salt = src[order], salt[order]
+            change = np.nonzero((src[1:] != src[:-1]) | (salt[1:] != salt[:-1]))[0] + 1
+            starts = np.concatenate(([0], change, [len(src)]))
+            for s0, s1 in zip(starts[:-1], starts[1:]):
+                e = encode_one_group(
+                    t.slice(s0, s1 - s0), str(src[s0]), int(salt[s0])
+                )
+                if e is not None:
+                    entries.append({"entry_json": json.dumps(e)})
+        if not entries:
+            return _ENTRY_SCHEMA.empty_table()
+        return pa.Table.from_pylist(entries, schema=_ENTRY_SCHEMA)
+
     writer = mf.ManifestWriter(out_dir)
     try:
-        for row in results.iter_rows():
-            writer.append(json.loads(row["entry_json"]))
+        if by_bucket:
+            items = rd.from_items(
+                [{"paths": ps} for _, ps in sorted(by_bucket.items())],
+                override_num_blocks=len(by_bucket),
+            )
+            # half-density slots, same rationale as encode.ENCODER_NUM_CPUS:
+            # the group-encode kernel is memory-bandwidth/fault-bound, and
+            # 16 concurrent encoders measurably beat 32 on a 32-vCPU box
+            results = items.map_batches(
+                encode_bucket, batch_format="pyarrow", batch_size=1, num_cpus=2
+            )
+            for row in results.iter_rows():
+                writer.append(json.loads(row["entry_json"]))
         meta = writer.finalize(
             schema_str,
             extra={
@@ -232,4 +322,5 @@ def encode_job_grouped(
         )
     finally:
         writer.close()
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
     return meta
