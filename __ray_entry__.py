@@ -679,8 +679,51 @@ def _decoded_media(rows: int):
     )
 
 
+def _png_media_path(rows: int) -> str:
+    """Persisted REAL-format image corpus (8-bit gray PNG/PGM payloads +
+    the flattened pixel values as an independent list<int32> column so
+    the SQL oracle value-checks the dependency-free PNG decode itself)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_png_media_table(rows, f"/tmp/raquet_media_png_{rows}.parquet")
+
+
 def _q_multimodal(sf_dir: str):
-    return _decoded_media(MEDIA_FEAT_ROWS)
+    """REAL (non-fake) image decode: PNG/PGM payloads through the
+    dependency-free codec (codecs/imagecodec.py) in an actor pool."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(_png_media_path(MEDIA_FEAT_ROWS), columns=[
+        "media_id", "payload", "mime", "width", "height"
+    ])
+    return ds.map_batches(
+        mm.ImageDecoder,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
+def _q_png_strip_sums(sf_dir: str):
+    """Value-checked REAL decode: per-image integer strip sums computed
+    from decode(payload) must equal the SQL oracle's sums over the
+    independently persisted `pixels` column."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _png_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.strip_sums_batch,
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+    )
 
 
 def _q_multimodal_sums(sf_dir: str):
@@ -916,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid,
         "multimodal_features": _q_multimodal,
         "multimodal_feature_sums": _q_multimodal_sums,
+        "png_strip_sums": _q_png_strip_sums,
         "frame_sample": _q_frame_sample,
         "point_lookup_partition": _q_point_lookup,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1243,6 +1287,18 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({_HEXPAIR0} AS BIGINT) AS feat_first "
             "FROM (SELECT media_id, sha256(decode(payload)) AS d "
             f"FROM read_parquet('{_media_path(MEDIA_FEAT_ROWS)}'))"
+        ),
+        # REAL PNG/PGM decode oracle: the SQL side never touches the
+        # payload — it recomputes strip sums from the independently
+        # persisted pixel list, so a hash match proves the dependency-free
+        # decoder reproduced the original pixels exactly
+        "png_strip_sums": (
+            "SELECT media_id, CAST(((ord-1)*16)//L AS INTEGER) AS strip, "
+            "CAST(SUM(val) AS BIGINT) AS strip_sum "
+            "FROM (SELECT media_id, unnest(pixels) AS val, "
+            "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
+            f"FROM read_parquet('{_png_media_path(MEDIA_FEAT_ROWS)}')) "
+            "GROUP BY media_id, strip"
         ),
         "frame_sample": (
             "WITH m AS (SELECT media_id, decode(payload) AS p, n_frames, "

@@ -2,14 +2,16 @@
 typed metadata; decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages.
 
-The decode kernels themselves are STUBS in this container (no image/audio
-libraries are installed): each stage routes through `_decode_payload`,
-which raises NotImplementedError unless constructed with
-``fake=True`` — a clearly-marked deterministic fake (shape and features
-derived from a stable hash of the payload bytes) that keeps the Ray-side
-plumbing — schema, byte-budgeted batch sizing, actor signature, output
-layout — real and tested. Swap `_decode_payload` for a real
-PIL/libav-backed implementation on a cluster with the libs installed.
+IMAGE decode/resize are REAL: codecs/imagecodec.py is a dependency-free
+PNG (zlib IDAT) + PPM/PGM codec — the same dependency-free discipline as
+the reference's own PNG encoder (band_encoder.cpp:205-249) — so
+`ImageDecoder`/`ImageResizer` work on real payloads with no imaging
+library installed. jpeg/webp and VIDEO remain stubs: each stage falls
+back to NotImplementedError unless constructed with ``fake=True`` — a
+clearly-marked deterministic fake (features derived from a stable hash
+of the payload bytes) that keeps the Ray-side plumbing — schema,
+byte-budgeted batch sizing, actor signature, output layout — real and
+tested for the formats a container without libav cannot parse.
 
 Batch sizing note (SURVEY.md §7 hard-part 2): payloads are large binaries;
 stages size batches by BYTES (suggest_batch_size), not rows, mirroring the
@@ -22,6 +24,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..codecs import imagecodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -48,19 +52,30 @@ def _stable_bytes_hash(data: bytes) -> np.ndarray:
 
 
 class ImageDecoder:
-    """payload -> (decoded shape, pixel feature vector). STUB: real decode
-    needs an imaging library not present in this container."""
+    """payload -> (decoded shape, pixel feature vector). REAL for
+    PNG/PPM/PGM (codecs/imagecodec.py, no external libraries); other
+    formats (jpeg/webp) need an imaging library and raise unless
+    ``fake=True``. Features: per-strip mean intensity over feature_dim
+    contiguous strips of the flattened pixel array, scaled to [0, 1] —
+    strip of index i is (i * D) // L, exactly replicable in SQL."""
 
     def __init__(self, fake: bool = False, feature_dim: int = 32):
         self.fake = fake
         self.feature_dim = feature_dim
 
     def _decode_payload(self, data: bytes, width: int, height: int) -> np.ndarray:
+        if imagecodec.sniff(data) is not None:
+            flat = imagecodec.decode(data).reshape(-1).astype(np.float64)
+            d = self.feature_dim
+            ids = (np.arange(len(flat)) * d) // max(len(flat), 1)
+            sums = np.bincount(ids, weights=flat, minlength=d)
+            counts = np.maximum(np.bincount(ids, minlength=d), 1)
+            return (sums / counts / 255.0).astype(np.float32)
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires an imaging library (PIL/opencv) not "
-                "installed in this container; construct with fake=True for "
-                "the deterministic test double"
+                "non-PNG/PPM image decode requires an imaging library "
+                "(PIL/opencv) not installed in this container; construct "
+                "with fake=True for the deterministic test double"
             )
         h = _stable_bytes_hash(data)
         return np.resize(h, self.feature_dim).astype(np.float32) / 255.0
@@ -77,26 +92,41 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """payload -> resized payload. STUB with deterministic fake: truncated/
-    cycled bytes proportional to the target area."""
+    """payload -> resized payload. REAL for PNG/PPM/PGM: decode, nearest-
+    neighbor resize (pure index arithmetic), re-encode in the source
+    format. Other formats raise unless ``fake=True`` (deterministic fake:
+    truncated bytes proportional to the target area)."""
 
     def __init__(self, target_w: int, target_h: int, fake: bool = False):
         self.target_w = target_w
         self.target_h = target_h
         self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _resize_payload(self, p: bytes, w: int, h: int) -> bytes:
+        kind = imagecodec.sniff(p)
+        if kind is not None:
+            img = imagecodec.decode(p)
+            resized = imagecodec.resize_nearest(img, self.target_w, self.target_h)
+            return (
+                imagecodec.png_encode(resized)
+                if kind == "png"
+                else imagecodec.ppm_encode(resized)
+            )
         if not self.fake:
-            raise NotImplementedError("resize requires an imaging library; use fake=True")
+            raise NotImplementedError(
+                "non-PNG/PPM resize requires an imaging library; use fake=True"
+            )
+        scale = (self.target_w * self.target_h) / max(int(w) * int(h), 1)
+        return p[: max(1, int(len(p) * min(scale, 1.0)))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_pylist()
         heights = batch.column("height").to_pylist()
-        out = []
-        for p, w, h in zip(payloads, widths, heights):
-            p = p or b""
-            scale = (self.target_w * self.target_h) / max(int(w) * int(h), 1)
-            n = max(1, int(len(p) * min(scale, 1.0)))
-            out.append(p[:n])
+        out = [
+            self._resize_payload(p or b"", w, h)
+            for p, w, h in zip(payloads, widths, heights)
+        ]
         t = batch.set_column(batch.schema.get_field_index("payload"), "payload", pa.array(out, type=pa.binary()))
         t = t.set_column(t.schema.get_field_index("width"), "width", pa.array([self.target_w] * len(out), type=pa.int32()))
         return t.set_column(t.schema.get_field_index("height"), "height", pa.array([self.target_h] * len(out), type=pa.int32()))
@@ -172,6 +202,80 @@ def persist_media_table(rows: int, path: str, seed: int = 42, payload_bytes: int
         pq.write_table(synthesize_media_table(rows, seed, payload_bytes), tmp)
         os.replace(tmp, path)
     return path
+
+
+def synthesize_png_media_table(rows: int, seed: int = 42, max_side: int = 48) -> pa.Table:
+    """Deterministic REAL-format image corpus (no external data): 8-bit
+    grayscale PNGs (random sizes/pixels; alternating scanline filter 0/2
+    to exercise both vectorized decode paths) with every 5th row a binary
+    PGM instead. The flattened pixel values ride along as an INDEPENDENT
+    list<int32> column so a SQL oracle can value-check the real decode
+    end to end (decode(payload) must reproduce `pixels` exactly)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if i % 5 == 4:
+            payloads.append(imagecodec.ppm_encode(img))
+            mimes.append("image/x-portable-graymap")
+        else:
+            payloads.append(imagecodec.png_encode(img, filter_type=(i % 2) * 2))
+            mimes.append("image/png")
+        ids.append(f"img-{i:08d}")
+        pixels.append(img.reshape(-1).astype(np.int32))
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def persist_png_media_table(rows: int, path: str, seed: int = 42) -> str:
+    """Write (once) the real-format image corpus so both the Ray pipeline
+    and the SQL oracle read the SAME rows from disk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_png_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def strip_sums_batch(batch: pa.Table, feature_dim: int = 16) -> pa.Table:
+    """REAL image decode -> long-form integer strip sums: one row per
+    (media_id, strip), strip of flat pixel index i = (i*D)//L — exactly
+    replicable in SQL over the independent `pixels` column, which makes
+    the PNG/PPM decode itself the thing under test."""
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    d = feature_dim
+    out_ids, out_strip, out_sum = [], [], []
+    for mid, p in zip(ids, payloads):
+        flat = imagecodec.decode(p or b"").reshape(-1).astype(np.int64)
+        sids = (np.arange(len(flat)) * d) // max(len(flat), 1)
+        sums = np.bincount(sids, weights=flat, minlength=d).astype(np.int64)
+        out_ids.extend([mid] * d)
+        out_strip.extend(range(d))
+        out_sum.extend(sums.tolist())
+    return pa.table(
+        {
+            "media_id": pa.array(out_ids, pa.string()),
+            "strip": pa.array(out_strip, pa.int32()),
+            "strip_sum": pa.array(out_sum, pa.int64()),
+        }
+    )
 
 
 def feature_sums_batch(batch: pa.Table) -> pa.Table:
