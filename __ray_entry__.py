@@ -822,6 +822,27 @@ def _q_broadcast_join(sf_dir: str):
     return joins.broadcast_join(ds, cust, "o_custkey", "c_custkey")
 
 
+def _q_hash_join(sf_dir: str):
+    """General large-large bucketed hash equi-join (lineitem x orders):
+    neither side broadcasts — both stream through ONE fixed-fan-out
+    bucket shuffle, vectorized expand per bucket (joins.hash_join)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    ods = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return joins.hash_join(
+        li, ods, left_key="l_orderkey", right_key="o_orderkey",
+        right_cols=["o_custkey", "o_totalprice"],
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Bucketed-shuffle as-of join (events x orders): latest order per user
     at or before each event, ties to the largest orderkey. Timestamps are
@@ -947,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_order": _q_epoch_order,
         "embedding_quantize": _q_embedding_quantize,
         "broadcast_join_orders": _q_broadcast_join,
+        "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
         "window_tumbling_events": _q_window_tumbling,
         "window_sliding_events": _q_window_sliding,
@@ -1217,6 +1239,10 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "bucket_join_lineitem": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),
         # as-of = latest order with o_orderdate <= event ts per user; ties
         # on the date break to the largest o_orderkey (joins.AsofJoiner)

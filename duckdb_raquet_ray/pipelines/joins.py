@@ -318,6 +318,137 @@ def asof_join(
 
 
 # ---------------------------------------------------------------------------
+# large-large hash equi-join (bucketed shuffle, vectorized in-bucket expand)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_ids(col, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per key value: integer keys take a plain
+    modulus; string keys hash through detmix.string_hash64 (stable across
+    runs/processes — never Python's randomized hash)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (k % n_buckets).astype(np.int32)
+    from ..functions import detmix
+
+    s = col.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
+    return (detmix.string_hash64(s) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _equi_expand(l_key: np.ndarray, r_key: np.ndarray):
+    """One-to-many equi-match: -> (left row idx repeated per match, right
+    row idx, matches-per-left-row). Sort right once, binary-search every
+    left key, expand runs with pure offset arithmetic — no per-row Python."""
+    r_order = np.argsort(r_key, kind="stable")
+    rk = r_key[r_order]
+    lo = np.searchsorted(rk, l_key, side="left")
+    hi = np.searchsorted(rk, l_key, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    l_idx = np.repeat(np.arange(len(l_key)), cnt)
+    starts = np.repeat(lo, cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    return l_idx, r_order[starts + offs], cnt
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """General large-large equi-join (inner/left, one-to-many): ONE coarse
+    hash-bucket shuffle of both sides, vectorized expand inside each
+    bucket — the as-of join's bucket machinery specialized to plain key
+    equality (its merge kernel is a superset of this one).
+
+    Neither side needs to fit in memory: a key's rows (both sides)
+    co-locate in one bucket, bucket count is FIXED (fan-out never scales
+    with key cardinality), and per-bucket state is O(corpus / n_buckets)
+    plus the expanded matches. NULL join keys follow SQL semantics: never
+    equal (inner drops them; left keeps the row unmatched)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    r_payload = right_cols if right_cols is not None else [
+        c for c in right.schema().names if c != right_key
+    ]
+    l_cols = list(left.schema().names)
+    out_extra = [c for c in r_payload if c not in l_cols]
+    out_names = l_cols + out_extra
+
+    schema_types: dict[str, pa.DataType] = {}
+    for name, typ in zip(left.schema().names, left.schema().types):
+        schema_types[name] = typ
+    for name, typ in zip(right.schema().names, right.schema().types):
+        schema_types.setdefault(name, typ)
+    needed_r = sorted({right_key} | set(r_payload))
+    all_names = list(dict.fromkeys(l_cols + needed_r))
+
+    def pad(b: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for n in all_names:
+            cols[n] = (
+                b.column(n) if n in b.column_names
+                else pa.nulls(b.num_rows, type=schema_types[n])
+            )
+        t = pa.table(cols)
+        key = b.column(left_key if side == 1 else right_key)
+        t = t.append_column("_b", pa.array(_bucket_ids(key, n_buckets)))
+        return t.append_column("_side", pa.array(np.full(b.num_rows, side, np.int8)))
+
+    lt = left.map_batches(lambda b: pad(b, 1), batch_format="pyarrow")
+    rt = right.map_batches(lambda b: pad(b, 0), batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        lg = g.filter(pa.array(side == 1))
+        rg = g.filter(pa.array(side == 0))
+        empty = pa.table({n: pa.nulls(0, type=schema_types[n]) for n in out_names})
+        if lg.num_rows == 0:
+            return empty
+        l_valid = pc.is_valid(lg.column(left_key)).to_numpy(zero_copy_only=False)
+        r_valid = pc.is_valid(rg.column(right_key)).to_numpy(zero_copy_only=False)
+        rg_v = rg.filter(pa.array(r_valid)) if not r_valid.all() else rg
+        lg_m = lg.filter(pa.array(l_valid)) if not l_valid.all() else lg
+        if lg_m.num_rows and rg_v.num_rows:
+            l_idx, r_idx, cnt = _equi_expand(
+                lg_m.column(left_key).to_numpy(zero_copy_only=False),
+                rg_v.column(right_key).to_numpy(zero_copy_only=False),
+            )
+        else:
+            l_idx = np.zeros(0, np.int64)
+            r_idx = np.zeros(0, np.int64)
+            cnt = np.zeros(lg_m.num_rows, np.int64)
+        matched_l = lg_m.take(pa.array(l_idx, pa.int64()))
+        matched_r = rg_v.take(pa.array(r_idx, pa.int64()))
+        cols = {n: matched_l.column(n) for n in l_cols}
+        for n in out_extra:
+            cols[n] = matched_r.column(n)
+        out = pa.table(cols)
+        if how == "left":
+            # unmatched valid-key rows + all null-key left rows, null payload
+            un_valid = lg_m.filter(pa.array(cnt == 0))
+            un_null = lg.filter(pa.array(~l_valid)) if not l_valid.all() else None
+            parts = [out]
+            for un in (un_valid, un_null):
+                if un is not None and un.num_rows:
+                    cols_u = {n: un.column(n) for n in l_cols}
+                    for n in out_extra:
+                        cols_u[n] = pa.nulls(un.num_rows, type=schema_types[n])
+                    parts.append(pa.table(cols_u))
+            out = pa.concat_tables(parts)
+        return out
+
+    return lt.union(rt).groupby("_b").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # time windows: tumbling / sliding aggregate, session windows
 # ---------------------------------------------------------------------------
 

@@ -201,3 +201,121 @@ def test_session_windows_gap_edges(ray_session):
         {"k": 1, "session_id": 2, "n_events": 1, "start_us": 21, "end_us": 21},
         {"k": 2, "session_id": 1, "n_events": 1, "start_us": 5, "end_us": 5},
     ]
+
+
+# ---------------------------------------------------------------------------
+# hash_join (large-large bucketed equi-join)
+# ---------------------------------------------------------------------------
+
+
+def test_equi_expand_vs_bruteforce():
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        lk = rng.integers(0, 12, size=rng.integers(0, 40))
+        rk = rng.integers(0, 12, size=rng.integers(0, 40))
+        l_idx, r_idx, cnt = joins._equi_expand(lk, rk)
+        want = [(i, j) for i in range(len(lk)) for j in range(len(rk)) if lk[i] == rk[j]]
+        got = sorted(zip(l_idx.tolist(), r_idx.tolist()))
+        assert got == sorted(want)
+        assert cnt.sum() == len(want)
+
+
+def test_hash_join_inner_matches_sql(ray_session, con):
+    import ray.data as rd
+
+    out = joins.hash_join(
+        rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]),
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        right_cols=["o_custkey"],
+    ).to_pandas().sort_values(["l_orderkey", "l_quantity", "o_custkey"]).reset_index(drop=True)
+    want = con.sql(
+        "SELECT l_orderkey, l_quantity, o_custkey FROM 'DIR/lineitem.parquet' l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "ORDER BY l_orderkey, l_quantity, o_custkey".replace("DIR", SF)
+    ).df()
+    assert len(out) == len(want)
+    assert (out["o_custkey"].to_numpy() == want["o_custkey"].to_numpy()).all()
+
+
+def test_hash_join_left_string_keys_nulls_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "k": pa.array(["a", "b", "b", None, "z"]),
+            "lv": pa.array([1, 2, 3, 4, 5]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", None, "c"]),
+            "rv": pa.array([10, 11, 20, 99, 30]),
+        }
+    )
+    out = (
+        joins.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", right_key="k", right_cols=["rv"], how="left",
+        )
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # SQL semantics: NULL keys never match (pandas merge would join
+    # NaN==NaN) — drop the right side's null-key row from the expectation
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas().dropna(subset=["k"]), on="k", how="left")
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)  # a:1 match, b:1 each x2, None:unmatched, z:unmatched
+    assert out["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+
+def test_hash_join_inner_drops_null_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({"k": pa.array([1, None], type=pa.int64()), "lv": pa.array([1, 2])})
+    right = pa.table({"k": pa.array([1, None], type=pa.int64()), "rv": pa.array([7, 8])})
+    out = joins.hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="k"
+    ).to_pandas()
+    assert len(out) == 1 and out["rv"].iloc[0] == 7
+
+
+def test_hash_join_fuzz_vs_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    for trial in range(3):
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 30, size=200), "lv": rng.integers(0, 100, size=200)}
+        )
+        right = pd.DataFrame(
+            {"k": rng.integers(0, 30, size=150), "rv": rng.integers(0, 100, size=150)}
+        )
+        for how in ("inner", "left"):
+            out = (
+                joins.hash_join(
+                    rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right)),
+                    left_key="k", right_key="k", right_cols=["rv"], how=how,
+                    n_buckets=7,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv", "rv"])
+                .reset_index(drop=True)
+            )
+            want = (
+                left.merge(right, on="k", how=how)
+                .sort_values(["k", "lv", "rv"])
+                .reset_index(drop=True)
+            )
+            assert len(out) == len(want), (trial, how)
+            assert out["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
