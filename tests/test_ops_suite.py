@@ -432,3 +432,64 @@ class TestMinhashBroadcastBound:
 
         assert put_objects, "expected driver-side broadcasts (keys/buckets)"
         assert not any(holds_text(o) for o in put_objects)
+
+
+class TestIvfTrainingSample:
+    def _two_domain(self, ray_session, n_per=3000, dim=16, seed=3):
+        """Two-shard corpus: shard 0 is ALL domain A (clustered near +e0),
+        shard 1 all domain B (near +e1). Head sampling sees only A."""
+        rng = np.random.default_rng(seed)
+
+        def domain(center, n):
+            m = rng.normal(0, 0.05, size=(n, dim))
+            m[:, center] += 1.0
+            return m
+
+        tables = []
+        for d, mat in enumerate([domain(0, n_per), domain(1, n_per)]):
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(np.arange(n_per) + d * n_per),
+                        "embedding": pa.array(
+                            [row.tolist() for row in mat], type=pa.list_(pa.float64())
+                        ),
+                    }
+                )
+            )
+        ds = rd.from_arrow(tables[0]).union(rd.from_arrow(tables[1]))
+        b_mean = np.zeros(dim)
+        b_mean[1] = 1.0
+        return ds, tables, b_mean
+
+    def test_stride_sample_covers_tail_domain_where_head_fails(self, ray_session):
+        ds, tables, b_mean = self._two_domain(ray_session)
+        # head-biased training (the old ds.limit shape) demonstrably fails:
+        # no centroid lands in domain B
+        head = ann.IvfIndex.train(
+            rd.from_arrow(tables[0]), n_centroids=4, sample_rows=2048
+        )
+        b_unit = b_mean / np.linalg.norm(b_mean)
+        assert (head.centroids @ b_unit).max() < 0.5
+        # stride-trained index covers BOTH domains
+        idx = ann.IvfIndex.train(ds, n_centroids=4, sample_rows=2048)
+        sims_b = idx.centroids @ b_unit
+        assert sims_b.max() > 0.9, "no centroid covers the tail-shard domain"
+        a_unit = np.zeros(len(b_mean)); a_unit[0] = 1.0
+        assert (idx.centroids @ a_unit).max() > 0.9
+
+    def test_ivf_topk_recall_on_tail_domain(self, ray_session):
+        # 2 centroids over 2 domains -> stride training gives one per
+        # domain, so a 1-probe query in the TAIL domain is exact; a
+        # head-trained index would put both centroids in domain A
+        ds, tables, b_mean = self._two_domain(ray_session)
+        idx = ann.IvfIndex.train(ds, n_centroids=2, sample_rows=2048)
+        got = ann.ivf_topk(ds, idx, b_mean, k=10, n_probe=1)
+        want = ann.brute_force_topk(ds, b_mean, k=10)
+        assert got.column("vec_id").to_pylist() == want.column("vec_id").to_pylist()
+
+    def test_train_is_deterministic(self, ray_session):
+        ds, _, _ = self._two_domain(ray_session)
+        c1 = ann.IvfIndex.train(ds, n_centroids=4, sample_rows=512).centroids
+        c2 = ann.IvfIndex.train(ds, n_centroids=4, sample_rows=512).centroids
+        assert np.array_equal(c1, c2)
