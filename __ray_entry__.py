@@ -82,7 +82,7 @@ _bootstrap_by_value()
 # deterministic check corpus (the input_hint table) + encoded outputs
 # ---------------------------------------------------------------------------
 
-ENGINE_TAG = "r7"  # bump when codec bytes change so stale /tmp encodes drop
+ENGINE_TAG = "r8"  # bump when codec bytes change so stale /tmp encodes drop
 CORPUS_ROWS, CORPUS_SHARDS = 8_000, 4
 CORPUS_DIR = f"/tmp/raquet_corpus_check_{CORPUS_ROWS}x{CORPUS_SHARDS}"
 ROWS_PER_SHARD = CORPUS_ROWS // CORPUS_SHARDS
@@ -366,6 +366,31 @@ def _q_manifest_totals(sf_dir: str):
 
     t = mf.totals_passthrough(_ensure_encoded(), column="tokens")
     return pd.DataFrame([{k: int(v) for k, v in t.items()}])
+
+
+def _q_rollup_source_stats(sf_dir: str):
+    """Rollup-tier corpus health: per-source n_tok stats answered from the
+    manifest's per-source ROLLUP rows ONLY (the overview-pyramid analogue
+    — folded once at encode finalize; this query reads O(sources) rows
+    from manifest.json, touches no partition file, re-aggregates no
+    partials), value-checked against SQL over the raw corpus."""
+    import pandas as pd
+
+    from duckdb_raquet_ray.state import manifest as mf
+
+    rows = mf.source_rollup(_ensure_encoded())
+    return pd.DataFrame(
+        {
+            "source": [r["source"] for r in rows],
+            "cnt": pd.array([r["count"] for r in rows], dtype="int64"),
+            "sum_v": pd.array([float(r["sum"]) for r in rows], dtype="float64"),
+            "min_v": pd.array([float(r["min"]) for r in rows], dtype="float64"),
+            "max_v": pd.array([float(r["max"]) for r in rows], dtype="float64"),
+            "mean_v": pd.array(
+                [r["sum"] / r["count"] for r in rows], dtype="float64"
+            ),
+        }
+    )
 
 
 def _q_vocab_topk(sf_dir: str):
@@ -952,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_tokens_sum": _q_map_tokens,
         "ramp_tokens_sum": _q_ramp_tokens,
         "source_ntok_stats": _q_source_stats,
+        "rollup_source_stats": _q_rollup_source_stats,
         "ws_token_count": _q_ws_tokens,
         "quality_metrics": _q_quality,
         "exact_dedup_docs": _q_exact_dedup,
@@ -1091,6 +1117,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {corpus}"
         ),
         "source_ntok_stats": (
+            "SELECT source, COUNT(*)::BIGINT AS cnt, SUM(n_tok)::DOUBLE AS sum_v, "
+            "MIN(n_tok)::DOUBLE AS min_v, MAX(n_tok)::DOUBLE AS max_v, "
+            "SUM(n_tok)::DOUBLE / COUNT(*) AS mean_v "
+            f"FROM {corpus} GROUP BY source"
+        ),
+        # the rollup tier must reproduce the same per-source stats the
+        # full-scan SQL computes — but from manifest.json alone. Integer
+        # sum divided exactly as in _q_source_stats for bit-equal mean.
+        "rollup_source_stats": (
             "SELECT source, COUNT(*)::BIGINT AS cnt, SUM(n_tok)::DOUBLE AS sum_v, "
             "MIN(n_tok)::DOUBLE AS min_v, MAX(n_tok)::DOUBLE AS max_v, "
             "SUM(n_tok)::DOUBLE / COUNT(*) AS mean_v "

@@ -183,6 +183,17 @@ def bench_corpus_phase(cpus: int) -> dict:
         batch_size=4096,
     ).count())), 3)
 
+    # rollup tier: per-source corpus-health stats answered from
+    # manifest.json rollup rows alone — O(sources) metadata read, zero
+    # partition files opened, zero partial re-aggregation
+    from duckdb_raquet_ray.state import manifest as mf
+
+    def rollup_run():
+        rows = mf.source_rollup(enc_out)
+        assert rows and sum(r["count"] for r in rows) == enc_stats["rows"]
+
+    queries["rollup_stats"] = round(min(best_of(rollup_run)), 3)
+
     # sequence packing: the packed corpus is the actual training
     # artifact, so this path runs at full scale — complete windows are
     # emitted shard-locally, only boundary pieces shuffle (packing.py)

@@ -137,6 +137,42 @@ def column_stats(table: pa.Table) -> dict[str, dict]:
     return stats
 
 
+def source_rollup_partial(
+    table: pa.Table, group_col: str = "source", value_col: str = "n_tok"
+) -> list[dict] | None:
+    """Per-source partials of ``value_col`` within ONE partition — the base
+    level of the overview-pyramid analogue (the reference precomputes
+    multi-resolution overviews at ingest so coarse queries never touch
+    native-resolution data, read_raster.cpp:1313-1438). Folded across
+    partitions at manifest finalize into per-source ROLLUP rows, so a
+    corpus-health query is O(sources) metadata reads, re-aggregating
+    neither rows nor per-partition partials."""
+    if group_col not in table.column_names or value_col not in table.column_names:
+        return None
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "g": table.column(group_col).to_pandas(),
+            "v": table.column(value_col).to_pandas(),
+        }
+    )
+    agg = df.groupby("g", dropna=False)["v"].agg(["count", "sum", "min", "max"])
+    rows = []
+    for g, r in agg.iterrows():
+        rows.append(
+            {
+                "source": None if pd.isna(g) else str(g),
+                "count": int(r["count"]),
+                "sum": int(r["sum"]),
+                "min": int(r["min"]),
+                "max": int(r["max"]),
+            }
+        )
+    rows.sort(key=lambda r: (r["source"] is None, r["source"]))
+    return rows
+
+
 def encode_table(
     table: pa.Table,
     pid: int,
@@ -190,6 +226,9 @@ def encode_table(
         "stats": stats,
         "status": "done",
     }
+    rollup = source_rollup_partial(table)
+    if rollup is not None:
+        entry["rollup"] = {"n_tok_by_source": rollup}
     if fsst_hashes:
         entry["fsst_symbol_table_hash"] = fsst_hashes[0] if len(fsst_hashes) == 1 else fsst_hashes
     return encoded, entry

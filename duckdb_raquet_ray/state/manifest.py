@@ -85,6 +85,9 @@ class ManifestWriter:
             "partition_ids": sorted(e["partition_id"] for e in done),
             "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        rollups = fold_rollups(done)
+        if rollups:
+            meta["rollups"] = rollups
         if extra:
             meta.update(extra)
         tmp = os.path.join(self.out_dir, MANIFEST_JSON + ".tmp")
@@ -270,6 +273,45 @@ def totals_passthrough(out_dir: str, column: str = "tokens") -> dict:
         "values_min": min((s["min"] for s in nonempty), default=None),
         "values_max": max((s["max"] for s in nonempty), default=None),
     }
+
+
+def fold_rollups(entries: list[dict]) -> dict:
+    """Fold per-partition rollup PARTIALS (stages/encoder.py
+    source_rollup_partial) into per-source totals — the overview-pyramid
+    tier between "manifest totals" and "full decode"
+    (/root/reference/src/read_raster.cpp:1313-1438): one O(partitions)
+    reduce at finalize, then every corpus-health query reads O(sources)
+    rows from manifest.json alone."""
+    acc: dict = {}
+    any_rollup = False
+    for e in entries:
+        for row in (e.get("rollup") or {}).get("n_tok_by_source", []):
+            any_rollup = True
+            s = row["source"]
+            a = acc.get(s)
+            if a is None:
+                acc[s] = dict(row)
+            else:
+                a["count"] += row["count"]
+                a["sum"] += row["sum"]
+                a["min"] = min(a["min"], row["min"])
+                a["max"] = max(a["max"], row["max"])
+    if not any_rollup:
+        return {}
+    rows = sorted(acc.values(), key=lambda r: (r["source"] is None, r["source"]))
+    return {"n_tok_by_source": rows}
+
+
+def source_rollup(out_dir: str) -> list[dict]:
+    """Per-source n_tok rollup rows for an encoded dataset — answered from
+    manifest.json when present (O(sources), zero partition reads), else
+    folded from the entries log (O(partitions), still zero data reads)."""
+    meta = load_metadata(out_dir)
+    rows = (meta.get("rollups") or {}).get("n_tok_by_source")
+    if rows is not None:
+        return rows
+    done = [e for e in load_entries(out_dir).values() if e.get("status") == "done"]
+    return fold_rollups(done).get("n_tok_by_source", [])
 
 
 def prune_partitions(out_dir: str, column: str, lo=None, hi=None) -> list[int]:

@@ -226,3 +226,66 @@ class TestTokensSource:
         p2 = tk.write_corpus(str(tmp_path), 100, 2)
         assert p1 == p2
         assert m1 == [os.path.getmtime(p) for p in p2]
+
+
+class TestRollupTier:
+    def _entry(self, pid, rollup_rows, n_rows=10):
+        return {
+            "partition_id": pid,
+            "n_rows": n_rows,
+            "input_bytes": 100,
+            "encoded_bytes": 50,
+            "status": "done",
+            "rollup": {"n_tok_by_source": rollup_rows},
+        }
+
+    def test_fold_rollups_across_partitions(self):
+        e1 = self._entry(1, [
+            {"source": "a", "count": 3, "sum": 30, "min": 5, "max": 15},
+            {"source": "b", "count": 2, "sum": 8, "min": 3, "max": 5},
+        ])
+        e2 = self._entry(2, [
+            {"source": "a", "count": 1, "sum": 100, "min": 100, "max": 100},
+            {"source": None, "count": 4, "sum": 4, "min": 1, "max": 1},
+        ])
+        rows = mf.fold_rollups([e1, e2])["n_tok_by_source"]
+        by = {r["source"]: r for r in rows}
+        assert by["a"] == {"source": "a", "count": 4, "sum": 130, "min": 5, "max": 100}
+        assert by["b"]["count"] == 2
+        assert by[None]["sum"] == 4
+        assert rows[-1]["source"] is None  # null source sorts last
+
+    def test_rollup_partial_matches_pandas(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.stages import encoder as enc
+
+        rng = np.random.default_rng(2)
+        t = pa.table(
+            {
+                "source": pa.array(rng.choice(["x", "y", None], size=200).tolist()),
+                "n_tok": pa.array(rng.integers(1, 99, size=200), type=pa.int32()),
+            }
+        )
+        rows = enc.source_rollup_partial(t)
+        df = t.to_pandas()
+        for r in rows:
+            sub = df[df.source.isna()] if r["source"] is None else df[df.source == r["source"]]
+            assert r["count"] == len(sub)
+            assert r["sum"] == int(sub.n_tok.sum())
+            assert r["min"] == int(sub.n_tok.min())
+            assert r["max"] == int(sub.n_tok.max())
+
+    def test_finalize_persists_rollups_and_reader_prefers_metadata(self, tmp_path):
+        out = str(tmp_path)
+        w = mf.ManifestWriter(out)
+        w.append(self._entry(1, [{"source": "a", "count": 1, "sum": 7, "min": 7, "max": 7}]))
+        w.append(self._entry(2, [{"source": "a", "count": 2, "sum": 4, "min": 1, "max": 3}]))
+        meta = w.finalize("schema")
+        w.close()
+        assert meta["rollups"]["n_tok_by_source"][0]["sum"] == 11
+        # reader answers from manifest.json without touching entries
+        os.rename(os.path.join(out, "manifest.jsonl"), os.path.join(out, "gone"))
+        rows = mf.source_rollup(out)
+        assert rows == [{"source": "a", "count": 3, "sum": 11, "min": 1, "max": 7}]
