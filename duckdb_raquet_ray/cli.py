@@ -209,10 +209,11 @@ def main(argv: list[str] | None = None) -> None:
         elif args.cmd == "quality":
             import ray.data as rd
 
+            from . import util
             from .pipelines import quality
 
             ds = quality.repetition_metrics(
-                rd.read_parquet(_inputs(args.input)),
+                util.clean_dataset(rd.read_parquet(_inputs(args.input))),
                 text_col=args.text_col, n=args.ngram,
             )
             filtered = args.max_dup_frac is not None or args.max_top_frac is not None
@@ -226,14 +227,15 @@ def main(argv: list[str] | None = None) -> None:
         elif args.cmd == "decontaminate":
             import ray.data as rd
 
+            from . import util
             from .pipelines import contamination as cont
 
             bench = cont.benchmark_ngram_set(
-                rd.read_parquet(_inputs(args.benchmark)),
+                util.clean_dataset(rd.read_parquet(_inputs(args.benchmark))),
                 text_col=args.text_col, n=args.ngram,
             )
             out = cont.decontaminate(
-                rd.read_parquet(_inputs(args.input)), bench,
+                util.clean_dataset(rd.read_parquet(_inputs(args.input))), bench,
                 text_col=args.text_col, n=args.ngram, drop=args.drop,
             )
             out.write_parquet(args.dest)

@@ -48,6 +48,8 @@ def ngram_doc_hashes(
     docs hashed in one string_hash64 call, the n-fold Horner combine is
     n-1 vectorized multiply-adds over shifted slices, doc boundaries are
     masked (a window never crosses documents), distinctness via lexsort."""
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
     word_lists = _word_lists(batch, text_col)
     lens = word_lists.map(len).to_numpy(np.int64)
     total = int(lens.sum())
@@ -102,9 +104,9 @@ class _ContaminationProbe:
     """Actor-pool stage: benchmark hash set fetched ONCE per actor in
     __init__ (ray.put broadcast), per-batch vectorized membership probe."""
 
-    def __init__(self, bench_ref, text_col: str, key_col: str, n: int):
+    def __init__(self, bench_ref, text_col: str, n: int):
         self.bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
-        self.text_col, self.key_col, self.n = text_col, key_col, n
+        self.text_col, self.n = text_col, n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
@@ -124,7 +126,6 @@ def decontaminate(
     bench_hashes: np.ndarray,
     *,
     text_col: str = "text",
-    key_col: str = "doc_id",
     n: int = 5,
     drop: bool = False,
     concurrency: int | tuple[int, int] = (1, 8),
@@ -138,14 +139,15 @@ def decontaminate(
         fn_constructor_kwargs={
             "bench_ref": ref,
             "text_col": text_col,
-            "key_col": key_col,
             "n": n,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
     if drop:
-        out = out.filter(lambda r: r["contaminated"] == 0)
+        # vectorized expression filter — a per-row Python lambda here would
+        # be the slowest stage of the whole pipeline at corpus scale
+        out = out.filter(expr="contaminated == 0")
     return out
 
 
@@ -171,7 +173,10 @@ def contamination_oracle_sql(
     with the benchmark set defined as `key % bench_mod = bench_rem`:
     identical word split, word hash (detmix CTEs) and n-gram fold, then
     a distinct-hash membership count per training doc. ASCII corpora
-    only (same caveat as minhash_oracle_sql)."""
+    only (same caveat as minhash_oracle_sql), and words are hashed over
+    at most 128 chars on the SQL side (detmix.sql_string_hash_ctes cap)
+    while numpy hashes the full word — parity requires words <= 128
+    chars, which every driver/test corpus satisfies."""
     ws = r"[ \t\n\r\x0b\x0c]+"
     return f"""
 WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),

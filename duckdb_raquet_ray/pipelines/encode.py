@@ -115,6 +115,11 @@ def plan_partitions(
                     "shard": path,
                     "row_groups": rgs,
                     "row_range": [row_start, row_end],
+                    # decoded size estimate, used only for LPT scheduling
+                    # (largest-first submission); identity stays (shard, idx)
+                    "decoded_bytes": sum(
+                        md.row_group(rg).total_byte_size for rg in rgs
+                    ),
                 }
             )
     return items
@@ -205,7 +210,14 @@ def encode_job(
                 n_actors = concurrency
             # one block per work item: map_batches parallelism is per-BLOCK
             # (batch_size only slices batches within a task), so without
-            # this the whole work list can serialize onto one actor
+            # this the whole work list can serialize onto one actor.
+            # Largest-first (LPT): partition sizes vary (greedy row-group
+            # packing), and the last-started partition bounds job wall —
+            # submitting big ones first shrinks the straggler tail, which
+            # is the dominant non-scaling term once actors are warm
+            todo = sorted(
+                todo, key=lambda it: it.get("decoded_bytes", 0), reverse=True
+            )
             ds = rd.from_items(todo, override_num_blocks=len(todo))
             results = ds.map_batches(
                 PartitionEncoder,

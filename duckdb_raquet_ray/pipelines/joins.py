@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions import detmix
 from ..util import default_concurrency
 
 N_JOIN_BUCKETS = 256
@@ -331,8 +332,6 @@ def _bucket_ids(col, n_buckets: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         k = col.to_numpy(zero_copy_only=False).astype(np.int64)
         return (k % n_buckets).astype(np.int32)
-    from ..functions import detmix
-
     s = col.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
     return (detmix.string_hash64(s) % np.uint64(n_buckets)).astype(np.int32)
 

@@ -86,6 +86,8 @@ def repetition_batch(batch: pa.Table, *, text_col: str = "text", n: int = 2) -> 
     (high dup_gram_positions / n_grams or top_word_count / n_words is the
     Gopher drop rule; the fractions are left to the caller so the operator
     stays integer-exact for the value oracle)."""
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
     batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
     lens, wh = _flat_word_hashes(batch, text_col)
     ndocs = len(lens)
@@ -181,8 +183,9 @@ def repetition_oracle_sql(
     n: int = 2,
 ) -> str:
     """DuckDB replica: identical word split, word hash (detmix CTEs) and
-    n-gram fold; every metric is integer-exact. ASCII corpora only (same
-    caveat as contamination_oracle_sql)."""
+    n-gram fold; every metric is integer-exact. ASCII corpora only, words
+    <= 128 chars (detmix.sql_string_hash_ctes hashes at most 128 chars;
+    same caveats as contamination_oracle_sql)."""
     ws = r"[ \t\n\r\x0b\x0c]+"
     return f"""
 WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
@@ -331,7 +334,8 @@ def df_score_oracle_sql(
 ) -> str:
     """DuckDB replica of global_word_df + doc_df_score over `table`
     (word identity by the SAME detmix hash, so a collision collides
-    identically in both engines)."""
+    identically in both engines). ASCII corpora only, words <= 128 chars
+    (the detmix SQL CTE hashes at most 128 chars per word)."""
     ws = r"[ \t\n\r\x0b\x0c]+"
     return f"""
 WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),

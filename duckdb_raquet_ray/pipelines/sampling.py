@@ -57,14 +57,21 @@ def source_mixture_sample(
     def keep_batch(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
-        srcs = t.column(source_col).to_pandas()
-        limits = srcs.map(lambda s: thr.get(s, default_thr)).to_numpy(np.object_)
-        # object dtype: a threshold of 2^64 (rate 1.0) overflows uint64 —
-        # compare in Python ints via vectorized object math is slow; split
-        # instead: full-keep sources short-circuit, the rest compare u64
-        full = limits == U64
-        lim_arr = np.where(full, 0, limits).astype(np.uint64)
-        keep = full | (u < lim_arr)
+        # dictionary-encode the (low-cardinality) source column, resolve
+        # thresholds per UNIQUE source, then gather per row — no per-row
+        # Python. A threshold of 2^64 (rate 1.0) overflows uint64, so
+        # full-keep sources get a flag and the rest compare in uint64.
+        enc = pa.compute.dictionary_encode(
+            t.column(source_col).combine_chunks()
+        )
+        uniq = enc.dictionary.to_pylist()
+        vals = [thr.get(s, default_thr) for s in uniq] + [default_thr]
+        uniq_full = np.array([v >= U64 for v in vals], bool)
+        uniq_lim = np.array(
+            [0 if v >= U64 else v for v in vals], np.uint64
+        )
+        codes = pa.compute.fill_null(enc.indices, len(uniq)).to_numpy()
+        keep = uniq_full[codes] | (u < uniq_lim[codes])
         return t.filter(pa.array(keep))
 
     return ds.map_batches(keep_batch, batch_format="pyarrow")

@@ -45,7 +45,7 @@ def _bench_hashes(t: pa.Table) -> np.ndarray:
 class TestKernel:
     def test_golden_overlap_counts(self):
         t = _table()
-        probe = cont._ContaminationProbe(_bench_hashes(t), "text", "doc_id", 5)
+        probe = cont._ContaminationProbe(_bench_hashes(t), "text", 5)
         train = _mod_mask(t, False)
         out = probe(train).to_pandas().set_index("doc_id")
         # doc 1 shares exactly "one two three four five"; doc 4 shares
@@ -72,6 +72,12 @@ class TestKernel:
         g_split = np.concatenate([p[1] for p in parts])
         assert sorted(g_all.tolist()) == sorted(g_split.tolist())
 
+    def test_ngram_order_below_one_rejected(self):
+        # n=0 would make n_pos = total + 1 and silently garbage the valid
+        # mask — must be a loud error instead
+        with pytest.raises(ValueError, match="n-gram order"):
+            cont.ngram_doc_hashes(_table(), n=0)
+
     def test_short_and_empty_docs_yield_nothing(self):
         t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": ["one two", ""]})
         d, g = cont.ngram_doc_hashes(t, n=5)
@@ -81,7 +87,7 @@ class TestKernel:
 class TestOracleParity:
     def test_sql_oracle_matches_kernel(self):
         t = _table()
-        probe = cont._ContaminationProbe(_bench_hashes(t), "text", "doc_id", 5)
+        probe = cont._ContaminationProbe(_bench_hashes(t), "text", 5)
         train = _mod_mask(t, False)
         mine = (
             probe(train)
@@ -144,7 +150,7 @@ class TestSchemaMetadataHygiene:
         from duckdb_raquet_ray.stages import stats as st
 
         dirty = self._dirty()
-        probe = cont._ContaminationProbe(np.zeros(0, np.uint64), "text", "doc_id", 5)
+        probe = cont._ContaminationProbe(np.zeros(0, np.uint64), "text", 5)
         for out in (
             probe(dirty),
             dedup._content_hash(dirty, "text"),

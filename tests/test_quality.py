@@ -5,6 +5,7 @@ path, and schema-metadata hygiene."""
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from duckdb_raquet_ray.pipelines import quality as q
 
@@ -43,6 +44,10 @@ REP_COLS = [
 
 
 class TestRepetition:
+    def test_ngram_order_below_one_rejected(self):
+        with pytest.raises(ValueError, match="n-gram order"):
+            q.repetition_batch(_table(), n=0)
+
     def test_golden_metrics(self):
         out = (
             q.repetition_batch(_table(), n=2)
