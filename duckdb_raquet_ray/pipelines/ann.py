@@ -234,6 +234,216 @@ def ivf_topk_indexed(
     return brute_force_topk(ds, query, k, vec_col, key_col)
 
 
+def _int8_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Int8-quantize a fixed-dim embedding column -> (n, dim) int64 matrix,
+    with EXACTLY quantize_int8_batch's rule (per-vector max|x| scale,
+    round-half-away) so the SQL replica of that rule extends to PQ."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    n = len(lengths)
+    if n == 0:
+        return np.zeros((0, 0), np.int64)
+    dim = int(lengths[0])
+    if not (lengths == dim).all():
+        raise ValueError("PQ requires a fixed-dimension embedding column")
+    x = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
+    scales = np.abs(x).max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = np.where(scales[:, None] > 0, x / scales[:, None] * 127.0, 0.0)
+    return np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+
+
+class PqCodebook:
+    """Product quantization in the INT8 domain — the opt-in lossy tier for
+    embeddings (the analogue of the reference's quality-controlled lossy
+    codecs, /root/reference/README.md:27, applied to the one column whose
+    contract tolerates loss). Vectors are first int8-quantized (the
+    existing lossless-checksum tier), then each of `m` subspaces is coded
+    by its nearest of `ksub` INTEGER centroids: dim*4 bytes of float32
+    become `m` uint8 codes (e.g. 64-dim -> 8 B, 32x).
+
+    Everything downstream of the float->int8 step is integer arithmetic:
+    squared-distance assignment (ties -> lowest code index) and the ADC
+    similarity are bit-replicable in SQL with the codebook inlined as
+    VALUES, so both the encode and the top-k carry full value oracles —
+    no float-reduction-order hazard anywhere."""
+
+    def __init__(self, centroids: np.ndarray):
+        c = np.asarray(centroids, dtype=np.int64)
+        if c.ndim != 3:
+            raise ValueError("centroids must be (m, ksub, dsub)")
+        self.centroids = c
+        self.m, self.ksub, self.dsub = c.shape
+        self.dim = self.m * self.dsub
+
+    def to_json(self) -> dict:
+        return {"centroids": self.centroids.tolist()}
+
+    @classmethod
+    def from_json(cls, payload: dict) -> "PqCodebook":
+        return cls(np.asarray(payload["centroids"], dtype=np.int64))
+
+    def encode_matrix(self, q8: np.ndarray) -> np.ndarray:
+        """(n, dim) int8-domain matrix -> (n, m) codes. Integer squared
+        distance, argmin (first occurrence = lowest code on ties)."""
+        n = q8.shape[0]
+        codes = np.zeros((n, self.m), np.int64)
+        for s in range(self.m):
+            xs = q8[:, s * self.dsub : (s + 1) * self.dsub]
+            c = self.centroids[s]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; drop the x term
+            # (constant per row, argmin-invariant)
+            d = (c * c).sum(axis=1)[None, :] - 2 * (xs @ c.T)
+            codes[:, s] = d.argmin(axis=1)
+        return codes
+
+
+def train_pq(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> PqCodebook:
+    """Train integer PQ centroids on a shard-spread deterministic sample
+    (the IvfIndex.train sampling discipline — every block contributes
+    proportionally, no head-shard bias). K-means runs per subspace in the
+    int8 domain; each update rounds the cluster mean half-away back to
+    integers, so the codebook is integer end-to-end."""
+    total = ds.count()
+    if total == 0:
+        raise ValueError("cannot train a PQ codebook on an empty dataset")
+    frac = min(1.0, sample_rows / total)
+
+    def sample_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select([vec_col])
+        take = max(1, int(round(b.num_rows * frac)))
+        idx = (np.arange(take) * b.num_rows) // take
+        return b.select([vec_col]).take(pa.array(idx, pa.int64()))
+
+    sample = pa.Table.from_pylist(
+        util.clean_dataset(ds)
+        .map_batches(sample_block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    q8 = _int8_matrix(sample, vec_col)
+    if len(q8) > sample_rows:  # per-block ceil rounding overshoot
+        q8 = q8[(np.arange(sample_rows) * len(q8)) // sample_rows]
+    dim = q8.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    centroids = np.zeros((m, ksub, dsub), np.int64)
+    for s in range(m):
+        xs = q8[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(xs))
+        c = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = (c * c).sum(axis=1)[None, :] - 2 * (xs @ c.T)
+            assign = d.argmin(axis=1)
+            for j in range(len(c)):
+                mask = assign == j
+                if mask.any():
+                    v = xs[mask].mean(axis=0)
+                    c[j] = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        if k < ksub:  # degenerate tiny sample: pad with copies (unused codes)
+            c = np.vstack([c, np.repeat(c[-1:], ksub - k, axis=0)])
+        centroids[s] = c
+    return PqCodebook(centroids)
+
+
+def pq_encode(
+    ds: rd.Dataset, codebook: PqCodebook, vec_col: str = "embedding"
+) -> rd.Dataset:
+    """Append `pq_code` (list<uint8>, length m) and `pq_checksum`
+    (sum_i (i+1)*code_i — pins every code positionally for the SQL
+    oracle). Streaming map_batches; the codebook ships once per task via
+    ray.put."""
+    cb_ref = ray.put(codebook.centroids)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb = PqCodebook(ray.get(cb_ref))
+        q8 = _int8_matrix(batch, vec_col)
+        codes = cb.encode_matrix(q8)
+        checksum = (codes * np.arange(1, cb.m + 1)[None, :]).sum(axis=1)
+        flat = pa.array(codes.reshape(-1).astype(np.uint8))
+        offsets = pa.array(
+            np.arange(0, (len(codes) + 1) * cb.m, cb.m, dtype=np.int32)
+        )
+        return batch.append_column(
+            "pq_code", pa.ListArray.from_arrays(offsets, flat)
+        ).append_column("pq_checksum", pa.array(checksum))
+
+    return util.clean_dataset(ds).map_batches(enc, batch_format="pyarrow", batch_size=65536)
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    codebook: PqCodebook,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) approximate top-k: the query is int8-
+    quantized once, its integer dot product with every centroid becomes an
+    (m x ksub) lookup table, and each row's similarity is m table gathers
+    + a sum — no per-row float math, 32x less data read than brute force
+    when codes are stored. Ranking is integer-deterministic (sim desc,
+    key asc) and SQL-replicable with the LUT inlined."""
+    q = np.asarray(query, dtype=np.float64)
+    scale = np.abs(q).max()
+    y = q / scale * 127.0 if scale > 0 else np.zeros_like(q)
+    q8 = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    if len(q8) != codebook.dim:
+        raise ValueError(f"query dim {len(q8)} != codebook dim {codebook.dim}")
+    lut = np.einsum(
+        "sd,skd->sk",
+        q8.reshape(codebook.m, codebook.dsub),
+        codebook.centroids,
+    )  # integer (m, ksub)
+    cb_ref = ray.put((codebook.centroids, lut))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        cents, table = ray.get(cb_ref)
+        cb = PqCodebook(cents)
+        if "pq_code" in batch.column_names:
+            # the scale path: gather stored codes (m bytes/row read),
+            # never touching the float embedding column
+            col = batch.column("pq_code")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = (
+                col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.int64).reshape(-1, cb.m)
+            )
+        else:
+            codes = cb.encode_matrix(_int8_matrix(batch, vec_col))
+        sims = table[np.arange(cb.m)[None, :], codes].sum(axis=1)
+        take = min(k, len(sims))
+        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        keys = batch.column(key_col).take(pa.array(idx))
+        return pa.table({key_col: keys, "sim": pa.array(sims[idx], type=pa.int64())})
+
+    cands = util.clean_dataset(ds).map_batches(
+        batch_topk, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    t = pa.Table.from_pylist(cands)
+    if t.num_rows == 0:
+        return pa.table(
+            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    t = t.sort_by([("sim", "descending"), (key_col, "ascending")]).slice(0, k)
+    return t.append_column("rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64()))
+
+
 def quantize_int8_batch(
     batch: pa.Table, vec_col: str = "embedding"
 ) -> pa.Table:
@@ -273,4 +483,91 @@ def quantize_int8_batch(
         batch.append_column("qvec", qvec)
         .append_column("q_checksum", pa.array(csum[offsets[1:]] - csum[offsets[:-1]]))
         .append_column("q_l1", pa.array(l1[offsets[1:]] - l1[offsets[:-1]]))
+    )
+
+
+def _pq_code_ctes(
+    codebook: PqCodebook,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> str:
+    """Shared DuckDB CTE chain ending in `a(k, s, j)` = per-(vector,
+    subspace) assigned code. Replicates the numpy path value-for-value:
+    int8 quantization (scale = list_max|x|, round-half-away), then integer
+    squared-distance argmin with ties to the lowest code index. The
+    codebook is inlined as VALUES (m*ksub*dsub rows — small by design)."""
+    cb_rows = ", ".join(
+        f"({s}, {j}, {p}, {int(codebook.centroids[s, j, p])})"
+        for s in range(codebook.m)
+        for j in range(codebook.ksub)
+        for p in range(codebook.dsub)
+    )
+    return f"""
+WITH cb(s, j, p, c) AS (VALUES {cb_rows}),
+e AS (SELECT {key_col} AS k, {vec_col} AS v,
+  list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale
+  FROM {table}),
+t AS (SELECT k, scale, unnest(v) AS x,
+  unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT k, (i - 1) // {codebook.dsub} AS s, (i - 1) % {codebook.dsub} AS p,
+  CASE WHEN scale > 0 THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv
+  FROM t),
+d AS (SELECT q.k, q.s, cb.j, sum((q.qv - cb.c) * (q.qv - cb.c))::BIGINT AS dist
+  FROM q JOIN cb ON cb.s = q.s AND cb.p = q.p
+  GROUP BY q.k, q.s, cb.j),
+a AS (SELECT k, s, j FROM (
+  SELECT k, s, j, row_number() OVER (PARTITION BY k, s ORDER BY dist, j) AS rn
+  FROM d) WHERE rn = 1)"""
+
+
+def pq_codes_oracle_sql(
+    codebook: PqCodebook,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of pq_encode's `pq_checksum` (sum_i (i+1)*code_i) —
+    pins every assigned code positionally."""
+    return (
+        _pq_code_ctes(codebook, table, vec_col, key_col)
+        + f"""
+SELECT k AS {key_col}, sum((s + 1) * j)::BIGINT AS pq_checksum
+FROM a GROUP BY k"""
+    )
+
+
+def pq_topk_oracle_sql(
+    codebook: PqCodebook,
+    query: np.ndarray,
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of pq_topk's ADC ranking: the integer LUT (query
+    subvector . centroid) is computed here with the same quantization rule
+    and inlined, the per-vector similarity is m gathers + a sum, and the
+    ordering (sim desc, key asc) matches the kernel exactly."""
+    q = np.asarray(query, dtype=np.float64)
+    scale = np.abs(q).max()
+    y = q / scale * 127.0 if scale > 0 else np.zeros_like(q)
+    q8 = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    lut = np.einsum(
+        "sd,skd->sk", q8.reshape(codebook.m, codebook.dsub), codebook.centroids
+    )
+    lut_rows = ", ".join(
+        f"({s}, {j}, {int(lut[s, j])})"
+        for s in range(codebook.m)
+        for j in range(codebook.ksub)
+    )
+    return (
+        _pq_code_ctes(codebook, table, vec_col, key_col)
+        + f""",
+lut(s, j, v) AS (VALUES {lut_rows}),
+sim AS (SELECT a.k, sum(lut.v)::BIGINT AS sim
+  FROM a JOIN lut ON lut.s = a.s AND lut.j = a.j GROUP BY a.k)
+SELECT k AS {key_col},
+  CAST(row_number() OVER (ORDER BY sim DESC, k) AS BIGINT) AS rank
+FROM sim ORDER BY sim DESC, k LIMIT {int(k)}"""
     )

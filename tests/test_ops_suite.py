@@ -493,3 +493,130 @@ class TestIvfTrainingSample:
         c1 = ann.IvfIndex.train(ds, n_centroids=4, sample_rows=512).centroids
         c2 = ann.IvfIndex.train(ds, n_centroids=4, sample_rows=512).centroids
         assert np.array_equal(c1, c2)
+
+
+class TestProductQuantization:
+    """PQ lossy tier: integer-exactness, SQL-oracle parity, determinism,
+    batch-split invariance, and ADC recall on separated clusters."""
+
+    def _codebook(self, emb_ds):
+        return ann.train_pq(emb_ds, m=8, ksub=16)
+
+    def test_train_deterministic(self, ray_session, emb_ds):
+        c1 = self._codebook(emb_ds)
+        c2 = self._codebook(emb_ds)
+        np.testing.assert_array_equal(c1.centroids, c2.centroids)
+        assert c1.centroids.dtype == np.int64  # integer end-to-end
+
+    def test_encode_shapes_and_checksum(self, ray_session, emb_ds):
+        cb = self._codebook(emb_ds)
+        out = ann.pq_encode(emb_ds, cb).take_all()
+        assert len(out) == emb_ds.count()
+        for r in out[:20]:
+            codes = r["pq_code"]
+            assert len(codes) == cb.m
+            assert all(0 <= c < cb.ksub for c in codes)
+            assert r["pq_checksum"] == sum((i + 1) * c for i, c in enumerate(codes))
+
+    def test_encode_batch_split_invariant(self, ray_session, emb_ds):
+        # codes are a pure per-row function: any batch boundary placement
+        # must yield identical checksums
+        cb = self._codebook(emb_ds)
+        t = pa.Table.from_pylist(emb_ds.take_all())
+        whole = cb.encode_matrix(ann._int8_matrix(t, "embedding"))
+        split = np.vstack([
+            cb.encode_matrix(ann._int8_matrix(t.slice(0, 100), "embedding")),
+            cb.encode_matrix(ann._int8_matrix(t.slice(100), "embedding")),
+        ])
+        np.testing.assert_array_equal(whole, split)
+
+    def test_sql_oracle_parity(self, ray_session, emb_ds):
+        import duckdb
+
+        cb = self._codebook(emb_ds)
+        mine = (
+            pa.Table.from_pylist(
+                ann.pq_encode(emb_ds, cb)
+                .select_columns(["vec_id", "pq_checksum"])
+                .take_all()
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        oracle = (
+            con.execute(ann.pq_codes_oracle_sql(cb))
+            .df()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert mine["vec_id"].tolist() == oracle["vec_id"].tolist()
+        assert mine["pq_checksum"].tolist() == oracle["pq_checksum"].tolist()
+
+    def test_topk_oracle_parity(self, ray_session, emb_ds):
+        import duckdb
+
+        cb = self._codebook(emb_ds)
+        q = np.ones(64)
+        mine = ann.pq_topk(emb_ds, cb, q, k=10).select(["vec_id", "rank"]).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        oracle = con.execute(ann.pq_topk_oracle_sql(cb, q, k=10)).df()
+        assert mine["vec_id"].tolist() == oracle["vec_id"].tolist()
+        assert mine["rank"].tolist() == oracle["rank"].tolist()
+
+    def test_topk_uses_stored_codes(self, ray_session, emb_ds):
+        # with pq_code present the float column is never touched: dropping
+        # it entirely must give the same ranking
+        cb = self._codebook(emb_ds)
+        encoded = ann.pq_encode(emb_ds, cb)
+        q = np.ones(64)
+        via_vec = ann.pq_topk(emb_ds, cb, q, k=10).column("vec_id").to_pylist()
+        codes_only = encoded.drop_columns(["embedding"])
+        via_code = ann.pq_topk(codes_only, cb, q, k=10).column("vec_id").to_pylist()
+        assert via_vec == via_code
+
+    def test_adc_recall_on_separated_clusters(self, ray_session):
+        # two well-separated directions: 8-byte codes cannot rank WITHIN a
+        # tight cluster (that's the 32x loss), but they must never retrieve
+        # across clusters — the property that makes the lossy tier usable
+        # as a candidate generator in front of an exact re-rank
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 0.05, (100, 64)) + np.r_[np.ones(32), np.zeros(32)]
+        b = rng.normal(0, 0.05, (100, 64)) + np.r_[np.zeros(32), np.ones(32)]
+        m = np.vstack([a, b])
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        ds = rd.from_arrow(t)
+        cb = ann.train_pq(ds, m=8, ksub=16)
+        for q, cluster in (
+            (np.r_[np.ones(32), np.zeros(32)], set(range(100))),
+            (np.r_[np.zeros(32), np.ones(32)], set(range(100, 200))),
+        ):
+            got = ann.pq_topk(ds, cb, q.astype(np.float64), k=10)
+            assert set(got.column("vec_id").to_pylist()) <= cluster
+            assert got.column("rank").to_pylist() == list(range(1, 11))
+
+    def test_rejects_ragged_and_bad_m(self, ray_session):
+        ragged = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]], pa.list_(pa.float64())),
+        })
+        with pytest.raises(Exception):
+            ann._int8_matrix(ragged, "embedding")
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([[1.0] * 10], pa.list_(pa.float64())),
+        }))
+        with pytest.raises(ValueError, match="not divisible"):
+            ann.train_pq(ds, m=4)
