@@ -512,6 +512,33 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_pii_scan(sf_dir: str):
+    """PII detection counts (emails / IPv4 / phones) — RE2 on both sides
+    (pyarrow count_substring_regex vs DuckDB regexp_extract_all), so the
+    counts are engine-identical (pipelines/pii.py)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pii.synthesize_pii_batch, batch_format="pyarrow")
+    return pii.pii_scan(ds).select_columns(["doc_id", "n_email", "n_ipv4", "n_phone"])
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction: byte-identical replacement output vs nested DuckDB
+    regexp_replace (same RE2 engine, same pattern order)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pii.synthesize_pii_batch, batch_format="pyarrow")
+    return pii.pii_redact(ds).select_columns(["doc_id", "text_redacted"])
+
+
 def _q_pq_topk(sf_dir: str):
     """ADC top-k over PQ codes: integer LUT gather + sum per row. The SQL
     oracle replicates the full ranking (codes, LUT gather, sim-desc /
@@ -1049,6 +1076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "pq_codes": _q_pq_codes,
         "pq_topk_similar": _q_pq_topk,
+        "pii_scan_docs": _q_pii_scan,
+        "pii_redact_docs": _q_pii_redact,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1106,6 +1135,7 @@ def _point_lookup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import ann as _ann
     from duckdb_raquet_ray.pipelines import contamination as _contamination
+    from duckdb_raquet_ray.pipelines import pii as _pii
     from duckdb_raquet_ray.pipelines import dedup as _dedup
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
@@ -1325,6 +1355,10 @@ def oracle_sql() -> dict[str, str]:
         # in SQL with the sf0.01-trained codebook/LUT inlined (the driver's
         # correctness gate runs at sf0.01; queries() trains per sf_dir and
         # the /tmp cache keeps the two sides on one codebook)
+        # PII ops: pyarrow's regex engine IS RE2 (DuckDB's engine), so
+        # counts and replacements are engine-identical by construction
+        "pii_scan_docs": _pii.pii_scan_oracle_sql(_pii.synthesize_pii_sql()),
+        "pii_redact_docs": _pii.pii_redact_oracle_sql(_pii.synthesize_pii_sql()),
         "pq_codes": _ann.pq_codes_oracle_sql(_pq_codebook("/root/testdata/sf0.01")),
         "pq_topk_similar": _ann.pq_topk_oracle_sql(
             _pq_codebook("/root/testdata/sf0.01"), _query_vec(), k=10

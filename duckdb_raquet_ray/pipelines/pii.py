@@ -1,0 +1,139 @@
+"""PII detection and redaction — the training-data hygiene stage that
+scrubs contact information (emails, IPv4 addresses, phone numbers) before
+a corpus is packed for training (the published C4/Dolma-style scrub).
+No reference analogue (training-data-pipeline first-class op, like
+`pipelines/contamination`); the closest reference shape is the
+per-value classification kernel family
+(/root/reference/src/raster_operations.cpp ST_ColorMapRaquet).
+
+Scale contract (100 TB): both operators are a single stateless
+`map_batches` pass — no shuffle, no driver state, no per-row Python. The
+kernels are pyarrow `count_substring_regex` / `replace_substring_regex`,
+i.e. RE2 running over the Arrow string buffer in C++.
+
+Determinism / oracle: pyarrow's regex engine IS RE2 — the same engine
+DuckDB's regexp_* functions use — so counts and replacements are
+engine-identical by construction, not merely pattern-compatible: the
+whole operator carries full value oracles (`pii_scan_oracle_sql`,
+`pii_redact_oracle_sql`). Patterns deliberately use only the common
+RE2 core (char classes, bounded repeats, non-capturing groups, \b).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# ordered: redaction applies top-to-bottom, and the SQL replica must
+# nest regexp_replace in the SAME order for byte parity (an email's
+# domain can contain digit runs an IP/phone pattern could otherwise see)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def _text_array(batch: pa.Table, text_col: str) -> pa.Array:
+    col = batch.column(text_col)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def pii_scan_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append `n_<kind>` int64 match counts per document (independent
+    scans of the ORIGINAL text — counts don't interact the way sequential
+    redaction does). Null text propagates to null counts, matching SQL."""
+    arr = _text_array(batch, text_col)
+    for kind, pattern, _ in PII_PATTERNS:
+        n = pc.count_substring_regex(arr, pattern).cast(pa.int64())
+        batch = batch.append_column(f"n_{kind}", n)
+    return batch
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append `<text_col>_redacted`: every match replaced by its sentinel
+    token, patterns applied in PII_PATTERNS order."""
+    arr = _text_array(batch, text_col)
+    for _, pattern, token in PII_PATTERNS:
+        arr = pc.replace_substring_regex(arr, pattern, token)
+    return batch.append_column(f"{text_col}_redacted", arr)
+
+
+def pii_scan(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        lambda b: pii_scan_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def pii_redact(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        lambda b: pii_redact_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def synthesize_pii_batch(
+    batch: pa.Table, *, key_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Deterministically splice synthetic PII (email / IPv4 / phone) into
+    each row's text — a pure function of the integer key, for exercising
+    the scan/redact oracles on digit-free corpora. The SQL twin is
+    `synthesize_pii_sql`."""
+    import pandas as pd
+
+    ids = pd.Series(batch.column(key_col).to_numpy(zero_copy_only=False))
+    s = ids.astype(str)
+    txt = batch.column(text_col).to_pandas().fillna("").reset_index(drop=True)
+    email = (" mail user" + s + "@m" + (ids % 7).astype(str) + ".org").where(
+        ids % 3 != 0, ""
+    )
+    ip = (" ip 10." + (ids % 200).astype(str) + ".0." + (ids % 250).astype(str)).where(
+        ids % 5 != 1, ""
+    )
+    phone = (
+        " call 555-" + (ids % 900 + 100).astype(str)
+        + "-" + (ids * 7 % 9000 + 1000).astype(str)
+    ).where(ids % 4 == 2, "")
+    aug = txt + email + ip + phone
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, pa.array(aug, pa.string())
+    )
+
+
+def synthesize_pii_sql(
+    table: str = "documents", *, key_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """SQL twin of synthesize_pii_batch, as a subquery."""
+    return (
+        f"(SELECT {key_col}, coalesce({text_col}, '') || "
+        f"CASE WHEN {key_col} % 3 <> 0 THEN ' mail user' || {key_col}::VARCHAR || "
+        f"'@m' || ({key_col} % 7)::VARCHAR || '.org' ELSE '' END || "
+        f"CASE WHEN {key_col} % 5 <> 1 THEN ' ip 10.' || ({key_col} % 200)::VARCHAR || "
+        f"'.0.' || ({key_col} % 250)::VARCHAR ELSE '' END || "
+        f"CASE WHEN {key_col} % 4 = 2 THEN ' call 555-' || ({key_col} % 900 + 100)::VARCHAR || "
+        f"'-' || (({key_col} * 7) % 9000 + 1000)::VARCHAR ELSE '' END AS {text_col} "
+        f"FROM {table})"
+    )
+
+
+def pii_scan_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of pii_scan: len(regexp_extract_all(...)) per
+    pattern — RE2 on both sides, so counts are engine-identical."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pattern}'))::BIGINT AS n_{kind}"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    return f"SELECT {key_col}, {counts} FROM {table}"
+
+
+def pii_redact_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of pii_redact: regexp_replace(..., 'g') nested in
+    PII_PATTERNS order."""
+    expr = text_col
+    for _, pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"SELECT {key_col}, {expr} AS {text_col}_redacted FROM {table}"

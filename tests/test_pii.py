@@ -1,0 +1,92 @@
+"""PII scan/redact: kernel goldens, null propagation, pattern-order
+dependence, SQL-oracle parity (same RE2 engine on both sides), Ray path."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from duckdb_raquet_ray.pipelines import pii
+
+DOCS = [
+    (0, "reach me at bob.smith+spam@example.co.uk thanks"),
+    (1, "server 10.0.0.1 and 192.168.255.3 up, 999.999.999.999 also matches the shape"),
+    (2, "call 555-123-4567 or 555-000-9999"),
+    (3, "no pii here at all"),
+    (4, "a@b.io next to 1.2.3.4 and 111-222-3333"),
+    (5, None),
+    (6, ""),
+]
+
+
+def _table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+            "text": pa.array([s for _, s in DOCS], pa.string()),
+        }
+    )
+
+
+class TestScanKernel:
+    def test_golden_counts(self):
+        out = pii.pii_scan_batch(_table()).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_email"] == 1
+        assert out.loc[1, "n_ipv4"] == 3  # the shape, not valid-octet semantics
+        assert out.loc[2, "n_phone"] == 2
+        assert out.loc[3].drop("text").sum() == 0
+        assert out.loc[4, ["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 1, 1]
+        assert out.loc[6, ["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 0, 0]
+
+    def test_null_text_propagates(self):
+        out = pii.pii_scan_batch(_table()).to_pandas().set_index("doc_id")
+        assert out.loc[5, ["n_email", "n_ipv4", "n_phone"]].isna().all()
+
+
+class TestRedactKernel:
+    def test_golden_redaction(self):
+        out = pii.pii_redact_batch(_table()).to_pandas().set_index("doc_id")
+        assert out.loc[0, "text_redacted"] == "reach me at [EMAIL] thanks"
+        assert out.loc[2, "text_redacted"] == "call [PHONE] or [PHONE]"
+        assert out.loc[3, "text_redacted"] == "no pii here at all"
+        assert out.loc[4, "text_redacted"] == "[EMAIL] next to [IP] and [PHONE]"
+        assert out.loc[5, "text_redacted"] is None
+
+    def test_email_redacted_before_ip_pattern_sees_domain(self):
+        # "user@10.0.0.1.host.com" — the email pattern swallows the whole
+        # address first; applying IP first would leave "user@[IP].host.com"
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": ["user@10.0.0.1.host.com"]}
+        )
+        out = pii.pii_redact_batch(t).column("text_redacted").to_pylist()
+        assert out == ["[EMAIL]"]
+
+
+class TestOracleParity:
+    def _con(self):
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({i}, {'NULL' if s is None else repr(s)})" for i, s in DOCS
+        )
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) v(doc_id, text)")
+        return con
+
+    def test_scan_matches_sql(self):
+        mine = pii.pii_scan_batch(_table()).to_pandas().sort_values("doc_id")
+        oracle = self._con().execute(pii.pii_scan_oracle_sql()).df().sort_values("doc_id")
+        for c in ("n_email", "n_ipv4", "n_phone"):
+            assert mine[c].fillna(-1).tolist() == oracle[c].fillna(-1).tolist()
+
+    def test_redact_matches_sql(self):
+        mine = pii.pii_redact_batch(_table()).to_pandas().sort_values("doc_id")
+        oracle = self._con().execute(pii.pii_redact_oracle_sql()).df().sort_values("doc_id")
+        assert mine["text_redacted"].fillna("¤").tolist() == oracle["text_redacted"].fillna("¤").tolist()
+
+
+class TestRayPath:
+    def test_scan_and_redact_stream(self, ray_session):
+        ds = rd.from_arrow(_table())
+        scanned = {r["doc_id"]: r["n_phone"] for r in pii.pii_scan(ds).take_all()}
+        assert scanned[2] == 2 and scanned[3] == 0
+        red = {r["doc_id"]: r["text_redacted"] for r in pii.pii_redact(ds).take_all()}
+        assert red[0] == "reach me at [EMAIL] thanks"
