@@ -120,6 +120,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--drop", action="store_true", help="drop flagged docs instead of annotating")
 
+    p = sub.add_parser("pii", help="scan for (or redact) emails/IPv4/phones -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--redact", action="store_true",
+                   help="write redacted text alongside the counts")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -242,6 +249,19 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"cmd": "decontaminate", "ngram": args.ngram,
                               "benchmark_ngrams": int(len(bench)),
                               "drop": args.drop, "dest": args.dest}))
+        elif args.cmd == "pii":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import pii as pii_ops
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            out = pii_ops.pii_scan(ds, text_col=args.text_col)
+            if args.redact:
+                out = pii_ops.pii_redact(out, text_col=args.text_col)
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "pii", "redact": args.redact,
+                              "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 

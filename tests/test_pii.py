@@ -90,3 +90,23 @@ class TestRayPath:
         assert scanned[2] == 2 and scanned[3] == 0
         red = {r["doc_id"]: r["text_redacted"] for r in pii.pii_redact(ds).take_all()}
         assert red[0] == "reach me at [EMAIL] thanks"
+
+
+class TestCli:
+    def test_cli_pii_scan_and_redact(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray import cli
+
+        src = tmp_path / "docs.parquet"
+        pq.write_table(_table(), src)
+        dest = tmp_path / "scanned"
+        cli.main(["pii", "--input", str(src), "--dest", str(dest)])
+        out = pq.read_table(str(dest))
+        assert {"n_email", "n_ipv4", "n_phone"} <= set(out.column_names)
+        assert "text_redacted" not in out.column_names
+        dest2 = tmp_path / "redacted"
+        cli.main(["pii", "--input", str(src), "--dest", str(dest2), "--redact"])
+        out2 = pq.read_table(str(dest2)).to_pandas().set_index("doc_id")
+        assert out2.loc[0, "text_redacted"] == "reach me at [EMAIL] thanks"
+        assert out2.loc[2, "n_phone"] == 2
