@@ -512,6 +512,22 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup connected components: cluster_id = min key reachable
+    through verified LSH edges (transitive — a~b, b~c groups all three).
+    Driver union-find runs over the O(verified pairs) edge set only; the
+    SQL oracle closes the same edges with a recursive CTE
+    (pipelines/dedup.py:minhash_clusters)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.minhash_clusters(ds).select_columns(["doc_id", "cluster_id"])
+
+
 def _q_pii_scan(sf_dir: str):
     """PII detection counts (emails / IPv4 / phones) — RE2 on both sides
     (pyarrow count_substring_regex vs DuckDB regexp_extract_all), so the
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk_similar": _q_pq_topk,
         "pii_scan_docs": _q_pii_scan,
         "pii_redact_docs": _q_pii_redact,
+        "dedup_clusters_docs": _q_dedup_clusters,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1280,6 +1297,9 @@ def oracle_sql() -> dict[str, str]:
         # near-dup removal gets a FULL value-checked oracle — built next to
         # the kernel it mirrors (pipelines/dedup.py:minhash_oracle_sql)
         "minhash_dedup_docs": _dedup.minhash_oracle_sql("documents"),
+        # same verified edge set as minhash_dedup_docs, closed transitively
+        # with a recursive min-label CTE (matches the driver union-find)
+        "dedup_clusters_docs": _dedup.minhash_clusters_oracle_sql("documents"),
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),

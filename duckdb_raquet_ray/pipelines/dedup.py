@@ -280,7 +280,7 @@ class PairVerifier:
         return pa.table({"drop_key": pa.array(drops, type=kt)})
 
 
-def minhash_dedup(
+def _minhash_verified_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
     key_col: str = "doc_id",
@@ -289,9 +289,11 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     verify_concurrency: int | tuple[int, int] = (1, 8),
-) -> rd.Dataset:
-    """Near-dup removal: LSH candidates -> DISTRIBUTED exact-Jaccard verify
-    -> drop docs confirmed >= threshold similar to a smaller key.
+) -> list[tuple]:
+    """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
+    near-dup EDGE list (a, b), a < b, Jaccard >= threshold. The shared
+    engine behind :func:`minhash_dedup` (drop the larger key per edge)
+    and :func:`minhash_clusters` (transitive closure over edges).
 
     Scale shape (nothing corpus-sized ever lands on the driver, and no
     single broadcast object ever holds text):
@@ -305,8 +307,8 @@ def minhash_dedup(
          candidate set in one `ray.put`,
       3. Jaccard verification runs inside the bucket groupby
          (map_groups), shingles memoized per bucket,
-      4. the final filter is a vectorized inverted `pc.is_in` with the
-         (small) confirmed-drop key set."""
+      4. the returned edge list is O(verified pairs) keys — the same
+         order of driver state as the bucket map built in step 1."""
     import ray
     import pyarrow.compute as pc
 
@@ -333,7 +335,7 @@ def minhash_dedup(
             needed.setdefault(a_key, set()).add(bk)
             needed.setdefault(b_key, set()).add(bk)
     if not needed:
-        return ds
+        return []
     needed_ref = ray.put(pa.array(sorted(needed)))
     bucket_map_ref = ray.put({k: tuple(v) for k, v in needed.items()})
 
@@ -402,7 +404,7 @@ def minhash_dedup(
                 sh[k] = v
             return v
 
-        drops = set()
+        ea, eb = [], []
         for a, b in zip(prows.column("a").to_pylist(), prows.column("b").to_pylist()):
             sa, sb = shingles(a), shingles(b)
             if len(sa) == 0 and len(sb) == 0:
@@ -411,18 +413,42 @@ def minhash_dedup(
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 sim = inter / (len(sa) + len(sb) - inter)
             if sim >= threshold:
-                drops.add(max(a, b))
-        return pa.table({"drop_key": pa.array(sorted(drops), type=kt)})
+                ea.append(min(a, b))
+                eb.append(max(a, b))
+        return pa.table({"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)})
 
     verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
-    drop_keys = sorted(
-        {
-            k
-            for b in verified.iter_batches(batch_format="pyarrow")
-            if b.num_columns  # empty groupby partitions emit 0-col blocks
-            for k in b.column("drop_key").to_pylist()
-        }
+    edges = {
+        (a, b)
+        for blk in verified.iter_batches(batch_format="pyarrow")
+        if blk.num_columns  # empty groupby partitions emit 0-col blocks
+        for a, b in zip(blk.column("a").to_pylist(), blk.column("b").to_pylist())
+    }
+    return sorted(edges)
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    verify_concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Near-dup removal: drop each doc confirmed >= threshold similar to a
+    smaller key (see :func:`_minhash_verified_pairs` for the distributed
+    shape; the final filter is a vectorized inverted `pc.is_in` with the
+    small confirmed-drop key set)."""
+    import ray
+    import pyarrow.compute as pc
+
+    edges = _minhash_verified_pairs(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
+        verify_concurrency,
     )
+    drop_keys = sorted({b for _, b in edges})
     if not drop_keys:
         return ds
     drop_ref = ray.put(pa.array(drop_keys))
@@ -432,6 +458,69 @@ def minhash_dedup(
         return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def minhash_clusters(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    verify_concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Annotate every doc with `cluster_id` = the MIN key of its near-dup
+    connected component — transitive closure over the verified LSH edge
+    set (a~b, b~c => all three share cluster a even if a~c was never a
+    candidate pair). Singletons get their own key.
+
+    Scale: the edge set is O(verified pairs) — orders of magnitude below
+    corpus size at any realistic dup rate — so the union-find runs on the
+    driver over KEYS ONLY; the key->cluster map broadcasts once and the
+    corpus streams through one vectorized searchsorted annotate. The SQL
+    twin (`minhash_clusters_oracle_sql`) closes the same edge set with a
+    recursive CTE."""
+    import ray
+
+    edges = _minhash_verified_pairs(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
+        verify_concurrency,
+    )
+    # union-find, min key as representative: union attaches the larger
+    # root under the smaller, so every root is its component's minimum
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    touched = {k for e in edges for k in e}
+    keys = np.array(sorted(touched))
+    reps = np.array([find(k) for k in keys.tolist()])
+    map_ref = ray.put((keys, reps))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ks, rs = ray.get(map_ref)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+            hit = ks[pos] == k
+            cid = np.where(hit, rs[pos], k)
+        else:
+            cid = k
+        return t.append_column("cluster_id", pa.array(cid, type=t.column(key_col).type))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -608,29 +697,19 @@ def embedding_dedup(
 # ---------------------------------------------------------------------------
 
 
-def minhash_oracle_sql(
-    table: str = "documents",
-    text_col: str = "text",
-    key_col: str = "doc_id",
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
+def _minhash_pair_ctes(
+    table: str,
+    text_col: str,
+    key_col: str,
+    num_perm: int,
+    bands: int,
+    *,
+    recursive: bool = False,
 ) -> str:
-    """ANSI-SQL (DuckDB) replica of :func:`minhash_dedup` over `table` —
-    the whole pipeline is deterministic, so near-dup removal is exactly
-    value-checkable:
-
-    - k=5-gram polynomial rolling hash (base 257 mod 2^61-1): every term
-      < 2^43, plain BIGINT (see text.winnow oracle for the same kernel),
-    - minhash sigs min((h*a + b) mod 2^64 mod M): the uint64 wrap is
-      replicated with HUGEINT ``% 2^64``; (a, b) come from the same seeded
-      generator as :func:`_perms`, inlined as a VALUES list,
-    - FNV-1a-style band fold (xor/multiply mod 2^64) and ``>> 1``,
-    - LSH cells -> (anchor=min key, member) pairs, exact-Jaccard verify
-      over the distinct shingle sets, drop the member when >= threshold.
-
-    ASCII corpora only (the gram hash reads UTF-8 BYTES; ascii(substr())
-    equals the byte only for 7-bit text — true for the test tables)."""
+    """Shared DuckDB CTE chain (perms ... pairs/sizes/inter) behind the
+    minhash oracles — ends after `inter` so callers append their own
+    verdict CTEs. `recursive=True` emits WITH RECURSIVE for callers whose
+    continuation contains a recursive CTE."""
     a, b = _perms(num_perm)
     rows_per_band = num_perm // bands
     T = 1 << 64
@@ -649,8 +728,9 @@ def minhash_oracle_sql(
     for r in range(1, rows_per_band):
         fnv = f"xor((({fnv}::HUGEINT * {prime}) % {T})::UBIGINT, s{r})"
 
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-WITH perms(p, pa, pb) AS (VALUES {perm_vals}),
+{with_kw} perms(p, pa, pb) AS (VALUES {perm_vals}),
 d AS (
   SELECT {key_col} AS k, {text_col} AS t, greatest(length({text_col}), 5) - 4 AS n_grams
   FROM {table}
@@ -688,7 +768,34 @@ inter AS (
   SELECT p.a, p.b, count(*) AS ni
   FROM pairs p JOIN sh sa ON sa.k = p.a JOIN sh sb ON sb.k = p.b AND sb.h = sa.h
   GROUP BY 1, 2
-),
+)"""
+
+
+def minhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """ANSI-SQL (DuckDB) replica of :func:`minhash_dedup` over `table` —
+    the whole pipeline is deterministic, so near-dup removal is exactly
+    value-checkable:
+
+    - k=5-gram polynomial rolling hash (base 257 mod 2^61-1): every term
+      < 2^43, plain BIGINT (see text.winnow oracle for the same kernel),
+    - minhash sigs min((h*a + b) mod 2^64 mod M): the uint64 wrap is
+      replicated with HUGEINT ``% 2^64``; (a, b) come from the same seeded
+      generator as :func:`_perms`, inlined as a VALUES list,
+    - FNV-1a-style band fold (xor/multiply mod 2^64) and ``>> 1``,
+    - LSH cells -> (anchor=min key, member) pairs, exact-Jaccard verify
+      over the distinct shingle sets, drop the member when >= threshold.
+
+    ASCII corpora only (the gram hash reads UTF-8 BYTES; ascii(substr())
+    equals the byte only for 7-bit text — true for the test tables)."""
+    prefix = _minhash_pair_ctes(table, text_col, key_col, num_perm, bands)
+    return f"""{prefix},
 drops AS (
   SELECT DISTINCT p.b FROM pairs p
   JOIN sizes za ON za.k = p.a
@@ -697,6 +804,42 @@ drops AS (
   WHERE coalesce(i.ni, 0)::DOUBLE / (za.ns + zb.ns - coalesce(i.ni, 0)) >= {threshold}
 )
 SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
+
+
+def minhash_clusters_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """ANSI-SQL replica of :func:`minhash_clusters`: the SAME verified
+    edge set as minhash_oracle_sql (pairs + exact Jaccard >= threshold),
+    then a recursive min-label transitive closure — cluster_id = min key
+    reachable through edges, singletons map to themselves."""
+    prefix = _minhash_pair_ctes(
+        table, text_col, key_col, num_perm, bands, recursive=True
+    )
+    return f"""{prefix},
+edges AS (
+  SELECT p.a, p.b FROM pairs p
+  JOIN sizes za ON za.k = p.a
+  JOIN sizes zb ON zb.k = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  WHERE coalesce(i.ni, 0)::DOUBLE / (za.ns + zb.ns - coalesce(i.ni, 0)) >= {threshold}
+),
+bidir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT a AS k FROM bidir GROUP BY 1),
+reach(k, r) AS (
+  SELECT k, k FROM nodes
+  UNION
+  SELECT e.b AS k, reach.r FROM reach JOIN bidir e ON e.a = reach.k
+),
+comp AS (SELECT k, min(r) AS cluster_id FROM reach GROUP BY k)
+SELECT t.{key_col}, coalesce(comp.cluster_id, t.{key_col}) AS cluster_id
+FROM {table} t LEFT JOIN comp ON comp.k = t.{key_col}
 """
 
 

@@ -620,3 +620,87 @@ class TestProductQuantization:
         }))
         with pytest.raises(ValueError, match="not divisible"):
             ann.train_pq(ds, m=4)
+
+
+class TestMinhashClusters:
+    """Connected-components clustering over verified LSH edges: the
+    transitive-closure semantics minhash_dedup's keep/drop rule can't
+    express, plus oracle parity with the recursive-CTE SQL twin."""
+
+    def _chain_table(self) -> pa.Table:
+        # a~b and b~c near-dup (one word drifts per step); a vs c drifts
+        # two words, so with a tight threshold only the CHAIN links verify
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 8
+        b = base.replace("charlie", "charly")
+        c = b.replace("golf", "golph")
+        far = "totally unrelated content about database engines and storage " * 8
+        return pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+                "text": pa.array([base, b, c, far]),
+            }
+        )
+
+    def test_transitive_chain_shares_one_cluster(self, ray_session):
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.minhash_clusters(
+                rd.from_arrow(self._chain_table()), threshold=0.8
+            ).take_all()
+        }
+        assert out[10] == out[11] == out[12] == 10  # min key of the component
+        assert out[13] == 13  # singleton
+
+    def test_matches_recursive_sql_oracle(self, ray_session):
+        import duckdb
+
+        t = self._chain_table()
+        mine = (
+            dedup.minhash_clusters(rd.from_arrow(t), threshold=0.8)
+            .select_columns(["doc_id", "cluster_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        con.execute("CREATE VIEW documents AS SELECT * FROM docs_arrow")
+        oracle = (
+            con.execute(dedup.minhash_clusters_oracle_sql("documents", threshold=0.8))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert mine["doc_id"].tolist() == oracle["doc_id"].tolist()
+        assert mine["cluster_id"].tolist() == oracle["cluster_id"].tolist()
+
+    def test_no_edges_all_singletons(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["first totally unique document body here",
+                     "second entirely different things altogether"]
+                ),
+            }
+        )
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.minhash_clusters(rd.from_arrow(t)).take_all()
+        }
+        assert out == {1: 1, 2: 2}
+
+    def test_dedup_unchanged_by_refactor(self, ray_session):
+        # minhash_dedup now derives drops from the shared edge list; its
+        # keep set must equal the (green) SQL oracle's on the sf fixture
+        import duckdb
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_dedup(rd.read_parquet(src)).take_all()
+        )
+        oracle = duckdb.sql(
+            dedup.minhash_oracle_sql(f"(SELECT * FROM read_parquet('{src}'))")
+        ).df()
+        assert kept == sorted(oracle["doc_id"].tolist())
