@@ -276,7 +276,7 @@ def bench_tables_phase(cpus: int) -> dict:
     import ray.data as rd
 
     from duckdb_raquet_ray import util
-    from duckdb_raquet_ray.pipelines import ann, dedup, quality, text
+    from duckdb_raquet_ray.pipelines import ann, dedup, pii, quality, text
 
     queries: dict[str, float] = {}
     docs = os.path.join(SF_DIR, "documents.parquet")
@@ -294,6 +294,21 @@ def bench_tables_phase(cpus: int) -> dict:
     queries["minhash_dedup"] = round(min(best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())), 3)
 
     queries["ann_topk"] = round(min(best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))), 3)
+
+    # PQ lossy tier: train once (excluded — an index build, not a query),
+    # then time encode-to-codes and the ADC top-k over the code column
+    pq_cb = ann.train_pq(util.clean_dataset(rd.read_parquet(emb)))
+    pq_codes = ann.pq_encode(rd.read_parquet(emb), pq_cb).materialize()
+    queries["pq_encode"] = round(min(best_of(lambda: ann.pq_encode(
+        rd.read_parquet(emb), pq_cb
+    ).count())), 3)
+    queries["pq_topk"] = round(min(best_of(lambda: ann.pq_topk(
+        pq_codes, pq_cb, np.ones(64), k=10
+    ))), 3)
+
+    queries["pii_scrub"] = round(min(best_of(lambda: pii.pii_redact(
+        pii.pii_scan(util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"])))
+    ).count())), 3)
 
     queries["repetition"] = round(min(best_of(lambda: quality.repetition_metrics(
         util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"]))
