@@ -512,6 +512,22 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_crossdoc_dup(sf_dir: str):
+    """Cross-document duplicate n-grams (exact-substring dup signal, Lee
+    et al. 2022): ONE fixed-fan-out bucket shuffle of the gram stream —
+    a gram's global doc-frequency resolves inside its bucket, buckets
+    emit doc-sized partials, a second tiny groupby folds them
+    (pipelines/quality.py:crossdoc_ngram_dup)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality.crossdoc_ngram_dup(ds)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup connected components: cluster_id = min key reachable
     through verified LSH edges (transitive — a~b, b~c groups all three).
@@ -1095,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_docs": _q_pii_scan,
         "pii_redact_docs": _q_pii_redact,
         "dedup_clusters_docs": _q_dedup_clusters,
+        "crossdoc_dup_docs": _q_crossdoc_dup,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1303,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
+        "crossdoc_dup_docs": _quality.crossdoc_dup_oracle_sql("documents"),
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)
         "simhash_dedup_docs": _dedup.simhash_oracle_sql("documents"),

@@ -34,7 +34,7 @@ import ray.data as rd
 
 from .. import util
 from ..functions import detmix
-from .contamination import NGRAM_P, _sql_fold, _word_lists
+from .contamination import NGRAM_P, _sql_fold, _word_lists, ngram_doc_hashes
 
 # ---------------------------------------------------------------------------
 # shared kernel: flat word-hash stream with per-doc lengths
@@ -360,4 +360,131 @@ SELECT d.{key_col} AS doc_id,
   coalesce(agg.n_distinct_words, 0)::BIGINT AS n_distinct_words,
   coalesce(agg.df_sum, 0)::BIGINT AS df_sum
 FROM {table} d LEFT JOIN agg ON agg.k = d.{key_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-grams (exact-substring dup signal)
+# ---------------------------------------------------------------------------
+
+
+def crossdoc_ngram_dup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Per-doc count of distinct word n-grams that also appear in >= 1
+    OTHER document — the exact-substring duplication signal (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    high `dup_grams / distinct_grams` marks boilerplate/mirrored spans
+    that whole-doc dedup misses. Output: one row per doc with >= 1
+    n-gram — (key, distinct_grams, dup_grams).
+
+    Scale shape: n-gram DF is NOT vocabulary-bounded (O(total grams)),
+    so unlike `global_word_df` nothing is merged on the driver. The gram
+    stream shuffles ONCE through a fixed-fan-out bucket groupby
+    (bucket = hash % n_buckets, so a gram's global df resolves entirely
+    inside one bucket); each bucket emits per-doc PARTIAL rows
+    (O(docs touched), not O(grams)), folded by a second, doc-sized
+    groupby-sum. SQL twin: `crossdoc_dup_oracle_sql`."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        d, g = ngram_doc_hashes(batch, text_col=text_col, n=n)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((g % np.uint64(n_buckets)).astype(np.int32)),
+                "h": pa.array(g.view(np.int64)),
+                "k": pa.array(keys[d]),
+            }
+        )
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "distinct_grams": pa.array([], pa.int64()),
+                    "dup_grams": pa.array([], pa.int64()),
+                }
+            )
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h))
+        hs, ks = h[order], k[order]
+        # (h, k) pairs are distinct by construction (ngram_doc_hashes is
+        # per-doc distinct), so each hash run's length IS its doc-df
+        new_h = np.r_[True, hs[1:] != hs[:-1]]
+        run_id = np.cumsum(new_h) - 1
+        run_sizes = np.bincount(run_id)
+        dup = run_sizes[run_id] >= 2
+        uk, total = np.unique(ks, return_counts=True)
+        dk = np.searchsorted(uk, ks[dup])
+        dup_cnt = np.bincount(dk, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "distinct_grams": pa.array(total.astype(np.int64)),
+                "dup_grams": pa.array(dup_cnt),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+    )
+    folded = partials.groupby(key_col).sum(["distinct_grams", "dup_grams"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([key_col, "distinct_grams", "dup_grams"])
+
+    return folded.map_batches(rename, batch_format="pyarrow")
+
+
+def crossdoc_dup_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+) -> str:
+    """DuckDB replica of crossdoc_ngram_dup: identical word split / hash /
+    n-gram fold (detmix CTEs), DISTINCT (doc, gram), global doc-df per
+    gram, per-doc counts. ASCII corpora only, words <= 128 chars (same
+    caveats as contamination_oracle_sql)."""
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+wl AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower({text_col}), '{ws}'), x -> x <> '') AS wl
+  FROM {table}
+),
+w AS (
+  SELECT k, unnest(wl) AS word, unnest(generate_series(1, len(wl))) AS wi FROM wl
+),
+{detmix.sql_string_hash_ctes("w", "word")},
+hl AS (
+  SELECT w.k, list(kh.h ORDER BY w.wi) AS hl
+  FROM w JOIN kh ON kh.k = w.word
+  GROUP BY w.k
+),
+ng AS (
+  SELECT DISTINCT k, ({_sql_fold(n)})::UBIGINT AS g
+  FROM (
+    SELECT k, hl, unnest(generate_series(1, len(hl) - {n} + 1)) AS i
+    FROM hl WHERE len(hl) >= {n}
+  )
+),
+gdf AS (SELECT g, count(*) AS df FROM ng GROUP BY g)
+SELECT ng.k AS {key_col},
+       count(*)::BIGINT AS distinct_grams,
+       count(*) FILTER (WHERE gdf.df >= 2)::BIGINT AS dup_grams
+FROM ng JOIN gdf USING (g)
+GROUP BY ng.k
 """

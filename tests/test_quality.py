@@ -255,3 +255,68 @@ class TestSchemaMetadataHygiene:
         ):
             assert out.schema.metadata is None
             hash(out.schema)
+
+
+class TestCrossdocDup:
+    """Cross-document duplicate n-grams: goldens on a crafted fixture,
+    batch/bucket invariance, SQL-oracle parity."""
+
+    def _table(self) -> pa.Table:
+        shared = "one two three four five six seven eight"  # exactly 8 words = 1 gram at n=8
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        shared + " unique tail for doc one here",
+                        shared + " other ending entirely different now",
+                        "nothing in common with the rest at all honestly",
+                        "short doc",  # < n words -> no output row
+                    ]
+                ),
+            }
+        )
+
+    def test_golden_shared_gram(self, ray_session):
+        import ray.data as rd
+
+        out = {
+            r["doc_id"]: (r["distinct_grams"], r["dup_grams"])
+            for r in q.crossdoc_ngram_dup(rd.from_arrow(self._table())).take_all()
+        }
+        # docs 1 and 2 share exactly the one gram made of the 8 shared words
+        assert out[1][1] == 1 and out[2][1] == 1
+        assert out[3] == (2, 0)  # 9 words -> 2 grams, none shared
+        assert 4 not in out  # fewer than n words: no grams, no row
+
+    def test_bucket_count_invariant(self, ray_session):
+        import ray.data as rd
+
+        t = self._table()
+        a = sorted(
+            (r["doc_id"], r["distinct_grams"], r["dup_grams"])
+            for r in q.crossdoc_ngram_dup(rd.from_arrow(t), n_buckets=2).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["distinct_grams"], r["dup_grams"])
+            for r in q.crossdoc_ngram_dup(rd.from_arrow(t), n_buckets=256).take_all()
+        )
+        assert a == b
+
+    def test_sql_oracle_parity(self, ray_session):
+        import ray.data as rd
+
+        t = self._table()
+        mine = sorted(
+            (r["doc_id"], r["distinct_grams"], r["dup_grams"])
+            for r in q.crossdoc_ngram_dup(rd.from_arrow(t)).take_all()
+        )
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        con.execute("CREATE VIEW documents AS SELECT * FROM docs_arrow")
+        oracle = con.execute(q.crossdoc_dup_oracle_sql("documents")).df()
+        theirs = sorted(
+            (int(r.doc_id), int(r.distinct_grams), int(r.dup_grams))
+            for r in oracle.itertuples()
+        )
+        assert mine == theirs
