@@ -310,6 +310,12 @@ def bench_tables_phase(cpus: int) -> dict:
         pii.pii_scan(util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"])))
     ).count())), 3)
 
+    # the one shuffle op in this phase: gram stream through a fixed-fan-out
+    # bucket groupby, doc-sized partials folded by a second tiny groupby
+    queries["crossdoc_dup"] = round(min(best_of(lambda: quality.crossdoc_ngram_dup(
+        util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"]))
+    ).count())), 3)
+
     queries["repetition"] = round(min(best_of(lambda: quality.repetition_metrics(
         util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"]))
     ).count())), 3)
