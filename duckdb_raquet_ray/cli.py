@@ -120,6 +120,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--drop", action="store_true", help="drop flagged docs instead of annotating")
 
+    p = sub.add_parser("dedup", help="exact/minhash/simhash dedup, or near-dup "
+                       "cluster annotation -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--method", choices=["exact", "minhash", "simhash"], default="minhash")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard gate")
+    p.add_argument("--clusters", action="store_true",
+                   help="minhash only: annotate cluster_id (connected "
+                        "components over verified pairs) instead of dropping")
+
     p = sub.add_parser("pii", help="scan for (or redact) emails/IPv4/phones -> parquet")
     p.add_argument("--input", required=True, help="glob of input parquet shards")
     p.add_argument("--dest", required=True)
@@ -249,6 +261,32 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"cmd": "decontaminate", "ngram": args.ngram,
                               "benchmark_ngrams": int(len(bench)),
                               "drop": args.drop, "dest": args.dest}))
+        elif args.cmd == "dedup":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import dedup as dd
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            if args.clusters:
+                if args.method != "minhash":
+                    raise SystemExit("--clusters requires --method minhash")
+                out = dd.minhash_clusters(
+                    ds, text_col=args.text_col, key_col=args.key_col,
+                    threshold=args.threshold,
+                )
+            elif args.method == "exact":
+                out = dd.exact_dedup(ds, text_col=args.text_col, key_col=args.key_col)
+            elif args.method == "minhash":
+                out = dd.minhash_dedup(
+                    ds, text_col=args.text_col, key_col=args.key_col,
+                    threshold=args.threshold,
+                )
+            else:
+                out = dd.simhash_dedup(ds, text_col=args.text_col, key_col=args.key_col)
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "dedup", "method": args.method,
+                              "clusters": args.clusters, "dest": args.dest}))
         elif args.cmd == "pii":
             import ray.data as rd
 

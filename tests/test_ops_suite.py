@@ -704,3 +704,27 @@ class TestMinhashClusters:
             dedup.minhash_oracle_sql(f"(SELECT * FROM read_parquet('{src}'))")
         ).df()
         assert kept == sorted(oracle["doc_id"].tolist())
+
+
+class TestDedupCli:
+    def test_cli_dedup_methods(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray import cli
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["same words here", "same words here", "different thing"]),
+            }
+        )
+        src = tmp_path / "docs.parquet"
+        pq.write_table(t, src)
+        dest = tmp_path / "exact"
+        cli.main(["dedup", "--input", str(src), "--dest", str(dest), "--method", "exact"])
+        assert pq.read_table(str(dest)).num_rows == 2
+        dest2 = tmp_path / "clusters"
+        cli.main(["dedup", "--input", str(src), "--dest", str(dest2), "--clusters"])
+        out = pq.read_table(str(dest2)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == 1
+        assert out.loc[3, "cluster_id"] == 3
