@@ -512,6 +512,26 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_ivfpq_topk(sf_dir: str):
+    """Two-level pruned ANN: IVF bucket files + in-file PQ codes — the
+    probe reads only (vec_id, pq_code) from probed buckets. Full probe
+    makes the candidate set exact, so the ranking equals pq_topk's and
+    the same inlined-LUT SQL oracle applies (pipelines/ann.py)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_ivfpq_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(idx_dir, "pq.json")):
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        # the cached _pq_codebook IS the codebook the SQL oracle inlines —
+        # passing it in pins index and oracle to one codebook by construction
+        ann.build_ivfpq_index(ds, idx_dir, codebook=_pq_codebook(sf_dir))
+    t = ann.ivfpq_topk(idx_dir, _query_vec(), k=10, n_probe=16)
+    return t.select(["vec_id", "rank"])
+
+
 def _q_crossdoc_dup(sf_dir: str):
     """Cross-document duplicate n-grams (exact-substring dup signal, Lee
     et al. 2022): ONE fixed-fan-out bucket shuffle of the gram stream —
@@ -1112,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": _q_pii_redact,
         "dedup_clusters_docs": _q_dedup_clusters,
         "crossdoc_dup_docs": _q_crossdoc_dup,
+        "ivfpq_topk_similar": _q_ivfpq_topk,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1399,6 +1420,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": _pii.pii_redact_oracle_sql(_pii.synthesize_pii_sql()),
         "pq_codes": _ann.pq_codes_oracle_sql(_pq_codebook("/root/testdata/sf0.01")),
         "pq_topk_similar": _ann.pq_topk_oracle_sql(
+            _pq_codebook("/root/testdata/sf0.01"), _query_vec(), k=10
+        ),
+        # full-probe IVF-PQ candidate set = whole corpus, so its ADC
+        # ranking is exactly pq_topk's — same inlined-LUT oracle
+        "ivfpq_topk_similar": _ann.pq_topk_oracle_sql(
             _pq_codebook("/root/testdata/sf0.01"), _query_vec(), k=10
         ),
         # full-probe IVF over the persisted bucket layout is exact, so the

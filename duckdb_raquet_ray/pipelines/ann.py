@@ -571,3 +571,83 @@ SELECT k AS {key_col},
   CAST(row_number() OVER (ORDER BY sim DESC, k) AS BIGINT) AS rank
 FROM sim ORDER BY sim DESC, k LIMIT {int(k)}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse bucket pruning + PQ codes inside buckets (the standard
+# two-level ANN index layout — probe opens only probed buckets' files AND
+# reads only the m-byte code column, never the float embeddings)
+# ---------------------------------------------------------------------------
+
+_PQ_JSON = "pq.json"
+
+
+def build_ivfpq_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    codebook: PqCodebook | None = None,
+    **train_kw,
+) -> tuple[IvfIndex, PqCodebook]:
+    """Train IVF + PQ and persist the two-level layout: hive-partitioned
+    `ivf_bucket=<j>/` Parquet whose rows carry `pq_code` (m uint8) next to
+    the key, plus centroids.json / pq.json. A probe then prunes at BOTH
+    levels: file-level (only probed buckets' directories open) and
+    column-level (only key + pq_code read — m bytes/vector instead of the
+    float plane). The reference's partition-pruning shape
+    (/root/reference/src/raquet_extension.cpp:49-81) stacked with its
+    lossy-codec option (README.md:27)."""
+    index = IvfIndex.train(ds, vec_col, n_centroids=n_centroids, **train_kw)
+    if codebook is None:
+        codebook = train_pq(ds, vec_col, m=m, ksub=ksub, **train_kw)
+    os.makedirs(out_dir, exist_ok=True)
+    with_codes = pq_encode(index.add_buckets(ds, vec_col), codebook, vec_col)
+    with_codes.write_parquet(out_dir, partition_cols=["ivf_bucket"])
+    for name, payload in (
+        (_CENTROIDS_JSON, {"centroids": index.centroids.tolist()}),
+        (_PQ_JSON, codebook.to_json()),
+    ):
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(out_dir, name))
+    return index, codebook
+
+
+def load_pq_codebook(index_dir: str) -> PqCodebook:
+    with open(os.path.join(index_dir, _PQ_JSON)) as f:
+        return PqCodebook.from_json(json.load(f))
+
+
+def ivfpq_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Two-level pruned approximate top-k: open only the probed buckets'
+    files, read ONLY (key, pq_code), rank by integer ADC. With
+    ``n_probe >= n_centroids`` the candidate set is the whole corpus and
+    the ranking equals :func:`pq_topk`'s — the oracle-checked
+    configuration; partial-probe recall is property-tested."""
+    index = load_ivf_index(index_dir)
+    codebook = load_pq_codebook(index_dir)
+    buckets = index.probe_buckets(query, n_probe)
+    files = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"ivf_bucket={b}")
+        if os.path.isdir(d):
+            files += sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    if not files:
+        return pa.table(
+            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    ds = rd.read_parquet(files, columns=[key_col, "pq_code"])
+    return pq_topk(ds, codebook, query, k=k, key_col=key_col)

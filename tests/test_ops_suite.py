@@ -728,3 +728,34 @@ class TestDedupCli:
         out = pq.read_table(str(dest2)).to_pandas().set_index("doc_id")
         assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == 1
         assert out.loc[3, "cluster_id"] == 3
+
+
+class TestIvfPq:
+    def test_build_probe_and_prune(self, ray_session, emb_ds, tmp_path):
+        import os
+
+        idx_dir = str(tmp_path / "ivfpq")
+        index, cb = ann.build_ivfpq_index(emb_ds, idx_dir, n_centroids=8)
+        # two-level layout on disk
+        buckets = [d for d in os.listdir(idx_dir) if d.startswith("ivf_bucket=")]
+        assert buckets and os.path.exists(os.path.join(idx_dir, "pq.json"))
+        q = np.ones(64)
+        # full probe == pq_topk over the raw table (same codebook, exact
+        # candidate set) — the value-checked configuration
+        full = ann.ivfpq_topk(idx_dir, q, k=10, n_probe=8)
+        direct = ann.pq_topk(emb_ds, cb, q, k=10)
+        assert full.column("vec_id").to_pylist() == direct.column("vec_id").to_pylist()
+        assert full.column("sim").to_pylist() == direct.column("sim").to_pylist()
+        # partial probe returns k rows from a pruned candidate set
+        part = ann.ivfpq_topk(idx_dir, q, k=10, n_probe=2)
+        assert part.num_rows == 10
+        assert part.column("rank").to_pylist() == list(range(1, 11))
+
+    def test_prebuilt_codebook_is_used(self, ray_session, emb_ds, tmp_path):
+        cb = ann.train_pq(emb_ds)
+        idx_dir = str(tmp_path / "ivfpq2")
+        _, used = ann.build_ivfpq_index(emb_ds, idx_dir, n_centroids=4, codebook=cb)
+        assert used is cb
+        np.testing.assert_array_equal(
+            ann.load_pq_codebook(idx_dir).centroids, cb.centroids
+        )
