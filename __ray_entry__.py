@@ -512,6 +512,23 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_embedding_dedup_int8(sf_dir: str):
+    """Integer-exact embedding near-dup (the value-oracle variant of
+    embedding_dedup): int8 vectors, seeded ±1 hyperplane bands, rational
+    cosine test — every step replicates in SQL. The sf embeddings have no
+    natural near-dups (max cosine 0.48), so deterministic +eps copies of
+    every 10th vector are planted on BOTH sides
+    (dedup.synthesize_near_dups_batch / _sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(dedup.synthesize_near_dups_batch, batch_format="pyarrow")
+    return dedup.embedding_dedup_int8(ds).select_columns(["vec_id"])
+
+
 def _q_ivfpq_topk(sf_dir: str):
     """Two-level pruned ANN: IVF bucket files + in-file PQ codes — the
     probe reads only (vec_id, pq_code) from probed buckets. Full probe
@@ -1133,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_docs": _q_dedup_clusters,
         "crossdoc_dup_docs": _q_crossdoc_dup,
         "ivfpq_topk_similar": _q_ivfpq_topk,
+        "embedding_dedup_int8": _q_embedding_dedup_int8,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1338,6 +1356,9 @@ def oracle_sql() -> dict[str, str]:
         # same verified edge set as minhash_dedup_docs, closed transitively
         # with a recursive min-label CTE (matches the driver union-find)
         "dedup_clusters_docs": _dedup.minhash_clusters_oracle_sql("documents"),
+        "embedding_dedup_int8": _dedup.embedding_dedup_oracle_sql(
+            _dedup.synthesize_near_dups_sql("embeddings")
+        ),
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),

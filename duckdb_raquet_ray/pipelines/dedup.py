@@ -26,6 +26,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines.ann import _int8_matrix as ann_int8
 
 # ---------------------------------------------------------------------------
 # exact dedup: content hash -> hash-partitioned first-wins
@@ -918,3 +919,251 @@ fp AS (
 SELECT * FROM {table}
 WHERE {key_col} IN (SELECT min(k) FROM fp GROUP BY simhash)
 """
+
+
+# ---------------------------------------------------------------------------
+# integer-exact embedding near-dup (the value-oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+
+def _embed_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes (n_planes, dim): plane p's signs are
+    the low `dim` bits of splitmix64-mixed p — pure integer derivation,
+    inlined verbatim into the SQL oracle. dim <= 64 (one u64 per plane)."""
+    if dim > 64:
+        raise ValueError(f"integer hyperplanes support dim <= 64, got {dim}")
+    h = detmix.seeded_mix(np.arange(n_planes, dtype=np.uint64), seed)
+    bits = (h[:, None] >> np.arange(dim, dtype=np.uint64)[None, :]) & np.uint64(1)
+    return np.where(bits == 1, 1, -1).astype(np.int64)
+
+
+def embedding_dedup_int8(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold_pct: int = 99,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    seed: int = 7,
+) -> rd.Dataset:
+    """Embedding near-dup with a FULL value oracle: every step is integer
+    arithmetic past the (already SQL-replicated) int8 quantization, so the
+    whole operator replicates in DuckDB (`embedding_dedup_oracle_sql`) —
+    unlike :func:`embedding_dedup`, whose float hyperplanes and float
+    cosine keep it rows-only.
+
+    - candidate generation: `n_bands` bands of `band_planes` seeded ±1
+      hyperplanes; two vectors are candidates iff they share ANY band's
+      full sign pattern (banding recovers the recall a single long sign
+      pattern loses),
+    - verification: cosine >= threshold_pct/100 tested as
+      ``dot > 0 AND dot^2 * 10000 >= pct^2 * |a|^2 * |b|^2`` — an exact
+      rational comparison, no floats (zero vectors are never similar),
+    - drop rule: key k is dropped iff SOME SMALLER key in a shared bucket
+      passes — order-independent (not greedy-chained), so partitioning
+      cannot change the result.
+
+    Scale: one fixed-fan-out shuffle of (band-bucket, key, q8) rows —
+    64 int8 + key per band per vector; all-pairs work is bucket-local."""
+    import ray
+
+    first = ds.take(1)
+    if not first:
+        return ds
+    dim = len(first[0][vec_col])
+    planes = _embed_planes(n_bands * band_planes, dim, seed)
+    planes_ref = ray.put(planes)
+    pct = int(threshold_pct)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        q8 = ann_int8(batch, vec_col)
+        keys = batch.column(key_col)
+        signs = (q8 @ pl.T) >= 0  # (n, n_bands*band_planes)
+        out = []
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+        for b in range(n_bands):
+            s = signs[:, b * band_planes : (b + 1) * band_planes]
+            bb = (s * weights[None, :]).sum(axis=1)
+            out.append(
+                pa.table(
+                    {
+                        "_eb": pa.array(b * (1 << band_planes) + bb),
+                        key_col: keys,
+                        "n2": pa.array((q8 * q8).sum(axis=1)),
+                        "q8": pa.array(list(q8.astype(np.int8)), pa.list_(pa.int8())),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        if len(k) < 2:
+            return pa.table({"drop_key": pa.array([], g.column(key_col).type)})
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        n2 = g.column("n2").to_numpy(zero_copy_only=False)[order]
+        q_col = g.column("q8")
+        if isinstance(q_col, pa.ChunkedArray):
+            q_col = q_col.combine_chunks()
+        Q = (
+            q_col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(len(g), -1)[order]
+        )
+        G = Q @ Q.T
+        ok = (G > 0) & (G * G * 10000 >= pct * pct * np.outer(n2, n2))
+        ok &= np.tri(len(k), k=-1, dtype=bool).T  # strictly upper: i < j
+        dropped = k[ok.any(axis=0)]
+        return pa.table({"drop_key": pa.array(np.unique(dropped), g.column(key_col).type)})
+
+    tagged = util.clean_dataset(ds).map_batches(tag, batch_format="pyarrow")
+    verified = tagged.groupby("_eb").map_groups(in_bucket, batch_format="pyarrow")
+    drop_keys = sorted(
+        {
+            d
+            for blk in verified.iter_batches(batch_format="pyarrow")
+            if blk.num_columns
+            for d in blk.column("drop_key").to_pylist()
+        }
+    )
+    if not drop_keys:
+        return ds
+    import pyarrow.compute as pc
+
+    drop_ref = ray.put(pa.array(drop_keys))
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def embedding_dedup_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold_pct: int = 99,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """DuckDB replica of embedding_dedup_int8: int8 quantization (the
+    embedding_quantize rule), inlined ±1 planes, band sign-pattern
+    buckets, exact rational cosine test, drop-the-larger-key. Fully
+    integer past the quantization — value-identical by construction."""
+    planes = _embed_planes(n_bands * band_planes, dim, seed)
+    plane_vals = ", ".join(
+        f"({p}, {d}, {int(planes[p, d])})"
+        for p in range(n_bands * band_planes)
+        for d in range(dim)
+    )
+    pct = int(threshold_pct)
+    return f"""
+WITH e AS (SELECT {key_col} AS k, {vec_col} AS v,
+  list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale FROM {table}),
+t AS (SELECT k, scale, unnest(v) AS x,
+  unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT k, i - 1 AS d,
+  CASE WHEN scale > 0 THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv
+  FROM t),
+pl(p, d, v) AS (VALUES {plane_vals}),
+sgn AS (
+  SELECT q.k, pl.p,
+    CASE WHEN sum(q.qv * pl.v) >= 0 THEN 1 ELSE 0 END AS s
+  FROM q JOIN pl ON pl.d = q.d GROUP BY q.k, pl.p
+),
+buck AS (
+  SELECT k, p // {band_planes} AS band,
+    sum(s * (1::BIGINT << (p % {band_planes})))::BIGINT AS bb
+  FROM sgn GROUP BY k, band
+),
+cand AS (
+  SELECT DISTINCT a.k AS a, b.k AS b
+  FROM buck a JOIN buck b ON a.band = b.band AND a.bb = b.bb AND a.k < b.k
+),
+n2 AS (SELECT k, sum(qv * qv)::BIGINT AS n2 FROM q GROUP BY k),
+dots AS (
+  SELECT c.a, c.b, sum(qa.qv * qb.qv)::BIGINT AS dp
+  FROM cand c
+  JOIN q qa ON qa.k = c.a
+  JOIN q qb ON qb.k = c.b AND qb.d = qa.d
+  GROUP BY c.a, c.b
+),
+drops AS (
+  SELECT DISTINCT dots.b FROM dots
+  JOIN n2 na ON na.k = dots.a
+  JOIN n2 nb ON nb.k = dots.b
+  WHERE dp > 0
+    AND dp::HUGEINT * dp * 10000 >= {pct}::HUGEINT * {pct} * na.n2 * nb.n2
+)
+SELECT {key_col} FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
+
+
+def synthesize_near_dups_batch(
+    batch: pa.Table,
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 10,
+    key_offset: int = 100_000,
+    eps: float = 0.001,
+) -> pa.Table:
+    """Append a perturbed copy (+eps elementwise, key + key_offset) of
+    every `every`-th vector — a deterministic near-dup planting for
+    exercising the embedding-dedup oracles on corpora with no natural
+    near-dups. SQL twin: `synthesize_near_dups_sql`. All arithmetic is
+    float32->float64 then one float64 add, bit-replicable in DuckDB."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    sel = keys % every == 0
+    if not sel.any():
+        return batch
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sub = batch.filter(pa.array(sel))
+    sub_col = sub.column(vec_col)
+    if isinstance(sub_col, pa.ChunkedArray):
+        sub_col = sub_col.combine_chunks()
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(sub_col).to_numpy(zero_copy_only=False)
+    child = sub_col.flatten().to_numpy(zero_copy_only=False).astype(np.float64) + eps
+    offsets = np.zeros(len(lengths) + 1, np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    planted = pa.table(
+        {
+            key_col: pa.array(
+                keys[sel] + key_offset, type=batch.column(key_col).type
+            ),
+            vec_col: pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(child, pa.float64())
+            ),
+        }
+    )
+    return pa.concat_tables(
+        [batch.select([key_col, vec_col]), planted], promote_options="permissive"
+    )
+
+
+def synthesize_near_dups_sql(
+    table: str = "embeddings",
+    *,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 10,
+    key_offset: int = 100_000,
+    eps: float = 0.001,
+) -> str:
+    """SQL twin of synthesize_near_dups_batch, as a subquery."""
+    return (
+        f"(SELECT {key_col}, list_transform({vec_col}, x -> x::DOUBLE) AS {vec_col} "
+        f"FROM {table} "
+        f"UNION ALL "
+        f"SELECT {key_col} + {key_offset} AS {key_col}, "
+        f"list_transform({vec_col}, x -> x::DOUBLE + {eps}) AS {vec_col} "
+        f"FROM {table} WHERE {key_col} % {every} = 0)"
+    )

@@ -759,3 +759,63 @@ class TestIvfPq:
         np.testing.assert_array_equal(
             ann.load_pq_codebook(idx_dir).centroids, cb.centroids
         )
+
+
+class TestEmbeddingDedupInt8:
+    """Integer-exact embedding near-dup: planted-dup golden, oracle
+    parity, no-false-positive, plane determinism."""
+
+    def _planted(self):
+        rng = np.random.default_rng(11)
+        m = rng.normal(size=(40, 64))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        return dedup.synthesize_near_dups_batch(t, every=4)
+
+    def test_planted_dups_dropped(self, ray_session):
+        t = self._planted()
+        ds = rd.from_arrow(t)
+        kept = sorted(
+            r["vec_id"]
+            for r in dedup.embedding_dedup_int8(ds).select_columns(["vec_id"]).take_all()
+        )
+        # the 10 planted copies (ids 100000+) all drop; originals survive
+        assert kept == list(range(40))
+
+    def test_matches_sql_oracle(self, ray_session):
+        import duckdb
+
+        t = self._planted()
+        ds = rd.from_arrow(t)
+        kept = sorted(
+            r["vec_id"]
+            for r in dedup.embedding_dedup_int8(ds).select_columns(["vec_id"]).take_all()
+        )
+        con = duckdb.connect()
+        con.register("emb_arrow", t)
+        oracle = sorted(
+            con.execute(
+                dedup.embedding_dedup_oracle_sql("emb_arrow")
+            ).df()["vec_id"].tolist()
+        )
+        assert kept == oracle
+
+    def test_no_false_positives_on_random(self, ray_session):
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(60, 64))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(60), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        out = dedup.embedding_dedup_int8(rd.from_arrow(t))
+        assert out.count() == 60
+
+    def test_planes_deterministic_and_pm1(self):
+        a = dedup._embed_planes(32, 64, 7)
+        b = dedup._embed_planes(32, 64, 7)
+        np.testing.assert_array_equal(a, b)
+        assert set(np.unique(a)) == {-1, 1}
+        with pytest.raises(ValueError, match="dim <= 64"):
+            dedup._embed_planes(8, 65, 7)
