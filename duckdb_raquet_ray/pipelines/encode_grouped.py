@@ -257,21 +257,26 @@ def encode_job_grouped(
         uniq, first = np.unique(bsorted, return_index=True)
         ends = np.append(first[1:], len(bsorted))
         tag = uuid.uuid4().hex[:12]
-        buckets_out, paths_out = [], []
+        buckets_out, paths_out, bytes_out = [], [], []
         for b, s0, s1 in zip(uniq.tolist(), first.tolist(), ends.tolist()):
             p = os.path.join(shuffle_dir, f"b{b:05d}-{tag}.parquet")
             pq.write_table(batch.slice(s0, s1 - s0), p, compression="lz4")
             buckets_out.append(b)
             paths_out.append(p)
+            bytes_out.append(os.path.getsize(p))
         return pa.table({"bucket": pa.array(buckets_out, pa.int32()),
-                         "path": pa.array(paths_out, pa.string())})
+                         "path": pa.array(paths_out, pa.string()),
+                         "bytes": pa.array(bytes_out, pa.int64())})
 
     piece_rows = salted.map_batches(
         write_pieces, batch_format="pyarrow", batch_size=None
     ).take_all()  # O(blocks x buckets-present) tiny rows
     by_bucket: dict[int, list[str]] = {}
+    bucket_bytes: dict[int, int] = {}
     for r in piece_rows:
-        by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
+        b = int(r["bucket"])
+        by_bucket.setdefault(b, []).append(r["path"])
+        bucket_bytes[b] = bucket_bytes.get(b, 0) + int(r.get("bytes", 0) or 0)
 
     def encode_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -299,8 +304,14 @@ def encode_job_grouped(
     writer = mf.ManifestWriter(out_dir)
     try:
         if by_bucket:
+            # largest-first (LPT, same rationale as encode.encode_job):
+            # bucket sizes vary with the salt layout, and the last-started
+            # bucket bounds the reduce wall — big buckets go first
+            order = sorted(
+                by_bucket, key=lambda b: bucket_bytes.get(b, 0), reverse=True
+            )
             items = rd.from_items(
-                [{"paths": ps} for _, ps in sorted(by_bucket.items())],
+                [{"paths": by_bucket[b]} for b in order],
                 override_num_blocks=len(by_bucket),
             )
             # half-density slots, same rationale as encode.ENCODER_NUM_CPUS:
