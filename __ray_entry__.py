@@ -512,6 +512,31 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_url_scan(sf_dir: str):
+    """URL count + first-URL domain per doc (RE2 both sides; deterministic
+    URLs spliced — the sf docs are URL-free)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pii.synthesize_urls_batch, batch_format="pyarrow")
+    return pii.url_scan(ds).select_columns(["doc_id", "n_urls", "domain"])
+
+
+def _q_domain_counts(sf_dir: str):
+    """Top-20 domains by doc count — the blocklist/mixture-weight feed."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pii.synthesize_urls_batch, batch_format="pyarrow")
+    return pii.domain_counts(ds)
+
+
 def _q_embedding_dedup_int8(sf_dir: str):
     """Integer-exact embedding near-dup (the value-oracle variant of
     embedding_dedup): int8 vectors, seeded ±1 hyperplane bands, rational
@@ -1151,6 +1176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdoc_dup_docs": _q_crossdoc_dup,
         "ivfpq_topk_similar": _q_ivfpq_topk,
         "embedding_dedup_int8": _q_embedding_dedup_int8,
+        "url_scan_docs": _q_url_scan,
+        "domain_counts_docs": _q_domain_counts,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1439,6 +1466,10 @@ def oracle_sql() -> dict[str, str]:
         # counts and replacements are engine-identical by construction
         "pii_scan_docs": _pii.pii_scan_oracle_sql(_pii.synthesize_pii_sql()),
         "pii_redact_docs": _pii.pii_redact_oracle_sql(_pii.synthesize_pii_sql()),
+        "url_scan_docs": _pii.url_scan_oracle_sql(_pii.synthesize_urls_sql()),
+        "domain_counts_docs": _pii.domain_counts_oracle_sql(
+            _pii.synthesize_urls_sql()
+        ),
         "pq_codes": _ann.pq_codes_oracle_sql(_pq_codebook("/root/testdata/sf0.01")),
         "pq_topk_similar": _ann.pq_topk_oracle_sql(
             _pq_codebook("/root/testdata/sf0.01"), _query_vec(), k=10

@@ -137,3 +137,109 @@ def pii_redact_oracle_sql(
     for _, pattern, token in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
     return f"SELECT {key_col}, {expr} AS {text_col}_redacted FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction (web-pipeline staple: domain stats feed
+# blocklists and per-domain mixture weights)
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_scan_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append `n_urls` (RE2 match count) and `domain` (host of the FIRST
+    url, '' when none — matching DuckDB regexp_extract's no-match '')."""
+    arr = _text_array(batch, text_col)
+    n = pc.count_substring_regex(arr, URL_PATTERN).cast(pa.int64())
+    ex = pc.extract_regex(arr, r"https?://(?P<d>[A-Za-z0-9.-]+)")
+    dom = pc.coalesce(pc.struct_field(ex, "d"), pa.scalar("", pa.string()))
+    # null text stays null in counts but must stay null in domain too
+    dom = pc.if_else(pc.is_null(arr), pa.scalar(None, pa.string()), dom)
+    return batch.append_column("n_urls", n).append_column("domain", dom)
+
+
+def url_scan(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        lambda b: url_scan_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def domain_counts(
+    ds: rd.Dataset, text_col: str = "text", top: int = 20
+) -> "pa.Table":
+    """Top domains by document count (first-url host per doc): streaming
+    url_scan -> small groupby on the low-cardinality domain column ->
+    driver-side top-k (count desc, domain asc). The shuffle payload is one
+    short string per doc."""
+    counted = (
+        url_scan(ds, text_col)
+        .filter(expr="domain != ''")
+        .groupby("domain")
+        .count()
+    )
+    t = pa.Table.from_pylist(counted.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"domain": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    t = t.rename_columns(["domain", "cnt"]).set_column(
+        1, "cnt", t.column(1).cast(pa.int64())
+    )
+    return t.sort_by([("cnt", "descending"), ("domain", "ascending")]).slice(0, top)
+
+
+def url_scan_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of url_scan (RE2 both sides)."""
+    return (
+        f"SELECT {key_col}, "
+        f"len(regexp_extract_all({text_col}, '{URL_PATTERN}'))::BIGINT AS n_urls, "
+        f"regexp_extract({text_col}, '{URL_PATTERN}', 1) AS domain "
+        f"FROM {table}"
+    )
+
+
+def domain_counts_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", top: int = 20
+) -> str:
+    """DuckDB replica of domain_counts."""
+    return (
+        f"SELECT regexp_extract({text_col}, '{URL_PATTERN}', 1) AS domain, "
+        f"count(*)::BIGINT AS cnt FROM {table} "
+        f"WHERE regexp_extract({text_col}, '{URL_PATTERN}', 1) <> '' "
+        f"GROUP BY domain ORDER BY cnt DESC, domain LIMIT {int(top)}"
+    )
+
+
+def synthesize_urls_batch(
+    batch: pa.Table, *, key_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Splice a deterministic URL into every even-keyed row's text (pure
+    function of the key) — for exercising the URL oracles on URL-free
+    corpora. SQL twin: `synthesize_urls_sql`."""
+    import pandas as pd
+
+    ids = pd.Series(batch.column(key_col).to_numpy(zero_copy_only=False))
+    txt = batch.column(text_col).to_pandas().fillna("").reset_index(drop=True)
+    url = (
+        " see https://site" + (ids % 50).astype(str)
+        + ".example.org/page" + ids.astype(str)
+    ).where(ids % 2 == 0, "")
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col,
+        pa.array(txt + url, pa.string()),
+    )
+
+
+def synthesize_urls_sql(
+    table: str = "documents", *, key_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """SQL twin of synthesize_urls_batch, as a subquery."""
+    return (
+        f"(SELECT {key_col}, coalesce({text_col}, '') || "
+        f"CASE WHEN {key_col} % 2 = 0 THEN ' see https://site' || "
+        f"({key_col} % 50)::VARCHAR || '.example.org/page' || {key_col}::VARCHAR "
+        f"ELSE '' END AS {text_col} FROM {table})"
+    )

@@ -110,3 +110,53 @@ class TestCli:
         out2 = pq.read_table(str(dest2)).to_pandas().set_index("doc_id")
         assert out2.loc[0, "text_redacted"] == "reach me at [EMAIL] thanks"
         assert out2.loc[2, "n_phone"] == 2
+
+
+class TestUrlScan:
+    def _table(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "go to https://a.b.c/x and http://d.e/f now",
+                        "no urls at all",
+                        None,
+                        "ftp://not.matched and https://only.this",
+                    ]
+                ),
+            }
+        )
+
+    def test_golden(self):
+        out = pii.url_scan_batch(self._table()).to_pandas().set_index("doc_id")
+        assert out["n_urls"].tolist()[:2] == [2, 0]
+        assert out.loc[0, "domain"] == "a.b.c"
+        assert out.loc[1, "domain"] == ""  # DuckDB regexp_extract no-match
+        import pandas as pd
+
+        assert out.loc[2, "domain"] is None and pd.isna(out.loc[2, "n_urls"])
+        assert out.loc[3, "domain"] == "only.this"
+
+    def test_sql_parity(self):
+        t = self._table()
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        mine = pii.url_scan_batch(t).select(["doc_id", "n_urls", "domain"]).to_pandas()
+        oracle = con.execute(pii.url_scan_oracle_sql("docs_arrow")).df()
+        assert mine["domain"].fillna("¤").tolist() == oracle["domain"].fillna("¤").tolist()
+        assert mine["n_urls"].fillna(-1).tolist() == oracle["n_urls"].fillna(-1).tolist()
+
+    def test_domain_counts(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(
+                    ["https://x.org/a", "https://x.org/b", "https://y.io",
+                     "plain", "https://x.org/c", None]
+                ),
+            }
+        )
+        out = pii.domain_counts(rd.from_arrow(t))
+        assert out.column("domain").to_pylist() == ["x.org", "y.io"]
+        assert out.column("cnt").to_pylist() == [3, 1]
