@@ -512,6 +512,26 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+_SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+_SPLIT_SEED = 17
+
+
+def _q_assign_splits(sf_dir: str):
+    """Deterministic train/val/test assignment: split = the hash range
+    mix64(hash(doc_id), seed) falls into — stable under partitioning,
+    resume, and corpus growth (pipelines/sampling.py:assign_splits)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return sampling.assign_splits(
+        ds, _SPLIT_FRACTIONS, seed=_SPLIT_SEED
+    ).select_columns(["doc_id", "split"])
+
+
 def _q_url_scan(sf_dir: str):
     """URL count + first-URL domain per doc (RE2 both sides; deterministic
     URLs spliced — the sf docs are URL-free)."""
@@ -1178,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_int8": _q_embedding_dedup_int8,
         "url_scan_docs": _q_url_scan,
         "domain_counts_docs": _q_domain_counts,
+        "assign_splits_docs": _q_assign_splits,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1422,6 +1443,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "epoch_order": _sampling.epoch_order_oracle_sql(
             corpus, seed=_EPOCH_SEED, limit=200
+        ),
+        "assign_splits_docs": _sampling.splits_oracle_sql(
+            "documents", _SPLIT_FRACTIONS, seed=_SPLIT_SEED
         ),
         # canonical packing order = the numeric doc suffix (globally
         # sequential across shards == file/row order the Ray side reads);

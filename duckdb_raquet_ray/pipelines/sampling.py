@@ -138,3 +138,69 @@ def epoch_order_oracle_sql(
 SELECT d.{key_col}, (mx.u >> 1)::BIGINT AS epoch_rank
 FROM {table} d JOIN mx ON mx.k = d.{key_col}
 ORDER BY epoch_rank, d.{key_col} LIMIT {limit}"""
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Ordered (name, cumulative uint64 threshold) — insertion order
+    defines the hash-range layout, last range absorbs rounding."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    items = list(fractions.items())
+    for i, (name, f) in enumerate(items):
+        acc += f
+        thr = U64 if i == len(items) - 1 else int(acc * U64)
+        out.append((name, thr))
+    return out
+
+
+def assign_splits(
+    ds: rd.Dataset,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """Append `split` (train/val/test/...) — the deterministic holdout
+    assignment every training pipeline needs: split = the hash range
+    mix64(hash(key), seed) falls into. A pure per-row function of the
+    key, so membership is stable across partitioning, cluster size,
+    resume, and corpus growth (new rows never move old rows between
+    splits). Streaming map_batches, no shuffle; exact SQL twin
+    `splits_oracle_sql`."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    thr = split_thresholds(fractions)
+    names = [n for n, _ in thr]
+    bounds = np.array([t for _, t in thr[:-1]], dtype=np.uint64)
+    seed = int(seed)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.dtype != object:  # integer keys hash by decimal string
+            keys = keys.astype(str).astype(object)  # = SQL ::VARCHAR
+        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        idx = np.searchsorted(bounds, u, side="right")
+        name_arr = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(names, pa.string())
+        )
+        return t.append_column("split", name_arr.cast(pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def splits_oracle_sql(
+    table: str,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """SQL replica of :func:`assign_splits` (keys hashed by their VARCHAR
+    form, matching the kernel's decimal-string coercion of int keys)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    thr = split_thresholds(fractions)
+    cases = " ".join(
+        f"WHEN mx.u < {t}::UBIGINT THEN '{n}'" for n, t in thr[:-1]
+    )
+    return f"""{_mix_ctes(table, f"{key_col}::VARCHAR", seed)}
+SELECT d.{key_col}, CASE {cases} ELSE '{thr[-1][0]}' END AS split
+FROM {table} d JOIN mx ON mx.k = d.{key_col}::VARCHAR"""

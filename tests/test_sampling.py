@@ -99,3 +99,46 @@ class TestOracleEdges:
             duckdb.connect().execute(
                 sampling.epoch_order_oracle_sql(long_t, seed=0, limit=10)
             ).df()
+
+
+class TestAssignSplits:
+    def test_partition_and_fraction_properties(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": pa.array(np.arange(10_000), pa.int64())})
+        out = sampling.assign_splits(rd.from_arrow(t), seed=3).to_pandas()
+        counts = out["split"].value_counts()
+        assert set(counts.index) <= {"train", "val", "test"}
+        assert counts["train"] > 9500  # ~98%
+        assert 20 < counts.get("val", 0) < 300 and 20 < counts.get("test", 0) < 300
+        # stability: same assignment regardless of batch boundaries / subset
+        sub = sampling.assign_splits(
+            rd.from_arrow(t.slice(5000, 100)), seed=3
+        ).to_pandas().set_index("doc_id")["split"]
+        full = out.set_index("doc_id")["split"]
+        assert (full.loc[sub.index] == sub).all()
+
+    def test_sql_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        t = pa.table({"doc_id": pa.array(np.arange(500), pa.int64())})
+        mine = (
+            sampling.assign_splits(rd.from_arrow(t), seed=9)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        oracle = (
+            con.execute(sampling.splits_oracle_sql("docs_arrow", seed=9))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert mine["split"].tolist() == oracle["split"].tolist()
+
+    def test_bad_fractions_rejected(self):
+        with pytest.raises(ValueError, match="sum to 1"):
+            sampling.split_thresholds({"a": 0.5, "b": 0.2})
