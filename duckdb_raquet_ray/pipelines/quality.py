@@ -441,7 +441,15 @@ def crossdoc_ngram_dup(
     folded = partials.groupby(key_col).sum(["distinct_grams", "dup_grams"])
 
     def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([key_col, "distinct_grams", "dup_grams"])
+        # name-based, not positional: a column-order change in Ray's
+        # groupby-sum output must not silently swap the two counts
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "distinct_grams": t.column("sum(distinct_grams)"),
+                "dup_grams": t.column("sum(dup_grams)"),
+            }
+        )
 
     return folded.map_batches(rename, batch_format="pyarrow")
 
