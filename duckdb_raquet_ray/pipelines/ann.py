@@ -61,7 +61,12 @@ def brute_force_topk(
         m = _normalize(_matrix(batch.column(vec_col), dim=len(qv)))
         sims = m @ qv
         take = min(k, len(sims))
-        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        # the per-batch cut must honor the GLOBAL (sim desc, key asc)
+        # order: argpartition keeps an arbitrary subset of k-th-place sim
+        # ties, which can drop the smaller key before the final sort sees
+        # it (block-boundary-dependent, oracle-divergent)
+        kn = batch.column(key_col).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((kn, -sims))[:take] if take else np.array([], dtype=int)
         keys = batch.column(key_col).take(pa.array(idx))
         return pa.table({key_col: keys, "sim": pa.array(sims[idx], type=pa.float64())})
 
@@ -427,7 +432,11 @@ def pq_topk(
             codes = cb.encode_matrix(_int8_matrix(batch, vec_col))
         sims = table[np.arange(cb.m)[None, :], codes].sum(axis=1)
         take = min(k, len(sims))
-        idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], dtype=int)
+        # (sim desc, key asc) cut — integer ADC sims tie often (shared PQ
+        # codes), and an argpartition cut would drop smaller keys
+        # block-boundary-dependently (see brute_force_topk)
+        kn = batch.column(key_col).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((kn, -sims))[:take] if take else np.array([], dtype=int)
         keys = batch.column(key_col).take(pa.array(idx))
         return pa.table({key_col: keys, "sim": pa.array(sims[idx], type=pa.int64())})
 

@@ -289,7 +289,6 @@ def _minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    verify_concurrency: int | tuple[int, int] = (1, 8),
 ) -> list[tuple]:
     """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
     near-dup EDGE list (a, b), a < b, Jaccard >= threshold. The shared
@@ -436,7 +435,6 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    verify_concurrency: int | tuple[int, int] = (1, 8),
 ) -> rd.Dataset:
     """Near-dup removal: drop each doc confirmed >= threshold similar to a
     smaller key (see :func:`_minhash_verified_pairs` for the distributed
@@ -446,8 +444,7 @@ def minhash_dedup(
     import pyarrow.compute as pc
 
     edges = _minhash_verified_pairs(
-        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
-        verify_concurrency,
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
     )
     drop_keys = sorted({b for _, b in edges})
     if not drop_keys:
@@ -469,7 +466,6 @@ def minhash_clusters(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    verify_concurrency: int | tuple[int, int] = (1, 8),
 ) -> rd.Dataset:
     """Annotate every doc with `cluster_id` = the MIN key of its near-dup
     connected component — transitive closure over the verified LSH edge
@@ -485,8 +481,7 @@ def minhash_clusters(
     import ray
 
     edges = _minhash_verified_pairs(
-        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
-        verify_concurrency,
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
     )
     # union-find, min key as representative: union attaches the larger
     # root under the smaller, so every root is its component's minimum
@@ -1121,9 +1116,6 @@ def synthesize_near_dups_batch(
     sel = keys % every == 0
     if not sel.any():
         return batch
-    col = batch.column(vec_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
     sub = batch.filter(pa.array(sel))
     sub_col = sub.column(vec_col)
     if isinstance(sub_col, pa.ChunkedArray):

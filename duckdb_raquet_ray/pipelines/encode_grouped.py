@@ -46,6 +46,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .. import util
+from ..functions import detmix
 from ..functions import partition_keys as pk
 from ..stages import encoder as enc
 from ..state import fsio
@@ -250,7 +251,12 @@ def encode_job_grouped(
             | (src.map(sh).to_numpy(dtype=np.uint64) << np.uint64(pk.SALT_BITS))
             | salt
         )
-        bucket = (pid % np.uint64(n_buckets)).astype(np.int32)
+        # mix before the modulus: pid packs salt into the LOW bits
+        # (source_hash << SALT_BITS | salt), so a power-of-two n_buckets
+        # (including the 4096 cap) would reduce to `salt % n_buckets` and
+        # collapse every source's salt-0 group into ONE reduce bucket —
+        # exactly the skew this repartition exists to remove
+        bucket = (detmix.splitmix64(pid) % np.uint64(n_buckets)).astype(np.int32)
         order = np.argsort(bucket, kind="stable")
         batch = batch.take(pa.array(order))
         bsorted = bucket[order]

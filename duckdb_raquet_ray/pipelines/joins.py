@@ -378,6 +378,15 @@ def hash_join(
         c for c in right.schema().names if c != right_key
     ]
     l_cols = list(left.schema().names)
+    clash = [c for c in r_payload if c in l_cols and c != right_key]
+    if clash:
+        # a silently-dropped right column would hand the caller LEFT
+        # values under the name they asked to join in; fail loudly
+        raise ValueError(
+            f"right_cols {clash} collide with left column names — "
+            "rename them on one side (select_columns + a rename "
+            "map_batches) before joining"
+        )
     out_extra = [c for c in r_payload if c not in l_cols]
     out_names = l_cols + out_extra
 

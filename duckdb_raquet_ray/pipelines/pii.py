@@ -183,8 +183,13 @@ def domain_counts(
         return pa.table(
             {"domain": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
         )
-    t = t.rename_columns(["domain", "cnt"]).set_column(
-        1, "cnt", t.column(1).cast(pa.int64())
+    # name-based mapping: a column-order change in Ray's groupby-count
+    # output must not silently swap domains and counts
+    t = pa.table(
+        {
+            "domain": t.column("domain"),
+            "cnt": t.column("count()").cast(pa.int64()),
+        }
     )
     return t.sort_by([("cnt", "descending"), ("domain", "ascending")]).slice(0, top)
 

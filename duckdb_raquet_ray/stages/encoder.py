@@ -157,16 +157,22 @@ def source_rollup_partial(
             "v": table.column(value_col).to_pandas(),
         }
     )
-    agg = df.groupby("g", dropna=False)["v"].agg(["count", "sum", "min", "max"])
+    # SQL-aggregate semantics (the rollup answers COUNT(*)/SUM/MIN/MAX
+    # queries): count = ALL rows including null values; sum/min/max skip
+    # nulls and are null for an all-null group — pandas' 'count' counts
+    # only non-null and int() on an all-null group's NaN min would crash
+    # the encode job
+    agg = df.groupby("g", dropna=False)["v"].agg(["size", "sum", "min", "max"])
     rows = []
     for g, r in agg.iterrows():
+        all_null = pd.isna(r["min"])
         rows.append(
             {
                 "source": None if pd.isna(g) else str(g),
-                "count": int(r["count"]),
-                "sum": int(r["sum"]),
-                "min": int(r["min"]),
-                "max": int(r["max"]),
+                "count": int(r["size"]),
+                "sum": None if all_null else int(r["sum"]),
+                "min": None if all_null else int(r["min"]),
+                "max": None if all_null else int(r["max"]),
             }
         )
     rows.sort(key=lambda r: (r["source"] is None, r["source"]))

@@ -293,9 +293,12 @@ def fold_rollups(entries: list[dict]) -> dict:
                 acc[s] = dict(row)
             else:
                 a["count"] += row["count"]
-                a["sum"] += row["sum"]
-                a["min"] = min(a["min"], row["min"])
-                a["max"] = max(a["max"], row["max"])
+                # null-safe fold (a partial's sum/min/max are None when
+                # every value in its partition was null — SQL semantics)
+                for k, op in (("sum", lambda x, y: x + y),
+                              ("min", min), ("max", max)):
+                    if row[k] is not None:
+                        a[k] = row[k] if a[k] is None else op(a[k], row[k])
     if not any_rollup:
         return {}
     rows = sorted(acc.values(), key=lambda r: (r["source"] is None, r["source"]))

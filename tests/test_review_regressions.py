@@ -263,3 +263,97 @@ def test_greedy_keep_blocked_matches_naive():
     for block in (16, 64, 300, 1000):
         got = dedup._greedy_keep(mn, thr, block=block).tolist()
         assert got == naive, f"block={block}"
+
+
+class TestTopkTieBreak:
+    """Review finding: a per-batch argpartition cut keeps an ARBITRARY
+    subset of k-th-place sim ties, dropping smaller keys before the global
+    (sim desc, key asc) sort sees them — block-boundary-dependent and
+    oracle-divergent. The cut must honor the global order."""
+
+    def test_pq_topk_ties_keep_smallest_keys(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        # 30 IDENTICAL vectors -> identical PQ codes -> all sims tie;
+        # three single-row blocks force per-batch cuts
+        v = [1.0] * 64
+        t = pa.table({
+            "vec_id": pa.array(np.arange(30)[::-1].copy(), pa.int64()),  # descending ids
+            "embedding": pa.array([v] * 30, pa.list_(pa.float64())),
+        })
+        ds = rd.from_arrow(t)
+        cb = ann.train_pq(ds)
+        got = ann.pq_topk(ds, cb, np.ones(64), k=5)
+        assert got.column("vec_id").to_pylist() == [0, 1, 2, 3, 4]
+
+    def test_brute_force_ties_keep_smallest_keys(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        v = [1.0] * 8
+        t = pa.table({
+            "vec_id": pa.array(np.arange(20)[::-1].copy(), pa.int64()),
+            "embedding": pa.array([v] * 20, pa.list_(pa.float64())),
+        })
+        got = ann.brute_force_topk(rd.from_arrow(t), np.ones(8), k=5)
+        assert got.column("vec_id").to_pylist() == [0, 1, 2, 3, 4]
+
+
+class TestGroupedBucketMix:
+    """Review finding: pid packs salt into the LOW bits, so
+    `pid % n_buckets` for a power-of-two bucket count reduces to
+    `salt % n_buckets` and collapses every source's salt-0 group into one
+    reduce bucket. The bucket id must mix pid first."""
+
+    def test_salt0_groups_spread_over_power_of_two_buckets(self):
+        from duckdb_raquet_ray.functions import detmix
+        from duckdb_raquet_ray.functions import partition_keys as pk
+
+        pids = np.array(
+            [pk.pack_grouped(f"src{i}", 0) for i in range(1000)], dtype=np.uint64
+        )
+        buckets = detmix.splitmix64(pids) % np.uint64(256)
+        assert len(np.unique(buckets)) > 150  # was exactly 1 pre-fix
+
+
+class TestRollupNullSemantics:
+    """Review finding: pandas 'count' skips nulls (oracle is COUNT(*)) and
+    int() on an all-null group's NaN min crashed the encode job."""
+
+    def test_all_null_and_mixed_null_groups(self):
+        from duckdb_raquet_ray.stages import encoder as enc
+
+        t = pa.table({
+            "source": pa.array(["a", "a", "b", "b", "b"]),
+            "n_tok": pa.array([None, None, 5, None, 3], pa.int64()),
+        })
+        rows = {r["source"]: r for r in enc.source_rollup_partial(t)}
+        assert rows["a"] == {"source": "a", "count": 2, "sum": None, "min": None, "max": None}
+        assert rows["b"] == {"source": "b", "count": 3, "sum": 8, "min": 3, "max": 5}
+
+    def test_fold_null_safe(self):
+        from duckdb_raquet_ray.state import manifest as mf
+
+        entries = [
+            {"rollup": {"n_tok_by_source": [
+                {"source": "a", "count": 2, "sum": None, "min": None, "max": None}]}},
+            {"rollup": {"n_tok_by_source": [
+                {"source": "a", "count": 1, "sum": 7, "min": 7, "max": 7}]}},
+        ]
+        out = mf.fold_rollups(entries)["n_tok_by_source"]
+        assert out == [{"source": "a", "count": 3, "sum": 7, "min": 7, "max": 7}]
+
+
+class TestHashJoinCollision:
+    def test_right_col_collision_raises(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins
+
+        l = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())}))
+        r = rd.from_arrow(pa.table({"rk": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="collide"):
+            joins.hash_join(l, r, left_key="k", right_key="rk", right_cols=["v"])
