@@ -512,6 +512,62 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_clean_corpus(sf_dir: str):
+    """The composed cleaning pipeline a training run actually executes:
+    MinHash near-dup removal -> Gopher repetition drop (dup 2-gram mass
+    <= 1/2) -> benchmark decontamination (drop) — three independently
+    oracle-checked stages chained into ONE value-checked result. Per-doc
+    metrics are pure per-doc functions, so the SQL twin intersects each
+    stage's keep-set computed over the full table — equivalent to the
+    pipelined order."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import contamination as cont
+    from duckdb_raquet_ray.pipelines import dedup, quality
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dedup.minhash_dedup(docs)
+    out = quality.gopher_filter(
+        quality.repetition_metrics(out, n=2), max_dup_frac=0.5
+    )
+    # the benchmark set comes from the ORIGINAL table (doc_id%50==7), and
+    # bench docs themselves leave the training set before the probe (the
+    # contamination oracle's output domain). Ray's expr filter can't
+    # parse a modulo, so these are vectorized pyarrow masks.
+    def _mod_filter(rem_eq: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
+            return t.filter(pa.array(m if rem_eq else ~m))
+
+        return f
+
+    out = out.map_batches(_mod_filter(False), batch_format="pyarrow")
+    bench = cont.benchmark_ngram_set(
+        docs.map_batches(_mod_filter(True), batch_format="pyarrow"), n=5
+    )
+    out = cont.decontaminate(out, bench, n=5, drop=True, concurrency=(1, 4))
+    return out.select_columns(["doc_id"])
+
+
+def _clean_corpus_oracle_sql() -> str:
+    from duckdb_raquet_ray.pipelines import contamination as _contamination
+    from duckdb_raquet_ray.pipelines import dedup as _dedup
+    from duckdb_raquet_ray.pipelines import quality as _quality
+
+    mh = _dedup.minhash_oracle_sql("documents")
+    rep = _quality.repetition_oracle_sql("documents", n=2)
+    con = _contamination.contamination_oracle_sql("documents", n=5)
+    return f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM ({mh}))
+  AND d.doc_id IN (SELECT doc_id FROM ({rep})
+                   WHERE dup_gram_positions * 2 <= n_grams)
+  AND d.doc_id IN (SELECT doc_id FROM ({con}) WHERE contaminated = 0)
+"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
 _SPLIT_SEED = 17
 
@@ -1199,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_scan_docs": _q_url_scan,
         "domain_counts_docs": _q_domain_counts,
         "assign_splits_docs": _q_assign_splits,
+        "clean_corpus_docs": _q_clean_corpus,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1447,6 +1504,10 @@ def oracle_sql() -> dict[str, str]:
         "assign_splits_docs": _sampling.splits_oracle_sql(
             "documents", _SPLIT_FRACTIONS, seed=_SPLIT_SEED
         ),
+        # three oracle-checked stages composed into one value-checked
+        # result (per-doc metrics commute with filtering, so stagewise
+        # keep-set intersection == the pipelined order)
+        "clean_corpus_docs": _clean_corpus_oracle_sql(),
         # canonical packing order = the numeric doc suffix (globally
         # sequential across shards == file/row order the Ray side reads);
         # each doc contributes its tokens + ONE separator (50256), the
