@@ -512,6 +512,48 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Daily-append workflow: the first half of the corpus is indexed once
+    (16 B/doc hive-bucketed content hashes, dedup.build_content_index);
+    the 'new' batch — the second half plus 50 planted copies of indexed
+    texts — dedups against the INDEX without re-reading the old corpus
+    (only probed hash buckets open). Text-level SQL anti-join oracle."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _half(lt: bool, cut: int = 250):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(k < cut if lt else k >= cut))
+
+        return f
+
+    def _replant(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(k < 50))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(sub.column("doc_id").to_numpy(zero_copy_only=False) + 1000),
+        )
+
+    old = docs.map_batches(_half(True), batch_format="pyarrow")
+    new = docs.map_batches(_half(False), batch_format="pyarrow").union(
+        docs.map_batches(_replant, batch_format="pyarrow")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_incdedup_{tag}_{ENGINE_TAG}"
+    if not os.path.isdir(idx_dir):
+        dedup.build_content_index(old, idx_dir)
+    return dedup.incremental_exact_dedup(new, idx_dir).select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def _q_clean_corpus(sf_dir: str):
     """The composed cleaning pipeline a training run actually executes:
     MinHash near-dup removal -> Gopher repetition drop (dup 2-gram mass
@@ -1256,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_counts_docs": _q_domain_counts,
         "assign_splits_docs": _q_assign_splits,
         "clean_corpus_docs": _q_clean_corpus,
+        "incremental_dedup_docs": _q_incremental_dedup,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
         "asof_join_events": _q_asof_join,
@@ -1508,6 +1551,13 @@ def oracle_sql() -> dict[str, str]:
         # result (per-doc metrics commute with filtering, so stagewise
         # keep-set intersection == the pipelined order)
         "clean_corpus_docs": _clean_corpus_oracle_sql(),
+        # index halves: old = doc_id < 250; new = the rest + 50 planted
+        # re-keyed copies of indexed texts (must all drop)
+        "incremental_dedup_docs": _dedup.incremental_dedup_oracle_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id >= 250 "
+            "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 250)",
+        ),
         # canonical packing order = the numeric doc suffix (globally
         # sequential across shards == file/row order the Ray side reads);
         # each doc contributes its tokens + ONE separator (50256), the

@@ -19,9 +19,13 @@ deterministic, so results are stable across topologies.
 
 from __future__ import annotations
 
+import glob
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from duckdb_raquet_ray import util
@@ -1159,3 +1163,136 @@ def synthesize_near_dups_sql(
         f"list_transform({vec_col}, x -> x::DOUBLE + {eps}) AS {vec_col} "
         f"FROM {table} WHERE {key_col} % {every} = 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup: index once, dedup every future append against it
+# ---------------------------------------------------------------------------
+
+_INDEX_BUCKETS = 256
+
+
+def _dual_hash(batch: pa.Table, text_col: str) -> np.ndarray:
+    """(n, 2) uint64 — two INDEPENDENT stable 64-bit text hashes (siphash
+    + detmix polynomial), i.e. an effective 128-bit content id: at 10^10
+    docs the 128-bit birthday bound is ~10^-18, so the index can store
+    hashes instead of text. (The 64-bit single-hash exact_dedup compares
+    real text in-bucket — an INDEX can't, hence the wider id.)"""
+    s = batch.column(text_col).to_pandas().fillna("")
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+    h2 = detmix.string_hash64(s.to_numpy(dtype=object))
+    return np.stack([h1, h2], axis=1)
+
+
+def build_content_index(
+    ds: rd.Dataset, index_dir: str, text_col: str = "text"
+) -> int:
+    """Persist the corpus's content-hash index as hive-bucketed Parquet
+    (`hb=<h1 % 256>/`): O(16 B/doc) on disk, and a future probe opens
+    ONLY the buckets its new docs hash into. Returns indexed row count."""
+
+    def hashes(b: pa.Table) -> pa.Table:
+        b = util.strip_schema_metadata(b)
+        h = _dual_hash(b, text_col)
+        return pa.table(
+            {
+                "h1": pa.array(h[:, 0]),
+                "h2": pa.array(h[:, 1]),
+                "hb": pa.array((h[:, 0] % _INDEX_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    hds = util.clean_dataset(ds).map_batches(hashes, batch_format="pyarrow")
+    hds.write_parquet(index_dir, partition_cols=["hb"])
+    return ds.count()
+
+
+def incremental_exact_dedup(
+    new_ds: rd.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> rd.Dataset:
+    """Drop new docs whose content already exists in the INDEXED corpus,
+    then exact-dedup the survivors among themselves (smallest key wins) —
+    the daily-append workflow: the old corpus is never re-read, only the
+    probed index buckets are opened (16 B/doc of hashes, not text).
+
+    Scale: each batch probes only the buckets its rows hash into; the
+    per-actor bucket cache keeps a hot append job from re-reading index
+    files per batch."""
+
+    class Probe:
+        def __init__(self):
+            self._cache: dict[int, np.ndarray] = {}
+
+        def _bucket(self, b: int) -> np.ndarray:
+            got = self._cache.get(b)
+            if got is None:
+                files = sorted(glob.glob(os.path.join(index_dir, f"hb={b}", "*.parquet")))
+                if files:
+                    t = pa.concat_tables([pq.read_table(f, columns=["h1", "h2"]) for f in files])
+                    h = np.stack(
+                        [
+                            t.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64),
+                            t.column("h2").to_numpy(zero_copy_only=False).astype(np.uint64),
+                        ],
+                        axis=1,
+                    )
+                    # lexsorted 128-bit ids for searchsorted membership
+                    order = np.lexsort((h[:, 1], h[:, 0]))
+                    got = h[order]
+                else:
+                    got = np.zeros((0, 2), np.uint64)
+                self._cache[b] = got
+            return got
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = util.strip_schema_metadata(batch)
+            h = _dual_hash(batch, text_col)
+            keep = np.ones(len(h), dtype=bool)
+            for b in np.unique(h[:, 0] % _INDEX_BUCKETS).astype(int):
+                idx = self._bucket(int(b))
+                rows = np.flatnonzero((h[:, 0] % _INDEX_BUCKETS) == b)
+                if len(idx) == 0 or len(rows) == 0:
+                    continue
+                sub = h[rows]
+                pos = np.searchsorted(idx[:, 0], sub[:, 0])
+                # scan the (short) h1 run for an h2 match
+                for i, p in zip(rows, pos):
+                    q = p
+                    while q < len(idx) and idx[q, 0] == h[i, 0]:
+                        if idx[q, 1] == h[i, 1]:
+                            keep[i] = False
+                            break
+                        q += 1
+            return batch.filter(pa.array(keep))
+
+    survivors = util.clean_dataset(new_ds).map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return exact_dedup(survivors, text_col, key_col)
+
+
+def incremental_dedup_oracle_sql(
+    new_table: str,
+    old_table: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """Text-level replica: new docs whose text does not appear in the old
+    corpus, then keep the smallest key per distinct text. (The Ray side
+    compares 128-bit content hashes — equality of texts implies equality
+    of hashes, and a cross-hash collision is ~10^-18 at corpus scale, so
+    the text-level oracle is exact on any real table.)"""
+    return f"""
+WITH fresh AS (
+  SELECT * FROM {new_table} n
+  WHERE coalesce(n.{text_col}, '') NOT IN
+        (SELECT coalesce({text_col}, '') FROM {old_table})
+)
+SELECT * FROM fresh WHERE {key_col} IN
+  (SELECT MIN({key_col}) FROM fresh GROUP BY {text_col})
+"""

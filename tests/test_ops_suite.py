@@ -819,3 +819,63 @@ class TestEmbeddingDedupInt8:
         assert set(np.unique(a)) == {-1, 1}
         with pytest.raises(ValueError, match="dim <= 64"):
             dedup._embed_planes(8, 65, 7)
+
+
+class TestIncrementalDedup:
+    def test_index_probe_and_within_new_dedup(self, ray_session, tmp_path):
+        old = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha text", "beta text", "gamma text"]),
+        })
+        new = pa.table({
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(["alpha text", "delta text", "delta text",
+                              "beta text", "epsilon text"]),
+        })
+        idx = str(tmp_path / "cidx")
+        assert dedup.build_content_index(rd.from_arrow(old), idx) == 3
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_exact_dedup(rd.from_arrow(new), idx).take_all()
+        )
+        # 10/13 exist in the index; 12 is a within-new dup of 11
+        assert kept == [11, 14]
+
+    def test_matches_sql_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        old = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["one body", "two body"]),
+        })
+        new = pa.table({
+            "doc_id": pa.array([5, 6, 7], pa.int64()),
+            "text": pa.array(["one body", "three body", "three body"]),
+        })
+        idx = str(tmp_path / "cidx2")
+        dedup.build_content_index(rd.from_arrow(old), idx)
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_exact_dedup(rd.from_arrow(new), idx).take_all()
+        )
+        con = duckdb.connect()
+        con.register("new_t", new)
+        con.register("old_t", old)
+        oracle = sorted(
+            con.execute(
+                dedup.incremental_dedup_oracle_sql("new_t", "old_t")
+            ).df()["doc_id"].tolist()
+        )
+        assert kept == oracle == [6]
+
+    def test_empty_index_keeps_everything_deduped(self, ray_session, tmp_path):
+        idx = str(tmp_path / "cidx3")
+        dedup.build_content_index(
+            rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())})), idx)
+        new = pa.table({
+            "doc_id": pa.array([3, 1], pa.int64()),
+            "text": pa.array(["x y", "x y"]),
+        })
+        kept = [r["doc_id"] for r in dedup.incremental_exact_dedup(rd.from_arrow(new), idx).take_all()]
+        assert kept == [1]
