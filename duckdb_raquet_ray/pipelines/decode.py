@@ -551,8 +551,16 @@ def verify_multiset(input_paths: list[str], out_dir: str) -> dict:
 
 def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> dict:
     """Full-corpus bit-identity gate (per-row token-array equality via
-    pa.Table.equals on every partition). Returns summary dict."""
+    pa.Table.equals on every partition). Returns summary dict.
 
+    With no explicit plan kwargs, the PERSISTED job.json target is used —
+    encode_job auto-sizes target_part_bytes and persists it, so
+    re-planning with plan_partitions' default here would verify against
+    DIFFERENT partition ranges and report every partition mismatched."""
+    if "target_part_bytes" not in encode_plan_kwargs:
+        cfg = mf.load_job_config(out_dir)
+        if cfg and cfg.get("target_part_bytes") is not None:
+            encode_plan_kwargs["target_part_bytes"] = cfg["target_part_bytes"]
     items = plan_partitions(input_paths, **encode_plan_kwargs)
     return _run_verify(items, out_dir)
 

@@ -32,6 +32,7 @@ filtered from the work list before launch — idempotent, no shuffle.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -190,6 +191,14 @@ def encode_job(
         mf.persist_job_config(
             out_dir, {"mode": "lineage", "target_part_bytes": target_part_bytes}
         )
+    # sweep stale publish temps from a killed prior run (publish is
+    # tmp-<pid> -> rename; a SIGKILL mid-write leaves the tmp behind and
+    # resume re-encodes that partition under a fresh pid anyway)
+    for stale in glob.glob(os.path.join(out_dir, "*.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     items = plan_partitions(input_paths, target_part_bytes)
     schema_arrow = pq.ParquetFile(sorted(input_paths)[0]).schema_arrow
     schema_str = str(schema_arrow)
