@@ -630,6 +630,21 @@ def _q_assign_splits(sf_dir: str):
     ).select_columns(["doc_id", "split"])
 
 
+def _q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats (RE2 split both sides,
+    explicit trim set — pipelines/text.py:sentence_stats)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _text.sentence_stats(ds).select_columns(
+        ["doc_id", "n_sentences", "sent_chars"]
+    )
+
+
 def _q_url_scan(sf_dir: str):
     """URL count + first-URL domain per doc (RE2 both sides; deterministic
     URLs spliced — the sf docs are URL-free)."""
@@ -1297,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_scan_docs": _q_url_scan,
         "domain_counts_docs": _q_domain_counts,
         "assign_splits_docs": _q_assign_splits,
+        "sentence_stats_docs": _q_sentence_stats,
         "clean_corpus_docs": _q_clean_corpus,
         "incremental_dedup_docs": _q_incremental_dedup,
         "broadcast_join_orders": _q_broadcast_join,
@@ -1360,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import dedup as _dedup
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
+    from duckdb_raquet_ray.pipelines import text as _text_ops
 
     _ensure_corpus()
     corpus = f"read_parquet('{CORPUS_DIR}/shard-*.parquet')"
@@ -1439,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
             "SUM(n_tok)::DOUBLE / COUNT(*) AS mean_v "
             f"FROM {corpus} GROUP BY source"
         ),
+        "sentence_stats_docs": _text_ops.sentence_oracle_sql("documents"),
         "ws_token_count": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens "
             "FROM documents"

@@ -173,3 +173,74 @@ def quality_metrics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         vals = s.str.len() if rx is None else s.str.count(rx)
         out = out.append_column(name, pa.array(vals.to_numpy(np.int64)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation stats (RE2 split — engine-identical with DuckDB)
+# ---------------------------------------------------------------------------
+
+SENTENCE_SPLIT = r"[.!?]+"
+_TRIM_CHARS = " \t\n\r"
+
+
+def sentence_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append `n_sentences` (segments with any non-trim char after an RE2
+    split on terminal punctuation) and `sent_chars` (total trimmed segment
+    length). pyarrow split_pattern_regex IS RE2 — the same engine as
+    DuckDB regexp_split_to_array — and the trim uses an explicit char set
+    on both sides, so the counts are engine-identical by construction
+    (`sentence_oracle_sql`). Null text propagates to null stats."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    segs = pc.split_pattern_regex(arr, SENTENCE_SPLIT)
+    # null rows have null segment lists -> treat as 0 segments here, then
+    # restore null stats via the mask below
+    counts = np.nan_to_num(
+        pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.float64)
+    ).astype(np.int64)
+    flat = pc.utf8_trim(segs.flatten(), _TRIM_CHARS)
+    seg_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = (seg_len > 0).astype(np.int64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    c1 = np.zeros(len(nonempty) + 1, np.int64)
+    np.cumsum(nonempty, out=c1[1:])
+    c2 = np.zeros(len(seg_len) + 1, np.int64)
+    np.cumsum(seg_len * nonempty, out=c2[1:])
+    n_sent = c1[offsets[1:]] - c1[offsets[:-1]]
+    n_chars = c2[offsets[1:]] - c2[offsets[:-1]]
+    null_mask = pa.compute.is_null(arr)
+    return batch.append_column(
+        "n_sentences",
+        pa.compute.if_else(null_mask, pa.scalar(None, pa.int64()), pa.array(n_sent)),
+    ).append_column(
+        "sent_chars",
+        pa.compute.if_else(null_mask, pa.scalar(None, pa.int64()), pa.array(n_chars)),
+    )
+
+
+def sentence_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: sentence_stats_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def sentence_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of sentence_stats (RE2 split, explicit trim set)."""
+    return (
+        f"SELECT {key_col}, "
+        f"len(list_filter(list_transform("
+        f"regexp_split_to_array({text_col}, '{SENTENCE_SPLIT}'), "
+        f"x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), "
+        f"x -> x <> ''))::BIGINT AS n_sentences, "
+        f"CASE WHEN {text_col} IS NULL THEN NULL ELSE "
+        f"coalesce(list_sum(list_transform(list_filter(list_transform("
+        f"regexp_split_to_array({text_col}, '{SENTENCE_SPLIT}'), "
+        f"x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), "
+        f"x -> x <> ''), x -> length(x))), 0) END::BIGINT AS sent_chars "
+        f"FROM {table}"
+    )

@@ -160,3 +160,31 @@ class TestUrlScan:
         out = pii.domain_counts(rd.from_arrow(t))
         assert out.column("domain").to_pylist() == ["x.org", "y.io"]
         assert out.column("cnt").to_pylist() == [3, 1]
+
+
+class TestSentenceStats:
+    def test_golden_and_sql_parity(self, ray_session):
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "One two. Three four! Five?", "no terminal punct", "",
+                None, "...!!!  ",
+            ]),
+        })
+        out = tx.sentence_stats_batch(t).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_sentences"] == 3 and out.loc[0, "sent_chars"] == 21
+        assert out.loc[1, "n_sentences"] == 1
+        assert out.loc[2, "n_sentences"] == 0 and out.loc[4, "n_sentences"] == 0
+        import pandas as pd
+
+        assert pd.isna(out.loc[3, "n_sentences"])
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        odf = con.execute(tx.sentence_oracle_sql("docs_arrow")).df().set_index("doc_id")
+        for c in ("n_sentences", "sent_chars"):
+            assert out[c].fillna(-1).tolist() == odf[c].fillna(-1).tolist()
+        # ray path
+        got = tx.sentence_stats(rd.from_arrow(t)).count()
+        assert got == 5
