@@ -367,16 +367,20 @@ def pq_encode(
     ds: rd.Dataset, codebook: PqCodebook, vec_col: str = "embedding"
 ) -> rd.Dataset:
     """Append `pq_code` (list<uint8>, length m) and `pq_checksum`
-    (sum_i (i+1)*code_i — pins every code positionally for the SQL
-    oracle). Streaming map_batches; the codebook ships once per task via
-    ray.put."""
+    (sum_i code_i * ksub^i — a base-ksub positional fold, so two DIFFERENT
+    code vectors can never share a checksum: each code occupies its own
+    base-ksub digit, unlike a weighted linear sum where e.g. codes
+    [2,0,...] and [0,1,...] would collide). Streaming map_batches; the
+    codebook ships once per task via ray.put."""
     cb_ref = ray.put(codebook.centroids)
 
     def enc(batch: pa.Table) -> pa.Table:
         cb = PqCodebook(ray.get(cb_ref))
         q8 = _int8_matrix(batch, vec_col)
         codes = cb.encode_matrix(q8)
-        checksum = (codes * np.arange(1, cb.m + 1)[None, :]).sum(axis=1)
+        # base-ksub digits: max ksub^m - 1 (16^8 = 2^32 at defaults) — int64-safe
+        weights = np.int64(cb.ksub) ** np.arange(cb.m, dtype=np.int64)
+        checksum = (codes * weights[None, :]).sum(axis=1)
         flat = pa.array(codes.reshape(-1).astype(np.uint8))
         offsets = pa.array(
             np.arange(0, (len(codes) + 1) * cb.m, cb.m, dtype=np.int32)
@@ -536,13 +540,18 @@ def pq_codes_oracle_sql(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
 ) -> str:
-    """DuckDB replica of pq_encode's `pq_checksum` (sum_i (i+1)*code_i) —
-    pins every assigned code positionally."""
+    """DuckDB replica of pq_encode's `pq_checksum` (sum_i code_i * ksub^i,
+    the collision-free base-ksub positional fold) — the power table is
+    inlined as a VALUES CTE so the fold stays pure integer arithmetic."""
+    pw_rows = ", ".join(
+        f"({s}, {int(codebook.ksub) ** s}::BIGINT)" for s in range(codebook.m)
+    )
     return (
         _pq_code_ctes(codebook, table, vec_col, key_col)
-        + f"""
-SELECT k AS {key_col}, sum((s + 1) * j)::BIGINT AS pq_checksum
-FROM a GROUP BY k"""
+        + f""",
+pw(s, w) AS (VALUES {pw_rows})
+SELECT a.k AS {key_col}, sum(a.j * pw.w)::BIGINT AS pq_checksum
+FROM a JOIN pw ON pw.s = a.s GROUP BY a.k"""
     )
 
 

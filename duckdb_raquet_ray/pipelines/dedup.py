@@ -44,24 +44,34 @@ def _content_hash(batch: pa.Table, text_col: str) -> pa.Table:
     return batch.append_column("_h", pa.array(h.astype(np.uint64)))
 
 
-# The wide steps shuffle on a COARSE bucket key (a fixed bucket count) and
-# do the fine-grained grouping vectorized in pandas INSIDE each bucket:
-# Ray's groupby().map_groups pays per-group overhead, so grouping by a
+# The wide steps shuffle on a COARSE bucket key and do the fine-grained
+# grouping vectorized in pandas INSIDE each bucket: Ray's
+# groupby().map_groups pays per-group overhead, so grouping by a
 # high-cardinality key (content hash, band hash) directly costs ~0.5ms x
 # millions of groups. Bucketing keeps the shuffle payload identical and the
-# result unchanged (a full group always lands in one bucket).
+# result unchanged (a full group always lands in one bucket). The bucket
+# COUNT is corpus-scaled (util.scaled_buckets: ceil(bytes/target), capped)
+# so per-bucket in-memory reduce work stays ~constant at any corpus size —
+# a fixed 256 would make each bucket O(corpus/256); when the input size is
+# unknowable from plan metadata, scaled_buckets falls back to 256 (the
+# historical constant).
 #
 # Group UDFs are ARROW in / ARROW out with an explicit uniform schema:
 # returning pandas frames from map_groups hits a per-group block-building
 # slow path in Ray (measured 25x slower than emitting pa.Tables).
-N_SHUFFLE_BUCKETS = 256
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
     """Keep the smallest key per distinct text. Hash-partition + per-group
     first (the guide's exact-dedup shape): the shuffle moves (hash, row)
     pairs; within a hash bucket the actual text is compared, so hash
     collisions cannot merge distinct texts."""
+    nb = n_buckets or util.scaled_buckets(ds)
 
     def keep_first(g: pa.Table) -> pa.Table:
         df = g.select([text_col, key_col]).to_pandas()
@@ -73,7 +83,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id")
 
     def bucketed(b: pa.Table) -> pa.Table:
         t = _content_hash(b, text_col)
-        bucket = (t.column("_h").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)
+        bucket = (t.column("_h").to_numpy() % np.uint64(nb)).astype(np.int32)
         return t.append_column("_b", pa.array(bucket))
 
     hashed = util.clean_dataset(ds).map_batches(bucketed, batch_format="pyarrow", batch_size=8192)
@@ -182,8 +192,10 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """LSH bucket groupby -> unordered candidate pairs (a < b)."""
+    nb = n_buckets or util.scaled_buckets(ds)
     band_rows = util.clean_dataset(ds).map_batches(
         lambda t: minhash_band_rows(t, text_col, key_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
@@ -191,8 +203,9 @@ def minhash_candidate_pairs(
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # band_hash is an FNV fold >> 1 — already well mixed for a modulus
         bucket = (
-            t.column("band_hash").to_numpy() % N_SHUFFLE_BUCKETS
+            t.column("band_hash").to_numpy().astype(np.int64) % nb
         ).astype(np.int32)
         return t.append_column("_b", pa.array(bucket))
 
@@ -285,6 +298,19 @@ class PairVerifier:
         return pa.table({"drop_key": pa.array(drops, type=kt)})
 
 
+# diagnostics for the scale tests: candidate-pair count of the last
+# verify run, and the driver-held VERIFIED edge count (the only remaining
+# driver-side structure — bounded by MAX_DRIVER_EDGES, not by candidates)
+LAST_CANDIDATE_PAIRS = 0
+LAST_DRIVER_EDGES = 0
+
+# verified near-dup edges the driver will hold for the final drop-set /
+# union-find (keys only, ~tens of bytes each). Past this, fail loudly
+# instead of silently eating driver memory — the caller should shard the
+# corpus or raise the threshold. Candidate pairs are NEVER driver-held.
+MAX_DRIVER_EDGES = 50_000_000
+
+
 def _minhash_verified_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -299,22 +325,23 @@ def _minhash_verified_pairs(
     engine behind :func:`minhash_dedup` (drop the larger key per edge)
     and :func:`minhash_clusters` (transitive closure over edges).
 
-    Scale shape (nothing corpus-sized ever lands on the driver, and no
-    single broadcast object ever holds text):
-      1. candidate pairs stay a Dataset; only their KEY SET plus each
-         key's verify-bucket ids (O(pairs), keys only) is pulled to build
-         the broadcast filter/bucket map,
-      2. candidate texts are fetched by a distributed `pc.is_in` filter
-         over the corpus and tagged with the verify buckets whose pairs
-         reference them — a bucketed pair<->text join, so per-bucket text
-         payload is O(that bucket's pairs), never the corpus-wide
-         candidate set in one `ray.put`,
-      3. Jaccard verification runs inside the bucket groupby
+    Scale shape — NO driver structure scales with candidate-pair count:
+      1. candidate pairs stay a Dataset end-to-end,
+      2. the pair->text join is a bucketed Dataset-Dataset shuffle: pairs
+         flat-map to (key, verify-bucket) NEED rows; needs and the corpus
+         co-shuffle on hash(key), and each fetch bucket emits its
+         candidates' texts tagged with exactly the verify buckets whose
+         pairs reference them (per-bucket payload ~scaled_buckets target,
+         duplicates collapsed in-bucket),
+      3. Jaccard verification runs inside the verify-bucket groupby
          (map_groups), shingles memoized per bucket,
-      4. the returned edge list is O(verified pairs) keys — the same
-         order of driver state as the bucket map built in step 1."""
-    import ray
+      4. only the VERIFIED edge list (true near-dups, keys only) returns
+         to the driver — orders of magnitude below candidates at any
+         realistic precision, and guarded by MAX_DRIVER_EDGES."""
+    import pandas as pd
     import pyarrow.compute as pc
+
+    global LAST_CANDIDATE_PAIRS
 
     cand = minhash_candidate_pairs(ds, text_col, key_col, num_perm, bands, shingle_k)
 
@@ -323,25 +350,12 @@ def _minhash_verified_pairs(
         return t.filter(keep)
 
     pairs_ds = cand.map_batches(dedup_pairs, batch_format="pyarrow").materialize()
-    # O(pairs) driver state: candidate KEYS plus each key's verify
-    # buckets — never any text. Pair (a, b) verifies in bucket
-    # hash(a) % n, so key k must be shipped to every bucket holding a
-    # pair that references it (b-side keys can land in foreign buckets).
-    n_vb = N_SHUFFLE_BUCKETS
-    needed: dict = {}
-    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        vb = _verify_buckets(b.column("a"), n_vb)
-        for a_key, b_key, bk in zip(
-            b.column("a").to_pylist(), b.column("b").to_pylist(), vb.tolist()
-        ):
-            needed.setdefault(a_key, set()).add(bk)
-            needed.setdefault(b_key, set()).add(bk)
-    if not needed:
+    LAST_CANDIDATE_PAIRS = pairs_ds.count()
+    if LAST_CANDIDATE_PAIRS == 0:
         return []
-    needed_ref = ray.put(pa.array(sorted(needed)))
-    bucket_map_ref = ray.put({k: tuple(v) for k, v in needed.items()})
+    # verify buckets carry candidate TEXT, so the fan-out scales with the
+    # input corpus size, keeping per-bucket text payload ~target bytes
+    n_vb = util.scaled_buckets(ds)
 
     kt = pairs_ds.schema().base_schema.field("a").type
 
@@ -359,35 +373,105 @@ def _minhash_verified_pairs(
             }
         )
 
-    def fetch_candidates(t: pa.Table) -> pa.Table:
-        """Candidate texts, replicated to exactly the verify buckets whose
-        pairs reference them — the per-bucket text payload is bounded by
-        that bucket's pair keys, NOT the corpus-wide candidate set."""
-        wanted = ray.get(needed_ref)
-        sel = t.select([key_col, text_col]).filter(pc.is_in(t.column(key_col), wanted))
-        if sel.num_rows == 0:
-            return _empty_verify_table(kt)
-        bmap = ray.get(bucket_map_ref)
-        idx, buckets = [], []
-        for i, k in enumerate(sel.column(key_col).to_pylist()):
-            for bk in bmap.get(k, ()):
-                idx.append(i)
-                buckets.append(bk)
-        sub = sel.take(pa.array(idx, pa.int64()))
+    # --- distributed pair->text fetch join (no driver key/bucket maps) --
+    def needs_rows(t: pa.Table) -> pa.Table:
+        """Pairs -> (key, verify bucket) NEED rows, batch-locally deduped
+        (pairs sharing an anchor cluster in one batch, so most duplicate
+        needs collapse here; the rest collapse in the fetch bucket)."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], kt), "_vb": pa.array([], pa.int32())}
+            )
+        vb = _verify_buckets(t.column("a"), n_vb)
+        df = pd.DataFrame(
+            {
+                "key": np.concatenate(
+                    [
+                        t.column("a").to_numpy(zero_copy_only=False),
+                        t.column("b").to_numpy(zero_copy_only=False),
+                    ]
+                ),
+                "_vb": np.concatenate([vb, vb]),
+            }
+        ).drop_duplicates()
         return pa.table(
             {
-                "_vb": pa.array(buckets, pa.int32()),
-                "a": pa.nulls(len(idx), kt),
-                "b": pa.nulls(len(idx), kt),
-                "key": sub.column(key_col),
-                "text": sub.column(text_col).cast(pa.string()),
-                "kind": pa.array(np.ones(len(idx), dtype=np.int8)),
+                "key": pa.array(df["key"].to_numpy(), type=kt),
+                "_vb": pa.array(df["_vb"].to_numpy(np.int32)),
             }
         )
 
-    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-        ds.map_batches(fetch_candidates, batch_format="pyarrow")
+    n_fb = n_vb  # fetch fan-out: same corpus-scaled sizing
+
+    def pad_needs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_fb": pa.array(_verify_buckets(t.column("key"), n_fb)),
+                "key": t.column("key"),
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "_vb": t.column("_vb"),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def pad_corpus(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_fb": pa.array(_verify_buckets(t.column(key_col), n_fb)),
+                "key": t.column(key_col),
+                "text": t.column(text_col).cast(pa.string()),
+                "_vb": pa.nulls(t.num_rows, pa.int32()),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    fetch_in = (
+        pairs_ds.map_batches(needs_rows, batch_format="pyarrow")
+        .map_batches(pad_needs, batch_format="pyarrow")
+        .union(ds.map_batches(pad_corpus, batch_format="pyarrow"))
     )
+
+    def fetch_bucket(g: pa.Table) -> pa.Table:
+        """One fetch bucket: all NEED rows and all corpus rows whose key
+        hashes here — emit each needed key's text once per distinct
+        verify bucket referencing it."""
+        if g.num_rows == 0:
+            return _empty_verify_table(kt)
+        kinds = np.asarray(g.column("kind"))
+        nrows = g.filter(pa.array(kinds == 0))
+        if nrows.num_rows == 0:
+            return _empty_verify_table(kt)
+        crows = g.filter(pa.array(kinds == 1))
+        ndf = nrows.select(["key", "_vb"]).to_pandas().drop_duplicates()
+        texts = pd.Series(
+            crows.column("text").to_pylist(), index=crows.column("key").to_pylist()
+        )
+        texts = texts[~texts.index.duplicated(keep="last")]  # defensive
+        txt = ndf["key"].map(texts).astype(object)
+        txt = txt.where(txt.notna(), None)
+        return pa.table(
+            {
+                "_vb": pa.array(ndf["_vb"].to_numpy(np.int32)),
+                "a": pa.nulls(len(ndf), kt),
+                "b": pa.nulls(len(ndf), kt),
+                "key": pa.array(ndf["key"].to_numpy(), type=kt),
+                "text": pa.array(txt, pa.string()),
+                "kind": pa.array(np.ones(len(ndf), dtype=np.int8)),
+            }
+        )
+
+    def norm_empty(t: pa.Table) -> pa.Table:
+        # empty groupby partitions emit 0-col blocks; the union needs the
+        # canonical verify-table schema
+        return _empty_verify_table(kt) if t.num_columns == 0 else t
+
+    cand_texts = (
+        fetch_in.groupby("_fb")
+        .map_groups(fetch_bucket, batch_format="pyarrow")
+        .map_batches(norm_empty, batch_format="pyarrow")
+    )
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(cand_texts)
 
     def verify_group(g: pa.Table) -> pa.Table:
         """One verify bucket: exact n-gram Jaccard of its pairs against its
@@ -422,12 +506,22 @@ def _minhash_verified_pairs(
         return pa.table({"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)})
 
     verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
-    edges = {
-        (a, b)
-        for blk in verified.iter_batches(batch_format="pyarrow")
-        if blk.num_columns  # empty groupby partitions emit 0-col blocks
-        for a, b in zip(blk.column("a").to_pylist(), blk.column("b").to_pylist())
-    }
+    global LAST_DRIVER_EDGES
+    edges: set = set()
+    for blk in verified.iter_batches(batch_format="pyarrow"):
+        if not blk.num_columns:  # empty groupby partitions emit 0-col blocks
+            continue
+        edges.update(
+            zip(blk.column("a").to_pylist(), blk.column("b").to_pylist())
+        )
+        if len(edges) > MAX_DRIVER_EDGES:
+            raise RuntimeError(
+                f"minhash verify produced > {MAX_DRIVER_EDGES:,} confirmed "
+                "near-dup edges — the driver-side edge set would not fit; "
+                "shard the corpus, raise the threshold, or raise "
+                "dedup.MAX_DRIVER_EDGES explicitly"
+            )
+    LAST_DRIVER_EDGES = len(edges)
     return sorted(edges)
 
 
@@ -476,11 +570,15 @@ def minhash_clusters(
     set (a~b, b~c => all three share cluster a even if a~c was never a
     candidate pair). Singletons get their own key.
 
-    Scale: the edge set is O(verified pairs) — orders of magnitude below
-    corpus size at any realistic dup rate — so the union-find runs on the
-    driver over KEYS ONLY; the key->cluster map broadcasts once and the
-    corpus streams through one vectorized searchsorted annotate. The SQL
-    twin (`minhash_clusters_oracle_sql`) closes the same edge set with a
+    Scale: the edge set is O(VERIFIED pairs) — orders of magnitude below
+    candidate pairs at any realistic precision, and guarded by
+    MAX_DRIVER_EDGES (loud failure, never silent driver exhaustion) — so
+    the union-find runs on the driver over KEYS ONLY; the key->cluster
+    map broadcasts once and the corpus streams through one vectorized
+    searchsorted annotate. Past the ceiling, label-propagation over the
+    edge Dataset is the escape hatch (not implemented: 50M edges of keys
+    is ~2 GB, far beyond any bench corpus). The SQL twin
+    (`minhash_clusters_oracle_sql`) closes the same edge set with a
     recursive CTE."""
     import ray
 
@@ -572,12 +670,23 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(fps.astype(np.int64), type=pa.int64()))
 
 
-def simhash_dedup(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id") -> rd.Dataset:
+def simhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
     """Drop docs whose exact SimHash fingerprint collides with a smaller
     key (identical-fingerprint dedup; near-dup variants band the 64 bits)."""
+    nb = n_buckets or util.scaled_buckets(ds)
+
     def bucketed(b: pa.Table) -> pa.Table:
         t = simhash_batch(b, text_col)
-        bucket = (t.column("simhash").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)
+        # pre-mix: simhash bits are per-position majority votes, NOT a
+        # uniform hash — low bits carry vocabulary structure that a plain
+        # modulus would turn into bucket skew
+        fp = t.column("simhash").to_numpy().view(np.uint64)
+        bucket = (detmix.splitmix64(fp) % np.uint64(nb)).astype(np.int32)
         return t.append_column("_b", pa.array(bucket))
 
     def keep_first(g: pa.Table) -> pa.Table:
@@ -630,11 +739,13 @@ def embedding_dedup(
     threshold: float = 0.98,
     n_planes: int = 12,
     seed: int = 42,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Near-dup by cosine >= threshold. Random-hyperplane LSH buckets the
     shuffle (vectors with cosine ~1 land in the same bucket whp); exact
     pairwise cosine verifies within each bucket; the larger key of each
     confirmed pair is dropped."""
+    nb = n_buckets or util.scaled_buckets(ds)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -682,10 +793,19 @@ def embedding_dedup(
         return out.drop_columns(["_bucket", "_sb"])
 
     bucketed = util.clean_dataset(ds).map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+    # pre-mix before the modulus: _bucket is a SMALL sign-pattern integer
+    # (< 2^n_planes) whose low bits are plane outcomes, not hash entropy
     bucketed = bucketed.map_batches(
         lambda t: t.append_column(
             "_sb",
-            pa.array((t.column("_bucket").to_numpy() % N_SHUFFLE_BUCKETS).astype(np.int32)),
+            pa.array(
+                (
+                    detmix.splitmix64(
+                        t.column("_bucket").to_numpy().astype(np.uint64)
+                    )
+                    % np.uint64(nb)
+                ).astype(np.int32)
+            ),
         ),
         batch_format="pyarrow",
     )
@@ -1286,7 +1406,14 @@ def incremental_dedup_oracle_sql(
     corpus, then keep the smallest key per distinct text. (The Ray side
     compares 128-bit content hashes — equality of texts implies equality
     of hashes, and a cross-hash collision is ~10^-18 at corpus scale, so
-    the text-level oracle is exact on any real table.)"""
+    the text-level oracle is exact on any real table.)
+
+    NULL-vs-empty semantics, verified empirically on both sides: the
+    INDEX PROBE coalesces (engine `_dual_hash` fillna('') == the oracle's
+    coalesce NOT IN), but the SURVIVOR dedup keeps NULL its own group
+    (engine `exact_dedup` groups with dropna=False == SQL GROUP BY, where
+    NULL is one group distinct from '') — so a fresh batch holding both a
+    NULL and an '' doc keeps one of EACH, identically in both engines."""
     return f"""
 WITH fresh AS (
   SELECT * FROM {new_table} n

@@ -330,7 +330,15 @@ def _bucket_ids(col, n_buckets: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        # fill nulls BEFORE leaving Arrow: a nullable int column comes back
+        # from to_numpy as float64 with NaN (undefined int cast), and int
+        # keys above 2^53 would lose precision in the float round-trip —
+        # the merge stage already drops null-key rows by validity, so the
+        # fill value only has to be deterministic
+        # safe=False: uint64 keys above 2^63 wrap to two's complement —
+        # deterministic, and numpy's % keeps the bucket id non-negative
+        filled = pc.fill_null(col, 0).cast(pa.int64(), safe=False)
+        k = filled.to_numpy(zero_copy_only=False)
         return (k % n_buckets).astype(np.int32)
     s = col.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
     return (detmix.string_hash64(s) % np.uint64(n_buckets)).astype(np.int32)

@@ -34,9 +34,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .. import util
+
 SEP_TOKEN = 50_256  # GPT-2-style end-of-text id
 DEFAULT_WINDOW = 2_048
-_N_BUCKETS = 256  # coarse shuffle key (see pipelines/dedup.py rationale)
+# rows per streamed read chunk in pack_windows (~0.5 k tok/doc avg -> ~2 M
+# tokens = 16 MB/chunk); task memory is O(this + window), not O(shard)
+_PACK_READ_ROWS = 4096
 
 
 def plan_offsets(paths: list[str], length_column: str = "n_tok") -> list[dict]:
@@ -112,6 +116,11 @@ def packed_window_stats(
     SQL-replicable). Shard tasks emit per-window partials; the groupby
     merges only boundary-straddling windows."""
     plan = plan_offsets(paths, length_column)
+    # corpus-scaled fan-out: the merge stream is one 24 B row per window
+    # (count + checksum partials); window ids are SEQUENTIAL, so a plain
+    # modulus spreads them uniformly — no pre-mix needed
+    corpus_total = (plan[-1]["base"] + plan[-1]["total"]) if plan else 0
+    nb = util.scaled_buckets(24 * (corpus_total // window + 1))
 
     def shard_partials(batch: pa.Table) -> pa.Table:
         out = []
@@ -138,7 +147,7 @@ def packed_window_stats(
                         "window_id": pa.array(wins),
                         "n_tokens": pa.array(counts.astype(np.int64)),
                         "checksum": pa.array(sums),
-                        "_b": pa.array((wins % _N_BUCKETS).astype(np.int32)),
+                        "_b": pa.array((wins % nb).astype(np.int32)),
                     }
                 )
             )
@@ -237,6 +246,7 @@ def pack_windows(
     window: int = DEFAULT_WINDOW,
     tokens_column: str = "tokens",
     length_column: str = "n_tok",
+    read_rows: int = _PACK_READ_ROWS,
 ) -> rd.Dataset:
     """-> Dataset of (window_id, tokens list<int64>): the actual packed
     training windows.
@@ -254,6 +264,10 @@ def pack_windows(
     """
     plan = plan_offsets(paths, length_column)
     corpus_total = (plan[-1]["base"] + plan[-1]["total"]) if plan else 0
+    # boundary material is <= 2 pieces x < window tokens per shard: scale
+    # the stitch fan-out to that stream (sequential window ids — plain
+    # modulus spreads them; no pre-mix needed)
+    nb = util.scaled_buckets(2 * len(plan) * window * 8)
 
     empty_out = pa.table(
         {
@@ -262,24 +276,54 @@ def pack_windows(
         }
     )
 
-    def shard_complete(batch: pa.Table) -> pa.Table:
-        out = []
+    def shard_complete(batch: pa.Table):
+        """Generator UDF: stream each shard's token column ROW-GROUP-WISE
+        with a running offset and yield complete windows as soon as they
+        fill — task memory is O(read chunk + window), never O(shard file)
+        (the round-3 shape read the whole shard column at once, bounding
+        task memory by shard size instead of batch size)."""
+        yielded = False
         for row in batch.to_pylist():
-            t = pq.read_table(row["path"], columns=[tokens_column])
-            flat = _flat_with_seps(t, tokens_column)
-            if len(flat) != row["total"]:
-                raise ValueError(
-                    f"{row['path']}: token stream length {len(flat)} != planned "
-                    f"{row['total']} — {length_column} disagrees with "
-                    f"len({tokens_column}); window offsets would corrupt"
-                )
-            if len(flat) == 0:
+            total = row["total"]
+            if total == 0:
                 continue
             base = row["base"]
-            s, e = _complete_span(base, len(flat), window, corpus_total)
-            if e > s:
-                out.append(_windows_table((base + s) // window, flat[s:e], window))
-        return pa.concat_tables(out) if out else empty_out
+            s, e = _complete_span(base, total, window, corpus_total)
+            pf = pq.ParquetFile(row["path"])
+            pos = 0  # stream position within this shard's slice
+            seen = 0
+            carry = np.zeros(0, dtype=np.int64)
+            next_win = (base + s) // window
+            for rb in pf.iter_batches(batch_size=read_rows, columns=[tokens_column]):
+                flat = _flat_with_seps(
+                    pa.Table.from_batches([rb]), tokens_column
+                )
+                seen += len(flat)
+                lo, hi = pos, pos + len(flat)
+                pos = hi
+                a, b = max(lo, s), min(hi, e)
+                if b <= a:
+                    continue
+                carry = np.concatenate([carry, flat[a - lo : b - lo]])
+                n_full = len(carry) // window
+                if n_full:
+                    yield _windows_table(next_win, carry[: n_full * window], window)
+                    yielded = True
+                    next_win += n_full
+                    carry = carry[n_full * window :]
+            if seen != total:
+                raise ValueError(
+                    f"{row['path']}: token stream length {seen} != planned "
+                    f"{total} — {length_column} disagrees with "
+                    f"len({tokens_column}); window offsets would corrupt"
+                )
+            if len(carry):
+                # only the corpus-final shard can leave a non-multiple
+                # remainder inside its complete span: the short last window
+                yield _windows_table(next_win, carry, window)
+                yielded = True
+        if not yielded:
+            yield empty_out
 
     items = rd.from_items(plan, override_num_blocks=max(len(plan), 1))
     complete = items.map_batches(shard_complete, batch_format="pyarrow", batch_size=1)
@@ -327,7 +371,7 @@ def pack_windows(
                                 pa.array(offs, pa.int64()),
                                 pa.array(piece, pa.int64()),
                             ),
-                            "_b": pa.array((wins % _N_BUCKETS).astype(np.int32)),
+                            "_b": pa.array((wins % nb).astype(np.int32)),
                         }
                     )
                 )

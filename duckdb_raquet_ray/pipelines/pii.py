@@ -169,22 +169,29 @@ def domain_counts(
     ds: rd.Dataset, text_col: str = "text", top: int = 20
 ) -> "pa.Table":
     """Top domains by document count (first-url host per doc): streaming
-    url_scan -> small groupby on the low-cardinality domain column ->
-    driver-side top-k (count desc, domain asc). The shuffle payload is one
-    short string per doc."""
+    url_scan -> groupby on the domain column -> DATASET-SIDE sort+limit,
+    so only `top` rows ever reach the driver. The web's distinct
+    registrable domains are ~10^8 at corpus scale — a take_all() of the
+    full groupby (the round-3 shape) would materialize them all
+    driver-side; sort+limit keeps the cut distributed. The shuffle
+    payload is one short string per doc."""
     counted = (
         url_scan(ds, text_col)
         .filter(expr="domain != ''")
         .groupby("domain")
         .count()
     )
-    t = pa.Table.from_pylist(counted.take_all())
+    top_ds = counted.sort(
+        ["count()", "domain"], descending=[True, False]
+    ).limit(int(top))
+    t = pa.Table.from_pylist(top_ds.take_all())
     if t.num_rows == 0:
         return pa.table(
             {"domain": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
         )
     # name-based mapping: a column-order change in Ray's groupby-count
-    # output must not silently swap domains and counts
+    # output must not silently swap domains and counts. The local sort_by
+    # re-asserts the (cnt desc, domain asc) order limit() preserved.
     t = pa.table(
         {
             "domain": t.column("domain"),

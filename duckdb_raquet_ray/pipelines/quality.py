@@ -11,12 +11,14 @@ Scale contract (100 TB):
 - `repetition_metrics` is embarrassingly parallel — every metric is
   per-document, one `map_batches` pass, no shuffle, nothing on the driver.
 - `global_word_df` reduces to one vocabulary-sized table: per-batch
-  partial document frequencies (combine inside map_batches), merged on
-  the driver. Natural-language vocabularies are bounded (the merge side
-  is hash+count, ~16 B/word), and a `top_n` cap keeps the broadcast side
-  fixed-size regardless of corpus size; the corpus itself never leaves
-  the workers. Scoring is then a broadcast (`ray.put`) + one streaming
-  `map_batches` probe — the same shape as `contamination.decontaminate`.
+  partial document frequencies (combine inside map_batches) shuffle once
+  through a corpus-scaled word-hash bucket groupby that resolves each
+  word's exact global df in-bucket and applies the `top_n` cap per
+  bucket, so the driver only ever holds O(min(vocab, buckets x top_n))
+  rows — never a concat of every block's partial; the corpus itself
+  never leaves the workers. Scoring is then a broadcast (`ray.put`) +
+  one streaming `map_batches` probe — the same shape as
+  `contamination.decontaminate`.
 
 Determinism / oracle: word identity is detmix.string_hash64 on BOTH the
 numpy and SQL sides (never the raw string on one side and the hash on
@@ -238,40 +240,93 @@ LEFT JOIN topw ON topw.k = d.{key_col}
 # ---------------------------------------------------------------------------
 
 
+# diagnostic: rows the driver held at its peak in the last global_word_df
+# call (tested to be O(result), never O(blocks x per-block vocab))
+LAST_DF_DRIVER_ROWS = 0
+
+
 def global_word_df(
-    ds: rd.Dataset, *, text_col: str = "text", top_n: int | None = None
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    top_n: int | None = None,
+    n_buckets: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (sorted word hashes uint64, document frequency int64): number of
-    docs containing each word. Per-batch PARTIAL dfs (distinct doc-word
-    inside map_batches — docs never span batches, a doc is one row), merged
-    on the driver; only vocabulary-sized partials ever leave the workers.
-    `top_n` keeps the broadcast side bounded at corpus scale (ties broken
-    by hash for determinism)."""
+    docs containing each word, with `top_n` keeping the broadcast side
+    bounded at corpus scale (ties broken by hash for determinism).
+
+    Scale shape: per-batch PARTIAL dfs (distinct doc-word inside
+    map_batches — docs never span batches, a doc is one row) shuffle ONCE
+    through a corpus-scaled bucket groupby (bucket = wh % n, so a word's
+    GLOBAL df resolves exactly inside one bucket); capped buckets emit at
+    most top_n rows each. The driver therefore holds O(min(vocab,
+    buckets x top_n)) rows — never the O(blocks x per-block vocab) concat
+    of raw partials, where the same word repeats in every block's partial
+    (a word in the global top_n beats < top_n words globally, hence
+    < top_n words in its own bucket, so per-bucket capping is EXACT)."""
+    global LAST_DF_DRIVER_ROWS
+    nb = n_buckets or util.scaled_buckets(ds)
 
     def partials(batch: pa.Table) -> pa.Table:
         batch = util.strip_schema_metadata(batch)
         lens, wh = _flat_word_hashes(batch, text_col)
         if len(wh) == 0:
             return pa.table(
-                {"wh": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
+                {
+                    "wh": pa.array([], pa.uint64()),
+                    "df": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
             )
         _, w_u = _distinct_doc_words(lens, wh)
         u, c = np.unique(w_u, return_counts=True)
-        return pa.table({"wh": pa.array(u), "df": pa.array(c.astype(np.int64))})
+        return pa.table(
+            {
+                "wh": pa.array(u),
+                "df": pa.array(c.astype(np.int64)),
+                "_b": pa.array((u % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        # all partials for a word land in THIS bucket: the sum is its
+        # exact global df, and the per-bucket cap keeps every global
+        # top_n candidate (see docstring)
+        if g.num_rows == 0:
+            return pa.table(
+                {"wh": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
+            )
+        h = g.column("wh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(h, return_inverse=True)
+        df = np.bincount(inv, weights=c).astype(np.int64)
+        if top_n is not None and len(u) > top_n:
+            order = np.lexsort((u, -df))[:top_n]  # by df desc, hash asc
+            keep = np.sort(order)
+            u, df = u[keep], df[keep]
+        return pa.table({"wh": pa.array(u), "df": pa.array(df)})
 
     hs, cs = [], []
-    for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
-        batch_format="numpy"
+    for b in (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy")
     ):
-        hs.append(b["wh"])
-        cs.append(b["df"])
+        if "wh" not in b:  # empty groupby partitions emit 0-col blocks
+            continue
+        hs.append(np.asarray(b["wh"], dtype=np.uint64))
+        cs.append(np.asarray(b["df"], dtype=np.int64))
     if not hs:
+        LAST_DF_DRIVER_ROWS = 0
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     allh, allc = np.concatenate(hs), np.concatenate(cs)
-    u, inv = np.unique(allh, return_inverse=True)
-    df = np.bincount(inv, weights=allc).astype(np.int64)
+    LAST_DF_DRIVER_ROWS = len(allh)
+    order = np.argsort(allh)  # buckets are hash-disjoint: no re-merge
+    u, df = allh[order], allc[order]
     if top_n is not None and len(u) > top_n:
-        order = np.lexsort((u, -df))[:top_n]  # by df desc, hash asc
+        order = np.lexsort((u, -df))[:top_n]
         keep = np.sort(order)
         u, df = u[keep], df[keep]
     return u, df
@@ -374,7 +429,7 @@ def crossdoc_ngram_dup(
     text_col: str = "text",
     key_col: str = "doc_id",
     n: int = 8,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per-doc count of distinct word n-grams that also appear in >= 1
     OTHER document — the exact-substring duplication signal (Lee et al.
@@ -385,11 +440,15 @@ def crossdoc_ngram_dup(
 
     Scale shape: n-gram DF is NOT vocabulary-bounded (O(total grams)),
     so unlike `global_word_df` nothing is merged on the driver. The gram
-    stream shuffles ONCE through a fixed-fan-out bucket groupby
-    (bucket = hash % n_buckets, so a gram's global df resolves entirely
-    inside one bucket); each bucket emits per-doc PARTIAL rows
+    stream shuffles ONCE through a CORPUS-SCALED bucket groupby
+    (bucket = hash % n, n from util.scaled_buckets so per-bucket payload
+    stays ~target bytes at any corpus size; a gram's global df resolves
+    entirely inside one bucket); each bucket emits per-doc PARTIAL rows
     (O(docs touched), not O(grams)), folded by a second, doc-sized
     groupby-sum. SQL twin: `crossdoc_dup_oracle_sql`."""
+    # gram rows are ~3x the text bytes (8B hash + key per gram): scale the
+    # fan-out to the gram stream, not the raw input
+    nb = n_buckets or util.scaled_buckets(ds, bytes_per_bucket=8 << 20)
 
     def pairs(batch: pa.Table) -> pa.Table:
         batch = util.strip_schema_metadata(batch)
@@ -397,7 +456,7 @@ def crossdoc_ngram_dup(
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "_b": pa.array((g % np.uint64(n_buckets)).astype(np.int32)),
+                "_b": pa.array((g % np.uint64(nb)).astype(np.int32)),
                 "h": pa.array(g.view(np.int64)),
                 "k": pa.array(keys[d]),
             }
@@ -405,9 +464,12 @@ def crossdoc_ngram_dup(
 
     def in_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
+            # key type from the incoming group schema, not a hardcoded
+            # int64: with string doc keys an int64 empty block would
+            # conflict with non-empty blocks in the downstream groupby-sum
             return pa.table(
                 {
-                    key_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], g.schema.field("k").type),
                     "distinct_grams": pa.array([], pa.int64()),
                     "dup_grams": pa.array([], pa.int64()),
                 }

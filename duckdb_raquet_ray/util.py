@@ -25,6 +25,47 @@ def clean_dataset(ds):
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 
+DEFAULT_BUCKET_TARGET_BYTES = 32 << 20
+
+
+def scaled_buckets(
+    ds,
+    *,
+    bytes_per_bucket: int = DEFAULT_BUCKET_TARGET_BYTES,
+    lo: int = 32,
+    cap: int = 4093,
+    fallback: int = 256,
+) -> int:
+    """Corpus-scaled shuffle fan-out: ceil(input_bytes / bytes_per_bucket)
+    clamped to [lo, cap] (the encode_grouped ceil(work/target) discipline).
+    A FIXED fan-out makes per-bucket payload O(corpus / constant) — tens
+    of GB per in-memory reduce task at 100 TB; scaling the bucket count
+    with input size keeps each reduce task ~bytes_per_bucket at any scale.
+
+    The cap is deliberately NOT a power of two, and a computed n landing
+    on a power of two is nudged off it — callers whose bucket keys carry
+    structure in the low bits additionally pre-mix with detmix.splitmix64
+    before the modulus (see encode_grouped.py's write_pieces).
+
+    `ds` is a Ray Dataset (size read from plan METADATA only — never
+    triggers execution; unknown sizes use `fallback`, the historical
+    constant) or a plain int byte count."""
+    if isinstance(ds, int):
+        nbytes = ds
+    else:
+        try:
+            nbytes = ds._logical_plan.dag.infer_metadata().size_bytes
+        except Exception:
+            nbytes = None
+    if not nbytes or nbytes <= 0:
+        n = fallback
+    else:
+        n = max(lo, min(cap, -(-int(nbytes) // bytes_per_bucket)))
+    if n > 1 and n & (n - 1) == 0:
+        n += 1  # keep low-entropy keys from collapsing on a 2^k modulus
+    return int(n)
+
+
 _HEAP_RETAINED_PID: int | None = None
 
 

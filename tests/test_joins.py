@@ -319,3 +319,31 @@ def test_hash_join_fuzz_vs_pandas(ray_session):
             )
             assert len(out) == len(want), (trial, how)
             assert out["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+
+def test_bucket_ids_nullable_and_wide_int_keys():
+    import warnings
+    import pyarrow as pa
+
+    # nullable int column: must NOT round-trip through float64 (NaN cast
+    # is undefined) — nulls bucket deterministically, non-nulls keep the
+    # plain modulus
+    col = pa.chunked_array([pa.array([7, None, 300], pa.int64())])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        b = joins._bucket_ids(col, 16)
+    assert b.dtype == np.int32
+    assert b[0] == 7 % 16 and b[2] == 300 % 16
+    assert 0 <= b[1] < 16
+
+    # int keys above 2^53: float64 would collapse adjacent keys before the
+    # modulus — exact ints must stay distinguishable
+    big = (1 << 60) + 1
+    wide = pa.chunked_array([pa.array([big, big + 1], pa.int64())])
+    bw = joins._bucket_ids(wide, 16)
+    assert bw[0] != bw[1]
+
+    # uint64 above 2^63 wraps to two's complement, deterministically
+    u = pa.chunked_array([pa.array([(1 << 63) + 5], pa.uint64())])
+    bu = joins._bucket_ids(u, 16)
+    assert 0 <= bu[0] < 16

@@ -516,7 +516,24 @@ class TestProductQuantization:
             codes = r["pq_code"]
             assert len(codes) == cb.m
             assert all(0 <= c < cb.ksub for c in codes)
-            assert r["pq_checksum"] == sum((i + 1) * c for i, c in enumerate(codes))
+            assert r["pq_checksum"] == sum(
+                c * cb.ksub**i for i, c in enumerate(codes)
+            )
+
+    def test_checksum_pins_codes_injectively(self, ray_session, emb_ds):
+        # base-ksub fold: the checksum's base-ksub digit expansion must
+        # recover every code exactly (a weighted LINEAR sum collides —
+        # codes [2,0,...] and [0,1,...] both gave 2 under the old fold)
+        cb = self._codebook(emb_ds)
+        for r in ann.pq_encode(emb_ds, cb).take_all()[:50]:
+            v = r["pq_checksum"]
+            digits = [(v // cb.ksub**i) % cb.ksub for i in range(cb.m)]
+            assert digits == list(r["pq_code"])
+        # and the historical collision pair now differs
+        w = np.int64(cb.ksub) ** np.arange(cb.m, dtype=np.int64)
+        a = np.zeros(cb.m, np.int64); a[0] = 2
+        b = np.zeros(cb.m, np.int64); b[1] = 1
+        assert int((a * w).sum()) != int((b * w).sum())
 
     def test_encode_batch_split_invariant(self, ray_session, emb_ds):
         # codes are a pure per-row function: any batch boundary placement
@@ -879,3 +896,32 @@ class TestIncrementalDedup:
         })
         kept = [r["doc_id"] for r in dedup.incremental_exact_dedup(rd.from_arrow(new), idx).take_all()]
         assert kept == [1]
+
+    def test_null_vs_empty_text_parity(self, ray_session, tmp_path):
+        # a fresh batch holding BOTH a NULL-text and an ''-text doc: the
+        # probe coalesces (either is dropped when '' is indexed) but the
+        # survivor dedup keeps NULL its own group — identical in SQL
+        import duckdb
+
+        old = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x"]})
+        new = pa.table({
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array([None, "", "x", "y", None], pa.string()),
+        })
+        idx = str(tmp_path / "cidx_null")
+        dedup.build_content_index(rd.from_arrow(old), idx)
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_exact_dedup(rd.from_arrow(new), idx).take_all()
+        )
+        con = duckdb.connect()
+        con.register("new_t", new)
+        con.register("old_t", old)
+        oracle = sorted(
+            con.execute(
+                dedup.incremental_dedup_oracle_sql("new_t", "old_t")
+            ).df()["doc_id"].tolist()
+        )
+        # 12 is an indexed dup; 14 is a within-new NULL dup of 10;
+        # 10 (NULL) and 11 ('') both survive — distinct groups
+        assert kept == oracle == [10, 11, 13]

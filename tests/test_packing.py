@@ -159,3 +159,18 @@ def test_complete_span_ownership_is_exact():
         # the rest are stitched — together they must cover all windows
         n_windows = -(-corpus // window) if corpus else 0
         assert set(owned) <= set(range(n_windows))
+
+
+def test_pack_windows_streams_shards_larger_than_chunk(ray_session, tmp_path):
+    # shard >> read chunk: the streaming reader (carry buffer + running
+    # offset) must reproduce brute-force packing exactly — multiple row
+    # groups, chunk budget of 16 rows, windows spanning chunk edges
+    rng = np.random.default_rng(11)
+    paths, all_tokens = _write_shards(str(tmp_path), rng, n_shards=2, rows_per=120)
+    window = 257
+    got = {
+        r["window_id"]: list(r["tokens"])
+        for r in packing.pack_windows(paths, window=window, read_rows=16).take_all()
+    }
+    want = {i: list(w) for i, w in enumerate(_brute_pack(all_tokens, window))}
+    assert got == want

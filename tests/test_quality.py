@@ -320,3 +320,37 @@ class TestCrossdocDup:
             for r in oracle.itertuples()
         )
         assert mine == theirs
+
+
+def test_crossdoc_string_keys_end_to_end(ray_session):
+    # string doc keys: empty bucket partitions must emit STRING-typed key
+    # blocks (a hardcoded int64 empty schema would conflict in the
+    # downstream union/groupby-sum)
+    import ray.data as rd
+
+    docs = [
+        ("doc-a", "one two three four five six seven eight nine"),
+        ("doc-b", "one two three four five six seven eight ten"),
+        ("doc-c", "totally different words in this tiny document here now"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.string()),
+            "text": [s for _, s in docs],
+        }
+    )
+    got = {
+        r["doc_id"]: (r["distinct_grams"], r["dup_grams"])
+        for r in q.crossdoc_ngram_dup(rd.from_arrow(t), n=8).take_all()
+    }
+    vals = ", ".join(f"('{k}', '{s}')" for k, s in docs)
+    con = duckdb.connect()
+    oracle = con.execute(
+        q.crossdoc_dup_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))", n=8
+        )
+    ).df()
+    want = {
+        r.doc_id: (r.distinct_grams, r.dup_grams) for r in oracle.itertuples()
+    }
+    assert got == want
