@@ -26,14 +26,18 @@ import zlib
 
 import numpy as np
 
+from . import jpegcodec
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def sniff(data: bytes) -> str | None:
-    """'png' | 'ppm' | 'pgm' | None from magic bytes."""
+    """'png' | 'jpeg' | 'ppm' | 'pgm' | None from magic bytes."""
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     # PPM/PGM magic must be followed by whitespace — opaque binary/ASCII
     # payloads can start with the two literal bytes "P6" by accident
     if data[:2] == b"P6" and data[2:3].isspace():
@@ -211,12 +215,15 @@ def decode(data: bytes) -> np.ndarray:
     kind = sniff(data)
     if kind == "png":
         return png_decode(data)
+    if kind == "jpeg":
+        return jpegcodec.jpeg_decode(data)
     if kind in ("ppm", "pgm"):
         return ppm_decode(data)
     raise NotImplementedError(
         "unsupported image format (supported without external libraries: "
-        "PNG 8-bit gray/RGB/RGBA, binary PPM/PGM); jpeg/webp require an "
-        "imaging library not installed in this container"
+        "PNG 8-bit gray/RGB/RGBA, baseline JPEG — codecs/jpegcodec.py, "
+        "binary PPM/PGM); webp requires an imaging library not installed "
+        "in this container"
     )
 
 

@@ -3,11 +3,13 @@ typed metadata; decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages.
 
 IMAGE decode/resize are REAL: codecs/imagecodec.py is a dependency-free
-PNG (zlib IDAT) + PPM/PGM codec — the same dependency-free discipline as
-the reference's own PNG encoder (band_encoder.cpp:205-249) — so
-`ImageDecoder`/`ImageResizer` work on real payloads with no imaging
-library installed. jpeg/webp and VIDEO remain stubs: each stage falls
-back to NotImplementedError unless constructed with ``fake=True`` — a
+PNG (zlib IDAT) + PPM/PGM codec and codecs/jpegcodec.py a dependency-free
+baseline JPEG (SOF0 Huffman + float64 IDCT) — the same dependency-free
+discipline as the reference's own codecs (band_encoder.cpp:205-331,
+band_decoder.cpp:85-154) — so `ImageDecoder`/`ImageResizer` work on real
+PNG/JPEG/PPM payloads with no imaging library installed. webp and VIDEO
+remain stubs: those stages fall back to NotImplementedError unless
+constructed with ``fake=True`` — a
 clearly-marked deterministic fake (features derived from a stable hash
 of the payload bytes) that keeps the Ray-side plumbing — schema,
 byte-budgeted batch sizing, actor signature, output layout — real and
@@ -25,7 +27,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import imagecodec
+from ..codecs import imagecodec, jpegcodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -53,9 +55,9 @@ def _stable_bytes_hash(data: bytes) -> np.ndarray:
 
 class ImageDecoder:
     """payload -> (decoded shape, pixel feature vector). REAL for
-    PNG/PPM/PGM (codecs/imagecodec.py, no external libraries); other
-    formats (jpeg/webp) need an imaging library and raise unless
-    ``fake=True``. Features: per-strip mean intensity over feature_dim
+    PNG/JPEG/PPM/PGM (codecs/imagecodec.py + jpegcodec.py, no external
+    libraries); other formats (webp) need an imaging library and raise
+    unless ``fake=True``. Features: per-strip mean intensity over feature_dim
     contiguous strips of the flattened pixel array, scaled to [0, 1] —
     strip of index i is (i * D) // L, exactly replicable in SQL."""
 
@@ -73,9 +75,10 @@ class ImageDecoder:
             return (sums / counts / 255.0).astype(np.float32)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG/PPM image decode requires an imaging library "
-                "(PIL/opencv) not installed in this container; construct "
-                "with fake=True for the deterministic test double"
+                "non-PNG/JPEG/PPM image decode (webp, ...) requires an "
+                "imaging library (PIL/opencv) not installed in this "
+                "container; construct with fake=True for the "
+                "deterministic test double"
             )
         h = _stable_bytes_hash(data)
         return np.resize(h, self.feature_dim).astype(np.float32) / 255.0
@@ -92,10 +95,10 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """payload -> resized payload. REAL for PNG/PPM/PGM: decode, nearest-
-    neighbor resize (pure index arithmetic), re-encode in the source
-    format. Other formats raise unless ``fake=True`` (deterministic fake:
-    truncated bytes proportional to the target area)."""
+    """payload -> resized payload. REAL for PNG/JPEG/PPM/PGM: decode,
+    nearest-neighbor resize (pure index arithmetic), re-encode in the
+    source format. Other formats raise unless ``fake=True`` (deterministic
+    fake: truncated bytes proportional to the target area)."""
 
     def __init__(self, target_w: int, target_h: int, fake: bool = False):
         self.target_w = target_w
@@ -107,14 +110,14 @@ class ImageResizer:
         if kind is not None:
             img = imagecodec.decode(p)
             resized = imagecodec.resize_nearest(img, self.target_w, self.target_h)
-            return (
-                imagecodec.png_encode(resized)
-                if kind == "png"
-                else imagecodec.ppm_encode(resized)
-            )
+            if kind == "png":
+                return imagecodec.png_encode(resized)
+            if kind == "jpeg":
+                return jpegcodec.jpeg_encode(resized)
+            return imagecodec.ppm_encode(resized)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG/PPM resize requires an imaging library; use fake=True"
+                "non-PNG/JPEG/PPM resize requires an imaging library; use fake=True"
             )
         scale = (self.target_w * self.target_h) / max(int(w) * int(h), 1)
         return p[: max(1, int(len(p) * min(scale, 1.0)))]
@@ -237,6 +240,61 @@ def synthesize_png_media_table(rows: int, seed: int = 42, max_side: int = 48) ->
             "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
         }
     )
+
+
+def synthesize_jpeg_media_table(rows: int, seed: int = 43, max_side: int = 40) -> pa.Table:
+    """Deterministic REAL baseline-JPEG corpus (no external data): a mix
+    of grayscale, RGB 4:4:4 and RGB 4:2:0 images at varying qualities.
+    The `pixels` column carries the MATHEMATICALLY FORCED decode of the
+    exact coefficients the encoder wrote (dequantize -> IDCT -> upsample
+    -> JFIF color convert) — what any correct baseline decoder must
+    output — so a SQL oracle over `pixels` value-checks the decoder's
+    independent parse of the bitstream (Huffman, unstuffing, zigzag, DC
+    prediction, MCU interleave) end to end."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        quality = int(rng.integers(60, 96))
+        if i % 3 == 0:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            blob, exp = jpegcodec.jpeg_encode(img, quality, return_expected=True)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob, exp = jpegcodec.jpeg_encode(
+                img, quality, subsample=(i % 3 == 2), return_expected=True
+            )
+        ids.append(f"jpg-{i:08d}")
+        payloads.append(blob)
+        pixels.append(exp.reshape(-1).astype(np.int32))
+        widths.append(w)
+        heights.append(h)
+        mimes.append("image/jpeg")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def persist_jpeg_media_table(rows: int, path: str, seed: int = 43) -> str:
+    """Write (once) the real-JPEG corpus so both the Ray pipeline and the
+    SQL oracle read the SAME rows from disk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_jpeg_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def persist_png_media_table(rows: int, path: str, seed: int = 42) -> str:

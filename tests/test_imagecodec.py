@@ -84,7 +84,8 @@ class TestPng:
         img = np.zeros((2, 2), np.uint8)
         assert ic.sniff(ic.png_encode(img)) == "png"
         assert ic.sniff(ic.ppm_encode(img)) == "pgm"
-        assert ic.sniff(b"\xff\xd8\xff") is None
+        assert ic.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert ic.sniff(b"RIFF0000WEBPdata") is None
 
 
 class TestPpm:
@@ -141,8 +142,8 @@ class TestStagesRealPath:
         t = pa.table(
             {
                 "media_id": pa.array(["x"]),
-                "payload": pa.array([b"\xff\xd8\xffjpegdata"], type=pa.binary()),
-                "mime": pa.array(["image/jpeg"]),
+                "payload": pa.array([b"RIFF0000WEBPdata"], type=pa.binary()),
+                "mime": pa.array(["image/webp"]),
                 "width": pa.array([4], pa.int32()),
                 "height": pa.array([4], pa.int32()),
                 "n_frames": pa.array([1], pa.int32()),
