@@ -1051,6 +1051,36 @@ def _q_jpeg_strip_sums(sf_dir: str):
     )
 
 
+def _wav_media_path(rows: int) -> str:
+    """Persisted REAL WAV corpus: 16-bit mono PCM from a pure-integer
+    sample formula of (audio_key, i), so the SQL oracle regenerates the
+    stream and the RIFF/PCM parse is the thing under value-check."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_wav_media_table(rows, f"/tmp/raquet_media_wav_{rows}.parquet")
+
+
+def _q_wav_stats(sf_dir: str):
+    """Value-checked REAL audio decode (codecs/audiocodec.py): integer
+    sample features from wav_decode(payload) vs the SQL oracle's
+    regeneration of the same deterministic sample stream."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _wav_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.AudioFeaturizer,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(2048),
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
 def _q_multimodal(sf_dir: str):
     """REAL (non-fake) image decode: PNG/PGM payloads through the
     dependency-free codec (codecs/imagecodec.py) in an actor pool."""
@@ -1309,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "jpeg_strip_sums": _q_jpeg_strip_sums,
+        "wav_stats": _q_wav_stats,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1779,6 +1810,20 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
             f"FROM read_parquet('{_jpeg_media_path(MEDIA_FEAT_ROWS)}')) "
             "GROUP BY media_id, strip"
+        ),
+        # REAL WAV decode oracle: the SQL side regenerates the exact
+        # integer sample stream from (audio_key, n_samples) — a hash match
+        # proves the RIFF/PCM parse reproduced every 16-bit sample
+        "wav_stats": (
+            "SELECT media_id, n_samples::BIGINT AS n_samples, "
+            "16000::BIGINT AS sample_rate, "
+            "sum(abs(s))::BIGINT AS amp_l1, "
+            "sum((i + 1) * s)::BIGINT AS amp_checksum "
+            "FROM (SELECT media_id, n_samples, "
+            "unnest(generate_series(0, n_samples::INT - 1)) AS i, audio_key "
+            f"FROM read_parquet('{_wav_media_path(MEDIA_FEAT_ROWS)}')), "
+            "LATERAL (SELECT ((audio_key*7919 + i*i*31 + i*991) % 65536) - 32768 AS s) "
+            "GROUP BY media_id, n_samples"
         ),
         "frame_sample": (
             "WITH m AS (SELECT media_id, decode(payload) AS p, n_frames, "

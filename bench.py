@@ -263,6 +263,9 @@ def bench_grouped_phase(cpus: int) -> dict:
         "encode_grouped": {
             "ratio": round(gmeta["input_bytes"] / gmeta["encoded_bytes"], 4),
             "partitions": gmeta["num_partitions"],
+            # the layout shuffle priced as numbers: every piece file is one
+            # PUT + one GET on object storage (round-3 verdict item 8)
+            "shuffle": gmeta.get("shuffle", {}),
         }
     }
     return {"queries": queries, "extra": extra}

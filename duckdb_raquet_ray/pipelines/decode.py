@@ -338,12 +338,34 @@ def point_lookup(out_dir: str, pid: int, columns: list[str] | None = None) -> pa
     return enc.decode_rows(t, columns)
 
 
-def export_job(out_dir: str, dest_dir: str, *, columns: list[str] | None = None) -> int:
+def export_job(
+    out_dir: str,
+    dest_dir: str,
+    *,
+    columns: list[str] | None = None,
+    order_by: str | list[str] | None = None,
+) -> int:
     """Decode an encoded dir back to PLAIN partitioned Parquet — the export
     sink (the reference's ST_AsPNG / COPY TO export path, SURVEY.md §2.1-2.2).
     One output file per encoded partition (same lineage file name), written
     tmp→rename, so a failed export resumes by skipping existing files —
-    the resumable-output rule: never one giant file."""
+    the resumable-output rule: never one giant file.
+
+    ``order_by``: export globally sorted by an arbitrary column (the
+    reference's user-facing ``ORDER BY block`` COPY contract,
+    /root/reference/README.md:80-97, generalized to any key). Uses Ray
+    Data's distributed range-partitioned sort — file N's keys precede
+    file N+1's and each file is internally sorted, which is exactly what
+    downstream row-group min/max pruning needs. The sorted path is an
+    all-to-all exchange and is NOT per-file resumable (a re-run rewrites
+    the destination); the default unsorted path keeps lineage order and
+    per-partition resume."""
+    if order_by is not None:
+        keys = [order_by] if isinstance(order_by, str) else list(order_by)
+        ds = read_encoded(out_dir, columns=columns).sort(keys)
+        os.makedirs(dest_dir, exist_ok=True)
+        ds.write_parquet(dest_dir)
+        return int(mf.load_metadata(out_dir)["num_rows"])  # one decode pass
     files = encoded_part_files(out_dir)
     os.makedirs(dest_dir, exist_ok=True)
 

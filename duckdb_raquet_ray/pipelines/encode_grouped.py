@@ -283,6 +283,15 @@ def encode_job_grouped(
         b = int(r["bucket"])
         by_bucket.setdefault(b, []).append(r["path"])
         bucket_bytes[b] = bucket_bytes.get(b, 0) + int(r.get("bytes", 0) or 0)
+    # the layout shuffle's priced cost: on object storage every piece file
+    # is one PUT + one GET — recorded in the manifest so the bench reports
+    # it as a number, not prose
+    shuffle_stats = {
+        "n_buckets": int(n_buckets),
+        "piece_files": len(piece_rows),
+        "piece_bytes": int(sum(bucket_bytes.values())),
+        "max_bucket_bytes": int(max(bucket_bytes.values(), default=0)),
+    }
 
     def encode_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -335,6 +344,7 @@ def encode_job_grouped(
                 "salt_map": salt_map,
                 "input_shards": sorted(input_paths),
                 "schema_ipc": mf.schema_to_b64(schema_arrow),
+                "shuffle": shuffle_stats,
             },
         )
     finally:

@@ -7,9 +7,10 @@ PNG (zlib IDAT) + PPM/PGM codec and codecs/jpegcodec.py a dependency-free
 baseline JPEG (SOF0 Huffman + float64 IDCT) — the same dependency-free
 discipline as the reference's own codecs (band_encoder.cpp:205-331,
 band_decoder.cpp:85-154) — so `ImageDecoder`/`ImageResizer` work on real
-PNG/JPEG/PPM payloads with no imaging library installed. webp and VIDEO
-remain stubs: those stages fall back to NotImplementedError unless
-constructed with ``fake=True`` — a
+PNG/JPEG/PPM payloads with no imaging library installed. AUDIO decode is
+REAL for WAV (RIFF/PCM, codecs/audiocodec.py -> `AudioFeaturizer`).
+webp, compressed audio (mp3/ogg) and VIDEO remain stubs: those stages
+fall back to NotImplementedError unless constructed with ``fake=True`` — a
 clearly-marked deterministic fake (features derived from a stable hash
 of the payload bytes) that keeps the Ray-side plumbing — schema,
 byte-budgeted batch sizing, actor signature, output layout — real and
@@ -27,7 +28,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import imagecodec, jpegcodec
+from ..codecs import audiocodec, imagecodec, jpegcodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -133,6 +134,98 @@ class ImageResizer:
         t = batch.set_column(batch.schema.get_field_index("payload"), "payload", pa.array(out, type=pa.binary()))
         t = t.set_column(t.schema.get_field_index("width"), "width", pa.array([self.target_w] * len(out), type=pa.int32()))
         return t.set_column(t.schema.get_field_index("height"), "height", pa.array([self.target_h] * len(out), type=pa.int32()))
+
+
+class AudioFeaturizer:
+    """audio payload -> integer sample features. REAL for WAV (RIFF/PCM,
+    codecs/audiocodec.py — no audio library); other formats (mp3/ogg)
+    raise unless ``fake=True``. Features are integer-exact and
+    SQL-replicable: n_samples, sample_rate, amp_l1 = sum|s|, and the
+    order-pinning amp_checksum = sum((i+1) * s) over the (first-channel)
+    sample stream."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _features(self, data: bytes) -> tuple[int, int, int, int]:
+        if audiocodec.sniff(data):
+            s, rate = audiocodec.wav_decode(data)
+            if s.ndim == 2:
+                s = s[:, 0]
+            s = s.astype(np.int64)
+            n = len(s)
+            return (
+                n,
+                rate,
+                int(np.abs(s).sum()),
+                int((s * (np.arange(n, dtype=np.int64) + 1)).sum()),
+            )
+        if not self.fake:
+            raise NotImplementedError(
+                "non-WAV audio decode (mp3/ogg/aac) requires an audio "
+                "library not installed in this container; construct with "
+                "fake=True for the deterministic test double"
+            )
+        h = _stable_bytes_hash(data).astype(np.int64)
+        return len(data), 0, int(h.sum()), int((h * (np.arange(32) + 1)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._features(p or b"") for p in batch.column("payload").to_pylist()
+        ]
+        cols = list(zip(*feats)) if feats else ([], [], [], [])
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("n_samples", pa.array(cols[0], pa.int64()))
+            .append_column("sample_rate", pa.array(cols[1], pa.int64()))
+            .append_column("amp_l1", pa.array(cols[2], pa.int64()))
+            .append_column("amp_checksum", pa.array(cols[3], pa.int64()))
+        )
+
+
+def synthesize_wav_media_table(rows: int, rate: int = 16_000) -> pa.Table:
+    """Deterministic REAL WAV corpus: 16-bit mono PCM whose sample i of
+    row k is the pure-integer formula
+
+        s(k, i) = ((k*7919 + i*i*31 + i*991) % 65536) - 32768
+
+    with n_samples = 500 + (k % 300). A SQL oracle recomputes the same
+    stream from (audio_key, n_samples) via generate_series, so the
+    decoder's RIFF parse is the thing under value-check (the
+    jpeg/png `pixels`-column pattern, with the formula replacing the
+    persisted plane)."""
+    ids, payloads, keys, ns = [], [], [], []
+    for k in range(rows):
+        n = 500 + (k % 300)
+        i = np.arange(n, dtype=np.int64)
+        s = (k * 7919 + i * i * 31 + i * 991) % 65536 - 32768
+        ids.append(f"wav-{k:08d}")
+        payloads.append(audiocodec.wav_encode(s, rate))
+        keys.append(k)
+        ns.append(n)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * rows),
+            "audio_key": pa.array(keys, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def persist_wav_media_table(rows: int, path: str) -> str:
+    """Write (once) the WAV corpus so both the Ray pipeline and the SQL
+    oracle read the SAME rows from disk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_wav_media_table(rows), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 class FrameSampler:

@@ -1,0 +1,106 @@
+"""WAV (RIFF/PCM) codec + AudioFeaturizer: round-trips across bit depths,
+chunk-skip robustness, loud unsupported-format errors, and the integer
+feature stage."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from duckdb_raquet_ray.codecs import audiocodec as A
+from duckdb_raquet_ray.pipelines import multimodal as mm
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit_mono(self):
+        s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int64)
+        dec, rate = A.wav_decode(A.wav_encode(s, 8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(dec, s)
+
+    def test_roundtrip_stereo(self):
+        s = np.arange(-10, 10, dtype=np.int64).reshape(10, 2)
+        dec, rate = A.wav_decode(A.wav_encode(s, 44100))
+        assert dec.shape == (10, 2)
+        np.testing.assert_array_equal(dec, s)
+
+    @pytest.mark.parametrize("bits,vals", [
+        (8, [0, 1, 255, 128]),
+        (24, [0, 1, -1, (1 << 23) - 1, -(1 << 23)]),
+        (32, [0, 7, -7, 2**31 - 1, -(2**31)]),
+    ])
+    def test_other_pcm_depths(self, bits, vals):
+        # hand-build the payloads (the encoder only writes 16-bit)
+        if bits == 8:
+            raw = bytes(vals)
+            want = np.array(vals, np.int32) - 128
+        elif bits == 24:
+            raw = b"".join(
+                int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+            )
+            want = np.array(vals, np.int32)
+        else:
+            raw = b"".join(struct.pack("<i", v) for v in vals)
+            want = np.array(vals, np.int32)
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * bits // 8, bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(raw)) + raw
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        dec, rate = A.wav_decode(blob)
+        assert rate == 16000
+        np.testing.assert_array_equal(dec, want)
+
+    def test_float32(self):
+        vals = np.array([0.0, 1.0, -0.5, 0.25], dtype=np.float32)
+        fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", vals.nbytes) + vals.tobytes()
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        dec, rate = A.wav_decode(blob)
+        np.testing.assert_array_equal(dec, vals)
+
+    def test_unknown_chunks_skipped(self):
+        s = np.array([5, -5, 9], dtype=np.int64)
+        blob = A.wav_encode(s, 8000)
+        # splice a LIST chunk (odd length -> exercises word alignment)
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = blob[:12] + extra + blob[12:]
+        dec, _ = A.wav_decode(spliced)
+        np.testing.assert_array_equal(dec, s)
+
+    def test_compressed_format_raises(self):
+        fmt = struct.pack("<HHIIHH", 85, 1, 16000, 2000, 1, 0)  # mp3 tag
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="format tag 85"):
+            A.wav_decode(blob)
+
+    def test_not_wav(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            A.wav_decode(b"\xff\xd8\xffjunk")
+        assert not A.sniff(b"RIFFxxxxAVI ")
+
+
+class TestAudioFeaturizer:
+    def test_features_match_formula(self):
+        t = mm.synthesize_wav_media_table(6)
+        out = mm.AudioFeaturizer()(t.select(["media_id", "payload"])).to_pandas()
+        for k in range(6):
+            n = 500 + k % 300
+            i = np.arange(n, dtype=np.int64)
+            s = (k * 7919 + i * i * 31 + i * 991) % 65536 - 32768
+            row = out[out.media_id == f"wav-{k:08d}"].iloc[0]
+            assert row.n_samples == n and row.sample_rate == 16000
+            assert row.amp_l1 == int(np.abs(s).sum())
+            assert row.amp_checksum == int((s * (i + 1)).sum())
+
+    def test_non_wav_raises_without_fake(self):
+        t = pa.table(
+            {"media_id": pa.array(["x"]), "payload": pa.array([b"ID3mp3data"], pa.binary())}
+        )
+        with pytest.raises(NotImplementedError):
+            mm.AudioFeaturizer()(t)
+        out = mm.AudioFeaturizer(fake=True)(t)
+        assert out.num_rows == 1

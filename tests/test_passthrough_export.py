@@ -151,3 +151,29 @@ class TestSampledStats:
         # top values ordered by frequency desc then value asc
         freqs = [c for _, c in s["top_values"]]
         assert freqs == sorted(freqs, reverse=True)
+
+
+class TestOrderedExport:
+    def test_export_order_by_arbitrary_column(self, encoded, tmp_path):
+        # the reference's ORDER BY-before-COPY contract generalized to any
+        # key: concatenating output files in name order must yield a
+        # globally sorted column, with the same multiset of rows
+        import glob
+
+        import numpy as np
+        import pyarrow as pa
+
+        paths, out = encoded
+        dest = str(tmp_path / "sorted_export")
+        n = decode.export_job(out, dest, order_by="n_tok")
+        files = sorted(glob.glob(os.path.join(dest, "*.parquet")))
+        assert files
+        parts = [pq.read_table(f) for f in files]
+        got = pa.concat_tables(parts)
+        assert got.num_rows == n == 2000
+        col = got.column("n_tok").to_numpy(zero_copy_only=False)
+        assert (np.diff(col) >= 0).all()  # globally sorted
+        want = pa.concat_tables([pq.read_table(p) for p in paths])
+        assert sorted(got.column("doc_id").to_pylist()) == sorted(
+            want.column("doc_id").to_pylist()
+        )
