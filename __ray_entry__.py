@@ -1081,6 +1081,35 @@ def _q_wav_stats(sf_dir: str):
     )
 
 
+def _mjpeg_media_path(rows: int) -> str:
+    """Persisted REAL MJPEG-AVI corpus with per-frame forced-decode pixel
+    sums as an independent list<int64> column."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_mjpeg_media_table(rows, f"/tmp/raquet_media_avi_{rows}.parquet")
+
+
+def _q_mjpeg_frame_sums(sf_dir: str):
+    """Value-checked REAL video decode (MJPEG AVI): every 2nd frame's
+    decoded pixel sum from the container walk + JPEG decode vs the SQL
+    oracle over the persisted forced-decode frame sums."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _mjpeg_media_path(MEDIA_FRAME_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.VideoFrameFeatures,
+        fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(8192),
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
 def _q_multimodal(sf_dir: str):
     """REAL (non-fake) image decode: PNG/PGM payloads through the
     dependency-free codec (codecs/imagecodec.py) in an actor pool."""
@@ -1340,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 new ---------------------------------------------------
         "jpeg_strip_sums": _q_jpeg_strip_sums,
         "wav_stats": _q_wav_stats,
+        "mjpeg_frame_sums": _q_mjpeg_frame_sums,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1810,6 +1840,16 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
             f"FROM read_parquet('{_jpeg_media_path(MEDIA_FEAT_ROWS)}')) "
             "GROUP BY media_id, strip"
+        ),
+        # REAL MJPEG-AVI decode oracle: every 2nd frame's pixel sum from
+        # the persisted forced-decode frame_sums column
+        "mjpeg_frame_sums": (
+            "SELECT media_id, CAST(ord - 1 AS INTEGER) AS frame_index, "
+            "fsum AS frame_pixel_sum "
+            "FROM (SELECT media_id, unnest(frame_sums) AS fsum, "
+            "generate_subscripts(frame_sums, 1) AS ord "
+            f"FROM read_parquet('{_mjpeg_media_path(MEDIA_FRAME_ROWS)}')) "
+            "WHERE (ord - 1) % 2 = 0"
         ),
         # REAL WAV decode oracle: the SQL side regenerates the exact
         # integer sample stream from (audio_key, n_samples) — a hash match

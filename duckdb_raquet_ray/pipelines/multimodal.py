@@ -28,7 +28,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import audiocodec, imagecodec, jpegcodec
+from ..codecs import audiocodec, imagecodec, jpegcodec, videocodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -214,6 +214,51 @@ def synthesize_wav_media_table(rows: int, rate: int = 16_000) -> pa.Table:
     )
 
 
+def synthesize_mjpeg_media_table(rows: int, seed: int = 44, side: int = 16) -> pa.Table:
+    """Deterministic REAL MJPEG-AVI corpus: each row is an AVI whose
+    frames are baseline-JPEG grayscale images; `frame_sums` persists the
+    mathematically-forced decode's pixel sum per frame (the jpeg `pixels`
+    pattern at video granularity), so a SQL oracle value-checks container
+    walk + per-frame JPEG decode end to end."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, sums, nframes = [], [], [], []
+    for i in range(rows):
+        n = int(rng.integers(3, 12))
+        frames, fsums = [], []
+        for _ in range(n):
+            img = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+            blob, exp = jpegcodec.jpeg_encode(img, 85, return_expected=True)
+            frames.append(blob)
+            fsums.append(int(exp.astype(np.int64).sum()))
+        ids.append(f"avi-{i:08d}")
+        payloads.append(videocodec.avi_encode_mjpeg(frames, side, side))
+        sums.append(fsums)
+        nframes.append(n)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["video/x-msvideo"] * rows),
+            "n_frames": pa.array(nframes, pa.int32()),
+            "frame_sums": pa.array(sums, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def persist_mjpeg_media_table(rows: int, path: str, seed: int = 44) -> str:
+    """Write (once) the MJPEG-AVI corpus so both the Ray pipeline and the
+    SQL oracle read the SAME rows from disk."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_mjpeg_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def persist_wav_media_table(rows: int, path: str) -> str:
     """Write (once) the WAV corpus so both the Ray pipeline and the SQL
     oracle read the SAME rows from disk."""
@@ -228,9 +273,44 @@ def persist_wav_media_table(rows: int, path: str) -> str:
     return path
 
 
+class VideoFrameFeatures:
+    """MJPEG-AVI payload -> every k-th frame's integer feature row
+    (flat_map shape: one input row -> ceil(n_frames/k) output rows).
+    REAL: codecs/videocodec.py walks the RIFF 'movi' list and
+    codecs/jpegcodec.py decodes each sampled frame — no video library.
+    Feature: frame_pixel_sum (sum of the frame's decoded uint8 pixels),
+    integer-exact and SQL-replicable against a persisted expected
+    column. Inter-frame codecs (H.264/...) raise from the codec."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, fsum = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            frames = videocodec.avi_frames(payload or b"")
+            for f in range(0, len(frames), self.every_k):
+                px = videocodec.decode_frame(frames[f])
+                ids.append(mid)
+                fidx.append(f)
+                fsum.append(int(px.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame_pixel_sum": pa.array(fsum, pa.int64()),
+            }
+        )
+
+
 class FrameSampler:
     """video payload -> every k-th frame's feature row (flat_map shape:
-    one input row -> n_frames/k output rows). STUB slicing on byte ranges."""
+    one input row -> n_frames/k output rows). STUB slicing on byte ranges
+    for containers the engine can't parse; MJPEG AVI has the REAL
+    `VideoFrameFeatures` stage instead."""
 
     def __init__(self, every_k: int = 10, fake: bool = False):
         self.every_k = every_k
@@ -238,7 +318,11 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("frame sampling requires a video library; use fake=True")
+            raise NotImplementedError(
+                "generic frame sampling requires a video library; MJPEG "
+                "AVI is supported for real via VideoFrameFeatures, other "
+                "containers need fake=True"
+            )
         rows = []
         for r in batch.to_pylist():
             n = max(int(r.get("n_frames") or 0), 0)
