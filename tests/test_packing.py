@@ -170,7 +170,9 @@ def test_pack_windows_streams_shards_larger_than_chunk(ray_session, tmp_path):
     window = 257
     got = {
         r["window_id"]: list(r["tokens"])
-        for r in packing.pack_windows(paths, window=window, read_rows=16).take_all()
+        for r in packing.pack_windows(
+            paths, window=window, read_rows=16, stream_token_budget=0
+        ).take_all()
     }
     want = {i: list(w) for i, w in enumerate(_brute_pack(all_tokens, window))}
     assert got == want
