@@ -630,6 +630,24 @@ def _q_assign_splits(sf_dir: str):
     ).select_columns(["doc_id", "split"])
 
 
+_LEN_BOUNDARIES = (256, 512, 1024, 2048, 4096)
+
+
+def _q_length_buckets(sf_dir: str):
+    """Length-bucketed batching stats (padding-efficiency accounting) over
+    the documents table's n_chars."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return sampling.length_bucket_stats(
+        ds, length_col="n_chars", boundaries=_LEN_BOUNDARIES
+    )
+
+
 def _q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (RE2 split both sides,
     explicit trim set — pipelines/text.py:sentence_stats)."""
@@ -1370,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_strip_sums": _q_jpeg_strip_sums,
         "wav_stats": _q_wav_stats,
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
+        "length_buckets_docs": _q_length_buckets,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1557,6 +1576,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {corpus} GROUP BY source"
         ),
         "sentence_stats_docs": _text_ops.sentence_oracle_sql("documents"),
+        "length_buckets_docs": _sampling.length_buckets_oracle_sql(
+            "documents", length_col="n_chars", boundaries=_LEN_BOUNDARIES
+        ),
         "ws_token_count": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens "
             "FROM documents"

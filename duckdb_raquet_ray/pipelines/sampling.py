@@ -204,3 +204,90 @@ def splits_oracle_sql(
     return f"""{_mix_ctes(table, f"{key_col}::VARCHAR", seed)}
 SELECT d.{key_col}, CASE {cases} ELSE '{thr[-1][0]}' END AS split
 FROM {table} d JOIN mx ON mx.k = d.{key_col}::VARCHAR"""
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching stats (padding-efficiency accounting)
+# ---------------------------------------------------------------------------
+
+DEFAULT_LENGTH_BOUNDARIES = (128, 256, 512, 1024, 2048)
+
+
+def length_bucket_stats(
+    ds: rd.Dataset,
+    *,
+    length_col: str = "n_tok",
+    boundaries: tuple[int, ...] = DEFAULT_LENGTH_BOUNDARIES,
+) -> rd.Dataset:
+    """Per-bucket padding accounting for length-bucketed batching (the
+    standard trick that cuts pad-token waste when batching variable-length
+    sequences to fixed shapes): bucket i holds docs with
+    len <= boundaries[i] (first fitting bucket); docs longer than the last
+    boundary are TRUNCATED to it (padded_len = cap, waste 0). Emits one
+    row per non-empty bucket: (bucket_cap, n_docs, token_sum, pad_waste)
+    where pad_waste = sum(cap - min(len, cap)).
+
+    Scale: vectorized searchsorted per batch + a boundaries-sized
+    groupby-sum — all integer, so the operator carries a full value
+    oracle (`length_buckets_oracle_sql`)."""
+    bnd = np.asarray(sorted(boundaries), dtype=np.int64)
+    if len(bnd) == 0:
+        raise ValueError("need at least one bucket boundary")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ln = t.column(length_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(bnd, ln, side="left").clip(max=len(bnd) - 1)
+        cap = bnd[idx]
+        clipped = np.minimum(ln, cap)
+        # per-batch partial fold keeps the shuffle at O(buckets)/block
+        sums = np.bincount(idx, weights=clipped, minlength=len(bnd)).astype(np.int64)
+        waste = np.bincount(idx, weights=cap - clipped, minlength=len(bnd)).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(bnd)).astype(np.int64)
+        ne = cnt > 0
+        return pa.table(
+            {
+                "bucket_cap": pa.array(bnd[ne]),
+                "n_docs": pa.array(cnt[ne]),
+                "token_sum": pa.array(sums[ne]),
+                "pad_waste": pa.array(waste[ne]),
+            }
+        )
+
+    folded = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("bucket_cap")
+        .sum(["n_docs", "token_sum", "pad_waste"])
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        # name-based (see quality.crossdoc rename rationale)
+        return pa.table(
+            {
+                "bucket_cap": t.column("bucket_cap"),
+                "n_docs": t.column("sum(n_docs)"),
+                "token_sum": t.column("sum(token_sum)"),
+                "pad_waste": t.column("sum(pad_waste)"),
+            }
+        )
+
+    return folded.map_batches(rename, batch_format="pyarrow")
+
+
+def length_buckets_oracle_sql(
+    table: str = "documents",
+    *,
+    length_col: str = "n_tok",
+    boundaries: tuple[int, ...] = DEFAULT_LENGTH_BOUNDARIES,
+) -> str:
+    """DuckDB replica of length_bucket_stats."""
+    bnd = sorted(boundaries)
+    cap_expr = "CASE " + " ".join(
+        f"WHEN {length_col} <= {b} THEN {b}" for b in bnd[:-1]
+    ) + f" ELSE {bnd[-1]} END"
+    return (
+        f"SELECT {cap_expr}::BIGINT AS bucket_cap, "
+        f"count(*)::BIGINT AS n_docs, "
+        f"sum(least({length_col}, {bnd[-1]}))::BIGINT AS token_sum, "
+        f"sum({cap_expr} - least({length_col}, {cap_expr}))::BIGINT AS pad_waste "
+        f"FROM {table} GROUP BY 1"
+    )

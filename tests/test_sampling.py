@@ -142,3 +142,35 @@ class TestAssignSplits:
     def test_bad_fractions_rejected(self):
         with pytest.raises(ValueError, match="sum to 1"):
             sampling.split_thresholds({"a": 0.5, "b": 0.2})
+
+
+class TestLengthBuckets:
+    def test_matches_sql_and_handles_overflow(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "n_tok": pa.array([1, 128, 129, 256, 300, 5000, 2048, 2049], pa.int64()),
+            }
+        )
+        got = (
+            sampling.length_bucket_stats(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("bucket_cap")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (
+            con.execute(sampling.length_buckets_oracle_sql("documents"))
+            .df()
+            .sort_values("bucket_cap")
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("list") == want.to_dict("list")
+        # overflow docs truncate to the last cap with zero waste
+        top = got[got.bucket_cap == 2048].iloc[0]
+        assert top.n_docs == 3 and top.pad_waste == 0  # 5000, 2048, 2049
