@@ -370,21 +370,30 @@ def hash_join(
     how: str = "inner",
     n_buckets: int = N_JOIN_BUCKETS,
 ) -> rd.Dataset:
-    """General large-large equi-join (inner/left, one-to-many): ONE coarse
-    hash-bucket shuffle of both sides, vectorized expand inside each
-    bucket — the as-of join's bucket machinery specialized to plain key
-    equality (its merge kernel is a superset of this one).
+    """General large-large equi-join (inner/left/semi/anti, one-to-many
+    for the payload-carrying modes): ONE coarse hash-bucket shuffle of
+    both sides, vectorized expand inside each bucket — the as-of join's
+    bucket machinery specialized to plain key equality (its merge kernel
+    is a superset of this one).
+
+    ``how="semi"`` keeps left rows WITH a right match, ``how="anti"``
+    keeps left rows WITHOUT one — both emit left columns only (no
+    expansion), which is the distributed form of the broadcast drop-set
+    filter dedup uses: when the filter side outgrows a sane `ray.put`,
+    anti-join it instead.
 
     Neither side needs to fit in memory: a key's rows (both sides)
     co-locate in one bucket, bucket count is FIXED (fan-out never scales
     with key cardinality), and per-bucket state is O(corpus / n_buckets)
     plus the expanded matches. NULL join keys follow SQL semantics: never
-    equal (inner drops them; left keeps the row unmatched)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    equal (inner/semi drop them; left and anti keep the row unmatched)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     r_payload = right_cols if right_cols is not None else [
         c for c in right.schema().names if c != right_key
     ]
+    if how in ("semi", "anti"):
+        r_payload = []  # existence-only: left columns out, no expansion
     l_cols = list(left.schema().names)
     clash = [c for c in r_payload if c in l_cols and c != right_key]
     if clash:
@@ -432,6 +441,19 @@ def hash_join(
         r_valid = pc.is_valid(rg.column(right_key)).to_numpy(zero_copy_only=False)
         rg_v = rg.filter(pa.array(r_valid)) if not r_valid.all() else rg
         lg_m = lg.filter(pa.array(l_valid)) if not l_valid.all() else lg
+        if how in ("semi", "anti"):
+            if lg_m.num_rows and rg_v.num_rows:
+                rk = np.sort(rg_v.column(right_key).to_numpy(zero_copy_only=False))
+                lk = lg_m.column(left_key).to_numpy(zero_copy_only=False)
+                has = np.searchsorted(rk, lk, "right") > np.searchsorted(rk, lk, "left")
+            else:
+                has = np.zeros(lg_m.num_rows, dtype=bool)
+            if how == "semi":
+                return lg_m.filter(pa.array(has)).select(l_cols)
+            parts = [lg_m.filter(pa.array(~has)).select(l_cols)]
+            if not l_valid.all():  # null keys never match: anti keeps them
+                parts.append(lg.filter(pa.array(~l_valid)).select(l_cols))
+            return pa.concat_tables(parts)
         if lg_m.num_rows and rg_v.num_rows:
             l_idx, r_idx, cnt = _equi_expand(
                 lg_m.column(left_key).to_numpy(zero_copy_only=False),

@@ -347,3 +347,54 @@ def test_bucket_ids_nullable_and_wide_int_keys():
     u = pa.chunked_array([pa.array([(1 << 63) + 5], pa.uint64())])
     bu = joins._bucket_ids(u, 16)
     assert 0 <= bu[0] < 16
+
+
+def test_hash_join_semi_anti(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    # halve the right side so BOTH outcomes are non-empty
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("c_custkey"), pa.scalar(1)), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    semi = joins.hash_join(
+        ev, cust, left_key="user_id", right_key="c_custkey", how="semi"
+    ).to_pandas()
+    anti = joins.hash_join(
+        ev, cust, left_key="user_id", right_key="c_custkey", how="anti"
+    ).to_pandas()
+    want_semi = con.sql(
+        "SELECT event_id, user_id FROM events WHERE user_id IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) ORDER BY event_id"
+    ).df()
+    want_anti = con.sql(
+        "SELECT event_id, user_id FROM events e WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_custkey % 2 = 0) "
+        "ORDER BY event_id"
+    ).df()
+    assert len(want_semi) and len(want_anti)
+    assert sorted(semi.columns) == ["event_id", "user_id"]  # left cols only
+    assert semi.sort_values("event_id").event_id.tolist() == want_semi.event_id.tolist()
+    assert anti.sort_values("event_id").event_id.tolist() == want_anti.event_id.tolist()
+
+
+def test_hash_join_anti_keeps_null_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                                   "v": ["a", "b", "c"]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    anti = joins.hash_join(left, right, left_key="k", right_key="k", how="anti")
+    got = sorted(r["v"] for r in anti.take_all())
+    assert got == ["b", "c"]  # null key never matches -> kept by anti
+    semi = joins.hash_join(left, right, left_key="k", right_key="k", how="semi")
+    assert [r["v"] for r in semi.take_all()] == ["a"]
