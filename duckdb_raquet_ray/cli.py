@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("export", help="decode an encoded dir back to plain Parquet")
     p.add_argument("--out", required=True, help="encoded dir")
     p.add_argument("--dest", required=True, help="destination dir for plain parquet")
+    p.add_argument("--order-by", default=None,
+                   help="globally sort the export by this column "
+                        "(distributed sort; not per-file resumable)")
 
     p = sub.add_parser("info", help="print manifest metadata + passthrough totals")
     p.add_argument("--out", required=True)
@@ -194,8 +197,9 @@ def main(argv: list[str] | None = None) -> None:
         elif args.cmd == "export":
             from .pipelines import decode
 
-            n = decode.export_job(args.out, args.dest)
-            print(json.dumps({"cmd": "export", "files": n}))
+            n = decode.export_job(args.out, args.dest, order_by=args.order_by)
+            print(json.dumps({"cmd": "export", "files": n,
+                              "order_by": args.order_by}))
         elif args.cmd == "pack":
             from .pipelines import packing
 

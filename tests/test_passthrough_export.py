@@ -177,3 +177,23 @@ class TestOrderedExport:
         assert sorted(got.column("doc_id").to_pylist()) == sorted(
             want.column("doc_id").to_pylist()
         )
+
+    def test_cli_export_order_by(self, encoded, tmp_path, capsys):
+        import glob
+        import json
+
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_raquet_ray import cli
+
+        paths, out = encoded
+        dest = str(tmp_path / "cli_sorted")
+        cli.main(["export", "--out", out, "--dest", dest, "--order-by", "n_tok"])
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["order_by"] == "n_tok" and line["files"] == 2000
+        got = pa.concat_tables(
+            [pq.read_table(f) for f in sorted(glob.glob(os.path.join(dest, "*.parquet")))]
+        )
+        col = got.column("n_tok").to_numpy(zero_copy_only=False)
+        assert (np.diff(col) >= 0).all()
