@@ -80,12 +80,14 @@ def _flat_with_seps(t: pa.Table, tokens_column: str) -> np.ndarray:
     col = t.column(tokens_column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    child = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    child = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
     lengths = np.asarray(
         pc.list_value_length(col).to_numpy(zero_copy_only=False), dtype=np.int64
     )
     n = len(child) + len(lengths)
-    flat = np.empty(n, dtype=np.int64)
+    # int32 plane: tokens are vocab ids (input list<int32>, SEP fits) — at
+    # 100 TB an int64 plane would double object-store and sink traffic
+    flat = np.empty(n, dtype=np.int32)
     # separator positions: after each doc's tokens in the packed stream
     sep_pos = np.cumsum(lengths + 1) - 1
     flat[sep_pos] = SEP_TOKEN
@@ -138,7 +140,7 @@ def packed_window_stats(
             base = row["base"]
             starts, wins = _window_splits(base, len(flat), window)
             pos_in_w = (np.arange(len(flat), dtype=np.int64) + base) % window
-            weighted = flat * (pos_in_w + 1)
+            weighted = flat.astype(np.int64) * (pos_in_w + 1)
             sums = np.add.reduceat(weighted, starts)
             counts = np.diff(np.append(starts, len(flat)))
             out.append(
@@ -216,7 +218,7 @@ def _windows_table(first_win: int, flat: np.ndarray, window: int) -> pa.Table:
             # int64 offsets (LargeList): one shard can exceed 2^31 tokens
             # at production scale; int32 offsets would wrap silently
             "tokens": pa.LargeListArray.from_arrays(
-                pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.int64())
+                pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.int32())
             ),
         }
     )
@@ -237,7 +239,7 @@ def _read_token_rows(path: str, r0: int, r1: int, tokens_column: str) -> pa.Tabl
         t = f.read_row_group(g, columns=[tokens_column])
         parts.append(t.slice(max(r0 - g0, 0), min(r1, g1) - max(r0, g0)))
     if not parts:
-        return pa.table({tokens_column: pa.array([], pa.large_list(pa.int64()))})
+        return pa.table({tokens_column: pa.array([], pa.large_list(pa.int32()))})
     return pa.concat_tables(parts)
 
 
@@ -249,8 +251,9 @@ def pack_windows(
     read_rows: int = _PACK_READ_ROWS,
     stream_token_budget: int = 64 << 20,
 ) -> rd.Dataset:
-    """-> Dataset of (window_id, tokens list<int64>): the actual packed
-    training windows.
+    """-> Dataset of (window_id, tokens large_list<int32>): the actual
+    packed training windows (int32 plane — vocab-id domain; int64 would
+    double the corpus-sized output's object-store and sink bytes).
 
     Scale shape (the corpus-sized output must NEVER take an all-to-all
     trip): each shard task owns every window whose full span lies inside
@@ -280,7 +283,7 @@ def pack_windows(
     empty_out = pa.table(
         {
             "window_id": pa.array([], pa.int64()),
-            "tokens": pa.array([], pa.large_list(pa.int64())),
+            "tokens": pa.array([], pa.large_list(pa.int32())),
         }
     )
 
@@ -311,7 +314,7 @@ def pack_windows(
             pf = pq.ParquetFile(row["path"])
             pos = 0  # stream position within this shard's slice
             seen = 0
-            carry = np.zeros(0, dtype=np.int64)
+            carry = np.zeros(0, dtype=np.int32)
             next_win = (base + s) // window
             for rb in pf.iter_batches(batch_size=read_rows, columns=[tokens_column]):
                 flat = _flat_with_seps(
@@ -388,7 +391,7 @@ def pack_windows(
                             ),
                             "piece": pa.LargeListArray.from_arrays(
                                 pa.array(offs, pa.int64()),
-                                pa.array(piece, pa.int64()),
+                                pa.array(piece, pa.int32()),
                             ),
                             "_b": pa.array((wins % nb).astype(np.int32)),
                         }
@@ -399,7 +402,7 @@ def pack_windows(
                 {
                     "window_id": pa.array([], pa.int64()),
                     "piece_pos": pa.array([], pa.int64()),
-                    "piece": pa.array([], pa.large_list(pa.int64())),
+                    "piece": pa.array([], pa.large_list(pa.int32())),
                     "_b": pa.array([], pa.int32()),
                 }
             )
@@ -422,7 +425,7 @@ def pack_windows(
             lst = lst.combine_chunks()
         lst = lst.take(pa.array(order))
         lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
-        child = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        child = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
         uniq, first_idx = np.unique(wins[order], return_index=True)
         win_lens = np.add.reduceat(lengths, first_idx) if len(lengths) else lengths
         offs = np.zeros(len(uniq) + 1, dtype=np.int64)
@@ -431,7 +434,7 @@ def pack_windows(
             {
                 "window_id": pa.array(uniq),
                 "tokens": pa.LargeListArray.from_arrays(
-                    pa.array(offs, pa.int64()), pa.array(child, pa.int64())
+                    pa.array(offs, pa.int64()), pa.array(child, pa.int32())
                 ),
             }
         )

@@ -176,3 +176,14 @@ def test_pack_windows_streams_shards_larger_than_chunk(ray_session, tmp_path):
     }
     want = {i: list(w) for i, w in enumerate(_brute_pack(all_tokens, window))}
     assert got == want
+
+
+def test_pack_windows_emits_int32_token_plane(ray_session, tmp_path):
+    """The packed output's token plane must be int32 (vocab-id domain):
+    an int64 plane would double the corpus-sized output's object-store
+    and sink traffic. Both the shard-local fast path and the boundary
+    stitch path must agree on the schema or the union breaks."""
+    rng = np.random.default_rng(7)
+    paths, _ = _write_shards(str(tmp_path), rng, n_shards=4, rows_per=10)
+    ds = packing.pack_windows(paths, window=64)
+    assert ds.schema().base_schema.field("tokens").type == pa.large_list(pa.int32())
