@@ -757,6 +757,23 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup.minhash_clusters(ds).select_columns(["doc_id", "cluster_id"])
 
 
+def _q_dedup_clusters_lp(sf_dir: str):
+    """The fully DISTRIBUTED twin of dedup_clusters_docs: the same verified
+    LSH edge set closed transitively by min-label propagation iterated
+    over the edge DATASET (no driver union-find, no driver edge list),
+    annotated back onto the corpus with a bucketed left hash_join — the
+    scale path past dedup.MAX_DRIVER_EDGES. Identical output, identical
+    recursive-CTE oracle (pipelines/dedup.py:minhash_clusters_lp)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.minhash_clusters_lp(ds).select_columns(["doc_id", "cluster_id"])
+
+
 def _q_pii_scan(sf_dir: str):
     """PII detection counts (emails / IPv4 / phones) — RE2 on both sides
     (pyarrow count_substring_regex vs DuckDB regexp_extract_all), so the
@@ -1389,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_stats": _q_wav_stats,
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
         "length_buckets_docs": _q_length_buckets,
+        "dedup_clusters_lp_docs": _q_dedup_clusters_lp,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1644,6 +1662,9 @@ def oracle_sql() -> dict[str, str]:
         # same verified edge set as minhash_dedup_docs, closed transitively
         # with a recursive min-label CTE (matches the driver union-find)
         "dedup_clusters_docs": _dedup.minhash_clusters_oracle_sql("documents"),
+        # the distributed label-propagation twin converges to the same
+        # fixed point (min key per connected component) — same oracle
+        "dedup_clusters_lp_docs": _dedup.minhash_clusters_oracle_sql("documents"),
         "embedding_dedup_int8": _dedup.embedding_dedup_oracle_sql(
             _dedup.synthesize_near_dups_sql("embeddings")
         ),

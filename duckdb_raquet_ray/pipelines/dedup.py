@@ -311,7 +311,7 @@ LAST_DRIVER_EDGES = 0
 MAX_DRIVER_EDGES = 50_000_000
 
 
-def _minhash_verified_pairs(
+def _minhash_verified_edges_ds(
     ds: rd.Dataset,
     text_col: str = "text",
     key_col: str = "doc_id",
@@ -319,11 +319,13 @@ def _minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-) -> list[tuple]:
+) -> tuple[rd.Dataset | None, pa.DataType | None]:
     """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
-    near-dup EDGE list (a, b), a < b, Jaccard >= threshold. The shared
-    engine behind :func:`minhash_dedup` (drop the larger key per edge)
-    and :func:`minhash_clusters` (transitive closure over edges).
+    near-dup edges as a DATASET of (a, b), a < b, Jaccard >= threshold —
+    nothing corpus- or candidate-sized ever lands on the driver. Returns
+    (None, None) when LSH yields zero candidate pairs. The shared engine
+    behind :func:`_minhash_verified_pairs` (driver edge list, bounded) and
+    :func:`minhash_clusters_lp` (fully distributed label propagation).
 
     Scale shape — NO driver structure scales with candidate-pair count:
       1. candidate pairs stay a Dataset end-to-end,
@@ -334,10 +336,7 @@ def _minhash_verified_pairs(
          pairs reference them (per-bucket payload ~scaled_buckets target,
          duplicates collapsed in-bucket),
       3. Jaccard verification runs inside the verify-bucket groupby
-         (map_groups), shingles memoized per bucket,
-      4. only the VERIFIED edge list (true near-dups, keys only) returns
-         to the driver — orders of magnitude below candidates at any
-         realistic precision, and guarded by MAX_DRIVER_EDGES."""
+         (map_groups), shingles memoized per bucket."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -352,7 +351,7 @@ def _minhash_verified_pairs(
     pairs_ds = cand.map_batches(dedup_pairs, batch_format="pyarrow").materialize()
     LAST_CANDIDATE_PAIRS = pairs_ds.count()
     if LAST_CANDIDATE_PAIRS == 0:
-        return []
+        return None, None
     # verify buckets carry candidate TEXT, so the fan-out scales with the
     # input corpus size, keeping per-bucket text payload ~target bytes
     n_vb = util.scaled_buckets(ds)
@@ -506,11 +505,40 @@ def _minhash_verified_pairs(
         return pa.table({"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)})
 
     verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
+
+    def norm_edges(t: pa.Table) -> pa.Table:
+        # empty groupby partitions emit 0-col blocks; pin the edge schema
+        if not t.num_columns:
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+        return t
+
+    return verified.map_batches(norm_edges, batch_format="pyarrow"), kt
+
+
+def _minhash_verified_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> list[tuple]:
+    """The verified near-dup EDGE LIST on the driver — keys only, orders
+    of magnitude below candidate pairs at any realistic precision, and
+    guarded by MAX_DRIVER_EDGES (loud failure, never silent driver
+    exhaustion). Past the ceiling, :func:`minhash_clusters_lp` /
+    `hash_join(how="anti")` are the fully distributed alternatives.
+    See :func:`_minhash_verified_edges_ds` for the distributed shape."""
     global LAST_DRIVER_EDGES
+    verified, _ = _minhash_verified_edges_ds(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
+    )
+    if verified is None:
+        LAST_DRIVER_EDGES = 0
+        return []
     edges: set = set()
     for blk in verified.iter_batches(batch_format="pyarrow"):
-        if not blk.num_columns:  # empty groupby partitions emit 0-col blocks
-            continue
         edges.update(
             zip(blk.column("a").to_pylist(), blk.column("b").to_pylist())
         )
@@ -619,6 +647,235 @@ def minhash_clusters(
         return t.append_column("cluster_id", pa.array(cid, type=t.column(key_col).type))
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def minhash_clusters_lp(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """`cluster_id` = min key of the near-dup connected component — the
+    fully DISTRIBUTED twin of :func:`minhash_clusters`: min-label
+    propagation iterated over the verified-edge Dataset to a fixed point,
+    so NO driver structure scales with the edge count (this is the escape
+    hatch minhash_clusters documents for edge sets past MAX_DRIVER_EDGES;
+    same output, same SQL oracle).
+
+    Round shape (every step a corpus-scaled bucketed shuffle):
+      labels(v) <- v                          (endpoints label themselves)
+      repeat:
+        labels(v) <- min(labels(v), min over edges (u,v) of labels(u))
+      until the label multiset's uint64 fingerprint (per-block partial
+      sums of string_hash64(node || 0x1f || label); the driver folds
+      O(blocks) partials) stops changing. Labels only ever decrease, so
+      a stable fingerprint IS a fixed point. Rounds needed = the largest
+      component's diameter — near-dup components are dense and shallow
+      in practice; `max_rounds` fails loudly, never silently.
+    The final corpus annotate is a bucketed left hash_join (labels may be
+    corpus-order at worst — they are never broadcast), untouched keys
+    cluster as themselves."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from . import joins
+
+    edges_ds, kt = _minhash_verified_edges_ds(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
+    )
+    if edges_ds is None:  # no candidates: every doc is its own cluster
+        return ds.map_batches(
+            lambda t: t.append_column("cluster_id", t.column(key_col)),
+            batch_format="pyarrow",
+        )
+    nb = util.scaled_buckets(edges_ds)
+
+    def _c(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    empty_prop = pa.table(
+        {
+            "_b": pa.array([], pa.int32()),
+            "u": pa.array([], kt),
+            "v": pa.array([], kt),
+            "lab": pa.array([], kt),
+            "kind": pa.array([], pa.int8()),
+        }
+    )
+    empty_lab = pa.table({"node": pa.array([], kt), "lab": pa.array([], kt)})
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        """Edges -> both directions, bucketed on hash(u) (the label-source
+        end) so one groupby co-locates each node's label with every edge
+        it must push that label across."""
+        if t.num_rows == 0:
+            return empty_prop
+        u = pa.concat_arrays([_c(t.column("a")), _c(t.column("b"))])
+        v = pa.concat_arrays([_c(t.column("b")), _c(t.column("a"))])
+        return pa.table(
+            {
+                "_b": pa.array(_verify_buckets(u, nb)),
+                "u": u,
+                "v": v,
+                "lab": pa.nulls(len(u), kt),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
+            }
+        )
+
+    # the edge topology is re-shuffled every round: materialize once
+    sym = edges_ds.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    def norm_lab(t: pa.Table) -> pa.Table:
+        return empty_lab if t.num_columns == 0 else t
+
+    def tag_node(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_lab.append_column("_mb", pa.array([], pa.int32()))
+        return t.append_column(
+            "_mb", pa.array(_verify_buckets(t.column("node"), nb))
+        )
+
+    def min_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty_lab
+        df = pa.table(
+            {"node": _c(g.column("node")), "lab": _c(g.column("lab"))}
+        ).to_pandas()
+        m = df.groupby("node", sort=False)["lab"].min()
+        return pa.table(
+            {
+                "node": pa.array(m.index.to_numpy(), type=kt),
+                "lab": pa.array(m.to_numpy(), type=kt),
+            }
+        )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_lab
+        u = _c(t.column("u"))
+        return pa.table({"node": u, "lab": u})
+
+    def pad_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_prop
+        n = _c(t.column("node"))
+        return pa.table(
+            {
+                "_b": pa.array(_verify_buckets(n, nb)),
+                "u": n,
+                "v": pa.nulls(t.num_rows, kt),
+                "lab": _c(t.column("lab")),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def emit_msgs(g: pa.Table) -> pa.Table:
+        """One u-bucket: join labels(u) onto edges (u, v) -> messages
+        (v, labels(u))."""
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty_lab
+        kinds = np.asarray(g.column("kind"))
+        lab_rows = g.filter(pa.array(kinds == 1))
+        edge_rows = g.filter(pa.array(kinds == 0))
+        if edge_rows.num_rows == 0 or lab_rows.num_rows == 0:
+            return empty_lab
+        lab = pd.Series(
+            lab_rows.column("lab").to_pylist(),
+            index=lab_rows.column("u").to_pylist(),
+        )
+        lab = lab.groupby(level=0).min()  # defensive: pre-min dup labels
+        src = pd.Index(edge_rows.column("u").to_pylist()).map(lab)
+        out = pd.DataFrame(
+            {"node": edge_rows.column("v").to_pylist(), "lab": src}
+        ).dropna(subset=["lab"])
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy(), type=kt),
+                "lab": pa.array(out["lab"].to_numpy(), type=kt),
+            }
+        )
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        """Per-block (fingerprint, row-count) partial of the label set."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"fp": pa.array([0], pa.uint64()), "n": pa.array([0], pa.int64())}
+            )
+        joined = pc.binary_join_element_wise(
+            _c(t.column("node")).cast(pa.string()),
+            _c(t.column("lab")).cast(pa.string()),
+            "\x1f",
+        )
+        h = detmix.string_hash64(joined.to_pandas().to_numpy(dtype=object))
+        return pa.table(
+            {
+                "fp": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    def _fingerprint(labels: rd.Dataset) -> tuple[int, int]:
+        fp, n = 0, 0
+        for blk in labels.map_batches(
+            fp_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            fp = (fp + int(np.asarray(blk.column("fp")).sum() % (1 << 64))) % (1 << 64)
+            n += int(np.asarray(blk.column("n")).sum())
+        return fp, n
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(tag_node, batch_format="pyarrow")
+        .groupby("_mb")
+        .map_groups(min_bucket, batch_format="pyarrow")
+        .map_batches(norm_lab, batch_format="pyarrow")
+        .materialize()
+    )
+    prev = _fingerprint(labels)
+    for _ in range(max_rounds):
+        msgs = (
+            sym.union(labels.map_batches(pad_labels, batch_format="pyarrow"))
+            .groupby("_b")
+            .map_groups(emit_msgs, batch_format="pyarrow")
+            .map_batches(norm_lab, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.union(labels)
+            .map_batches(tag_node, batch_format="pyarrow")
+            .groupby("_mb")
+            .map_groups(min_bucket, batch_format="pyarrow")
+            .map_batches(norm_lab, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = _fingerprint(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds — "
+            "pathological component diameter; raise max_rounds"
+        )
+
+    joined = joins.hash_join(
+        ds,
+        labels,
+        left_key=key_col,
+        right_key="node",
+        right_cols=["lab"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t.column("lab")
+        cid = pc.coalesce(lab, t.column(key_col))
+        return t.drop_columns(["lab"]).append_column("cluster_id", cid)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

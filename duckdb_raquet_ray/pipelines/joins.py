@@ -483,7 +483,22 @@ def hash_join(
             out = pa.concat_tables(parts)
         return out
 
-    return lt.union(rt).groupby("_b").map_groups(merge, batch_format="pyarrow")
+    out_cols = l_cols if how in ("semi", "anti") else out_names
+
+    def norm_empty(t: pa.Table) -> pa.Table:
+        # groupby partitions holding no groups emit ZERO-COLUMN blocks;
+        # pin them to the join's output schema so downstream unions /
+        # map_batches never see schema drift
+        if t.num_columns == 0:
+            return pa.table({n: pa.nulls(0, type=schema_types[n]) for n in out_cols})
+        return t
+
+    return (
+        lt.union(rt)
+        .groupby("_b")
+        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(norm_empty, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

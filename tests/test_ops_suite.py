@@ -925,3 +925,76 @@ class TestIncrementalDedup:
         # 12 is an indexed dup; 14 is a within-new NULL dup of 10;
         # 10 (NULL) and 11 ('') both survive — distinct groups
         assert kept == oracle == [10, 11, 13]
+
+
+class TestMinhashClustersLP:
+    """Distributed label-propagation clustering (minhash_clusters_lp):
+    identical fixed point to the driver union-find, reached with NO
+    driver-side edge structure — the documented scale path past
+    dedup.MAX_DRIVER_EDGES."""
+
+    def _chain_table(self, n: int = 5) -> pa.Table:
+        # length-n near-dup chain: step i drifts one distinct word from
+        # step i-1, so only adjacent links verify at a tight threshold —
+        # min-label needs ~n propagation rounds to reach the tail, which
+        # exercises the convergence loop beyond a single iteration
+        words = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa"
+        ).split()
+        texts, cur = [], (" ".join(words) + " ") * 8
+        for i in range(n):
+            texts.append(cur)
+            cur = cur.replace(words[i], words[i] + "x")
+        texts.append("totally unrelated content about database engines " * 8)
+        return pa.table(
+            {
+                "doc_id": pa.array(list(range(20, 20 + n)) + [99], pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    def test_chain_converges_to_union_find_fixed_point(self, ray_session):
+        t = self._chain_table(5)
+        lp = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.minhash_clusters_lp(
+                rd.from_arrow(t), threshold=0.8
+            ).take_all()
+        }
+        uf = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.minhash_clusters(
+                rd.from_arrow(t), threshold=0.8
+            ).take_all()
+        }
+        assert lp == uf
+        assert lp[99] == 99  # singleton untouched by any edge
+        # the whole chain collapsed to its min key
+        chain_ids = {lp[k] for k in range(20, 25)}
+        assert chain_ids == {20}
+
+    def test_no_edges_all_singletons(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["first totally unique document body here",
+                     "second entirely different things altogether"]
+                ),
+            }
+        )
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.minhash_clusters_lp(rd.from_arrow(t)).take_all()
+        }
+        assert out == {1: 1, 2: 2}
+
+    def test_max_rounds_guard_fails_loudly(self, ray_session):
+        # a 3-link chain cannot converge in max_rounds=1 propagation
+        # round -> the guard must raise, never return a partial labeling
+        t = self._chain_table(4)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.minhash_clusters_lp(
+                rd.from_arrow(t), threshold=0.8, max_rounds=1
+            ).take_all()
