@@ -561,13 +561,44 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    distributed_filter: bool = False,
 ) -> rd.Dataset:
     """Near-dup removal: drop each doc confirmed >= threshold similar to a
-    smaller key (see :func:`_minhash_verified_pairs` for the distributed
-    shape; the final filter is a vectorized inverted `pc.is_in` with the
-    small confirmed-drop key set)."""
+    smaller key (see :func:`_minhash_verified_edges_ds` for the
+    distributed verify shape).
+
+    Default filter: the confirmed-drop key set broadcasts once
+    (`ray.put`) and the corpus streams through a vectorized inverted
+    `pc.is_in` — one pass, no shuffle, right while the drop set fits the
+    object store (it is bounded by MAX_DRIVER_EDGES). With
+    ``distributed_filter=True`` the drop keys stay a DATASET (edges ->
+    distinct larger keys) and the corpus anti-joins them through one
+    bucketed hash shuffle — nothing edge-sized on the driver, the scale
+    path when confirmed near-dups outgrow a sane broadcast."""
     import ray
     import pyarrow.compute as pc
+
+    if distributed_filter:
+        from . import joins
+
+        verified, kt = _minhash_verified_edges_ds(
+            ds, text_col, key_col, threshold, num_perm, bands, shingle_k
+        )
+        if verified is None:
+            return ds
+
+        def drop_rows(t: pa.Table) -> pa.Table:
+            # the LARGER key of each verified edge is the drop; in-batch
+            # dedupe (full dedupe happens inside the join's key buckets)
+            b = t.column("b")
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            return pa.table({"_drop_key": pc.unique(b)})
+
+        drops = verified.map_batches(drop_rows, batch_format="pyarrow")
+        return joins.hash_join(
+            ds, drops, left_key=key_col, right_key="_drop_key", how="anti"
+        )
 
     edges = _minhash_verified_pairs(
         ds, text_col, key_col, threshold, num_perm, bands, shingle_k

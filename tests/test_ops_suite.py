@@ -998,3 +998,21 @@ class TestMinhashClustersLP:
             dedup.minhash_clusters_lp(
                 rd.from_arrow(t), threshold=0.8, max_rounds=1
             ).take_all()
+
+
+def test_minhash_dedup_distributed_filter_matches_broadcast(ray_session):
+    """distributed_filter=True (edges stay a Dataset, drops anti-joined)
+    must keep exactly the same documents as the broadcast is_in filter."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = lambda: rd.read_parquet(src, columns=["doc_id", "text"])  # noqa: E731
+    keep_bcast = sorted(
+        r["doc_id"] for r in dedup.minhash_dedup(ds()).select_columns(["doc_id"]).take_all()
+    )
+    keep_dist = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(ds(), distributed_filter=True)
+        .select_columns(["doc_id"])
+        .take_all()
+    )
+    assert keep_dist == keep_bcast
+    assert len(keep_bcast) < ds().count()  # fixture plants near-dups
