@@ -407,6 +407,20 @@ def _q_vocab_topk(sf_dir: str):
     return st.vocab_topk(ds, vocab_size=50_257, k=100)
 
 
+def _q_grouped_topk(sf_dir: str):
+    """Per-SOURCE token top-10 — the per-domain vocabulary profile
+    (mixture-weighting / domain-drift input). One (group, token, cnt)
+    partial per distinct pair per block; bucketing by hash(source) makes
+    the per-group top-k cap exact in-bucket, so only O(groups x k) rows
+    leave the shuffle (stages/stats.py:grouped_topk)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["source", "tokens"])
+    return st.grouped_topk(ds, vocab_size=50_257, k=10)
+
+
 def _q_seqlen_quantiles(sf_dir: str):
     """Exact sequence-length quantiles (packing-efficiency planning) from
     the full n_tok histogram; percentile semantics == SQL percentile_disc."""
@@ -1407,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
         "length_buckets_docs": _q_length_buckets,
         "dedup_clusters_lp_docs": _q_dedup_clusters_lp,
+        "grouped_topk_tokens": _q_grouped_topk,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1679,6 +1694,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        # per-source top-10: same counting, ranked inside each source
+        # (engine groups NULL sources as '' -> coalesce keeps parity)
+        "grouped_topk_tokens": (
+            "WITH f AS (SELECT coalesce(source, '') AS source, "
+            f"unnest(tokens) AS t FROM {corpus}), "
+            "c AS (SELECT source, t AS token, count(*)::BIGINT AS cnt "
+            "FROM f GROUP BY source, t), "
+            "r AS (SELECT source, token, cnt, row_number() OVER "
+            "(PARTITION BY source ORDER BY cnt DESC, token) AS rn FROM c) "
+            "SELECT source, token, cnt FROM r WHERE rn <= 10"
         ),
         # int8 quantization: scale = list_max(|x|) (order-independent),
         # q = round(x/scale*127) — DuckDB round() is half-away-from-zero,

@@ -194,3 +194,91 @@ def seqlen_quantiles(
         rank = max(int(np.ceil(p * n)), 1)
         out[f"p{int(p * 100)}"] = int(values[np.searchsorted(cum, rank)]) if n else 0
     return pd.DataFrame([out])
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    vocab_size: int = 50_257,
+    k: int = 10,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP token top-k — the per-domain vocabulary profile (which
+    tokens dominate each source feeds mixture weighting and domain-drift
+    checks). Deterministic cutoff per group: cnt desc, token asc.
+
+    Scale shape: each block emits one (group, token, cnt) PARTIAL per
+    distinct pair present (np.unique over a dense group*vocab pair id —
+    payload O(groups-in-block x vocab) max, independent of block rows),
+    bucketed by hash(group) so EVERY partial of a group lands in one
+    bucket — the in-bucket reduce can therefore apply the per-group
+    top-k cap exactly, and only O(groups x k) rows leave the shuffle."""
+    import pyarrow.compute as pc
+
+    from duckdb_raquet_ray import util
+    from duckdb_raquet_ray.functions import detmix
+
+    nb = n_buckets or util.scaled_buckets(ds)
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return empty.append_column("_b", pa.array([], pa.int32()))
+        gser = t.column(group_col).to_pandas().fillna("")
+        codes, uniq = pd.factorize(gser, sort=False)
+        rep = np.repeat(codes.astype(np.int64), lens)
+        pair = rep * vocab_size + flat  # dense (group, token) id
+        u, c = np.unique(pair, return_counts=True)
+        gid, tok = u // vocab_size, u % vocab_size
+        groups = uniq.to_numpy(dtype=object)[gid]
+        bucket = (
+            detmix.string_hash64(groups) % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "token": pa.array(tok),
+                "cnt": pa.array(c.astype(np.int64)),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        df = g.select([group_col, "token", "cnt"]).to_pandas()
+        s = (
+            df.groupby([group_col, "token"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(
+                [group_col, "cnt", "token"], ascending=[True, False, True]
+            )
+        )
+        out = s.groupby(group_col, sort=False).head(k)
+        return pa.table(
+            {
+                group_col: pa.array(out[group_col].to_numpy(dtype=object), pa.string()),
+                "token": pa.array(out["token"].to_numpy(np.int64)),
+                "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_batches(lambda t: empty if t.num_columns == 0 else t, batch_format="pyarrow")
+    )

@@ -321,3 +321,68 @@ class TestStatsPushdown:
         got = decode.read_encoded_token_stats(out).to_pandas().sort_values("doc_id")
         assert got.tok_count.tolist() == [3, 0, 1, 2]
         assert got.tok_sum.tolist() == [6, 0, 5, 15]
+
+
+class TestGroupedTopk:
+    """Per-group token top-k (stages/stats.py:grouped_topk): brute-force
+    equality, exact ties (cnt desc / token asc), bucket-count invariance."""
+
+    def _table(self):
+        rng = np.random.default_rng(3)
+        rows, srcs, toks = 60, [], []
+        for i in range(rows):
+            src = f"s{i % 3}"
+            srcs.append(src)
+            toks.append(rng.integers(0, 40, size=rng.integers(1, 30)).tolist())
+        return pa.table(
+            {
+                "source": pa.array(srcs),
+                "tokens": pa.array(toks, pa.list_(pa.int64())),
+            }
+        )
+
+    def _brute(self, t, k):
+        import collections
+
+        cnt: dict = collections.defaultdict(collections.Counter)
+        for s, ts in zip(t.column("source").to_pylist(), t.column("tokens").to_pylist()):
+            cnt[s].update(ts)
+        out = []
+        for s in sorted(cnt):
+            ranked = sorted(cnt[s].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out.extend((s, tok, c) for tok, c in ranked)
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table()
+        got = (
+            st.grouped_topk(rd.from_arrow(t), vocab_size=50, k=5)
+            .to_pandas()
+            .sort_values(["source", "cnt", "token"], ascending=[True, False, True])
+        )
+        want = self._brute(t, 5)
+        assert list(zip(got["source"], got["token"], got["cnt"])) == want
+
+    def test_bucket_count_invariance(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table()
+        a = (
+            st.grouped_topk(rd.from_arrow(t), vocab_size=50, k=5, n_buckets=2)
+            .to_pandas()
+            .sort_values(["source", "cnt", "token"])
+            .reset_index(drop=True)
+        )
+        b = (
+            st.grouped_topk(rd.from_arrow(t), vocab_size=50, k=5, n_buckets=61)
+            .to_pandas()
+            .sort_values(["source", "cnt", "token"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
