@@ -407,6 +407,55 @@ def _q_vocab_topk(sf_dir: str):
     return st.vocab_topk(ds, vocab_size=50_257, k=100)
 
 
+_TEXTIO_ROWS = 2_000
+
+
+def _jsonl_dir() -> str:
+    """Persisted deterministic JSONL landing corpus (pure function of
+    (rows, seed) — sources/textio.py); referenced by absolute path in the
+    SQL oracle, so ensure it exists whenever either side runs."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = f"/tmp/raquet_landing_jsonl_{_TEXTIO_ROWS}"
+    textio.write_jsonl_corpus(d, _TEXTIO_ROWS, 4)
+    return d
+
+
+def _csv_dir() -> str:
+    from duckdb_raquet_ray.sources import textio
+
+    d = f"/tmp/raquet_landing_csv_{_TEXTIO_ROWS}"
+    textio.write_csv_corpus(d, _TEXTIO_ROWS, 4)
+    return d
+
+
+def _q_jsonl_source_stats(sf_dir: str):
+    """Landing-zone JSONL ingest (sources/textio.py): Ray's streaming
+    JSON reader over the foreign shards, then the per-source health
+    aggregate — value-checked against DuckDB read_json_auto over the
+    SAME files, so the engine's foreign-format read path is the thing
+    under oracle."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = _jsonl_dir()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl")
+    )
+    return textio.source_stats(textio.read_jsonl(paths))
+
+
+def _q_csv_source_stats(sf_dir: str):
+    """Landing-zone CSV ingest — same health aggregate, Arrow CSV parser
+    under Ray's reader, DuckDB read_csv_auto as the oracle."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = _csv_dir()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".csv")
+    )
+    return textio.source_stats(textio.read_csv(paths))
+
+
 def _q_grouped_topk(sf_dir: str):
     """Per-SOURCE token top-10 — the per-domain vocabulary profile
     (mixture-weighting / domain-drift input). One (group, token, cnt)
@@ -1422,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets_docs": _q_length_buckets,
         "dedup_clusters_lp_docs": _q_dedup_clusters_lp,
         "grouped_topk_tokens": _q_grouped_topk,
+        "jsonl_source_stats": _q_jsonl_source_stats,
+        "csv_source_stats": _q_csv_source_stats,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
         "point_lookup_stats": _q_point_lookup_stats,
@@ -1694,6 +1745,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        # landing-zone foreign-format reads: DuckDB parses the SAME jsonl/
+        # csv files the engine read — the read path itself is under oracle
+        "jsonl_source_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(text))::BIGINT AS text_chars "
+            f"FROM read_json_auto('{_jsonl_dir()}/*.jsonl') "
+            "GROUP BY source"
+        ),
+        "csv_source_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(text))::BIGINT AS text_chars "
+            f"FROM read_csv_auto('{_csv_dir()}/*.csv') "
+            "GROUP BY source"
         ),
         # per-source top-10: same counting, ranked inside each source
         # (engine groups NULL sources as '' -> coalesce keeps parity)

@@ -1,0 +1,154 @@
+"""JSONL / CSV landing-zone sources.
+
+Web-scale corpora land as newline-delimited JSON or CSV long before they
+are parquet; the reference's ingest surface likewise accepts any
+GDAL-readable format and normalizes it into the engine's table
+(/root/reference/src/read_raster.cpp:733-811 — open foreign format,
+detect schema, emit canonical rows). Here: `read_jsonl` / `read_csv`
+return a Ray Dataset over the foreign files (Ray's native readers — one
+read task per file, streaming), and `to_parquet_shards` normalizes a
+landing Dataset into the canonical parquet shards every downstream
+pipeline (encode, dedup, quality, packing) consumes.
+
+Fixture synthesis is a pure function of (rows, seed) with DELIBERATELY
+escape-free ASCII text, so a DuckDB `read_json_auto` / `read_csv_auto`
+over the same files is a value-exact oracle of the engine's read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_SOURCES = ["web", "code", "books", "wiki", "news"]
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _rows(n_rows: int, seed: int) -> list[dict]:
+    """Deterministic (doc_id, text, source) rows; text is space-joined
+    lowercase words — no quotes/backslashes/newlines, so the JSON and CSV
+    serializations are trivially unambiguous for the SQL oracle."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(3, 24, size=n_rows)
+    picks = rng.integers(0, len(_WORDS), size=int(lens.sum()))
+    srcs = rng.integers(0, len(_SOURCES), size=n_rows)
+    out, at = [], 0
+    for i in range(n_rows):
+        k = int(lens[i])
+        out.append(
+            {
+                "doc_id": f"j{i:06d}",
+                "text": " ".join(_WORDS[p] for p in picks[at : at + k]),
+                "source": _SOURCES[int(srcs[i])],
+            }
+        )
+        at += k
+    return out
+
+
+def write_jsonl_corpus(
+    out_dir: str, n_rows: int = 2_000, n_shards: int = 4, seed: int = 42
+) -> list[str]:
+    """Idempotent deterministic JSONL shards (one object per line)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"shard-{s:03d}.jsonl") for s in range(n_shards)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    rows = _rows(n_rows, seed)
+    per = -(-n_rows // n_shards)
+    for s, p in enumerate(paths):
+        with open(p + ".tmp", "w") as f:
+            for r in rows[s * per : (s + 1) * per]:
+                f.write(json.dumps(r, separators=(",", ":")) + "\n")
+        os.replace(p + ".tmp", p)
+    return paths
+
+
+def write_csv_corpus(
+    out_dir: str, n_rows: int = 2_000, n_shards: int = 4, seed: int = 42
+) -> list[str]:
+    """Idempotent deterministic CSV shards (header row, no quoting needed
+    by construction — see _rows)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"shard-{s:03d}.csv") for s in range(n_shards)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    rows = _rows(n_rows, seed)
+    per = -(-n_rows // n_shards)
+    for s, p in enumerate(paths):
+        with open(p + ".tmp", "w") as f:
+            f.write("doc_id,text,source\n")
+            for r in rows[s * per : (s + 1) * per]:
+                f.write(f"{r['doc_id']},{r['text']},{r['source']}\n")
+        os.replace(p + ".tmp", p)
+    return paths
+
+
+def read_jsonl(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Landing-zone JSONL -> Dataset (Ray's streaming JSON reader; one
+    task per file). JSON has no column projection at the byte level —
+    `columns` prunes immediately after parse so nothing wider flows on."""
+    ds = rd.read_json(paths)
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_csv(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Landing-zone CSV -> Dataset (Arrow CSV parser under Ray's reader)."""
+    ds = rd.read_csv(paths)
+    return ds.select_columns(columns) if columns else ds
+
+
+def to_parquet_shards(ds: rd.Dataset, out_dir: str) -> list[str]:
+    """Normalize a landing Dataset into canonical parquet shards that the
+    rest of the engine (encode_job, dedup, quality, packing) consumes —
+    the ingest bridge from foreign formats to the engine's table."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def source_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-source doc count + total text chars — the landing-zone health
+    check (one map_batches partial per block, one tiny groupby)."""
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas().fillna(""),
+                "L": pc.utf8_length(
+                    pc.coalesce(t.column(text_col), pa.scalar(""))
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("source", sort=False)
+        out = g.agg(n_docs=("L", "size"), text_chars=("L", "sum")).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(out["source"].to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+                "text_chars": pa.array(out["text_chars"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "text_chars"])
+        .rename_columns(
+            {"sum(n_docs)": "n_docs", "sum(text_chars)": "text_chars"}
+        )
+    )

@@ -1,0 +1,79 @@
+"""Landing-zone JSONL/CSV sources (sources/textio.py): deterministic
+fixtures, read-path equality across formats, and the ingest bridge into
+the canonical parquet shards the rest of the engine consumes."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from duckdb_raquet_ray.sources import textio
+
+
+def test_jsonl_and_csv_read_identically(ray_session, tmp_path):
+    jd, cd = str(tmp_path / "j"), str(tmp_path / "c")
+    jp = textio.write_jsonl_corpus(jd, 300, 3, seed=7)
+    cp = textio.write_csv_corpus(cd, 300, 3, seed=7)
+    a = (
+        textio.read_jsonl(jp, columns=["doc_id", "text", "source"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        textio.read_csv(cp, columns=["doc_id", "text", "source"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 300
+
+
+def test_write_corpus_idempotent(tmp_path):
+    d = str(tmp_path / "j")
+    p1 = textio.write_jsonl_corpus(d, 50, 2)
+    sig = [(p, os.path.getmtime(p)) for p in p1]
+    p2 = textio.write_jsonl_corpus(d, 50, 2)
+    assert p1 == p2
+    assert [(p, os.path.getmtime(p)) for p in p2] == sig  # untouched
+
+
+def test_source_stats_matches_pandas(ray_session, tmp_path):
+    jp = textio.write_jsonl_corpus(str(tmp_path / "j"), 200, 2, seed=9)
+    got = (
+        textio.source_stats(textio.read_jsonl(jp))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    df = textio.read_jsonl(jp).to_pandas()
+    want = (
+        df.assign(L=df["text"].str.len())
+        .groupby("source")
+        .agg(n_docs=("L", "size"), text_chars=("L", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["text_chars"].tolist() == want["text_chars"].tolist()
+
+
+def test_ingest_bridge_feeds_dedup(ray_session, tmp_path):
+    """Foreign landing files -> canonical parquet shards -> an engine
+    pipeline (exact dedup) — the full ingest path."""
+    from duckdb_raquet_ray.pipelines import dedup
+
+    jp = textio.write_jsonl_corpus(str(tmp_path / "j"), 120, 2, seed=5)
+    shards = textio.to_parquet_shards(
+        textio.read_jsonl(jp), str(tmp_path / "pq")
+    )
+    assert shards and all(p.endswith(".parquet") for p in shards)
+    total = sum(pq.read_metadata(p).num_rows for p in shards)
+    assert total == 120
+    import ray.data as rd
+
+    ds = rd.read_parquet(shards, columns=["doc_id", "text"])
+    kept = dedup.exact_dedup(ds).count()
+    assert 0 < kept <= 120
