@@ -30,6 +30,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines import joins
 from duckdb_raquet_ray.pipelines.ann import _int8_matrix as ann_int8
 
 # ---------------------------------------------------------------------------
@@ -579,8 +580,6 @@ def minhash_dedup(
     import pyarrow.compute as pc
 
     if distributed_filter:
-        from . import joins
-
         verified, kt = _minhash_verified_edges_ds(
             ds, text_col, key_col, threshold, num_perm, bands, shingle_k
         )
@@ -680,50 +679,37 @@ def minhash_clusters(
     return ds.map_batches(annotate, batch_format="pyarrow")
 
 
-def minhash_clusters_lp(
-    ds: rd.Dataset,
-    text_col: str = "text",
-    key_col: str = "doc_id",
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 5,
+def label_propagate_min(
+    edges_ds: rd.Dataset,
+    kt: pa.DataType,
     max_rounds: int = 64,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
-    """`cluster_id` = min key of the near-dup connected component — the
-    fully DISTRIBUTED twin of :func:`minhash_clusters`: min-label
-    propagation iterated over the verified-edge Dataset to a fixed point,
-    so NO driver structure scales with the edge count (this is the escape
-    hatch minhash_clusters documents for edge sets past MAX_DRIVER_EDGES;
-    same output, same SQL oracle).
+    """Distributed connected components over an EDGE Dataset of (a, b)
+    rows -> a (node, lab) Dataset where `lab` is the MIN key of each
+    node's component. Min-label propagation iterated to a fixed point;
+    NO driver structure scales with edge or node count.
 
     Round shape (every step a corpus-scaled bucketed shuffle):
       labels(v) <- v                          (endpoints label themselves)
       repeat:
-        labels(v) <- min(labels(v), min over edges (u,v) of labels(u))
+        labels(v) <- min(labels(v), min over edges (u,v) of labels(u),
+                         labels(labels(v)))          # pointer jumping
       until the label multiset's uint64 fingerprint (per-block partial
       sums of string_hash64(node || 0x1f || label); the driver folds
       O(blocks) partials) stops changing. Labels only ever decrease, so
-      a stable fingerprint IS a fixed point. Rounds needed = the largest
-      component's diameter — near-dup components are dense and shallow
-      in practice; `max_rounds` fails loudly, never silently.
-    The final corpus annotate is a bucketed left hash_join (labels may be
-    corpus-order at worst — they are never broadcast), untouched keys
-    cluster as themselves."""
+      a stable fingerprint IS a fixed point. The labels(labels(v)) term
+      is shortcutting: each round the label table itself re-enters the
+      propagation as edges (labels(v), v) — sound because labels(v) is
+      always a member of v's component (it starts as v and only ever
+      takes mins over component members), so the fixed point (component
+      min) is untouched while chains collapse in O(log diameter) rounds
+      instead of O(diameter); `max_rounds` fails loudly, never
+      silently."""
     import pandas as pd
     import pyarrow.compute as pc
 
-    from . import joins
-
-    edges_ds, kt = _minhash_verified_edges_ds(
-        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
-    )
-    if edges_ds is None:  # no candidates: every doc is its own cluster
-        return ds.map_batches(
-            lambda t: t.append_column("cluster_id", t.column(key_col)),
-            batch_format="pyarrow",
-        )
-    nb = util.scaled_buckets(edges_ds)
+    nb = n_buckets or util.scaled_buckets(edges_ds)
 
     def _c(col):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -804,6 +790,28 @@ def minhash_clusters_lp(
             }
         )
 
+    def shortcut_edges(t: pa.Table) -> pa.Table:
+        """Labels -> pointer-jump edges (u=labels(v), v): v then receives
+        labels(labels(v)) from emit_msgs, collapsing label chains
+        logarithmically. Self-labels (lab==node) are dropped — they would
+        only echo the node's own label back."""
+        if t.num_rows == 0:
+            return empty_prop
+        keep = pc.invert(pc.equal(t.column("node"), t.column("lab")))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty_prop
+        lab = _c(t.column("lab"))
+        return pa.table(
+            {
+                "_b": pa.array(_verify_buckets(lab, nb)),
+                "u": lab,
+                "v": _c(t.column("node")),
+                "lab": pa.nulls(t.num_rows, kt),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
     def emit_msgs(g: pa.Table) -> pa.Table:
         """One u-bucket: join labels(u) onto edges (u, v) -> messages
         (v, labels(u))."""
@@ -858,18 +866,32 @@ def minhash_clusters_lp(
             n += int(np.asarray(blk.column("n")).sum())
         return fp, n
 
+    # Block-count discipline: union sums its inputs' block counts and
+    # groupby preserves them, so without a bound the label blocks would
+    # TRIPLE per round (union of msgs+labels+shortcut) — exponential
+    # scheduling overhead by round ~6. repartition(nb) pins the round
+    # state at nb blocks; nb is corpus-scaled, so block size stays sane.
     labels = (
         sym.map_batches(init_labels, batch_format="pyarrow")
         .map_batches(tag_node, batch_format="pyarrow")
         .groupby("_mb")
         .map_groups(min_bucket, batch_format="pyarrow")
         .map_batches(norm_lab, batch_format="pyarrow")
+        .repartition(nb)
         .materialize()
     )
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("RAQUET_LP_DEBUG"))
     prev = _fingerprint(labels)
-    for _ in range(max_rounds):
+    for _rnd in range(max_rounds):
+        _t0 = _time.time()
         msgs = (
-            sym.union(labels.map_batches(pad_labels, batch_format="pyarrow"))
+            sym.union(
+                labels.map_batches(pad_labels, batch_format="pyarrow"),
+                labels.map_batches(shortcut_edges, batch_format="pyarrow"),
+            )
             .groupby("_b")
             .map_groups(emit_msgs, batch_format="pyarrow")
             .map_batches(norm_lab, batch_format="pyarrow")
@@ -880,9 +902,16 @@ def minhash_clusters_lp(
             .groupby("_mb")
             .map_groups(min_bucket, batch_format="pyarrow")
             .map_batches(norm_lab, batch_format="pyarrow")
+            .repartition(nb)
             .materialize()
         )
         cur = _fingerprint(labels)
+        if _dbg:
+            print(
+                f"[lp] round {_rnd}: {_time.time() - _t0:.1f}s "
+                f"fp={cur[0]:#x} n={cur[1]} blocks={labels.num_blocks()}",
+                flush=True,
+            )
         if cur == prev:
             break
         prev = cur
@@ -891,6 +920,39 @@ def minhash_clusters_lp(
             f"label propagation did not converge in {max_rounds} rounds — "
             "pathological component diameter; raise max_rounds"
         )
+    return labels
+
+
+def minhash_clusters_lp(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """`cluster_id` = min key of the near-dup connected component — the
+    fully DISTRIBUTED twin of :func:`minhash_clusters`: the verified-edge
+    Dataset flows through :func:`label_propagate_min` (see its docstring
+    for the round shape and convergence proof), so NO driver structure
+    scales with the edge count (this is the escape hatch minhash_clusters
+    documents for edge sets past MAX_DRIVER_EDGES; same output, same SQL
+    oracle). The final corpus annotate is a bucketed left hash_join
+    (labels may be corpus-order at worst — they are never broadcast);
+    untouched keys cluster as themselves."""
+    import pyarrow.compute as pc
+
+    edges_ds, kt = _minhash_verified_edges_ds(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
+    )
+    if edges_ds is None:  # no candidates: every doc is its own cluster
+        return ds.map_batches(
+            lambda t: t.append_column("cluster_id", t.column(key_col)),
+            batch_format="pyarrow",
+        )
+    labels = label_propagate_min(edges_ds, kt, max_rounds)
 
     joined = joins.hash_join(
         ds,

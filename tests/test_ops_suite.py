@@ -1016,3 +1016,67 @@ def test_minhash_dedup_distributed_filter_matches_broadcast(ray_session):
     )
     assert keep_dist == keep_bcast
     assert len(keep_bcast) < ds().count()  # fixture plants near-dups
+
+
+class TestLabelPropagateMin:
+    """label_propagate_min kernel on arbitrary edge Datasets: the fixed
+    point must equal a reference union-find on random graphs of varied
+    shape (chains, stars, multi-component forests)."""
+
+    @staticmethod
+    def _uf_components(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        return {k: find(k) for e in edges for k in e}
+
+    def _run(self, edges, **kw):
+        t = pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        got = {
+            r["node"]: r["lab"]
+            for r in dedup.label_propagate_min(
+                rd.from_arrow(t), pa.int64(), **kw
+            ).take_all()
+        }
+        assert got == self._uf_components(edges)
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        # One seeded random multi-component forest; kept small because
+        # every LP round is a full Ray shuffle on the 4-CPU fixture.
+        rng = np.random.default_rng(17)
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(map(int, rng.integers(0, n, size=2))))
+                for _ in range(30)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(edges, n_buckets=5)
+
+    def test_long_chain_and_star(self, ray_session):
+        # Chain diameter 12 exercises the pointer-jumping shortcut
+        # (O(log d) rounds); the star converges in one.
+        chain = [(i, i + 1) for i in range(0, 12)]
+        star = [(100, 100 + i) for i in range(1, 8)]
+        self._run(chain + star, max_rounds=12, n_buckets=5)
+
+    def test_bucket_count_invariance(self, ray_session):
+        edges = [(1, 2), (2, 3), (7, 8)]
+        for nb in (2, 13):
+            self._run(edges, n_buckets=nb)
