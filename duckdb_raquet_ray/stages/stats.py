@@ -18,6 +18,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from duckdb_raquet_ray import util
+from duckdb_raquet_ray.functions import detmix
+
 
 def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
     """One partial state row per key in this batch (vectorized).
@@ -215,9 +218,6 @@ def grouped_topk(
     bucket — the in-bucket reduce can therefore apply the per-group
     top-k cap exactly, and only O(groups x k) rows leave the shuffle."""
     import pyarrow.compute as pc
-
-    from duckdb_raquet_ray import util
-    from duckdb_raquet_ray.functions import detmix
 
     nb = n_buckets or util.scaled_buckets(ds)
     empty = pa.table(
