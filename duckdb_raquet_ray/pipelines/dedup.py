@@ -709,7 +709,16 @@ def label_propagate_min(
     import pandas as pd
     import pyarrow.compute as pc
 
-    nb = n_buckets or util.scaled_buckets(edges_ds)
+    if n_buckets is None:
+        # Materialize BEFORE sizing the fan-out: a lazy edge Dataset has
+        # no size metadata, so scaled_buckets would fall back to its
+        # historical 256 constant — 8x over-fan-out per round for small
+        # edge sets. The edges are materialized one map later anyway
+        # (the per-round `sym` topology), so this costs nothing extra.
+        edges_ds = edges_ds.materialize()
+        nb = util.scaled_buckets(edges_ds)
+    else:
+        nb = n_buckets
 
     def _c(col):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
