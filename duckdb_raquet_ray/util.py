@@ -28,6 +28,31 @@ def clean_dataset(ds):
 DEFAULT_BUCKET_TARGET_BYTES = 32 << 20
 
 
+def _plan_size_bytes(ds) -> int | None:
+    """Best-known byte size of a Dataset from plan METADATA only (never
+    triggers execution). Map operators discard size_bytes (output size is
+    unknowable pre-execution), so a `read_parquet -> map_batches` chain
+    reports None at the tip; walk up the input dependencies to the
+    nearest operator with a known size — for sizing shuffle fan-out the
+    INPUT byte count is the right proxy anyway."""
+    try:
+        frontier = [ds._logical_plan.dag]
+    except Exception:
+        return None
+    seen = 0
+    while frontier and seen < 64:
+        node = frontier.pop(0)
+        seen += 1
+        try:
+            sz = node.infer_metadata().size_bytes
+        except Exception:
+            sz = None
+        if sz:
+            return int(sz)
+        frontier.extend(getattr(node, "input_dependencies", []) or [])
+    return None
+
+
 def scaled_buckets(
     ds,
     *,
@@ -53,10 +78,7 @@ def scaled_buckets(
     if isinstance(ds, int):
         nbytes = ds
     else:
-        try:
-            nbytes = ds._logical_plan.dag.infer_metadata().size_bytes
-        except Exception:
-            nbytes = None
+        nbytes = _plan_size_bytes(ds)
     if not nbytes or nbytes <= 0:
         n = fallback
     else:
