@@ -401,10 +401,20 @@ def main() -> None:
             # window adjudication: the 2->8 encode pair measures the ENGINE
             # only while DRAM bandwidth still scales with process count —
             # if the probe saturates by 2 procs, the window is contended
-            # and the pair measures the host (BASELINE.md addendum)
-            window_ok = probe["p8"] >= 1.8 * probe["p2"]
+            # and the pair measures the host (BASELINE.md addendum).
+            # The pre-round probe alone can miss a burst that lands MID
+            # round (observed: healthy pre-probes bracketing a level-8 run
+            # 2x slower than its sibling levels), so the round only counts
+            # as quiet if the window also still holds AFTER the levels.
+            probe_post = {"p2": stream_probe(2), "p8": stream_probe(8)}
+            window_ok = (
+                probe["p8"] >= 1.8 * probe["p2"]
+                and probe_post["p8"] >= 1.8 * probe_post["p2"]
+                and probe_post["p8"] >= 0.7 * probe["p8"]
+            )
             round_recs.append({
                 "probe_gbps": probe,
+                "probe_gbps_post": probe_post,
                 "eff_2_8": round(eff28, 4),
                 "window_ok": window_ok,
                 "levels": {
