@@ -102,8 +102,17 @@ def retain_heap() -> None:
       in-actor task times 2-8x the same work in a warm single process).
       Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps big blocks on the
       brk heap and reusable: the 50 MB alloc+touch drops to ~0.1 ms.
-    - jemalloc (pyarrow buffers): disable decay so freed buffers are not
-      purged back to the OS between tasks.
+    - pyarrow buffers: route Arrow allocations through the SYSTEM (glibc)
+      pool so the mallopt retention above covers them too. pyarrow's
+      default jemalloc pool keeps purging even with decay disabled
+      (measured: an identical 28 MB parquet read re-faults ~100 MB of
+      fresh pages EVERY call under jemalloc decay=-1; under the system
+      pool it drops to ~10 MB once warm — 2026-08-19, full task fault
+      traffic 1.8 GB/task -> ~0.5 GB). On lazily-backed sandbox VMs a
+      first-touch fault costs ~100x a warm one AND the host serializes
+      fault handling across processes, so per-task fault bytes are the
+      non-scaling term in the 2->8 cpu pair. jemalloc decay is still
+      disabled as a fallback for buffers allocated before this runs.
 
     Call from every actor-pool ``__init__`` (or hot task fn) whose tasks
     move partition-sized arrays; idempotent and ~free when repeated."""
@@ -124,6 +133,12 @@ def retain_heap() -> None:
         libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
     except Exception:
         pass  # non-glibc platform
+    try:
+        import pyarrow as pa
+
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
     try:
         import pyarrow as pa
 
