@@ -102,6 +102,40 @@ def stream_probe(procs: int) -> float:
     return round(total, 2)
 
 
+_FAULT_PROBE_CODE = (
+    # first-touch page backing: allocate a FRESH 1 GB anonymous region and
+    # touch every page. This is the axis STREAM misses: on lazily-backed
+    # sandbox VMs the host serializes fault handling across processes, and
+    # a fault-path burst slows the encode kernel 2-3x while STREAM (which
+    # re-uses pre-touched buffers) still reads full bandwidth (measured
+    # 2026-08-19: STREAM 86 GB/s, kernel 2.6x slow, backing 1.4 GB/s).
+    "import numpy as np, time;"
+    "n = 1 << 30;"
+    "t0 = time.time();"
+    "b = np.zeros(n, dtype=np.uint8);"
+    "b[::4096] = 1;"
+    "print(n / (time.time() - t0) / 1e9)"
+)
+
+
+def fault_probe(procs: int = 2) -> float:
+    """Aggregate first-touch page-backing bandwidth (GB/s) across `procs`
+    fresh concurrent processes — the host's fault-path health. Recorded
+    alongside the STREAM probe so a scaling round can be adjudicated on
+    BOTH contention axes."""
+    ps = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FAULT_PROBE_CODE], stdout=subprocess.PIPE, text=True
+        )
+        for _ in range(procs)
+    ]
+    total = 0.0
+    for p in ps:
+        out, _ = p.communicate()
+        total += float(out.strip())
+    return round(total, 2)
+
+
 def best_of(fn, runs: int = 2) -> list[float]:
     """Times of `runs` calls of fn() — callers take min(). One shared
     helper: host-neighbor contention swings single runs 4-5x, and every
@@ -381,6 +415,7 @@ def main() -> None:
                 "p1": stream_probe(1),
                 "p2": stream_probe(2),
                 "p8": stream_probe(8),
+                "fault2": fault_probe(2),
             }
             rlevels: dict[str, dict] = {}
             for cpus in (2, 8, 32):
@@ -406,11 +441,20 @@ def main() -> None:
             # round (observed: healthy pre-probes bracketing a level-8 run
             # 2x slower than its sibling levels), so the round only counts
             # as quiet if the window also still holds AFTER the levels.
-            probe_post = {"p2": stream_probe(2), "p8": stream_probe(8)}
+            probe_post = {
+                "p2": stream_probe(2),
+                "p8": stream_probe(8),
+                "fault2": fault_probe(2),
+            }
             window_ok = (
                 probe["p8"] >= 1.8 * probe["p2"]
                 and probe_post["p8"] >= 1.8 * probe_post["p2"]
                 and probe_post["p8"] >= 0.7 * probe["p8"]
+                # fault-path axis (invisible to STREAM): the window only
+                # counts as quiet if first-touch backing held across the
+                # round — a mid-round fault-path burst slows the 8-cpu
+                # level 2-3x while STREAM still reads full bandwidth
+                and probe_post["fault2"] >= 0.6 * probe["fault2"]
             )
             round_recs.append({
                 "probe_gbps": probe,
