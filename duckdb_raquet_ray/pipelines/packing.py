@@ -54,6 +54,7 @@ def plan_offsets(paths: list[str], length_column: str = "n_tok") -> list[dict]:
     driver for the exclusive scan."""
 
     def shard_total(batch: pa.Table) -> pa.Table:
+        util.retain_heap()
         totals = []
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=[length_column])
@@ -125,6 +126,7 @@ def packed_window_stats(
     nb = util.scaled_buckets(24 * (corpus_total // window + 1))
 
     def shard_partials(batch: pa.Table) -> pa.Table:
+        util.retain_heap()
         out = []
         for row in batch.to_pylist():
             t = pq.read_table(row["path"], columns=[tokens_column])
@@ -291,6 +293,7 @@ def pack_windows(
         """Generator UDF: fast whole-column path for plan-bounded shards;
         row-group streaming (running offset + carry buffer) past the
         token budget, yielding complete windows as they fill."""
+        util.retain_heap()  # parquet reads churn the arrow pool per task
         yielded = False
         for row in batch.to_pylist():
             total = row["total"]
