@@ -940,6 +940,26 @@ def _q_repetition(sf_dir: str):
     )
 
 
+_BIGRAM_LM_K = 2_000
+
+
+def _q_bigram_lm(sf_dir: str):
+    """Token-bigram LM familiarity scoring: the corpus-trained top-k
+    bigram table (bounded-driver bucket shuffle, stages/stats.bigram_topk)
+    is broadcast once; each doc is annotated with integer n_bigrams /
+    n_hit / hit_sum in one streaming probe pass — the token-level
+    CCNet-style commonness signal."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "tokens"])
+    lm = st.bigram_topk(ds, k=_BIGRAM_LM_K)
+    return st.bigram_lm_score(ds, lm, concurrency=(1, 4)).select_columns(
+        ["doc_id", "n_bigrams", "n_hit", "hit_sum"]
+    )
+
+
 def _q_doc_df_score(sf_dir: str):
     """Global document-frequency scoring (the CCNet-style commonness
     signal): vocab-sized partial dfs merged once, broadcast via ray.put,
@@ -1465,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "bigram_lm_tokens": _q_bigram_lm,
         "jpeg_strip_sums": _q_jpeg_strip_sums,
         "wav_stats": _q_wav_stats,
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
@@ -1745,6 +1766,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*)::BIGINT AS cnt "
             f"FROM (SELECT unnest(tokens) AS t FROM {corpus}) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 100"
+        ),
+        # token-bigram LM: key = a * 2^32 + b (within-doc pairs only);
+        # the top-k cutoff ties break (cnt DESC, key ASC) in BOTH engines
+        "bigram_lm_tokens": (
+            "WITH bg AS ("
+            "  SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, len(tokens) - 1),"
+            "    i -> tokens[i]::BIGINT * 4294967296 + tokens[i+1]::BIGINT"
+            "  )) AS key"
+            f"  FROM {corpus}"
+            "), lm AS ("
+            "  SELECT key, count(*)::BIGINT AS cnt FROM bg GROUP BY key "
+            f"  ORDER BY cnt DESC, key ASC LIMIT {_BIGRAM_LM_K}"
+            "), sc AS ("
+            "  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "         count(lm.key)::BIGINT AS n_hit, "
+            "         coalesce(sum(lm.cnt), 0)::BIGINT AS hit_sum "
+            "  FROM bg LEFT JOIN lm USING (key) GROUP BY bg.doc_id"
+            ") "
+            "SELECT c.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams, "
+            "       coalesce(sc.n_hit, 0)::BIGINT AS n_hit, "
+            "       coalesce(sc.hit_sum, 0)::BIGINT AS hit_sum "
+            f"FROM {corpus} c LEFT JOIN sc USING (doc_id)"
         ),
         # landing-zone foreign-format reads: DuckDB parses the SAME jsonl/
         # csv files the engine read — the read path itself is under oracle

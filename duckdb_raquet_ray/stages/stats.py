@@ -282,3 +282,176 @@ def grouped_topk(
         .map_groups(reduce_bucket, batch_format="pyarrow")
         .map_batches(lambda t: empty if t.num_columns == 0 else t, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-bigram LM: corpus-trained bigram table + per-doc familiarity score
+# ---------------------------------------------------------------------------
+
+LAST_BIGRAM_DRIVER_ROWS = 0  # peak driver-held LM rows (tests bound it)
+
+
+def _doc_bigrams(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized within-doc bigram keys over a list<int> column.
+
+    -> (doc_index int64 per bigram, key int64 = a * 2^32 + b in doc order,
+    n_docs). Pairs never cross a document boundary: the last flat index of
+    every doc is masked out of the pair-start positions."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(flat)
+    ndocs = len(lens)
+    if n < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), ndocs
+    keys = (flat[:-1] << np.int64(32)) | flat[1:]
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    ends = offsets[1:] - 1  # last flat index of each doc
+    ends = ends[(ends >= 0) & (ends < n - 1)]
+    mask = np.ones(n - 1, dtype=bool)
+    mask[ends] = False
+    d_idx = np.repeat(
+        np.arange(ndocs, dtype=np.int64), np.maximum(lens - 1, 0)
+    )
+    return d_idx, keys[mask], ndocs
+
+
+def bigram_topk(
+    ds: rd.Dataset,
+    tokens_col: str = "tokens",
+    k: int = 10_000,
+    n_buckets: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Corpus-trained bigram LM table -> (sorted bigram keys int64,
+    counts int64), keeping the globally top-`k` most frequent within-doc
+    token bigrams (count desc, key asc — deterministic, SQL-replicable).
+
+    Scale shape (the `global_word_df` discipline): per-block (key, cnt)
+    partials from one np.unique — payload O(distinct bigrams per block) —
+    shuffle ONCE through a corpus-scaled bucket groupby keyed on
+    splitmix64(key) (bigram keys are structured ints, not hashes, so they
+    pre-mix before the modulus), each bucket sums its keys' exact global
+    counts and caps to `k` (a global top-k bigram beats < k bigrams in
+    its own bucket, so the per-bucket cap is exact); the driver merges
+    O(buckets x k)-bounded capped rows, never raw partials."""
+    global LAST_BIGRAM_DRIVER_ROWS
+    nb = n_buckets or util.scaled_buckets(ds)
+
+    empty = pa.table(
+        {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, keys, _ = _doc_bigrams(t.column(tokens_col))
+        if len(keys) == 0:
+            return empty.append_column("_b", pa.array([], pa.int32()))
+        u, c = np.unique(keys, return_counts=True)
+        bucket = (
+            detmix.splitmix64(u.astype(np.uint64)) % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "cnt": pa.array(c.astype(np.int64)),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        h = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(h, return_inverse=True)
+        cnt = np.bincount(inv, weights=c).astype(np.int64)
+        if len(u) > k:
+            order = np.lexsort((u, -cnt))[:k]  # cnt desc, key asc
+            keep = np.sort(order)
+            u, cnt = u[keep], cnt[keep]
+        return pa.table({"key": pa.array(u), "cnt": pa.array(cnt)})
+
+    hs, cs = [], []
+    for b in (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy")
+    ):
+        if "key" not in b:  # empty groupby partitions emit 0-col blocks
+            continue
+        hs.append(np.asarray(b["key"], dtype=np.int64))
+        cs.append(np.asarray(b["cnt"], dtype=np.int64))
+    if not hs:
+        LAST_BIGRAM_DRIVER_ROWS = 0
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    allk, allc = np.concatenate(hs), np.concatenate(cs)
+    LAST_BIGRAM_DRIVER_ROWS = len(allk)
+    if len(allk) > k:
+        order = np.lexsort((allk, -allc))[:k]
+        keep = np.sort(order)
+        allk, allc = allk[keep], allc[keep]
+    order = np.argsort(allk)  # buckets are key-disjoint: no re-merge
+    return allk[order], allc[order]
+
+
+class _BigramLmProbe:
+    """Actor-pool stage: the bigram LM table is fetched ONCE per actor in
+    __init__ (ray.put broadcast), per-batch vectorized searchsorted."""
+
+    def __init__(self, lm_ref, tokens_col: str):
+        import ray
+
+        self.keys, self.cnts = (
+            ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        )
+        self.tokens_col = tokens_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        d_idx, keys, ndocs = _doc_bigrams(batch.column(self.tokens_col))
+        n_bigrams = np.bincount(d_idx, minlength=ndocs).astype(np.int64)
+        n_hit = np.zeros(ndocs, np.int64)
+        hit_sum = np.zeros(ndocs, np.int64)
+        if len(keys) and len(self.keys):
+            idx = np.searchsorted(self.keys, keys).clip(max=len(self.keys) - 1)
+            hit = self.keys[idx] == keys
+            n_hit = np.bincount(d_idx, weights=hit, minlength=ndocs).astype(np.int64)
+            hit_sum = np.bincount(
+                d_idx, weights=np.where(hit, self.cnts[idx], 0), minlength=ndocs
+            ).astype(np.int64)
+        return (
+            batch.append_column("n_bigrams", pa.array(n_bigrams))
+            .append_column("n_hit", pa.array(n_hit))
+            .append_column("hit_sum", pa.array(hit_sum))
+        )
+
+
+def bigram_lm_score(
+    ds: rd.Dataset,
+    lm_table: tuple[np.ndarray, np.ndarray],
+    *,
+    tokens_col: str = "tokens",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Annotate each doc with `n_bigrams`, `n_hit` (bigrams present in the
+    LM table) and `hit_sum` (sum of the table counts over its bigrams) —
+    the token-level CCNet-style familiarity signal: high hit_sum/n_bigrams
+    = common constructions, low = rare or shuffled junk. Integer outputs
+    only, so the DuckDB oracle hash-matches exactly. Broadcast + one
+    streaming probe pass, no shuffle."""
+    import ray
+
+    keys, cnts = lm_table
+    ref = ray.put(
+        (np.asarray(keys, dtype=np.int64), np.asarray(cnts, dtype=np.int64))
+    )
+    return ds.map_batches(
+        _BigramLmProbe,
+        fn_constructor_kwargs={"lm_ref": ref, "tokens_col": tokens_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

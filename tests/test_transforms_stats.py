@@ -386,3 +386,108 @@ class TestGroupedTopk:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestBigramLm:
+    """Token-bigram LM (stages/stats.py:bigram_topk + bigram_lm_score):
+    brute-force equality, exact top-k ties (cnt desc / key asc), bucket
+    invariance, bounded driver state, <2-token docs."""
+
+    def _table(self, rows=80, seed=7):
+        rng = np.random.default_rng(seed)
+        ids, toks = [], []
+        for i in range(rows):
+            ids.append(f"d{i:03d}")
+            n = int(rng.integers(0, 12))  # includes 0- and 1-token docs
+            toks.append(rng.integers(0, 25, size=n).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+            }
+        )
+
+    @staticmethod
+    def _brute_lm(t, k):
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for ts in t.column("tokens").to_pylist():
+            for a, b in zip(ts, ts[1:]):
+                cnt[(a << 32) | b] += 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return dict(ranked)
+
+    def test_table_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table()
+        keys, cnts = st.bigram_topk(rd.from_arrow(t), k=10, n_buckets=7)
+        want = self._brute_lm(t, 10)
+        assert dict(zip(keys.tolist(), cnts.tolist())) == want
+        assert list(keys) == sorted(keys)  # sorted for searchsorted probes
+
+    def test_bucket_count_invariance(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table()
+        a = st.bigram_topk(rd.from_arrow(t), k=10, n_buckets=2)
+        b = st.bigram_topk(rd.from_arrow(t), k=10, n_buckets=61)
+        assert a[0].tolist() == b[0].tolist() and a[1].tolist() == b[1].tolist()
+
+    def test_score_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table()
+        lm = self._brute_lm(t, 10)
+        keys = np.array(sorted(lm), dtype=np.int64)
+        table = (keys, np.array([lm[k] for k in keys], dtype=np.int64))
+        got = (
+            st.bigram_lm_score(rd.from_arrow(t), table)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            ts = t.column("tokens").to_pylist()[int(row["doc_id"][1:])]
+            bgs = [(a << 32) | b for a, b in zip(ts, ts[1:])]
+            assert row["n_bigrams"] == len(bgs)
+            assert row["n_hit"] == sum(k in lm for k in bgs)
+            assert row["hit_sum"] == sum(lm.get(k, 0) for k in bgs)
+
+    def test_driver_rows_bounded(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = self._table(rows=300, seed=11)
+        st.bigram_topk(rd.from_arrow(t).repartition(16), k=5, n_buckets=3)
+        # driver holds at most n_buckets x k capped rows, never raw partials
+        assert st.LAST_BIGRAM_DRIVER_ROWS <= 3 * 5
+
+    def test_empty_and_short_docs(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c"]),
+                "tokens": pa.array([[], [5], [1, 2]], pa.list_(pa.int32())),
+            }
+        )
+        keys, cnts = st.bigram_topk(rd.from_arrow(t), k=10, n_buckets=3)
+        assert keys.tolist() == [(1 << 32) | 2] and cnts.tolist() == [1]
+        got = (
+            st.bigram_lm_score(rd.from_arrow(t), (keys, cnts))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["n_bigrams"].tolist() == [0, 0, 1]
+        assert got["hit_sum"].tolist() == [0, 0, 1]
