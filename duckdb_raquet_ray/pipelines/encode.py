@@ -158,8 +158,14 @@ class PartitionEncoder:
             if self.out_dir:
                 path = os.path.join(self.out_dir, pk.part_file_name(pid))
                 # absent-or-complete publish (local rename / object-store
-                # atomic upload — state/fsio.py); blobs are already compressed
-                fsio.publish_table(encoded, path, compression="none")
+                # atomic upload — state/fsio.py); blobs are already
+                # compressed. No footer statistics: min/max over 10s-of-MB
+                # binary blobs costs half the write (measured 300->156 ms
+                # per partition) and nothing reads them — pruning uses the
+                # manifest + explicit stat_* columns
+                fsio.publish_table(
+                    encoded, path, compression="none", write_statistics=False
+                )
             entries.append({"entry_json": json.dumps(entry)})
         return pa.Table.from_pylist(entries, schema=pa.schema([("entry_json", pa.string())]))
 

@@ -206,7 +206,11 @@ def encode_job_grouped(
         )
         entry["group"] = {"source": source, "salt": salt, "n_buckets": salt_map.get(source, 1)}
         path = os.path.join(out_dir, pk.part_file_name(pid))
-        fsio.publish_table(encoded, path, compression="none")
+        # write_statistics=False: see encode.PartitionEncoder — footer
+        # min/max over blob columns costs half the write and nothing reads it
+        fsio.publish_table(
+            encoded, path, compression="none", write_statistics=False
+        )
         return entry
 
     salted = ds.map_batches(
