@@ -268,6 +268,24 @@ def bench_corpus_phase(cpus: int) -> dict:
     queries["pack"] = round(
         min(best_of(lambda: packing.pack_windows(paths, window=2048).count())), 3
     )
+
+    # token-bigram LM: table build (bucket shuffle) + broadcast probe pass.
+    # Benched on a deterministic QUARTER of the shards (recorded in extra —
+    # no silent caps): the build's shuffle is O(sum of per-block DISTINCT
+    # bigrams), and this synthetic corpus is adversarially diverse (~60%
+    # of bigrams distinct per shard, so the shuffle is near corpus-sized);
+    # Zipfian real-text corpora dedupe far harder in the partials.
+    from duckdb_raquet_ray.stages import stats as st2
+
+    bigram_paths = paths[:: 4]
+
+    def bigram_run() -> None:
+        ds = rd.read_parquet(bigram_paths, columns=["doc_id", "tokens"])
+        lm = st2.bigram_topk(ds, k=10_000)
+        st2.bigram_lm_score(ds, lm, concurrency=(1, cpus)).count()
+
+    queries["bigram_lm"] = round(min(best_of(bigram_run)), 3)
+    extra["bigram_lm"] = {"shards": len(bigram_paths), "of": len(paths)}
     return {"queries": queries, "extra": extra}
 
 

@@ -337,7 +337,15 @@ def bigram_topk(
     pre-mix before the modulus), each bucket sums its keys' exact global
     counts and caps to `k` (a global top-k bigram beats < k bigrams in
     its own bucket, so the per-bucket cap is exact); the driver merges
-    O(buckets x k)-bounded capped rows, never raw partials."""
+    O(buckets x k)-bounded capped rows, never raw partials.
+
+    Cost bound (stated, not hidden): the shuffle moves one row per
+    (block, distinct-bigram-in-block) pair. Zipfian text collapses this
+    hard (the frequent bigrams repeat in every block); an adversarially
+    diverse corpus (near-unique bigrams) degrades toward one row per
+    bigram OCCURRENCE — a corpus-sized all-to-all, which is also the
+    information-theoretic floor for EXACT global top-k on such data.
+    Driver state stays O(buckets x k) regardless."""
     global LAST_BIGRAM_DRIVER_ROWS
     nb = n_buckets or util.scaled_buckets(ds)
 
