@@ -142,6 +142,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--redact", action="store_true",
                    help="write redacted text alongside the counts")
 
+    p = sub.add_parser("bigram-score", help="token-bigram LM familiarity: train a "
+                       "corpus top-k bigram table, annotate each doc with integer "
+                       "n_bigrams/n_hit/hit_sum -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--tokens-col", default="tokens")
+    p.add_argument("--top-k", type=int, default=10_000,
+                   help="LM table size (bigrams kept, cnt desc / key asc)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -303,6 +312,19 @@ def main(argv: list[str] | None = None) -> None:
                 out = pii_ops.pii_redact(out, text_col=args.text_col)
             out.write_parquet(args.dest)
             print(json.dumps({"cmd": "pii", "redact": args.redact,
+                              "dest": args.dest}))
+        elif args.cmd == "bigram-score":
+            import ray.data as rd
+
+            from . import util
+            from .stages import stats as st
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            lm = st.bigram_topk(ds, tokens_col=args.tokens_col, k=args.top_k)
+            st.bigram_lm_score(ds, lm, tokens_col=args.tokens_col).write_parquet(
+                args.dest
+            )
+            print(json.dumps({"cmd": "bigram-score", "lm_rows": int(len(lm[0])),
                               "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
