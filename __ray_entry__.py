@@ -1139,6 +1139,15 @@ def _png_media_path(rows: int) -> str:
     return mm.persist_png_media_table(rows, f"/tmp/raquet_media_png_{rows}.parquet")
 
 
+def _gif_media_path(rows: int) -> str:
+    """Persisted REAL-GIF corpus (plain / interlaced / transparent /
+    animated payloads, with the expected composited first frame persisted
+    as an independent list<int32> `pixels` column — codecs/gifcodec.py)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_gif_media_table(rows, f"/tmp/raquet_media_gif_{rows}.parquet")
+
+
 def _jpeg_media_path(rows: int) -> str:
     """Persisted REAL baseline-JPEG corpus (gray + RGB 4:4:4 + RGB 4:2:0
     payloads, with each image's mathematically-forced decode persisted as
@@ -1245,6 +1254,24 @@ def _q_multimodal(sf_dir: str):
         batch_size=mm.suggest_batch_size(4096),
         concurrency=(1, 2),
         num_cpus=1,
+    )
+
+
+def _q_gif_strip_sums(sf_dir: str):
+    """Value-checked REAL GIF decode (container + LZW + interlace +
+    transparency composite + first-frame-of-animation), same strip-sum
+    oracle shape as png/jpeg_strip_sums."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _gif_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.strip_sums_batch,
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
     )
 
 
@@ -1486,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "bigram_lm_tokens": _q_bigram_lm,
+        "gif_strip_sums": _q_gif_strip_sums,
         "jpeg_strip_sums": _q_jpeg_strip_sums,
         "wav_stats": _q_wav_stats,
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
@@ -2006,6 +2034,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT media_id, unnest(pixels) AS val, "
             "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
             f"FROM read_parquet('{_png_media_path(MEDIA_FEAT_ROWS)}')) "
+            "GROUP BY media_id, strip"
+        ),
+        # REAL GIF decode oracle: pixels = the numpy-computed expected
+        # composite (palette gathers + transparency rank arithmetic),
+        # independent of the container/LZW parse under test
+        "gif_strip_sums": (
+            "SELECT media_id, CAST(((ord-1)*16)//L AS INTEGER) AS strip, "
+            "CAST(SUM(val) AS BIGINT) AS strip_sum "
+            "FROM (SELECT media_id, unnest(pixels) AS val, "
+            "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
+            f"FROM read_parquet('{_gif_media_path(MEDIA_FEAT_ROWS)}')) "
             "GROUP BY media_id, strip"
         ),
         # REAL baseline-JPEG decode oracle: same pattern — the pixels

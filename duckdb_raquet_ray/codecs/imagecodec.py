@@ -33,11 +33,13 @@ _CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def sniff(data: bytes) -> str | None:
-    """'png' | 'jpeg' | 'ppm' | 'pgm' | None from magic bytes."""
+    """'png' | 'jpeg' | 'gif' | 'ppm' | 'pgm' | None from magic bytes."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     # PPM/PGM magic must be followed by whitespace — opaque binary/ASCII
     # payloads can start with the two literal bytes "P6" by accident
     if data[:2] == b"P6" and data[2:3].isspace():
@@ -217,11 +219,16 @@ def decode(data: bytes) -> np.ndarray:
         return png_decode(data)
     if kind == "jpeg":
         return jpegcodec.jpeg_decode(data)
+    if kind == "gif":
+        from . import gifcodec
+
+        return gifcodec.gif_decode(data)
     if kind in ("ppm", "pgm"):
         return ppm_decode(data)
     raise NotImplementedError(
         "unsupported image format (supported without external libraries: "
         "PNG 8-bit gray/RGB/RGBA, baseline JPEG — codecs/jpegcodec.py, "
+        "GIF 87a/89a incl. interlace/animation — codecs/gifcodec.py, "
         "binary PPM/PGM); webp requires an imaging library not installed "
         "in this container"
     )

@@ -474,6 +474,81 @@ def persist_jpeg_media_table(rows: int, path: str, seed: int = 43) -> str:
     return path
 
 
+def synthesize_gif_media_table(rows: int, seed: int = 44, max_side: int = 40) -> pa.Table:
+    """Deterministic REAL-GIF corpus (no external data): palette images
+    mixing plain, interlaced, transparent and ANIMATED (first-frame
+    oracle) streams — the four decode paths codecs/gifcodec.py owns. The
+    `pixels` column carries the expected composited first frame computed
+    directly from the palette/index arrays with plain numpy gathers —
+    independent of the LZW/container parse under test."""
+    from ..codecs import gifcodec
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        ncol = int(rng.integers(2, 64))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=(h, w))
+        img = pal[idx]
+        expected = img
+        if i % 4 == 3:
+            # animated: first frame is the oracle row (decode() = frame 0)
+            img2 = pal[rng.integers(0, ncol, size=(h, w))]
+            payloads.append(gifcodec.gif_encode_frames([img, img2], delays_cs=[5, 5]))
+        elif i % 4 == 2:
+            # transparency: pixels of the chosen FILE-palette index show
+            # the background (= file palette entry 0 = the first pixel's
+            # color). The expected composite is computed here with plain
+            # numpy rank arithmetic — independent of the decoder.
+            flat = img.reshape(-1, 3)
+            key = (
+                flat[:, 0].astype(np.uint32) << 16
+                | flat[:, 1].astype(np.uint32) << 8
+                | flat[:, 2].astype(np.uint32)
+            )
+            uniq, first_pos, inv = np.unique(
+                key, return_index=True, return_inverse=True
+            )
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[np.argsort(first_pos)] = np.arange(len(uniq))
+            fidx = rank[inv].reshape(h, w)
+            ti = int(fidx.max())
+            expected = img.copy()
+            expected[fidx == ti] = flat[0]
+            payloads.append(gifcodec.gif_encode(img, transparent_index=ti))
+        else:
+            payloads.append(gifcodec.gif_encode(img, interlace=(i % 4 == 1)))
+        ids.append(f"gif-{i:08d}")
+        pixels.append(expected.reshape(-1).astype(np.int32))
+        widths.append(w)
+        heights.append(h)
+        mimes.append("image/gif")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def persist_gif_media_table(rows: int, path: str, seed: int = 44) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_gif_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def persist_png_media_table(rows: int, path: str, seed: int = 42) -> str:
     """Write (once) the real-format image corpus so both the Ray pipeline
     and the SQL oracle read the SAME rows from disk."""
