@@ -26,7 +26,7 @@ import zlib
 
 import numpy as np
 
-from . import jpegcodec
+from . import gifcodec, jpegcodec
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -220,8 +220,6 @@ def decode(data: bytes) -> np.ndarray:
     if kind == "jpeg":
         return jpegcodec.jpeg_decode(data)
     if kind == "gif":
-        from . import gifcodec
-
         return gifcodec.gif_decode(data)
     if kind in ("ppm", "pgm"):
         return ppm_decode(data)

@@ -3,13 +3,17 @@ typed metadata; decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages.
 
 IMAGE decode/resize are REAL: codecs/imagecodec.py is a dependency-free
-PNG (zlib IDAT) + PPM/PGM codec and codecs/jpegcodec.py a dependency-free
-baseline JPEG (SOF0 Huffman + float64 IDCT) — the same dependency-free
-discipline as the reference's own codecs (band_encoder.cpp:205-331,
-band_decoder.cpp:85-154) — so `ImageDecoder`/`ImageResizer` work on real
-PNG/JPEG/PPM payloads with no imaging library installed. AUDIO decode is
-REAL for WAV (RIFF/PCM, codecs/audiocodec.py -> `AudioFeaturizer`).
-webp, compressed audio (mp3/ogg) and VIDEO remain stubs: those stages
+PNG (zlib IDAT) + PPM/PGM codec, codecs/jpegcodec.py a dependency-free
+baseline JPEG (SOF0 Huffman + float64 IDCT), and codecs/gifcodec.py a
+complete GIF 87a/89a (LZW, interlace, transparency, animation) — the
+same dependency-free discipline as the reference's own codecs
+(band_encoder.cpp:205-331, band_decoder.cpp:85-154) — so
+`ImageDecoder`/`ImageResizer` work on real PNG/JPEG/GIF/PPM payloads
+with no imaging library installed. AUDIO decode is REAL for WAV
+(RIFF/PCM, codecs/audiocodec.py -> `AudioFeaturizer`); VIDEO frame
+decode is REAL for MJPEG-AVI (codecs/videocodec.py).
+webp, compressed audio (mp3/ogg) and inter-frame video remain stubs:
+those stages
 fall back to NotImplementedError unless constructed with ``fake=True`` — a
 clearly-marked deterministic fake (features derived from a stable hash
 of the payload bytes) that keeps the Ray-side plumbing — schema,
@@ -28,7 +32,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import audiocodec, imagecodec, jpegcodec, videocodec
+from ..codecs import audiocodec, gifcodec, imagecodec, jpegcodec, videocodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -481,8 +485,6 @@ def synthesize_gif_media_table(rows: int, seed: int = 44, max_side: int = 40) ->
     `pixels` column carries the expected composited first frame computed
     directly from the palette/index arrays with plain numpy gathers —
     independent of the LZW/container parse under test."""
-    from ..codecs import gifcodec
-
     rng = np.random.default_rng(seed)
     ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
     for i in range(rows):
