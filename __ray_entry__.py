@@ -1216,6 +1216,34 @@ def _mjpeg_media_path(rows: int) -> str:
     return mm.persist_mjpeg_media_table(rows, f"/tmp/raquet_media_avi_{rows}.parquet")
 
 
+def _gif_anim_path(rows: int) -> str:
+    """Persisted animated-GIF corpus with independently computed per-frame
+    composited pixel sums (multimodal.synthesize_gif_anim_table)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_gif_anim_table(rows, f"/tmp/raquet_media_gifanim_{rows}.parquet")
+
+
+def _q_gif_frame_sums(sf_dir: str):
+    """Value-checked ANIMATED-GIF frame sampling: every 2nd composited
+    frame's pixel sum from the container walk + LZW decode + disposal
+    compositing vs the SQL oracle over persisted expected sums."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _gif_anim_path(MEDIA_FRAME_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.VideoFrameFeatures,
+        fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(8192),
+        concurrency=(1, 2),
+    )
+
+
 def _q_mjpeg_frame_sums(sf_dir: str):
     """Value-checked REAL video decode (MJPEG AVI): every 2nd frame's
     decoded pixel sum from the container walk + JPEG decode vs the SQL
@@ -1514,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 new ---------------------------------------------------
         "bigram_lm_tokens": _q_bigram_lm,
         "gif_strip_sums": _q_gif_strip_sums,
+        "gif_frame_sums": _q_gif_frame_sums,
         "jpeg_strip_sums": _q_jpeg_strip_sums,
         "wav_stats": _q_wav_stats,
         "mjpeg_frame_sums": _q_mjpeg_frame_sums,
@@ -2066,6 +2095,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT media_id, unnest(frame_sums) AS fsum, "
             "generate_subscripts(frame_sums, 1) AS ord "
             f"FROM read_parquet('{_mjpeg_media_path(MEDIA_FRAME_ROWS)}')) "
+            "WHERE (ord - 1) % 2 = 0"
+        ),
+        # animated GIF: same frame-sum shape over the composited frames
+        "gif_frame_sums": (
+            "SELECT media_id, CAST(ord - 1 AS INTEGER) AS frame_index, "
+            "fsum AS frame_pixel_sum "
+            "FROM (SELECT media_id, unnest(frame_sums) AS fsum, "
+            "generate_subscripts(frame_sums, 1) AS ord "
+            f"FROM read_parquet('{_gif_anim_path(MEDIA_FRAME_ROWS)}')) "
             "WHERE (ord - 1) % 2 = 0"
         ),
         # REAL WAV decode oracle: the SQL side regenerates the exact

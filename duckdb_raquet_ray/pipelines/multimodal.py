@@ -249,6 +249,50 @@ def synthesize_mjpeg_media_table(rows: int, seed: int = 44, side: int = 16) -> p
     )
 
 
+def synthesize_gif_anim_table(rows: int, seed: int = 45, side: int = 16) -> pa.Table:
+    """Deterministic ANIMATED-GIF corpus: each row is a multi-frame GIF
+    (full-frame, disposal 1 draw-over), with `frame_sums` persisting each
+    composited frame's expected RGB pixel sum computed straight from the
+    source palette/index arrays — independent of the LZW/container parse
+    the sampler exercises."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, sums, nframes = [], [], [], []
+    for i in range(rows):
+        n = int(rng.integers(3, 12))
+        ncol = int(rng.integers(2, 32))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames, fsums = [], []
+        for _ in range(n):
+            img = pal[rng.integers(0, ncol, size=(side, side))]
+            frames.append(img)
+            fsums.append(int(img.astype(np.int64).sum()))
+        ids.append(f"agif-{i:08d}")
+        payloads.append(gifcodec.gif_encode_frames(frames, delays_cs=[4] * n))
+        sums.append(fsums)
+        nframes.append(n)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/gif"] * rows),
+            "n_frames": pa.array(nframes, pa.int32()),
+            "frame_sums": pa.array(sums, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def persist_gif_anim_table(rows: int, path: str, seed: int = 45) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_gif_anim_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def persist_mjpeg_media_table(rows: int, path: str, seed: int = 44) -> str:
     """Write (once) the MJPEG-AVI corpus so both the Ray pipeline and the
     SQL oracle read the SAME rows from disk."""
@@ -278,13 +322,16 @@ def persist_wav_media_table(rows: int, path: str) -> str:
 
 
 class VideoFrameFeatures:
-    """MJPEG-AVI payload -> every k-th frame's integer feature row
+    """Motion-image payload -> every k-th frame's integer feature row
     (flat_map shape: one input row -> ceil(n_frames/k) output rows).
-    REAL: codecs/videocodec.py walks the RIFF 'movi' list and
-    codecs/jpegcodec.py decodes each sampled frame — no video library.
-    Feature: frame_pixel_sum (sum of the frame's decoded uint8 pixels),
-    integer-exact and SQL-replicable against a persisted expected
-    column. Inter-frame codecs (H.264/...) raise from the codec."""
+    REAL for two containers, dispatched by magic bytes:
+    MJPEG-AVI (codecs/videocodec.py walks the RIFF 'movi' list,
+    codecs/jpegcodec.py decodes each sampled frame) and ANIMATED GIF
+    (codecs/gifcodec.py composites every frame honoring disposal).
+    Feature: frame_pixel_sum (sum of the frame's decoded/composited
+    uint8 pixels), integer-exact and SQL-replicable against a persisted
+    expected column. Inter-frame codecs (H.264/...) raise from the
+    codec."""
 
     def __init__(self, every_k: int = 2):
         self.every_k = every_k
@@ -295,7 +342,15 @@ class VideoFrameFeatures:
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            frames = videocodec.avi_frames(payload or b"")
+            payload = payload or b""
+            if gifcodec.sniff_gif(payload):
+                comp = gifcodec.gif_frames(payload)
+                for f in range(0, len(comp), self.every_k):
+                    ids.append(mid)
+                    fidx.append(f)
+                    fsum.append(int(comp[f]["rgb"].astype(np.int64).sum()))
+                continue
+            frames = videocodec.avi_frames(payload)
             for f in range(0, len(frames), self.every_k):
                 px = videocodec.decode_frame(frames[f])
                 ids.append(mid)

@@ -98,3 +98,34 @@ class TestDispatcherAndMediaTable:
         img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="distinct colors"):
             g.gif_encode(img)
+
+
+class TestFrameSampling:
+    def test_video_frame_features_gif_branch(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = mm.synthesize_gif_anim_table(6)
+        ds = rd.from_arrow(t.select(["media_id", "payload"]))
+        got = (
+            ds.map_batches(
+                mm.VideoFrameFeatures,
+                fn_constructor_kwargs={"every_k": 2},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+            .sort_values(["media_id", "frame_index"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for mid, sums in zip(
+            t.column("media_id").to_pylist(), t.column("frame_sums").to_pylist()
+        ):
+            for f in range(0, len(sums), 2):
+                want.append((mid, f, sums[f]))
+        assert (
+            list(zip(got["media_id"], got["frame_index"], got["frame_pixel_sum"]))
+            == want
+        )
