@@ -1216,6 +1216,33 @@ def _mjpeg_media_path(rows: int) -> str:
     return mm.persist_mjpeg_media_table(rows, f"/tmp/raquet_media_avi_{rows}.parquet")
 
 
+def _webp_media_path(rows: int) -> str:
+    """Persisted REAL WebP-VP8L corpus cycling every spec decode path
+    (literals / cache+LZ77 / meta-huffman / 14 predictor modes / color
+    transform / palette packing), with the lossless source image as the
+    independent `pixels` column (multimodal.synthesize_webp_media_table)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_webp_media_table(rows, f"/tmp/raquet_media_webp_{rows}.parquet")
+
+
+def _q_webp_strip_sums(sf_dir: str):
+    """Value-checked REAL WebP-VP8L decode, same strip-sum oracle shape
+    as png/jpeg/gif_strip_sums."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _webp_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.strip_sums_batch,
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+    )
+
+
 def _gif_anim_path(rows: int) -> str:
     """Persisted animated-GIF corpus with independently computed per-frame
     composited pixel sums (multimodal.synthesize_gif_anim_table)."""
@@ -1541,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "bigram_lm_tokens": _q_bigram_lm,
+        "webp_strip_sums": _q_webp_strip_sums,
         "gif_strip_sums": _q_gif_strip_sums,
         "gif_frame_sums": _q_gif_frame_sums,
         "jpeg_strip_sums": _q_jpeg_strip_sums,
@@ -2096,6 +2124,15 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(frame_sums, 1) AS ord "
             f"FROM read_parquet('{_mjpeg_media_path(MEDIA_FRAME_ROWS)}')) "
             "WHERE (ord - 1) % 2 = 0"
+        ),
+        # REAL WebP-VP8L decode oracle: pixels = the lossless source image
+        "webp_strip_sums": (
+            "SELECT media_id, CAST(((ord-1)*16)//L AS INTEGER) AS strip, "
+            "CAST(SUM(val) AS BIGINT) AS strip_sum "
+            "FROM (SELECT media_id, unnest(pixels) AS val, "
+            "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
+            f"FROM read_parquet('{_webp_media_path(MEDIA_FEAT_ROWS)}')) "
+            "GROUP BY media_id, strip"
         ),
         # animated GIF: same frame-sum shape over the composited frames
         "gif_frame_sums": (

@@ -26,7 +26,7 @@ import zlib
 
 import numpy as np
 
-from . import gifcodec, jpegcodec
+from . import gifcodec, jpegcodec, webpcodec
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -40,6 +40,8 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     # PPM/PGM magic must be followed by whitespace — opaque binary/ASCII
     # payloads can start with the two literal bytes "P6" by accident
     if data[:2] == b"P6" and data[2:3].isspace():
@@ -221,14 +223,17 @@ def decode(data: bytes) -> np.ndarray:
         return jpegcodec.jpeg_decode(data)
     if kind == "gif":
         return gifcodec.gif_decode(data)
+    if kind == "webp":
+        return webpcodec.webp_decode(data)
     if kind in ("ppm", "pgm"):
         return ppm_decode(data)
     raise NotImplementedError(
         "unsupported image format (supported without external libraries: "
         "PNG 8-bit gray/RGB/RGBA, baseline JPEG — codecs/jpegcodec.py, "
         "GIF 87a/89a incl. interlace/animation — codecs/gifcodec.py, "
-        "binary PPM/PGM); webp requires an imaging library not installed "
-        "in this container"
+        "WEBP VP8L lossless — codecs/webpcodec.py, binary PPM/PGM); "
+        "VP8 LOSSY webp needs a boolean-coder DCT pipeline no "
+        "dependency-free decoder here provides"
     )
 
 

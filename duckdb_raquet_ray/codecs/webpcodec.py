@@ -1,0 +1,1043 @@
+"""Dependency-free WebP VP8L (lossless) codec — stdlib + numpy.
+
+Same discipline as codecs/jpegcodec.py and codecs/gifcodec.py: the
+multimodal pipeline decodes REAL bytes with no imaging library, and the
+decode is pixel-exact against independently persisted expectations.
+
+Spec: "WebP Lossless Bitstream Specification" (Google, public).
+Decoder coverage (spec-complete for still images):
+  - RIFF/WEBP container, VP8L chunk, 14-bit dimensions header
+  - huffman codes: both SIMPLE (1-2 symbols) and NORMAL (code-length
+    code with 16/17/18 repeat semantics, canonical assignment)
+  - meta-huffman (entropy image selecting per-tile code groups)
+  - literals, LZ77 backward references (length/distance prefix codes,
+    the 120-entry 2D distance mapping) and the color cache
+  - all four transforms, applied in reverse order: COLOR_INDEXING
+    (incl. sub-byte pixel packing for palettes <= 16), PREDICTOR
+    (14 modes), COLOR (cross-channel deltas), SUBTRACT_GREEN
+
+The fixture-grade encoder emits literal-only streams with NORMAL
+huffman codes (canonical, via the code-length code), optional
+SUBTRACT_GREEN, optional color cache, and optional simple LZ77 runs —
+enough to exercise the container, tree machinery, cache and reference
+paths end to end; predictor/color/color-indexing transforms and
+meta-huffman are decoder-side spec implementations exercised by
+hand-built streams in tests.
+
+VP8 (lossy) webp remains out of scope — it is a different format
+(boolean coder + DCT) and raises NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit reader (LSB-first, like DEFLATE)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                self.bitbuf |= 0  # zero-pad past the end (spec-tolerant)
+                self.nbits += 8
+                continue
+            self.bitbuf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.bitbuf & ((1 << n) - 1)
+        self.bitbuf >>= n
+        self.nbits -= n
+        return v
+
+
+# ---------------------------------------------------------------------------
+# canonical huffman trees (decode via incremental code walk)
+# ---------------------------------------------------------------------------
+
+
+class _Huffman:
+    """Canonical Huffman decoder from code LENGTHS (VP8L/DEFLATE rule:
+    shorter codes first, ties by symbol order, codes read MSB-first bit
+    by bit from the LSB-first bit reader)."""
+
+    __slots__ = ("fast", "fast_bits", "long_codes", "max_len", "single")
+
+    def __init__(self, lengths: np.ndarray):
+        lengths = np.asarray(lengths, dtype=np.int32)
+        nz = np.flatnonzero(lengths)
+        self.single = None
+        if len(nz) == 0:
+            # degenerate: no symbols — only legal if never read
+            self.single = 0
+            self.fast = None
+            self.max_len = 0
+            return
+        if len(nz) == 1:
+            self.single = int(nz[0])
+            self.fast = None
+            self.max_len = 0
+            return
+        max_len = int(lengths.max())
+        self.max_len = max_len
+        # canonical code assignment
+        bl_count = np.bincount(lengths[nz], minlength=max_len + 1)
+        next_code = np.zeros(max_len + 2, dtype=np.int64)
+        code = 0
+        for l in range(1, max_len + 1):
+            code = (code + int(bl_count[l - 1])) << 1
+            next_code[l] = code
+        codes = np.zeros(len(lengths), dtype=np.int64)
+        for s in nz:  # symbol order = canonical tie-break
+            l = lengths[s]
+            codes[s] = next_code[l]
+            next_code[l] += 1
+        # fast LUT on reversed-bit prefixes
+        fb = min(max_len, 10)
+        self.fast_bits = fb
+        fast = np.full(1 << fb, -1, dtype=np.int64)  # (sym << 5) | len, -1 = long
+        long_codes: dict[tuple[int, int], int] = {}
+        for s in nz:
+            l = int(lengths[s])
+            c = int(codes[s])
+            # bit reader yields LSB-first; MSB-first code of length l maps
+            # to reversed bit pattern in the low l bits
+            rc = int(f"{c:0{l}b}"[::-1], 2)
+            if l <= fb:
+                step = 1 << l
+                fast[rc::step] = (s << 5) | l
+            else:
+                long_codes[(l, rc)] = s
+        self.fast = fast
+        self.long_codes = long_codes
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        # peek fast_bits
+        while br.nbits < self.fast_bits:
+            if br.pos >= len(br.data):
+                br.nbits += 8
+            else:
+                br.bitbuf |= br.data[br.pos] << br.nbits
+                br.pos += 1
+                br.nbits += 8
+        e = self.fast[br.bitbuf & ((1 << self.fast_bits) - 1)]
+        if e >= 0:
+            l = e & 31
+            br.bitbuf >>= l
+            br.nbits -= l
+            return int(e) >> 5
+        # long code: walk bit by bit past fast_bits
+        v = br.bitbuf & ((1 << self.fast_bits) - 1)
+        br.bitbuf >>= self.fast_bits
+        br.nbits -= self.fast_bits
+        l = self.fast_bits
+        while l < self.max_len + 1:
+            v |= br.read(1) << l
+            l += 1
+            s = self.long_codes.get((l, v))
+            if s is not None:
+                return s
+        raise ValueError("VP8L: invalid huffman code")
+
+
+# code-length-code read order (spec)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _read_code_lengths(br: _BitReader, alphabet_size: int) -> np.ndarray:
+    """Read one huffman code's lengths (simple or normal form)."""
+    if br.read(1):  # simple code
+        n_syms = br.read(1) + 1
+        if br.read(1):  # first symbol is 8 bits
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        lengths = np.zeros(alphabet_size, dtype=np.int32)
+        lengths[s0] = 1
+        if n_syms == 2:
+            s1 = br.read(8)
+            lengths[s1] = 1
+        return lengths
+    # normal: code-length code
+    num_cl = br.read(4) + 4
+    cl_lengths = np.zeros(19, dtype=np.int32)
+    for i in range(num_cl):
+        cl_lengths[_CLC_ORDER[i]] = br.read(3)
+    cl_tree = _Huffman(cl_lengths)
+    # optional limit on the number of coded symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = np.zeros(alphabet_size, dtype=np.int32)
+    prev = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        code = cl_tree.read(br)
+        if code < 16:
+            lengths[i] = code
+            i += 1
+            if code:
+                prev = code
+        elif code == 16:
+            rep = 3 + br.read(2)
+            lengths[i : i + rep] = prev
+            i += rep
+        elif code == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix coding + distance mapping
+# ---------------------------------------------------------------------------
+
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    """length/distance prefix code -> value (spec: 24 prefix codes)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+# the 120-entry 2D neighborhood for short distances (spec table), as
+# (dx, dy) pairs scanned y-major
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _map_distance(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    d = dy * xsize + dx
+    return max(d, 1)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image (the core), used for the main image AND for
+# transform/meta data sub-images
+# ---------------------------------------------------------------------------
+
+_GREEN_BASE = 256 + 24  # literals + length prefix codes
+_NUM_DIST = 40
+
+
+def _read_huffman_group(br: _BitReader, cache_bits: int) -> list[_Huffman]:
+    g = _Huffman(_read_code_lengths(br, _GREEN_BASE + (1 << cache_bits if cache_bits else 0)))
+    r = _Huffman(_read_code_lengths(br, 256))
+    b = _Huffman(_read_code_lengths(br, 256))
+    a = _Huffman(_read_code_lengths(br, 256))
+    d = _Huffman(_read_code_lengths(br, _NUM_DIST))
+    return [g, r, b, a, d]
+
+
+def _decode_entropy_image(
+    br: _BitReader, xsize: int, ysize: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one entropy-coded ARGB image -> (ysize, xsize, 4) uint8
+    [A, R, G, B]."""
+    cache_bits = 0
+    if br.read(1):  # color cache present
+        cache_bits = br.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("VP8L: bad color cache size")
+    groups = [None]
+    meta = None
+    meta_bits = 0
+    if allow_meta and br.read(1):  # meta-huffman
+        meta_bits = br.read(3) + 2
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (ysize + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, allow_meta=False)
+        # group index = (R << 8) | G
+        meta = (
+            meta_img[:, :, 1].astype(np.int32) << 8
+        ) | meta_img[:, :, 2].astype(np.int32)
+        n_groups = int(meta.max()) + 1
+    else:
+        n_groups = 1
+    groups = [_read_huffman_group(br, cache_bits) for _ in range(n_groups)]
+
+    cache = (
+        np.zeros((1 << cache_bits, 4), dtype=np.uint8) if cache_bits else None
+    )
+    out = np.zeros((ysize * xsize, 4), dtype=np.uint8)  # A,R,G,B
+    pos = 0
+    total = ysize * xsize
+
+    def cache_insert(px):
+        # hash of ARGB word
+        word = (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8) | int(px[3])
+        idx = ((word * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+        cache[idx] = px
+
+    while pos < total:
+        if meta is not None:
+            x = pos % xsize
+            y = pos // xsize
+            grp = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            grp = groups[0]
+        g_tree, r_tree, b_tree, a_tree, d_tree = grp
+        s = g_tree.read(br)
+        if s < 256:  # literal: green, then r, b, a
+            g = s
+            r = r_tree.read(br)
+            b = b_tree.read(br)
+            a = a_tree.read(br)
+            out[pos] = (a, r, g, b)
+            if cache is not None:
+                cache_insert(out[pos])
+            pos += 1
+        elif s < _GREEN_BASE:  # LZ77 backward reference
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, d_tree.read(br))
+            dist = _map_distance(dist_code, xsize)
+            if dist > pos:
+                raise ValueError("VP8L: reference before image start")
+            for k in range(length):
+                out[pos] = out[pos - dist]
+                if cache is not None:
+                    cache_insert(out[pos])
+                pos += 1
+                if pos >= total:
+                    break
+        else:  # color cache hit
+            out[pos] = cache[s - _GREEN_BASE]
+            pos += 1
+    return out.reshape(ysize, xsize, 4)
+
+
+# ---------------------------------------------------------------------------
+# transforms (inverse application)
+# ---------------------------------------------------------------------------
+
+
+def _inv_subtract_green(img: np.ndarray) -> None:
+    g = img[:, :, 2]
+    img[:, :, 1] += g  # uint8 wrap
+    img[:, :, 3] += g
+
+
+def _inv_color_transform(img: np.ndarray, bits: int, data: np.ndarray) -> None:
+    """Per-tile cross-channel deltas (spec channel mapping: green_to_red
+    in the tile pixel's B channel, green_to_blue in G, red_to_blue in R).
+    Vectorized: red is restored first, then blue uses the restored red."""
+    h, w = img.shape[:2]
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    g2r = data[:, :, 3].astype(np.int8)[np.ix_(ty, tx)].astype(np.int32)
+    g2b = data[:, :, 2].astype(np.int8)[np.ix_(ty, tx)].astype(np.int32)
+    r2b = data[:, :, 1].astype(np.int8)[np.ix_(ty, tx)].astype(np.int32)
+    g = img[:, :, 2].astype(np.int8).astype(np.int32)
+    r = (img[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    img[:, :, 1] = r.astype(np.uint8)
+    r8 = r.astype(np.uint8).astype(np.int8).astype(np.int32)
+    b = (img[:, :, 3].astype(np.int32) + ((g2b * g) >> 5) + ((r2b * r8) >> 5)) & 0xFF
+    img[:, :, 3] = b.astype(np.uint8)
+
+
+def _clamp_add_sub_half(a: int, b: int, c: int) -> int:
+    v = a + b - c
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _inv_predictor(img: np.ndarray, bits: int, data: np.ndarray) -> None:
+    """14 predictor modes, applied per tile; stored pixel values are
+    residuals to ADD (mod 256) to the prediction. Scan order over the
+    FLAT buffer, matching the spec's contiguous addressing: T = flat[p-w],
+    TR = flat[p-w+1] (so the rightmost column's TR is the CURRENT row's
+    leftmost, already-reconstructed pixel), TL = flat[p-w-1]."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 4).astype(np.int32)
+    modes = data[:, :, 2]  # G channel of the transform tile image
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    for p in range(h * w):
+        y, x = divmod(p, w)
+        if p == 0:
+            pred = np.array([255, 0, 0, 0], dtype=np.int32)
+        elif y == 0:
+            pred = flat[p - 1]
+        elif x == 0:
+            pred = flat[p - w]
+        else:
+            mode = int(modes[y >> bits, x >> bits])
+            L = flat[p - 1]
+            T = flat[p - w]
+            TL = flat[p - w - 1]
+            TR = flat[p - w + 1]
+            if mode == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:  # Select
+                pm = L + T - TL
+                pl = int(np.abs(pm - L).sum())
+                pt = int(np.abs(pm - T).sum())
+                pred = L if pl < pt else T
+            elif mode == 12:  # ClampAddSubtractFull
+                pred = np.clip(L + T - TL, 0, 255)
+            else:  # 13: ClampAddSubtractHalf (C truncating division)
+                a = avg2(L, T)
+                d = a - TL
+                half = np.where(d < 0, -((-d) >> 1), d >> 1)
+                pred = np.clip(a + half, 0, 255)
+        flat[p] = (flat[p] + pred) & 0xFF
+    img[:] = flat.reshape(h, w, 4).astype(np.uint8)
+
+
+def _inv_color_indexing(img: np.ndarray, palette: np.ndarray, orig_w: int) -> np.ndarray:
+    """Palette lookup; for palettes <= 16 entries, pixels were PACKED
+    into the green channel (width was shrunk)."""
+    n = len(palette)
+    if n > 16:
+        idx = img[:, :, 2].astype(np.int64)
+        idx = np.minimum(idx, n - 1)
+        return palette[idx]
+    if n > 4:
+        pix_per_byte, bits = 2, 4
+    elif n > 2:
+        pix_per_byte, bits = 4, 2
+    else:
+        pix_per_byte, bits = 8, 1
+    h = img.shape[0]
+    packed = img[:, :, 2]
+    outw = orig_w
+    out = np.zeros((h, outw, 4), dtype=np.uint8)
+    mask = (1 << bits) - 1
+    for sub in range(pix_per_byte):
+        vals = (packed >> (sub * bits)) & mask
+        xs = np.arange(packed.shape[1]) * pix_per_byte + sub
+        keep = xs < outw
+        out[:, xs[keep]] = palette[np.minimum(vals[:, keep], n - 1)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+# ---------------------------------------------------------------------------
+
+
+def sniff_webp(data: bytes) -> str | None:
+    """'vp8l' | 'vp8' | 'vp8x' | None."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    fourcc = data[12:16]
+    if fourcc == b"VP8L":
+        return "vp8l"
+    if fourcc == b"VP8 ":
+        return "vp8"
+    return "vp8x"
+
+
+def webp_decode(data: bytes) -> np.ndarray:
+    """RIFF/WEBP VP8L -> (h, w, 3) uint8 RGB (alpha dropped if opaque,
+    else (h, w, 4) RGBA)."""
+    kind = sniff_webp(data)
+    if kind is None:
+        raise ValueError("not a WEBP file")
+    if kind != "vp8l":
+        raise NotImplementedError(
+            "only VP8L (lossless) webp decodes without an imaging "
+            "library; VP8 lossy uses a boolean-coder DCT pipeline"
+        )
+    (chunk_len,) = struct.unpack_from("<I", data, 16)
+    payload = data[20 : 20 + chunk_len]
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    _alpha_hint = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError("VP8L: bad version")
+
+    # transforms (read in stream order, applied in REVERSE later)
+    transforms = []
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in (0, 1):  # predictor / color
+            bits = br.read(3) + 2
+            tw = (xsize + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            tdata = _decode_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append((ttype, bits, tdata))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, 0, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
+            # palette entries are delta-coded component-wise
+            pal = np.cumsum(pal_img[0].astype(np.int64), axis=0).astype(np.uint8)
+            if n_colors <= 2:
+                xsize = (xsize + 7) >> 3
+            elif n_colors <= 4:
+                xsize = (xsize + 3) >> 2
+            elif n_colors <= 16:
+                xsize = (xsize + 1) >> 1
+            transforms.append((3, 0, pal))
+
+    img = _decode_entropy_image(br, xsize, h, allow_meta=True)
+
+    for ttype, bits, tdata in reversed(transforms):
+        if ttype == 3:
+            img = _inv_color_indexing(img, tdata, w)
+        elif ttype == 2:
+            _inv_subtract_green(img)
+        elif ttype == 1:
+            _inv_color_transform(img, bits, tdata)
+        else:
+            _inv_predictor(img, bits, tdata)
+
+    a, r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2], img[:, :, 3]
+    if np.all(a == 255):
+        return np.stack([r, g, b], axis=-1)
+    return np.stack([r, g, b, a], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# fixture-grade encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "bitbuf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.bitbuf |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.bitbuf & 0xFF)
+            self.bitbuf >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.bitbuf & 0xFF)
+        return bytes(self.out)
+
+
+def _huff_lengths(freqs: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Length-limited Huffman code lengths (heap build + zlib-style
+    clamp-and-fix when the optimal depth exceeds max_len)."""
+    import heapq
+
+    n = len(freqs)
+    nz = np.flatnonzero(freqs)
+    lengths = np.zeros(n, dtype=np.int32)
+    if len(nz) == 0:
+        return lengths
+    if len(nz) == 1:
+        lengths[nz[0]] = 1
+        return lengths
+    heap = [(int(freqs[s]), int(s), (int(s),)) for s in nz]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(s1[0], s2[0]), s1 + s2))
+    if lengths.max() > max_len:
+        lengths = np.minimum(lengths, max_len)
+        # restore Kraft inequality: sum(2^-l) <= 1
+        def kraft():
+            return sum(2.0 ** -int(l) for l in lengths[lengths > 0])
+        while kraft() > 1.0:
+            cand = np.flatnonzero((lengths > 0) & (lengths < max_len))
+            s = cand[np.argmin(freqs[cand])]
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    max_len = int(lengths.max()) if len(lengths) else 0
+    bl_count = np.bincount(lengths[lengths > 0], minlength=max_len + 1)
+    next_code = np.zeros(max_len + 2, dtype=np.int64)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + int(bl_count[l - 1])) << 1
+        next_code[l] = code
+    codes = np.zeros(len(lengths), dtype=np.int64)
+    for s in np.flatnonzero(lengths):
+        l = lengths[s]
+        codes[s] = next_code[l]
+        next_code[l] += 1
+    return codes
+
+
+def _rev(code: int, l: int) -> int:
+    return int(f"{code:0{l}b}"[::-1], 2) if l else 0
+
+
+class _HuffEnc:
+    def __init__(self, freqs: np.ndarray):
+        self.lengths = _huff_lengths(np.asarray(freqs, dtype=np.int64))
+        self.codes = _canonical_codes(self.lengths)
+        self.single = (self.lengths > 0).sum() == 1
+
+    def emit_lengths(self, bw: _BitWriter) -> None:
+        """Normal-form code: 19-entry code-length code, each symbol's
+        length coded individually (codes 0..15 only)."""
+        bw.write(0, 1)  # not simple
+        cl_freq = np.bincount(self.lengths, minlength=19)
+        cl_len = _huff_lengths(cl_freq, max_len=7)
+        cl_codes = _canonical_codes(cl_len)
+        bw.write(19 - 4, 4)  # num_code_lengths = 19
+        for sym in _CLC_ORDER:
+            bw.write(int(cl_len[sym]), 3)
+        bw.write(0, 1)  # no max_symbol limit
+        cl_single = (cl_len > 0).sum() == 1
+        for l in self.lengths:
+            if not cl_single:
+                bw.write(_rev(int(cl_codes[l]), int(cl_len[l])), int(cl_len[l]))
+
+    def emit(self, bw: _BitWriter, sym: int) -> None:
+        if self.single:
+            return
+        l = int(self.lengths[sym])
+        bw.write(_rev(int(self.codes[sym]), l), l)
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value (>=1) -> (prefix code, extra bits count, extra value);
+    inverse of _prefix_value."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    n = x.bit_length() - 1
+    if x < 3 << (n - 1):
+        return 2 * n, n - 1, x - (1 << n)
+    return 2 * n + 1, n - 1, x - (3 << (n - 1))
+
+
+def webp_encode(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+    meta_bits: int | None = None,
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w, 4) RGBA uint8 as a VP8L lossless
+    WEBP. Literal streams with canonical normal huffman codes; optional
+    SUBTRACT_GREEN transform, color cache and run-length LZ77 refs —
+    the paths the decoder exercises on real libwebp output."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img, img, img], axis=-1)
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        a_plane = np.full((h, w), 255, dtype=np.uint8)
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    else:
+        r, g, b, a_plane = (img[:, :, i] for i in range(4))
+    argb = np.stack([a_plane, r, g, b], axis=-1).reshape(-1, 4).astype(np.uint8)
+    if subtract_green:
+        argb = argb.copy()
+        argb[:, 1] -= argb[:, 2]
+        argb[:, 3] -= argb[:, 2]
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_n = _GREEN_BASE + cache_size
+
+    # ---- pass 1: tokenize (shared by histogram + emission passes)
+    tokens: list[tuple] = []  # ("lit", a,r,g,b) | ("cache", idx) | ("ref", len)
+    cache = np.zeros((max(cache_size, 1), 4), dtype=np.uint8)
+    cache_valid = np.zeros(max(cache_size, 1), dtype=bool)
+
+    def cache_idx(px) -> int:
+        word = (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8) | int(px[3])
+        return ((word * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    n_px = len(argb)
+    i = 0
+    while i < n_px:
+        px = argb[i]
+        if use_lz77 and i > 0 and np.array_equal(px, argb[i - 1]):
+            run = 1
+            while i + run < n_px and run < 4096 and np.array_equal(argb[i + run], argb[i - 1]):
+                run += 1
+            tokens.append(("ref", run))
+            if cache_bits:
+                for k in range(run):
+                    ci = cache_idx(argb[i + k])
+                    cache[ci] = argb[i + k]
+                    cache_valid[ci] = True
+            i += run
+            continue
+        if cache_bits:
+            ci = cache_idx(px)
+            if cache_valid[ci] and np.array_equal(cache[ci], px):
+                tokens.append(("cache", ci))
+                i += 1
+                continue
+            cache[ci] = px
+            cache_valid[ci] = True
+        tokens.append(("lit", int(px[0]), int(px[1]), int(px[2]), int(px[3])))
+        i += 1
+
+    # ---- histograms
+    fg = np.zeros(green_n, dtype=np.int64)
+    fr = np.zeros(256, dtype=np.int64)
+    fb = np.zeros(256, dtype=np.int64)
+    fa = np.zeros(256, dtype=np.int64)
+    fd = np.zeros(_NUM_DIST, dtype=np.int64)
+    for t in tokens:
+        if t[0] == "lit":
+            _, ta, tr, tg, tb = t
+            fg[tg] += 1
+            fr[tr] += 1
+            fb[tb] += 1
+            fa[ta] += 1
+        elif t[0] == "cache":
+            fg[_GREEN_BASE + t[1]] += 1
+        else:
+            code, _, _ = _prefix_encode(t[1])
+            fg[256 + code] += 1
+            dcode, _, _ = _prefix_encode(1 + 120)  # distance 1, plain form
+            fd[dcode] += 1
+
+    trees = [_HuffEnc(f) for f in (fg, fr, fb, fa, fd)]
+
+    # ---- bitstream
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # transform present
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if meta_bits:
+        # meta-huffman: 2 groups selected by tile parity; both groups
+        # carry IDENTICAL trees (legal), so emission needs no per-pixel
+        # group logic while the decoder exercises the full indexing path
+        bw.write(1, 1)
+        bw.write(meta_bits - 2, 3)
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = np.zeros((mh * mw, 4), dtype=np.uint8)
+        ty, tx = np.divmod(np.arange(mh * mw), mw)
+        meta[:, 2] = ((ty + tx) % 2).astype(np.uint8)  # G = group id
+        _emit_literal_image(bw, meta)
+        # the decoder reads exactly max(group id) + 1 groups — a 1-tile
+        # meta image therefore carries ONE group, not two
+        n_groups = int(meta[:, 2].max()) + 1
+    else:
+        bw.write(0, 1)  # no meta-huffman
+        n_groups = 1
+    for _ in range(n_groups):
+        for t in trees:
+            t.emit_lengths(bw)
+    tg_, tr_, tb_, ta_, td_ = trees
+    for t in tokens:
+        if t[0] == "lit":
+            _, pa_, pr_, pg_, pb_ = t
+            tg_.emit(bw, pg_)
+            tr_.emit(bw, pr_)
+            tb_.emit(bw, pb_)
+            ta_.emit(bw, pa_)
+        elif t[0] == "cache":
+            tg_.emit(bw, _GREEN_BASE + t[1])
+        else:
+            code, nbits, extra = _prefix_encode(t[1])
+            tg_.emit(bw, 256 + code)
+            bw.write(extra, nbits)
+            dcode, dn, dextra = _prefix_encode(1 + 120)
+            td_.emit(bw, dcode)
+            bw.write(dextra, dn)
+    payload = b"\x2f" + bw.finish()
+    if len(payload) & 1:
+        padded = payload + b"\x00"
+    else:
+        padded = payload
+    riff_len = 4 + 8 + len(padded)
+    out = b"RIFF" + struct.pack("<I", riff_len) + b"WEBP"
+    out += b"VP8L" + struct.pack("<I", len(payload)) + padded
+    return out
+
+
+def _emit_literal_image(bw: _BitWriter, argb_flat: np.ndarray) -> None:
+    """Emit one literal-only entropy-coded image (used for transform
+    sub-images: predictor/color tile modes and palettes)."""
+    bw.write(0, 1)  # no color cache
+    fg = np.zeros(_GREEN_BASE, dtype=np.int64)
+    fr = np.zeros(256, dtype=np.int64)
+    fb = np.zeros(256, dtype=np.int64)
+    fa = np.zeros(256, dtype=np.int64)
+    fd = np.zeros(_NUM_DIST, dtype=np.int64)
+    for px in argb_flat:
+        fa[px[0]] += 1
+        fr[px[1]] += 1
+        fg[px[2]] += 1
+        fb[px[3]] += 1
+    trees = [_HuffEnc(f) for f in (fg, fr, fb, fa, fd)]
+    for t in trees:
+        t.emit_lengths(bw)
+    tg_, tr_, tb_, ta_, _ = trees
+    for px in argb_flat:
+        tg_.emit(bw, int(px[2]))
+        tr_.emit(bw, int(px[1]))
+        tb_.emit(bw, int(px[3]))
+        ta_.emit(bw, int(px[0]))
+
+
+def _forward_predictor(argb: np.ndarray, h: int, w: int, mode: int) -> np.ndarray:
+    """Residuals for a uniform-mode predictor transform (the exact
+    inverse of _inv_predictor's reconstruction, flat-buffer neighbors)."""
+    flat = argb.reshape(-1, 4).astype(np.int32)
+    out = np.zeros_like(flat)
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    for p in range(h * w):
+        y, x = divmod(p, w)
+        if p == 0:
+            pred = np.array([255, 0, 0, 0], dtype=np.int32)
+        elif y == 0:
+            pred = flat[p - 1]
+        elif x == 0:
+            pred = flat[p - w]
+        else:
+            L, T, TL, TR = flat[p - 1], flat[p - w], flat[p - w - 1], flat[p - w + 1]
+            if mode == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:
+                pm = L + T - TL
+                pred = L if int(np.abs(pm - L).sum()) < int(np.abs(pm - T).sum()) else T
+            elif mode == 12:
+                pred = np.clip(L + T - TL, 0, 255)
+            else:
+                a = avg2(L, T)
+                d = a - TL
+                half = np.where(d < 0, -((-d) >> 1), d >> 1)
+                pred = np.clip(a + half, 0, 255)
+        out[p] = (flat[p] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8 t * int8 c) >> 5, C semantics."""
+    return (np.int32(np.int8(t)) * np.int32(np.int8(c))) >> 5
+
+
+def webp_encode_transformed(
+    img: np.ndarray,
+    predictor_mode: int | None = None,
+    color_deltas: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    tile_bits: int = 4,
+) -> bytes:
+    """Fixture encoder for the decoder-only transform paths: a uniform
+    PREDICTOR transform, a uniform COLOR transform (g2r, g2b, r2b), or
+    COLOR_INDEXING (incl. sub-byte packing for small palettes). One
+    transform per stream (matching how the tests isolate each inverse)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img, img, img], axis=-1)
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        a_plane = np.full((h, w), 255, dtype=np.uint8)
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    else:
+        r, g, b, a_plane = (img[:, :, i] for i in range(4))
+    argb = np.stack([a_plane, r, g, b], axis=-1).astype(np.uint8)
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+    coded = argb.reshape(-1, 4)
+    if predictor_mode is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(tile_bits - 2, 3)
+        tw = (w + (1 << tile_bits) - 1) >> tile_bits
+        th = (h + (1 << tile_bits) - 1) >> tile_bits
+        tile = np.zeros((tw * th, 4), dtype=np.uint8)
+        tile[:, 2] = predictor_mode  # G channel carries the mode
+        _emit_literal_image(bw, tile)
+        coded = _forward_predictor(argb, h, w, predictor_mode)
+    elif color_deltas is not None:
+        g2r, g2b, r2b = color_deltas
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR
+        bw.write(tile_bits - 2, 3)
+        tw = (w + (1 << tile_bits) - 1) >> tile_bits
+        th = (h + (1 << tile_bits) - 1) >> tile_bits
+        tile = np.zeros((tw * th, 4), dtype=np.uint8)
+        tile[:, 1] = r2b & 0xFF  # R channel
+        tile[:, 2] = g2b & 0xFF  # G channel
+        tile[:, 3] = g2r & 0xFF  # B channel
+        _emit_literal_image(bw, tile)
+        flat = argb.reshape(-1, 4).astype(np.int32)
+        out = flat.copy()
+        for p in range(len(flat)):
+            gg = flat[p, 2]
+            nr = (flat[p, 1] - _ct_delta(g2r, gg)) & 0xFF
+            nb = (flat[p, 3] - _ct_delta(g2b, gg) - _ct_delta(r2b, flat[p, 1])) & 0xFF
+            out[p, 1] = nr
+            out[p, 3] = nb
+        coded = out.astype(np.uint8)
+    elif palette:
+        flat = argb.reshape(-1, 4)
+        key = (
+            flat[:, 0].astype(np.uint32) << 24
+            | flat[:, 1].astype(np.uint32) << 16
+            | flat[:, 2].astype(np.uint32) << 8
+            | flat[:, 3].astype(np.uint32)
+        )
+        uniq, first_pos, inv = np.unique(key, return_index=True, return_inverse=True)
+        if len(uniq) > 256:
+            raise ValueError("palette: > 256 colors")
+        order = np.argsort(first_pos)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order] = np.arange(len(uniq))
+        pal = flat[np.sort(first_pos)]  # (n, 4) in first-appearance order
+        idx = rank[inv].reshape(h, w).astype(np.uint8)
+        n = len(pal)
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(n - 1, 8)
+        deltas = pal.astype(np.int16)
+        deltas[1:] = (pal[1:].astype(np.int16) - pal[:-1].astype(np.int16)) & 0xFF
+        _emit_literal_image(bw, deltas.astype(np.uint8))
+        # sub-byte packing
+        if n <= 2:
+            ppb, bits = 8, 1
+        elif n <= 4:
+            ppb, bits = 4, 2
+        elif n <= 16:
+            ppb, bits = 2, 4
+        else:
+            ppb, bits = 1, 8
+        cw = (w + ppb - 1) // ppb
+        packed = np.zeros((h, cw), dtype=np.uint8)
+        for sub in range(ppb):
+            xs = np.arange(cw) * ppb + sub
+            keep = xs < w
+            packed[:, keep] |= idx[:, xs[keep]] << (sub * bits)
+        coded = np.zeros((h * cw, 4), dtype=np.uint8)
+        coded[:, 2] = packed.reshape(-1)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-huffman
+    # main image literal emission (trees + pixels; the cache bit was
+    # already written above, so do not reuse _emit_literal_image here)
+    fg = np.zeros(_GREEN_BASE, dtype=np.int64)
+    fr = np.zeros(256, dtype=np.int64)
+    fb = np.zeros(256, dtype=np.int64)
+    fa = np.zeros(256, dtype=np.int64)
+    fd = np.zeros(_NUM_DIST, dtype=np.int64)
+    for px in coded:
+        fa[px[0]] += 1
+        fr[px[1]] += 1
+        fg[px[2]] += 1
+        fb[px[3]] += 1
+    trees = [_HuffEnc(f) for f in (fg, fr, fb, fa, fd)]
+    for t in trees:
+        t.emit_lengths(bw)
+    tg_, tr_, tb_, ta_, _ = trees
+    for px in coded:
+        tg_.emit(bw, int(px[2]))
+        tr_.emit(bw, int(px[1]))
+        tb_.emit(bw, int(px[3]))
+        ta_.emit(bw, int(px[0]))
+    payload = b"\x2f" + bw.finish()
+    padded = payload + (b"\x00" if len(payload) & 1 else b"")
+    riff_len = 4 + 8 + len(padded)
+    out = b"RIFF" + struct.pack("<I", riff_len) + b"WEBP"
+    out += b"VP8L" + struct.pack("<I", len(payload)) + padded
+    return out

@@ -8,12 +8,14 @@ baseline JPEG (SOF0 Huffman + float64 IDCT), and codecs/gifcodec.py a
 complete GIF 87a/89a (LZW, interlace, transparency, animation) — the
 same dependency-free discipline as the reference's own codecs
 (band_encoder.cpp:205-331, band_decoder.cpp:85-154) — so
-`ImageDecoder`/`ImageResizer` work on real PNG/JPEG/GIF/PPM payloads
-with no imaging library installed. AUDIO decode is REAL for WAV
-(RIFF/PCM, codecs/audiocodec.py -> `AudioFeaturizer`); VIDEO frame
-decode is REAL for MJPEG-AVI (codecs/videocodec.py).
-webp, compressed audio (mp3/ogg) and inter-frame video remain stubs:
-those stages
+`ImageDecoder`/`ImageResizer` work on real PNG/JPEG/GIF/WEBP(VP8L)/PPM
+payloads with no imaging library installed (codecs/webpcodec.py covers
+the full VP8L spec: huffman groups, LZ77+cache, meta-huffman, all four
+transforms). AUDIO decode is REAL for WAV (RIFF/PCM,
+codecs/audiocodec.py -> `AudioFeaturizer`); VIDEO frame decode is REAL
+for MJPEG-AVI (codecs/videocodec.py) and animated GIF.
+VP8 LOSSY webp, compressed audio (mp3/ogg) and inter-frame video remain
+stubs: those stages
 fall back to NotImplementedError unless constructed with ``fake=True`` — a
 clearly-marked deterministic fake (features derived from a stable hash
 of the payload bytes) that keeps the Ray-side plumbing — schema,
@@ -32,7 +34,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import audiocodec, gifcodec, imagecodec, jpegcodec, videocodec
+from ..codecs import audiocodec, gifcodec, imagecodec, jpegcodec, videocodec, webpcodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -60,8 +62,8 @@ def _stable_bytes_hash(data: bytes) -> np.ndarray:
 
 class ImageDecoder:
     """payload -> (decoded shape, pixel feature vector). REAL for
-    PNG/JPEG/PPM/PGM (codecs/imagecodec.py + jpegcodec.py, no external
-    libraries); other formats (webp) need an imaging library and raise
+    PNG/JPEG/GIF/WEBP-VP8L/PPM/PGM (codecs/, no external libraries);
+    lossy-VP8 webp and exotic formats need an imaging library and raise
     unless ``fake=True``. Features: per-strip mean intensity over feature_dim
     contiguous strips of the flattened pixel array, scaled to [0, 1] —
     strip of index i is (i * D) // L, exactly replicable in SQL."""
@@ -119,6 +121,11 @@ class ImageResizer:
                 return imagecodec.png_encode(resized)
             if kind == "jpeg":
                 return jpegcodec.jpeg_encode(resized)
+            if kind == "gif":
+                # nearest-neighbor keeps the palette <= 256 by construction
+                return gifcodec.gif_encode(resized)
+            if kind == "webp":
+                return webpcodec.webp_encode(resized)
             return imagecodec.ppm_encode(resized)
         if not self.fake:
             raise NotImplementedError(
@@ -279,6 +286,78 @@ def synthesize_gif_anim_table(rows: int, seed: int = 45, side: int = 16) -> pa.T
             "frame_sums": pa.array(sums, type=pa.list_(pa.int64())),
         }
     )
+
+
+def synthesize_webp_media_table(rows: int, seed: int = 46, max_side: int = 32) -> pa.Table:
+    """Deterministic REAL WebP-VP8L corpus cycling every decode path the
+    spec has: literal-only, subtract-green + color cache + LZ77 runs,
+    meta-huffman, all 14 predictor modes, color transform, and
+    color-indexing with sub-byte packing. `pixels` persists the source
+    image — VP8L is lossless, so decode(payload) must reproduce it
+    bit-for-bit through whichever transform stack the row used."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(4, max_side + 1))
+        h = int(rng.integers(4, max_side + 1))
+        variant = i % 6
+        if variant in (4, 5):  # low-color for cache/palette variants
+            ncol = int(rng.integers(2, 17))
+            pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            img = pal[rng.integers(0, ncol, size=(h, w))]
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if variant == 0:
+            payloads.append(webpcodec.webp_encode(img))
+        elif variant == 1:
+            payloads.append(
+                webpcodec.webp_encode(img, subtract_green=True, meta_bits=2)
+            )
+        elif variant == 2:
+            payloads.append(
+                webpcodec.webp_encode_transformed(
+                    img, predictor_mode=(i // 6) % 14, tile_bits=3
+                )
+            )
+        elif variant == 3:
+            payloads.append(
+                webpcodec.webp_encode_transformed(
+                    img, color_deltas=(16, -16, 8), tile_bits=3
+                )
+            )
+        elif variant == 4:
+            payloads.append(
+                webpcodec.webp_encode(img, cache_bits=5, use_lz77=True)
+            )
+        else:
+            payloads.append(webpcodec.webp_encode_transformed(img, palette=True))
+        ids.append(f"webp-{i:08d}")
+        pixels.append(img.reshape(-1).astype(np.int32))
+        widths.append(w)
+        heights.append(h)
+        mimes.append("image/webp")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def persist_webp_media_table(rows: int, path: str, seed: int = 46) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_webp_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def persist_gif_anim_table(rows: int, path: str, seed: int = 45) -> str:

@@ -85,7 +85,7 @@ class TestPng:
         assert ic.sniff(ic.png_encode(img)) == "png"
         assert ic.sniff(ic.ppm_encode(img)) == "pgm"
         assert ic.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
-        assert ic.sniff(b"RIFF0000WEBPdata") is None
+        assert ic.sniff(b"RIFF0000WEBPdata") == "webp"  # VP8L decoder added r4
 
 
 class TestPpm:
