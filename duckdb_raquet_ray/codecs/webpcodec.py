@@ -26,6 +26,13 @@ hand-built streams in tests.
 
 VP8 (lossy) webp remains out of scope — it is a different format
 (boolean coder + DCT) and raises NotImplementedError.
+
+Throughput bound (stated): the entropy loop and the predictor/color
+inverse transforms are per-pixel Python (the same class as
+jpegcodec's per-symbol Huffman loop) — correctness-grade, roughly
+1-5 MB of pixels/s/core. At corpus scale images decode inside
+byte-budgeted actor-pool batches (pipelines/multimodal.py), so the
+bound is per-worker throughput, not a driver bottleneck.
 """
 
 from __future__ import annotations
