@@ -100,3 +100,31 @@ class TestContainerAndDispatch:
         ):
             got = imagecodec.decode(payload).reshape(-1).astype(np.int32)
             assert got.tolist() == pix
+
+
+class TestHuffmanDepth:
+    def test_long_codes_roundtrip(self):
+        """Fibonacci frequencies force the length-limited clamp (depth 15)
+        and the decoder's beyond-fast-LUT long-code walk."""
+        from duckdb_raquet_ray.codecs.webpcodec import (
+            _BitReader,
+            _BitWriter,
+            _HuffEnc,
+            _Huffman,
+        )
+
+        fibs = [1, 1]
+        while len(fibs) < 24:
+            fibs.append(fibs[-1] + fibs[-2])
+        freq = np.zeros(256, dtype=np.int64)
+        freq[: len(fibs)] = fibs
+        enc = _HuffEnc(freq)
+        assert enc.lengths.max() == 15  # clamped by the length limit
+        dec = _Huffman(enc.lengths)
+        rng = np.random.default_rng(0)
+        syms = rng.choice(24, size=500, p=freq[:24] / freq[:24].sum())
+        bw = _BitWriter()
+        for s in syms:
+            enc.emit(bw, int(s))
+        br = _BitReader(bw.finish())
+        assert [dec.read(br) for _ in syms] == [int(s) for s in syms]
