@@ -24,8 +24,20 @@ paths end to end; predictor/color/color-indexing transforms and
 meta-huffman are decoder-side spec implementations exercised by
 hand-built streams in tests.
 
-VP8 (lossy) webp remains out of scope — it is a different format
-(boolean coder + DCT) and raises NotImplementedError.
+VP8 (lossy) webp is a different format (boolean coder + DCT) and is not
+implemented in pure Python; webp_decode routes it through the OPTIONAL
+system-libwebp binding (codecs/syswebp.py) when the host has the
+library, and raises NotImplementedError otherwise.
+
+Conformance: both directions of this codec are cross-validated against
+the system libwebp whenever it is present (tests/test_webpcodec.py) —
+every fixture-encoder variant must decode bit-identically in libwebp,
+and libwebp-encoded streams (which exercise meta-huffman + predictors +
+cache + LZ77 together) must decode bit-identically here. That oracle
+caught two real spec deviations the self-consistent roundtrip could
+not: degenerate (0-1 symbol) huffman codes emitted in Kraft-incomplete
+normal form, and simple-code code assignment by symbol order instead of
+read order.
 
 Throughput bound (stated): the entropy loop and the predictor/color
 inverse transforms are per-pixel Python (the same class as
@@ -165,20 +177,43 @@ class _Huffman:
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 
-def _read_code_lengths(br: _BitReader, alphabet_size: int) -> np.ndarray:
-    """Read one huffman code's lengths (simple or normal form)."""
+def _simple_huffman(syms: list[int]) -> _Huffman:
+    """Tree for a SIMPLE code: spec assigns code 0 to the first-READ
+    symbol and code 1 to the second — read order, NOT ascending symbol
+    order (canonical assignment would silently swap the two codes when
+    symbols arrive descending, as real libwebp encoders may emit them)."""
+    h = _Huffman.__new__(_Huffman)
+    h.single = None
+    if len(syms) == 1:
+        h.single = int(syms[0])
+        h.fast = None
+        h.max_len = 0
+        return h
+    h.max_len = 1
+    h.fast_bits = 1
+    h.fast = np.array([(syms[0] << 5) | 1, (syms[1] << 5) | 1], dtype=np.int64)
+    h.long_codes = {}
+    return h
+
+
+def _read_huffman(br: _BitReader, alphabet_size: int) -> _Huffman:
+    """Read one huffman code (simple or normal form) -> decoder tree."""
     if br.read(1):  # simple code
         n_syms = br.read(1) + 1
         if br.read(1):  # first symbol is 8 bits
             s0 = br.read(8)
         else:
             s0 = br.read(1)
-        lengths = np.zeros(alphabet_size, dtype=np.int32)
-        lengths[s0] = 1
+        syms = [s0]
         if n_syms == 2:
-            s1 = br.read(8)
-            lengths[s1] = 1
-        return lengths
+            syms.append(br.read(8))
+        return _simple_huffman(syms)
+    return _Huffman(_read_code_lengths(br, alphabet_size))
+
+
+def _read_code_lengths(br: _BitReader, alphabet_size: int) -> np.ndarray:
+    """Read a NORMAL-form huffman code's lengths (the simple-form branch
+    lives in _read_huffman, which owns the leading form bit)."""
     # normal: code-length code
     num_cl = br.read(4) + 4
     cl_lengths = np.zeros(19, dtype=np.int32)
@@ -265,11 +300,11 @@ _NUM_DIST = 40
 
 
 def _read_huffman_group(br: _BitReader, cache_bits: int) -> list[_Huffman]:
-    g = _Huffman(_read_code_lengths(br, _GREEN_BASE + (1 << cache_bits if cache_bits else 0)))
-    r = _Huffman(_read_code_lengths(br, 256))
-    b = _Huffman(_read_code_lengths(br, 256))
-    a = _Huffman(_read_code_lengths(br, 256))
-    d = _Huffman(_read_code_lengths(br, _NUM_DIST))
+    g = _read_huffman(br, _GREEN_BASE + (1 << cache_bits if cache_bits else 0))
+    r = _read_huffman(br, 256)
+    b = _read_huffman(br, 256)
+    a = _read_huffman(br, 256)
+    d = _read_huffman(br, _NUM_DIST)
     return [g, r, b, a, d]
 
 
@@ -500,9 +535,21 @@ def webp_decode(data: bytes) -> np.ndarray:
     if kind is None:
         raise ValueError("not a WEBP file")
     if kind != "vp8l":
+        # lossy VP8 (boolean coder + DCT): not implemented in pure
+        # Python — decode through the optional system libwebp binding
+        # where the host has one (codecs/syswebp.py), else stay an
+        # honest NotImplementedError
+        from . import syswebp
+
+        if syswebp.available():
+            out = syswebp.decode_rgba(data)
+            if (out[:, :, 3] == 255).all():
+                return np.ascontiguousarray(out[:, :, :3])
+            return out
         raise NotImplementedError(
             "only VP8L (lossless) webp decodes without an imaging "
-            "library; VP8 lossy uses a boolean-coder DCT pipeline"
+            "library; VP8 lossy uses a boolean-coder DCT pipeline "
+            "(install libwebp to enable the system-codec path)"
         )
     (chunk_len,) = struct.unpack_from("<I", data, 16)
     payload = data[20 : 20 + chunk_len]
@@ -641,26 +688,62 @@ def _rev(code: int, l: int) -> int:
 
 
 class _HuffEnc:
+    """Spec-legal code emission. libwebp (the conformance oracle in
+    tests/test_webpcodec.py) REJECTS Kraft-incomplete normal codes, so:
+      - 0 used symbols (a tree the stream never reads, e.g. the distance
+        tree of a literal-only stream): SIMPLE code over dummy symbol 0,
+      - 1-2 used symbols with values <= 255: SIMPLE code (read order =
+        ascending here, matching the canonical codes emit() uses),
+      - 1 used symbol > 255 (8-bit simple field can't carry it): pad a
+        never-emitted dummy length-1 symbol 0 so the normal code is
+        complete (two codes of length 1),
+      - >= 3 symbols: NORMAL code; if its code-length code would have a
+        single used symbol (e.g. every literal length equal), pad the CL
+        code the same way — a lone length-1 CL code is incomplete too."""
+
     def __init__(self, freqs: np.ndarray):
         self.lengths = _huff_lengths(np.asarray(freqs, dtype=np.int64))
+        used = np.flatnonzero(self.lengths)
+        self.simple_syms: list[int] | None = None
+        if len(used) == 0:
+            self.simple_syms = [0]
+        elif len(used) <= 2 and int(used.max()) <= 255:
+            self.simple_syms = [int(s) for s in used]
+        elif len(used) == 1:  # lone symbol > 255
+            self.lengths[int(used[0])] = 1
+            self.lengths[0] = 1  # dummy, never emitted
         self.codes = _canonical_codes(self.lengths)
-        self.single = (self.lengths > 0).sum() == 1
+        # only a 1-symbol code costs zero bits per emitted symbol
+        self.single = self.simple_syms is not None and len(self.simple_syms) == 1
 
     def emit_lengths(self, bw: _BitWriter) -> None:
-        """Normal-form code: 19-entry code-length code, each symbol's
-        length coded individually (codes 0..15 only)."""
+        if self.simple_syms is not None:
+            bw.write(1, 1)  # simple
+            syms = self.simple_syms
+            bw.write(len(syms) - 1, 1)
+            if syms[0] <= 1:
+                bw.write(0, 1)  # first symbol in 1 bit
+                bw.write(syms[0], 1)
+            else:
+                bw.write(1, 1)  # first symbol in 8 bits
+                bw.write(syms[0], 8)
+            if len(syms) == 2:
+                bw.write(syms[1], 8)
+            return
         bw.write(0, 1)  # not simple
         cl_freq = np.bincount(self.lengths, minlength=19)
         cl_len = _huff_lengths(cl_freq, max_len=7)
+        if (cl_len > 0).sum() == 1:
+            lone = int(np.flatnonzero(cl_len)[0])
+            cl_len[lone] = 1
+            cl_len[0 if lone != 0 else 1] = 1  # dummy, never emitted
         cl_codes = _canonical_codes(cl_len)
         bw.write(19 - 4, 4)  # num_code_lengths = 19
         for sym in _CLC_ORDER:
             bw.write(int(cl_len[sym]), 3)
         bw.write(0, 1)  # no max_symbol limit
-        cl_single = (cl_len > 0).sum() == 1
         for l in self.lengths:
-            if not cl_single:
-                bw.write(_rev(int(cl_codes[l]), int(cl_len[l])), int(cl_len[l]))
+            bw.write(_rev(int(cl_codes[l]), int(cl_len[l])), int(cl_len[l]))
 
     def emit(self, bw: _BitWriter, sym: int) -> None:
         if self.single:

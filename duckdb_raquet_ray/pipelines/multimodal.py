@@ -34,7 +34,15 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import audiocodec, gifcodec, imagecodec, jpegcodec, videocodec, webpcodec
+from ..codecs import (
+    audiocodec,
+    gifcodec,
+    imagecodec,
+    jpegcodec,
+    syswebp,
+    videocodec,
+    webpcodec,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -62,11 +70,13 @@ def _stable_bytes_hash(data: bytes) -> np.ndarray:
 
 class ImageDecoder:
     """payload -> (decoded shape, pixel feature vector). REAL for
-    PNG/JPEG/GIF/WEBP-VP8L/PPM/PGM (codecs/, no external libraries);
-    lossy-VP8 webp and exotic formats need an imaging library and raise
-    unless ``fake=True``. Features: per-strip mean intensity over feature_dim
-    contiguous strips of the flattened pixel array, scaled to [0, 1] —
-    strip of index i is (i * D) // L, exactly replicable in SQL."""
+    PNG/JPEG/GIF/WEBP-VP8L/PPM/PGM (codecs/, no external libraries) and
+    for lossy-VP8 webp where the host has a system libwebp
+    (codecs/syswebp.py); exotic formats (TIFF, ...) need an imaging
+    library and raise unless ``fake=True``. Features: per-strip mean
+    intensity over feature_dim contiguous strips of the flattened pixel
+    array, scaled to [0, 1] — strip of index i is (i * D) // L, exactly
+    replicable in SQL."""
 
     def __init__(self, fake: bool = False, feature_dim: int = 32):
         self.fake = fake
@@ -125,6 +135,10 @@ class ImageResizer:
                 # nearest-neighbor keeps the palette <= 256 by construction
                 return gifcodec.gif_encode(resized)
             if kind == "webp":
+                if webpcodec.sniff_webp(p) == "vp8" and syswebp.available():
+                    # lossy source stays lossy (system codec, reference's
+                    # quality-85 default)
+                    return syswebp.encode_lossy(resized)
                 return webpcodec.webp_encode(resized)
             return imagecodec.ppm_encode(resized)
         if not self.fake:

@@ -142,8 +142,10 @@ class TestStagesRealPath:
         t = pa.table(
             {
                 "media_id": pa.array(["x"]),
-                "payload": pa.array([b"RIFF0000WEBPdata"], type=pa.binary()),
-                "mime": pa.array(["image/webp"]),
+                # TIFF magic: sniffs as no known codec (webp now routes
+                # through the real VP8L/system-libwebp path instead)
+                "payload": pa.array([b"II*\x00unknown-format"], type=pa.binary()),
+                "mime": pa.array(["image/tiff"]),
                 "width": pa.array([4], pa.int32()),
                 "height": pa.array([4], pa.int32()),
                 "n_frames": pa.array([1], pa.int32()),

@@ -6,7 +6,7 @@ modes, the color transform, color-indexing with sub-byte packing."""
 import numpy as np
 import pytest
 
-from duckdb_raquet_ray.codecs import imagecodec
+from duckdb_raquet_ray.codecs import imagecodec, syswebp
 from duckdb_raquet_ray.codecs import webpcodec as wp
 
 
@@ -82,10 +82,17 @@ class TestContainerAndDispatch:
         assert imagecodec.sniff(data) == "webp"
         assert np.array_equal(imagecodec.decode(data), img)
 
-    def test_lossy_vp8_raises(self):
+    def test_lossy_vp8_garbage(self):
+        # with a system libwebp the lossy path is real, so a garbage VP8
+        # chunk is a corrupt-stream ValueError; without one it stays the
+        # honest NotImplementedError
         fake_vp8 = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x00" * 8
-        with pytest.raises(NotImplementedError, match="VP8L"):
-            wp.webp_decode(fake_vp8)
+        if syswebp.available():
+            with pytest.raises(ValueError, match="decode failed"):
+                wp.webp_decode(fake_vp8)
+        else:
+            with pytest.raises(NotImplementedError, match="VP8L"):
+                wp.webp_decode(fake_vp8)
 
     def test_not_webp_raises(self):
         with pytest.raises(ValueError):
@@ -128,3 +135,117 @@ class TestHuffmanDepth:
             enc.emit(bw, int(s))
         br = _BitReader(bw.finish())
         assert [dec.read(br) for _ in syms] == [int(s) for s in syms]
+
+
+@pytest.mark.skipif(not syswebp.available(), reason="no system libwebp")
+class TestLibwebpConformance:
+    """Cross-validate the pure-Python VP8L pair against the system
+    libwebp in BOTH directions. A self-consistent encoder/decoder pair
+    cannot see a shared spec deviation; this oracle can (and did:
+    Kraft-incomplete degenerate huffman codes, simple-code read-order)."""
+
+    def test_our_encoder_decodes_in_libwebp(self):
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (2, 2), (5, 3), (8, 8), (21, 17)]:
+            img = _rand_rgb(rng, h, w)
+            flat = np.full((h, w, 3), (10, 20, 30), np.uint8)
+            grad = (np.arange(h * w * 3).reshape(h, w, 3) % 7 * 13).astype(np.uint8)
+            streams = [
+                wp.webp_encode(img),
+                wp.webp_encode(flat),  # single-symbol trees
+                wp.webp_encode(img, subtract_green=True),
+                wp.webp_encode(grad, cache_bits=3),
+                wp.webp_encode(grad, use_lz77=True),
+                wp.webp_encode(img, meta_bits=3),
+            ]
+            wants = [img, flat, img, grad, grad, img]
+            for data, want in zip(streams, wants):
+                got = syswebp.decode_rgba(data)
+                assert np.array_equal(got[:, :, :3], want)
+                assert (got[:, :, 3] == 255).all()
+
+    def test_our_transformed_encoder_decodes_in_libwebp(self):
+        rng = np.random.default_rng(8)
+        img = _rand_rgb(rng, 13, 17)
+        pal = (rng.integers(0, 5, (13, 17, 1)) * np.array([[[37, 11, 91]]])).astype(
+            np.uint8
+        )
+        for mode in range(14):
+            data = wp.webp_encode_transformed(img, predictor_mode=mode, tile_bits=2)
+            assert np.array_equal(syswebp.decode_rgba(data)[:, :, :3], img), mode
+        for data, want in [
+            (wp.webp_encode_transformed(img, color_deltas=(16, -16, 8)), img),
+            (wp.webp_encode_transformed(pal, palette=True), pal),
+        ]:
+            assert np.array_equal(syswebp.decode_rgba(data)[:, :, :3], want)
+
+    def test_fixture_corpus_decodes_in_libwebp(self):
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = mm.synthesize_webp_media_table(24)
+        for payload, pix in zip(
+            t.column("payload").to_pylist(), t.column("pixels").to_pylist()
+        ):
+            got = syswebp.decode_rgba(payload)[:, :, :3]
+            assert got.reshape(-1).astype(np.int32).tolist() == pix
+
+    def test_libwebp_encoder_decodes_here(self):
+        # libwebp's own lossless encoder exercises meta-huffman,
+        # predictors, color cache and LZ77 together — decode must be
+        # bit-identical to libwebp's decoder on every stream
+        rng = np.random.default_rng(11)
+        y, x = np.mgrid[0:96, 0:80]
+        images = [
+            np.stack([(x * 3) % 256, (y * 2) % 256, (x + y) % 256], -1).astype(
+                np.uint8
+            ),
+            np.kron(
+                rng.integers(0, 256, (12, 10, 3)), np.ones((8, 8, 1))
+            ).astype(np.uint8),
+            rng.integers(0, 256, (96, 80, 3), dtype=np.uint8),
+            (128 + 60 * np.sin(x / 9.0) * np.cos(y / 13.0))[:, :, None]
+            .repeat(3, 2)
+            .astype(np.uint8),
+            (rng.integers(0, 4, (96, 80, 1)) * np.array([[[60, 120, 180]]])).astype(
+                np.uint8
+            ),
+        ]
+        for img in images:
+            data = syswebp.encode_lossless(img)
+            ours = wp.webp_decode(data)
+            assert np.array_equal(ours[:, :, :3] if ours.shape[2] == 4 else ours, img)
+
+    def test_libwebp_rgba_stream_decodes_here(self):
+        # libwebp may rewrite RGB under fully-transparent pixels, so the
+        # ground truth is libwebp's own decode, not the source image
+        y, x = np.mgrid[0:40, 0:32]
+        img = np.stack(
+            [(x * 5) % 256, (y * 3) % 256, (x + y) % 256, (x + 2 * y) % 256], -1
+        ).astype(np.uint8)
+        data = syswebp.encode_lossless(img)
+        ours = wp.webp_decode(data)
+        ref = syswebp.decode_rgba(data)
+        if ours.shape[2] == 3:
+            assert (ref[:, :, 3] == 255).all()
+            ref = ref[:, :, :3]
+        assert np.array_equal(ours, ref)
+
+
+@pytest.mark.skipif(not syswebp.available(), reason="no system libwebp")
+class TestLossyVP8SystemPath:
+    def test_lossy_decode_matches_libwebp(self):
+        rng = np.random.default_rng(13)
+        img = _rand_rgb(rng, 32, 48)
+        data = syswebp.encode_lossy(img, quality=80.0)
+        assert wp.sniff_webp(data) == "vp8"
+        ours = wp.webp_decode(data)
+        ref = syswebp.decode_rgba(data)
+        want = ref[:, :, :3] if (ref[:, :, 3] == 255).all() else ref
+        assert np.array_equal(ours, want)
+        # lossy but sane: same shape, bounded error on a smooth image
+        smooth = (np.mgrid[0:32, 0:48][0] * 4).astype(np.uint8)[:, :, None].repeat(
+            3, 2
+        )
+        sm = wp.webp_decode(syswebp.encode_lossy(smooth, quality=95.0))
+        assert sm.shape == smooth.shape
+        assert np.abs(sm.astype(int) - smooth.astype(int)).mean() < 8.0
