@@ -1226,6 +1226,36 @@ def _webp_media_path(rows: int) -> str:
     return mm.persist_webp_media_table(rows, f"/tmp/raquet_media_webp_{rows}.parquet")
 
 
+def _webp_lossy_media_path(rows: int) -> str:
+    """Persisted lossy-VP8 WEBP corpus (system-libwebp encode) with the
+    reference decoder's reconstruction as the `pixels` ground truth
+    (multimodal.synthesize_webp_lossy_media_table)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_webp_lossy_media_table(
+        rows, f"/tmp/raquet_media_webpv8_{rows}.parquet"
+    )
+
+
+def _q_webp_lossy_strip_sums(sf_dir: str):
+    """Value-checked REAL lossy-VP8 webp decode (system-libwebp path,
+    codecs/syswebp.py), same strip-sum oracle shape as the other image
+    formats — pins the distributed decode plumbing against the reference
+    decoder's persisted reconstruction."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _webp_lossy_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.strip_sums_batch,
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+    )
+
+
 def _q_webp_strip_sums(sf_dir: str):
     """Value-checked REAL WebP-VP8L decode, same strip-sum oracle shape
     as png/jpeg/gif_strip_sums."""
@@ -1567,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "webp_lossy_strip_sums": _q_webp_lossy_strip_sums,
         "bigram_lm_tokens": _q_bigram_lm,
         "webp_strip_sums": _q_webp_strip_sums,
         "gif_strip_sums": _q_gif_strip_sums,
@@ -2124,6 +2155,17 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(frame_sums, 1) AS ord "
             f"FROM read_parquet('{_mjpeg_media_path(MEDIA_FRAME_ROWS)}')) "
             "WHERE (ord - 1) % 2 = 0"
+        ),
+        # lossy-VP8 webp decode oracle: pixels = the reference decoder's
+        # reconstruction persisted at fixture-build time (lossy decode has
+        # no independent closed form; this pins the distributed plumbing)
+        "webp_lossy_strip_sums": (
+            "SELECT media_id, CAST(((ord-1)*16)//L AS INTEGER) AS strip, "
+            "CAST(SUM(val) AS BIGINT) AS strip_sum "
+            "FROM (SELECT media_id, unnest(pixels) AS val, "
+            "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
+            f"FROM read_parquet('{_webp_lossy_media_path(MEDIA_FEAT_ROWS)}')) "
+            "GROUP BY media_id, strip"
         ),
         # REAL WebP-VP8L decode oracle: pixels = the lossless source image
         "webp_strip_sums": (

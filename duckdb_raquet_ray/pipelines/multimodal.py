@@ -374,6 +374,85 @@ def persist_webp_media_table(rows: int, path: str, seed: int = 46) -> str:
     return path
 
 
+def synthesize_webp_lossy_media_table(
+    rows: int, seed: int = 47, max_side: int = 40
+) -> pa.Table:
+    """Deterministic lossy-VP8 WEBP corpus via the system libwebp encoder
+    (codecs/syswebp.py), cycling quality levels and image families
+    (gradients, block mosaics, low-frequency waves, quantized noise).
+
+    The `pixels` column persists the DECODED ground truth — libwebp's own
+    reconstruction, captured at fixture-build time. Lossy decode has no
+    independent closed form, so the driver oracle pins the distributed
+    decode plumbing (actor batches, schema, strip math) byte-for-byte
+    against the reference decoder's output rather than re-deriving pixel
+    values; bitstream conformance of the pure-Python codecs is covered
+    separately in tests/test_webpcodec.py. Raises RuntimeError where no
+    system libwebp exists (the honest-stub environments)."""
+    if not syswebp.available():
+        raise RuntimeError("lossy webp fixtures need a system libwebp")
+    rng = np.random.default_rng(seed)
+    qualities = [30.0, 50.0, 75.0, 85.0, 95.0]
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        y, x = np.mgrid[0:h, 0:w]
+        variant = i % 4
+        if variant == 0:  # smooth gradient
+            a, b = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+            img = np.stack(
+                [(x * a) % 256, (y * b) % 256, (x * a + y * b) % 256], -1
+            ).astype(np.uint8)
+        elif variant == 1:  # block mosaic (macroblock-aligned energy)
+            img = np.kron(
+                rng.integers(0, 256, (max(h // 8, 1), max(w // 8, 1), 3)),
+                np.ones((8, 8, 1)),
+            )[:h, :w].astype(np.uint8)
+        elif variant == 2:  # low-frequency wave
+            img = (
+                (128 + 80 * np.sin(x / 7.0) * np.cos(y / 5.0))[:, :, None]
+                .repeat(3, 2)
+                .astype(np.uint8)
+            )
+        else:  # quantized noise (worst case for the DCT)
+            img = (rng.integers(0, 8, (h, w, 3)) * 36).astype(np.uint8)
+        payload = syswebp.encode_lossy(img, quality=qualities[i % len(qualities)])
+        decoded = syswebp.decode_rgba(payload)
+        if (decoded[:, :, 3] == 255).all():  # mirror webp_decode's RGB drop
+            decoded = decoded[:, :, :3]
+        ids.append(f"webpv8-{i:08d}")
+        payloads.append(payload)
+        pixels.append(decoded.reshape(-1).astype(np.int32))
+        heights.append(decoded.shape[0])
+        widths.append(decoded.shape[1])
+        mimes.append("image/webp")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array(
+                [p.tolist() for p in pixels], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+
+
+def persist_webp_lossy_media_table(rows: int, path: str, seed: int = 47) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(synthesize_webp_lossy_media_table(rows, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def persist_gif_anim_table(rows: int, path: str, seed: int = 45) -> str:
     import os
 

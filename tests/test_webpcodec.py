@@ -249,3 +249,14 @@ class TestLossyVP8SystemPath:
         sm = wp.webp_decode(syswebp.encode_lossy(smooth, quality=95.0))
         assert sm.shape == smooth.shape
         assert np.abs(sm.astype(int) - smooth.astype(int)).mean() < 8.0
+
+    def test_lossy_media_table_pixels_match_pipeline_decode(self):
+        from duckdb_raquet_ray.codecs import imagecodec
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = mm.synthesize_webp_lossy_media_table(12)
+        for payload, pix in zip(
+            t.column("payload").to_pylist(), t.column("pixels").to_pylist()
+        ):
+            got = imagecodec.decode(payload).reshape(-1).astype(np.int32)
+            assert got.tolist() == pix
