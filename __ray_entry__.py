@@ -1045,6 +1045,18 @@ def _q_minhash_dedup(sf_dir: str):
     return dedup.minhash_dedup(ds, text_col="text", key_col="doc_id")
 
 
+def _q_jaccard_dedup(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup removal (rare-gram candidates, no
+    MinHash approximation) — the fourth dedup family, value-replicated
+    end-to-end in SQL (dedup.jaccard_oracle_sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.jaccard_dedup(ds, text_col="text", key_col="doc_id")
+
+
 def _q_simhash_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -1597,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "jaccard_dedup_docs": _q_jaccard_dedup,
         "webp_lossy_strip_sums": _q_webp_lossy_strip_sums,
         "bigram_lm_tokens": _q_bigram_lm,
         "webp_strip_sums": _q_webp_strip_sums,
@@ -1862,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         # near-dup removal gets a FULL value-checked oracle — built next to
         # the kernel it mirrors (pipelines/dedup.py:minhash_oracle_sql)
         "minhash_dedup_docs": _dedup.minhash_oracle_sql("documents"),
+        "jaccard_dedup_docs": _dedup.jaccard_oracle_sql("documents"),
         # same verified edge set as minhash_dedup_docs, closed transitively
         # with a recursive min-label CTE (matches the driver union-find)
         "dedup_clusters_docs": _dedup.minhash_clusters_oracle_sql("documents"),

@@ -320,6 +320,7 @@ def _minhash_verified_edges_ds(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    pairs_override: rd.Dataset | None = None,
 ) -> tuple[rd.Dataset | None, pa.DataType | None]:
     """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
     near-dup edges as a DATASET of (a, b), a < b, Jaccard >= threshold —
@@ -343,7 +344,14 @@ def _minhash_verified_edges_ds(
 
     global LAST_CANDIDATE_PAIRS
 
-    cand = minhash_candidate_pairs(ds, text_col, key_col, num_perm, bands, shingle_k)
+    # pairs_override lets another candidate generator (e.g. the rare-gram
+    # exact-Jaccard path, :func:`ngram_candidate_pairs`) reuse the whole
+    # distributed pair->text fetch + in-bucket verify machinery
+    cand = (
+        pairs_override
+        if pairs_override is not None
+        else minhash_candidate_pairs(ds, text_col, key_col, num_perm, bands, shingle_k)
+    )
 
     def dedup_pairs(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t.column("a"), t.column("b"))
@@ -524,6 +532,7 @@ def _minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    pairs_override: rd.Dataset | None = None,
 ) -> list[tuple]:
     """The verified near-dup EDGE LIST on the driver — keys only, orders
     of magnitude below candidate pairs at any realistic precision, and
@@ -533,7 +542,8 @@ def _minhash_verified_pairs(
     See :func:`_minhash_verified_edges_ds` for the distributed shape."""
     global LAST_DRIVER_EDGES
     verified, _ = _minhash_verified_edges_ds(
-        ds, text_col, key_col, threshold, num_perm, bands, shingle_k
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
+        pairs_override=pairs_override,
     )
     if verified is None:
         LAST_DRIVER_EDGES = 0
@@ -612,6 +622,178 @@ def minhash_dedup(
         return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup: EXACT candidates from shared rare grams (no
+# MinHash approximation), then the same distributed verify machinery
+# ---------------------------------------------------------------------------
+
+
+def ngram_candidate_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 5,
+    max_df: int = 8,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Candidate near-dup pairs from SHARED RARE char-k-grams: two docs
+    are candidates iff they share at least one gram whose corpus
+    document-frequency is in [2, max_df].
+
+    This is the exact-Jaccard analogue of LSH banding: instead of a
+    probabilistic signature collision, candidacy is a set-intersection
+    witness. The df cap bounds the quadratic blowup — a gram shared by
+    df docs contributes C(df, 2) pairs, so per-gram work is <= C(max_df,
+    2); ubiquitous grams (stopwords, padding) are exactly the ones that
+    carry no near-dup signal. Recall tradeoff, stated: a pair whose
+    every shared gram has df > max_df is missed — near-dups share many
+    grams, and at any realistic corpus size their shared RARE grams
+    (names, numbers, typos) dominate.
+
+    Scale shape: one (gram-hash, key) row per distinct doc gram — the
+    shuffle payload is 16-byte rows, never text; bucket = splitmix64(h)
+    mod corpus-scaled fan-out, and since bucket is a function of the
+    gram, each gram's full df lands in ONE bucket, making the df filter
+    exact without a global pass. The same pair can emerge from rare
+    grams in different buckets; duplicates cost only redundant verify
+    work (bounded by shared-rare-gram count) and collapse at the drop
+    set."""
+    nb = n_buckets or util.scaled_buckets(ds)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        kt = t.schema.field(key_col).type
+        hs, ks = [], []
+        for key, text in zip(keys, texts):  # shingling is per-doc; numpy inside
+            h = _shingle_hashes(text or "", shingle_k)
+            hs.append(h)
+            ks.extend([key] * len(h))
+        flat = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        bucket = (detmix.splitmix64(flat) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "_b": pa.array(bucket),
+                "h": pa.array(flat.view(np.int64)),
+                "k": pa.array(ks, type=kt),
+            }
+        )
+
+    kt = ds.schema().base_schema.field(key_col).type
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+        df = g.select(["h", "k"]).to_pandas()
+        cnt = df["h"].map(df["h"].value_counts())
+        df = df[(cnt >= 2) & (cnt <= max_df)]
+        if df.empty:
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+        m = df.merge(df, on="h")
+        m = m[m["k_x"] < m["k_y"]][["k_x", "k_y"]].drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(m["k_x"].to_numpy(), type=kt),
+                "b": pa.array(m["k_y"].to_numpy(), type=kt),
+            }
+        )
+
+    return (
+        util.clean_dataset(ds)
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("_b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
+def jaccard_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    max_df: int = 8,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup removal (no MinHash approximation):
+    rare-gram candidate pairs (:func:`ngram_candidate_pairs`) through the
+    same distributed pair->text fetch + in-bucket exact-Jaccard verify as
+    MinHash (:func:`_minhash_verified_edges_ds`), dropping the larger key
+    of every pair with Jaccard >= threshold. Same keep-rule, same
+    verify kernel — only candidate generation differs, so the two
+    pipelines' precision is identical and recall differs exactly by
+    (LSH collision probability) vs (shared-rare-gram witness)."""
+    import ray
+    import pyarrow.compute as pc
+
+    pairs = ngram_candidate_pairs(ds, text_col, key_col, shingle_k, max_df)
+    edges = _minhash_verified_pairs(
+        ds, text_col, key_col, threshold, shingle_k=shingle_k,
+        pairs_override=pairs,
+    )
+    drop_keys = sorted({b for _, b in edges})
+    if not drop_keys:
+        return ds
+    drop_ref = ray.put(pa.array(drop_keys))
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def jaccard_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df: int = 8,
+) -> str:
+    """ANSI-SQL (DuckDB) replica of :func:`jaccard_dedup`: the same
+    char-5-gram rolling hash as the minhash oracle (base 257 mod 2^61-1,
+    every term < 2^43 so plain BIGINT), rare-gram candidacy (df in
+    [2, max_df]), exact Jaccard over distinct gram sets, drop the larger
+    key of every pair >= threshold. ASCII corpora only (same caveat as
+    minhash_oracle_sql)."""
+    return f"""
+WITH d AS (
+  SELECT {key_col} AS k, {text_col} AS t,
+         greatest(length({text_col}), 5) - 4 AS n_grams
+  FROM {table}
+),
+ix AS (SELECT k, t, unnest(generate_series(1, n_grams)) AS i FROM d),
+sh AS (
+  SELECT DISTINCT k,
+    ( (CASE WHEN i   <= length(t) THEN ascii(substr(t, i::INT,   1)) ELSE 0 END) * 4362470401
+    + (CASE WHEN i+1 <= length(t) THEN ascii(substr(t, i::INT+1, 1)) ELSE 0 END) * 16974593
+    + (CASE WHEN i+2 <= length(t) THEN ascii(substr(t, i::INT+2, 1)) ELSE 0 END) * 66049
+    + (CASE WHEN i+3 <= length(t) THEN ascii(substr(t, i::INT+3, 1)) ELSE 0 END) * 257
+    + (CASE WHEN i+4 <= length(t) THEN ascii(substr(t, i::INT+4, 1)) ELSE 0 END)
+    ) % {_MERSENNE} AS h
+  FROM ix
+),
+rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND {max_df}),
+pairs AS (
+  SELECT DISTINCT sa.k AS a, sb.k AS b
+  FROM rare r JOIN sh sa ON sa.h = r.h JOIN sh sb ON sb.h = r.h AND sa.k < sb.k
+),
+sizes AS (SELECT k, count(*) AS ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p JOIN sh sa ON sa.k = p.a JOIN sh sb ON sb.k = p.b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT p.b FROM pairs p
+  JOIN sizes za ON za.k = p.a
+  JOIN sizes zb ON zb.k = p.b
+  JOIN inter i ON i.a = p.a AND i.b = p.b
+  WHERE i.ni::DOUBLE / (za.ns + zb.ns - i.ni) >= {threshold}
+)
+SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
 
 
 def minhash_clusters(

@@ -389,6 +389,19 @@ class TestDedupOracleParity:
         kept_sql = sorted(duckdb.connect().execute(sql).df().doc_id.tolist())
         assert kept_ray == kept_sql
 
+    def test_jaccard_oracle_matches_pipeline(self, ray_session):
+        import duckdb
+
+        t = self._table()
+        kept_ray = sorted(
+            r["doc_id"] for r in dedup.jaccard_dedup(rd.from_arrow(t)).take_all()
+        )
+        vals = ", ".join(f"('{d}', '{s}')".replace("\x0b", "' || chr(11) || '")
+                         for d, s in self.DOCS)
+        sql = dedup.jaccard_oracle_sql(f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))")
+        kept_sql = sorted(duckdb.connect().execute(sql).df().doc_id.tolist())
+        assert kept_ray == kept_sql
+
 
 class TestMinhashBroadcastBound:
     def test_no_broadcast_object_carries_text(self, ray_session, monkeypatch):
@@ -1080,3 +1093,99 @@ class TestLabelPropagateMin:
         edges = [(1, 2), (2, 3), (7, 8)]
         for nb in (2, 13):
             self._run(edges, n_buckets=nb)
+
+
+class TestJaccardDedup:
+    """EXACT n-gram Jaccard dedup (rare-gram candidates, no MinHash):
+    same verify kernel and keep-rule as minhash_dedup, candidacy by a
+    shared-rare-gram witness instead of an LSH collision."""
+
+    def test_near_dup_dropped_below_threshold_kept(self, ray_session):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        near = base + "iota"  # jaccard ~ 0.92
+        farish = "alpha beta gamma delta omega psi chi phi " * 8  # < 0.8
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array([base, near, farish]),
+            }
+        )
+        out = dedup.jaccard_dedup(rd.from_arrow(t), threshold=0.8).take_all()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+    def test_matches_bruteforce_rule(self, ray_session):
+        """Engine == in-memory brute force of the SAME rule: pairs that
+        share >= 1 gram with corpus df in [2, max_df], exact Jaccard >=
+        threshold, drop the larger key."""
+        rng = np.random.default_rng(17)
+        words = ["w%02d" % i for i in range(30)]
+        texts = []
+        for i in range(24):
+            body = " ".join(rng.choice(words, size=12))
+            texts.append(body)
+            if i % 5 == 0:  # plant a near-dup of the previous doc
+                texts.append(body + " tail")
+        keys = list(range(len(texts)))
+        max_df, thr = 8, 0.8
+        grams = {k: dedup._shingle_hashes(t, 5) for k, t in zip(keys, texts)}
+        df = {}
+        for g in grams.values():
+            for h in g:
+                df[h] = df.get(h, 0) + 1
+        drops = set()
+        for i in keys:
+            for j in keys:
+                if i >= j:
+                    continue
+                shared = np.intersect1d(grams[i], grams[j], assume_unique=True)
+                if not any(2 <= df[h] <= max_df for h in shared):
+                    continue
+                inter = len(shared)
+                sim = inter / (len(grams[i]) + len(grams[j]) - inter)
+                if sim >= thr:
+                    drops.add(j)
+        want = sorted(set(keys) - drops)
+        t = pa.table(
+            {
+                "doc_id": pa.array(keys, type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        out = dedup.jaccard_dedup(
+            rd.from_arrow(t), threshold=thr, max_df=max_df
+        ).take_all()
+        assert sorted(r["doc_id"] for r in out) == want
+
+    def test_candidates_invariant_to_bucket_count(self, ray_session):
+        rng = np.random.default_rng(23)
+        texts = [
+            " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"], size=20))
+            for _ in range(30)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(30), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        def pairs_with(nb):
+            rows = dedup.ngram_candidate_pairs(
+                rd.from_arrow(t), n_buckets=nb
+            ).take_all()
+            return sorted({(r["a"], r["b"]) for r in rows})
+        assert pairs_with(7) == pairs_with(64)
+
+    def test_df_cap_excludes_ubiquitous_grams(self, ray_session):
+        # every doc identical: all grams have df = 12 > max_df = 8, so the
+        # rare-gram witness never fires (exact dups are exact_dedup's job)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "text": pa.array(["same text everywhere " * 4] * 12),
+            }
+        )
+        out = dedup.jaccard_dedup(rd.from_arrow(t), max_df=8).take_all()
+        assert len(out) == 12
+        # raising the cap past the corpus df makes them candidates again
+        out2 = dedup.jaccard_dedup(rd.from_arrow(t), max_df=16).take_all()
+        assert len(out2) == 1
