@@ -33,15 +33,30 @@ import numpy as np
 
 _LIB_CANDIDATES = ("libwebp.so.7", "libwebp.so", "libwebp.7.dylib", "webp")
 
-_lib = None
-_lib_tried = False
+
+class _LibCache:
+    """Per-process CDLL cache. A ctypes handle cannot be pickled, and Ray
+    ships this module BY VALUE to workers (module dict included) — so once
+    the driver had loaded the library, a bare module-global handle made the
+    whole codecs package unshippable. The cache pickles back to its
+    unloaded state; each worker process re-resolves its own handle on
+    first use."""
+
+    def __init__(self):
+        self.lib = None
+        self.tried = False
+
+    def __reduce__(self):
+        return (_LibCache, ())
+
+
+_cache = _LibCache()
 
 
 def _load():
-    global _lib, _lib_tried
-    if _lib_tried:
-        return _lib
-    _lib_tried = True
+    if _cache.tried:
+        return _cache.lib
+    _cache.tried = True
     for name in _LIB_CANDIDATES:
         try:
             cand = ctypes.CDLL(name)
@@ -89,9 +104,9 @@ def _load():
             ]
         except AttributeError:
             continue
-        _lib = cand
+        _cache.lib = cand
         break
-    return _lib
+    return _cache.lib
 
 
 def available() -> bool:

@@ -53,6 +53,8 @@ import struct
 
 import numpy as np
 
+from duckdb_raquet_ray.codecs import syswebp
+
 # ---------------------------------------------------------------------------
 # bit reader (LSB-first, like DEFLATE)
 # ---------------------------------------------------------------------------
@@ -539,8 +541,6 @@ def webp_decode(data: bytes) -> np.ndarray:
         # Python — decode through the optional system libwebp binding
         # where the host has one (codecs/syswebp.py), else stay an
         # honest NotImplementedError
-        from . import syswebp
-
         if syswebp.available():
             out = syswebp.decode_rgba(data)
             if (out[:, :, 3] == 255).all():

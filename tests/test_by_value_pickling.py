@@ -73,6 +73,30 @@ def test_scratch_pool_pickles_empty(registered_modules):
     scratch.clear()
 
 
+def test_syswebp_pickles_after_library_load(registered_modules):
+    """A loaded ctypes CDLL handle is unpicklable; once the driver had
+    called syswebp.available() the whole codecs package became unshippable
+    (observed live: full-suite order loaded libwebp before the pickling
+    tests and every codecs module failed cp.dumps). The cache must pickle
+    back to its unloaded state and re-resolve per process."""
+    from ray import cloudpickle as cp
+
+    from duckdb_raquet_ray.codecs import syswebp
+
+    loaded = syswebp.available()  # force the handle into module state
+    for name in (
+        "duckdb_raquet_ray.codecs.syswebp",
+        "duckdb_raquet_ray.codecs.webpcodec",
+        "duckdb_raquet_ray.codecs.imagecodec",
+        "duckdb_raquet_ray",
+    ):
+        cp.dumps(registered_modules[name])
+    cache = cp.loads(cp.dumps(syswebp._cache))
+    assert cache.tried is False and cache.lib is None
+    if loaded:
+        assert syswebp._cache.lib is not None  # driver-side handle intact
+
+
 def test_no_lazy_package_relative_imports():
     """Lazy `from .x import y` inside function bodies defers the import to
     call time ON THE WORKER, where by-value-shipped code cannot resolve the
