@@ -960,6 +960,31 @@ def _q_bigram_lm(sf_dir: str):
     )
 
 
+# the fixture's "wiki-like" half: even-numbered sources (the classifier is
+# label-set-parameterized; this split populates both classes at every sf)
+_CLS_POSITIVE = tuple(f"src{i}" for i in range(0, 20, 2))
+
+
+def _q_classifier_score(sf_dir: str):
+    """Hashed-bag-of-words linear quality classifier (the fastText/CCNet
+    wiki-vs-web filter shape): train integer fixed-point word weights
+    against a positive source set via the bounded bucket-shuffle
+    discipline, broadcast once, score the corpus in one streaming probe
+    pass. Full SQL value oracle (quality.classifier_oracle_sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    wh, w, _, _ = quality.train_source_classifier(ds, positive=_CLS_POSITIVE)
+    return quality.classifier_score(ds, (wh, w), concurrency=(1, 4)).select_columns(
+        ["doc_id", "n_cls_hits", "cls_score", "pred_pos"]
+    )
+
+
 def _q_doc_df_score(sf_dir: str):
     """Global document-frequency scoring (the CCNet-style commonness
     signal): vocab-sized partial dfs merged once, broadcast via ray.put,
@@ -1609,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "classifier_score_docs": _q_classifier_score,
         "jaccard_dedup_docs": _q_jaccard_dedup,
         "webp_lossy_strip_sums": _q_webp_lossy_strip_sums,
         "bigram_lm_tokens": _q_bigram_lm,
@@ -1888,6 +1914,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
+        # build + score replicated end-to-end: same detmix word hashes,
+        # integer fixed-point weights, UBIGINT-ordered top_n cutoff
+        "classifier_score_docs": _quality.classifier_oracle_sql(
+            "documents", positive=_CLS_POSITIVE
+        ),
         "crossdoc_dup_docs": _quality.crossdoc_dup_oracle_sql("documents"),
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)

@@ -419,6 +419,272 @@ FROM {table} d LEFT JOIN agg ON agg.k = d.{key_col}
 
 
 # ---------------------------------------------------------------------------
+# hashed linear source/quality classifier (the fastText/CCNet shape:
+# train a linear model over hashed bag-of-words against a reference class,
+# broadcast the weight table once, score the corpus in one streaming pass)
+# ---------------------------------------------------------------------------
+
+
+# diagnostic: rows the driver held at its peak in the last
+# train_source_classifier call (tested O(result), never O(blocks x vocab))
+LAST_CLS_DRIVER_ROWS = 0
+
+# fixed-point scale for integer word weights (rate difference in 2^-20ths)
+CLS_SCALE_BITS = 20
+
+
+def train_source_classifier(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    label_col: str = "source",
+    positive: tuple[str, ...] = (),
+    top_n: int = 2048,
+    n_buckets: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Train a hashed-bag-of-words linear classifier separating docs whose
+    `label_col` is in `positive` from the rest — the published
+    quality-filter shape (GPT-3 / LLaMA / CCNet train fastText-style
+    models on wiki-vs-web and keep web docs the model scores wiki-like).
+
+    Per distinct word w (detmix hash identity, shared with every SQL
+    oracle):  weight(w) = (dfp(w) << 20) // n_pos - (dfn(w) << 20) // n_neg
+    — the integer fixed-point difference of per-class document RATES, so
+    balanced boilerplate cancels and class-indicative words dominate.
+    The table keeps the `top_n` words by (|weight| desc, hash asc).
+
+    -> (sorted word hashes uint64, weights int64, n_pos, n_neg).
+
+    Scale shape (the `global_word_df` discipline): per-block partial
+    (word-hash, dfp, dfn) rows shuffle ONCE through a corpus-scaled
+    bucket groupby keyed on the hash, each bucket resolves its words'
+    exact global class-dfs, computes weights (n_pos/n_neg are plan-time
+    scalars from a label-column-only pre-pass) and caps to top_n — exact,
+    because a global top-n word beats < n words in its own bucket. The
+    driver merges O(buckets x top_n) capped rows. Integer bound:
+    dfp << 20 needs dfp < 2^43 docs per class.
+    """
+    global LAST_CLS_DRIVER_ROWS
+    if not positive:
+        raise ValueError("positive label set must be non-empty")
+    import pyarrow.compute as pc
+
+    pos_set = pa.array(sorted(set(positive)), pa.string())
+
+    def class_counts(t: pa.Table) -> pa.Table:
+        p = int(
+            pc.sum(pc.cast(pc.is_in(t.column(label_col), value_set=pos_set), pa.int64())).as_py()
+            or 0
+        )
+        return pa.table({"npos": pa.array([p]), "nneg": pa.array([t.num_rows - p])})
+
+    counts = (
+        ds.select_columns([label_col])
+        .map_batches(class_counts, batch_format="pyarrow")
+        .sum(["npos", "nneg"])
+    )
+    n_pos, n_neg = int(counts["sum(npos)"]), int(counts["sum(nneg)"])
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"both classes must be populated: n_pos={n_pos} n_neg={n_neg}"
+        )
+
+    nb = n_buckets or util.scaled_buckets(ds)
+    empty = pa.table(
+        {
+            "wh": pa.array([], pa.uint64()),
+            "dfp": pa.array([], pa.int64()),
+            "dfn": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        lens, wh = _flat_word_hashes(batch, text_col)
+        if len(wh) == 0:
+            return empty.append_column("_b", pa.array([], pa.int32()))
+        doc_pos = pc.is_in(batch.column(label_col), value_set=pos_set).to_numpy(
+            zero_copy_only=False
+        )
+        d_u, w_u = _distinct_doc_words(lens, wh)
+        row_pos = doc_pos[d_u]
+        u, inv = np.unique(w_u, return_inverse=True)
+        dfp = np.bincount(inv, weights=row_pos, minlength=len(u)).astype(np.int64)
+        dfn = np.bincount(inv, weights=~row_pos, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "wh": pa.array(u),
+                "dfp": pa.array(dfp),
+                "dfn": pa.array(dfn),
+                "_b": pa.array((u % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    shift = np.int64(CLS_SCALE_BITS)
+
+    def in_bucket(g: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"wh": pa.array([], pa.uint64()), "w": pa.array([], pa.int64())}
+        )
+        if g.num_columns == 0 or g.num_rows == 0:
+            return out_empty
+        h = g.column("wh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = g.column("dfp").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.column("dfn").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(h, return_inverse=True)
+        dfp = np.bincount(inv, weights=p, minlength=len(u)).astype(np.int64)
+        dfn = np.bincount(inv, weights=n, minlength=len(u)).astype(np.int64)
+        w = (dfp << shift) // np.int64(n_pos) - (dfn << shift) // np.int64(n_neg)
+        if len(u) > top_n:
+            order = np.lexsort((u, -np.abs(w)))[:top_n]  # |w| desc, hash asc
+            keep = np.sort(order)
+            u, w = u[keep], w[keep]
+        return pa.table({"wh": pa.array(u), "w": pa.array(w)})
+
+    hs, wsl = [], []
+    for b in (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy")
+    ):
+        if "wh" not in b:  # empty groupby partitions emit 0-col blocks
+            continue
+        hs.append(np.asarray(b["wh"], dtype=np.uint64))
+        wsl.append(np.asarray(b["w"], dtype=np.int64))
+    if not hs:
+        LAST_CLS_DRIVER_ROWS = 0
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), n_pos, n_neg
+    allh, allw = np.concatenate(hs), np.concatenate(wsl)
+    LAST_CLS_DRIVER_ROWS = len(allh)
+    if len(allh) > top_n:
+        order = np.lexsort((allh, -np.abs(allw)))[:top_n]
+        keep = np.sort(order)
+        allh, allw = allh[keep], allw[keep]
+    order = np.argsort(allh)  # buckets are hash-disjoint: no re-merge
+    return allh[order], allw[order], n_pos, n_neg
+
+
+class _ClsProbe:
+    """Actor-pool stage: weight table fetched ONCE per actor in __init__
+    (ray.put broadcast), per-batch vectorized searchsorted probe."""
+
+    def __init__(self, cls_ref, text_col: str):
+        self.wh, self.w = (
+            ray.get(cls_ref) if isinstance(cls_ref, ray.ObjectRef) else cls_ref
+        )
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        lens, wh = _flat_word_hashes(batch, self.text_col)
+        nd = batch.num_rows
+        n_hits = np.zeros(nd, np.int64)
+        score = np.zeros(nd, np.int64)
+        if len(wh) and len(self.wh):
+            d_u, w_u = _distinct_doc_words(lens, wh)
+            idx = np.searchsorted(self.wh, w_u).clip(max=len(self.wh) - 1)
+            hit = self.wh[idx] == w_u
+            n_hits = np.bincount(d_u, weights=hit, minlength=nd).astype(np.int64)
+            score = np.bincount(
+                d_u, weights=np.where(hit, self.w[idx], 0), minlength=nd
+            ).astype(np.int64)
+        return (
+            batch.append_column("n_cls_hits", pa.array(n_hits))
+            .append_column("cls_score", pa.array(score))
+            .append_column("pred_pos", pa.array((score > 0).astype(np.int64)))
+        )
+
+
+def classifier_score(
+    ds: rd.Dataset,
+    cls_table: tuple[np.ndarray, np.ndarray],
+    *,
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Annotate each doc with `n_cls_hits` (distinct words in the weight
+    table), `cls_score` (integer sum of their weights — positive means
+    the doc reads like the positive class) and `pred_pos` (0/1 sign).
+    Broadcast + one streaming probe pass, no shuffle — the quality-filter
+    inference shape at any corpus size."""
+    wh, w = cls_table
+    ref = ray.put((np.asarray(wh, dtype=np.uint64), np.asarray(w, dtype=np.int64)))
+    return ds.map_batches(
+        _ClsProbe,
+        fn_constructor_kwargs={"cls_ref": ref, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def classifier_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    label_col: str = "source",
+    positive: tuple[str, ...] = (),
+    top_n: int = 2048,
+) -> str:
+    """DuckDB replica of train_source_classifier + classifier_score:
+    identical word split and detmix hash, integer fixed-point weights
+    ((dfp << 20) // n_pos - (dfn << 20) // n_neg — both operands
+    non-negative, so DuckDB's truncating // equals numpy's floor //),
+    row_number cutoff ordered (abs(w) DESC, h ASC) with h UBIGINT so the
+    tie order matches the uint64 lexsort exactly. ASCII corpora only,
+    words <= 128 chars (detmix CTE bound)."""
+    if not positive:
+        raise ValueError("positive label set must be non-empty")
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    pos_list = ", ".join("'" + p.replace("'", "''") + "'" for p in sorted(set(positive)))
+    scale = 1 << CLS_SCALE_BITS
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+cnt AS (
+  SELECT count(*) FILTER (WHERE {label_col} IN ({pos_list}))::BIGINT AS n_pos,
+         count(*) FILTER (WHERE {label_col} NOT IN ({pos_list}))::BIGINT AS n_neg
+  FROM {table}
+),
+wl AS (
+  SELECT {key_col} AS k, {label_col} IN ({pos_list}) AS pos,
+    list_filter(regexp_split_to_array(lower({text_col}), '{ws}'), x -> x <> '') AS wl
+  FROM {table}
+),
+w AS (
+  SELECT k, pos, unnest(wl) AS word FROM wl
+),
+{detmix.sql_string_hash_ctes("w", "word")},
+dw AS (
+  SELECT DISTINCT w.k, w.pos, kh.h FROM w JOIN kh ON kh.k = w.word
+),
+dft AS (
+  SELECT h, count(*) FILTER (WHERE pos)::BIGINT AS dfp,
+         count(*) FILTER (WHERE NOT pos)::BIGINT AS dfn
+  FROM dw GROUP BY h
+),
+wt AS (
+  SELECT h, (dfp * {scale} // cnt.n_pos - dfn * {scale} // cnt.n_neg)::BIGINT AS w
+  FROM dft, cnt
+),
+top AS (
+  SELECT h, w FROM (
+    SELECT h, w, row_number() OVER (ORDER BY abs(w) DESC, h ASC) AS rn FROM wt
+  ) WHERE rn <= {top_n}
+),
+hits AS (
+  SELECT dw.k, count(*)::BIGINT AS n_cls_hits, sum(top.w)::BIGINT AS cls_score
+  FROM dw JOIN top ON top.h = dw.h GROUP BY dw.k
+)
+SELECT d.{key_col} AS doc_id,
+  coalesce(hits.n_cls_hits, 0)::BIGINT AS n_cls_hits,
+  coalesce(hits.cls_score, 0)::BIGINT AS cls_score,
+  (coalesce(hits.cls_score, 0) > 0)::BIGINT AS pred_pos
+FROM {table} d LEFT JOIN hits ON hits.k = d.{key_col}
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross-document duplicate n-grams (exact-substring dup signal)
 # ---------------------------------------------------------------------------
 

@@ -354,3 +354,136 @@ def test_crossdoc_string_keys_end_to_end(ray_session):
         r.doc_id: (r.distinct_grams, r.dup_grams) for r in oracle.itertuples()
     }
     assert got == want
+
+
+class TestSourceClassifier:
+    CDOCS = [
+        (1, "wiki", "the citation article encyclopedia section the"),
+        (2, "wiki", "article with citation and references section"),
+        (3, "wiki", "encyclopedia article neutral tone citation"),
+        (4, "web", "click here buy now the best deals"),
+        (5, "web", "subscribe now click the banner deals"),
+        (6, "web", "best deals now buy subscribe click"),
+        (7, "web", ""),  # empty text, negative class
+    ]
+
+    def _table(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in self.CDOCS], pa.int64()),
+                "source": [s for _, s, _ in self.CDOCS],
+                "text": [t for _, _, t in self.CDOCS],
+            }
+        )
+
+    def _values_src(self):
+        vals = ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in self.CDOCS)
+        return f"(SELECT * FROM (VALUES {vals}) v(doc_id, source, text))"
+
+    def _brute_table(self, top_n=2048):
+        """Reference build: plain Python dict over the same hashes."""
+        t = self._table()
+        lens, wh = q._flat_word_hashes(t, "text")
+        d_u, w_u = q._distinct_doc_words(lens, wh)
+        labels = t.column("source").to_pylist()
+        n_pos = sum(1 for s in labels if s == "wiki")
+        n_neg = len(labels) - n_pos
+        dfp, dfn = {}, {}
+        for d, w in zip(d_u, w_u):
+            if labels[d] == "wiki":
+                dfp[w] = dfp.get(w, 0) + 1
+            else:
+                dfn[w] = dfn.get(w, 0) + 1
+        words = sorted(set(dfp) | set(dfn))
+        wt = {
+            w: (dfp.get(w, 0) << q.CLS_SCALE_BITS) // n_pos
+            - (dfn.get(w, 0) << q.CLS_SCALE_BITS) // n_neg
+            for w in words
+        }
+        ranked = sorted(wt, key=lambda w: (-abs(wt[w]), w))[:top_n]
+        kept = sorted(ranked)
+        return (
+            np.array(kept, np.uint64),
+            np.array([wt[w] for w in kept], np.int64),
+            n_pos,
+            n_neg,
+        )
+
+    def test_brute_force_parity(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._table())
+        wh, w, n_pos, n_neg = q.train_source_classifier(
+            ds, positive=("wiki",), top_n=2048
+        )
+        bw, bwt, bp, bn = self._brute_table()
+        assert (n_pos, n_neg) == (bp, bn)
+        np.testing.assert_array_equal(wh, bw)
+        np.testing.assert_array_equal(w, bwt)
+
+    def test_top_n_cap_and_bucket_invariance(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._table())
+        for nb in (2, 17, 256):
+            wh, w, _, _ = q.train_source_classifier(
+                ds, positive=("wiki",), top_n=4, n_buckets=nb
+            )
+            bw, bwt, _, _ = self._brute_table(top_n=4)
+            np.testing.assert_array_equal(wh, bw)
+            np.testing.assert_array_equal(w, bwt)
+            assert q.LAST_CLS_DRIVER_ROWS <= nb * 4
+
+    def test_score_separates_classes(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._table())
+        table = q.train_source_classifier(ds, positive=("wiki",))
+        out = {
+            r["doc_id"]: (r["cls_score"], r["pred_pos"])
+            for r in q.classifier_score(ds, table[:2], concurrency=1).take_all()
+        }
+        for d, s, _ in self.CDOCS:
+            if not s:
+                continue
+            score, pred = out[d]
+            if d == 7:
+                assert score == 0 and pred == 0  # empty text scores zero
+            else:
+                assert pred == (1 if s == "wiki" else 0), (d, score)
+
+    def test_sql_oracle_parity(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._table())
+        table = q.train_source_classifier(ds, positive=("wiki",), top_n=5)
+        got = (
+            q.classifier_score(ds, table[:2], concurrency=1)
+            .select_columns(["doc_id", "n_cls_hits", "cls_score", "pred_pos"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        oracle = (
+            duckdb.connect()
+            .execute(
+                q.classifier_oracle_sql(
+                    self._values_src(), positive=("wiki",), top_n=5
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["n_cls_hits"].tolist() == oracle["n_cls_hits"].tolist()
+        assert got["cls_score"].tolist() == oracle["cls_score"].tolist()
+        assert got["pred_pos"].tolist() == oracle["pred_pos"].astype(int).tolist()
+
+    def test_single_class_rejected(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._table())
+        with pytest.raises(ValueError, match="both classes"):
+            q.train_source_classifier(ds, positive=("nosuch",))
+        with pytest.raises(ValueError, match="non-empty"):
+            q.train_source_classifier(ds, positive=())
