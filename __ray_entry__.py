@@ -1070,6 +1070,22 @@ def _q_minhash_dedup(sf_dir: str):
     return dedup.minhash_dedup(ds, text_col="text", key_col="doc_id")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style clustered semantic dedup (Abbas et al. 2023):
+    smallest-key int8 centroids, argmax-dot cluster assignment, exact
+    rational-cosine drop within cluster only — full SQL value oracle
+    (dedup.semantic_dedup_oracle_sql). Near-dups planted deterministically
+    on both sides (no natural near-dups in the sf embeddings)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(dedup.synthesize_near_dups_batch, batch_format="pyarrow")
+    return dedup.semantic_dedup_int8(ds).select_columns(["vec_id"])
+
+
 def _q_jaccard_dedup(sf_dir: str):
     """EXACT n-gram Jaccard near-dup removal (rare-gram candidates, no
     MinHash approximation) — the fourth dedup family, value-replicated
@@ -1635,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "classifier_score_docs": _q_classifier_score,
+        "semantic_dedup_vecs": _q_semantic_dedup,
         "jaccard_dedup_docs": _q_jaccard_dedup,
         "webp_lossy_strip_sums": _q_webp_lossy_strip_sums,
         "bigram_lm_tokens": _q_bigram_lm,
@@ -1909,6 +1926,11 @@ def oracle_sql() -> dict[str, str]:
         # fixed point (min key per connected component) — same oracle
         "dedup_clusters_lp_docs": _dedup.minhash_clusters_oracle_sql("documents"),
         "embedding_dedup_int8": _dedup.embedding_dedup_oracle_sql(
+            _dedup.synthesize_near_dups_sql("embeddings")
+        ),
+        # clustered (SemDeDup) twin: centroids, assignment and drop rule
+        # all replicated in SQL over the same planted near-dups
+        "semantic_dedup_vecs": _dedup.semantic_dedup_oracle_sql(
             _dedup.synthesize_near_dups_sql("embeddings")
         ),
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),

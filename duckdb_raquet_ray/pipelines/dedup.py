@@ -1658,32 +1658,51 @@ def embedding_dedup_int8(
         return pa.concat_tables(out)
 
     def in_bucket(g: pa.Table) -> pa.Table:
-        k = g.column(key_col).to_numpy(zero_copy_only=False)
-        if len(k) < 2:
-            return pa.table({"drop_key": pa.array([], g.column(key_col).type)})
-        order = np.argsort(k, kind="stable")
-        k = k[order]
-        n2 = g.column("n2").to_numpy(zero_copy_only=False)[order]
-        q_col = g.column("q8")
-        if isinstance(q_col, pa.ChunkedArray):
-            q_col = q_col.combine_chunks()
-        Q = (
-            q_col.flatten().to_numpy(zero_copy_only=False)
-            .astype(np.int64).reshape(len(g), -1)[order]
-        )
-        G = Q @ Q.T
-        ok = (G > 0) & (G * G * 10000 >= pct * pct * np.outer(n2, n2))
-        ok &= np.tri(len(k), k=-1, dtype=bool).T  # strictly upper: i < j
-        dropped = k[ok.any(axis=0)]
-        return pa.table({"drop_key": pa.array(np.unique(dropped), g.column(key_col).type)})
+        return _int8_drop_keys(g, key_col, pct)
 
     tagged = util.clean_dataset(ds).map_batches(tag, batch_format="pyarrow")
     verified = tagged.groupby("_eb").map_groups(in_bucket, batch_format="pyarrow")
+    return _filter_drop_keys(ds, verified, key_col)
+
+
+def _int8_drop_keys(g: pa.Table, key_col: str, pct: int) -> pa.Table:
+    """One bucket/cluster of (key, n2, q8 list<int8>) rows -> the keys
+    dropped because some SMALLER key in the group passes the exact
+    rational cosine test (dot > 0 AND dot^2 * 10^4 >= pct^2 * |a|^2|b|^2)
+    — order-independent, so partitioning cannot change the result.
+    Integer bound: dim <= ~2000 keeps dot^2 * 10^4 inside int64."""
+    if g.num_columns == 0:
+        return g  # empty groupby partition: 0-col block, consumer skips it
+    k = g.column(key_col).to_numpy(zero_copy_only=False)
+    if len(k) < 2:
+        return pa.table({"drop_key": pa.array([], g.column(key_col).type)})
+    order = np.argsort(k, kind="stable")
+    k = k[order]
+    n2 = g.column("n2").to_numpy(zero_copy_only=False)[order]
+    q_col = g.column("q8")
+    if isinstance(q_col, pa.ChunkedArray):
+        q_col = q_col.combine_chunks()
+    Q = (
+        q_col.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.int64).reshape(len(g), -1)[order]
+    )
+    G = Q @ Q.T
+    ok = (G > 0) & (G * G * 10000 >= pct * pct * np.outer(n2, n2))
+    ok &= np.tri(len(k), k=-1, dtype=bool).T  # strictly upper: i < j
+    dropped = k[ok.any(axis=0)]
+    return pa.table({"drop_key": pa.array(np.unique(dropped), g.column(key_col).type)})
+
+
+def _filter_drop_keys(ds: rd.Dataset, verified: rd.Dataset, key_col: str) -> rd.Dataset:
+    """Collect (drop_key) blocks, broadcast once, anti-filter the corpus.
+    Driver state is O(dropped keys) — the dedup RESULT, not the corpus."""
+    import ray
+
     drop_keys = sorted(
         {
             d
             for blk in verified.iter_batches(batch_format="pyarrow")
-            if blk.num_columns
+            if blk.num_columns and blk.num_rows
             for d in blk.column("drop_key").to_pylist()
         }
     )
@@ -1756,6 +1775,200 @@ drops AS (
   SELECT DISTINCT dots.b FROM dots
   JOIN n2 na ON na.k = dots.a
   JOIN n2 nb ON nb.k = dots.b
+  WHERE dp > 0
+    AND dp::HUGEINT * dp * 10000 >= {pct}::HUGEINT * {pct} * na.n2 * nb.n2
+)
+SELECT {key_col} FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: coarse clustering + within-cluster near-dup drop
+# (the SemDeDup shape, Abbas et al. 2023 — cluster the embedding space,
+# then do all-pairs similarity only INSIDE each cluster)
+# ---------------------------------------------------------------------------
+
+
+def _smallest_key_vectors(
+    ds: rd.Dataset, vec_col: str, key_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (k smallest keys asc, their int8 vectors as (k, dim) int64) —
+    the deterministic centroid pick. Per-block partial k-smallest rows,
+    incrementally folded on the driver with a running cap, so peak driver
+    state is O(k + one block's partial), never O(blocks x k)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q8 = ann_int8(batch, vec_col)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) > k:
+            idx = np.sort(np.argsort(keys, kind="stable")[:k])
+            keys, q8 = keys[idx], q8[idx]
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "q8": pa.array(list(q8.astype(np.int8)), pa.list_(pa.int8())),
+            }
+        )
+
+    best_k = best_q = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_columns == 0 or b.num_rows == 0:
+            continue
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        q_col = b.column("q8")
+        if isinstance(q_col, pa.ChunkedArray):
+            q_col = q_col.combine_chunks()
+        Q = (
+            q_col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(len(keys), -1)
+        )
+        if best_k is None:
+            best_k, best_q = keys, Q
+        else:
+            best_k = np.concatenate([best_k, keys])
+            best_q = np.concatenate([best_q, Q])
+        if len(best_k) > k:
+            idx = np.sort(np.argsort(best_k, kind="stable")[:k])
+            best_k, best_q = best_k[idx], best_q[idx]
+    if best_k is None:
+        return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    order = np.argsort(best_k, kind="stable")
+    return best_k[order], best_q[order]
+
+
+def semantic_dedup_int8(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold_pct: int = 95,
+) -> rd.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    embedding space into `n_clusters` coarse clusters, then drop near-
+    duplicates by all-pairs similarity INSIDE each cluster only — the
+    published trick that makes embedding dedup tractable (cluster count
+    grows with corpus, so per-cluster all-pairs work stays bounded).
+
+    Deterministic + fully integer past the (SQL-replicated) int8
+    quantization, so the WHOLE operator has a DuckDB value oracle
+    (`semantic_dedup_oracle_sql`), unlike float k-means:
+
+    - centroids: the int8 vectors of the `n_clusters` SMALLEST keys
+      (rank = centroid index) — a deterministic seed pick in the spirit
+      of k-means++ seeding, exact on both sides,
+    - assignment: argmax integer dot product against the centroids,
+      ties to the lowest centroid index (quantized embeddings have
+      comparable norms, so raw-dot argmax tracks cosine argmax; the
+      rule itself, not cosine, is the spec both engines implement),
+    - drop rule: within a cluster, key k drops iff SOME SMALLER key
+      passes ``dot > 0 AND dot^2 * 10^4 >= pct^2 * |a|^2 |b|^2`` —
+      the same exact rational cosine test as `embedding_dedup_int8`,
+      order-independent.
+
+    Scale shape: centroid pick is a per-block partial top-k fold
+    (O(n_clusters) driver state); assignment is one broadcast + one
+    streaming pass; the only shuffle is the groupby on cluster id.
+    Caveat vs the LSH variant: a cluster IS a skew unit — per-cluster
+    work is O(|cluster|^2) by design, so `n_clusters` must scale with
+    the corpus (SemDeDup uses ~50k clusters for LAION-scale)."""
+    import ray
+
+    ds = util.clean_dataset(ds)
+    cent_keys, C = _smallest_key_vectors(ds, vec_col, key_col, n_clusters)
+    if len(cent_keys) == 0:
+        return ds
+    c_ref = ray.put(C)
+    pct = int(threshold_pct)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        q8 = ann_int8(batch, vec_col)
+        if len(q8) == 0:
+            return pa.table(
+                {
+                    "_cl": pa.array([], pa.int32()),
+                    key_col: batch.column(key_col),
+                    "n2": pa.array([], pa.int64()),
+                    "q8": pa.array([], pa.list_(pa.int8())),
+                }
+            )
+        dots = q8 @ cm.T
+        cl = np.argmax(dots, axis=1).astype(np.int32)  # first max = lowest ci
+        return pa.table(
+            {
+                "_cl": pa.array(cl),
+                key_col: batch.column(key_col),
+                "n2": pa.array((q8 * q8).sum(axis=1)),
+                "q8": pa.array(list(q8.astype(np.int8)), pa.list_(pa.int8())),
+            }
+        )
+
+    def in_cluster(g: pa.Table) -> pa.Table:
+        return _int8_drop_keys(g, key_col, pct)
+
+    verified = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cl")
+        .map_groups(in_cluster, batch_format="pyarrow")
+    )
+    return _filter_drop_keys(ds, verified, key_col)
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold_pct: int = 95,
+) -> str:
+    """DuckDB replica of semantic_dedup_int8: int8 quantization (the
+    embedding_quantize rule), smallest-key centroids (row_number rank =
+    centroid index), argmax-dot assignment with the same (dp DESC, ci
+    ASC) tie rule, exact rational cosine drop within cluster. Fully
+    integer past the quantization — value-identical by construction."""
+    pct = int(threshold_pct)
+    return f"""
+WITH e AS (SELECT {key_col} AS k, {vec_col} AS v,
+  list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale FROM {table}),
+t AS (SELECT k, scale, unnest(v) AS x,
+  unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT k, i - 1 AS d,
+  CASE WHEN scale > 0 THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv
+  FROM t),
+cent AS (
+  SELECT k AS ck, row_number() OVER (ORDER BY k) - 1 AS ci
+  FROM (SELECT k FROM e ORDER BY k LIMIT {n_clusters})
+),
+cq AS (SELECT cent.ci, q.d, q.qv AS cv FROM cent JOIN q ON q.k = cent.ck),
+adots AS (
+  SELECT q.k, cq.ci, sum(q.qv * cq.cv)::BIGINT AS dp
+  FROM q JOIN cq ON cq.d = q.d GROUP BY q.k, cq.ci
+),
+assign AS (
+  SELECT k, ci AS cl FROM (
+    SELECT k, ci, row_number() OVER (PARTITION BY k ORDER BY dp DESC, ci ASC) AS rn
+    FROM adots
+  ) WHERE rn = 1
+),
+n2 AS (SELECT k, sum(qv * qv)::BIGINT AS n2 FROM q GROUP BY k),
+cand AS (
+  SELECT a.k AS a, b.k AS b
+  FROM assign a JOIN assign b ON a.cl = b.cl AND a.k < b.k
+),
+pdots AS (
+  SELECT c.a, c.b, sum(qa.qv * qb.qv)::BIGINT AS dp
+  FROM cand c
+  JOIN q qa ON qa.k = c.a
+  JOIN q qb ON qb.k = c.b AND qb.d = qa.d
+  GROUP BY c.a, c.b
+),
+drops AS (
+  SELECT DISTINCT pdots.b FROM pdots
+  JOIN n2 na ON na.k = pdots.a
+  JOIN n2 nb ON nb.k = pdots.b
   WHERE dp > 0
     AND dp::HUGEINT * dp * 10000 >= {pct}::HUGEINT * {pct} * na.n2 * nb.n2
 )

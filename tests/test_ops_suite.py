@@ -1189,3 +1189,89 @@ class TestJaccardDedup:
         # raising the cap past the corpus df makes them candidates again
         out2 = dedup.jaccard_dedup(rd.from_arrow(t), max_df=16).take_all()
         assert len(out2) == 1
+
+
+class TestSemanticDedup:
+    """SemDeDup-style clustered dedup: planted-dup golden, SQL oracle
+    parity, no-false-positive on random vectors, block-split invariance."""
+
+    def _planted(self, n=40, seed=11):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, 64))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        return dedup.synthesize_near_dups_batch(t, every=4)
+
+    def test_planted_dups_dropped(self, ray_session):
+        t = self._planted()
+        kept = sorted(
+            r["vec_id"]
+            for r in dedup.semantic_dedup_int8(rd.from_arrow(t))
+            .select_columns(["vec_id"])
+            .take_all()
+        )
+        # a planted +eps copy lands in its original's cluster (identical
+        # argmax-dot ordering up to quantization) and drops there
+        assert kept == list(range(40))
+
+    def test_matches_sql_oracle(self, ray_session):
+        import duckdb
+
+        t = self._planted()
+        for n_clusters in (4, 16):
+            kept = sorted(
+                r["vec_id"]
+                for r in dedup.semantic_dedup_int8(
+                    rd.from_arrow(t), n_clusters=n_clusters
+                )
+                .select_columns(["vec_id"])
+                .take_all()
+            )
+            con = duckdb.connect()
+            con.register("emb_arrow", t)
+            oracle = sorted(
+                con.execute(
+                    dedup.semantic_dedup_oracle_sql(
+                        "emb_arrow", n_clusters=n_clusters
+                    )
+                ).df()["vec_id"].tolist()
+            )
+            assert kept == oracle, n_clusters
+
+    def test_no_false_positives_on_random(self, ray_session):
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(60, 64))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(60), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+        assert dedup.semantic_dedup_int8(rd.from_arrow(t)).count() == 60
+
+    def test_block_split_invariance(self, ray_session):
+        t = self._planted(n=32, seed=3)
+        whole = sorted(
+            r["vec_id"]
+            for r in dedup.semantic_dedup_int8(rd.from_arrow(t), n_clusters=8)
+            .select_columns(["vec_id"])
+            .take_all()
+        )
+        split = sorted(
+            r["vec_id"]
+            for r in dedup.semantic_dedup_int8(
+                rd.from_arrow(t).repartition(7), n_clusters=8
+            )
+            .select_columns(["vec_id"])
+            .take_all()
+        )
+        assert whole == split
+
+    def test_centroid_pick_is_smallest_keys(self, ray_session):
+        t = self._planted(n=20, seed=2)
+        keys, C = dedup._smallest_key_vectors(
+            rd.from_arrow(t).repartition(5), "embedding", "vec_id", 6
+        )
+        all_keys = sorted(t.column("vec_id").to_pylist())
+        assert keys.tolist() == all_keys[:6]
+        assert C.shape == (6, 64)
