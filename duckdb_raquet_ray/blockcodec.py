@@ -202,7 +202,7 @@ def _validity_buffer(valid: np.ndarray | None) -> tuple[pa.Buffer | None, int]:
 # primitive (fixed-width) columns
 # ---------------------------------------------------------------------------
 
-PLANE_CODECS = ("for_bitpack", "rle", "dict", "for_bss")
+PLANE_CODECS = ("for_bitpack", "rle", "dict", "for_bss", "delta_bitpack")
 
 
 def _fill_nulls_primitive(arr: pa.Array) -> pa.Array:

@@ -151,6 +151,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--top-k", type=int, default=10_000,
                    help="LM table size (bigrams kept, cnt desc / key asc)")
 
+    p = sub.add_parser("classify", help="hashed linear source/quality classifier: "
+                       "train integer word weights against a positive label set, "
+                       "annotate each doc with n_cls_hits/cls_score/pred_pos -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--label-col", default="source")
+    p.add_argument("--positive", required=True,
+                   help="comma-separated label values of the positive class")
+    p.add_argument("--top-n", type=int, default=2048,
+                   help="weight-table size (words kept, |weight| desc / hash asc)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -326,6 +338,25 @@ def main(argv: list[str] | None = None) -> None:
             )
             print(json.dumps({"cmd": "bigram-score", "lm_rows": int(len(lm[0])),
                               "dest": args.dest}))
+        elif args.cmd == "classify":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import quality as q
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            wh, w, n_pos, n_neg = q.train_source_classifier(
+                ds,
+                text_col=args.text_col,
+                label_col=args.label_col,
+                positive=tuple(s for s in args.positive.split(",") if s),
+                top_n=args.top_n,
+            )
+            q.classifier_score(ds, (wh, w), text_col=args.text_col).write_parquet(
+                args.dest
+            )
+            print(json.dumps({"cmd": "classify", "table_rows": int(len(wh)),
+                              "n_pos": n_pos, "n_neg": n_neg, "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 

@@ -215,6 +215,61 @@ def decode_dict(blob: bytes, desc: dict) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# delta + zigzag + bit-pack (sorted / near-sorted planes: monotone ids,
+# timestamps, offsets — the classic lightweight-codec family member where
+# FOR's single global frame is wide but successive differences are tiny;
+# Lemire & Boytsov 2015. Semantics from the public literature only.)
+# ---------------------------------------------------------------------------
+
+
+def zigzag_deltas(plane: np.ndarray) -> np.ndarray:
+    """Successive modular differences of a width-w pattern plane, zigzag-
+    mapped to unsigned width-w (0,-1,1,-2,... -> 0,1,2,3,...): small
+    |delta| -> small value regardless of sign. Bijective on the full
+    signed range, so dtype-boundary wraparound round-trips exactly."""
+    w = plane.dtype.itemsize
+    up = plane.view(_BYTE_WIDTH_DTYPE[w])
+    du = np.subtract(up[1:], up[:-1], dtype=up.dtype)  # modular diff
+    sd = du.view(_SIGNED_OF_WIDTH[w])
+    bits = np.int8(8 * w)
+    return ((sd << np.int8(1)) ^ (sd >> (bits - np.int8(1)))).view(up.dtype)
+
+
+def encode_delta_bitpack(plane: np.ndarray, signed: bool) -> tuple[list[bytes], dict]:
+    n = len(plane)
+    w = plane.dtype.itemsize
+    if n == 0:
+        return [b""], {"codec": "delta_bitpack", "n": 0, "base": 0, "width": 0, "pw": w}
+    up = plane.view(_BYTE_WIDTH_DTYPE[w])
+    zz = zigzag_deltas(plane)
+    width = bit_width(int(zz.max())) if len(zz) else 0
+    data = pack_bits(zz, width)
+    desc = {
+        "codec": "delta_bitpack",
+        "n": n,
+        "base": int(up[0]),  # first value's width-w pattern
+        "width": width,
+        "pw": w,
+    }
+    return [data], desc
+
+
+def decode_delta_bitpack(blob: bytes, desc: dict) -> np.ndarray:
+    dt = plane_dtype(desc)
+    n = desc["n"]
+    if n == 0:
+        return np.zeros(0, dtype=dt)
+    zz = unpack_bits(blob, n - 1, desc["width"], dt)
+    one = dt.type(1)
+    sd = (zz >> one) ^ (dt.type(0) - (zz & one))  # inverse zigzag, modular
+    out = np.empty(n, dtype=dt)
+    out[0] = dt.type(desc["base"])
+    out[1:] = sd
+    np.cumsum(out, out=out)  # modular prefix sum restores the plane
+    return out
+
+
+# ---------------------------------------------------------------------------
 # frame-of-reference + byte-width narrowing + byte-stream-split + zstd
 # ---------------------------------------------------------------------------
 #
@@ -319,6 +374,7 @@ _ENCODERS = {
     "rle": encode_rle,
     "dict": encode_dict,
     "for_bss": encode_for_bss,
+    "delta_bitpack": encode_delta_bitpack,
 }
 
 _DECODERS = {
@@ -326,6 +382,7 @@ _DECODERS = {
     "rle": decode_rle,
     "dict": decode_dict,
     "for_bss": decode_for_bss,
+    "delta_bitpack": decode_delta_bitpack,
 }
 
 

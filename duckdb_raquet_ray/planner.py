@@ -96,6 +96,26 @@ def plan_plane(plane: np.ndarray, signed: bool, itemsize: int = 8) -> tuple[str,
         zr = len(general.compress(streams)) / max(len(streams), 1)
         est["for_bss"] = n * w * zr + _HEADER_OVERHEAD
 
+    # delta+zigzag+bitpack: width from WITHIN-window zigzag deltas only
+    # (a max over the concatenated windows would let the N seam deltas —
+    # artifacts of sampling, not of the data — blow the width estimate to
+    # full range and the codec would never be picked on sorted planes)
+    zz_width = 0
+    if n <= N_WINDOWS * WINDOW:
+        if n >= 2:
+            zz_width = intcodec.bit_width(int(intcodec.zigzag_deltas(plane).max()))
+    else:
+        step = n // N_WINDOWS
+        for i in range(N_WINDOWS):
+            win = plane[i * step : i * step + WINDOW]
+            if len(win) >= 2:
+                zz = intcodec.zigzag_deltas(win)
+                zz_width = max(zz_width, intcodec.bit_width(int(zz.max())))
+    # +1 byte tie penalty: on equal size prefer the simpler codecs (delta
+    # decode needs a prefix sum; FOR/RLE are direct), keeping prior golden
+    # selections stable on constant planes
+    est["delta_bitpack"] = n * zz_width / 8 + _HEADER_OVERHEAD + 1.0
+
     # general (zstd) on the original-width little-endian bytes of the sample
     # (the native-width plane IS those bytes)
     raw = prefix.tobytes()

@@ -18,7 +18,7 @@ from duckdb_raquet_ray import planner
 from duckdb_raquet_ray.codecs import intcodec
 
 INT_DTYPES = [np.int8, np.int16, np.int32, np.int64, np.uint8, np.uint16, np.uint32, np.uint64]
-PLANE_CODECS = ["for_bitpack", "rle", "dict", "for_bss"]
+PLANE_CODECS = ["for_bitpack", "rle", "dict", "for_bss", "delta_bitpack"]
 
 
 def _roundtrip(arr: pa.Array, choice: dict) -> None:

@@ -96,3 +96,33 @@ def test_chosen_codec_near_optimal():
         blob, _ = intcodec.encode_plane(plane, c, signed)
         sizes[c] = len(blob)
     assert sizes[chosen] <= 1.35 * min(sizes.values())
+
+
+def test_noisy_sorted_selects_delta():
+    """A random walk (sorted, non-arithmetic) is the delta codec's home
+    turf: FOR's global frame spans the full range while successive
+    differences stay narrow. The within-window width estimate must not be
+    poisoned by the sampling-seam deltas between scattered windows."""
+    rng = np.random.default_rng(2)
+    plane = np.cumsum(rng.integers(0, 1000, 300_000)).astype(np.uint64)
+    codec, est = planner.plan_plane(plane, False, 8)
+    assert codec == "delta_bitpack", est
+    # the estimate is exact for delta (true width <= sampled width + noise)
+    from duckdb_raquet_ray.codecs import intcodec
+
+    blob, _ = intcodec.encode_plane(plane, "delta_bitpack", False)
+    assert abs(len(blob) - est["delta_bitpack"]) < 0.02 * len(blob) + 64
+
+
+def test_delta_wraparound_roundtrip():
+    from duckdb_raquet_ray.codecs import intcodec
+
+    for plane in (
+        np.array([255, 0, 1, 255], np.uint8),
+        np.array([0, 2**64 - 1, 1, 2**63], np.uint64),
+        np.arange(5, dtype=np.uint16)[::-1].copy(),  # descending
+    ):
+        blob, desc = intcodec.encode_plane(plane, "delta_bitpack", False)
+        out = intcodec.decode_plane(blob, desc)
+        assert out.dtype == plane.dtype
+        np.testing.assert_array_equal(out, plane)
