@@ -383,6 +383,22 @@ def bench_tables_phase(cpus: int) -> dict:
 
     queries["df_score"] = round(min(best_of(df_score_run)), 3)
 
+    def classifier_run() -> None:
+        ds = util.clean_dataset(
+            rd.read_parquet(docs, columns=["doc_id", "source", "text"])
+        )
+        pos = tuple(f"src{i}" for i in range(0, 20, 2))
+        table = quality.train_source_classifier(ds, positive=pos)
+        quality.classifier_score(
+            ds, table[:2], concurrency=(1, min(cpus, 8))
+        ).count()
+
+    queries["classifier"] = round(min(best_of(classifier_run)), 3)
+
+    queries["semantic_dedup"] = round(min(best_of(
+        lambda: dedup.semantic_dedup_int8(rd.read_parquet(emb)).count()
+    )), 3)
+
     return {"queries": queries, "extra": {}}
 
 
