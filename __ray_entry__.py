@@ -1070,6 +1070,21 @@ def _q_minhash_dedup(sf_dir: str):
     return dedup.minhash_dedup(ds, text_col="text", key_col="doc_id")
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Integer tf-idf keyword extraction: corpus-wide highest-df words
+    (exact capped global_word_df table) dropped as stopwords, remaining
+    words ranked per doc by (tf desc, hash asc), top k kept. Full SQL
+    value oracle (quality.keywords_oracle_sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality.doc_keywords(ds, k=3, stop_top_n=8, concurrency=(1, 4))
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style clustered semantic dedup (Abbas et al. 2023):
     smallest-key int8 centroids, argmax-dot cluster assignment, exact
@@ -1652,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 new ---------------------------------------------------
         "classifier_score_docs": _q_classifier_score,
         "semantic_dedup_vecs": _q_semantic_dedup,
+        "doc_keywords": _q_doc_keywords,
         "jaccard_dedup_docs": _q_jaccard_dedup,
         "webp_lossy_strip_sums": _q_webp_lossy_strip_sums,
         "bigram_lm_tokens": _q_bigram_lm,
@@ -1941,6 +1957,9 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score_docs": _quality.classifier_oracle_sql(
             "documents", positive=_CLS_POSITIVE
         ),
+        # stopword cutoff and per-doc rank both row_number twins of the
+        # engine's uint64 lexsort rules (h is UBIGINT on the SQL side)
+        "doc_keywords": _quality.keywords_oracle_sql("documents", k=3, stop_top_n=8),
         "crossdoc_dup_docs": _quality.crossdoc_dup_oracle_sql("documents"),
         # SimHash word hash is polynomial + splitmix64 (modular integer
         # math only) precisely so this oracle exists (dedup._word_hashes)

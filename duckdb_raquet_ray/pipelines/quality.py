@@ -419,6 +419,157 @@ FROM {table} d LEFT JOIN agg ON agg.k = d.{key_col}
 
 
 # ---------------------------------------------------------------------------
+# per-document keyword extraction (the integer tf-idf shape: drop the
+# corpus-wide most-common words, then rank a doc's remaining words by
+# within-doc term frequency — rare-but-locally-frequent = topical)
+# ---------------------------------------------------------------------------
+
+
+def _doc_word_tf(
+    lens: np.ndarray, wh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_index, word_hash, tf) with one row per DISTINCT word per
+    doc and its within-doc count — the counting twin of
+    :func:`_distinct_doc_words` (same lexsort, run lengths kept)."""
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((wh, doc_of))
+    d_s, w_s = doc_of[order], wh[order]
+    new = np.empty(len(wh), dtype=bool)
+    new[0] = True
+    np.logical_or(d_s[1:] != d_s[:-1], w_s[1:] != w_s[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.concatenate((starts, [len(wh)]))).astype(np.int64)
+    return d_s[starts], w_s[starts], tf
+
+
+class _KeywordProbe:
+    """Actor-pool stage: stopword hash set fetched ONCE per actor,
+    per-batch vectorized tf count + stopword filter + per-doc top-k."""
+
+    def __init__(self, stop_ref, text_col: str, key_col: str, k: int):
+        self.stop = (
+            ray.get(stop_ref) if isinstance(stop_ref, ray.ObjectRef) else stop_ref
+        )
+        self.text_col = text_col
+        self.key_col = key_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        keys = batch.column(self.key_col)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], keys.type),
+                "rank": pa.array([], pa.int64()),
+                "wh": pa.array([], pa.uint64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        lens, wh = _flat_word_hashes(batch, self.text_col)
+        if len(wh) == 0:
+            return empty
+        d_u, w_u, tf = _doc_word_tf(lens, wh)
+        if len(self.stop):
+            idx = np.searchsorted(self.stop, w_u).clip(max=len(self.stop) - 1)
+            keep = self.stop[idx] != w_u
+            d_u, w_u, tf = d_u[keep], w_u[keep], tf[keep]
+        if len(d_u) == 0:
+            return empty
+        # per-doc rank by (tf desc, hash asc): one lexsort, then position
+        # within each doc run
+        order = np.lexsort((w_u, -tf, d_u))
+        d2, w2, t2 = d_u[order], w_u[order], tf[order]
+        first = np.empty(len(d2), dtype=bool)
+        first[0] = True
+        first[1:] = d2[1:] != d2[:-1]
+        run_start = np.maximum.accumulate(np.where(first, np.arange(len(d2)), 0))
+        rank = np.arange(len(d2), dtype=np.int64) - run_start
+        keep = rank < self.k
+        return pa.table(
+            {
+                "doc_id": keys.take(pa.array(d2[keep])),
+                "rank": pa.array(rank[keep] + 1),
+                "wh": pa.array(w2[keep]),
+                "tf": pa.array(t2[keep]),
+            }
+        )
+
+
+def doc_keywords(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    stop_top_n: int = 32,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Per-doc keyword extraction, integer-exact: the `stop_top_n`
+    corpus-wide highest-df words (from :func:`global_word_df`'s exact
+    capped table — df desc, hash asc) are dropped as stopwords, the
+    remaining words rank within each doc by (tf desc, hash asc), top `k`
+    kept. -> rows (doc_id, rank 1-based, wh, tf); docs whose words are
+    all stopworded emit nothing. One df build + broadcast + one
+    streaming probe pass — no per-doc shuffle."""
+    stop_wh, _ = global_word_df(ds, text_col=text_col, top_n=stop_top_n)
+    ref = ray.put(np.asarray(stop_wh, dtype=np.uint64))
+    return ds.map_batches(
+        _KeywordProbe,
+        fn_constructor_kwargs={
+            "stop_ref": ref,
+            "text_col": text_col,
+            "key_col": key_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def keywords_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    stop_top_n: int = 32,
+) -> str:
+    """DuckDB replica of doc_keywords: identical word split + detmix
+    hashes, stopwords = row_number over (df DESC, h ASC) <= stop_top_n
+    (h is UBIGINT, matching the uint64 lexsort tie rule), keyword rank =
+    row_number over (PARTITION BY doc ORDER BY tf DESC, h ASC)."""
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+wl AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower({text_col}), '{ws}'), x -> x <> '') AS wl
+  FROM {table}
+),
+w AS (
+  SELECT k, unnest(wl) AS word FROM wl
+),
+{detmix.sql_string_hash_ctes("w", "word")},
+tf AS (
+  SELECT w.k, kh.h, count(*)::BIGINT AS tf
+  FROM w JOIN kh ON kh.k = w.word GROUP BY w.k, kh.h
+),
+df AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY h),
+stop AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY df DESC, h ASC) AS rn FROM df
+  ) WHERE rn <= {stop_top_n}
+),
+kw AS (
+  SELECT k, h, tf,
+    row_number() OVER (PARTITION BY k ORDER BY tf DESC, h ASC) AS rank
+  FROM tf WHERE h NOT IN (SELECT h FROM stop)
+)
+SELECT k AS doc_id, rank::BIGINT AS rank, h AS wh, tf FROM kw WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # hashed linear source/quality classifier (the fastText/CCNet shape:
 # train a linear model over hashed bag-of-words against a reference class,
 # broadcast the weight table once, score the corpus in one streaming pass)

@@ -487,3 +487,72 @@ class TestSourceClassifier:
             q.train_source_classifier(ds, positive=("nosuch",))
         with pytest.raises(ValueError, match="non-empty"):
             q.train_source_classifier(ds, positive=())
+
+
+class TestDocKeywords:
+    KDOCS = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "the dog ran and the dog barked dog dog"),
+        (3, "the the the"),  # all stopwords after filtering
+        (4, ""),
+        (5, "zebra zebra quark"),
+    ]
+
+    def _table(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in self.KDOCS], pa.int64()),
+                "text": [s for _, s in self.KDOCS],
+            }
+        )
+
+    def _values_src(self):
+        vals = ", ".join(f"({i}, '{s}')" for i, s in self.KDOCS)
+        return f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))"
+
+    def test_sql_oracle_parity(self, ray_session):
+        import ray.data as rd
+
+        for stop_n, k in ((1, 2), (2, 3), (0, 1)):
+            got = (
+                q.doc_keywords(
+                    rd.from_arrow(self._table()), k=k, stop_top_n=stop_n,
+                    concurrency=1,
+                )
+                .to_pandas()
+                .sort_values(["doc_id", "rank"])
+                .reset_index(drop=True)
+            )
+            oracle = (
+                duckdb.connect()
+                .execute(
+                    q.keywords_oracle_sql(self._values_src(), k=k, stop_top_n=stop_n)
+                )
+                .df()
+                .sort_values(["doc_id", "rank"])
+                .reset_index(drop=True)
+            )
+            assert got["doc_id"].tolist() == oracle["doc_id"].tolist(), (stop_n, k)
+            assert got["rank"].tolist() == oracle["rank"].tolist()
+            assert got["wh"].astype("uint64").tolist() == oracle["wh"].astype("uint64").tolist()
+            assert got["tf"].tolist() == oracle["tf"].tolist()
+
+    def test_stopword_and_rank_semantics(self, ray_session):
+        import ray.data as rd
+
+        # stop_top_n=1 drops "the" (highest df); doc 3 then emits nothing,
+        # doc 2's top keyword is dog (tf 4)
+        out = (
+            q.doc_keywords(
+                rd.from_arrow(self._table()), k=2, stop_top_n=1, concurrency=1
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+        )
+        assert 3 not in set(out["doc_id"])
+        assert 4 not in set(out["doc_id"])
+        d2 = out[out.doc_id == 2]
+        assert d2.iloc[0]["tf"] == 4  # dog
+        d5 = out[out.doc_id == 5]
+        assert d5.iloc[0]["tf"] == 2  # zebra twice, then quark
+        assert d5.iloc[1]["tf"] == 1
