@@ -444,6 +444,28 @@ def _q_jsonl_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _q_jsonl_sink_stats(sf_dir: str):
+    """Export-sink round trip: write the documents table out as JSONL
+    shards (textio.write_jsonl), read the WRITTEN files back through the
+    engine's own JSONL reader, and aggregate — the oracle computes the
+    same aggregate over the parquet view directly, so any row the sink
+    drops or mangles (quoting, escapes, unicode) hash-mismatches."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_jsonl_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_jsonl(ds, out)
+    return textio.source_stats(textio.read_jsonl(paths))
+
+
 def _q_csv_source_stats(sf_dir: str):
     """Landing-zone CSV ingest — same health aggregate, Arrow CSV parser
     under Ray's reader, DuckDB read_csv_auto as the oracle."""
@@ -1681,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_lp_docs": _q_dedup_clusters_lp,
         "grouped_topk_tokens": _q_grouped_topk,
         "jsonl_source_stats": _q_jsonl_source_stats,
+        "jsonl_sink_stats": _q_jsonl_sink_stats,
         "csv_source_stats": _q_csv_source_stats,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
@@ -2005,6 +2028,14 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(text))::BIGINT AS text_chars "
             f"FROM read_csv_auto('{_csv_dir()}/*.csv') "
             "GROUP BY source"
+        ),
+        # export-sink round trip: the engine wrote documents out as JSONL
+        # and read its own files back; the oracle aggregates the parquet
+        # view directly - any row the sink mangles hash-mismatches
+        "jsonl_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
         ),
         # per-source top-10: same counting, ranked inside each source
         # (engine groups NULL sources as '' -> coalesce keeps parity)

@@ -118,6 +118,20 @@ def to_parquet_shards(ds: rd.Dataset, out_dir: str) -> list[str]:
     )
 
 
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> list[str]:
+    """Export sink: Dataset -> JSONL shard files (Ray's streaming JSON
+    writer, one file per block — each task writes its own shard, nothing
+    centralizes). The interchange twin of :func:`read_jsonl`: the
+    inspection/export path out of the canonical parquet table."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith((".json", ".jsonl"))
+    )
+
+
 def source_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Per-source doc count + total text chars — the landing-zone health
     check (one map_batches partial per block, one tiny groupby)."""

@@ -77,3 +77,28 @@ def test_ingest_bridge_feeds_dedup(ray_session, tmp_path):
     ds = rd.read_parquet(shards, columns=["doc_id", "text"])
     kept = dedup.exact_dedup(ds).count()
     assert 0 < kept <= 120
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    """Export sink -> own reader round trip preserves every row and value
+    (quoting, escapes, unicode)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": ["a", "b", "a"],
+            "text": ['line "quoted"\nnewline', "unicode: café ☃", ""],
+        }
+    )
+    paths = textio.write_jsonl(rd.from_arrow(t), str(tmp_path / "sink"))
+    assert paths
+    back = (
+        textio.read_jsonl(paths, columns=["doc_id", "source", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want)
