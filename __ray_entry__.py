@@ -1585,6 +1585,47 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+# fixed interval grid for the range-join oracle: 60 overlapping 18h windows
+# every 12h from 2024-01-01T00:00:00Z (events span 2024-01)
+_RJ_BASE_US = 1_704_067_200_000_000
+_RJ_STEP_US = 12 * 3_600_000_000
+_RJ_WIDTH_US = 18 * 3_600_000_000
+_RJ_N = 60
+
+
+def _q_range_join(sf_dir: str):
+    """Broadcast range (interval) join: every event joined to each of 60
+    overlapping 18h calendar windows containing its timestamp (BETWEEN
+    semantics, both ends inclusive) — one argsort + two vectorized
+    searchsorteds per batch, interval table shipped once per actor."""
+    import numpy as np
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    k = np.arange(_RJ_N, dtype=np.int64)
+    iv = pa.table(
+        {
+            "interval_id": pa.array(k),
+            "lo_us": pa.array(_RJ_BASE_US + k * _RJ_STEP_US),
+            "hi_us": pa.array(_RJ_BASE_US + k * _RJ_STEP_US + _RJ_WIDTH_US),
+        }
+    )
+    out = joins.range_join_broadcast(
+        ev, iv, left_val="ts", lo_col="lo_us", hi_col="hi_us",
+        payload_cols=["interval_id", "lo_us"],
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        return b.drop_columns(["ts"]).append_column("ts_us", ts)
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
 def _q_asof_join(sf_dir: str):
     """Bucketed-shuffle as-of join (events x orders): latest order per user
     at or before each event, ties to the largest orderkey. Timestamps are
@@ -1746,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_windows": _q_packed_windows,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
+        "range_join_events": _q_range_join,
         "asof_join_events": _q_asof_join,
         "window_tumbling_events": _q_window_tumbling,
         "window_sliding_events": _q_window_sliding,
@@ -2161,6 +2203,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # as-of = latest order with o_orderdate <= event ts per user; ties
         # on the date break to the largest o_orderkey (joins.AsofJoiner)
+        # interval grid built from the same fixed constants on both sides
+        "range_join_events": (
+            "WITH iv AS ("
+            "  SELECT k AS interval_id,"
+            f"        ({_RJ_BASE_US} + k * {_RJ_STEP_US})::BIGINT AS lo_us,"
+            f"        ({_RJ_BASE_US} + k * {_RJ_STEP_US} + {_RJ_WIDTH_US})::BIGINT AS hi_us"
+            f"  FROM (SELECT unnest(generate_series(0, {_RJ_N - 1})) AS k))"
+            " SELECT e.event_id, iv.interval_id, iv.lo_us,"
+            "        epoch_us(e.ts)::BIGINT AS ts_us"
+            " FROM events e JOIN iv"
+            "   ON epoch_us(e.ts) BETWEEN iv.lo_us AND iv.hi_us"
+        ),
         "asof_join_events": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
             "o_orderkey, epoch_us(o_orderdate) AS o_date_us, o_totalprice FROM ("

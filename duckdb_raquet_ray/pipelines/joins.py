@@ -231,6 +231,113 @@ def asof_join_broadcast(
     )
 
 
+# ---------------------------------------------------------------------------
+# range (interval) join: left value v matches every interval [lo, hi]
+# containing it — calendar enrichment, windowed labeling, maintenance
+# blackouts. BETWEEN semantics, both ends inclusive.
+# ---------------------------------------------------------------------------
+
+
+class RangeJoiner:
+    """Actor-pool stage: join each batch row to every broadcast interval
+    [lo, hi] (inclusive) containing its value. Per batch: ONE argsort of
+    the batch values, then two vectorized searchsorteds per interval
+    table give each interval its contiguous slice of matching rows —
+    O((n + I) log n + output), no per-row or per-interval Python loop.
+
+    Scale contract: the interval table is the SMALL side (calendars,
+    windows, blackout lists — ~10^2..10^5 rows), shipped once per actor
+    through the constructor. Output size is the true join cardinality;
+    overlapping intervals multiply rows by design."""
+
+    def __init__(
+        self,
+        intervals: pa.Table,
+        left_val: str,
+        lo_col: str,
+        hi_col: str,
+        payload_cols: list[str] | None = None,
+        how: str = "inner",
+    ):
+        iv = intervals.combine_chunks()
+        lo = _ts_i64(iv.column(lo_col))
+        hi = _ts_i64(iv.column(hi_col))
+        order = np.lexsort((hi, lo))  # deterministic interval order
+        self.lo, self.hi = lo[order], hi[order]
+        keep = (
+            payload_cols
+            if payload_cols is not None
+            else [c for c in iv.column_names]
+        )
+        self.payload = iv.select(keep).take(pa.array(order, pa.int64()))
+        self.left_val, self.how = left_val, how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _ts_i64(batch.column(self.left_val))
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        a = np.searchsorted(vs, self.lo, side="left")
+        b = np.searchsorted(vs, self.hi, side="right")
+        counts = np.maximum(b - a, 0)
+        total = int(counts.sum())
+        if total:
+            idx_r = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            starts = np.repeat(a, counts)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            idx_l = order[starts + offs]
+        else:
+            idx_l = np.zeros(0, np.int64)
+            idx_r = np.zeros(0, np.int64)
+        out = batch.take(pa.array(idx_l, pa.int64()))
+        ridx = pa.array(idx_r, pa.int64())
+        for name in self.payload.column_names:
+            out = out.append_column(name, self.payload.column(name).take(ridx))
+        if self.how == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[idx_l] = True
+            rest = batch.filter(pa.array(~matched))
+            if rest.num_rows:
+                for name in self.payload.column_names:
+                    rest = rest.append_column(
+                        name, pa.nulls(rest.num_rows, self.payload.column(name).type)
+                    )
+                out = pa.concat_tables([out, rest])
+        return out
+
+
+def range_join_broadcast(
+    ds: rd.Dataset,
+    intervals: pa.Table,
+    *,
+    left_val: str,
+    lo_col: str,
+    hi_col: str,
+    payload_cols: list[str] | None = None,
+    how: str = "inner",
+    batch_size: int = 8192,
+    concurrency=None,
+) -> rd.Dataset:
+    """Interval join against a small broadcast interval table (streaming
+    left): each left row joins every interval whose [lo, hi] contains its
+    `left_val` (both ends inclusive — SQL ``BETWEEN`` semantics).
+    `how="left"` keeps non-matching rows with null payload."""
+    if concurrency is None:
+        concurrency = (1, default_concurrency())
+    return ds.map_batches(
+        RangeJoiner,
+        fn_constructor_kwargs=dict(
+            intervals=intervals, left_val=left_val, lo_col=lo_col,
+            hi_col=hi_col, payload_cols=payload_cols, how=how,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -398,3 +398,122 @@ def test_hash_join_anti_keeps_null_keys(ray_session):
     assert got == ["b", "c"]  # null key never matches -> kept by anti
     semi = joins.hash_join(left, right, left_key="k", right_key="k", how="semi")
     assert [r["v"] for r in semi.take_all()] == ["a"]
+
+
+class TestRangeJoin:
+    def _intervals(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "interval_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "lo": pa.array([0, 5, 5, 100], pa.int64()),
+                "hi": pa.array([10, 7, 20, 100], pa.int64()),
+            }
+        )
+
+    def test_kernel_vs_bruteforce_random(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            n, m = int(rng.integers(1, 80)), int(rng.integers(1, 15))
+            v = rng.integers(0, 50, n)
+            lo = rng.integers(0, 50, m)
+            hi = lo + rng.integers(0, 20, m)
+            left = pa.table({"rid": pa.array(np.arange(n)), "v": pa.array(v)})
+            iv = pa.table(
+                {
+                    "interval_id": pa.array(np.arange(m)),
+                    "lo": pa.array(lo),
+                    "hi": pa.array(hi),
+                }
+            )
+            got = sorted(
+                (r["rid"], r["interval_id"])
+                for r in joins.range_join_broadcast(
+                    rd.from_arrow(left), iv, left_val="v", lo_col="lo",
+                    hi_col="hi", payload_cols=["interval_id"], concurrency=1,
+                ).take_all()
+            )
+            want = sorted(
+                (i, j)
+                for i in range(n)
+                for j in range(m)
+                if lo[j] <= v[i] <= hi[j]
+            )
+            assert got == want
+
+    def test_inclusive_ends_and_overlap(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        left = pa.table({"rid": pa.array([1, 2, 3, 4], pa.int64()),
+                         "v": pa.array([0, 10, 6, 100], pa.int64())})
+        got = sorted(
+            (r["rid"], r["interval_id"])
+            for r in joins.range_join_broadcast(
+                rd.from_arrow(left), self._intervals(), left_val="v",
+                lo_col="lo", hi_col="hi", payload_cols=["interval_id"],
+                concurrency=1,
+            ).take_all()
+        )
+        # v=0 and v=10 hit interval 0 at both INCLUSIVE ends (10 also lands
+        # in [5,20]); v=6 overlaps intervals 0,1,2; v=100 hits the
+        # degenerate point interval
+        assert got == [(1, 0), (2, 0), (2, 2), (3, 0), (3, 1), (3, 2), (4, 3)]
+
+    def test_left_join_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        left = pa.table({"rid": pa.array([1, 2], pa.int64()),
+                         "v": pa.array([6, 999], pa.int64())})
+        rows = joins.range_join_broadcast(
+            rd.from_arrow(left), self._intervals(), left_val="v",
+            lo_col="lo", hi_col="hi", payload_cols=["interval_id"],
+            how="left", concurrency=1,
+        ).take_all()
+        unmatched = [r for r in rows if r["rid"] == 2]
+        assert len(unmatched) == 1 and unmatched[0]["interval_id"] is None
+        assert sum(1 for r in rows if r["rid"] == 1) == 3
+
+    def test_matches_duckdb(self, ray_session, con):
+        import pyarrow as pa
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
+        base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z epoch us
+        step, width, n = 12 * 3_600_000_000, 18 * 3_600_000_000, 60
+        iv = pa.table(
+            {
+                "interval_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lo_us": pa.array(base + np.arange(n, dtype=np.int64) * step),
+                "hi_us": pa.array(base + np.arange(n, dtype=np.int64) * step + width),
+            }
+        )
+        got = sorted(
+            (r["event_id"], r["interval_id"])
+            for r in joins.range_join_broadcast(
+                ev, iv, left_val="ts", lo_col="lo_us", hi_col="hi_us",
+                payload_cols=["interval_id"],
+            ).take_all()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH iv AS (
+                  SELECT k AS interval_id,
+                         ({base} + k * {step})::BIGINT AS lo_us,
+                         ({base} + k * {step} + {width})::BIGINT AS hi_us
+                  FROM (SELECT unnest(generate_series(0, {n - 1})) AS k)
+                )
+                SELECT e.event_id, iv.interval_id
+                FROM events e JOIN iv
+                  ON epoch_us(e.ts) BETWEEN iv.lo_us AND iv.hi_us
+                """
+            ).fetchall()
+        )
+        assert got == want
