@@ -1593,6 +1593,21 @@ _RJ_WIDTH_US = 18 * 3_600_000_000
 _RJ_N = 60
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+
+
+def _q_profile_orders(sf_dir: str):
+    """Per-column data profile (cnt / n_null / min / max / sum, floats;
+    timestamps as epoch µs): per-block pyarrow-kernel partials combined
+    through one tiny groupby — the pre-commit schema-health check."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=_PROFILE_COLS)
+    return st.numeric_profile(ds, _PROFILE_COLS)
+
+
 def _q_range_join(sf_dir: str):
     """Broadcast range (interval) join: every event joined to each of 60
     overlapping 18h calendar windows containing its timestamp (BETWEEN
@@ -1787,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_windows": _q_packed_windows,
         "broadcast_join_orders": _q_broadcast_join,
         "bucket_join_lineitem": _q_hash_join,
+        "profile_orders": _q_profile_orders,
         "range_join_events": _q_range_join,
         "asof_join_events": _q_asof_join,
         "window_tumbling_events": _q_window_tumbling,
@@ -2203,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # as-of = latest order with o_orderdate <= event ts per user; ties
         # on the date break to the largest o_orderkey (joins.AsofJoiner)
+        "profile_orders": """SELECT 'o_orderkey' AS col, count(*)::BIGINT AS cnt, (count(*) - count(o_orderkey))::BIGINT AS n_null, min(o_orderkey)::DOUBLE AS min_v, max(o_orderkey)::DOUBLE AS max_v, sum(o_orderkey)::DOUBLE AS sum_v FROM orders UNION ALL SELECT 'o_custkey' AS col, count(*)::BIGINT AS cnt, (count(*) - count(o_custkey))::BIGINT AS n_null, min(o_custkey)::DOUBLE AS min_v, max(o_custkey)::DOUBLE AS max_v, sum(o_custkey)::DOUBLE AS sum_v FROM orders UNION ALL SELECT 'o_totalprice' AS col, count(*)::BIGINT AS cnt, (count(*) - count(o_totalprice))::BIGINT AS n_null, min(o_totalprice)::DOUBLE AS min_v, max(o_totalprice)::DOUBLE AS max_v, sum(o_totalprice)::DOUBLE AS sum_v FROM orders UNION ALL SELECT 'o_orderdate' AS col, count(*)::BIGINT AS cnt, (count(*) - count(epoch_us(o_orderdate)))::BIGINT AS n_null, min(epoch_us(o_orderdate))::DOUBLE AS min_v, max(epoch_us(o_orderdate))::DOUBLE AS max_v, sum(epoch_us(o_orderdate))::DOUBLE AS sum_v FROM orders""",
         # interval grid built from the same fixed constants on both sides
         "range_join_events": (
             "WITH iv AS ("

@@ -156,12 +156,21 @@ def _asof_merge_indices(
 
 
 def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Timestamp/int column -> int64 numpy (epoch µs for timestamps)."""
+    """Timestamp/int column -> int64 numpy (epoch µs for timestamps).
+
+    Nulls raise loudly: to_numpy would silently promote to float64 NaN,
+    and NaN comparisons corrupt every merge/searchsorted downstream (the
+    same failure class as the _bucket_ids null fix). Join/window keys
+    must be filtered or filled by the caller."""
     if pa.types.is_timestamp(col.type):
         col = pc.cast(col, pa.timestamp("us"))
     arr = pc.cast(col, pa.int64())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(
+            "null join/window key values: filter or fill_null before joining"
+        )
     return arr.to_numpy(zero_copy_only=False)
 
 

@@ -463,3 +463,60 @@ def bigram_lm_score(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def numeric_profile(
+    ds: rd.Dataset, columns: list[str]
+) -> rd.Dataset:
+    """Per-column data profile over numeric/timestamp columns: one row per
+    column with (cnt = total rows, n_null, min_v, max_v, sum_v as
+    float64). The schema-health check a landing pipeline runs before
+    committing a snapshot.
+
+    Scale shape: per-block partials (one row per column per block —
+    pyarrow min_max/sum kernels, no Python over values) combine through
+    one tiny groupby; nothing row-sized leaves the workers."""
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, cnts, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            col = t.column(c)
+            if pa.types.is_timestamp(col.type):
+                # epoch µs (timestamp -> int64 -> float64; no direct cast)
+                col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+            arr = pc.cast(col, pa.float64())
+            mm = pc.min_max(arr)
+            names.append(c)
+            cnts.append(t.num_rows)
+            nulls.append(col.null_count)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+            sums.append(pc.sum(arr).as_py())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+                "sum_v": pa.array(sums, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("cnt"), Sum("n_null"), Min("min_v"), Max("max_v"), Sum("sum_v"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # empty groupby partition
+            return t
+        return t.rename_columns(
+            ["col", "cnt", "n_null", "min_v", "max_v", "sum_v"]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

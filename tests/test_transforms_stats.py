@@ -491,3 +491,24 @@ class TestBigramLm:
         )
         assert got["n_bigrams"].tolist() == [0, 0, 1]
         assert got["hit_sum"].tolist() == [0, 0, 1]
+
+
+def test_numeric_profile_with_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3, None], pa.int64()),
+            "b": pa.array([2.5, 0.5, None, 4.0], pa.float64()),
+        }
+    )
+    out = (
+        st.numeric_profile(rd.from_arrow(t), ["a", "b"])
+        .to_pandas()
+        .set_index("col")
+    )
+    assert out.loc["a"].tolist() == [4, 2, 1.0, 3.0, 4.0]
+    assert out.loc["b"].tolist() == [4, 1, 0.5, 4.0, 7.0]
