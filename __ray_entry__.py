@@ -466,6 +466,27 @@ def _q_jsonl_sink_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _q_csv_sink_stats(sf_dir: str):
+    """CSV export-sink round trip (the jsonl_sink_stats twin): write the
+    documents table as CSV shards, read the WRITTEN files back through
+    the engine's own CSV reader, aggregate; oracle aggregates the
+    parquet view — quoting/escape fidelity under value hash."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_csv_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_csv(ds, out)
+    return textio.source_stats(textio.read_csv(paths))
+
+
 def _q_csv_source_stats(sf_dir: str):
     """Landing-zone CSV ingest — same health aggregate, Arrow CSV parser
     under Ray's reader, DuckDB read_csv_auto as the oracle."""
@@ -1760,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_tokens": _q_grouped_topk,
         "jsonl_source_stats": _q_jsonl_source_stats,
         "jsonl_sink_stats": _q_jsonl_sink_stats,
+        "csv_sink_stats": _q_csv_sink_stats,
         "csv_source_stats": _q_csv_source_stats,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
         "png_strip_sums": _q_png_strip_sums,
@@ -2091,6 +2113,11 @@ def oracle_sql() -> dict[str, str]:
         # and read its own files back; the oracle aggregates the parquet
         # view directly - any row the sink mangles hash-mismatches
         "jsonl_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "csv_sink_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
             "FROM documents GROUP BY source"

@@ -132,6 +132,19 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> list[str]:
     )
 
 
+def write_csv(ds: rd.Dataset, out_dir: str) -> list[str]:
+    """Export sink: Dataset -> CSV shard files (Arrow CSV writer under
+    Ray's sink, one file per block). CSV quoting round-trips embedded
+    commas/quotes/newlines; the reader twin is :func:`read_csv`."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_csv(out_dir)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".csv")
+    )
+
+
 def source_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Per-source doc count + total text chars — the landing-zone health
     check (one map_batches partial per block, one tiny groupby)."""

@@ -102,3 +102,28 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     )
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back.equals(want)
+
+
+def test_write_csv_roundtrip(ray_session, tmp_path):
+    """CSV sink -> own reader round trip preserves quoting-sensitive
+    values (commas, quotes, embedded newlines)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": ["a", "b", "a"],
+            "text": ['comma, and "quote"', "new\nline", "plain"],
+        }
+    )
+    paths = textio.write_csv(rd.from_arrow(t), str(tmp_path / "csink"))
+    assert paths
+    back = (
+        textio.read_csv(paths, columns=["doc_id", "source", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want)
