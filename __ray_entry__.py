@@ -499,6 +499,41 @@ def _q_csv_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_csv(paths))
 
 
+_HLL_P = 10
+
+
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-token sketch (Flajolet et al. 2007): register
+    table for the corpus vocabulary cardinality. The hash is splitmix64
+    (modular integer math) so every register value-checks in SQL; the
+    shuffle moves <= 2^p rows per block — the mergeable-sketch answer to
+    "distinct count at 100 TB" where an exact COUNT(DISTINCT) groupby
+    would shuffle every token (stages/stats.py:hll_registers)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    return st.hll_registers(ds, "tokens", p=_HLL_P)
+
+
+_STRAT_K = 40
+_STRAT_SEED = 11
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Exactly-k-per-source balanced sample (eval slices / per-domain
+    inspection sets): k smallest seeded key hashes per group, per-block
+    pre-cap so at most O(groups x k) rows leave any block
+    (pipelines/sampling.py:stratified_sample)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source"])
+    return sampling.stratified_sample(ds, k=_STRAT_K, seed=_STRAT_SEED)
+
+
 def _q_grouped_topk(sf_dir: str):
     """Per-SOURCE token top-10 — the per-domain vocabulary profile
     (mixture-weighting / domain-drift input). One (group, token, cnt)
@@ -1764,6 +1799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "hll_distinct_tokens": _q_hll_registers,
+        "stratified_sample_docs": _q_stratified_sample,
         "classifier_score_docs": _q_classifier_score,
         "semantic_dedup_vecs": _q_semantic_dedup,
         "doc_keywords": _q_doc_keywords,
@@ -1892,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
     from duckdb_raquet_ray.pipelines import text as _text_ops
+    from duckdb_raquet_ray.stages import stats as _stats
 
     _ensure_corpus()
     corpus = f"read_parquet('{CORPUS_DIR}/shard-*.parquet')"
@@ -1914,6 +1952,13 @@ def oracle_sql() -> dict[str, str]:
     allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
+        # HLL registers: identical splitmix64 hash / register split / rank
+        # rule on both sides (bin() length = exact integer bit_length)
+        "hll_distinct_tokens": _stats.hll_oracle_sql(corpus, "tokens", p=_HLL_P),
+        # per-group k smallest seeded hashes; shared _mix_ctes hash chain
+        "stratified_sample_docs": _sampling.stratified_oracle_sql(
+            corpus_cols, _STRAT_K, seed=_STRAT_SEED
+        ),
         "roundtrip_stats": stats_sql,
         "roundtrip_stats_pushdown": stats_sql,
         "roundtrip_grouped_stats": stats_sql,

@@ -21,9 +21,11 @@ float rounding can diverge between the two sides.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
 
 U64 = detmix.U64
@@ -96,6 +98,75 @@ def epoch_order(
     return ds.map_batches(add_rank, batch_format="pyarrow").sort("epoch_rank")
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exactly `k` rows per group (fewer iff the group is smaller) — the
+    balanced-subset sampler (eval slices, per-domain inspection sets,
+    capped minority upweighting). Selection = the k smallest seeded key
+    hashes per group, ties (impossible at uint64 width, but pinned anyway)
+    to key ascending — so membership is a pure per-row function plus an
+    order statistic, deterministic under any partitioning, and exactly
+    replicable in SQL (`stratified_oracle_sql`: row_number over
+    (u, key) <= k).
+
+    Scale shape: per-block partials already cap each group at k rows
+    (the global k smallest of a group is a subset of the union of
+    per-block k smallest), so at most O(groups-in-block x k) rows leave
+    any block; bucketing by hash(group) makes the final cap exact
+    in-bucket. Output is (group, key) rows — join back on the key for
+    full records if needed."""
+    seed = int(seed)
+    nb = n_buckets if n_buckets is not None else util.scaled_buckets(ds)
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        df = pd.DataFrame({"g": grp, "k": keys, "u": u})
+        df = df.sort_values(["u", "k"]).groupby("g", sort=False).head(k)
+        b = (
+            detmix.splitmix64(detmix.string_hash64(df["g"].to_numpy(object)))
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy(object), pa.string()),
+                "k": pa.array(df["k"].to_numpy(object), pa.string()),
+                "u": pa.array(df["u"].to_numpy(np.uint64)),
+                "_b": pa.array(b),
+            }
+        )
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {group_col: pa.array([], pa.string()), key_col: pa.array([], pa.string())}
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        df = t.select(["g", "k", "u"]).to_pandas()
+        df = df.sort_values(["u", "k"]).groupby("g", sort=False).head(k)
+        df = df.sort_values(["g", "k"])
+        return pa.table(
+            {
+                group_col: pa.array(df["g"].to_numpy(object), pa.string()),
+                key_col: pa.array(df["k"].to_numpy(object), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+        .sort([group_col, key_col])
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL parity oracles (DuckDB)
 # ---------------------------------------------------------------------------
@@ -138,6 +209,27 @@ def epoch_order_oracle_sql(
 SELECT d.{key_col}, (mx.u >> 1)::BIGINT AS epoch_rank
 FROM {table} d JOIN mx ON mx.k = d.{key_col}
 ORDER BY epoch_rank, d.{key_col} LIMIT {limit}"""
+
+
+def stratified_oracle_sql(
+    table: str,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """SQL replica of :func:`stratified_sample`: identical seeded hash
+    (shared `_mix_ctes`), identical (u, key) rank rule."""
+    return f"""{_mix_ctes(table, key_col, seed)},
+rk AS (
+  SELECT d.{group_col} AS {group_col}, d.{key_col} AS {key_col},
+         row_number() OVER (
+           PARTITION BY d.{group_col} ORDER BY mx.u, d.{key_col}
+         ) AS rn
+  FROM {table} d JOIN mx ON mx.k = d.{key_col}
+)
+SELECT {group_col}, {key_col} FROM rk WHERE rn <= {k}
+ORDER BY {group_col}, {key_col}"""
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:

@@ -520,3 +520,114 @@ def numeric_profile(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of a uint64 array (0 -> 0). Integer
+    binary search over the bit positions — no float log2, whose rounding
+    near powers of two would corrupt ranks (and the oracle hash)."""
+    v = v.copy()
+    out = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << s)
+        out[big] += s
+        v[big] >>= np.uint64(s)
+    out[v > 0] += 1
+    return out
+
+
+def _hll_partials(t: pa.Table, column: str, p: int, flatten: bool) -> pa.Table:
+    """Per-block register partials: (register, rank) rows for the
+    registers this block touches — at most 2^p rows per block regardless
+    of row count, so the shuffle payload is sketch-sized, not data-sized."""
+    t = util.strip_schema_metadata(t)
+    col = t.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if flatten:
+        col = col.flatten()
+    vals = col.to_numpy(zero_copy_only=False)
+    m = 1 << p
+    q = 64 - p
+    if len(vals) == 0:
+        return pa.table(
+            {"register": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+        )
+    h = detmix.splitmix64(np.asarray(vals).astype(np.uint64))
+    idx = (h >> np.uint64(q)).astype(np.int64)
+    rem = h & np.uint64((1 << q) - 1)
+    rank = np.where(rem == 0, q + 1, q - _bit_length_u64(rem) + 1).astype(np.int64)
+    regs = np.zeros(m, np.int64)
+    np.maximum.at(regs, idx, rank)
+    nz = np.nonzero(regs)[0]
+    return pa.table(
+        {"register": pa.array(nz, pa.int64()), "rank": pa.array(regs[nz], pa.int64())}
+    )
+
+
+def hll_registers(
+    ds: rd.Dataset, column: str = "tokens", p: int = 10, flatten: bool = True
+) -> rd.Dataset:
+    """HyperLogLog register table (Flajolet et al. 2007) for the distinct
+    count of `column` (list elements with ``flatten=True``): register =
+    top `p` hash bits, rank = 1 + leading zeros of the remaining 64-p.
+    The hash is splitmix64 — plain modular integer math — precisely so a
+    DuckDB oracle (`hll_oracle_sql`) reproduces every register exactly;
+    only registers with rank > 0 appear (rows = min(2^p, observed)).
+
+    Scale shape: one sketch-sized partial per block (<= 2^p rows), one
+    tiny groupby-max — mergeability is the point of the sketch, and the
+    merge is the shuffle. Estimate via `hll_estimate` on the result."""
+    parts = ds.map_batches(
+        lambda t: _hll_partials(t, column, p, flatten), batch_format="pyarrow"
+    )
+    agg = parts.groupby("register").max("rank")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.rename_columns(["register", "rank"])
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("register")
+
+
+def hll_estimate(registers: np.ndarray, ranks: np.ndarray, p: int = 10) -> float:
+    """Bias-corrected HLL cardinality estimate from a (register, rank)
+    table (absent registers are rank 0). Standard error ~= 1.04/sqrt(2^p).
+    Small-range correction: linear counting when E <= 2.5m and any
+    register is empty (Flajolet et al. 2007 fig. 3)."""
+    m = 1 << p
+    full = np.zeros(m, np.float64)
+    full[np.asarray(registers, np.int64)] = np.asarray(ranks, np.float64)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    e = alpha * m * m / np.sum(np.exp2(-full))
+    zeros = int(np.sum(full == 0))
+    if e <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(e)
+
+
+def hll_oracle_sql(corpus: str, column: str = "tokens", p: int = 10) -> str:
+    """DuckDB twin of `hll_registers` over a list<int> column: identical
+    splitmix64 hash, register split and rank rule (bin() string length =
+    exact integer bit_length — no float log2 on either side)."""
+    q = 64 - p
+    h_expr = detmix.sql_splitmix64("t")
+    return (
+        "WITH v AS ("
+        f"  SELECT DISTINCT unnest({column})::UBIGINT AS t FROM {corpus}"
+        "), r AS ("
+        f"  SELECT ({h_expr} >> {q})::BIGINT AS register,"
+        f"         ({h_expr} % {1 << q}::UBIGINT) AS rem"
+        "  FROM v"
+        ") "
+        "SELECT register, "
+        f"  max(CASE WHEN rem = 0 THEN {q + 1} "
+        f"      ELSE {q} - length(bin(rem)) + 1 END)::BIGINT AS rank "
+        "FROM r GROUP BY register ORDER BY register"
+    )

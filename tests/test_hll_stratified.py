@@ -1,0 +1,187 @@
+"""HyperLogLog distinct-count sketch + stratified per-group sample:
+brute-force parity, DuckDB oracle parity, partitioning invariance, and
+the estimator's accuracy bound."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines import sampling
+from duckdb_raquet_ray.stages import stats as st
+
+
+def _token_table(n_docs: int, vocab: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    tok = [
+        rng.integers(0, vocab, size=rng.integers(1, 30)).astype(np.int32).tolist()
+        for _ in range(n_docs)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(n_docs)], pa.string()),
+            "tokens": pa.array(tok, pa.list_(pa.int32())),
+        }
+    )
+
+
+def _brute_registers(values: np.ndarray, p: int) -> dict[int, int]:
+    q = 64 - p
+    h = detmix.splitmix64(values.astype(np.uint64))
+    regs: dict[int, int] = {}
+    for hv in h:
+        idx = int(hv >> np.uint64(q))
+        rem = int(hv & np.uint64((1 << q) - 1))
+        rank = q + 1 if rem == 0 else q - rem.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rank)
+    return regs
+
+
+class TestBitLength:
+    def test_exact_on_boundaries(self):
+        # powers of two are exactly where float log2 goes wrong
+        vals = [0, 1, 2, 3, 4, (1 << 31) - 1, 1 << 31, (1 << 53) + 1,
+                (1 << 63) - 1, 1 << 63, (1 << 64) - 1]
+        arr = np.array(vals, dtype=np.uint64)
+        got = st._bit_length_u64(arr)
+        want = [int(v).bit_length() for v in vals]
+        assert got.tolist() == want
+
+
+class TestHll:
+    def test_matches_brute_force_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        t = _token_table(600, 3000, seed=5)
+        flat = np.concatenate([np.asarray(r, np.int64) for r in t["tokens"].to_pylist()])
+        want = _brute_registers(flat, p=8)
+        for parts in (1, 7):
+            ds = rd.from_arrow(t).repartition(parts)
+            got = st.hll_registers(ds, "tokens", p=8).to_pandas()
+            assert dict(zip(got["register"], got["rank"])) == want
+
+    def test_duckdb_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        t = _token_table(400, 2000, seed=9)
+        got = st.hll_registers(rd.from_arrow(t).repartition(5), "tokens", p=9).to_pandas()
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = con.sql(st.hll_oracle_sql("corpus", "tokens", p=9)).df()
+        assert got["register"].tolist() == want["register"].tolist()
+        assert got["rank"].tolist() == want["rank"].tolist()
+
+    def test_estimate_within_error_bound(self, ray_session):
+        import ray.data as rd
+
+        vocab = 20_000
+        t = _token_table(4000, vocab, seed=13)
+        exact = len({x for row in t["tokens"].to_pylist() for x in row})
+        got = st.hll_registers(rd.from_arrow(t), "tokens", p=10).to_pandas()
+        est = st.hll_estimate(
+            got["register"].to_numpy(), got["rank"].to_numpy(), p=10
+        )
+        # standard error 1.04/sqrt(2^10) ~= 3.3%; allow 4 sigma
+        assert abs(est - exact) / exact < 0.13
+
+    def test_sketch_merge_is_the_shuffle(self, ray_session):
+        # sketch of (A union B) == merge of sketches: registers over the
+        # concatenated dataset equal elementwise-max of the halves
+        import ray.data as rd
+
+        a = _token_table(200, 1500, seed=1)
+        b = _token_table(200, 1500, seed=2)
+        ra = st.hll_registers(rd.from_arrow(a), "tokens", p=8).to_pandas()
+        rb = st.hll_registers(rd.from_arrow(b), "tokens", p=8).to_pandas()
+        rboth = st.hll_registers(
+            rd.from_arrow(a).union(rd.from_arrow(b)), "tokens", p=8
+        ).to_pandas()
+        merged: dict[int, int] = {}
+        for df in (ra, rb):
+            for r, k in zip(df["register"], df["rank"]):
+                merged[r] = max(merged.get(r, 0), k)
+        assert dict(zip(rboth["register"], rboth["rank"])) == merged
+
+
+def _doc_table(n: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    srcs = np.array(["web", "code", "books", "wiki", "rare"])
+    # 'rare' is tiny: exercises the fewer-than-k group
+    w = np.array([0.4, 0.25, 0.2, 0.149, 0.001])
+    pick = srcs[rng.choice(5, size=n, p=w)]
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(n)], pa.string()),
+            "source": pa.array(pick, pa.string()),
+        }
+    )
+
+
+class TestStratifiedSample:
+    def _brute(self, t: pa.Table, k: int, seed: int):
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        u = detmix.seeded_mix(detmix.string_hash64(ids), seed)
+        import pandas as pd
+
+        df = pd.DataFrame({"source": src, "doc_id": ids, "u": u})
+        df = df.sort_values(["u", "doc_id"]).groupby("source", sort=False).head(k)
+        return df.sort_values(["source", "doc_id"])[["source", "doc_id"]].reset_index(
+            drop=True
+        )
+
+    def test_matches_brute_force_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        t = _doc_table(3000, seed=21)
+        want = self._brute(t, k=15, seed=4)
+        for parts in (1, 8):
+            got = (
+                sampling.stratified_sample(
+                    rd.from_arrow(t).repartition(parts), k=15, seed=4
+                )
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+            assert got.equals(want)
+
+    def test_bucket_invariance(self, ray_session):
+        import ray.data as rd
+
+        t = _doc_table(1500, seed=8)
+        a = sampling.stratified_sample(
+            rd.from_arrow(t), k=10, seed=0, n_buckets=37
+        ).to_pandas()
+        b = sampling.stratified_sample(
+            rd.from_arrow(t), k=10, seed=0, n_buckets=211
+        ).to_pandas()
+        assert a.equals(b)
+
+    def test_small_group_keeps_all_rows(self, ray_session):
+        import ray.data as rd
+
+        t = _doc_table(3000, seed=21)
+        n_rare = sum(1 for s in t["source"].to_pylist() if s == "rare")
+        assert 0 < n_rare < 15
+        got = sampling.stratified_sample(rd.from_arrow(t), k=15, seed=4).to_pandas()
+        assert (got["source"] == "rare").sum() == n_rare
+
+    def test_duckdb_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        t = _doc_table(2000, seed=30)
+        got = (
+            sampling.stratified_sample(rd.from_arrow(t), k=12, seed=7)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs", t)
+        want = con.sql(
+            sampling.stratified_oracle_sql("docs", 12, seed=7)
+        ).df()
+        assert got.equals(want.reset_index(drop=True))
