@@ -1664,6 +1664,21 @@ def _q_profile_orders(sf_dir: str):
     return st.numeric_profile(ds, _PROFILE_COLS)
 
 
+def _q_float_quantiles(sf_dir: str):
+    """EXACT quantiles of an arbitrary float column (percentile_disc
+    semantics) without a global sort: iterative histogram range
+    refinement — a handful of streaming passes independent of row count
+    (stages/stats.py:float_quantiles). seqlen_quantiles is the one-pass
+    dense-int special case; this is the general-column path a 100-TB
+    ORDER-BY percentile cannot take."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return st.float_quantiles(ds, "o_totalprice")
+
+
 def _q_range_join(sf_dir: str):
     """Broadcast range (interval) join: every event joined to each of 60
     overlapping 18h calendar windows containing its timestamp (BETWEEN
@@ -1801,6 +1816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 new ---------------------------------------------------
         "hll_distinct_tokens": _q_hll_registers,
         "stratified_sample_docs": _q_stratified_sample,
+        "float_quantiles_orders": _q_float_quantiles,
         "classifier_score_docs": _q_classifier_score,
         "semantic_dedup_vecs": _q_semantic_dedup,
         "doc_keywords": _q_doc_keywords,
@@ -1958,6 +1974,11 @@ def oracle_sql() -> dict[str, str]:
         # per-group k smallest seeded hashes; shared _mix_ctes hash chain
         "stratified_sample_docs": _sampling.stratified_oracle_sql(
             corpus_cols, _STRAT_K, seed=_STRAT_SEED
+        ),
+        # exact percentile_disc parity: both sides return the value at
+        # 1-indexed rank ceil(p*n), nulls excluded
+        "float_quantiles_orders": _stats.float_quantiles_oracle_sql(
+            "orders", "o_totalprice"
         ),
         "roundtrip_stats": stats_sql,
         "roundtrip_stats_pushdown": stats_sql,

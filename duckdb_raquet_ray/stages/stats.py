@@ -631,3 +631,188 @@ def hll_oracle_sql(corpus: str, column: str = "tokens", p: int = 10) -> str:
         f"      ELSE {q} - length(bin(rem)) + 1 END)::BIGINT AS rank "
         "FROM r GROUP BY register ORDER BY register"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles over arbitrary float columns (iterative range refinement)
+# ---------------------------------------------------------------------------
+
+
+def _range_hist_fold(
+    ds: rd.Dataset, column: str, lo: float, hi: float, hi_incl: bool, n_bins: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One streaming pass: per-block bincount of `column` values inside
+    [lo, hi) (or [lo, hi]) against linspace edges, folded incrementally on
+    the driver — peak driver state is O(n_bins), never O(blocks x bins).
+    Returns (edges, counts)."""
+    edges = np.unique(np.linspace(lo, hi, n_bins + 1))
+    nb = len(edges) - 1
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        m = (v >= lo) & ((v <= hi) if hi_incl else (v < hi))
+        v = v[m]
+        b = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, nb - 1)
+        c = np.bincount(b, minlength=nb)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"b": pa.array(nz.astype(np.int64)), "c": pa.array(c[nz].astype(np.int64))}
+        )
+
+    counts = np.zeros(nb, np.int64)
+    for blk in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="numpy"
+    ):
+        if "b" in blk and len(blk["b"]):
+            np.add.at(counts, np.asarray(blk["b"]), np.asarray(blk["c"]))
+    return edges, counts
+
+
+def _collect_ranges(
+    ds: rd.Dataset, column: str, jobs: list[tuple[float, float, bool]]
+) -> list[np.ndarray]:
+    """One streaming pass collecting the (histogram-bounded, small) value
+    sets of SEVERAL ranges at once — all quantiles resolving at the same
+    refinement level share a single scan."""
+
+    def sel(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        js, vs = [], []
+        for j, (lo, hi, hi_incl) in enumerate(jobs):
+            m = (v >= lo) & ((v <= hi) if hi_incl else (v < hi))
+            picked = v[m]
+            js.append(np.full(len(picked), j, np.int32))
+            vs.append(picked)
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js), pa.int32()),
+                "v": pa.array(np.concatenate(vs), pa.float64()),
+            }
+        )
+
+    out: list[list[np.ndarray]] = [[] for _ in jobs]
+    for blk in ds.map_batches(sel, batch_format="pyarrow").iter_batches(
+        batch_format="numpy"
+    ):
+        if "v" not in blk or not len(blk["v"]):
+            continue
+        js, vs = np.asarray(blk["j"]), np.asarray(blk["v"], np.float64)
+        for j in np.unique(js):
+            out[j].append(vs[js == j])
+    return [
+        np.concatenate(parts) if parts else np.zeros(0, np.float64) for parts in out
+    ]
+
+
+def float_quantiles(
+    ds: rd.Dataset,
+    column: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 1 << 14,
+    collect_budget: int = 200_000,
+    max_levels: int = 8,
+) -> pd.DataFrame:
+    """EXACT quantiles of an arbitrary float64 column — percentile_disc
+    semantics (the value whose 1-indexed rank is ceil(p * n), NULL/NaN
+    excluded) — without a global sort: iterative histogram range
+    refinement. Each level is one streaming pass that bincounts values
+    inside the still-ambiguous range against n_bins linspace edges; a
+    quantile resolves when its bucket's population fits `collect_budget`
+    (then one filtered pass collects and exactly ranks it) or when its
+    range degenerates to a single float. n_bins^levels shrinks any range
+    to ulp width in <= 4 levels, so the whole thing is a handful of
+    streaming passes independent of row count — the sort-free scale path
+    a 100-TB ORDER BY percentile cannot take.
+
+    seqlen_quantiles stays the one-pass special case for dense
+    non-negative int domains; this is the general-column path."""
+    parts = ds.map_batches(
+        lambda t: _minmax_partial(t, column), batch_format="pyarrow"
+    )
+    n_tot, mn, mx = 0, np.inf, -np.inf
+    for blk in parts.iter_batches(batch_format="numpy"):
+        if "n" in blk and len(blk["n"]):
+            n_tot += int(np.sum(blk["n"]))
+            mn = min(mn, float(np.min(blk["mn"])))
+            mx = max(mx, float(np.max(blk["mx"])))
+    labels = [f"p{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}" for p in ps]
+    if n_tot == 0:
+        return pd.DataFrame([{lab: float("nan") for lab in labels}])
+    # state per quantile: (lo, hi, hi_incl, rank-within-range)
+    state = {lab: (mn, mx, True, max(int(np.ceil(p * n_tot)), 1)) for lab, p in zip(labels, ps)}
+    resolved: dict[str, float] = {}
+    for _ in range(max_levels):
+        pending = {k: v for k, v in state.items() if k not in resolved}
+        if not pending:
+            break
+        # group quantiles sharing a range: one histogram pass per range
+        by_range: dict[tuple, list[str]] = {}
+        for k, v in pending.items():
+            by_range.setdefault(v[:3], []).append(k)
+        for (lo, hi, hi_incl), ks in by_range.items():
+            if lo == hi:
+                for k in ks:
+                    resolved[k] = lo
+                continue
+            edges, counts = _range_hist_fold(ds, column, lo, hi, hi_incl, n_bins)
+            if len(edges) <= 2:  # ulp-width range: can't split further
+                # rank among {lo, hi}: values < hi are all == lo
+                n_lo = int(counts[0]) if len(counts) else 0
+                for k in ks:
+                    rank = state[k][3]
+                    resolved[k] = lo if rank <= n_lo else hi
+                continue
+            cum = np.cumsum(counts)
+            collect: list[tuple[str, tuple[float, float, bool], int]] = []
+            for k in ks:
+                rank = state[k][3]
+                b = int(np.searchsorted(cum, rank))
+                prev = int(cum[b - 1]) if b else 0
+                b_lo, b_hi = float(edges[b]), float(edges[b + 1])
+                b_incl = hi_incl and b == len(counts) - 1
+                n_in = int(counts[b])
+                r_in = rank - prev
+                if n_in <= collect_budget:
+                    collect.append((k, (b_lo, b_hi, b_incl), r_in))
+                else:
+                    state[k] = (b_lo, b_hi, b_incl, r_in)
+            if collect:  # all same-level resolutions share ONE scan
+                vals = _collect_ranges(ds, column, [c[1] for c in collect])
+                for (k, _, r_in), v in zip(collect, vals):
+                    resolved[k] = float(np.sort(v)[r_in - 1])
+    leftover = [k for k in state if k not in resolved]
+    if leftover:  # max_levels exhausted: force the exact collect
+        vals = _collect_ranges(ds, column, [state[k][:3] for k in leftover])
+        for k, v in zip(leftover, vals):
+            resolved[k] = float(np.sort(v)[state[k][3] - 1])
+    return pd.DataFrame([{lab: resolved[lab] for lab in labels}])
+
+
+def _minmax_partial(t: pa.Table, column: str) -> pa.Table:
+    """Per-block (non-NaN count, min, max) partial for float_quantiles."""
+    v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return pa.table(
+            {"n": pa.array([], pa.int64()), "mn": pa.array([], pa.float64()),
+             "mx": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {"n": pa.array([len(v)], pa.int64()),
+         "mn": pa.array([float(v.min())], pa.float64()),
+         "mx": pa.array([float(v.max())], pa.float64())}
+    )
+
+
+def float_quantiles_oracle_sql(
+    table: str, column: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> str:
+    """DuckDB twin of `float_quantiles` (percentile_disc semantics)."""
+    cols = ", ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY {column})::DOUBLE AS "
+        + (f"p{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}")
+        for p in ps
+    )
+    return f"SELECT {cols} FROM {table} WHERE {column} IS NOT NULL"

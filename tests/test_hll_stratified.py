@@ -185,3 +185,77 @@ class TestStratifiedSample:
             sampling.stratified_oracle_sql("docs", 12, seed=7)
         ).df()
         assert got.equals(want.reset_index(drop=True))
+
+
+def _disc(vals: np.ndarray, p: float) -> float:
+    s = np.sort(vals)
+    return float(s[max(int(np.ceil(p * len(s))), 1) - 1])
+
+
+class TestFloatQuantiles:
+    def test_matches_rank_rule_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(17)
+        v = rng.normal(0, 1e6, 20_000)
+        t = pa.table({"v": pa.array(v, pa.float64())})
+        ps = (0.25, 0.5, 0.75, 0.9, 0.99)
+        want = {f"p{int(p * 100)}": _disc(v, p) for p in ps}
+        for parts in (1, 11):
+            got = st.float_quantiles(
+                rd.from_arrow(t).repartition(parts), "v", ps,
+                n_bins=128, collect_budget=300,
+            )
+            assert got.iloc[0].to_dict() == want
+
+    def test_heavy_duplicates_and_ulp_range(self, ray_session):
+        import ray.data as rd
+
+        # 80% of mass on two adjacent floats: ranges degenerate to ulp
+        # width and the lo/hi count fallback decides
+        a = 3.14159
+        b = float(np.nextafter(a, np.inf))
+        v = np.concatenate(
+            [np.full(8000, a), np.full(1500, b), np.linspace(-1, 1, 500)]
+        )
+        t = pa.table({"v": pa.array(v, pa.float64())})
+        got = st.float_quantiles(
+            rd.from_arrow(t).repartition(4), "v",
+            (0.25, 0.5, 0.75, 0.9, 0.99), n_bins=16, collect_budget=100,
+        )
+        want = {f"p{int(p * 100)}": _disc(v, p) for p in (0.25, 0.5, 0.75, 0.9, 0.99)}
+        assert got.iloc[0].to_dict() == want
+
+    def test_nulls_and_nans_excluded(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        v = pa.array([1.0, None, 3.0, float("nan"), 5.0, 7.0], pa.float64())
+        t = pa.table({"v": v})
+        got = st.float_quantiles(rd.from_arrow(t), "v", (0.5,), n_bins=8)
+        # DuckDB treats NaN as a (large) value; SQL NULL is excluded.
+        # Our kernel excludes both — compare against the NaN-free column.
+        clean = np.array([1.0, 3.0, 5.0, 7.0])
+        assert got.iloc[0]["p50"] == _disc(clean, 0.5)
+
+    def test_duckdb_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        rng = np.random.default_rng(23)
+        v = np.round(rng.gamma(2.0, 1000.0, 10_000), 2)
+        t = pa.table({"v": pa.array(v, pa.float64())})
+        got = st.float_quantiles(
+            rd.from_arrow(t).repartition(6), "v", n_bins=64, collect_budget=200
+        )
+        con = duckdb.connect()
+        con.register("tt", t)
+        want = con.sql(st.float_quantiles_oracle_sql("tt", "v")).df()
+        assert got.equals(want)
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"v": pa.array([], pa.float64())})
+        got = st.float_quantiles(rd.from_arrow(t), "v", (0.5,))
+        assert np.isnan(got.iloc[0]["p50"])
