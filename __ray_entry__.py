@@ -303,6 +303,24 @@ def _q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(ds, text_col="text", key_col="doc_id")
 
 
+def _q_line_dedup(sf_dir: str):
+    """Corpus-wide duplicate-LINE removal (Dolma paragraph-dedup shape):
+    first occurrence of each line wins globally, later copies are cut
+    from their docs. The single-line fixture docs are first chunked into
+    4-word lines deterministically on BOTH sides (chunk_words_batch /
+    chunk_words_sql). Two streaming bucketed shuffles, nothing
+    driver-side (pipelines/dedup.py:line_dedup)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ds = ds.map_batches(dedup.chunk_words_batch, batch_format="pyarrow")
+    return dedup.line_dedup(ds, text_col="text", key_col="doc_id")
+
+
 def _query_vec(dim: int = 64) -> np.ndarray:
     return np.ones(dim, dtype=np.float64)
 
@@ -1814,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "line_dedup_docs": _q_line_dedup,
         "hll_distinct_tokens": _q_hll_registers,
         "stratified_sample_docs": _q_stratified_sample,
         "float_quantiles_orders": _q_float_quantiles,
@@ -2097,6 +2116,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT * FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        # corpus-wide duplicate-LINE removal over deterministically chunked
+        # docs; both sides chunk with the identical 4-word rule
+        # (pipelines/dedup.py:chunk_words_sql / chunk_words_batch)
+        "line_dedup_docs": _dedup.line_dedup_oracle_sql(
+            _dedup.chunk_words_sql("documents")
         ),
         # the whole MinHash+LSH pipeline is deterministic (seeded perms,
         # FNV band fold, anchor-min pairs, exact-Jaccard verify), so

@@ -2177,3 +2177,172 @@ WITH fresh AS (
 SELECT * FROM fresh WHERE {key_col} IN
   (SELECT MIN({key_col}) FROM fresh GROUP BY {text_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-LINE removal (paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def _explode_lines(t: pa.Table, text_col: str, key_col: str, nb: int) -> pa.Table:
+    """Vectorized doc -> line rows: (key, 1-based idx, line, bucket), the
+    bucket keyed on the line hash so EVERY occurrence of a line lands in
+    one reduce task. Null-text docs are dropped (the SQL twin's
+    string_split(NULL) path). The key column keeps its incoming Arrow
+    type (int64 doc ids and string ids both work)."""
+    t = util.strip_schema_metadata(t)
+    kt = t.schema.field(key_col).type
+    s = t.column(text_col).to_pandas()
+    keys = t.column(key_col).to_pandas()
+    ok = s.notna()
+    s, keys = s[ok], keys[ok]
+    parts = s.str.split("\n")
+    lens = parts.str.len().to_numpy(np.int64)
+    if not len(lens) or int(lens.sum()) == 0:
+        return pa.table(
+            {
+                "k": pa.array([], kt),
+                "i": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "_b": pa.array([], pa.int32()),
+            }
+        )
+    flat = np.concatenate([np.asarray(p, dtype=object) for p in parts.to_numpy()])
+    rep_keys = np.repeat(keys.to_numpy(object), lens)
+    ends = np.cumsum(lens)
+    idx = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - lens, lens) + 1
+    b = (detmix.string_hash64(flat) % np.uint64(nb)).astype(np.int32)
+    return pa.table(
+        {
+            "k": pa.array(rep_keys, kt),
+            "i": pa.array(idx),
+            "line": pa.array(flat, pa.string()),
+            "_b": pa.array(b),
+        }
+    )
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Corpus-wide duplicate-LINE removal (the Dolma paragraph-dedup
+    shape): each distinct line survives only at its FIRST occurrence —
+    smallest (key, line index) globally — and every later copy is cut
+    from its document; a document whose every line was seen earlier
+    disappears entirely. Returns (key, text) with the surviving lines
+    rejoined in order.
+
+    Scale shape: two corpus-sized-but-streaming shuffles and nothing
+    driver-side — (1) line rows bucketed by hash(line), so first-wins is
+    exact in-bucket (actual line STRINGS are compared there, like
+    exact_dedup, so 64-bit hash collisions cannot merge distinct lines);
+    (2) surviving line rows bucketed by hash(key) and rejoined per doc.
+    Both fan-outs are corpus-scaled (util.scaled_buckets)."""
+    nb = n_buckets or util.scaled_buckets(ds)
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _explode_lines(t, text_col, key_col, nb)
+
+    def first_wins(g: pa.Table) -> pa.Table:
+        # key type follows the group's own schema (ADVICE: never hardcode
+        # the key type in an empty-group guard)
+        kt = g.schema.field("k").type if g.num_columns else pa.string()
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], kt), "i": pa.array([], pa.int64()),
+                 "line": pa.array([], pa.string()), "_b2": pa.array([], pa.int32())}
+            )
+        df = g.select(["k", "i", "line"]).to_pandas()
+        df = df.sort_values(["line", "k", "i"], kind="mergesort")
+        df = df[~df["line"].duplicated(keep="first")]
+        b2 = (
+            detmix.string_hash64(df["k"].astype(str).to_numpy(object))
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(object), kt),
+                "i": pa.array(df["i"].to_numpy(np.int64)),
+                "line": pa.array(df["line"].to_numpy(object), pa.string()),
+                "_b2": pa.array(b2),
+            }
+        )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        kt = g.schema.field("k").type if g.num_columns else pa.string()
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], kt), text_col: pa.array([], pa.string())}
+            )
+        df = g.select(["k", "i", "line"]).to_pandas()
+        df = df.sort_values(["k", "i"], kind="mergesort")
+        joined = df.groupby("k", sort=True)["line"].agg("\n".join)
+        return pa.table(
+            {
+                key_col: pa.array(joined.index.to_numpy(object), kt),
+                text_col: pa.array(joined.to_numpy(object), pa.string()),
+            }
+        )
+
+    lines = util.clean_dataset(ds).map_batches(
+        explode, batch_format="pyarrow", batch_size=8192
+    )
+    kept = lines.groupby("_b").map_groups(first_wins, batch_format="pyarrow")
+    return kept.groupby("_b2").map_groups(reassemble, batch_format="pyarrow")
+
+
+def line_dedup_oracle_sql(
+    table: str, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`line_dedup`: row_number over
+    (key, line-index) per line string, string_agg the rn=1 survivors."""
+    return f"""
+WITH l AS (
+  SELECT {key_col} AS k, i, lines[i] AS line
+  FROM (SELECT {key_col}, string_split({text_col}, chr(10)) AS lines
+        FROM {table}),
+       LATERAL unnest(generate_series(1, len(lines))) AS t(i)
+), r AS (
+  SELECT k, i, line,
+         row_number() OVER (PARTITION BY line ORDER BY k, i) AS rn
+  FROM l
+)
+SELECT k AS {key_col}, string_agg(line, chr(10) ORDER BY i) AS {text_col}
+FROM r WHERE rn = 1 GROUP BY k ORDER BY k"""
+
+
+def chunk_words_batch(t: pa.Table, text_col: str = "text", n: int = 4) -> pa.Table:
+    """Deterministic multi-line derivation for single-line fixtures: split
+    on ' ', rejoin every `n` words as one line. The SQL twin is
+    `chunk_words_sql` — identical split/slice/join, no regex engine in
+    the loop on either side."""
+    t = util.strip_schema_metadata(t)
+    s = t.column(text_col).to_pandas()
+
+    def chunk(x):
+        if x is None:
+            return None
+        ws = x.split(" ")
+        return "\n".join(
+            " ".join(ws[j : j + n]) for j in range(0, len(ws), n)
+        )
+
+    out = pa.array([chunk(x) for x in s], pa.string())
+    return t.set_column(t.schema.get_field_index(text_col), text_col, out)
+
+
+def chunk_words_sql(table: str, text_col: str = "text", key_col: str = "doc_id", n: int = 4) -> str:
+    """Subquery (parenthesized) producing (key, chunked text) — the SQL
+    twin of :func:`chunk_words_batch`."""
+    return f"""(
+WITH w AS (SELECT {key_col}, string_split({text_col}, ' ') AS ws FROM {table}),
+c AS (
+  SELECT {key_col}, i,
+         array_to_string(ws[(i-1)*{n}+1 : i*{n}], ' ') AS line
+  FROM w, LATERAL unnest(generate_series(1, (len(ws)+{n - 1})//{n})) AS t(i)
+)
+SELECT {key_col}, string_agg(line, chr(10) ORDER BY i) AS {text_col}
+FROM c GROUP BY {key_col})"""

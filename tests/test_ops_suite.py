@@ -110,6 +110,82 @@ class TestMinhash:
         assert len(out) == 20
 
 
+class TestLineDedup:
+    def test_first_occurrence_wins_globally(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c"]),
+                "text": pa.array(
+                    [
+                        "shared line\nunique a",
+                        "unique b\nshared line",
+                        "shared line",  # every line seen earlier: doc vanishes
+                    ]
+                ),
+            }
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.line_dedup(rd.from_arrow(t)).take_all()
+        }
+        assert out == {"a": "shared line\nunique a", "b": "unique b"}
+
+    def test_int_keys_and_null_text(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([2, 1, 3], type=pa.int64()),
+                "text": pa.array(["x\ny", None, "y\nz"]),
+            }
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.line_dedup(rd.from_arrow(t)).take_all()
+        }
+        # doc 2 owns both its lines (first occurrence = smallest key);
+        # null-text doc 1 is dropped; doc 3 keeps only "z"
+        assert out == {2: "x\ny", 3: "z"}
+
+    def test_oracle_parity_real_docs(self, docs_ds):
+        import duckdb
+
+        chunked = docs_ds.map_batches(
+            dedup.chunk_words_batch, batch_format="pyarrow"
+        )
+        got = (
+            dedup.line_dedup(chunked)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        sql = dedup.line_dedup_oracle_sql(dedup.chunk_words_sql("documents"))
+        want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bucket_count_invariance(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(20)]),
+                "text": pa.array(
+                    [f"common line\nrow {i}\nline {i % 3}" for i in range(20)]
+                ),
+            }
+        )
+        a = sorted(
+            (r["doc_id"], r["text"])
+            for r in dedup.line_dedup(rd.from_arrow(t), n_buckets=3).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["text"])
+            for r in dedup.line_dedup(rd.from_arrow(t), n_buckets=17).take_all()
+        )
+        assert a == b
+
+
 class TestSimhash:
     def test_identical_docs_collide(self, ray_session):
         t = pa.table(
