@@ -348,6 +348,13 @@ def bench_tables_phase(cpus: int) -> dict:
 
     queries["minhash_dedup"] = round(min(best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())), 3)
 
+    # duplicate-LINE removal: two bucketed shuffles over the line stream
+    # (chunk step included — the fixture docs are single-line)
+    queries["line_dedup"] = round(min(best_of(lambda: dedup.line_dedup(
+        util.clean_dataset(rd.read_parquet(docs, columns=["doc_id", "text"]))
+        .map_batches(dedup.chunk_words_batch, batch_format="pyarrow")
+    ).count())), 3)
+
     queries["ann_topk"] = round(min(best_of(lambda: ann.brute_force_topk(rd.read_parquet(emb), np.ones(64), k=10))), 3)
 
     # PQ lossy tier: train once (excluded — an index build, not a query),
