@@ -807,6 +807,23 @@ def _q_length_buckets(sf_dir: str):
     )
 
 
+def _q_normalize_docs(sf_dir: str):
+    """Unicode normalization (NFC + lowercase + whitespace collapse +
+    trim) over deterministically MANGLED docs — the ASCII fixture gets
+    non-ASCII teeth from the identical 3-replace derive on both sides
+    (pipelines/text.py:mangle_unicode_batch / mangle_unicode_sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _text.normalize_text(
+        ds.map_batches(_text.mangle_unicode_batch, batch_format="pyarrow")
+    )
+
+
 def _q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (RE2 split both sides,
     explicit trim set — pipelines/text.py:sentence_stats)."""
@@ -1832,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "normalize_docs": _q_normalize_docs,
         "line_dedup_docs": _q_line_dedup,
         "hll_distinct_tokens": _q_hll_registers,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2057,6 +2075,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {corpus} GROUP BY source"
         ),
         "sentence_stats_docs": _text_ops.sentence_oracle_sql("documents"),
+        # normalize over the identically-mangled docs (utf8proc lower +
+        # NFC + RE2 \s+ collapse on both sides)
+        "normalize_docs": _text_ops.normalize_oracle_sql(
+            _text_ops.mangle_unicode_sql("documents")
+        ),
         "length_buckets_docs": _sampling.length_buckets_oracle_sql(
             "documents", length_col="n_chars", boundaries=_LEN_BOUNDARIES
         ),

@@ -244,3 +244,96 @@ def sentence_oracle_sql(
         f"x -> x <> ''), x -> length(x))), 0) END::BIGINT AS sent_chars "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (NFC + lowercase + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+# codepoints used by the deterministic fixture mangle (ASCII corpora need
+# non-ASCII teeth for the normalize oracle): combining acute + composed O
+_COMBINING_ACUTE = "\u0301"
+_O_ACUTE_UPPER = "\u00d3"
+
+
+def mangle_unicode_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic non-ASCII derivation for ASCII fixtures, the
+    chunk_words_batch pattern: 'a' -> 'a'+U+0301 (decomposed acute),
+    'o' -> U+00D3 (composed uppercase O-acute), ' ' -> ' \\t ' — three
+    plain substring replaces, identical to :func:`mangle_unicode_sql`."""
+    t = util.strip_schema_metadata(t)
+    arr = t.column(text_col)
+    arr = pa.compute.replace_substring(arr, pattern="a", replacement="a" + _COMBINING_ACUTE)
+    arr = pa.compute.replace_substring(arr, pattern="o", replacement=_O_ACUTE_UPPER)
+    arr = pa.compute.replace_substring(arr, pattern=" ", replacement=" \t ")
+    return t.set_column(t.schema.get_field_index(text_col), text_col, arr)
+
+
+def mangle_unicode_sql(table: str, text_col: str = "text", key_col: str = "doc_id") -> str:
+    """Parenthesized subquery twin of :func:`mangle_unicode_batch`."""
+    return (
+        f"(SELECT {key_col}, replace(replace(replace({text_col}, "
+        f"'a', 'a' || chr(769)), 'o', chr(211)), ' ', ' ' || chr(9) || ' ') "
+        f"AS {text_col} FROM {table})"
+    )
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One streaming pass: utf8proc lowercase (pyarrow kernel — the SAME
+    library DuckDB's lower() uses), NFC composition, RE2 whitespace
+    collapse (the engine DuckDB's regexp_replace uses; ASCII \\s on both
+    sides), space-only edge trim (DuckDB trim's default set). Appends
+    `n_chars` (code points, = DuckDB length()).
+
+    pyarrow's utf8_normalize kernel never COMPOSES in this build (NFC
+    behaves as NFD — verified 2026-08-19), so composition runs through
+    CPython unicodedata — but only on the rows a vectorized RE2 probe
+    flags as non-ASCII: web corpora are overwhelmingly ASCII, so the
+    Python path touches a small minority of rows while the ASCII
+    majority stays fully vectorized (NFC is the identity on ASCII)."""
+    import unicodedata
+
+    batch = util.strip_schema_metadata(batch)
+    low = pa.compute.utf8_lower(batch.column(text_col))
+    flagged = pa.compute.match_substring_regex(low, r"[^\x00-\x7F]")
+    if pa.compute.any(flagged).as_py():
+        vals = low.to_pylist()
+        low = pa.array(
+            [
+                unicodedata.normalize("NFC", v) if (f and v is not None) else v
+                for v, f in zip(vals, flagged.to_pylist())
+            ],
+            pa.string(),
+        )
+    coll = pa.compute.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
+    trimmed = pa.compute.utf8_trim(coll, characters=" ")
+    out = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, trimmed
+    )
+    return out.append_column(
+        "n_chars", pa.compute.cast(pa.compute.utf8_length(trimmed), pa.int64())
+    )
+
+
+def normalize_text(ds, text_col: str = "text"):
+    """Streaming text normalization: NFC + lowercase + whitespace collapse
+    + trim, plus an `n_chars` code-point length column. Stateless
+    map_batches; no shuffle."""
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def normalize_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of normalize_text: nfc_normalize(lower(.)) then the
+    identical RE2 collapse and space-only trim; length() = code points."""
+    expr = (
+        f"trim(regexp_replace(nfc_normalize(lower({text_col})), "
+        f"'\\s+', ' ', 'g'), ' ')"
+    )
+    return (
+        f"SELECT {key_col}, {expr} AS {text_col}, "
+        f"length({expr})::BIGINT AS n_chars FROM {table}"
+    )

@@ -188,3 +188,55 @@ class TestSentenceStats:
         # ray path
         got = tx.sentence_stats(rd.from_arrow(t)).count()
         assert got == 5
+
+
+class TestNormalizeText:
+    def test_golden_and_sql_parity(self, ray_session):
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "Mixed CASE  and\ttabs ",
+                "plain ascii",
+                "",
+                None,
+                "composed Á decomposed Á nbsp kept",
+            ]),
+        })
+        out = tx.normalize_text_batch(t)
+        texts = out.column("text").to_pylist()
+        assert texts[0] == "mixed case and tabs"
+        assert texts[1] == "plain ascii"
+        assert texts[2] == "" and texts[3] is None
+        # both acute forms normalize to the same composed code point;
+        # NBSP is not RE2 \s, so it survives (parity with DuckDB)
+        assert texts[4] == "composed á decomposed á nbsp kept"
+        assert out.column("n_chars").to_pylist() == [19, 11, 0, None, len(texts[4])]
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        odf = con.execute(tx.normalize_oracle_sql("docs_arrow")).df()
+        assert odf["text"].tolist()[:3] == texts[:3]
+        assert odf["text"].tolist()[4] == texts[4]
+
+    def test_mangle_twins_and_ray_path(self, ray_session):
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a roundabout option", "no vowel-free zone"]),
+        })
+        mangled = tx.mangle_unicode_batch(t)
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        odf = con.execute(
+            f"SELECT * FROM {tx.mangle_unicode_sql('docs_arrow')} ORDER BY doc_id"
+        ).df()
+        assert mangled.column("text").to_pylist() == odf["text"].tolist()
+        got = tx.normalize_text(
+            rd.from_arrow(t).map_batches(
+                tx.mangle_unicode_batch, batch_format="pyarrow"
+            )
+        ).take_all()
+        assert len(got) == 2 and all("\u00f3" in r["text"] for r in got)
+        assert "\u00e1" in next(r["text"] for r in got if r["doc_id"] == 0)
