@@ -589,6 +589,11 @@ def _q_packed_windows(sf_dir: str):
 
 
 _MIXTURE_RATES = {"web": 0.25, "code": 0.5, "wiki": 0.9, "books": 1.0}
+# per-source token budgets (web gets ~100k tokens, code ~55k, misc an
+# impossible 1 -> zero kept); every other source gets the 30k default
+_TOKEN_BUDGETS = {"web": 100_000, "code": 55_000, "misc": 1}
+_TOKEN_BUDGET_DEFAULT = 30_000
+_TOKEN_BUDGET_SEED = 7
 _MIXTURE_SEED, _EPOCH_SEED = 7, 3
 
 
@@ -603,6 +608,25 @@ def _q_mixture_sample(sf_dir: str):
 
     ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
     return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
+
+
+def _q_token_budget(sf_dir: str):
+    """Exact per-source TOKEN-budget sampling: keep the maximal prefix of
+    docs in seeded-hash order whose cumulative n_tok fits each source's
+    budget — found sort-free by iterative histogram refinement over the
+    hash space (pipelines/sampling.py:token_budget_sample); the SQL twin
+    is a cumulative window sum over the identical order."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
+    return sampling.token_budget_sample(
+        ds,
+        _TOKEN_BUDGETS,
+        seed=_TOKEN_BUDGET_SEED,
+        default_budget=_TOKEN_BUDGET_DEFAULT,
+    )
 
 
 def _q_epoch_order(sf_dir: str):
@@ -1849,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "token_budget_sample": _q_token_budget,
         "normalize_docs": _q_normalize_docs,
         "line_dedup_docs": _q_line_dedup,
         "hll_distinct_tokens": _q_hll_registers,
@@ -2268,6 +2293,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
+        ),
+        "token_budget_sample": _sampling.token_budget_oracle_sql(
+            corpus_cols,
+            _TOKEN_BUDGETS,
+            seed=_TOKEN_BUDGET_SEED,
+            default_budget=_TOKEN_BUDGET_DEFAULT,
         ),
         "epoch_order": _sampling.epoch_order_oracle_sql(
             corpus, seed=_EPOCH_SEED, limit=200

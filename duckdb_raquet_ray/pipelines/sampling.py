@@ -383,3 +383,294 @@ def length_buckets_oracle_sql(
         f"sum({cap_expr} - least({length_col}, {cap_expr}))::BIGINT AS pad_waste "
         f"FROM {table} GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (exact per-source token budgets, sort-free)
+# ---------------------------------------------------------------------------
+
+
+def _tb_width(lo: int, hi: int, n_bins: int) -> int:
+    """Bucket width for range [lo, hi) — ONE formula shared by driver and
+    workers (a mismatch silently mis-indexes the histogram)."""
+    return ((hi - lo) + n_bins - 1) // n_bins
+
+
+def _tb_hist_partial(
+    t: pa.Table,
+    ranges: dict[str, tuple[int, int]] | None,
+    key_col: str,
+    source_col: str,
+    ntok_col: str,
+    seed: int,
+    n_bins: int,
+) -> pa.Table:
+    """Per-block (source, bucket, tok, cnt) partial for the sources still
+    ambiguous. `ranges` maps source -> (lo, hi) in u-space; None means
+    level 0 (full range, every source). Integer-exact sums (np.add.at on
+    int64, never float bincount weights — token totals at corpus scale
+    exceed float64's exact-integer range)."""
+    keys = t.column(key_col).to_numpy(zero_copy_only=False)
+    u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+    ntok = t.column(ntok_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pa.compute.dictionary_encode(t.column(source_col).combine_chunks())
+    uniq = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    out_s: list[str] = []
+    out_b: list[np.ndarray] = []
+    out_t: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for ci, s in enumerate(uniq):
+        if ranges is None:
+            lo, hi = 0, 1 << 64
+        elif s in ranges:
+            lo, hi = ranges[s]
+        else:
+            continue
+        width = _tb_width(lo, hi, n_bins)
+        m = codes == ci
+        if ranges is not None:
+            m &= u >= np.uint64(lo)
+            if hi < (1 << 64):  # 2^64 overflows uint64; means "no upper bound"
+                m &= u < np.uint64(hi)
+        if not m.any():
+            continue
+        b = ((u[m] - np.uint64(lo)) // np.uint64(width)).astype(np.int64)
+        nb = -(-(hi - lo) // width)
+        tok = np.zeros(nb, np.int64)
+        np.add.at(tok, b, ntok[m])
+        cnt = np.bincount(b, minlength=nb).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        out_s.extend([s] * len(nz))
+        out_b.append(nz)
+        out_t.append(tok[nz])
+        out_c.append(cnt[nz])
+    if not out_s:
+        return pa.table(
+            {"s": pa.array([], pa.string()), "b": pa.array([], pa.int64()),
+             "tok": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "s": pa.array(out_s, pa.string()),
+            "b": pa.array(np.concatenate(out_b)),
+            "tok": pa.array(np.concatenate(out_t)),
+            "cnt": pa.array(np.concatenate(out_c)),
+        }
+    )
+
+
+def token_budget_sample(
+    ds: rd.Dataset,
+    budgets: dict[str, int],
+    *,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+    seed: int = 0,
+    default_budget: int | None = None,
+    n_bins: int = 1 << 12,
+    collect_budget: int = 200_000,
+    max_levels: int = 10,
+) -> rd.Dataset:
+    """Keep, per source, the maximal PREFIX of docs in seeded-hash order
+    whose cumulative token count fits that source's budget — "give me
+    exactly ~B tokens of web, deterministically" — WITHOUT a global sort:
+    the cut hash is found by iterative histogram range refinement over
+    u-space (the float_quantiles shape). Sources absent from `budgets`
+    keep everything when `default_budget` is None, else get the default.
+
+    Prefix rule (SQL-identical): order docs by (mix64(hash(key), seed),
+    key); keep while the running sum of `ntok_col` stays <= budget. The
+    first doc that would overflow stops the prefix — later smaller docs
+    are NOT pulled in (a cumulative-window rule, replicable exactly in
+    SQL; see token_budget_oracle_sql).
+
+    Scale shape: each refinement level is ONE streaming pass emitting
+    per-block already-aggregated (source, bucket) partials; the driver
+    folds O(sources x n_bins) integers — never rows. n_bins=4096 shrinks
+    the 2^64 u-space to a <= collect_budget bucket in <= 6 levels on any
+    corpus size; one filtered collect pass ranks the boundary bucket
+    exactly; the final filter is a pure per-row predicate (broadcast
+    cuts), so the decision is partition-independent and resume-stable."""
+    seed = int(seed)
+
+    # cuts: source -> ("all",) | ("ult", X) keep iff u < X
+    #               | ("pair", cu, ck) keep iff (u, key) <= (cu, ck)
+    cuts: dict[str, tuple] = {}
+    pending: dict[str, dict] = {}  # source -> {lo, hi, rem}
+    collectible: dict[str, tuple[int, int, int]] = {}  # (lo, hi, rem)
+
+    ranges: dict[str, tuple[int, int]] | None = None  # level-0 sentinel
+    for _level in range(max_levels):
+        hist: dict[str, dict[int, tuple[int, int]]] = {}
+        parts = ds.map_batches(
+            lambda t, r=ranges: _tb_hist_partial(
+                t, r, key_col, source_col, ntok_col, seed, n_bins
+            ),
+            batch_format="pyarrow",
+        )
+        for blk in parts.iter_batches(batch_format="pyarrow"):
+            ss = blk.column("s").to_pylist()
+            bs = blk.column("b").to_pylist()
+            ts = blk.column("tok").to_pylist()
+            cs = blk.column("cnt").to_pylist()
+            for s, b, tk, c in zip(ss, bs, ts, cs):
+                d = hist.setdefault(s, {})
+                ot, oc = d.get(b, (0, 0))
+                d[b] = (ot + tk, oc + c)
+        if ranges is None:
+            # discover sources; assign budgets; unlimited -> resolved now
+            pending = {}
+            for s in hist:
+                bud = budgets.get(s, default_budget)
+                if bud is None:
+                    cuts[s] = ("all",)
+                else:
+                    pending[s] = {"lo": 0, "hi": 1 << 64, "rem": int(bud)}
+        nxt: dict[str, tuple[int, int]] = {}
+        for s, st in list(pending.items()):
+            lo, hi, rem = st["lo"], st["hi"], st["rem"]
+            width = _tb_width(lo, hi, n_bins)
+            d = hist.get(s, {})
+            crossed = False
+            for b in sorted(d):
+                tk, c = d[b]
+                if tk <= rem:
+                    rem -= tk
+                    continue
+                # bucket b crosses the budget
+                blo = lo + b * width
+                bhi = min(blo + width, hi)
+                if c <= collect_budget or width == 1:
+                    collectible[s] = (blo, bhi, rem)
+                else:
+                    nxt[s] = (blo, bhi)
+                    st.update(lo=blo, hi=bhi, rem=rem)
+                crossed = True
+                break
+            if not crossed:
+                # whole remaining range fits: keep everything below hi
+                cuts[s] = ("ult", hi)
+            if s in cuts or s in collectible:
+                del pending[s]
+        if not nxt:
+            break
+        ranges = {s: nxt[s] for s in nxt}
+    else:
+        raise RuntimeError(
+            f"token_budget_sample: {sorted(pending)} unresolved after "
+            f"{max_levels} levels — raise max_levels or collect_budget"
+        )
+
+    if collectible:
+        cranges = dict(collectible)
+
+        def collect(t: pa.Table) -> pa.Table:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+            ntok = (
+                t.column(ntok_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            enc = pa.compute.dictionary_encode(
+                t.column(source_col).combine_chunks()
+            )
+            uniq = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            m = np.zeros(len(t), bool)
+            for ci, s in enumerate(uniq):
+                r = cranges.get(s)
+                if r is None:
+                    continue
+                sm = (codes == ci) & (u >= np.uint64(r[0]))
+                if r[1] < (1 << 64):
+                    sm &= u < np.uint64(r[1])
+                m |= sm
+            src_arr = np.asarray(uniq, object)[codes[m]]
+            return pa.table(
+                {
+                    "s": pa.array(src_arr, pa.string()),
+                    "u": pa.array(u[m]),
+                    # explicit key type: an all-False mask must not emit a
+                    # null-typed column that conflicts across blocks
+                    "k": pa.array(keys[m], t.schema.field(key_col).type),
+                    "n": pa.array(ntok[m]),
+                }
+            )
+
+        got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        if "s" not in got.columns:
+            # Ray's to_pandas drops the schema when every block is empty;
+            # an empty collect means no boundary doc fits anywhere
+            got = pd.DataFrame({"s": [], "u": [], "k": [], "n": []})
+        got = got.sort_values(["s", "u", "k"], kind="mergesort")
+        for s, (blo, bhi, rem) in collectible.items():
+            g = got[got["s"] == s]
+            cum = g["n"].cumsum()
+            kept = g[cum <= rem]
+            if len(kept):
+                cuts[s] = ("pair", int(kept["u"].iloc[-1]), kept["k"].iloc[-1])
+            else:
+                cuts[s] = ("ult", blo)
+
+    final_cuts = dict(cuts)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        enc = pa.compute.dictionary_encode(t.column(source_col).combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), bool)
+        for ci, s in enumerate(uniq):
+            cut = final_cuts.get(s)
+            if cut is None:
+                continue
+            m = codes == ci
+            if cut[0] == "all":
+                keep |= m
+            elif cut[0] == "ult":
+                if cut[1] >= (1 << 64):
+                    keep |= m
+                else:
+                    keep |= m & (u < np.uint64(cut[1]))
+            else:
+                _, cu, ck = cut
+                below = m & (u < np.uint64(cu))
+                ties = m & (u == np.uint64(cu))
+                keep |= below
+                if ties.any():
+                    keep[ties] = keys[ties] <= ck
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")
+
+
+def token_budget_oracle_sql(
+    table: str,
+    budgets: dict[str, int],
+    *,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+    seed: int = 0,
+    default_budget: int | None = None,
+) -> str:
+    """SQL replica of :func:`token_budget_sample`: cumulative window sum
+    over the identical seeded-hash order, prefix rule cum <= budget."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN c.cum <= {int(b)}" for s, b in budgets.items()
+    )
+    default_case = (
+        "TRUE" if default_budget is None else f"c.cum <= {int(default_budget)}"
+    )
+    return f"""{_mix_ctes(table, key_col, seed)},
+c AS (
+  SELECT d.{key_col}, d.{source_col}, d.{ntok_col},
+         sum(d.{ntok_col}) OVER (
+           PARTITION BY d.{source_col} ORDER BY mx.u, d.{key_col}
+         ) AS cum
+  FROM {table} d JOIN mx ON mx.k = d.{key_col}
+)
+SELECT c.{key_col}, c.{source_col}, c.{ntok_col}::BIGINT AS {ntok_col} FROM c
+WHERE CASE c.{source_col} {cases} ELSE {default_case} END"""

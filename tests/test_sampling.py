@@ -174,3 +174,97 @@ class TestLengthBuckets:
         # overflow docs truncate to the last cap with zero waste
         top = got[got.bucket_cap == 2048].iloc[0]
         assert top.n_docs == 3 and top.pad_waste == 0  # 5000, 2048, 2049
+
+
+class TestTokenBudgetSample:
+    def _table(self, n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+            "source": pa.array(
+                [["a", "b", "c"][i % 3] for i in range(n)]
+            ),
+            "n_tok": pa.array(rng.integers(10, 500, n).astype(np.int32)),
+        })
+
+    @staticmethod
+    def _expected(t, budgets, seed, default):
+        df = t.to_pandas()
+        u = detmix.seeded_mix(
+            detmix.string_hash64(df["doc_id"].to_numpy(object)), seed
+        )
+        df = df.assign(u=u).sort_values(["source", "u", "doc_id"])
+        keep = []
+        for s, g in df.groupby("source"):
+            bud = budgets.get(s, default)
+            if bud is None:
+                keep.extend(g["doc_id"])
+                continue
+            cum = g["n_tok"].astype("int64").cumsum()
+            keep.extend(g.loc[cum <= bud, "doc_id"])
+        return sorted(keep)
+
+    def test_exact_prefix_rule(self, ray_session):
+        t = self._table()
+        budgets = {"a": 3000, "b": 1}  # b: nothing fits
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.token_budget_sample(
+                rd.from_arrow(t), budgets, seed=11, default_budget=2000
+            ).take_all()
+        )
+        assert got == self._expected(t, budgets, 11, 2000)
+        assert got  # something kept
+
+    def test_default_none_keeps_unlisted_sources_fully(self, ray_session):
+        t = self._table(60)
+        got = sampling.token_budget_sample(
+            rd.from_arrow(t), {"a": 500}, seed=2, default_budget=None
+        ).to_pandas()
+        full = t.to_pandas()
+        for s in ("b", "c"):
+            assert (got["source"] == s).sum() == (full["source"] == s).sum()
+        assert got.loc[got["source"] == "a", "n_tok"].astype("int64").sum() <= 500
+
+    def test_partition_invariance_and_forced_refinement(self, ray_session):
+        t = self._table(300, seed=9)
+        budgets = {"a": 4000, "b": 2500, "c": 100}
+        ref = self._expected(t, budgets, 5, None)
+        for blocks, kw in [(1, {}), (7, {}),
+                           (4, dict(n_bins=2, collect_budget=1, max_levels=80))]:
+            ds = rd.from_arrow(t).repartition(blocks)
+            got = sorted(
+                r["doc_id"]
+                for r in sampling.token_budget_sample(
+                    ds, budgets, seed=5, **kw
+                ).take_all()
+            )
+            assert got == ref, f"blocks={blocks} kw={kw}"
+
+    def test_oracle_parity(self, ray_session):
+        import duckdb
+
+        t = self._table(120, seed=4)
+        budgets = {"a": 2000, "c": 900}
+        got = (
+            sampling.token_budget_sample(
+                rd.from_arrow(t), budgets, seed=13, default_budget=1500
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got["n_tok"] = got["n_tok"].astype("int64")
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        odf = (
+            con.execute(
+                sampling.token_budget_oracle_sql(
+                    "docs_arrow", budgets, seed=13, default_budget=1500
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(odf)
