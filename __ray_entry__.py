@@ -610,6 +610,18 @@ def _q_mixture_sample(sf_dir: str):
     return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact per-source sequence-length quantiles (percentile_disc per
+    group): (group, value, cnt) partials bucketed by hash(group), one
+    in-bucket cumulative rank scan (stages/stats.py:grouped_quantiles)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["source", "n_tok"])
+    return _stats.grouped_quantiles(ds, group_col="source", value_col="n_tok")
+
+
 def _q_token_budget(sf_dir: str):
     """Exact per-source TOKEN-budget sampling: keep the maximal prefix of
     docs in seeded-hash order whose cumulative n_tok fits each source's
@@ -1873,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
         "normalize_docs": _q_normalize_docs,
         "line_dedup_docs": _q_line_dedup,
@@ -2294,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
         ),
+        "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(
             corpus_cols,
             _TOKEN_BUDGETS,

@@ -816,3 +816,127 @@ def float_quantiles_oracle_sql(
         for p in ps
     )
     return f"SELECT {cols} FROM {table} WHERE {column} IS NOT NULL"
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles (percentile_disc per group, shuffle-bounded)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """EXACT percentile_disc per group of an integer column — per-domain
+    sequence-length profiles (p50/p95 n_tok per source drive packing and
+    mixture decisions). One row per group: (group, p25, p50, ...).
+
+    Scale shape (the grouped_topk discipline): each block emits one
+    (group, value, cnt) PARTIAL per distinct pair present — payload
+    O(groups-in-block x distinct values), independent of block rows —
+    bucketed by hash(group) so a group's whole value histogram lands in
+    ONE bucket, where the cumulative rank scan resolves every quantile
+    exactly. Only O(groups x len(ps)) rows leave the reduce. NULL values
+    are excluded (percentile_disc semantics); NULL group keys form their
+    own group (SQL GROUP BY). Suited to int domains whose distinct-value
+    count is bounded (lengths, years, counts); arbitrary float columns
+    at corpus scale take the float_quantiles refinement path instead."""
+    nb = n_buckets or util.scaled_buckets(ds)
+    labels = [
+        f"p{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}"
+        for p in ps
+    ]
+    empty_cols = {group_col: pa.array([], pa.string())}
+    for lab in labels:
+        empty_cols[lab] = pa.array([], pa.int64())
+    empty = pa.table(empty_cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(vals)
+        gser = t.column(group_col).to_pandas().fillna("")[ok]
+        v = vals[ok].astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        codes, uniq = pd.factorize(gser, sort=False)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        new = np.empty(len(vs), bool)
+        new[0] = True
+        np.logical_or(cs[1:] != cs[:-1], vs[1:] != vs[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(vs)]).astype(np.int64)
+        groups = uniq.to_numpy(dtype=object)[cs[starts]]
+        bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "v": pa.array(vs[starts]),
+                "cnt": pa.array(cnt),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        df = (
+            g.select([group_col, "v", "cnt"])
+            .to_pandas()
+            .groupby([group_col, "v"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        rows: dict[str, list] = {group_col: []}
+        for lab in labels:
+            rows[lab] = []
+        for s, gd in df.groupby(group_col, sort=True):
+            values = gd["v"].to_numpy(np.int64)  # sorted by the groupby
+            cum = np.cumsum(gd["cnt"].to_numpy(np.int64))
+            n = int(cum[-1])
+            rows[group_col].append(s)
+            for p, lab in zip(ps, labels):
+                rank = max(int(np.ceil(p * n)), 1)
+                rows[lab].append(int(values[np.searchsorted(cum, rank)]))
+        out = {group_col: pa.array(rows[group_col], pa.string())}
+        for lab in labels:
+            out[lab] = pa.array(rows[lab], pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda t: empty if t.num_columns == 0 else t, batch_format="pyarrow"
+        )
+    )
+
+
+def grouped_quantiles_oracle_sql(
+    table: str,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles`."""
+    cols = ", ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})::BIGINT AS "
+        + (f"p{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}")
+        for p in ps
+    )
+    return (
+        f"SELECT coalesce({group_col}, '') AS {group_col}, {cols} "
+        f"FROM {table} WHERE {value_col} IS NOT NULL "
+        f"GROUP BY coalesce({group_col}, '')"
+    )

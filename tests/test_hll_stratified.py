@@ -259,3 +259,61 @@ class TestFloatQuantiles:
         t = pa.table({"v": pa.array([], pa.float64())})
         got = st.float_quantiles(rd.from_arrow(t), "v", (0.5,))
         assert np.isnan(got.iloc[0]["p50"])
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb_with_nulls_and_null_group(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        rng = np.random.default_rng(6)
+        n = 400
+        vals = rng.integers(0, 100, n).astype(np.int64)
+        t = pa.table({
+            "source": pa.array(
+                [None if i % 37 == 0 else ["a", "b", "c"][i % 3] for i in range(n)]
+            ),
+            "n_tok": pa.array(
+                [None if i % 29 == 0 else int(vals[i]) for i in range(n)],
+                pa.int64(),
+            ),
+        })
+        got = (
+            stats.grouped_quantiles(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("tt", t)
+        want = (
+            con.execute(stats.grouped_quantiles_oracle_sql("tt"))
+            .df()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert got[want.columns.tolist()].equals(want)
+
+    def test_bucket_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        rng = np.random.default_rng(1)
+        t = pa.table({
+            "source": pa.array([f"s{i % 7}" for i in range(300)]),
+            "n_tok": pa.array(rng.integers(1, 50, 300).astype(np.int64)),
+        })
+        a = stats.grouped_quantiles(rd.from_arrow(t), n_buckets=2).to_pandas()
+        b = stats.grouped_quantiles(rd.from_arrow(t), n_buckets=19).to_pandas()
+        key = a.columns.tolist()
+        assert (
+            a.sort_values("source").reset_index(drop=True)[key]
+            .equals(b.sort_values("source").reset_index(drop=True)[key])
+        )
