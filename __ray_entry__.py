@@ -610,6 +610,26 @@ def _q_mixture_sample(sf_dir: str):
     return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
 
 
+def _q_tokenize_docs(sf_dir: str):
+    """Hashed tokenization (text -> list<int32> ids, feature hashing)
+    checked through the position-weighted checksum so every id is pinned
+    POSITIONALLY (pipelines/text.py:tokenize_hashed + the
+    transforms.position_weighted kernel token_posweight already uses)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+    from duckdb_raquet_ray.pipelines import transforms as _tr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = _text.tokenize_hashed(ds)
+    return toks.map_batches(
+        lambda b: _tr.position_weighted(b, id_cols=("doc_id", "n_tok")),
+        batch_format="pyarrow",
+    )
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Exact per-source sequence-length quantiles (percentile_disc per
     group): (group, value, cnt) partials bucketed by hash(group), one
@@ -1885,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
         "normalize_docs": _q_normalize_docs,
@@ -2307,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
         ),
+        "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(
             corpus_cols,

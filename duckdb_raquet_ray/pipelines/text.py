@@ -337,3 +337,95 @@ def normalize_oracle_sql(
         f"SELECT {key_col}, {expr} AS {text_col}, "
         f"length({expr})::BIGINT AS n_chars FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed tokenization: text -> list<int32> token ids (the docs -> tokens
+# bridge; feature-hashing over whitespace words, fully SQL-replicable)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_hashed_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vocab: int = 50_257,
+) -> pa.Table:
+    """Vectorized hashed tokenizer: split on ' ', token id =
+    string_hash64(word) % vocab (the classic feature-hashing trick) —
+    one flattened hash pass per batch, no per-word Python. Emits
+    (key, tokens list<int32>, n_tok int64); null-text docs are dropped
+    (the SQL twin's string_split(NULL) path). Deliberately the same
+    input shape BASELINE.json's corpus carries, so the whole encode /
+    pack / stats surface runs downstream of raw documents."""
+    from duckdb_raquet_ray import util as _util
+    from duckdb_raquet_ray.functions import detmix as _detmix
+
+    t = _util.strip_schema_metadata(t)
+    s = t.column(text_col).to_pandas()
+    ok = s.notna().to_numpy()
+    kept = t.filter(pa.array(ok))
+    s = s[s.notna()]
+    parts = s.str.split(" ")
+    lens = (
+        parts.str.len().to_numpy(np.int64)
+        if len(parts)
+        else np.array([], np.int64)
+    )
+    if len(lens) and int(lens.sum()):
+        flat = np.concatenate(
+            [np.asarray(p, dtype=object) for p in parts.to_numpy()]
+        )
+        ids = (_detmix.string_hash64(flat) % np.uint64(vocab)).astype(np.int32)
+    else:
+        ids = np.array([], np.int32)
+    csum = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=csum[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(csum.astype(np.int32), pa.int32()), pa.array(ids, pa.int32())
+    )
+    return pa.table(
+        {
+            key_col: kept.column(key_col),
+            "tokens": tokens,
+            "n_tok": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+def tokenize_hashed(
+    ds, text_col: str = "text", key_col: str = "doc_id", vocab: int = 50_257
+):
+    """Streaming docs -> (key, tokens, n_tok); see tokenize_hashed_batch."""
+    return ds.map_batches(
+        lambda b: tokenize_hashed_batch(b, text_col, key_col, vocab),
+        batch_format="pyarrow",
+    )
+
+
+def tokenize_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vocab: int = 50_257,
+) -> str:
+    """DuckDB twin of tokenize_hashed + transforms.position_weighted:
+    identical word split / detmix hash / % vocab, n_tok = word count,
+    posw = sum(0-based position x id) — pins every id POSITIONALLY."""
+    from duckdb_raquet_ray.functions import detmix as _detmix
+
+    return f"""WITH pow257_64(j, v) AS (VALUES {_detmix.sql_pow257_64_values()}),
+w0 AS (
+  SELECT {key_col}, string_split({text_col}, ' ') AS ws
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+l AS (
+  SELECT {key_col} AS dk, i, ws[i] AS word
+  FROM w0, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+{_detmix.sql_string_hash_ctes("l", "word")}
+SELECT l.dk AS {key_col}, count(*)::BIGINT AS n_tok,
+       sum((l.i - 1) * (kh.h % {vocab}))::BIGINT AS posw
+FROM l JOIN kh ON kh.k = l.word
+GROUP BY l.dk"""

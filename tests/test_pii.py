@@ -240,3 +240,47 @@ class TestNormalizeText:
         ).take_all()
         assert len(got) == 2 and all("\u00f3" in r["text"] for r in got)
         assert "\u00e1" in next(r["text"] for r in got if r["doc_id"] == 0)
+
+
+class TestTokenizeHashed:
+    def test_golden_and_sql_parity(self, ray_session):
+        from duckdb_raquet_ray.pipelines import text as tx
+        from duckdb_raquet_ray.pipelines import transforms as tr
+        from duckdb_raquet_ray.functions import detmix
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta alpha", None, ""]),
+        })
+        out = tx.tokenize_hashed_batch(t)
+        # null-text doc dropped; '' -> one empty-string word
+        assert out.column("doc_id").to_pylist() == [0, 2]
+        assert out.column("n_tok").to_pylist() == [3, 1]
+        toks = out.column("tokens").to_pylist()
+        assert toks[0][0] == toks[0][2] != toks[0][1]  # same word, same id
+        import numpy as np
+
+        expect = (
+            detmix.string_hash64(np.array(["alpha", "beta"], object))
+            % np.uint64(50_257)
+        ).astype(int)
+        assert toks[0] == [expect[0], expect[1], expect[0]]
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        odf = (
+            con.execute(tx.tokenize_oracle_sql("docs_arrow"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        posw = tr.position_weighted(out, id_cols=("doc_id", "n_tok"))
+        got = posw.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got[odf.columns.tolist()].equals(odf)
+
+    def test_ray_path_feeds_packing_shape(self, ray_session):
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        out = tx.tokenize_hashed(ds).take_all()
+        assert len(out) == 500
+        assert all(r["n_tok"] == len(r["tokens"]) for r in out[:20])
