@@ -25,6 +25,7 @@ SimHash, IVF, multimodal stubs) are rows-only by design.
 from __future__ import annotations
 
 import functools
+import glob
 import importlib
 import os
 import pkgutil
@@ -608,6 +609,39 @@ def _q_mixture_sample(sf_dir: str):
 
     ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
     return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
+
+
+def _q_tokenize_encode_roundtrip(sf_dir: str):
+    """FLAGSHIP composition: raw documents -> tokenize_hashed -> full
+    columnar encode_job (planner, FoR/RLE/dict/bitpack codecs, lineage
+    manifest) -> per-row token stats read OFF THE ENCODED FORM
+    (rowcodec.stats_child pushdown, no token-plane materialization).
+    The oracle re-derives the same numbers in pure SQL from the raw
+    text, so one value check pins the tokenizer AND bit-identity of the
+    whole codec chain end to end."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import decode, encode
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    enc_dir = f"/tmp/raquet_tokenc_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(enc_dir, "manifest.json")):
+        land = f"{enc_dir}.landing"
+        if not os.path.isdir(land):
+            ds = rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "source"],
+            )
+            toks = _text.tokenize_hashed(ds, keep_cols=("source",))
+            tmp = f"{land}.tmp-{os.getpid()}"
+            toks.write_parquet(tmp)
+            os.rename(tmp, land)  # publish-by-rename: kill-safe landing
+        files = sorted(glob.glob(os.path.join(land, "*.parquet")))
+        encode.encode_job(files, enc_dir, target_part_bytes=1 << 20)
+    return decode.read_encoded_token_stats(enc_dir).select_columns(
+        ["doc_id", "n_tok", "source", "tok_count", "tok_min", "tok_max", "tok_sum"]
+    )
 
 
 def _q_tokenize_docs(sf_dir: str):
@@ -1905,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2327,6 +2362,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
+        ),
+        "tokenize_encode_roundtrip": _text_ops.tokenize_stats_oracle_sql(
+            "documents"
         ),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),

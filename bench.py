@@ -344,6 +344,12 @@ def bench_tables_phase(cpus: int) -> dict:
         concurrency=(1, min(cpus, 8)), num_cpus=1,
     ).count())), 3)
 
+    queries["tokenize"] = round(min(best_of(lambda: text.tokenize_hashed(
+        rd.read_parquet(docs, columns=["doc_id", "text"])
+    ).map_batches(
+        lambda b: b.drop_columns(["tokens"]), batch_format="pyarrow"
+    ).count())), 3)
+
     queries["exact_dedup"] = round(min(best_of(lambda: dedup.exact_dedup(rd.read_parquet(docs)).count())), 3)
 
     queries["minhash_dedup"] = round(min(best_of(lambda: dedup.minhash_dedup(rd.read_parquet(docs)).count())), 3)

@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .. import util
+from ..functions import detmix as _detmix
 from .dedup import _shingle_hashes_ordered
 
 # small per-language stopword tables for the n-gram/stopword heuristic
@@ -350,6 +351,7 @@ def tokenize_hashed_batch(
     text_col: str = "text",
     key_col: str = "doc_id",
     vocab: int = 50_257,
+    keep_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Vectorized hashed tokenizer: split on ' ', token id =
     string_hash64(word) % vocab (the classic feature-hashing trick) —
@@ -358,10 +360,7 @@ def tokenize_hashed_batch(
     (the SQL twin's string_split(NULL) path). Deliberately the same
     input shape BASELINE.json's corpus carries, so the whole encode /
     pack / stats surface runs downstream of raw documents."""
-    from duckdb_raquet_ray import util as _util
-    from duckdb_raquet_ray.functions import detmix as _detmix
-
-    t = _util.strip_schema_metadata(t)
+    t = util.strip_schema_metadata(t)
     s = t.column(text_col).to_pandas()
     ok = s.notna().to_numpy()
     kept = t.filter(pa.array(ok))
@@ -384,23 +383,63 @@ def tokenize_hashed_batch(
     tokens = pa.ListArray.from_arrays(
         pa.array(csum.astype(np.int32), pa.int32()), pa.array(ids, pa.int32())
     )
-    return pa.table(
-        {
-            key_col: kept.column(key_col),
-            "tokens": tokens,
-            "n_tok": pa.array(lens, pa.int64()),
-        }
-    )
+    cols = {
+        key_col: kept.column(key_col),
+        "tokens": tokens,
+        "n_tok": pa.array(lens, pa.int64()),
+    }
+    for c in keep_cols:
+        cols[c] = kept.column(c)
+    return pa.table(cols)
 
 
 def tokenize_hashed(
-    ds, text_col: str = "text", key_col: str = "doc_id", vocab: int = 50_257
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vocab: int = 50_257,
+    keep_cols: tuple[str, ...] = (),
 ):
-    """Streaming docs -> (key, tokens, n_tok); see tokenize_hashed_batch."""
+    """Streaming docs -> (key, tokens, n_tok, *keep_cols); see
+    tokenize_hashed_batch."""
     return ds.map_batches(
-        lambda b: tokenize_hashed_batch(b, text_col, key_col, vocab),
+        lambda b: tokenize_hashed_batch(b, text_col, key_col, vocab, keep_cols),
         batch_format="pyarrow",
     )
+
+
+def tokenize_stats_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vocab: int = 50_257,
+) -> str:
+    """Pure-SQL re-derivation of per-doc token stats FROM RAW TEXT — the
+    oracle for the flagship composition raw docs -> tokenize_hashed ->
+    encode_job -> read_encoded_token_stats. The engine side computes the
+    same numbers off the ENCODED columnar form, so an exact match pins
+    the tokenizer AND the whole codec chain (bit-identical decode) in one
+    value check. Same split / detmix hash / % vocab as
+    tokenize_oracle_sql."""
+    return f"""WITH pow257_64(j, v) AS (VALUES {_detmix.sql_pow257_64_values()}),
+w0 AS (
+  SELECT {key_col}, source, string_split({text_col}, ' ') AS ws
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+l AS (
+  SELECT {key_col} AS dk, source, ws[i] AS word
+  FROM w0, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+{_detmix.sql_string_hash_ctes("l", "word")}
+SELECT l.dk AS {key_col}, count(*)::BIGINT AS n_tok,
+       any_value(l.source) AS source,
+       count(*)::BIGINT AS tok_count,
+       min(kh.h % {vocab})::BIGINT AS tok_min,
+       max(kh.h % {vocab})::BIGINT AS tok_max,
+       sum(kh.h % {vocab})::BIGINT AS tok_sum
+FROM l JOIN kh ON kh.k = l.word
+GROUP BY l.dk"""
 
 
 def tokenize_oracle_sql(
@@ -413,8 +452,6 @@ def tokenize_oracle_sql(
     """DuckDB twin of tokenize_hashed + transforms.position_weighted:
     identical word split / detmix hash / % vocab, n_tok = word count,
     posw = sum(0-based position x id) — pins every id POSITIONALLY."""
-    from duckdb_raquet_ray.functions import detmix as _detmix
-
     return f"""WITH pow257_64(j, v) AS (VALUES {_detmix.sql_pow257_64_values()}),
 w0 AS (
   SELECT {key_col}, string_split({text_col}, ' ') AS ws

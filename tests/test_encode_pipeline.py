@@ -268,3 +268,57 @@ class TestIncrementalAppend:
         assert meta["num_rows"] == 3000
         # the full 6-shard set decodes bit-identically
         assert decode.verify_job(paths6, out, target_part_bytes=1 << 20)["ok"]
+
+
+class TestTokenizeEncodeComposition:
+    """Flagship composition: raw text -> tokenize_hashed -> encode_job ->
+    stats off the encoded form == stats computed directly on the
+    tokenizer's output (bit-identity of the codec chain from raw text)."""
+
+    def test_tokenize_encode_stats_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import text as tx
+        from duckdb_raquet_ray.pipelines import transforms as tr
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array(
+                    [
+                        None if i % 37 == 0 else f"alpha beta{i % 7} gamma {i} " * (1 + i % 5)
+                        for i in range(200)
+                    ]
+                ),
+                "source": pa.array([f"s{i % 3}" for i in range(200)]),
+            }
+        )
+        toks = tx.tokenize_hashed(rd.from_arrow(docs), keep_cols=("source",))
+        land = tmp_path / "landing"
+        toks.write_parquet(str(land))
+        files = sorted(str(p) for p in land.glob("*.parquet"))
+        enc = str(tmp_path / "enc")
+        encj.encode_job(files, enc, target_part_bytes=1 << 18)
+
+        cols = ["doc_id", "n_tok", "source", "tok_count", "tok_min", "tok_max", "tok_sum"]
+        got = (
+            dec.read_encoded_token_stats(enc)
+            .select_columns(cols)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            pa.concat_tables(
+                tr.token_stats(pq.read_table(f)) for f in files
+            )
+            .select(cols)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got, want)
+        # null-text docs are dropped by the tokenizer
+        assert len(got) == 200 - len([i for i in range(200) if i % 37 == 0])
