@@ -644,6 +644,63 @@ def _q_tokenize_encode_roundtrip(sf_dir: str):
     )
 
 
+def _mod_split(b, *, mod: int, rem: int, keep: bool):
+    """Vectorized doc_id % mod == rem row split (pa.Table -> pa.Table)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = (b.column("doc_id").to_numpy(zero_copy_only=False) % mod) == rem
+    return b.filter(pa.array(m if keep else ~m))
+
+
+def _q_bloom_registers(sf_dir: str):
+    """Distributed Bloom filter BUILD (pipelines/bloom.py): word-5-gram
+    hashes of the benchmark docs (doc_id % 50 == 7) -> Kirsch-Mitzenmacher
+    double-hashed bit positions -> sketch-bounded distinct shuffle ->
+    packed uint64 words. The oracle re-derives every nonzero word in
+    DuckDB HUGEINT arithmetic, so the packed bitmap value-checks."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import bloom
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench = ds.map_batches(
+        functools.partial(_mod_split, mod=50, rem=7, keep=True),
+        batch_format="pyarrow",
+    )
+    words = bloom.bloom_build(bench, n=5, m_bits=bloom.M_BITS_DEFAULT, k=4)
+    return bloom.registers_table(words)
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-based decontamination: the GPT-3 appendix-C n-gram overlap
+    rule at the 100-TB shape — the benchmark set lives in an O(m)-bit
+    sketch broadcast once, the corpus streams through one k-bit probe
+    pass. The SQL twin replicates the exact bit arithmetic, so even
+    Bloom FALSE POSITIVES hash-match (pipelines/bloom.py)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import bloom
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench = ds.map_batches(
+        functools.partial(_mod_split, mod=50, rem=7, keep=True),
+        batch_format="pyarrow",
+    )
+    words = bloom.bloom_build(bench, n=5, m_bits=bloom.M_BITS_DEFAULT, k=4)
+    train = ds.map_batches(
+        functools.partial(_mod_split, mod=50, rem=7, keep=False),
+        batch_format="pyarrow",
+    )
+    return bloom.bloom_probe(train, words, n=5, concurrency=(1, 4)).select_columns(
+        ["doc_id", "bloom_hits", "bloom_flag"]
+    )
+
+
 def _q_tokenize_docs(sf_dir: str):
     """Hashed tokenization (text -> list<int32> ids, feature hashing)
     checked through the position-weighted checksum so every id is pinned
@@ -1940,6 +1997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
+        "bloom_registers_docs": _q_bloom_registers,
+        "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2070,6 +2129,7 @@ def _point_lookup_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import ann as _ann
+    from duckdb_raquet_ray.pipelines import bloom as _bloom
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import pii as _pii
     from duckdb_raquet_ray.pipelines import dedup as _dedup
@@ -2365,6 +2425,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tokenize_encode_roundtrip": _text_ops.tokenize_stats_oracle_sql(
             "documents"
+        ),
+        "bloom_registers_docs": _bloom.bloom_registers_oracle_sql(
+            "documents", n=5, k=4, where="doc_id % 50 = 7"
+        ),
+        "bloom_decontaminate_docs": _bloom.bloom_decontaminate_oracle_sql(
+            "documents", n=5, k=4, bench_mod=50, bench_rem=7
         ),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),

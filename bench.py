@@ -344,6 +344,28 @@ def bench_tables_phase(cpus: int) -> dict:
         concurrency=(1, min(cpus, 8)), num_cpus=1,
     ).count())), 3)
 
+    def bloom_run():
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import bloom
+
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+
+        def split(b, keep):
+            m = (b.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
+            return b.filter(pa.array(m if keep else ~m))
+
+        words = bloom.bloom_build(
+            ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+        )
+        return bloom.bloom_probe(
+            ds.map_batches(lambda b: split(b, False), batch_format="pyarrow"),
+            words,
+            concurrency=(1, min(cpus, 8)),
+        ).count()
+
+    queries["bloom_decon"] = round(min(best_of(bloom_run)), 3)
+
     queries["tokenize"] = round(min(best_of(lambda: text.tokenize_hashed(
         rd.read_parquet(docs, columns=["doc_id", "text"])
     ).map_batches(
