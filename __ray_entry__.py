@@ -644,6 +644,42 @@ def _q_tokenize_encode_roundtrip(sf_dir: str):
     )
 
 
+def _q_cms_registers(sf_dir: str):
+    """Count-Min sketch BUILD over the corpus token stream
+    (pipelines/cms.py): per-block nonzero-cell partials, one
+    sketch-bounded groupby-sum — cell counts are EXACT (merge is
+    lossless by linearity), so every cell value-checks in SQL."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cms
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    return cms.cms_registers(ds, "tokens")
+
+
+def _q_cms_estimate(sf_dir: str):
+    """Count-Min point-frequency estimates for tokens 0..63: min over
+    the d rows of the item's cell — the approximate scale path next to
+    the exact vocab_topk shuffle. The SQL twin replicates the min rule
+    over exact cell counts, so the sketch's OVERESTIMATES (collisions)
+    hash-match too."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cms
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    sk = cms.cms_build(ds, "tokens")
+    items = np.arange(64, dtype=np.int64)
+    return pa.table(
+        {
+            "token": pa.array(items, pa.int64()),
+            "est": pa.array(cms.cms_estimate(sk, items), pa.int64()),
+        }
+    )
+
+
 def _mod_split(b, *, mod: int, rem: int, keep: bool):
     """Vectorized doc_id % mod == rem row split (pa.Table -> pa.Table)."""
     import numpy as np
@@ -1999,6 +2035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
         "bloom_registers_docs": _q_bloom_registers,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
+        "cms_registers_tokens": _q_cms_registers,
+        "cms_estimate_tokens": _q_cms_estimate,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2130,6 +2168,7 @@ def _point_lookup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import ann as _ann
     from duckdb_raquet_ray.pipelines import bloom as _bloom
+    from duckdb_raquet_ray.pipelines import cms as _cms
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import pii as _pii
     from duckdb_raquet_ray.pipelines import dedup as _dedup
@@ -2432,6 +2471,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate_docs": _bloom.bloom_decontaminate_oracle_sql(
             "documents", n=5, k=4, bench_mod=50, bench_rem=7
         ),
+        "cms_registers_tokens": _cms.cms_registers_oracle_sql(corpus),
+        "cms_estimate_tokens": _cms.cms_estimate_oracle_sql(corpus),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

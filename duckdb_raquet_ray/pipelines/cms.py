@@ -1,0 +1,188 @@
+"""Count-Min sketch: the mergeable frequency sketch (Cormode & Muthukrishnan
+2005, public algorithm) — point-frequency estimates over a token stream in
+O(d x w) memory regardless of corpus size. The approximate scale path next
+to the EXACT `stages/stats.bigram_topk` / `vocab_topk` (whose shuffles are
+information-theoretically corpus-sized on adversarially diverse data):
+at 100 TB a CMS answers "how frequent is token/n-gram X" with one
+sketch-bounded shuffle and a fixed-size table, overestimating by at most
+eps x N with probability 1 - delta (w = ceil(e/eps), d = ceil(ln 1/delta)).
+
+Scale contract: per-block partials are nonzero sketch cells — at most
+d x min(distinct_in_block, w) rows regardless of block rows — merged by
+ONE groupby-sum (the merge IS the shuffle, like hll_registers /
+bloom_build_positions); the dense (d, w) sketch is a design constant the
+driver holds and `ray.put`-broadcasts for estimate probes.
+
+Determinism / oracle: row-j position of item x = splitmix64(x XOR seed_j)
+mod w — plain modular integer math, replicated exactly in DuckDB
+(`cms_registers_oracle_sql` pins every nonzero cell count;
+`cms_estimate_oracle_sql` pins the min-over-rows estimate rule, so the
+sketch's OVERESTIMATES — its collisions — must match too).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .. import util
+from ..functions import detmix
+
+W_DEFAULT = 1 << 12
+D_DEFAULT = 4
+
+# per-row seeds, inlined as constants into the SQL twins
+_SEED_BASE = 0xC3A5
+ROW_SEEDS = tuple(int(detmix.splitmix64(_SEED_BASE + j)) for j in range(16))
+U64 = 1 << 64
+
+
+def _row_positions(x: np.ndarray, w: int, j: int) -> np.ndarray:
+    """Row-j cell of items `x` (uint64): splitmix64(x XOR seed_j) mod w."""
+    return (detmix.splitmix64(x ^ np.uint64(ROW_SEEDS[j])) % np.uint64(w)).astype(
+        np.int64
+    )
+
+
+def _cms_partials(
+    t: pa.Table, column: str, w: int, d: int, flatten: bool
+) -> pa.Table:
+    """Per-block nonzero sketch cells as (cell = j*w + col, cnt) rows."""
+    t = util.strip_schema_metadata(t)
+    col = t.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if flatten:
+        col = col.flatten()
+    vals = np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    if len(vals) == 0:
+        return pa.table(
+            {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    cells, cnts = [], []
+    for j in range(d):
+        counts = np.bincount(_row_positions(vals, w, j), minlength=w)
+        nz = np.nonzero(counts)[0]
+        cells.append(nz + j * w)
+        cnts.append(counts[nz])
+    return pa.table(
+        {
+            "cell": pa.array(np.concatenate(cells).astype(np.int64), pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def cms_registers(
+    ds: rd.Dataset,
+    column: str = "tokens",
+    *,
+    w: int = W_DEFAULT,
+    d: int = D_DEFAULT,
+    flatten: bool = True,
+) -> rd.Dataset:
+    """Merged Count-Min cells (cell int64, cnt int64), nonzero only —
+    the value-checkable face of the sketch. One sketch-bounded
+    groupby-sum; EXACT counts per cell (the approximation is in reading
+    the sketch, never in building it — merge is lossless by linearity)."""
+    if d > len(ROW_SEEDS):
+        raise ValueError(f"d must be <= {len(ROW_SEEDS)}, got {d}")
+    parts = ds.map_batches(
+        lambda t: _cms_partials(t, column, w, d, flatten), batch_format="pyarrow"
+    )
+    agg = parts.groupby("cell").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.rename_columns(["cell", "cnt"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def cms_build(
+    ds: rd.Dataset,
+    column: str = "tokens",
+    *,
+    w: int = W_DEFAULT,
+    d: int = D_DEFAULT,
+    flatten: bool = True,
+) -> np.ndarray:
+    """Dense (d, w) int64 sketch. Driver memory O(d x w) — a design
+    constant (1 MiB per million cells), never O(corpus)."""
+    rows = cms_registers(ds, column, w=w, d=d, flatten=flatten).take_all()
+    sk = np.zeros(d * w, np.int64)
+    for r in rows:  # <= d*w rows, bounded by the design constant
+        sk[r["cell"]] = r["cnt"]
+    return sk.reshape(d, w)
+
+
+def cms_estimate(sketch: np.ndarray, items: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over rows of the item's cell — the
+    classic CMS read (never underestimates; overestimate <= eps x N
+    w.h.p.). Vectorized over the query items."""
+    d, w = sketch.shape
+    items = np.asarray(items).astype(np.uint64)
+    est = np.full(len(items), np.iinfo(np.int64).max, np.int64)
+    for j in range(d):
+        np.minimum(est, sketch[j, _row_positions(items, w, j)], out=est)
+    return est
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB) — byte-for-byte replicas of the kernels above
+# ---------------------------------------------------------------------------
+
+
+def _sql_row_pos(x_expr: str, w: int, j: int) -> str:
+    """SQL twin of _row_positions: splitmix64(x XOR seed_j) % w."""
+    return f"({detmix.sql_splitmix64(f'xor(({x_expr})::UBIGINT, {ROW_SEEDS[j]})')} % {w})"
+
+
+def cms_registers_oracle_sql(
+    corpus: str,
+    column: str = "tokens",
+    *,
+    w: int = W_DEFAULT,
+    d: int = D_DEFAULT,
+) -> str:
+    """DuckDB replica of cms_registers over a list column: exact count of
+    stream items landing in every cell, nonzero cells only."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT ({j * w} + {_sql_row_pos('x', w, j)})::BIGINT AS cell FROM tok"
+        for j in range(d)
+    )
+    return f"""WITH tok AS (SELECT unnest({column}) AS x FROM {corpus}),
+cells AS ({rows})
+SELECT cell, count(*)::BIGINT AS cnt FROM cells GROUP BY cell"""
+
+
+def cms_estimate_oracle_sql(
+    corpus: str,
+    column: str = "tokens",
+    *,
+    w: int = W_DEFAULT,
+    d: int = D_DEFAULT,
+    n_items: int = 64,
+) -> str:
+    """DuckDB replica of cms_build + cms_estimate for query items
+    0..n_items-1: min over the d rows of the item's exact cell count
+    (absent cell = 0 via the LEFT JOIN) — collisions and all."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT ({j * w} + {_sql_row_pos('x', w, j)})::BIGINT AS cell FROM tok"
+        for j in range(d)
+    )
+    qpos = "\nUNION ALL\n".join(
+        f"SELECT token, ({j * w} + {_sql_row_pos('token', w, j)})::BIGINT AS cell "
+        "FROM items"
+        for j in range(d)
+    )
+    return f"""WITH tok AS (SELECT unnest({column}) AS x FROM {corpus}),
+cells AS ({rows}),
+sk AS (SELECT cell, count(*)::BIGINT AS cnt FROM cells GROUP BY cell),
+items AS (SELECT unnest(generate_series(0, {n_items - 1})) AS token),
+qp AS ({qpos})
+SELECT qp.token::BIGINT AS token, min(coalesce(sk.cnt, 0))::BIGINT AS est
+FROM qp LEFT JOIN sk ON sk.cell = qp.cell
+GROUP BY qp.token"""

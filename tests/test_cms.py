@@ -1,0 +1,104 @@
+"""Count-Min sketch: SQL-twin parity (cells + min-rule estimates, forced
+collisions), never-underestimate guarantee, merge/block invariance,
+sketch-bounded partials, epsilon error bound."""
+
+import duckdb
+import numpy as np
+import pandas.testing as pdt
+import pyarrow as pa
+import pytest
+
+from duckdb_raquet_ray.pipelines import cms
+
+
+def _token_table(n_rows: int = 300, vocab: int = 200, seed: int = 1) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    lists = [
+        rng.integers(0, vocab, size=rng.integers(0, 40)).astype(np.int32)
+        for _ in range(n_rows)
+    ]
+    off = np.zeros(n_rows + 1, np.int64)
+    np.cumsum([len(x) for x in lists], out=off[1:])
+    flat = np.concatenate(lists) if lists else np.zeros(0, np.int32)
+    return pa.table(
+        {
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32), pa.int32()), pa.array(flat, pa.int32())
+            )
+        }
+    ), flat
+
+
+def _dense_from_partials(part: pa.Table, w: int, d: int) -> np.ndarray:
+    sk = np.zeros(d * w, np.int64)
+    for cell, cnt in zip(part.column("cell").to_pylist(), part.column("cnt").to_pylist()):
+        sk[cell] += cnt
+    return sk.reshape(d, w)
+
+
+class TestKernels:
+    def test_never_underestimates_and_bound(self):
+        t, flat = _token_table()
+        w, d = 1 << 8, 4
+        sk = _dense_from_partials(cms._cms_partials(t, "tokens", w, d, True), w, d)
+        true = np.bincount(flat, minlength=256)[:200]
+        est = cms.cms_estimate(sk, np.arange(200))
+        assert (est >= true).all()
+        # CMS bound: overestimate <= (e/w) * N with prob 1 - e^-d; check a
+        # loose deterministic multiple for this fixture
+        n = len(flat)
+        assert (est - true).max() <= 3 * np.e * n / w
+
+    def test_registers_and_estimate_match_sql_with_collisions(self):
+        t, _ = _token_table(seed=7)
+        w, d = 1 << 7, 3  # tiny w -> collisions guaranteed
+        part = cms._cms_partials(t, "tokens", w, d, True)
+        sk = _dense_from_partials(part, w, d)
+        con = duckdb.connect()
+        con.register("corpus", t)
+        odf = (
+            con.execute(cms.cms_registers_oracle_sql("corpus", w=w, d=d))
+            .df()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        edf = part.to_pandas().sort_values("cell").reset_index(drop=True)
+        pdt.assert_frame_equal(edf, odf, check_dtype=False)
+        oest = (
+            con.execute(cms.cms_estimate_oracle_sql("corpus", w=w, d=d, n_items=64))
+            .df()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        est = cms.cms_estimate(sk, np.arange(64))
+        assert np.array_equal(oest["est"].to_numpy(), est)
+
+    def test_d_cap(self, ray_session):
+        import ray.data as rd
+
+        t, _ = _token_table(n_rows=5)
+        with pytest.raises(ValueError):
+            cms.cms_registers(rd.from_arrow(t), d=99)
+
+
+class TestDistributed:
+    def test_block_invariance_and_merge_linearity(self, ray_session):
+        import ray.data as rd
+
+        t, flat = _token_table(n_rows=120, seed=5)
+        w, d = 1 << 10, 4
+        a = cms.cms_build(rd.from_arrow(t).repartition(1), w=w, d=d)
+        b = cms.cms_build(rd.from_arrow(t).repartition(11), w=w, d=d)
+        assert np.array_equal(a, b)
+        # row sums == stream length in every row (lossless build)
+        assert (a.sum(axis=1) == len(flat)).all()
+        # and equals the single-table kernel build
+        c = _dense_from_partials(cms._cms_partials(t, "tokens", w, d, True), w, d)
+        assert np.array_equal(a, c)
+
+    def test_partials_sketch_bounded(self):
+        t, flat = _token_table(n_rows=500, seed=9)
+        w, d = 1 << 6, 4
+        part = cms._cms_partials(t, "tokens", w, d, True)
+        assert part.num_rows <= d * w
+        assert part.num_rows <= d * len(np.unique(flat))
