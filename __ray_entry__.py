@@ -680,6 +680,20 @@ def _q_cms_estimate(sf_dir: str):
     )
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters (count >= 100) with the Count-Min sketch as a
+    shuffle-pruning candidate filter (pipelines/cms.py): CMS never
+    underestimates, so sketch-filtered candidates + one exact verify
+    groupby return exactly the plain GROUP BY ... HAVING answer — the
+    oracle would catch any collision survivor leaking through."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cms
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    return cms.cms_heavy_hitters(ds, "tokens", threshold=100)
+
+
 def _mod_split(b, *, mod: int, rem: int, keep: bool):
     """Vectorized doc_id % mod == rem row split (pa.Table -> pa.Table)."""
     import numpy as np
@@ -2037,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
         "cms_registers_tokens": _q_cms_registers,
         "cms_estimate_tokens": _q_cms_estimate,
+        "cms_heavy_hitters_tokens": _q_cms_heavy_hitters,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2473,6 +2488,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_registers_tokens": _cms.cms_registers_oracle_sql(corpus),
         "cms_estimate_tokens": _cms.cms_estimate_oracle_sql(corpus),
+        "cms_heavy_hitters_tokens": _cms.cms_heavy_hitters_oracle_sql(
+            corpus, threshold=100
+        ),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from .. import util
@@ -130,6 +132,73 @@ def cms_estimate(sketch: np.ndarray, items: np.ndarray) -> np.ndarray:
     return est
 
 
+def cms_heavy_hitters(
+    ds: rd.Dataset,
+    column: str = "tokens",
+    *,
+    threshold: int,
+    w: int = W_DEFAULT,
+    d: int = D_DEFAULT,
+    flatten: bool = True,
+) -> rd.Dataset:
+    """EXACT heavy hitters (items with global count >= threshold) with the
+    CMS as a shuffle-pruning filter, never an answer-changer: pass 1 builds
+    the global sketch (one sketch-bounded groupby, O(d x w) driver
+    constant); pass 2 re-streams the corpus, counts each block's distinct
+    items, probes the ray.put-broadcast sketch and forwards ONLY candidates
+    (est >= threshold) into the final exact groupby-sum + HAVING filter.
+    Because a CMS never underestimates, the candidate set is a superset of
+    the true heavy hitters — the exact verify pass returns EXACTLY the
+    items a full corpus-sized shuffle would, while the shuffle carries only
+    (true HH + collision survivors) rows per block instead of every
+    distinct item. Output: (token int64, cnt int64). SQL twin:
+    `cms_heavy_hitters_oracle_sql` (plain GROUP BY ... HAVING — the sketch
+    must be invisible in the result, collisions and all)."""
+    sk_ref = ray.put(cms_build(ds, column, w=w, d=d, flatten=flatten))
+    thr = int(threshold)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)
+        t = util.strip_schema_metadata(t)
+        col = t.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if flatten:
+            col = col.flatten()
+        vals = np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.int64)
+        empty = pa.table(
+            {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        if len(vals) == 0:
+            return empty
+        uniq, cnts = np.unique(vals, return_counts=True)
+        keep = cms_estimate(sk, uniq.astype(np.uint64)) >= thr
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "token": pa.array(uniq[keep], pa.int64()),
+                "cnt": pa.array(cnts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        t = t.rename_columns(["token", "cnt"])
+        return t.filter(pc.greater_equal(t.column("cnt"), thr))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB) — byte-for-byte replicas of the kernels above
 # ---------------------------------------------------------------------------
@@ -156,6 +225,21 @@ def cms_registers_oracle_sql(
     return f"""WITH tok AS (SELECT unnest({column}) AS x FROM {corpus}),
 cells AS ({rows})
 SELECT cell, count(*)::BIGINT AS cnt FROM cells GROUP BY cell"""
+
+
+def cms_heavy_hitters_oracle_sql(
+    corpus: str,
+    column: str = "tokens",
+    *,
+    threshold: int,
+) -> str:
+    """Oracle for cms_heavy_hitters: the sketch is a pruning filter only,
+    so the answer is the plain exact GROUP BY ... HAVING — if any collision
+    survivor leaked into (or any true heavy hitter fell out of) the engine
+    result, the hash would mismatch."""
+    return f"""WITH tok AS (SELECT unnest({column}) AS x FROM {corpus})
+SELECT x::BIGINT AS token, count(*)::BIGINT AS cnt
+FROM tok GROUP BY x HAVING count(*) >= {int(threshold)}"""
 
 
 def cms_estimate_oracle_sql(

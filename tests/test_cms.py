@@ -96,6 +96,46 @@ class TestDistributed:
         c = _dense_from_partials(cms._cms_partials(t, "tokens", w, d, True), w, d)
         assert np.array_equal(a, c)
 
+    def test_heavy_hitters_exact_under_forced_collisions(self, ray_session):
+        import ray.data as rd
+
+        t, flat = _token_table(n_rows=400, vocab=500, seed=3)
+        w, d, thr = 1 << 5, 2, 20  # w=32 << vocab=500: nearly every cell collides
+        got = (
+            cms.cms_heavy_hitters(
+                rd.from_arrow(t).repartition(7), "tokens", threshold=thr, w=w, d=d
+            )
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = (
+            con.execute(cms.cms_heavy_hitters_oracle_sql("corpus", threshold=thr))
+            .df()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0  # fixture actually has heavy hitters
+        pdt.assert_frame_equal(got, want, check_dtype=False)
+        # and the sketch really was leaky: candidates exceed true HH
+        sk = cms.cms_build(rd.from_arrow(t), "tokens", w=w, d=d)
+        true_cnt = np.bincount(flat, minlength=500)
+        cand = (cms.cms_estimate(sk, np.arange(500)) >= thr).sum()
+        assert cand > len(want)
+
+    def test_heavy_hitters_empty_result(self, ray_session):
+        import ray.data as rd
+
+        t, _ = _token_table(n_rows=10, vocab=5000, seed=11)
+        got = cms.cms_heavy_hitters(
+            rd.from_arrow(t), "tokens", threshold=10**9, w=1 << 6, d=2
+        ).to_pandas()
+        # zero candidates -> zero blocks survive the groupby; only row
+        # count is defined (Ray emits a column-less empty frame)
+        assert len(got) == 0
+
     def test_partials_sketch_bounded(self):
         t, flat = _token_table(n_rows=500, seed=9)
         w, d = 1 << 6, 4
