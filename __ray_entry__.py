@@ -691,7 +691,10 @@ def _q_cms_heavy_hitters(sf_dir: str):
     from duckdb_raquet_ray.pipelines import cms
 
     ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
-    return cms.cms_heavy_hitters(ds, "tokens", threshold=100)
+    # w >> N/threshold so the sketch actually prunes (mean cell ~24 vs
+    # threshold 100 on the 3.1M-token check corpus); the oracle is
+    # threshold-only — w must be invisible in the result
+    return cms.cms_heavy_hitters(ds, "tokens", threshold=100, w=1 << 17)
 
 
 def _mod_split(b, *, mod: int, rem: int, keep: bool):

@@ -286,6 +286,24 @@ def bench_corpus_phase(cpus: int) -> dict:
 
     queries["bigram_lm"] = round(min(best_of(bigram_run)), 3)
     extra["bigram_lm"] = {"shards": len(bigram_paths), "of": len(paths)}
+
+    # CMS heavy hitters: two streaming passes (sketch build with a
+    # sketch-bounded shuffle, then candidate-filtered exact verify) —
+    # the approximate-scale path next to the corpus-sized vocab shuffle
+    from duckdb_raquet_ray.pipelines import cms
+
+    ntok = int(
+        rd.read_parquet(paths, columns=["n_tok"]).sum("n_tok")
+    )
+    hh_thr = max(1, 2 * ntok // 50_257)  # 2x the mean per-token count
+
+    def cms_hh_run():
+        n = cms.cms_heavy_hitters(
+            rd.read_parquet(paths, columns=["tokens"]), threshold=hh_thr, w=1 << 17
+        ).count()
+        extra["cms_heavy_hitters"] = {"threshold": hh_thr, "hitters": n}
+
+    queries["cms_heavy_hitters"] = round(min(best_of(cms_hh_run)), 3)
     return {"queries": queries, "extra": extra}
 
 
