@@ -680,6 +680,20 @@ def _q_cms_estimate(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Sliding-window document chunking (pipelines/text.py:chunk_docs):
+    vectorized multi-range byte gather, one chunk row per window —
+    byte-exact vs the generate_series + substring SQL twin."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _text.chunk_docs(ds, size=256, stride=192)
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     """EXACT heavy hitters (count >= 100) with the Count-Min sketch as a
     shuffle-pruning candidate filter (pipelines/cms.py): CMS never
@@ -2055,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers_tokens": _q_cms_registers,
         "cms_estimate_tokens": _q_cms_estimate,
         "cms_heavy_hitters_tokens": _q_cms_heavy_hitters,
+        "chunk_docs": _q_chunk_docs,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2494,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters_tokens": _cms.cms_heavy_hitters_oracle_sql(
             corpus, threshold=100
         ),
+        "chunk_docs": _text_ops.chunk_oracle_sql("documents", size=256, stride=192),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

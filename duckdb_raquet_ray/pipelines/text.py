@@ -466,3 +466,123 @@ SELECT l.dk AS {key_col}, count(*)::BIGINT AS n_tok,
        sum((l.i - 1) * (kh.h % {vocab}))::BIGINT AS posw
 FROM l JOIN kh ON kh.k = l.word
 GROUP BY l.dk"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (RAG / retrieval prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    size: int = 256,
+    stride: int = 192,
+) -> pa.Table:
+    """Split each doc into overlapping windows: chunk k covers
+    [k*stride, k*stride + size) for k in [0, ceil(len/stride)); empty docs
+    emit no chunks. Fully vectorized — per-doc window counts, a single
+    multi-range byte gather off the Arrow string buffer, and one output
+    StringArray rebuild; no Python loop over docs or chunks. Offsets are
+    BYTE offsets (== character offsets on ASCII corpora — the same caveat
+    as every string-hashing oracle in this repo)."""
+    import pyarrow.compute as pc
+
+    if stride <= 0 or size <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}, {stride}")
+    batch = util.strip_schema_metadata(batch)
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    a = pc.fill_null(col, "").cast(pa.string())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    off = np.frombuffer(a.buffers()[1], np.int32)[a.offset : a.offset + len(a) + 1]
+    data = np.frombuffer(a.buffers()[2] or b"", np.uint8)
+    doc_start = off[:-1].astype(np.int64)
+    doc_end = off[1:].astype(np.int64)
+    lens = doc_end - doc_start
+    nc = (lens + stride - 1) // stride  # 0 for empty docs by construction
+    total = int(nc.sum())
+    empty = pa.table(
+        {
+            key_col: batch.column(key_col).slice(0, 0),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_start": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+        }
+    )
+    if total == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(a), dtype=np.int64), nc)
+    excl = np.cumsum(nc) - nc  # exclusive prefix per doc
+    k = np.arange(total, dtype=np.int64) - np.repeat(excl, nc)
+    start_rel = k * stride
+    start_abs = doc_start[doc_idx] + start_rel
+    end_abs = np.minimum(start_abs + size, doc_end[doc_idx])
+    out_lens = end_abs - start_abs
+    nbytes = int(out_lens.sum())
+    gexcl = np.cumsum(out_lens) - out_lens
+    gather = np.repeat(start_abs - gexcl, out_lens) + np.arange(nbytes, dtype=np.int64)
+    out_off = np.zeros(total + 1, np.int32)
+    np.cumsum(out_lens, out=out_off[1:])
+    chunks = pa.Array.from_buffers(
+        pa.utf8(),
+        total,
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data[gather].tobytes())],
+    )
+    return pa.table(
+        {
+            key_col: batch.column(key_col).take(pa.array(doc_idx)),
+            "chunk_id": pa.array(k, pa.int64()),
+            "chunk_start": pa.array(start_rel, pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
+def chunk_docs(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    size: int = 256,
+    stride: int = 192,
+):
+    """Sliding-window chunking over the corpus — the retrieval-indexing /
+    context-window prep stage. Pure streaming flat map (rows fan out
+    ~len/stride per doc, bytes fan out ~size/stride); no shuffle."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            chunk_batch, text_col=text_col, key_col=key_col, size=size, stride=stride
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def chunk_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    size: int = 256,
+    stride: int = 192,
+) -> str:
+    """DuckDB twin of chunk_docs: generate_series window starts, substring
+    windows — byte-exact on ASCII corpora."""
+    return f"""WITH d AS (
+  SELECT {key_col}, coalesce({text_col}, '') AS t FROM {table}
+),
+s AS (
+  SELECT {key_col}, t, unnest(generate_series(1, length(t)::BIGINT, {stride})) AS st
+  FROM d WHERE length(t) > 0
+)
+SELECT {key_col},
+  ((st - 1) // {stride})::BIGINT AS chunk_id,
+  (st - 1)::BIGINT AS chunk_start,
+  substring(t, st::INT, {size}) AS chunk
+FROM s"""
