@@ -485,6 +485,28 @@ def _q_jsonl_sink_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _q_ipc_sink_stats(sf_dir: str):
+    """Arrow IPC (Feather v2) export-sink round trip: write the documents
+    table as IPC shards (textio.write_ipc — per-task tmp->rename publish,
+    content-addressed names), read the WRITTEN files back through the
+    engine's column-pruned IPC reader, aggregate; oracle aggregates the
+    parquet view — a lossless interchange or the hash mismatches."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_ipc_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_ipc(ds, out)
+    return textio.source_stats(textio.read_ipc(paths, columns=["source", "text"]))
+
+
 def _q_csv_sink_stats(sf_dir: str):
     """CSV export-sink round trip (the jsonl_sink_stats twin): write the
     documents table as CSV shards, read the WRITTEN files back through
@@ -2095,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_tokens": _q_grouped_topk,
         "jsonl_source_stats": _q_jsonl_source_stats,
         "jsonl_sink_stats": _q_jsonl_sink_stats,
+        "ipc_sink_stats": _q_ipc_sink_stats,
         "csv_sink_stats": _q_csv_sink_stats,
         "csv_source_stats": _q_csv_source_stats,
         # --- not sampled by the round-3 driver (verified by judge re-drive) -
@@ -2458,6 +2481,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "csv_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "ipc_sink_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
             "FROM documents GROUP BY source"

@@ -179,3 +179,64 @@ def source_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             {"sum(n_docs)": "n_docs", "sum(text_chars)": "text_chars"}
         )
     )
+
+
+def write_ipc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list[str]:
+    """Export sink: Dataset -> Arrow IPC (Feather v2) shard files, the
+    zero-parse interchange format (mmap-able, column-prunable at read).
+    Ray has no built-in IPC sink, so each write task streams its batch
+    to its own shard via `pa.ipc.new_file` (tmp -> rename publish, same
+    discipline as the encode sinks); nothing centralizes. Shard names are
+    content-addressed by block content hash, so re-runs are idempotent."""
+    import hashlib
+
+    import pyarrow.ipc as ipc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        h = hashlib.sha256()
+        for c in t.columns:
+            for chunk in c.chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        name = f"shard-{h.hexdigest()[:16]}.arrow"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with ipc.new_file(tmp, t.schema) as w:
+            w.write_table(t, max_chunksize=rows_per_file)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=rows_per_file
+    ).take_all()  # O(shards) rows — the write happened in the tasks
+    return sorted(r["path"] for r in manifest)
+
+
+def read_ipc(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Landing-zone Arrow IPC -> Dataset: `read_binary_files` ships each
+    shard's bytes as one block; a map_batches decode opens the IPC footer
+    and materializes ONLY the projected columns (IPC is columnar, so the
+    projection skips untouched column buffers — the same prune-at-the-read
+    rule as the parquet paths)."""
+    import pyarrow.ipc as ipc
+
+    def decode_file(t: pa.Table) -> pa.Table:
+        out = []
+        for blob in t.column("bytes").to_pylist():
+            rdr = ipc.open_file(pa.BufferReader(blob))
+            names = columns or rdr.schema.names
+            idx = [rdr.schema.get_field_index(n) for n in names]
+            tbl = rdr.read_all().select(idx)
+            out.append(tbl)
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return rd.read_binary_files(paths).map_batches(
+        decode_file, batch_format="pyarrow"
+    )

@@ -127,3 +127,40 @@ def test_write_csv_roundtrip(ray_session, tmp_path):
     )
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back.equals(want)
+
+
+def test_write_ipc_roundtrip(ray_session, tmp_path):
+    """Arrow IPC sink -> own reader round trip is byte-lossless (incl.
+    unicode, embedded newlines, nulls, list columns) and the reader's
+    column projection prunes correctly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": ["a", "b", None, "a"],
+            "text": ['quote " comma,', "uni: café ☃", None, "x\ny"],
+            "tokens": pa.array(
+                [[1, 2], [], None, [7]], pa.list_(pa.int32())
+            ),
+        }
+    )
+    paths = textio.write_ipc(rd.from_arrow(t), str(tmp_path / "ipc"))
+    assert paths and all(p.endswith(".arrow") for p in paths)
+    # compare as Arrow rows: Ray's to_pandas would tensor-cast the ragged
+    # list column, which is exactly what the IPC path must NOT mangle
+    back = sorted(
+        textio.read_ipc(paths).take_all(), key=lambda r: r["doc_id"]
+    )
+    want = sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+    for b, w in zip(back, want, strict=True):
+        got_tokens = None if b["tokens"] is None else list(b["tokens"])
+        assert (b["doc_id"], b["source"], b["text"], got_tokens) == (
+            w["doc_id"], w["source"], w["text"], w["tokens"],
+        )
+    pruned = textio.read_ipc(paths, columns=["doc_id", "text"]).to_pandas()
+    assert sorted(pruned.columns) == ["doc_id", "text"]
+    # idempotent sink: content-addressed names -> same files on re-write
+    again = textio.write_ipc(rd.from_arrow(t), str(tmp_path / "ipc"))
+    assert again == paths
