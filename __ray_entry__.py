@@ -702,6 +702,25 @@ def _q_cms_estimate(sf_dir: str):
     )
 
 
+def _q_ordered_export(sf_dir: str):
+    """Globally sorted decode-to-parquet export (decode.export_job
+    order_by=doc_id — Ray's range-partitioned sort) followed by the
+    positional readback (decode.export_positions): the engine asserts
+    row k of the export holds the rank-k doc_id, and the row_number()
+    oracle hash-checks every (pos, doc_id, n_tok) triple — a broken
+    sort (overlapping files, unsorted rows) cannot pass."""
+    import shutil
+
+    from duckdb_raquet_ray.pipelines import decode
+
+    dest = "/tmp/raquet_ordered_export"
+    shutil.rmtree(dest, ignore_errors=True)
+    decode.export_job(
+        _ensure_encoded(), dest, columns=["doc_id", "n_tok"], order_by="doc_id"
+    )
+    return decode.export_positions(dest, "doc_id", columns=["doc_id", "n_tok"])
+
+
 def _q_chunk_docs(sf_dir: str):
     """Sliding-window document chunking (pipelines/text.py:chunk_docs):
     vectorized multi-range byte gather, one chunk row per window —
@@ -2092,6 +2111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_estimate_tokens": _q_cms_estimate,
         "cms_heavy_hitters_tokens": _q_cms_heavy_hitters,
         "chunk_docs": _q_chunk_docs,
+        "ordered_export_docs": _q_ordered_export,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2538,6 +2558,12 @@ def oracle_sql() -> dict[str, str]:
             corpus, threshold=100
         ),
         "chunk_docs": _text_ops.chunk_oracle_sql("documents", size=256, stride=192),
+        # ordered export: position k of the sorted export must hold the
+        # rank-k key — pins the distributed sort end-to-end
+        "ordered_export_docs": (
+            "SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS pos, "
+            f"doc_id, n_tok FROM {corpus}"
+        ),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

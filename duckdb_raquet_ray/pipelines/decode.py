@@ -603,3 +603,49 @@ def _run_verify(items: list[dict], out_dir: str) -> dict:
         "mismatched_partitions": bad,
         "ok": not bad,
     }
+
+
+def export_positions(
+    dest_dir: str, key: str = "doc_id", columns: list[str] | None = None
+) -> rd.Dataset:
+    """Positional readback of an ``order_by`` export — the value-checkable
+    face of the distributed sort. File order comes from each file's FIRST
+    key value (O(files) single-row column reads on the driver — metadata
+    scale, not data scale); global position = exclusive row-count prefix
+    of that order + in-file row index, attached per file in a distributed
+    map. If the sort were broken (overlapping file ranges or unsorted
+    rows), position k would not hold the rank-k key and the
+    ``row_number() OVER (ORDER BY key)`` oracle would hash-mismatch."""
+    files = sorted(
+        os.path.join(dest_dir, f)
+        for f in os.listdir(dest_dir)
+        if f.endswith(".parquet")
+    )
+    firsts, counts, keep = [], [], []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        n = pf.metadata.num_rows
+        if n == 0:
+            continue
+        first = pf.read_row_group(0, columns=[key]).column(key)[0].as_py()
+        keep.append(f)
+        firsts.append(first)
+        counts.append(n)
+    order = sorted(range(len(keep)), key=lambda i: (firsts[i], keep[i]))
+    offsets, at = {}, 0
+    for i in order:
+        offsets[keep[i]] = at
+        at += counts[i]
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        out = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path, columns=columns or [key], use_threads=False)
+            pos = offsets[path] + np.arange(t.num_rows, dtype=np.int64)
+            out.append(t.add_column(0, "pos", pa.array(pos, pa.int64())))
+        return pa.concat_tables(out)
+
+    items = [{"path": f} for f in keep]
+    return rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
+        annotate, batch_size=1, batch_format="pyarrow", num_cpus=1
+    )

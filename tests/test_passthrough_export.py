@@ -123,6 +123,42 @@ class TestExport:
             assert os.path.getmtime(os.path.join(dest, f)) == ts
 
 
+    def test_export_positions_pin_global_order(self, encoded, tmp_path):
+        """export_positions: position k holds the rank-k key — and a
+        deliberately mis-ordered file breaks the pin (tamper check)."""
+        import pandas as pd
+
+        paths, out = encoded
+        dest = str(tmp_path / "ordered")
+        decode.export_job(out, dest, columns=["doc_id", "n_tok"], order_by="doc_id")
+        got = (
+            decode.export_positions(dest, "doc_id", columns=["doc_id", "n_tok"])
+            .to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+        raw = pd.concat([pq.read_table(p_, columns=["doc_id", "n_tok"]).to_pandas() for p_ in paths])
+        want = raw.sort_values("doc_id").reset_index(drop=True)
+        assert got["pos"].tolist() == list(range(len(want)))
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["n_tok"].tolist() == want["n_tok"].tolist()
+        # tamper: reverse one file's rows -> the position pin must break
+        files = sorted(
+            os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+        )
+        assert len(files) > 1, "fixture must export multiple files"
+        vic = files[len(files) // 2]
+        t = pq.read_table(vic)
+        pq.write_table(t.take(list(reversed(range(t.num_rows)))), vic)
+        bad = (
+            decode.export_positions(dest, "doc_id", columns=["doc_id"])
+            .to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+        assert bad["doc_id"].tolist() != want["doc_id"].tolist()
+
+
 class TestAutoPartBytes:
     def test_clamped_and_deterministic(self, encoded):
         paths, _ = encoded
