@@ -142,6 +142,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--redact", action="store_true",
                    help="write redacted text alongside the counts")
 
+    p = sub.add_parser("chunk", help="sliding-window doc chunking (RAG / retrieval "
+                       "prep): one row per [k*stride, k*stride+size) window -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--size", type=int, default=512, help="window chars")
+    p.add_argument("--stride", type=int, default=384, help="window step (overlap = size - stride)")
+
     p = sub.add_parser("bigram-score", help="token-bigram LM familiarity: train a "
                        "corpus top-k bigram table, annotate each doc with integer "
                        "n_bigrams/n_hit/hit_sum -> parquet")
@@ -325,6 +334,20 @@ def main(argv: list[str] | None = None) -> None:
             out.write_parquet(args.dest)
             print(json.dumps({"cmd": "pii", "redact": args.redact,
                               "dest": args.dest}))
+        elif args.cmd == "chunk":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import text as text_ops
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            out = text_ops.chunk_docs(
+                ds, text_col=args.text_col, key_col=args.key_col,
+                size=args.size, stride=args.stride,
+            )
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "chunk", "size": args.size,
+                              "stride": args.stride, "dest": args.dest}))
         elif args.cmd == "bigram-score":
             import ray.data as rd
 
