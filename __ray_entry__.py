@@ -702,6 +702,20 @@ def _q_cms_estimate(sf_dir: str):
     )
 
 
+def _q_token_entropy(sf_dir: str):
+    """Corpus token-distribution entropy (stages/stats.token_entropy):
+    vocab-bounded dense histogram partials, one driver fold — total /
+    distinct / Shannon bits per token, float-checked at the driver's
+    %.9g tolerance like the Welford oracles."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    return _stats.token_entropy(
+        rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    )
+
+
 def _q_ordered_export(sf_dir: str):
     """Globally sorted decode-to-parquet export (decode.export_job
     order_by=doc_id — Ray's range-partitioned sort) followed by the
@@ -2112,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters_tokens": _q_cms_heavy_hitters,
         "chunk_docs": _q_chunk_docs,
         "ordered_export_docs": _q_ordered_export,
+        "token_entropy_corpus": _q_token_entropy,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2564,6 +2579,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS pos, "
             f"doc_id, n_tok FROM {corpus}"
         ),
+        "token_entropy_corpus": _stats.token_entropy_oracle_sql(corpus),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

@@ -940,3 +940,44 @@ def grouped_quantiles_oracle_sql(
         f"FROM {table} WHERE {value_col} IS NOT NULL "
         f"GROUP BY coalesce({group_col}, '')"
     )
+
+
+def token_entropy(
+    ds: rd.Dataset, column: str = "tokens", vocab_size: int = 50_257
+) -> pd.DataFrame:
+    """Corpus token-distribution health in one row: total tokens, distinct
+    tokens, Shannon entropy (bits/token) — the standard diversity check
+    before training (a collapsing pipeline shows up as falling entropy).
+    Rides the same vocab-bounded dense-histogram partials as vocab_topk
+    (O(vocab) rows ever reach the driver, never O(corpus)); the entropy
+    fold is H = log2(N) - sum(c*log2 c)/N over the exact counts, summed
+    in token order so the float result is deterministic."""
+    hist = value_histogram(ds, column, vocab_size, flatten=True).to_pandas()
+    if hist.empty:  # zero tokens -> zero blocks survive the groupby
+        return pd.DataFrame(
+            [{"n_tokens": 0, "n_distinct": 0, "entropy_bits": 0.0}]
+        )
+    hist = hist.sort_values("value")
+    c = hist["cnt"].to_numpy(np.float64)
+    n = float(c.sum())
+    h = float(np.log2(n) - np.dot(c, np.log2(c)) / n)
+    return pd.DataFrame(
+        [
+            {
+                "n_tokens": int(n),
+                "n_distinct": int(len(c)),
+                "entropy_bits": h,
+            }
+        ]
+    )
+
+
+def token_entropy_oracle_sql(corpus: str, column: str = "tokens") -> str:
+    """DuckDB twin of token_entropy (driver float hashing is %.9g, the
+    same tolerance the Welford oracles already rely on)."""
+    return f"""WITH tok AS (SELECT unnest({column}) AS x FROM {corpus}),
+c AS (SELECT x, count(*)::BIGINT AS cnt FROM tok GROUP BY x)
+SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+  log2(sum(cnt)::DOUBLE) - sum(cnt::DOUBLE * log2(cnt::DOUBLE)) / sum(cnt)::DOUBLE
+    AS entropy_bits
+FROM c"""

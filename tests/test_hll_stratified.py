@@ -317,3 +317,45 @@ class TestGroupedQuantiles:
             a.sort_values("source").reset_index(drop=True)[key]
             .equals(b.sort_values("source").reset_index(drop=True)[key])
         )
+
+
+class TestTokenEntropy:
+    def test_matches_sql_and_block_invariant(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        rng = np.random.default_rng(4)
+        lists = [rng.integers(0, 300, size=rng.integers(0, 50)).astype(np.int32)
+                 for _ in range(200)]
+        t = pa.table({"tokens": pa.array([list(x) for x in lists],
+                                          pa.list_(pa.int32()))})
+        a = st.token_entropy(rd.from_arrow(t).repartition(1), vocab_size=300)
+        b = st.token_entropy(rd.from_arrow(t).repartition(13), vocab_size=300)
+        assert a.equals(b)  # merge is exact -> bitwise-identical fold
+        con = duckdb.connect()
+        con.register("corpus", t)
+        o = con.execute(st.token_entropy_oracle_sql("corpus")).df()
+        assert int(a["n_tokens"][0]) == int(o["n_tokens"][0])
+        assert int(a["n_distinct"][0]) == int(o["n_distinct"][0])
+        assert f"{a['entropy_bits'][0]:.9g}" == f"{o['entropy_bits'][0]:.9g}"
+
+    def test_uniform_vs_degenerate(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        uni = pa.table({"tokens": pa.array([list(range(64))] * 4, pa.list_(pa.int32()))})
+        h = st.token_entropy(rd.from_arrow(uni), vocab_size=64)
+        assert abs(h["entropy_bits"][0] - 6.0) < 1e-12  # log2(64)
+        one = pa.table({"tokens": pa.array([[7] * 100] * 3, pa.list_(pa.int32()))})
+        h1 = st.token_entropy(rd.from_arrow(one), vocab_size=64)
+        assert h1["entropy_bits"][0] == 0.0
+        empty = pa.table({"tokens": pa.array([[]], pa.list_(pa.int32()))})
+        h0 = st.token_entropy(rd.from_arrow(empty), vocab_size=8)
+        assert int(h0["n_tokens"][0]) == 0
