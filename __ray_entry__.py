@@ -716,6 +716,20 @@ def _q_token_entropy(sf_dir: str):
     )
 
 
+def _q_grouped_entropy(sf_dir: str):
+    """Per-source token entropy (stages/stats.grouped_token_entropy):
+    dense pair-id partials bucketed by hash(source) — each source's whole
+    distribution folds inside one bucket, floats summed in (group, token)
+    order for determinism."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    return _stats.grouped_token_entropy(
+        rd.read_parquet(_ensure_corpus(), columns=["source", "tokens"])
+    )
+
+
 def _q_ordered_export(sf_dir: str):
     """Globally sorted decode-to-parquet export (decode.export_job
     order_by=doc_id — Ray's range-partitioned sort) followed by the
@@ -2127,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "ordered_export_docs": _q_ordered_export,
         "token_entropy_corpus": _q_token_entropy,
+        "grouped_entropy_source": _q_grouped_entropy,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2580,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id, n_tok FROM {corpus}"
         ),
         "token_entropy_corpus": _stats.token_entropy_oracle_sql(corpus),
+        "grouped_entropy_source": _stats.grouped_entropy_oracle_sql(corpus),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

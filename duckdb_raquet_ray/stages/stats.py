@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from duckdb_raquet_ray import util
@@ -981,3 +982,108 @@ SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
   log2(sum(cnt)::DOUBLE) - sum(cnt::DOUBLE * log2(cnt::DOUBLE)) / sum(cnt)::DOUBLE
     AS entropy_bits
 FROM c"""
+
+
+def grouped_token_entropy(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    vocab_size: int = 50_257,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP token-distribution entropy — the domain-drift twin of
+    token_entropy (a source whose entropy collapses is emitting
+    boilerplate). Same partial shape as grouped_topk: per-block
+    (group, token, cnt) rows via one dense group*vocab pair-id unique
+    (payload O(groups-in-block x vocab), never O(block tokens)), bucketed
+    by hash(group) so each group's whole distribution lands in one bucket;
+    the in-bucket fold sums cnt*log2(cnt) in (group, token) order, so the
+    float result is deterministic. Output: one row per group."""
+    nb = n_buckets or util.scaled_buckets(ds)
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "entropy_bits": pa.array([], pa.float64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "token": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        gser = t.column(group_col).to_pandas().fillna("")
+        codes, uniq = pd.factorize(gser, sort=False)
+        rep = np.repeat(codes.astype(np.int64), lens)
+        pair = rep * vocab_size + flat
+        u, c = np.unique(pair, return_counts=True)
+        gid, tok = u // vocab_size, u % vocab_size
+        groups = uniq.to_numpy(dtype=object)[gid]
+        bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "token": pa.array(tok),
+                "cnt": pa.array(c.astype(np.int64)),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        df = g.select([group_col, "token", "cnt"]).to_pandas()
+        s = (
+            df.groupby([group_col, "token"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        grp = s[group_col].to_numpy(dtype=object)
+        cnt = s["cnt"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        n = np.add.reduceat(cnt, starts)
+        clogc = np.add.reduceat(cnt * np.log2(cnt), starts)
+        sizes = np.diff(np.r_[starts, len(cnt)])
+        h = np.log2(n) - clogc / n
+        return pa.table(
+            {
+                group_col: pa.array(grp[starts], pa.string()),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "n_distinct": pa.array(sizes.astype(np.int64)),
+                "entropy_bits": pa.array(h, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_entropy_oracle_sql(
+    corpus: str, group_col: str = "source", tokens_col: str = "tokens"
+) -> str:
+    """DuckDB twin of grouped_token_entropy (engine groups NULL sources
+    as '' -> coalesce keeps parity; %.9g float tolerance)."""
+    return f"""WITH f AS (
+  SELECT coalesce({group_col}, '') AS {group_col}, unnest({tokens_col}) AS t
+  FROM {corpus}
+),
+c AS (SELECT {group_col}, t, count(*)::BIGINT AS cnt FROM f GROUP BY {group_col}, t)
+SELECT {group_col}, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+  log2(sum(cnt)::DOUBLE) - sum(cnt::DOUBLE * log2(cnt::DOUBLE)) / sum(cnt)::DOUBLE
+    AS entropy_bits
+FROM c GROUP BY {group_col}"""

@@ -359,3 +359,51 @@ class TestTokenEntropy:
         empty = pa.table({"tokens": pa.array([[]], pa.list_(pa.int32()))})
         h0 = st.token_entropy(rd.from_arrow(empty), vocab_size=8)
         assert int(h0["n_tokens"][0]) == 0
+
+
+class TestGroupedTokenEntropy:
+    def test_matches_sql_and_bucket_invariant(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas.testing as pdt
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats as st
+
+        rng = np.random.default_rng(6)
+        srcs = [f"s{i % 7}" for i in range(150)]
+        srcs[3] = None  # NULL source folds into ''
+        lists = [rng.integers(0, 200, size=rng.integers(0, 40)).astype(np.int32)
+                 for _ in range(150)]
+        t = pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "tokens": pa.array([list(x) for x in lists], pa.list_(pa.int32())),
+        })
+
+        def run(nb, parts):
+            return (
+                st.grouped_token_entropy(
+                    rd.from_arrow(t).repartition(parts), vocab_size=200, n_buckets=nb
+                )
+                .to_pandas()
+                .sort_values("source")
+                .reset_index(drop=True)
+            )
+
+        a = run(32, 1)
+        b = run(5, 11)  # different fan-out AND block split -> same result
+        pdt.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.register("corpus", t)
+        o = (
+            con.execute(st.grouped_entropy_oracle_sql("corpus"))
+            .df()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert a["source"].tolist() == o["source"].tolist()
+        assert a["n_tokens"].tolist() == o["n_tokens"].tolist()
+        assert a["n_distinct"].tolist() == o["n_distinct"].tolist()
+        for x, y in zip(a["entropy_bits"], o["entropy_bits"]):
+            assert f"{x:.9g}" == f"{y:.9g}"
