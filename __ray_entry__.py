@@ -716,6 +716,34 @@ def _q_token_entropy(sf_dir: str):
     )
 
 
+def _q_append_encode(sf_dir: str):
+    """Append ingestion (pipelines/encode.append_job): encode half the
+    corpus, APPEND the other half into the same dir (new shard indices
+    after the old, old partitions untouched), then read the appended dir's
+    token stats — the oracle is the FULL-corpus stats, so the result only
+    hash-matches if append-then-read == one-shot encode-then-read."""
+    from duckdb_raquet_ray.pipelines import encode
+
+    paths = _ensure_corpus()
+    half = len(paths) // 2
+    out = f"/tmp/raquet_encoded_append_check_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        encode.encode_job(paths[:half], out, target_part_bytes=PART_BYTES)
+        encode.append_job(paths[half:], out)
+    elif len(mf_load_job_shards(out)) < len(paths):
+        encode.append_job(paths[half:], out)  # resume a killed append
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded(out))
+
+
+def mf_load_job_shards(out: str) -> list[str]:
+    from duckdb_raquet_ray.state import manifest as mf
+
+    cfg = mf.load_job_config(out)
+    return (cfg or {}).get("shard_order") or []
+
+
 def _q_grouped_entropy(sf_dir: str):
     """Per-source token entropy (stages/stats.grouped_token_entropy):
     dense pair-id partials bucketed by hash(source) — each source's whole
@@ -2142,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordered_export_docs": _q_ordered_export,
         "token_entropy_corpus": _q_token_entropy,
         "grouped_entropy_source": _q_grouped_entropy,
+        "append_encode_stats": _q_append_encode,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2319,6 +2348,8 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_stats": stats_sql,
         "roundtrip_stats_pushdown": stats_sql,
         "roundtrip_grouped_stats": stats_sql,
+        # append-then-read must equal one-shot encode-then-read
+        "append_encode_stats": stats_sql,
         "grouped_source_read": stats_sql + " WHERE source = 'web'",
         "pruned_read_shard0": (
             stats_sql + f" WHERE CAST(right(doc_id, 12) AS BIGINT) < {ROWS_PER_SHARD}"

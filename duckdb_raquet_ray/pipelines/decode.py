@@ -579,10 +579,17 @@ def verify_job(input_paths: list[str], out_dir: str, **encode_plan_kwargs) -> di
     encode_job auto-sizes target_part_bytes and persists it, so
     re-planning with plan_partitions' default here would verify against
     DIFFERENT partition ranges and report every partition mismatched."""
+    cfg = mf.load_job_config(out_dir)
     if "target_part_bytes" not in encode_plan_kwargs:
-        cfg = mf.load_job_config(out_dir)
         if cfg and cfg.get("target_part_bytes") is not None:
             encode_plan_kwargs["target_part_bytes"] = cfg["target_part_bytes"]
+    if "shard_order" not in encode_plan_kwargs and cfg and cfg.get("shard_order"):
+        # appended dirs: shard indices follow the persisted append order,
+        # not the sorted name order — replan with the same assignment
+        # (only when verifying the full corpus; a subset keeps the old
+        # sorted-plan behavior and its caveats)
+        if set(cfg["shard_order"]) == set(input_paths):
+            encode_plan_kwargs["shard_order"] = list(cfg["shard_order"])
     items = plan_partitions(input_paths, **encode_plan_kwargs)
     return _run_verify(items, out_dir)
 

@@ -78,7 +78,10 @@ def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = No
 
 
 def plan_partitions(
-    input_paths: list[str], target_part_bytes: int = DEFAULT_PART_BYTES
+    input_paths: list[str],
+    target_part_bytes: int = DEFAULT_PART_BYTES,
+    *,
+    shard_order: list[str] | None = None,
 ) -> list[dict]:
     """Enumerate deterministic work items from Parquet metadata only.
 
@@ -87,9 +90,16 @@ def plan_partitions(
     plan is a pure function of (input file list, target) — never of
     cluster size — so partition ids are stable across runs and topologies
     (SURVEY.md §7 hard-part 1).
+
+    ``shard_order``: explicit shard-index assignment (APPEND support —
+    partition ids embed the shard's position, so an appended shard must
+    take the next index even if its name sorts before an existing one;
+    encode_job persists the order in job.json and append_job extends it).
+    Default: sorted(input_paths), the original first-encode order.
     """
+    ordered = list(shard_order) if shard_order is not None else sorted(input_paths)
     items: list[dict] = []
-    for shard_idx, path in enumerate(sorted(input_paths)):
+    for shard_idx, path in enumerate(ordered):
         md = pq.ParquetFile(path).metadata
         groups: list[list[int]] = []
         cur: list[int] = []
@@ -189,14 +199,56 @@ def encode_job(
     )
     if prior is not None:
         target_part_bytes = prior["target_part_bytes"]
+        shard_order = prior.get("shard_order") or sorted(input_paths)
+        if set(shard_order) != set(input_paths):
+            # grown input list: safe ONLY if sorting it leaves every
+            # existing shard at its original index (new names all sort
+            # after) — then this is the documented incremental re-run.
+            # Anything else (a new shard sorting into the middle, or a
+            # shrunk list) would silently remap partition ids.
+            grown = sorted(input_paths)
+            if len(grown) > len(shard_order) and grown[: len(shard_order)] == list(
+                shard_order
+            ):
+                shard_order = grown
+                mf.persist_job_config(out_dir, {**prior, "shard_order": grown})
+            else:
+                raise ValueError(
+                    f"resume input mismatch in {out_dir}: job started with "
+                    f"{len(shard_order)} shards; re-run with the original "
+                    "list, or grow the corpus with append_job (shard indices "
+                    "are part of every partition id — a silent re-sort would "
+                    "corrupt them)"
+                )
     else:
         if target_part_bytes is None:
             # auto-size from input volume and cluster width; persisted below
             # so a resume on a different-width cluster re-plans identically
             target_part_bytes = auto_target_part_bytes(input_paths)
+        shard_order = sorted(input_paths)
         mf.persist_job_config(
-            out_dir, {"mode": "lineage", "target_part_bytes": target_part_bytes}
+            out_dir,
+            {
+                "mode": "lineage",
+                "target_part_bytes": target_part_bytes,
+                "shard_order": shard_order,
+            },
         )
+    return _encode_ordered(
+        shard_order, out_dir, target_part_bytes, resume=resume, concurrency=concurrency
+    )
+
+
+def _encode_ordered(
+    shard_order: list[str],
+    out_dir: str,
+    target_part_bytes: int,
+    *,
+    resume: bool,
+    concurrency: int | tuple[int, int] | None,
+) -> dict:
+    """Shared encode body (encode_job + append_job): plan over an explicit
+    shard order, skip done partitions, encode, finalize from the journal."""
     # sweep stale publish temps from a killed prior run (publish is
     # tmp-<pid> -> rename; a SIGKILL mid-write leaves the tmp behind and
     # resume re-encodes that partition under a fresh pid anyway)
@@ -205,8 +257,10 @@ def encode_job(
             os.remove(stale)
         except OSError:
             pass
-    items = plan_partitions(input_paths, target_part_bytes)
-    schema_arrow = pq.ParquetFile(sorted(input_paths)[0]).schema_arrow
+    items = plan_partitions(
+        shard_order, target_part_bytes, shard_order=shard_order
+    )
+    schema_arrow = pq.ParquetFile(shard_order[0]).schema_arrow
     schema_str = str(schema_arrow)
     done = mf.done_partition_ids(out_dir) if resume else set()
     todo = [it for it in items if it["partition_id"] not in done]
@@ -248,10 +302,55 @@ def encode_job(
         meta = writer.finalize(
             schema_str,
             extra={
-                "input_shards": sorted(input_paths),
+                # shard-index order, NOT re-sorted: verify_encoded replans
+                # from this list and appended shards keep their indices
+                "input_shards": list(shard_order),
                 "schema_ipc": mf.schema_to_b64(schema_arrow),
             },
         )
     finally:
         writer.close()
     return meta
+
+
+def append_job(
+    new_paths: list[str],
+    out_dir: str,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Grow an encoded dir with NEW input shards — the operational path
+    for a corpus that arrives in batches (the 100-TB norm). New shards
+    take shard indices AFTER every existing one (names never re-sort, so
+    existing partition ids — pack(shard_idx, part_idx) — are untouched);
+    only the new shards' partitions are planned and encoded; the manifest
+    journal appends and manifest.json/rollups re-finalize from it.
+    Idempotent: already-present paths are skipped, and a killed append
+    resumes (done partitions skipped) by re-running with the same args.
+    Decode/verify/rollup read the updated manifest with no special case —
+    an append-then-read is bit-identical to a single encode of the full
+    corpus over the same shard order (pytest-pinned)."""
+    cfg = mf.load_job_config(out_dir)
+    if not cfg or cfg.get("mode") != "lineage":
+        raise ValueError(
+            f"{out_dir} is not a resumable lineage-mode encode dir "
+            f"(job.json missing or mode={cfg.get('mode') if cfg else None!r})"
+        )
+    order = cfg.get("shard_order")
+    if not order:
+        meta = mf.load_metadata(out_dir)
+        order = meta.get("input_shards")  # pre-append-feature dirs: sorted
+    if not order:
+        raise ValueError(f"cannot append to {out_dir}: no shard order recorded")
+    seen = set(order)
+    fresh = [p for p in sorted(new_paths) if p not in seen]
+    shard_order = list(order) + fresh
+    if fresh:
+        mf.persist_job_config(out_dir, {**cfg, "shard_order": shard_order})
+    return _encode_ordered(
+        shard_order,
+        out_dir,
+        cfg["target_part_bytes"],
+        resume=True,
+        concurrency=concurrency,
+    )

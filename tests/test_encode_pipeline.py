@@ -322,3 +322,92 @@ class TestTokenizeEncodeComposition:
         pdt.assert_frame_equal(got, want)
         # null-text docs are dropped by the tokenizer
         assert len(got) == 200 - len([i for i in range(200) if i % 37 == 0])
+
+
+class TestAppendJob:
+    """append_job: grow an encoded dir with new shards — existing partition
+    ids untouched, decode == one-shot encode of the full corpus, idempotent,
+    and encode_job refuses a silently grown input list."""
+
+    def _split_corpus(self, tmp_path):
+        base_dir = tmp_path / "base"
+        delta_dir = tmp_path / "delta"
+        base = tk.write_corpus(str(base_dir), 2000, 2, row_group_rows=512)
+        extra = tk.write_corpus(str(delta_dir), 3000, 3, seed=7, row_group_rows=512)
+        # the HARD case: one delta shard renamed so it SORTS BEFORE the
+        # base shards — append must still index it after them
+        early = str(delta_dir / "aaa-early.parquet")
+        os.rename(extra[0], early)
+        return base, [early] + list(extra[1:])
+
+    def test_append_matches_oneshot_and_keeps_ids(self, ray_session, tmp_path):
+        base, delta = self._split_corpus(tmp_path)
+        out = str(tmp_path / "enc")
+        encj.encode_job(base, out, target_part_bytes=1 << 20)
+        before = set(mf.done_partition_ids(out))
+        before_mtimes = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        }
+        meta = encj.append_job(delta, out)
+        after = set(mf.done_partition_ids(out))
+        assert before < after  # strictly grew, old ids intact
+        # old partition FILES untouched (no rewrite)
+        for f, ts in before_mtimes.items():
+            assert os.path.getmtime(os.path.join(out, f)) == ts
+        # new shard indices come AFTER the base ones, even for aaa-early
+        order = mf.load_job_config(out)["shard_order"]
+        assert order[: len(base)] == sorted(base)
+        assert set(order[len(base):]) == set(delta)
+        new_shards = {pk.unpack(p)[0] for p in after - before}
+        assert min(new_shards) >= len(base)
+        # decoded content == one-shot encode of the same shard order
+        got = (
+            dec.read_encoded(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            pa.concat_tables([pq.read_table(p) for p in base + delta])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["n_tok"].tolist() == want["n_tok"].tolist()
+        assert (
+            got["tokens"].map(lambda x: list(x)).tolist()
+            == want["tokens"].map(list).tolist()
+        )
+        assert meta["num_rows"] == len(want)
+        # verify gate passes over the appended dir (manifest-driven AND
+        # replanned-from-persisted-order paths)
+        assert dec.verify_encoded(out)["ok"]
+        assert dec.verify_job(base + delta, out)["ok"]
+
+    def test_append_idempotent_and_encode_job_refuses_growth(
+        self, ray_session, tmp_path
+    ):
+        base, delta = self._split_corpus(tmp_path)
+        out = str(tmp_path / "enc2")
+        encj.encode_job(base, out, target_part_bytes=1 << 20)
+        encj.append_job(delta, out)
+        n1 = mf.load_metadata(out)["num_rows"]
+        stamps = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        }
+        encj.append_job(delta, out)  # same delta again: no-op
+        assert mf.load_metadata(out)["num_rows"] == n1
+        for f, ts in stamps.items():
+            assert os.path.getmtime(os.path.join(out, f)) == ts
+        # growing the corpus through encode_job with a shard that sorts
+        # INTO THE MIDDLE (here: before the base shards) must fail loudly —
+        # it would shift every existing shard index (name-sorts-after
+        # growth is the legit incremental re-run and stays allowed)
+        mid = str(tmp_path / "base" / "aaa-mid.parquet")
+        with pytest.raises(ValueError, match="append_job"):
+            encj.encode_job(base + delta + [mid], out, target_part_bytes=1 << 20)
