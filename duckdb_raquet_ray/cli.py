@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="grouped mode: target rows per (source, salt) bucket")
     p.add_argument("--no-resume", action="store_true")
 
+    p = sub.add_parser("append", help="grow a lineage-mode encoded dir with NEW "
+                       "shards: old partition ids/files untouched, only the new "
+                       "shards encode, manifest/rollups re-finalize")
+    p.add_argument("--input", required=True, help="glob of the NEW parquet shards")
+    p.add_argument("--out", required=True, help="existing encoded dir")
+
     p = sub.add_parser("verify", help="bit-identity gate: decode vs input, per row "
                        "(partitioning read from the manifest)")
     p.add_argument("--out", required=True)
@@ -217,6 +223,13 @@ def main(argv: list[str] | None = None) -> None:
                 "encoded_bytes": meta["encoded_bytes"],
                 "ratio": round(meta["input_bytes"] / max(meta["encoded_bytes"], 1), 4),
             }))
+        elif args.cmd == "append":
+            from .pipelines import encode
+
+            meta = encode.append_job(_inputs(args.input), args.out)
+            print(json.dumps({"cmd": "append", "rows": meta["num_rows"],
+                              "partitions": meta["num_partitions"],
+                              "out": args.out}))
         elif args.cmd == "verify":
             from .pipelines import decode
 
