@@ -716,6 +716,23 @@ def _q_token_entropy(sf_dir: str):
     )
 
 
+def _q_cumulative_window(sf_dir: str):
+    """Per-user running rank + running value sum over events — the
+    SUM() OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING)
+    surface (pipelines/joins.cumulative_window): one bucket shuffle,
+    lexsort + cumsum-minus-key-base per bucket, floats added in frame
+    order so the running doubles hash at %.9g."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins as _joins
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return _joins.cumulative_window(ds, "user_id", "ts", "event_id", "value")
+
+
 def _q_append_encode(sf_dir: str):
     """Append ingestion (pipelines/encode.append_job): encode half the
     corpus, APPEND the other half into the same dir (new shard indices
@@ -2171,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_corpus": _q_token_entropy,
         "grouped_entropy_source": _q_grouped_entropy,
         "append_encode_stats": _q_append_encode,
+        "cumulative_window_events": _q_cumulative_window,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2309,6 +2327,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import dedup as _dedup
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
+    from duckdb_raquet_ray.pipelines import joins as _joins_mod
     from duckdb_raquet_ray.pipelines import text as _text_ops
     from duckdb_raquet_ray.stages import stats as _stats
 
@@ -2771,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
             "MIN(t)::BIGINT AS start_us, MAX(t)::BIGINT AS end_us "
             "FROM s GROUP BY 1, 2"
         ),
+        "cumulative_window_events": _joins_mod.cumulative_window_oracle_sql("events"),
         "ndiff_lineitem": (
             "SELECT l_orderkey, l_linenumber, "
             "CASE WHEN l_discount + l_tax = 0 THEN 0.0 "

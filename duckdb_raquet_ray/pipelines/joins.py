@@ -725,3 +725,97 @@ def session_windows(
         .groupby("_b")
         .map_groups(sessionize, batch_format="pyarrow")
     )
+
+
+def cumulative_window(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    value_col: str,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Per-key running aggregates — the ``SUM(...) OVER (PARTITION BY key
+    ORDER BY ts, tie ROWS UNBOUNDED PRECEDING)`` surface: one row per input
+    row with its 1-based rank (`cum_n`) and running value sum in integer
+    MICRO-units (`cum_value_micro` = running sum of round(v * 1e6), NULLs
+    as 0). Fixed-point on purpose: a float running sum is not
+    order-hash-stable across engines (DuckDB's windowed SUM groups
+    additions via a segment tree — 1-ulp drift vs a sequential cumsum,
+    measured on 37% of rows at sf0.01 — and near-tied doubles then sort
+    differently), while the integer fold is EXACT and engine-independent.
+
+    Same shape as session_windows: ONE coarse bucket shuffle co-locates
+    each key's rows, then one lexsort + global-cumsum-minus-key-base per
+    bucket — no per-key Python."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        cols = pa.table({
+            key_col: b.column(key_col),
+            "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
+            "_tie": b.column(order_tie_col),
+            "_v": pa.array(
+                np.round(
+                    pc.fill_null(b.column(value_col), 0.0)
+                    .cast(pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                    * 1e6
+                ).astype(np.int64)
+            ),
+        })
+        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def accumulate(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                order_tie_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "cum_n": pa.array([], pa.int64()),
+                "cum_value_micro": pa.array([], pa.int64()),
+            })
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        t = g.column("_ts").to_numpy(zero_copy_only=False)
+        tie = g.column("_tie").to_numpy(zero_copy_only=False)
+        v = g.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ties, vs = k[order], tie[order], v[order]
+        new_key = np.empty(len(ks), np.bool_)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(len(ks), dtype=np.int64)
+        base_n = np.maximum.accumulate(np.where(new_key, idx, 0))
+        cum_n = idx - base_n + 1
+        cs = np.cumsum(vs)
+        base_v = np.maximum.accumulate(np.where(new_key, idx + 1, 0)) - 1
+        cum_v = cs - np.where(base_v >= 0, cs[base_v] - vs[base_v], 0)
+        return pa.table({
+            order_tie_col: pa.array(ties),
+            key_col: pa.array(ks),
+            "cum_n": pa.array(cum_n, type=pa.int64()),
+            "cum_value_micro": pa.array(cum_v, type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(accumulate, batch_format="pyarrow")
+    )
+
+
+def cumulative_window_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of cumulative_window (explicit ROWS frame — RANGE would
+    merge equal order keys; the tie column keeps frames unique anyway)."""
+    return f"""SELECT {order_tie_col}, {key_col},
+  (row_number() OVER w)::BIGINT AS cum_n,
+  sum(round(coalesce({value_col}, 0) * 1000000)::BIGINT) OVER w::BIGINT
+    AS cum_value_micro
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""

@@ -7,6 +7,7 @@ shuffle both produce the identical relation)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -517,3 +518,62 @@ class TestRangeJoin:
             ).fetchall()
         )
         assert got == want
+
+
+class TestCumulativeWindow:
+    def _events(self, n=400, keys=7, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 40, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, keys, n), pa.int64()),
+            "value": pa.array(
+                [None if i % 9 == 0 else round(float(rng.normal()), 6)
+                 for i in range(n)],
+                pa.float64(),
+            ),
+        })
+
+    def test_matches_sql_and_bucket_invariant(self, ray_session):
+        import duckdb
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = self._events()
+        got = (
+            J.cumulative_window(
+                rd.from_arrow(t).repartition(6), "user_id", "ts", "event_id",
+                "value", n_buckets=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got2 = (
+            J.cumulative_window(
+                rd.from_arrow(t).repartition(1), "user_id", "ts", "event_id",
+                "value", n_buckets=64,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pdt.assert_frame_equal(got, got2)  # fan-out/block invariant
+        con = duckdb.connect()
+        con.register("events", t)
+        want = (
+            con.execute(J.cumulative_window_oracle_sql())
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert got["cum_n"].tolist() == want["cum_n"].tolist()
+        # integer micro-units: EXACT equality, no float tolerance at all
+        assert got["cum_value_micro"].tolist() == want["cum_value_micro"].tolist()
+        assert got["user_id"].tolist() == want["user_id"].tolist()
