@@ -733,6 +733,20 @@ def _q_cumulative_window(sf_dir: str):
     return _joins.cumulative_window(ds, "user_id", "ts", "event_id", "value")
 
 
+def _q_lag_gap(sf_dir: str):
+    """Per-user inter-event gaps — lag() OVER in epoch µs, NULL on each
+    key's first row (pipelines/joins.lag_gap_window); integer-exact."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins as _joins
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return _joins.lag_gap_window(ds, "user_id", "ts", "event_id")
+
+
 def _q_append_encode(sf_dir: str):
     """Append ingestion (pipelines/encode.append_job): encode half the
     corpus, APPEND the other half into the same dir (new shard indices
@@ -2189,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_entropy_source": _q_grouped_entropy,
         "append_encode_stats": _q_append_encode,
         "cumulative_window_events": _q_cumulative_window,
+        "lag_gap_events": _q_lag_gap,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2791,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY 1, 2"
         ),
         "cumulative_window_events": _joins_mod.cumulative_window_oracle_sql("events"),
+        "lag_gap_events": _joins_mod.lag_gap_oracle_sql("events"),
         "ndiff_lineitem": (
             "SELECT l_orderkey, l_linenumber, "
             "CASE WHEN l_discount + l_tax = 0 THEN 0.0 "

@@ -819,3 +819,71 @@ def cumulative_window_oracle_sql(
 FROM {table}
 WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def lag_gap_window(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Per-key inter-event gap — ``ts - lag(ts) OVER (PARTITION BY key
+    ORDER BY ts, tie)`` in epoch µs (NULL for each key's first row): the
+    inter-arrival-time surface behind session gap tuning and rate
+    anomaly checks. Same bucket + lexsort shape as cumulative_window;
+    integer µs end-to-end, so the oracle compare is exact."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        cols = pa.table({
+            key_col: b.column(key_col),
+            "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
+            "_tie": b.column(order_tie_col),
+        })
+        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            order_tie_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        t = g.column("_ts").to_numpy(zero_copy_only=False)
+        tie = g.column("_tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_, ties = k[order], t[order], tie[order]
+        gap = np.empty(len(ks), np.int64)
+        gap[0] = 0
+        gap[1:] = ts_[1:] - ts_[:-1]
+        first = np.empty(len(ks), np.bool_)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        return pa.table({
+            order_tie_col: pa.array(ties),
+            key_col: pa.array(ks),
+            # mask=True -> NULL: each key's first row has no predecessor
+            "gap_us": pa.array(gap, type=pa.int64(), mask=first),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+def lag_gap_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie_col: str = "event_id",
+) -> str:
+    """DuckDB twin of lag_gap_window (integer µs, exact compare)."""
+    return f"""SELECT {order_tie_col}, {key_col},
+  (epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w)::BIGINT AS gap_us
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col})"""

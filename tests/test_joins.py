@@ -577,3 +577,34 @@ class TestCumulativeWindow:
         # integer micro-units: EXACT equality, no float tolerance at all
         assert got["cum_value_micro"].tolist() == want["cum_value_micro"].tolist()
         assert got["user_id"].tolist() == want["user_id"].tolist()
+
+
+class TestLagGapWindow:
+    def test_matches_sql(self, ray_session):
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = TestCumulativeWindow()._events(n=300, keys=5, seed=8)
+        t = t.select(["event_id", "ts", "user_id"])
+        got = (
+            J.lag_gap_window(
+                rd.from_arrow(t).repartition(4), "user_id", "ts", "event_id",
+                n_buckets=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", t)
+        want = (
+            con.execute(J.lag_gap_oracle_sql())
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pdt.assert_frame_equal(got, want, check_dtype=False)
+        # exactly one NULL gap per key (the first event)
+        assert int(got["gap_us"].isna().sum()) == got["user_id"].nunique()
