@@ -755,24 +755,22 @@ def _q_append_encode(sf_dir: str):
     hash-matches if append-then-read == one-shot encode-then-read."""
     from duckdb_raquet_ray.pipelines import encode
 
+    from duckdb_raquet_ray.state import manifest as mf
+
     paths = _ensure_corpus()
     half = len(paths) // 2
     out = f"/tmp/raquet_encoded_append_check_{ENGINE_TAG}"
     if not os.path.exists(os.path.join(out, "manifest.json")):
         encode.encode_job(paths[:half], out, target_part_bytes=PART_BYTES)
         encode.append_job(paths[half:], out)
-    elif len(mf_load_job_shards(out)) < len(paths):
-        encode.append_job(paths[half:], out)  # resume a killed append
+    elif len(mf.load_metadata(out).get("input_shards") or []) < len(paths):
+        # resume a killed append: job.json is written BEFORE the append
+        # encodes, so only the FINALIZED manifest's input_shards proves
+        # the append completed (append_job re-runs are idempotent)
+        encode.append_job(paths[half:], out)
     from duckdb_raquet_ray.pipelines import decode
 
     return _token_stats_view(decode.read_encoded(out))
-
-
-def mf_load_job_shards(out: str) -> list[str]:
-    from duckdb_raquet_ray.state import manifest as mf
-
-    cfg = mf.load_job_config(out)
-    return (cfg or {}).get("shard_order") or []
 
 
 def _q_grouped_entropy(sf_dir: str):

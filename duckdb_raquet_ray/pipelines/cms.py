@@ -76,6 +76,31 @@ def _cms_partials(
     )
 
 
+def _sum_by_key(
+    g: pa.Table, key: str, val: str, *, min_sum: int | None = None
+) -> pa.Table:
+    """Vectorized in-bucket groupby-sum: one argsort + np.add.reduceat
+    over run boundaries (int64-exact, no float round-trip), optional
+    HAVING-style ``min_sum`` filter. Shared by the sketch merge and the
+    heavy-hitter verify reduce."""
+    empty = pa.table({key: pa.array([], pa.int64()), val: pa.array([], pa.int64())})
+    if g.num_rows == 0:
+        return empty
+    k = g.column(key).to_numpy(zero_copy_only=False)
+    v = g.column(val).to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    ks, vs = k[order], v[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    sums = np.add.reduceat(vs, starts)
+    keys = ks[starts]
+    if min_sum is not None:
+        keep = sums >= min_sum
+        if not keep.any():
+            return empty
+        keys, sums = keys[keep], sums[keep]
+    return pa.table({key: pa.array(keys, pa.int64()), val: pa.array(sums, pa.int64())})
+
+
 def cms_registers(
     ds: rd.Dataset,
     column: str = "tokens",
@@ -104,19 +129,7 @@ def cms_registers(
         return p.append_column("_b", pa.array((cell % nb).astype(np.int32)))
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table(
-                {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
-            )
-        cell = g.column("cell").to_numpy(zero_copy_only=False)
-        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
-        order = np.argsort(cell, kind="stable")
-        c, v = cell[order], cnt[order]
-        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        sums = np.add.reduceat(v, starts)  # int64-exact, no float round-trip
-        return pa.table(
-            {"cell": pa.array(c[starts], pa.int64()), "cnt": pa.array(sums, pa.int64())}
-        )
+        return _sum_by_key(g, "cell", "cnt")
 
     return (
         ds.map_batches(parts, batch_format="pyarrow")
@@ -222,26 +235,7 @@ def cms_heavy_hitters(
         )
 
     def verify_bucket(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
-        )
-        if g.num_rows == 0:
-            return empty
-        tok = g.column("token").to_numpy(zero_copy_only=False)
-        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
-        order = np.argsort(tok, kind="stable")
-        tk, v = tok[order], cnt[order]
-        starts = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
-        sums = np.add.reduceat(v, starts)
-        keep = sums >= thr
-        if not keep.any():
-            return empty
-        return pa.table(
-            {
-                "token": pa.array(tk[starts][keep], pa.int64()),
-                "cnt": pa.array(sums[keep], pa.int64()),
-            }
-        )
+        return _sum_by_key(g, "token", "cnt", min_sum=thr)
 
     return (
         ds.map_batches(cand_bucketed, batch_format="pyarrow")

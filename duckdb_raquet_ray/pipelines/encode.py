@@ -82,6 +82,7 @@ def plan_partitions(
     target_part_bytes: int = DEFAULT_PART_BYTES,
     *,
     shard_order: list[str] | None = None,
+    first_shard_index: int = 0,
 ) -> list[dict]:
     """Enumerate deterministic work items from Parquet metadata only.
 
@@ -99,7 +100,7 @@ def plan_partitions(
     """
     ordered = list(shard_order) if shard_order is not None else sorted(input_paths)
     items: list[dict] = []
-    for shard_idx, path in enumerate(ordered):
+    for shard_idx, path in enumerate(ordered, start=first_shard_index):
         md = pq.ParquetFile(path).metadata
         groups: list[list[int]] = []
         cur: list[int] = []
@@ -246,9 +247,15 @@ def _encode_ordered(
     *,
     resume: bool,
     concurrency: int | tuple[int, int] | None,
+    plan_from: int = 0,
 ) -> dict:
     """Shared encode body (encode_job + append_job): plan over an explicit
-    shard order, skip done partitions, encode, finalize from the journal."""
+    shard order, skip done partitions, encode, finalize from the journal.
+
+    ``plan_from``: skip planning (= parquet footer reads) for the first N
+    shards — append_job passes the count of already-FINALIZED shards so an
+    append costs O(new shards), not O(corpus); their partitions are all in
+    the done set anyway."""
     # sweep stale publish temps from a killed prior run (publish is
     # tmp-<pid> -> rename; a SIGKILL mid-write leaves the tmp behind and
     # resume re-encodes that partition under a fresh pid anyway)
@@ -258,7 +265,10 @@ def _encode_ordered(
         except OSError:
             pass
     items = plan_partitions(
-        shard_order, target_part_bytes, shard_order=shard_order
+        shard_order[plan_from:],
+        target_part_bytes,
+        shard_order=shard_order[plan_from:],
+        first_shard_index=plan_from,
     )
     schema_arrow = pq.ParquetFile(shard_order[0]).schema_arrow
     schema_str = str(schema_arrow)
@@ -347,10 +357,21 @@ def append_job(
     shard_order = list(order) + fresh
     if fresh:
         mf.persist_job_config(out_dir, {**cfg, "shard_order": shard_order})
+    # plan only past the FINALIZED prefix (manifest.json's input_shards —
+    # job.json is written before encoding, so it can't prove completion):
+    # appends cost O(new shards) in footer reads, and a killed append
+    # resumes because its shards sit past the last finalized prefix
+    finalized = mf.load_metadata(out_dir).get("input_shards") or []
+    plan_from = (
+        len(finalized)
+        if shard_order[: len(finalized)] == list(finalized)
+        else 0
+    )
     return _encode_ordered(
         shard_order,
         out_dir,
         cfg["target_part_bytes"],
         resume=True,
         concurrency=concurrency,
+        plan_from=plan_from,
     )

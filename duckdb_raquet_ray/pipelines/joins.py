@@ -727,6 +727,11 @@ def session_windows(
     )
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round() with DuckDB/SQL semantics (half AWAY from zero) -> int64."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+
 def cumulative_window(
     ds: rd.Dataset,
     key_col: str,
@@ -755,13 +760,16 @@ def cumulative_window(
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
             "_tie": b.column(order_tie_col),
+            # half-AWAY-from-zero like DuckDB round() — np.round is
+            # half-to-even and would diverge by 1 micro-unit on values
+            # whose v*1e6 lands exactly on .5
             "_v": pa.array(
-                np.round(
+                _round_half_away(
                     pc.fill_null(b.column(value_col), 0.0)
                     .cast(pa.float64())
                     .to_numpy(zero_copy_only=False)
                     * 1e6
-                ).astype(np.int64)
+                )
             ),
         })
         return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
@@ -787,8 +795,9 @@ def cumulative_window(
         base_n = np.maximum.accumulate(np.where(new_key, idx, 0))
         cum_n = idx - base_n + 1
         cs = np.cumsum(vs)
+        # cs just before each key's first row (row 0: cs[0]-vs[0] == 0)
         base_v = np.maximum.accumulate(np.where(new_key, idx + 1, 0)) - 1
-        cum_v = cs - np.where(base_v >= 0, cs[base_v] - vs[base_v], 0)
+        cum_v = cs - (cs[base_v] - vs[base_v])
         return pa.table({
             order_tie_col: pa.array(ties),
             key_col: pa.array(ks),

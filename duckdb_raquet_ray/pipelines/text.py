@@ -524,6 +524,13 @@ def chunk_batch(
     end_abs = np.minimum(start_abs + size, doc_end[doc_idx])
     out_lens = end_abs - start_abs
     nbytes = int(out_lens.sum())
+    if nbytes >= 1 << 31:
+        # utf8 offsets are int32; a silent cumsum wrap would assemble a
+        # corrupt StringArray — fail loudly, the caller lowers batch_size
+        raise ValueError(
+            f"chunk output of this batch is {nbytes} bytes (>= 2 GiB int32 "
+            "offset limit): pass a smaller batch_size to chunk_docs"
+        )
     gexcl = np.cumsum(out_lens) - out_lens
     gather = np.repeat(start_abs - gexcl, out_lens) + np.arange(nbytes, dtype=np.int64)
     out_off = np.zeros(total + 1, np.int32)

@@ -206,7 +206,10 @@ def write_ipc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list
                         h.update(buf)
         name = f"shard-{h.hexdigest()[:16]}.arrow"
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        # pid-unique tmp (the fsio publish discipline): two tasks writing
+        # byte-identical blocks share the SAME content-addressed name, and
+        # a shared '.tmp' would let one truncate the other mid-write
+        tmp = f"{path}.tmp-{os.getpid()}"
         with ipc.new_file(tmp, t.schema) as w:
             w.write_table(t, max_chunksize=rows_per_file)
         os.replace(tmp, path)

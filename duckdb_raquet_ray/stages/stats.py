@@ -233,7 +233,14 @@ def grouped_topk(
         col = t.column(tokens_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        # fill_null(0): a NULL list row has no elements (flatten drops it,
+        # SQL unnest emits no rows) — without the fill, to_numpy goes
+        # float64/NaN and np.repeat(codes, lens) raises
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return empty.append_column("_b", pa.array([], pa.int32()))
@@ -302,7 +309,11 @@ def _doc_bigrams(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarra
         col = col.combine_chunks()
     import pyarrow.compute as pc
 
-    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(flat)
     ndocs = len(lens)
@@ -1013,7 +1024,14 @@ def grouped_token_entropy(
         col = t.column(tokens_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        # fill_null(0): a NULL list row has no elements (flatten drops it,
+        # SQL unnest emits no rows) — without the fill, to_numpy goes
+        # float64/NaN and np.repeat(codes, lens) raises
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         if len(flat) == 0:
             return pa.table(
