@@ -411,3 +411,21 @@ class TestAppendJob:
         mid = str(tmp_path / "base" / "aaa-mid.parquet")
         with pytest.raises(ValueError, match="append_job"):
             encj.encode_job(base + delta + [mid], out, target_part_bytes=1 << 20)
+
+    def test_killed_append_resumes(self, ray_session, tmp_path):
+        """A SIGKILL between append_job's job.json write and its encode
+        leaves an extended shard_order but an UNFINALIZED manifest; the
+        next append_job must detect it (finalized input_shards is the
+        truth, job.json is written pre-encode) and finish the work."""
+        base, delta = self._split_corpus(tmp_path)
+        out = str(tmp_path / "enc3")
+        encj.encode_job(base, out, target_part_bytes=1 << 20)
+        # simulate the kill: persist the grown order WITHOUT encoding
+        cfg = mf.load_job_config(out)
+        grown = cfg["shard_order"] + sorted(delta)
+        mf.persist_job_config(out, {**cfg, "shard_order": grown})
+        assert len(mf.load_metadata(out).get("input_shards")) == len(base)
+        meta = encj.append_job(delta, out)  # same args as the killed run
+        assert meta["num_rows"] == 5000
+        assert mf.load_metadata(out)["input_shards"] == grown
+        assert dec.verify_encoded(out)["ok"]
