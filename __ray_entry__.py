@@ -1344,6 +1344,41 @@ def _q_events_yearly(sf_dir: str):
     return pd.DataFrame(df[["y", "event_type", "cnt"]])
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, year) analogue: ONE distributed leaf
+    aggregate (the only corpus-sized pass), then the super-aggregate
+    levels (per-type totals, grand total) folded from the TINY leaf table
+    on the driver — O(types x years) rows, the rollup-tier discipline.
+    NULL marks a rolled-up level, exactly like SQL ROLLUP."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return b.append_column("y", pc.year(b.column("ts")).cast(pa.int64()))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    leaf = (
+        ds.map_batches(add_year, batch_format="pyarrow")
+        .groupby(["event_type", "y"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "cnt"})
+    )
+    per_type = (
+        leaf.groupby("event_type", as_index=False)["cnt"].sum().assign(y=None)
+    )
+    grand = pd.DataFrame([{"event_type": None, "y": None, "cnt": int(leaf["cnt"].sum())}])
+    out = pd.concat([leaf, per_type, grand], ignore_index=True)
+    # float64-with-NaN like DuckDB's to-pandas NULL convention (the
+    # driver hash formats floats %.9g, NaN -> <NULL>; a pandas Int64
+    # would stringify NA as '<NA>' and mismatch)
+    out["y"] = out["y"].astype("float64")
+    return out[["event_type", "y", "cnt"]]
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the public GPT-3 appendix-C n-gram
     overlap rule): docs with doc_id % 50 == 7 stand in for the eval
@@ -2202,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_encode_stats": _q_append_encode,
         "cumulative_window_events": _q_cumulative_window,
         "lag_gap_events": _q_lag_gap,
+        "events_rollup": _q_events_rollup,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2805,6 +2841,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cumulative_window_events": _joins_mod.cumulative_window_oracle_sql("events"),
         "lag_gap_events": _joins_mod.lag_gap_oracle_sql("events"),
+        # ROLLUP: leaf + per-type totals + grand total, NULL = rolled level
+        "events_rollup": (
+            "SELECT event_type, year(ts)::BIGINT AS y, count(*)::BIGINT AS cnt "
+            "FROM events GROUP BY ROLLUP(event_type, y)"
+        ),
         "ndiff_lineitem": (
             "SELECT l_orderkey, l_linenumber, "
             "CASE WHEN l_discount + l_tax = 0 THEN 0.0 "
