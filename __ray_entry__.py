@@ -1344,6 +1344,32 @@ def _q_events_yearly(sf_dir: str):
     return pd.DataFrame(df[["y", "event_type", "cnt"]])
 
 
+def _q_heavy_bigrams(sf_dir: str):
+    """EXACT heavy token BIGRAMS (within-doc pairs with count >= 50) by
+    composing the bigram fold (key = a*2^32 + b) with the CMS candidate
+    filter + exact verify — the sketch answer to 'which n-grams dominate'
+    without the corpus-sized exact-top-k shuffle bigram_topk pays on
+    adversarial data. Oracle: plain GROUP BY ... HAVING over the same
+    fold — sketch invisible, collisions pruned by the verify pass."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cms
+    from duckdb_raquet_ray.stages import stats as _st
+
+    def bigrams(t):
+        # the LM table's unit-tested doc-boundary-safe bigram fold
+        _, keys, _ = _st._doc_bigrams(t.column("tokens"))
+        return pa.table({"bg": pa.array(keys, pa.int64())})
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"]).map_batches(
+        bigrams, batch_format="pyarrow", batch_size=16384
+    )
+    out = cms.cms_heavy_hitters(ds, "bg", threshold=50, w=1 << 18, flatten=False)
+    return out.map_batches(
+        lambda t: t.rename_columns(["key", "cnt"]), batch_format="pyarrow"
+    )
+
+
 def _q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, year) analogue: ONE distributed leaf
     aggregate (the only corpus-sized pass), then the super-aggregate
@@ -2238,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_window_events": _q_cumulative_window,
         "lag_gap_events": _q_lag_gap,
         "events_rollup": _q_events_rollup,
+        "heavy_bigrams_tokens": _q_heavy_bigrams,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2685,6 +2712,18 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimate_tokens": _cms.cms_estimate_oracle_sql(corpus),
         "cms_heavy_hitters_tokens": _cms.cms_heavy_hitters_oracle_sql(
             corpus, threshold=100
+        ),
+        # heavy bigrams: same bigram fold as the LM oracle, plain HAVING
+        "heavy_bigrams_tokens": (
+            "WITH bg AS ("
+            "  SELECT unnest(list_transform("
+            "    generate_series(1, len(tokens) - 1),"
+            "    i -> tokens[i]::BIGINT * 4294967296 + tokens[i+1]::BIGINT"
+            "  )) AS key"
+            f"  FROM {corpus}"
+            ") "
+            "SELECT key, count(*)::BIGINT AS cnt FROM bg "
+            "GROUP BY key HAVING count(*) >= 50"
         ),
         "chunk_docs": _text_ops.chunk_oracle_sql("documents", size=256, stride=192),
         # ordered export: position k of the sorted export must hold the
