@@ -1344,6 +1344,60 @@ def _q_events_yearly(sf_dir: str):
     return pd.DataFrame(df[["y", "event_type", "cnt"]])
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff (pipelines/dedup.corpus_diff): old = documents; new =
+    documents minus doc_id%10==3 (removed), with ' v2' appended where
+    %10==4 (changed), plus %10==5 re-keyed +1000000 (added). Text never
+    shuffles — only (key, 128-bit content hash, side) rows; the oracle's
+    FULL OUTER JOIN compares REAL text, so the hash equality rule itself
+    is under value check."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup as _dedup
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def keep_not3(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(k % 10 != 3))
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.coalesce(b.column("text"), pa.scalar(""))
+        mod = pc.binary_join_element_wise(txt, pa.scalar(" v2"), "")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pc.if_else(pa.array(k % 10 == 4), mod, txt),
+            }
+        )
+
+    def added5(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(k % 10 == 5))
+        return pa.table(
+            {
+                "doc_id": pc.add(b.column("doc_id"), pa.scalar(1_000_000)),
+                "text": pc.coalesce(b.column("text"), pa.scalar("")),
+            }
+        )
+
+    new = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(keep_not3, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+                added5, batch_format="pyarrow"
+            )
+        )
+    )
+    return _dedup.corpus_diff(old, new)
+
+
 def _q_heavy_bigrams(sf_dir: str):
     """EXACT heavy token BIGRAMS (within-doc pairs with count >= 50) by
     composing the bigram fold (key = a*2^32 + b) with the CMS candidate
@@ -2265,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_gap_events": _q_lag_gap,
         "events_rollup": _q_events_rollup,
         "heavy_bigrams_tokens": _q_heavy_bigrams,
+        "corpus_diff_docs": _q_corpus_diff,
         "tokenize_docs": _q_tokenize_docs,
         "grouped_quantiles_source": _q_grouped_quantiles,
         "token_budget_sample": _q_token_budget,
@@ -2712,6 +2767,24 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimate_tokens": _cms.cms_estimate_oracle_sql(corpus),
         "cms_heavy_hitters_tokens": _cms.cms_heavy_hitters_oracle_sql(
             corpus, threshold=100
+        ),
+        # snapshot diff: the oracle compares REAL text over a full outer
+        # join; the engine ships only (key, hash, side) rows
+        "corpus_diff_docs": (
+            "WITH old AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+            "new AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 10 = 4 "
+            "    THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END AS t "
+            "  FROM documents WHERE doc_id % 10 <> 3 "
+            "  UNION ALL "
+            "  SELECT doc_id + 1000000, coalesce(text, '') FROM documents "
+            "  WHERE doc_id % 10 = 5"
+            ") "
+            "SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id, "
+            "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "       WHEN n.doc_id IS NULL THEN 'removed' "
+            "       WHEN o.t = n.t THEN 'unchanged' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
         ),
         # heavy bigrams: same bigram fold as the LM oracle, plain HAVING
         "heavy_bigrams_tokens": (
