@@ -2131,6 +2131,44 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+def _q_semi_join(sf_dir: str):
+    """Distributed semi-join (customers WITH at least one order): the
+    existence filter at large-large scale — both sides stream through one
+    bucket shuffle, left columns out, no expansion (joins.hash_join
+    how="semi"; the distributed form of a broadcast keep-set when the
+    filter side outgrows a sane ray.put)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    ods = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return joins.hash_join(
+        cust, ods, left_key="c_custkey", right_key="o_custkey", how="semi"
+    )
+
+
+def _q_anti_join(sf_dir: str):
+    """Distributed anti-join (customers with NO interaction events): the
+    blocklist / decontamination filter shape at large-large scale
+    (joins.hash_join how="anti" — SQL NOT EXISTS semantics, null left
+    keys kept; 1350/1500 customers survive at sf0.01 so the result is
+    non-trivially populated)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return joins.hash_join(
+        cust, ev, left_key="c_custkey", right_key="user_id", how="anti"
+    )
+
+
 # fixed interval grid for the range-join oracle: 60 overlapping 18h windows
 # every 12h from 2024-01-01T00:00:00Z (events span 2024-01)
 _RJ_BASE_US = 1_704_067_200_000_000
@@ -2304,6 +2342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "semi_join_customer": _q_semi_join,
+        "anti_join_customer": _q_anti_join,
         "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
         "bloom_registers_docs": _q_bloom_registers,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -2903,6 +2943,16 @@ def oracle_sql() -> dict[str, str]:
         "bucket_join_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        # EXISTS/NOT EXISTS (not IN/NOT IN): matches the engine's null-key
+        # rule — semi drops null left keys, anti keeps them
+        "semi_join_customer": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "anti_join_customer": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"
         ),
         # as-of = latest order with o_orderdate <= event ts per user; ties
         # on the date break to the largest o_orderkey (joins.AsofJoiner)
