@@ -2131,6 +2131,22 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table, integer-exact
+    end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
+    update, 2 iterations): each iteration is one streaming pass with a
+    k x (dim+1) groupby-sum fold; the SQL oracle unrolls the SAME
+    iterations as CTE chains (cluster.kmeans_oracle_sql)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cluster
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cluster.kmeans_int8(ds, k=8, iters=2)
+
+
 def _q_semi_join(sf_dir: str):
     """Distributed semi-join (customers WITH at least one order): the
     existence filter at large-large scale — both sides stream through one
@@ -2342,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "kmeans_assign_vecs": _q_kmeans,
         "semi_join_customer": _q_semi_join,
         "anti_join_customer": _q_anti_join,
         "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
@@ -2492,6 +2509,7 @@ def _point_lookup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import ann as _ann
     from duckdb_raquet_ray.pipelines import bloom as _bloom
+    from duckdb_raquet_ray.pipelines import cluster as _cluster
     from duckdb_raquet_ray.pipelines import cms as _cms
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import pii as _pii
@@ -2943,6 +2961,11 @@ def oracle_sql() -> dict[str, str]:
         "bucket_join_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        # unrolled Lloyd iterations as CTE chains; integer-exact past the
+        # shared int8 quantization rule
+        "kmeans_assign_vecs": _cluster.kmeans_oracle_sql(
+            "embeddings", k=8, iters=2
         ),
         # EXISTS/NOT EXISTS (not IN/NOT IN): matches the engine's null-key
         # rule — semi drops null left keys, anti keeps them
