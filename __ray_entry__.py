@@ -2131,6 +2131,23 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+_BM25_TERMS = ["dup", "vector", "merge", "query"]
+
+
+def _q_bm25(sf_dir: str):
+    """Rational-idf BM25 top-20 lexical retrieval over documents: one
+    tokenize pass -> skinny per-doc term stats, global N/L/df fold,
+    streaming score + per-block partial top-k (retrieval.bm25_topk; the
+    log-free idf makes every per-(doc,term) score a single IEEE-double
+    expression, so the SQL twin hash-matches exactly)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return retrieval.bm25_topk(ds, _BM25_TERMS, top=20)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table, integer-exact
     end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
@@ -2358,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "bm25_topk_docs": _q_bm25,
         "kmeans_assign_vecs": _q_kmeans,
         "semi_join_customer": _q_semi_join,
         "anti_join_customer": _q_anti_join,
@@ -2510,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import ann as _ann
     from duckdb_raquet_ray.pipelines import bloom as _bloom
     from duckdb_raquet_ray.pipelines import cluster as _cluster
+    from duckdb_raquet_ray.pipelines import retrieval as _retrieval
     from duckdb_raquet_ray.pipelines import cms as _cms
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import pii as _pii
@@ -2961,6 +2980,11 @@ def oracle_sql() -> dict[str, str]:
         "bucket_join_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        # log-free rational-idf BM25: per-(doc,term) score is one IEEE
+        # double expression in matching association order on both sides
+        "bm25_topk_docs": _retrieval.bm25_oracle_sql(
+            "documents", terms=_BM25_TERMS, top=20
         ),
         # unrolled Lloyd iterations as CTE chains; integer-exact past the
         # shared int8 quantization rule

@@ -1,0 +1,209 @@
+"""Text retrieval: BM25 top-k over the documents table — the lexical
+sibling of ann.brute_force_topk (retrieval-augmented-training corpora
+need both: embedding ANN for semantic lookup, BM25 for exact lexical
+grounding / eval-set mining).
+
+Oracle-exactness discipline: the classic BM25 uses ln() in its idf, and
+ln is NOT bit-stable across libms — so this operator implements the
+LOG-FREE RATIONAL-IDF BM25 variant as its spec (the rule itself, not the
+textbook formula, is what both engines implement — the
+dedup.semantic_dedup_int8 precedent):
+
+    ridf(t) = (N - df_t + 0.5) / (df_t + 0.5)      [= exp(idf), monotone]
+    sat(t,d) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  k1=1.2 b=0.75
+    score(d) = sum_t floor(ridf * sat * 1e6)        [int64 micro-units]
+
+With k1 = 6/5 and b = 3/4 fixed, sat clears to the integer-operand
+double expression (44 tf L) / (20 tf L + 6 L + 18 dl N), L = total
+corpus words, N = docs. Every per-(doc, term) score is ONE double
+expression over exact-integer operands, evaluated in the same
+association order on both sides — bit-identical by IEEE determinism —
+then SUMMED as int64 (order-free). Word split = the corpus-wide
+convention (lowercase, whitespace split, empties dropped).
+
+Scale shape: ONE tokenize pass materializes a skinny per-doc stats
+dataset (doc key, dl, one tf column per query term — ~8(m+2) B/doc);
+global N / L / df fold through Dataset.sum() (driver holds m+2 ints);
+scoring + per-block partial top-k stream over the skinny dataset, the
+driver sees only O(blocks x top) candidate rows. The text column is
+read exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from duckdb_raquet_ray import util
+from duckdb_raquet_ray.pipelines.quality import _word_lists
+
+_WS = r"[ \t\n\r\x0b\x0c]+"
+
+
+def _term_stats(
+    ds: rd.Dataset, terms: list[str], text_col: str, key_col: str
+) -> rd.Dataset:
+    """One streaming tokenize pass -> (key, dl, tf_0..tf_{m-1})."""
+    tset = [t.lower() for t in terms]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        wl = _word_lists(batch, text_col)
+        lens = wl.map(len).to_numpy(np.int64)
+        cols = {key_col: batch.column(key_col), "dl": pa.array(lens)}
+        n = len(lens)
+        if int(lens.sum()) == 0:
+            for i in range(len(tset)):
+                cols[f"tf{i}"] = pa.array(np.zeros(n, np.int64))
+            return pa.table(cols)
+        flat = wl.explode()
+        flat = flat[flat.notna()].to_numpy(dtype=object)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # one index_in over the flat word array against the m query terms
+        hit = pc.index_in(
+            pa.array(flat, pa.string()), value_set=pa.array(tset, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        for i in range(len(tset)):
+            m = hit == i
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(doc_of[m], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: rd.Dataset,
+    terms: list[str],
+    *,
+    top: int = 10,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> pa.Table:
+    """Rational-idf BM25 top-`top` -> (key_col, score_micro, rank).
+
+    Rank is 1-based by (score desc, key asc); docs matching no term never
+    rank (score 0 rows are dropped, mirroring the oracle's join shape)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ds = util.clean_dataset(ds).select_columns([key_col, text_col])
+    stats = _term_stats(ds, terms, text_col, key_col).materialize()
+    m = len(terms)
+    sums = stats.sum(["dl"] + [f"tf{i}" for i in range(m)], ignore_nulls=True)
+    big_l = int(sums["sum(dl)"] or 0)
+    n_docs = stats.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        cols = {}
+        for i in range(m):
+            tf = b.column(f"tf{i}").to_numpy(zero_copy_only=False)
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    dfs_fold = stats.map_batches(df_partial, batch_format="pyarrow").sum(
+        [f"df{i}" for i in range(m)]
+    )
+    if m == 1:  # Dataset.sum over ONE column returns the bare scalar
+        dfs_fold = {"sum(df0)": dfs_fold}
+    dfs = np.array([int(dfs_fold[f"sum(df{i})"] or 0) for i in range(m)], np.float64)
+
+    if big_l == 0 or n_docs == 0:
+        key_type = stats.schema().base_schema.field(key_col).type
+        return pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "score_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+
+    nd = float(n_docs)
+    ll = float(big_l)
+    # ridf per term: ((2N - 2df) + 1) / (2df + 1) — association order is
+    # part of the spec (must match the SQL expression token-for-token)
+    ridf = (2.0 * nd - 2.0 * dfs + 1.0) / (2.0 * dfs + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(len(dl), np.int64)
+        for i in range(m):
+            tf = batch.column(f"tf{i}").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            sat = (44.0 * tf * ll) / (20.0 * tf * ll + 6.0 * ll + 18.0 * dl * nd)
+            total += np.floor(ridf[i] * sat * 1000000.0).astype(np.int64)
+        keep = total > 0
+        kn = batch.column(key_col).to_numpy(zero_copy_only=False)[keep]
+        sc = total[keep]
+        take = min(top, len(sc))
+        idx = np.lexsort((kn, -sc))[:take] if take else np.array([], dtype=int)
+        return pa.table(
+            {
+                key_col: pa.array(kn[idx]),
+                "score_micro": pa.array(sc[idx]),
+            }
+        )
+
+    cands = pa.Table.from_pylist(
+        stats.map_batches(score, batch_format="pyarrow", batch_size=65536).take_all()
+    )
+    if cands.num_rows == 0:
+        key_type = stats.schema().base_schema.field(key_col).type
+        return pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "score_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    t = cands.sort_by(
+        [("score_micro", "descending"), (key_col, "ascending")]
+    ).slice(0, top)
+    return t.append_column(
+        "rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
+    )
+
+
+def bm25_oracle_sql(
+    table: str = "documents",
+    *,
+    terms: list[str],
+    top: int = 10,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB replica of bm25_topk: same word split, same rational-idf
+    spec, the per-(doc, term) double expression written in the SAME
+    association order so floor() lands identically."""
+    tlits = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH wl AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower({text_col}), '{_WS}'), x -> x <> '') AS wl
+  FROM {table}
+),
+dl AS (SELECT k, len(wl)::BIGINT AS dl FROM wl),
+w AS (SELECT k, unnest(wl) AS word FROM wl),
+tf AS (
+  SELECT k, word, count(*)::BIGINT AS tf FROM w
+  WHERE word IN ({tlits}) GROUP BY k, word
+),
+g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM dl),
+df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+sc AS (
+  SELECT tf.k,
+    sum(CAST(floor(
+      ((2.0 * g.n - 2.0 * df.df + 1.0) / (2.0 * df.df + 1.0))
+      * ((44.0 * tf.tf * g.l)
+         / (20.0 * tf.tf * g.l + 6.0 * g.l + 18.0 * dl.dl * g.n))
+      * 1000000.0) AS BIGINT))::BIGINT AS score_micro
+  FROM tf JOIN dl ON dl.k = tf.k CROSS JOIN g JOIN df ON df.word = tf.word
+  GROUP BY tf.k
+)
+SELECT k AS {key_col}, score_micro,
+  CAST(row_number() OVER (ORDER BY score_micro DESC, k) AS BIGINT) AS rank
+FROM sc WHERE score_micro > 0
+ORDER BY score_micro DESC, k LIMIT {int(top)}
+"""

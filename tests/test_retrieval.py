@@ -1,0 +1,83 @@
+"""BM25 (rational-idf, log-free) retrieval: DuckDB oracle parity,
+partitioning invariance, ranking sanity, degenerate inputs."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from duckdb_raquet_ray.pipelines import retrieval
+
+
+def _docs(n: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare", "Mixed", "zz"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _oracle(t: pa.Table, terms, top):
+    con = duckdb.connect()
+    con.register("docs", t)
+    return con.execute(
+        retrieval.bm25_oracle_sql("docs", terms=terms, top=top)
+    ).fetchdf()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25:
+    def test_oracle_parity(self):
+        t = _docs(250, seed=7)
+        got = retrieval.bm25_topk(
+            rd.from_arrow(t), ["rare", "beta", "mixed"], top=15
+        ).to_pandas()
+        want = _oracle(t, ["rare", "beta", "mixed"], 15)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["score_micro"].tolist() == want["score_micro"].tolist()
+        assert got["rank"].tolist() == want["rank"].tolist()
+
+    def test_partitioning_invariance(self):
+        t = _docs(300, seed=13)
+        a = retrieval.bm25_topk(rd.from_arrow(t), ["alpha", "rare"], top=10)
+        b = retrieval.bm25_topk(
+            rd.from_arrow(t).repartition(17), ["alpha", "rare"], top=10
+        )
+        assert a.to_pandas().values.tolist() == b.to_pandas().values.tolist()
+
+    def test_rare_term_outranks_common(self):
+        # one doc holds the only occurrences of a rare term; a common term
+        # appears everywhere — the rare-term doc must rank first
+        texts = ["common word filler"] * 20 + ["needle needle common"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(21, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = retrieval.bm25_topk(rd.from_arrow(t), ["needle", "common"], top=3)
+        assert out.column("doc_id")[0].as_py() == 20
+
+    def test_case_insensitive_and_no_match(self):
+        t = _docs(50, seed=3)
+        up = retrieval.bm25_topk(rd.from_arrow(t), ["MIXED"], top=5).to_pandas()
+        lo = retrieval.bm25_topk(rd.from_arrow(t), ["mixed"], top=5).to_pandas()
+        assert up.values.tolist() == lo.values.tolist()
+        none = retrieval.bm25_topk(rd.from_arrow(t), ["absentword"], top=5)
+        assert none.num_rows == 0
+        assert none.column_names == ["doc_id", "score_micro", "rank"]
+
+    def test_empty_terms_raise(self):
+        t = _docs(5, seed=1)
+        with pytest.raises(ValueError):
+            retrieval.bm25_topk(rd.from_arrow(t), [])
