@@ -2131,6 +2131,39 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+def _bpe_merges(sf_dir: str):
+    """Train the byte-level BPE merge table on the documents hash-stride
+    sample — deterministic (pure function of doc keys + text)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds, bpe.bpe_train(ds, n_merges=48, sample_mod=4)
+
+
+def _q_bpe_roundtrip(sf_dir: str):
+    """BPE encode -> decode roundtrip: train on the hash-stride sample,
+    stream-apply the merges, expand back through the vocab byte LUT —
+    must reproduce the text column byte-for-byte (the codec-losslessness
+    oracle pattern; the merge STRUCTURE is pinned by tests/test_bpe.py's
+    sequential-reference parity)."""
+    from duckdb_raquet_ray.pipelines import bpe
+
+    ds, merges = _bpe_merges(sf_dir)
+    return bpe.bpe_roundtrip(ds, merges)
+
+
+def _q_bpe_encode(sf_dir: str):
+    """BPE-encoded corpus view (doc_id, n_bpe): rows-only — no SQL can
+    replay greedy merge application; losslessness is value-checked by
+    bpe_roundtrip_docs and structure by the pytest reference parity."""
+    from duckdb_raquet_ray.pipelines import bpe
+
+    ds, merges = _bpe_merges(sf_dir)
+    return bpe.bpe_encode(ds, merges).select_columns(["doc_id", "n_bpe"])
+
+
 _BM25_TERMS = ["dup", "vector", "merge", "query"]
 
 
@@ -2375,6 +2408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "bpe_roundtrip_docs": _q_bpe_roundtrip,
+        "bpe_encode_docs": _q_bpe_encode,
         "bm25_topk_docs": _q_bm25,
         "kmeans_assign_vecs": _q_kmeans,
         "semi_join_customer": _q_semi_join,
@@ -2981,6 +3016,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),
+        # losslessness pin: decode(encode(text)) must equal the table
+        "bpe_roundtrip_docs": "SELECT doc_id, text FROM documents",
         # log-free rational-idf BM25: per-(doc,term) score is one IEEE
         # double expression in matching association order on both sides
         "bm25_topk_docs": _retrieval.bm25_oracle_sql(
