@@ -558,6 +558,19 @@ def _q_hll_registers(sf_dir: str):
     return st.hll_registers(ds, "tokens", p=_HLL_P)
 
 
+def _q_grouped_hll(sf_dir: str):
+    """Per-source HLL register table — the domain-drift check (distinct
+    vocabulary per source) at sketch cost: block partials are <= groups x
+    2^p rows, one groupby-max merges, every register value-checked per
+    group (stages/stats.py:grouped_hll_registers)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["source", "tokens"])
+    return st.grouped_hll_registers(ds, "source", "tokens", p=_HLL_P)
+
+
 _STRAT_K = 40
 _STRAT_SEED = 11
 
@@ -2408,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "grouped_hll_source": _q_grouped_hll,
         "bpe_roundtrip_docs": _q_bpe_roundtrip,
         "bpe_encode_docs": _q_bpe_encode,
         "bm25_topk_docs": _q_bm25,
@@ -2598,6 +2612,9 @@ def oracle_sql() -> dict[str, str]:
         # HLL registers: identical splitmix64 hash / register split / rank
         # rule on both sides (bin() length = exact integer bit_length)
         "hll_distinct_tokens": _stats.hll_oracle_sql(corpus, "tokens", p=_HLL_P),
+        "grouped_hll_source": _stats.grouped_hll_oracle_sql(
+            corpus, "source", "tokens", p=_HLL_P
+        ),
         # per-group k smallest seeded hashes; shared _mix_ctes hash chain
         "stratified_sample_docs": _sampling.stratified_oracle_sql(
             corpus_cols, _STRAT_K, seed=_STRAT_SEED

@@ -452,6 +452,32 @@ def bench_tables_phase(cpus: int) -> dict:
         lambda: dedup.semantic_dedup_int8(rd.read_parquet(emb)).count()
     )), 3)
 
+    # distributed Lloyd k-means: 2 full iterations + the final assignment
+    # pass (the iterative-training op IS the timed work)
+    from duckdb_raquet_ray.pipelines import cluster as cluster_mod
+
+    queries["kmeans"] = round(min(best_of(lambda: cluster_mod.kmeans_int8(
+        rd.read_parquet(emb, columns=["vec_id", "embedding"]), k=8, iters=2
+    ).count())), 3)
+
+    # BM25: one tokenize pass + skinny-stats folds + streaming top-k
+    from duckdb_raquet_ray.pipelines import retrieval as retrieval_mod
+
+    queries["bm25"] = round(min(best_of(lambda: retrieval_mod.bm25_topk(
+        rd.read_parquet(docs, columns=["doc_id", "text"]),
+        ["dup", "vector", "merge", "query"], top=20,
+    ).num_rows)), 3)
+
+    # BPE: train once on the hash-stride sample (a tokenizer build, not a
+    # query — the PQ-train precedent), then time the streaming merge replay
+    from duckdb_raquet_ray.pipelines import bpe as bpe_mod
+
+    bpe_ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+    bpe_merges = bpe_mod.bpe_train(bpe_ds, n_merges=48, sample_mod=4)
+    queries["bpe_encode"] = round(min(best_of(lambda: bpe_mod.bpe_encode(
+        bpe_ds, bpe_merges
+    ).count())), 3)
+
     return {"queries": queries, "extra": {}}
 
 

@@ -645,6 +645,119 @@ def hll_oracle_sql(corpus: str, column: str = "tokens", p: int = 10) -> str:
     )
 
 
+def _grouped_hll_partials(
+    t: pa.Table, group_col: str, column: str, p: int, flatten: bool
+) -> pa.Table:
+    """Per-block (group, register, rank) partials: <= groups-in-block x
+    2^p rows regardless of row count. One hash pass over the flat values;
+    the per-(group, register) max folds through one maximum.at on the
+    combined key — no Python loop over groups."""
+    t = util.strip_schema_metadata(t)
+    g = t.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    col = t.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    empty = pa.table(
+        {
+            group_col: pa.array([], g.type),
+            "register": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    if flatten:
+        lens = pc.list_value_length(col)
+        lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+    else:
+        vals = col.to_numpy(zero_copy_only=False)
+        row_of = np.arange(t.num_rows, dtype=np.int64)
+    if len(vals) == 0:
+        return empty
+    # local group factorization: distinct group values of THIS block
+    gd = pc.dictionary_encode(g)
+    codes = (
+        gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if hasattr(gd, "indices")
+        else gd.combine_chunks().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    uniq = gd.dictionary if hasattr(gd, "dictionary") else gd.combine_chunks().dictionary
+    m = 1 << p
+    q = 64 - p
+    h = detmix.splitmix64(np.asarray(vals).astype(np.uint64))
+    idx = (h >> np.uint64(q)).astype(np.int64)
+    rem = h & np.uint64((1 << q) - 1)
+    rank = np.where(rem == 0, q + 1, q - _bit_length_u64(rem) + 1).astype(np.int64)
+    key = codes[row_of] * m + idx
+    regs = np.zeros(len(uniq) * m, np.int64)
+    np.maximum.at(regs, key, rank)
+    nz = np.nonzero(regs)[0]
+    return pa.table(
+        {
+            group_col: uniq.take(pa.array(nz // m)),
+            "register": pa.array(nz % m, pa.int64()),
+            "rank": pa.array(regs[nz], pa.int64()),
+        }
+    )
+
+
+def grouped_hll_registers(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    column: str = "tokens",
+    p: int = 10,
+    flatten: bool = True,
+) -> rd.Dataset:
+    """Per-group HLL register table -> (group, register, rank) — the
+    domain-drift check (distinct vocabulary per source) at sketch cost.
+    Same hash / register / rank rule as `hll_registers`, so the grouped
+    oracle (`grouped_hll_oracle_sql`) pins every register per group.
+
+    Scale shape: block partials are sketch-sized PER GROUP PRESENT in the
+    block (<= groups x 2^p rows), one groupby-max merges — the shuffle
+    payload scales with group-count x sketch size, never with rows."""
+    parts = ds.map_batches(
+        lambda t: _grouped_hll_partials(t, group_col, column, p, flatten),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby([group_col, "register"]).max("rank")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.rename_columns([group_col, "register", "rank"])
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        [group_col, "register"]
+    )
+
+
+def grouped_hll_oracle_sql(
+    corpus: str, group_col: str = "source", column: str = "tokens", p: int = 10
+) -> str:
+    """DuckDB twin of `grouped_hll_registers`: hll_oracle_sql per group."""
+    q = 64 - p
+    h_expr = detmix.sql_splitmix64("t")
+    return (
+        "WITH v AS ("
+        f"  SELECT DISTINCT {group_col} AS g, unnest({column})::UBIGINT AS t"
+        f"  FROM {corpus}"
+        "), r AS ("
+        f"  SELECT g, ({h_expr} >> {q})::BIGINT AS register,"
+        f"         ({h_expr} % {1 << q}::UBIGINT) AS rem"
+        "  FROM v"
+        ") "
+        f"SELECT g AS {group_col}, register, "
+        f"  max(CASE WHEN rem = 0 THEN {q + 1} "
+        f"      ELSE {q} - length(bin(rem)) + 1 END)::BIGINT AS rank "
+        "FROM r GROUP BY g, register ORDER BY g, register"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact quantiles over arbitrary float columns (iterative range refinement)
 # ---------------------------------------------------------------------------

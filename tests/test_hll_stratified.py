@@ -106,6 +106,49 @@ class TestHll:
         assert dict(zip(rboth["register"], rboth["rank"])) == merged
 
 
+class TestGroupedHll:
+    def _grouped_table(self, n: int, seed: int) -> pa.Table:
+        t = _token_table(n, 2500, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        src = rng.choice(["a", "b", "c"], size=n)
+        return t.append_column("source", pa.array(src, pa.string()))
+
+    def test_matches_per_group_brute_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        t = self._grouped_table(500, seed=21)
+        src = np.array(t["source"].to_pylist())
+        want = {}
+        for g in ("a", "b", "c"):
+            rows = [r for r, s in zip(t["tokens"].to_pylist(), src) if s == g]
+            flat = np.concatenate([np.asarray(r, np.int64) for r in rows])
+            want[g] = _brute_registers(flat, p=8)
+        for parts in (1, 9):
+            got = st.grouped_hll_registers(
+                rd.from_arrow(t).repartition(parts), "source", "tokens", p=8
+            ).to_pandas()
+            by_g = {
+                g: dict(zip(sub["register"], sub["rank"]))
+                for g, sub in got.groupby("source")
+            }
+            assert by_g == want
+
+    def test_duckdb_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        t = self._grouped_table(300, seed=4)
+        got = st.grouped_hll_registers(
+            rd.from_arrow(t).repartition(5), "source", "tokens", p=9
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = con.sql(
+            st.grouped_hll_oracle_sql("corpus", "source", "tokens", p=9)
+        ).df()
+        assert got.values.tolist() == want.values.tolist()
+
+
 def _doc_table(n: int, seed: int) -> pa.Table:
     rng = np.random.default_rng(seed)
     srcs = np.array(["web", "code", "books", "wiki", "rare"])
