@@ -558,6 +558,21 @@ def _q_hll_registers(sf_dir: str):
     return st.hll_registers(ds, "tokens", p=_HLL_P)
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Per-source length-floor cleaning: keep docs whose n_tok >= their
+    source's EXACT median (percentile_disc 0.5) — the per-domain cleaning
+    rule; cutoffs from the grouped-quantile fold, then one broadcast
+    stateless filter pass (sampling.quantile_filter)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
+    return sampling.quantile_filter(
+        ds, group_col="source", value_col="n_tok", p=0.5
+    )
+
+
 def _q_grouped_hll(sf_dir: str):
     """Per-source HLL register table — the domain-drift check (distinct
     vocabulary per source) at sketch cost: block partials are <= groups x
@@ -2421,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4 new ---------------------------------------------------
+        "quantile_filter_ntok": _q_quantile_filter,
         "grouped_hll_source": _q_grouped_hll,
         "bpe_roundtrip_docs": _q_bpe_roundtrip,
         "bpe_encode_docs": _q_bpe_encode,
@@ -2614,6 +2630,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _stats.hll_oracle_sql(corpus, "tokens", p=_HLL_P),
         "grouped_hll_source": _stats.grouped_hll_oracle_sql(
             corpus, "source", "tokens", p=_HLL_P
+        ),
+        "quantile_filter_ntok": _sampling.quantile_filter_oracle_sql(
+            corpus, group_col="source", value_col="n_tok", p=0.5
         ),
         # per-group k smallest seeded hashes; shared _mix_ctes hash chain
         "stratified_sample_docs": _sampling.stratified_oracle_sql(

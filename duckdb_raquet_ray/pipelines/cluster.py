@@ -101,20 +101,22 @@ def kmeans_int8(
                     }
                 )
             j, _ = _assign(x, C)
-            kk, dd = C.shape
-            # per-(cluster, dim) sums via one bincount over j*dd+i, plus a
-            # count row per cluster at sentinel dim i == dd
-            flat = np.zeros(kk * dd, np.int64)
-            for i in range(dd):
-                flat[i::dd] = np.bincount(j, weights=x[:, i], minlength=kk).astype(
-                    np.int64
-                )
-            cnt = np.bincount(j, minlength=kk).astype(np.int64)
-            jj = np.repeat(np.arange(kk, dtype=np.int64), dd + 1)
-            ii = np.tile(np.r_[np.arange(dd, dtype=np.int64), dd], kk)
+            dd = C.shape[1]
+            # per-present-cluster (sum vector, count) via ONE sort +
+            # reduceat (the repo's grouped-fold idiom) — emits rows only
+            # for clusters this block touches
+            order = np.argsort(j, kind="stable")
+            js = j[order]
+            starts = np.flatnonzero(np.r_[True, js[1:] != js[:-1]])
+            sums = np.add.reduceat(x[order], starts, axis=0)  # (g, dd) int64
+            labels = js[starts]
+            cnt = np.diff(np.r_[starts, len(js)]).astype(np.int64)
+            g = len(labels)
+            jj = np.repeat(labels, dd + 1)
+            ii = np.tile(np.r_[np.arange(dd, dtype=np.int64), dd], g)
             ss = np.concatenate(
-                [np.r_[flat[c * dd : (c + 1) * dd], cnt[c]] for c in range(kk)]
-            )
+                [sums, cnt[:, None]], axis=1
+            ).reshape(-1)
             keep = ss != 0
             return pa.table(
                 {

@@ -92,7 +92,8 @@ def bm25_topk(
     stats = _term_stats(ds, terms, text_col, key_col).materialize()
     m = len(terms)
     sums = stats.sum(["dl"] + [f"tf{i}" for i in range(m)], ignore_nulls=True)
-    big_l = int(sums["sum(dl)"] or 0)
+    # Dataset.sum returns None on an empty dataset
+    big_l = int(sums["sum(dl)"] or 0) if sums else 0
     n_docs = stats.count()
 
     def df_partial(b: pa.Table) -> pa.Table:

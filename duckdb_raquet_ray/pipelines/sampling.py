@@ -674,3 +674,71 @@ c AS (
 )
 SELECT c.{key_col}, c.{source_col}, c.{ntok_col}::BIGINT AS {ntok_col} FROM c
 WHERE CASE c.{source_col} {cases} ELSE {default_case} END"""
+
+
+# ---------------------------------------------------------------------------
+# per-group quantile-cutoff filter (keep rows at/above their group's
+# percentile_disc(p) — the "drop the short tail per domain" cleaning rule)
+# ---------------------------------------------------------------------------
+
+
+def quantile_filter(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    p: float = 0.5,
+    cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Keep rows whose `value_col` >= their group's EXACT
+    percentile_disc(`p`) cutoff — per-domain length floors (the published
+    per-source cleaning rule: a 50-token doc is short for books, normal
+    for chat; one global floor over- or under-prunes every domain).
+
+    Two streaming passes: the grouped_quantiles fold (per-block
+    (group, value, cnt) partials, one bucketed rank scan, O(groups) rows
+    out) computes the cutoffs; the driver broadcasts the O(groups) cutoff
+    map via closure and one stateless map_batches filters. NULL values
+    never pass (SQL comparison semantics); NULL group keys form their own
+    group (the grouped_quantiles convention). SQL twin:
+    `quantile_filter_oracle_sql`."""
+    from duckdb_raquet_ray.stages.stats import grouped_quantiles
+
+    ds = util.clean_dataset(ds)
+    if cols is not None:
+        ds = ds.select_columns(cols)
+    cuts = grouped_quantiles(ds, group_col, value_col, ps=(p,)).to_pandas()
+    label = [c for c in cuts.columns if c != group_col][0]
+    cut_of = dict(zip(cuts[group_col], cuts[label].astype(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas().fillna("")
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        cut = g.map(cut_of).to_numpy(np.float64, na_value=np.inf)
+        ok = ~pd.isna(v) & (v.astype(np.float64) >= cut)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quantile_filter_oracle_sql(
+    table: str,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    p: float = 0.5,
+    cols: tuple[str, ...] = ("doc_id", "source", "n_tok"),
+) -> str:
+    """DuckDB replica of :func:`quantile_filter`: the same
+    percentile_disc cutoff per group, join + >= comparison."""
+    proj = ", ".join(f"d.{c}" for c in cols)
+    return f"""
+WITH cut AS (
+  SELECT coalesce({group_col}, '') AS g,
+         percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})::BIGINT AS c
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY coalesce({group_col}, '')
+)
+SELECT {proj} FROM {table} d
+JOIN cut ON cut.g = coalesce(d.{group_col}, '')
+WHERE d.{value_col} >= cut.c"""

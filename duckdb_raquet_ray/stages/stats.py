@@ -656,6 +656,12 @@ def _grouped_hll_partials(
     g = t.column(group_col)
     if isinstance(g, pa.ChunkedArray):
         g = g.combine_chunks()
+    if g.null_count:
+        # a null group's dictionary index is masked — it would corrupt the
+        # combined key below; the loud-null-guard convention (joins.merge)
+        raise ValueError(
+            f"null {group_col!r} keys: fill_null before grouped sketching"
+        )
     col = t.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

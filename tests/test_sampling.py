@@ -268,3 +268,61 @@ class TestTokenBudgetSample:
             .reset_index(drop=True)
         )
         assert got.equals(odf)
+
+
+class TestQuantileFilter:
+    def test_oracle_parity_and_partition_invariance(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling as smp
+
+        t = _docs(800, seed=7)
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = (
+            con.sql(
+                smp.quantile_filter_oracle_sql("corpus", p=0.5)
+                + " ORDER BY doc_id"
+            )
+            .df()
+        )
+        for parts in (1, 11):
+            got = (
+                smp.quantile_filter(rd.from_arrow(t).repartition(parts), p=0.5)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got["doc_id"].tolist() == want["doc_id"].tolist()
+            assert got["n_tok"].tolist() == want["n_tok"].tolist()
+
+    def test_cutoff_is_per_group_median(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling as smp
+
+        t = _docs(600, seed=3)
+        out = smp.quantile_filter(rd.from_arrow(t), p=0.5).to_pandas()
+        df = t.to_pandas()
+        for g, sub in df.groupby("source"):
+            v = np.sort(sub["n_tok"].to_numpy())
+            cut = v[int(np.ceil(0.5 * len(v))) - 1]  # percentile_disc rank
+            kept = out[out["source"] == g]["n_tok"]
+            assert (kept >= cut).all()
+            assert len(kept) == int((sub["n_tok"] >= cut).sum())
+
+    def test_null_values_never_pass(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling as smp
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c", "d"]),
+                "source": pa.array(["s", "s", "s", "s"]),
+                "n_tok": pa.array([5, None, 9, 1], pa.int64()),
+            }
+        )
+        out = smp.quantile_filter(rd.from_arrow(t), p=0.5).to_pandas()
+        assert "b" not in set(out["doc_id"])
