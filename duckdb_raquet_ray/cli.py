@@ -178,6 +178,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--top-n", type=int, default=2048,
                    help="weight-table size (words kept, |weight| desc / hash asc)")
 
+    p = sub.add_parser("bpe", help="byte-level BPE: train merges on a hash-stride "
+                       "sample, stream-encode each doc to subword ids -> parquet "
+                       "(doc key, bpe list<int32>, n_bpe) + merges.json")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--merges", type=int, default=256, help="merge count (vocab = 256 + merges)")
+    p.add_argument("--sample-mod", type=int, default=16,
+                   help="train on docs with hash(key) %% mod == 0")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -393,6 +404,27 @@ def main(argv: list[str] | None = None) -> None:
             )
             print(json.dumps({"cmd": "classify", "table_rows": int(len(wh)),
                               "n_pos": n_pos, "n_neg": n_neg, "dest": args.dest}))
+        elif args.cmd == "bpe":
+            import os
+
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import bpe as bpe_ops
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            merges = bpe_ops.bpe_train(
+                ds, text_col=args.text_col, key_col=args.key_col,
+                n_merges=args.merges, sample_mod=args.sample_mod,
+            )
+            bpe_ops.bpe_encode(
+                ds, merges, text_col=args.text_col, key_col=args.key_col
+            ).write_parquet(args.dest)
+            os.makedirs(args.dest, exist_ok=True)
+            with open(os.path.join(args.dest, "merges.json"), "w") as f:
+                json.dump({"merges": merges.tolist()}, f)
+            print(json.dumps({"cmd": "bpe", "merges": int(len(merges)),
+                              "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 
