@@ -2263,6 +2263,26 @@ def _q_anti_join(sf_dir: str):
     )
 
 
+def _q_full_join(sf_dir: str):
+    """Distributed FULL OUTER equi-join (low-key orders x events): both
+    unmatched sides survive — left-only orders with null event payload,
+    right-only events with every left column null (joins.hash_join
+    how="full"; the left restriction to o_custkey < 50 makes BOTH
+    unmatched populations non-trivial at sf0.01)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins
+
+    ods = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).filter(expr="o_custkey < 50")
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    return joins.hash_join(
+        ods, ev, left_key="o_custkey", right_key="user_id",
+        right_cols=["event_id"], how="full",
+    )
+
+
 # fixed interval grid for the range-join oracle: 60 overlapping 18h windows
 # every 12h from 2024-01-01T00:00:00Z (events span 2024-01)
 _RJ_BASE_US = 1_704_067_200_000_000
@@ -2444,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_vecs": _q_kmeans,
         "semi_join_customer": _q_semi_join,
         "anti_join_customer": _q_anti_join,
+        "full_join_orders_events": _q_full_join,
         "tokenize_encode_roundtrip": _q_tokenize_encode_roundtrip,
         "bloom_registers_docs": _q_bloom_registers,
         "bloom_decontaminate_docs": _q_bloom_decontaminate,
@@ -3073,6 +3094,11 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customer": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"
+        ),
+        "full_join_orders_events": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, e.event_id "
+            "FROM (SELECT * FROM orders WHERE o_custkey < 50) o "
+            "FULL JOIN events e ON o.o_custkey = e.user_id"
         ),
         # as-of = latest order with o_orderdate <= event ts per user; ties
         # on the date break to the largest o_orderkey (joins.AsofJoiner)

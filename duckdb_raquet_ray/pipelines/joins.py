@@ -496,15 +496,18 @@ def hash_join(
     keeps left rows WITHOUT one — both emit left columns only (no
     expansion), which is the distributed form of the broadcast drop-set
     filter dedup uses: when the filter side outgrows a sane `ray.put`,
-    anti-join it instead.
+    anti-join it instead. ``how="full"`` additionally emits unmatched
+    RIGHT rows with every left column null (SQL FULL OUTER semantics —
+    the right key survives only through requested ``right_cols``).
 
     Neither side needs to fit in memory: a key's rows (both sides)
     co-locate in one bucket, bucket count is FIXED (fan-out never scales
     with key cardinality), and per-bucket state is O(corpus / n_buckets)
     plus the expanded matches. NULL join keys follow SQL semantics: never
-    equal (inner/semi drop them; left and anti keep the row unmatched)."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    equal (inner/semi drop them; left/anti keep the left row unmatched;
+    full keeps null-key rows of BOTH sides unmatched)."""
+    if how not in ("inner", "left", "semi", "anti", "full"):
+        raise ValueError(f"how must be inner|left|semi|anti|full, got {how!r}")
     r_payload = right_cols if right_cols is not None else [
         c for c in right.schema().names if c != right_key
     ]
@@ -552,6 +555,14 @@ def hash_join(
         rg = g.filter(pa.array(side == 0))
         empty = pa.table({n: pa.nulls(0, type=schema_types[n]) for n in out_names})
         if lg.num_rows == 0:
+            if how == "full" and rg.num_rows:
+                # a bucket with only right rows: FULL keeps them all
+                cols_r = {
+                    n: pa.nulls(rg.num_rows, type=schema_types[n]) for n in l_cols
+                }
+                for n in out_extra:
+                    cols_r[n] = rg.column(n)
+                return pa.table(cols_r)
             return empty
         l_valid = pc.is_valid(lg.column(left_key)).to_numpy(zero_copy_only=False)
         r_valid = pc.is_valid(rg.column(right_key)).to_numpy(zero_copy_only=False)
@@ -585,7 +596,7 @@ def hash_join(
         for n in out_extra:
             cols[n] = matched_r.column(n)
         out = pa.table(cols)
-        if how == "left":
+        if how in ("left", "full"):
             # unmatched valid-key rows + all null-key left rows, null payload
             un_valid = lg_m.filter(pa.array(cnt == 0))
             un_null = lg.filter(pa.array(~l_valid)) if not l_valid.all() else None
@@ -596,6 +607,25 @@ def hash_join(
                     for n in out_extra:
                         cols_u[n] = pa.nulls(un.num_rows, type=schema_types[n])
                     parts.append(pa.table(cols_u))
+            out = pa.concat_tables(parts)
+        if how == "full":
+            # unmatched right rows (valid keys with no left match + all
+            # null-key right rows): every left column null, payload kept
+            hit = np.zeros(rg_v.num_rows, bool)
+            if len(r_idx):
+                hit[r_idx] = True
+            parts = [out]
+            un_r = rg_v.filter(pa.array(~hit))
+            un_rn = rg.filter(pa.array(~r_valid)) if not r_valid.all() else None
+            for un in (un_r, un_rn):
+                if un is not None and un.num_rows:
+                    cols_r = {
+                        n: pa.nulls(un.num_rows, type=schema_types[n])
+                        for n in l_cols
+                    }
+                    for n in out_extra:
+                        cols_r[n] = un.column(n)
+                    parts.append(pa.table(cols_r))
             out = pa.concat_tables(parts)
         return out
 

@@ -401,6 +401,66 @@ def test_hash_join_anti_keeps_null_keys(ray_session):
     assert [r["v"] for r in semi.take_all()] == ["a"]
 
 
+def test_hash_join_full_outer(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None, 7], pa.int64()),
+            "lv": ["a", "b", "c", "d", "e"],
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 3, 3, None], pa.int64()),
+            "rv": pa.array([10, 30, 31, 99], pa.int64()),
+        }
+    )
+    got = (
+        joins.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", right_key="k", right_cols=["rv"], how="full",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = (
+        con.sql(
+            "SELECT l.k, l.lv, r.rv FROM l FULL JOIN r ON l.k = r.k "
+            "ORDER BY l.k NULLS LAST, l.lv NULLS LAST, r.rv NULLS LAST"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 8  # 2 matched + 3 left-only + 3 right-only
+    for c in ("k", "lv", "rv"):
+        assert got[c].fillna(-1).tolist() == want[c].fillna(-1).tolist()
+
+
+def test_hash_join_full_right_only_bucket(ray_session):
+    # every right key misses the left entirely (exercises the
+    # right-rows-only bucket early path)
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "lv": ["a"]}))
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([100, 200], pa.int64()),
+                  "rv": pa.array([5, 6], pa.int64())})
+    )
+    out = joins.hash_join(
+        left, right, left_key="k", right_key="k", right_cols=["rv"], how="full"
+    ).to_pandas()
+    assert len(out) == 3
+    assert sorted(out["rv"].dropna().astype(int).tolist()) == [5, 6]
+
+
 class TestRangeJoin:
     def _intervals(self):
         import pyarrow as pa
