@@ -2209,6 +2209,22 @@ def _q_bm25(sf_dir: str):
     return retrieval.bm25_topk(ds, _BM25_TERMS, top=20)
 
 
+def _q_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling: k-means partition of the embedding
+    space, then exactly 20 per-cluster smallest seeded key hashes — the
+    SemDeDup "spread the budget across semantic clusters" step, composed
+    and fully value-checked (cluster.cluster_balanced_sample; oracle =
+    the unrolled kmeans CTEs + row_number per cluster)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cluster
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cluster.cluster_balanced_sample(ds, k=8, iters=2, per_cluster=20)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table, integer-exact
     end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
@@ -2462,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": _q_bpe_encode,
         "bm25_topk_docs": _q_bm25,
         "kmeans_assign_vecs": _q_kmeans,
+        "cluster_sample_vecs": _q_cluster_sample,
         "semi_join_customer": _q_semi_join,
         "anti_join_customer": _q_anti_join,
         "full_join_orders_events": _q_full_join,
@@ -3084,6 +3101,9 @@ def oracle_sql() -> dict[str, str]:
         # shared int8 quantization rule
         "kmeans_assign_vecs": _cluster.kmeans_oracle_sql(
             "embeddings", k=8, iters=2
+        ),
+        "cluster_sample_vecs": _cluster.cluster_balanced_oracle_sql(
+            "embeddings", k=8, iters=2, per_cluster=20
         ),
         # EXISTS/NOT EXISTS (not IN/NOT IN): matches the engine's null-key
         # rule — semi drops null left keys, anti keeps them

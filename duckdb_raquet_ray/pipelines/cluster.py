@@ -168,19 +168,11 @@ def kmeans_int8(
     return ds.map_batches(final, batch_format="pyarrow")
 
 
-def kmeans_oracle_sql(
-    table: str,
-    *,
-    vec_col: str = "embedding",
-    key_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 2,
+def _kmeans_ctes(
+    table: str, vec_col: str, key_col: str, k: int, iters: int
 ) -> str:
-    """DuckDB replica of kmeans_int8: the same int8 quantization CTE the
-    other embedding oracles share, then `iters` Lloyd iterations UNROLLED
-    as CTE pairs (assign -> floor-mean update with empty-cluster
-    coalesce), then the final assignment. Integer-exact throughout, so
-    (key, cluster, dist2) hash-match by construction."""
+    """The WITH-body shared by every kmeans-derived oracle: quantize ->
+    init -> unrolled Lloyd iterations -> `fa` (final per-(vid, j) dist2)."""
     ctes = [
         f"""e AS (SELECT {key_col} AS vid, {vec_col} AS v,
   list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale FROM {table}),
@@ -224,12 +216,132 @@ c{tno} AS (
   FROM q JOIN {prev} USING (d) GROUP BY vid, j
 )"""
     )
+    return "WITH " + ",\n".join(ctes)
+
+
+def kmeans_oracle_sql(
+    table: str,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> str:
+    """DuckDB replica of kmeans_int8: the same int8 quantization CTE the
+    other embedding oracles share, then `iters` Lloyd iterations UNROLLED
+    as CTE pairs (assign -> floor-mean update with empty-cluster
+    coalesce), then the final assignment. Integer-exact throughout, so
+    (key, cluster, dist2) hash-match by construction."""
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _kmeans_ctes(table, vec_col, key_col, k, iters)
         + f"""
 SELECT vid AS {key_col}, j::BIGINT AS cluster, d2 AS dist2 FROM (
   SELECT vid, j, d2, row_number() OVER (PARTITION BY vid ORDER BY d2, j) AS rn
   FROM fa
 ) WHERE rn = 1"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (k-means partition -> equal-sized per-cluster
+# pick: the embedding-space diversity sampler — SemDeDup's "spread the
+# budget across semantic clusters" step as one composed, oracle-checked op)
+# ---------------------------------------------------------------------------
+
+
+def cluster_balanced_sample(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 20,
+    seed: int = 0,
+) -> rd.Dataset:
+    """-> (cluster, key_col): exactly `per_cluster` rows per k-means
+    cluster (fewer iff the cluster is smaller), selected as the
+    per-cluster smallest seeded key hashes — membership is a pure row
+    function plus an order statistic (the stratified_sample rule, with
+    the LEARNED cluster id as the stratum instead of a metadata column).
+
+    Non-negative integer keys only (the hash and its SQL twin wrap
+    two's-complement differently on negatives). Scale shape: the kmeans
+    passes, then per-block partials already capped at per_cluster rows
+    per cluster, one k-bounded groupby caps exactly."""
+    from duckdb_raquet_ray.functions import detmix
+
+    assign = kmeans_int8(ds, vec_col=vec_col, key_col=key_col, k=k, iters=iters)
+    per = int(per_cluster)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) and keys.min() < 0:
+            raise ValueError("cluster_balanced_sample requires non-negative keys")
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        u = detmix.seeded_mix(detmix.splitmix64(keys.astype(np.uint64)), seed)
+        df = pd.DataFrame({"cluster": cl, "kk": keys, "u": u})
+        df = df.sort_values(["u", "kk"]).groupby("cluster", sort=False).head(per)
+        return pa.table(
+            {
+                "cluster": pa.array(df["cluster"].to_numpy(np.int64)),
+                key_col: pa.array(df["kk"].to_numpy(np.int64)),
+                "u": pa.array(df["u"].to_numpy(np.uint64)),
+            }
+        )
+
+    def cap(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["u", key_col]).head(per)
+        return pa.table(
+            {
+                "cluster": pa.array(df["cluster"].to_numpy(np.int64)),
+                key_col: pa.array(df[key_col].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        assign.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cap, batch_format="pyarrow")
+    )
+
+
+def cluster_balanced_oracle_sql(
+    table: str,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 20,
+    seed: int = 0,
+) -> str:
+    """DuckDB replica of cluster_balanced_sample: the kmeans CTE chain,
+    then row_number over (seeded hash, key) per cluster."""
+    from duckdb_raquet_ray.functions import detmix
+
+    seed_mix = int(detmix.splitmix64(int(seed) % detmix.U64))
+    u_expr = detmix.sql_splitmix64(
+        f"xor({detmix.sql_splitmix64('vid')}, {seed_mix}::UBIGINT)"
+    )
+    return (
+        _kmeans_ctes(table, vec_col, key_col, k, iters)
+        + f""",
+asg AS (
+  SELECT vid, j FROM (
+    SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d2, j) AS rn
+    FROM fa
+  ) WHERE rn = 1
+),
+uu AS (SELECT vid, {u_expr} AS u FROM (SELECT DISTINCT vid FROM asg)),
+rk AS (
+  SELECT asg.j, asg.vid,
+         row_number() OVER (PARTITION BY asg.j ORDER BY uu.u, asg.vid) AS rn
+  FROM asg JOIN uu USING (vid)
+)
+SELECT j::BIGINT AS cluster, vid AS {key_col} FROM rk WHERE rn <= {int(per_cluster)}"""
     )

@@ -123,3 +123,49 @@ class TestKmeans:
         )
         out = cluster.kmeans_int8(rd.from_arrow(t), k=2, iters=1).to_pandas()
         assert (out["cluster"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterBalancedSample:
+    def test_oracle_parity_and_partition_invariance(self):
+        t = _vec_table(240, 8, seed=17)
+        con = duckdb.connect()
+        con.register("embeddings", t)
+        want = con.execute(
+            cluster.cluster_balanced_oracle_sql(
+                "embeddings", k=4, iters=1, per_cluster=10
+            )
+            + " ORDER BY cluster, vec_id"
+        ).fetchdf()
+        for parts in (1, 9):
+            got = (
+                cluster.cluster_balanced_sample(
+                    rd.from_arrow(t).repartition(parts),
+                    k=4, iters=1, per_cluster=10,
+                )
+                .to_pandas()
+                .sort_values(["cluster", "vec_id"])
+                .reset_index(drop=True)
+            )
+            assert got["cluster"].tolist() == want["cluster"].tolist()
+            assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+    def test_per_cluster_cap_and_membership(self):
+        t = _vec_table(300, 8, seed=23)
+        out = cluster.cluster_balanced_sample(
+            rd.from_arrow(t), k=5, iters=2, per_cluster=7
+        ).to_pandas()
+        sizes = out.groupby("cluster").size()
+        assert (sizes <= 7).all()
+        # a sampled key's cluster must equal its kmeans assignment
+        asg = cluster.kmeans_int8(rd.from_arrow(t), k=5, iters=2).to_pandas()
+        amap = dict(zip(asg["vec_id"], asg["cluster"]))
+        assert all(amap[v] == c for v, c in zip(out["vec_id"], out["cluster"]))
+
+    def test_negative_keys_raise(self):
+        t = _vec_table(10, 4, seed=2)
+        t = t.set_column(0, "vec_id", pa.array(np.arange(-5, 5, dtype=np.int64)))
+        with pytest.raises(Exception, match="non-negative"):
+            cluster.cluster_balanced_sample(
+                rd.from_arrow(t), k=2, iters=1, per_cluster=3
+            ).to_pandas()
