@@ -2225,6 +2225,27 @@ def _q_cluster_sample(sf_dir: str):
     return cluster.cluster_balanced_sample(ds, k=8, iters=2, per_cluster=20)
 
 
+def _q_bm25_indexed(sf_dir: str):
+    """BM25 off the PERSISTED inverted index (built once per sf dir,
+    reused): the query opens only the postings buckets its terms hash
+    into — never re-tokenizes the corpus — and must produce byte-identical
+    scores to the direct pipeline, so it shares bm25_topk_docs' oracle
+    (retrieval.build_text_index / bm25_topk_indexed; the
+    ivf_topk_indexed discipline applied to lexical retrieval)."""
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_textidx_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        retrieval.build_text_index(ds, idx_dir)
+    return retrieval.bm25_topk_indexed(idx_dir, _BM25_TERMS, top=20)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table, integer-exact
     end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
@@ -2477,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_roundtrip_docs": _q_bpe_roundtrip,
         "bpe_encode_docs": _q_bpe_encode,
         "bm25_topk_docs": _q_bm25,
+        "bm25_indexed_docs": _q_bm25_indexed,
         "kmeans_assign_vecs": _q_kmeans,
         "cluster_sample_vecs": _q_cluster_sample,
         "semi_join_customer": _q_semi_join,
@@ -3095,6 +3117,10 @@ def oracle_sql() -> dict[str, str]:
         # log-free rational-idf BM25: per-(doc,term) score is one IEEE
         # double expression in matching association order on both sides
         "bm25_topk_docs": _retrieval.bm25_oracle_sql(
+            "documents", terms=_BM25_TERMS, top=20
+        ),
+        # the indexed path must reproduce the direct pipeline exactly
+        "bm25_indexed_docs": _retrieval.bm25_oracle_sql(
             "documents", terms=_BM25_TERMS, top=20
         ),
         # unrolled Lloyd iterations as CTE chains; integer-exact past the

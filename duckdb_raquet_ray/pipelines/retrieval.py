@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from duckdb_raquet_ray import util
+from duckdb_raquet_ray.functions import detmix
 from duckdb_raquet_ray.pipelines.quality import _word_lists
 
 _WS = r"[ \t\n\r\x0b\x0c]+"
@@ -208,3 +209,212 @@ SELECT k AS {key_col}, score_micro,
 FROM sc WHERE score_micro > 0
 ORDER BY score_micro DESC, k LIMIT {int(top)}
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (the BM25 scale path: build once, probe by term —
+# the ann.build_ivf_index / dedup.build_content_index discipline applied to
+# lexical retrieval; a query opens ONLY the postings buckets its terms hash
+# into, never re-tokenizing the corpus)
+# ---------------------------------------------------------------------------
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def _term_bucket(terms: np.ndarray) -> np.ndarray:
+    # NOTE: detmix is imported at module top — a lazy package-internal
+    # import here breaks cloudpickled-by-value workers (no package on
+    # their sys.path)
+    return (
+        detmix.string_hash64(np.asarray(terms, dtype=object))
+        % np.uint64(TEXT_INDEX_BUCKETS)
+    ).astype(np.int32)
+
+
+def build_text_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> dict:
+    """Persist the corpus as a lexical index: postings (term, doc, tf)
+    hive-bucketed by term hash under ``postings/tb=<b>/``, per-doc word
+    lengths under ``doclens/``, and ``meta.json`` (N docs, L total words).
+    One tokenize pass; postings rows are per-(doc, distinct word) — the
+    standard inverted-file bound. Returns the meta dict."""
+    import json as _json
+    import os as _os
+
+    from duckdb_raquet_ray.state import fsio
+
+    ds = util.clean_dataset(ds).select_columns([key_col, text_col])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        wl = _word_lists(batch, text_col)
+        lens = wl.map(len).to_numpy(np.int64)
+        keys = batch.column(key_col)
+        if int(lens.sum()) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc": keys.slice(0, 0),
+                    "tf": pa.array([], pa.int64()),
+                    "tb": pa.array([], pa.int32()),
+                }
+            )
+        flat = wl.explode()
+        flat = flat[flat.notna()].to_numpy(dtype=object)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # per-(doc, word) counts: factorize words, lexsort, run lengths
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat, sort=False)
+        order = np.lexsort((codes, doc_of))
+        ds_, cs_ = doc_of[order], codes[order]
+        new = np.r_[True, (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])]
+        run_id = np.cumsum(new) - 1
+        tf = np.bincount(run_id)
+        d_idx = ds_[new]
+        w_idx = cs_[new]
+        terms = np.asarray(uniq, dtype=object)[w_idx]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc": keys.take(pa.array(d_idx)),
+                "tf": pa.array(tf.astype(np.int64)),
+                "tb": pa.array(_term_bucket(terms)),
+            }
+        )
+
+    _os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "postings"), partition_cols=["tb"]
+    )
+
+    def dl(batch: pa.Table) -> pa.Table:
+        wl = _word_lists(batch, text_col)
+        return pa.table(
+            {
+                "doc": batch.column(key_col),
+                "dl": pa.array(wl.map(len).to_numpy(np.int64)),
+            }
+        )
+
+    dls = ds.map_batches(dl, batch_format="pyarrow").materialize()
+    dls.write_parquet(_os.path.join(index_dir, "doclens"))
+    meta = {
+        "n_docs": int(dls.count()),
+        "total_words": int(dls.sum("dl") or 0),
+        "n_buckets": TEXT_INDEX_BUCKETS,
+        "text_col": text_col,
+        "key_col": key_col,
+    }
+    fsio.publish_bytes(
+        _json.dumps(meta).encode(), _os.path.join(index_dir, "meta.json")
+    )
+    return meta
+
+
+def bm25_topk_indexed(
+    index_dir: str,
+    terms: list[str],
+    *,
+    top: int = 10,
+) -> pa.Table:
+    """BM25 top-k off the persisted index — byte-identical results to
+    :func:`bm25_topk` on the indexed corpus (same rational-idf spec, df/L/N
+    from the index), but the query opens ONLY the postings buckets its
+    terms hash into (O(matching docs) bytes), then one streaming scoring
+    pass over the skinny doclens table with the postings broadcast.
+
+    Driver/broadcast bound: the query terms' postings (docs containing a
+    query term) — the standard inverted-file working set."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    meta = _json.load(open(_os.path.join(index_dir, "meta.json")))
+    key_col = meta["key_col"]
+    tset = [t.lower() for t in terms]
+    m = len(tset)
+    nd = float(meta["n_docs"])
+    ll = float(meta["total_words"])
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if ll == 0 or nd == 0:
+        return empty
+
+    # open only the probed buckets, keep only exact term matches
+    post: list[pa.Table] = []
+    for b in sorted(set(int(x) for x in _term_bucket(np.array(tset, object)))):
+        for f in sorted(
+            _glob.glob(_os.path.join(index_dir, "postings", f"tb={b}", "*.parquet"))
+        ):
+            t = _pq.read_table(f, columns=["term", "doc", "tf"])
+            mask = pc.is_in(t.column("term"), value_set=pa.array(tset, pa.string()))
+            t = t.filter(mask)
+            if t.num_rows:
+                post.append(t)
+    if not post:
+        return empty
+    pt = pa.concat_tables(post).combine_chunks()
+    term_idx = pc.index_in(
+        pt.column("term"), value_set=pa.array(tset, pa.string())
+    ).to_numpy(zero_copy_only=False)
+    docs_np = pt.column("doc").to_numpy(zero_copy_only=False)
+    tf_np = pt.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dfs = np.zeros(m, np.float64)
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for i in range(m):
+        sel = term_idx == i
+        dk, tv = docs_np[sel], tf_np[sel]
+        o = np.argsort(dk, kind="stable")
+        per_term.append((dk[o], tv[o]))
+        dfs[i] = float(sel.sum())
+    ridf = (2.0 * nd - 2.0 * dfs + 1.0) / (2.0 * dfs + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        kn = batch.column("doc").to_numpy(zero_copy_only=False)
+        total = np.zeros(len(dl), np.int64)
+        for i in range(m):
+            dk, tv = per_term[i]
+            if not len(dk):
+                continue
+            pos = np.searchsorted(dk, kn)
+            hit = (pos < len(dk)) & (dk[np.minimum(pos, len(dk) - 1)] == kn)
+            tf = np.zeros(len(kn), np.float64)
+            tf[hit] = tv[pos[hit]]
+            sat = (44.0 * tf * ll) / (20.0 * tf * ll + 6.0 * ll + 18.0 * dl * nd)
+            total += np.floor(ridf[i] * sat * 1000000.0).astype(np.int64)
+        keep = total > 0
+        kk, sc = kn[keep], total[keep]
+        take = min(top, len(sc))
+        idx = np.lexsort((kk, -sc))[:take] if take else np.array([], dtype=int)
+        return pa.table({key_col: pa.array(kk[idx]), "score_micro": pa.array(sc[idx])})
+
+    import os as _os2
+
+    dls = rd.read_parquet(_os2.path.join(index_dir, "doclens"))
+    cands = pa.Table.from_pylist(
+        dls.map_batches(score, batch_format="pyarrow", batch_size=65536).take_all()
+    )
+    if cands.num_rows == 0:
+        return empty
+    t = cands.sort_by(
+        [("score_micro", "descending"), (key_col, "ascending")]
+    ).slice(0, top)
+    return t.append_column(
+        "rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
+    )

@@ -81,3 +81,50 @@ class TestBm25:
         t = _docs(5, seed=1)
         with pytest.raises(ValueError):
             retrieval.bm25_topk(rd.from_arrow(t), [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextIndex:
+    def test_indexed_equals_direct(self, tmp_path):
+        t = _docs(300, seed=19)
+        idx = str(tmp_path / "tidx")
+        meta = retrieval.build_text_index(rd.from_arrow(t), idx)
+        assert meta["n_docs"] == 300
+        terms = ["rare", "alpha", "mixed"]
+        direct = retrieval.bm25_topk(rd.from_arrow(t), terms, top=12).to_pandas()
+        indexed = retrieval.bm25_topk_indexed(idx, terms, top=12).to_pandas()
+        assert direct.values.tolist() == indexed.values.tolist()
+
+    def test_probe_opens_only_hashed_buckets(self, tmp_path):
+        import glob
+        import os
+
+        t = _docs(200, seed=5)
+        idx = str(tmp_path / "tidx")
+        retrieval.build_text_index(rd.from_arrow(t), idx)
+        # corrupt every postings bucket EXCEPT the probed terms' buckets:
+        # the probe must still succeed (it never opens them)
+        terms = ["rare"]
+        keep = {
+            int(b)
+            for b in retrieval._term_bucket(
+                np.array([s.lower() for s in terms], object)
+            )
+        }
+        for d in glob.glob(os.path.join(idx, "postings", "tb=*")):
+            b = int(d.rsplit("=", 1)[1])
+            if b not in keep:
+                for f in glob.glob(os.path.join(d, "*.parquet")):
+                    with open(f, "wb") as fh:
+                        fh.write(b"corrupt")
+        out = retrieval.bm25_topk_indexed(idx, terms, top=5).to_pandas()
+        want = retrieval.bm25_topk(rd.from_arrow(t), terms, top=5).to_pandas()
+        assert out.values.tolist() == want.values.tolist()
+
+    def test_absent_terms_empty(self, tmp_path):
+        t = _docs(60, seed=2)
+        idx = str(tmp_path / "tidx")
+        retrieval.build_text_index(rd.from_arrow(t), idx)
+        out = retrieval.bm25_topk_indexed(idx, ["absentword"], top=5)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "score_micro", "rank"]
