@@ -2246,6 +2246,45 @@ def _q_bm25_indexed(sf_dir: str):
     return retrieval.bm25_topk_indexed(idx_dir, _BM25_TERMS, top=20)
 
 
+def _q_bm25_append(sf_dir: str):
+    """Incremental index growth: build the inverted index on the even-key
+    half of documents, APPEND the odd-key half (new postings files land
+    inside the live hive buckets, meta re-sums — old files never re-read),
+    then probe; must equal the one-shot full-corpus build, so it shares
+    bm25_topk_docs' oracle (retrieval.append_text_index — the
+    encode.append_job discipline applied to retrieval)."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_textidx_append_{tag}_{ENGINE_TAG}"
+    shutil.rmtree(idx_dir, ignore_errors=True)  # append is NOT idempotent
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def _half(keep_even: bool):
+        def f(b: _pa.Table) -> _pa.Table:
+            bit = _pc.bit_wise_and(b.column("doc_id"), _pa.scalar(1))
+            m = _pc.equal(bit, 0) if keep_even else _pc.equal(bit, 1)
+            return b.filter(m)
+
+        return f
+
+    retrieval.build_text_index(
+        ds.map_batches(_half(True), batch_format="pyarrow"), idx_dir
+    )
+    retrieval.append_text_index(
+        ds.map_batches(_half(False), batch_format="pyarrow"), idx_dir
+    )
+    return retrieval.bm25_topk_indexed(idx_dir, _BM25_TERMS, top=20)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table, integer-exact
     end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
@@ -2499,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": _q_bpe_encode,
         "bm25_topk_docs": _q_bm25,
         "bm25_indexed_docs": _q_bm25_indexed,
+        "bm25_append_docs": _q_bm25_append,
         "kmeans_assign_vecs": _q_kmeans,
         "cluster_sample_vecs": _q_cluster_sample,
         "semi_join_customer": _q_semi_join,
@@ -3121,6 +3161,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the indexed path must reproduce the direct pipeline exactly
         "bm25_indexed_docs": _retrieval.bm25_oracle_sql(
+            "documents", terms=_BM25_TERMS, top=20
+        ),
+        # build-half + append-half must equal the one-shot build
+        "bm25_append_docs": _retrieval.bm25_oracle_sql(
             "documents", terms=_BM25_TERMS, top=20
         ),
         # unrolled Lloyd iterations as CTE chains; integer-exact past the

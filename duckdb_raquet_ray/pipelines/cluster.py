@@ -41,6 +41,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from duckdb_raquet_ray import util
+from duckdb_raquet_ray.functions import detmix
 from duckdb_raquet_ray.pipelines.ann import _int8_matrix as ann_int8
 from duckdb_raquet_ray.pipelines.dedup import _smallest_key_vectors
 
@@ -269,8 +270,6 @@ def cluster_balanced_sample(
     two's-complement differently on negatives). Scale shape: the kmeans
     passes, then per-block partials already capped at per_cluster rows
     per cluster, one k-bounded groupby caps exactly."""
-    from duckdb_raquet_ray.functions import detmix
-
     assign = kmeans_int8(ds, vec_col=vec_col, key_col=key_col, k=k, iters=iters)
     per = int(per_cluster)
 
@@ -322,8 +321,6 @@ def cluster_balanced_oracle_sql(
 ) -> str:
     """DuckDB replica of cluster_balanced_sample: the kmeans CTE chain,
     then row_number over (seeded hash, key) per cluster."""
-    from duckdb_raquet_ray.functions import detmix
-
     seed_mix = int(detmix.splitmix64(int(seed) % detmix.U64))
     u_expr = detmix.sql_splitmix64(
         f"xor({detmix.sql_splitmix64('vid')}, {seed_mix}::UBIGINT)"

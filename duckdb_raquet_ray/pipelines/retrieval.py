@@ -38,6 +38,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.state import fsio
 from duckdb_raquet_ray.pipelines.quality import _word_lists
 
 _WS = r"[ \t\n\r\x0b\x0c]+"
@@ -246,8 +247,6 @@ def build_text_index(
     import json as _json
     import os as _os
 
-    from duckdb_raquet_ray.state import fsio
-
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -418,3 +417,63 @@ def bm25_topk_indexed(
     return t.append_column(
         "rank", pa.array(np.arange(1, t.num_rows + 1), type=pa.int64())
     )
+
+
+def append_text_index(
+    ds_new: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str | None = None,
+    key_col: str | None = None,
+) -> dict:
+    """Grow a persisted text index with NEW documents — the incremental
+    ingestion story (dedup.build_content_index's append discipline applied
+    to retrieval): new postings files land INSIDE the existing hive
+    buckets (hive partitioning makes the merge a directory append — the
+    probe globs every file per bucket, old and new alike), doclens gains
+    new shards, and meta.json re-publishes with the summed N / L. Existing
+    files are never rewritten or re-read; cost is O(new docs).
+
+    The caller owns key uniqueness across appends (duplicate keys would
+    double-count postings — the same contract as encode.append_job)."""
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(index_dir, "meta.json")))
+    if meta["n_buckets"] != TEXT_INDEX_BUCKETS:
+        raise ValueError(
+            f"index was built with {meta['n_buckets']} buckets, "
+            f"this build ships {TEXT_INDEX_BUCKETS}"
+        )
+    text_col = text_col or meta["text_col"]
+    key_col = key_col or meta["key_col"]
+    # one-off sub-index of the new docs in a scratch dir, then MOVE its
+    # postings/doclens files into the live buckets (tmp->rename publish)
+    import uuid
+
+    scratch = _os.path.join(index_dir, f"_append_{uuid.uuid4().hex[:12]}")
+    sub = build_text_index(ds_new, scratch, text_col=text_col, key_col=key_col)
+    for sd in sorted(_os.listdir(_os.path.join(scratch, "postings"))):
+        src_d = _os.path.join(scratch, "postings", sd)
+        dst_d = _os.path.join(index_dir, "postings", sd)
+        _os.makedirs(dst_d, exist_ok=True)
+        for f in sorted(_os.listdir(src_d)):
+            _os.replace(
+                _os.path.join(src_d, f),
+                _os.path.join(dst_d, f"app-{uuid.uuid4().hex[:8]}-{f}"),
+            )
+    dl_dst = _os.path.join(index_dir, "doclens")
+    for f in sorted(_os.listdir(_os.path.join(scratch, "doclens"))):
+        _os.replace(
+            _os.path.join(scratch, "doclens", f),
+            _os.path.join(dl_dst, f"app-{uuid.uuid4().hex[:8]}-{f}"),
+        )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    meta["n_docs"] = int(meta["n_docs"]) + int(sub["n_docs"])
+    meta["total_words"] = int(meta["total_words"]) + int(sub["total_words"])
+    fsio.publish_bytes(
+        _json.dumps(meta).encode(), _os.path.join(index_dir, "meta.json")
+    )
+    return meta

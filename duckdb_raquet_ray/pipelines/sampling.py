@@ -27,6 +27,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.stages.stats import grouped_quantiles
 
 U64 = detmix.U64
 
@@ -702,8 +703,6 @@ def quantile_filter(
     never pass (SQL comparison semantics); NULL group keys form their own
     group (the grouped_quantiles convention). SQL twin:
     `quantile_filter_oracle_sql`."""
-    from duckdb_raquet_ray.stages.stats import grouped_quantiles
-
     ds = util.clean_dataset(ds)
     if cols is not None:
         ds = ds.select_columns(cols)

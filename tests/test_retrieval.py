@@ -128,3 +128,42 @@ class TestTextIndex:
         out = retrieval.bm25_topk_indexed(idx, ["absentword"], top=5)
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "score_micro", "rank"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAppendTextIndex:
+    def test_append_equals_one_shot(self, tmp_path):
+        t = _docs(240, seed=31)
+        half_a = t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 0)
+        )
+        half_b = t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 1)
+        )
+        idx = str(tmp_path / "inc")
+        retrieval.build_text_index(rd.from_arrow(half_a), idx)
+        meta = retrieval.append_text_index(rd.from_arrow(half_b), idx)
+        assert meta["n_docs"] == 240
+        full = str(tmp_path / "full")
+        retrieval.build_text_index(rd.from_arrow(t), full)
+        terms = ["rare", "beta"]
+        a = retrieval.bm25_topk_indexed(idx, terms, top=15).to_pandas()
+        b = retrieval.bm25_topk_indexed(full, terms, top=15).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_old_files_untouched(self, tmp_path):
+        import glob
+        import os
+
+        t = _docs(100, seed=8)
+        idx = str(tmp_path / "inc")
+        retrieval.build_text_index(
+            rd.from_arrow(t.slice(0, 50)), idx
+        )
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(idx, "postings", "*", "*.parquet"))
+        }
+        retrieval.append_text_index(rd.from_arrow(t.slice(50)), idx)
+        for f, m in before.items():
+            assert os.path.getmtime(f) == m  # never rewritten
