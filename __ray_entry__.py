@@ -558,6 +558,19 @@ def _q_hll_registers(sf_dir: str):
     return st.hll_registers(ds, "tokens", p=_HLL_P)
 
 
+def _q_grouped_quantiles_cont(sf_dir: str):
+    """INTERPOLATED per-source quantiles (percentile_cont — the
+    Postgres h = p*(n-1) linear rule) via the same (group, value, cnt)
+    partial + bucketed rank scan as the disc variant; float parity at
+    the driver's %.9g hash tolerance (stats.grouped_quantiles_cont)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["source", "n_tok"])
+    return _st.grouped_quantiles_cont(ds, group_col="source", value_col="n_tok")
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source length-floor cleaning: keep docs whose n_tok >= their
     source's EXACT median (percentile_disc 0.5) — the per-domain cleaning
@@ -2533,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
+        "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
         "grouped_hll_source": _q_grouped_hll,
         "bpe_roundtrip_docs": _q_bpe_roundtrip,
         "bpe_encode_docs": _q_bpe_encode,
@@ -2733,6 +2747,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quantile_filter_ntok": _sampling.quantile_filter_oracle_sql(
             corpus, group_col="source", value_col="n_tok", p=0.5
+        ),
+        "grouped_quantiles_cont_source": _stats.grouped_quantiles_cont_oracle_sql(
+            corpus, group_col="source", value_col="n_tok"
         ),
         # per-group k smallest seeded hashes; shared _mix_ctes hash chain
         "stratified_sample_docs": _sampling.stratified_oracle_sql(

@@ -1054,6 +1054,125 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_cont(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """INTERPOLATED percentile_cont per group (the Postgres/DuckDB rule:
+    h = p*(n-1), result = v[floor h] + (h - floor h)*(v[floor h + 1] -
+    v[floor h])) — the continuous twin of :func:`grouped_quantiles`,
+    same (group, value, cnt) partial + bucketed exact-rank-scan shape.
+
+    Float caveat: the result is one short double expression; the oracle
+    uses DuckDB's percentile_cont builtin, whose internal op order may
+    differ in the last ulp — parity holds at the driver's %.9g hash
+    tolerance (the token_entropy / Welford precedent)."""
+    nb = n_buckets or util.scaled_buckets(ds)
+    labels = [
+        f"q{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}"
+        for p in ps
+    ]
+    empty_cols: dict = {group_col: pa.array([], pa.string())}
+    for lab in labels:
+        empty_cols[lab] = pa.array([], pa.float64())
+    empty = pa.table(empty_cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(vals)
+        gser = t.column(group_col).to_pandas().fillna("")[ok]
+        v = vals[ok].astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        codes, uniq = pd.factorize(gser, sort=False)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        new = np.empty(len(vs), bool)
+        new[0] = True
+        np.logical_or(cs[1:] != cs[:-1], vs[1:] != vs[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(vs)]).astype(np.int64)
+        groups = uniq.to_numpy(dtype=object)[cs[starts]]
+        bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "v": pa.array(vs[starts]),
+                "cnt": pa.array(cnt),
+                "_b": pa.array(bucket),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        df = (
+            g.select([group_col, "v", "cnt"])
+            .to_pandas()
+            .groupby([group_col, "v"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        rows: dict[str, list] = {group_col: []}
+        for lab in labels:
+            rows[lab] = []
+        for s, gd in df.groupby(group_col, sort=True):
+            values = gd["v"].to_numpy(np.int64)  # sorted by the groupby
+            cum = np.cumsum(gd["cnt"].to_numpy(np.int64))
+            n = int(cum[-1])
+            rows[group_col].append(s)
+            for p, lab in zip(ps, labels):
+                h = p * (n - 1)
+                lo_i = int(np.floor(h))
+                hi_i = min(lo_i + 1, n - 1)
+                v_lo = float(values[np.searchsorted(cum, lo_i + 1)])
+                v_hi = float(values[np.searchsorted(cum, hi_i + 1)])
+                rows[lab].append(v_lo + (h - np.floor(h)) * (v_hi - v_lo))
+        out = {group_col: pa.array(rows[group_col], pa.string())}
+        for lab in labels:
+            out[lab] = pa.array(rows[lab], pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda t: empty if t.num_columns == 0 else t, batch_format="pyarrow"
+        )
+    )
+
+
+def grouped_quantiles_cont_oracle_sql(
+    table: str,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles_cont` (builtin
+    percentile_cont; %.9g-tolerance parity, see the engine docstring)."""
+    cols = ", ".join(
+        f"percentile_cont({p}) WITHIN GROUP (ORDER BY {value_col})::DOUBLE AS "
+        + (f"q{round(p * 100) if (p * 100) == int(p * 100) else p * 100:g}")
+        for p in ps
+    )
+    return (
+        f"SELECT coalesce({group_col}, '') AS {group_col}, {cols} "
+        f"FROM {table} WHERE {value_col} IS NOT NULL "
+        f"GROUP BY coalesce({group_col}, '')"
+    )
+
+
 def grouped_quantiles_oracle_sql(
     table: str,
     group_col: str = "source",

@@ -450,3 +450,55 @@ class TestGroupedTokenEntropy:
         assert a["n_distinct"].tolist() == o["n_distinct"].tolist()
         for x, y in zip(a["entropy_bits"], o["entropy_bits"]):
             assert f"{x:.9g}" == f"{y:.9g}"
+
+
+class TestGroupedQuantilesCont:
+    def test_matches_duckdb_at_9g(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        rng = np.random.default_rng(14)
+        n = 500
+        t = pa.table({
+            "source": pa.array([["a", "b", "c"][i % 3] for i in range(n)]),
+            "n_tok": pa.array(rng.integers(0, 97, n).astype(np.int64)),
+        })
+        got = (
+            stats.grouped_quantiles_cont(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("tt", t)
+        want = (
+            con.execute(stats.grouped_quantiles_cont_oracle_sql("tt"))
+            .df()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            if c == "source":
+                assert got[c].tolist() == want[c].tolist()
+            else:  # the driver's float tolerance
+                assert ["%.9g" % x for x in got[c]] == ["%.9g" % x for x in want[c]]
+
+    def test_interpolates_between_ranks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        # 4 values: p50 -> h = 1.5 -> midpoint of 2nd and 3rd
+        t = pa.table({
+            "source": pa.array(["x"] * 4),
+            "n_tok": pa.array([10, 20, 40, 100], pa.int64()),
+        })
+        got = stats.grouped_quantiles_cont(
+            rd.from_arrow(t), ps=(0.5,)
+        ).to_pandas()
+        assert got["q50"].tolist() == [30.0]
