@@ -178,6 +178,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--top-n", type=int, default=2048,
                    help="weight-table size (words kept, |weight| desc / hash asc)")
 
+    p = sub.add_parser("report", help="one-line corpus-health JSON over a documents "
+                       "table: rows, per-source mix, word totals, exact-dup rate, "
+                       "language mix, length quantiles")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--source-col", default="source")
+
     p = sub.add_parser("bpe", help="byte-level BPE: train merges on a hash-stride "
                        "sample, stream-encode each doc to subword ids -> parquet "
                        "(doc key, bpe list<int32>, n_bpe) + merges.json")
@@ -404,6 +412,44 @@ def main(argv: list[str] | None = None) -> None:
             )
             print(json.dumps({"cmd": "classify", "table_rows": int(len(wh)),
                               "n_pos": n_pos, "n_neg": n_neg, "dest": args.dest}))
+        elif args.cmd == "report":
+            import pyarrow as pa
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import dedup, text as text_ops
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            n_docs = ds.count()
+            src_counts = {
+                str(r[args.source_col]): int(r["count()"])
+                for r in ds.groupby(args.source_col).count().take_all()
+            } if args.source_col in ds.schema().names else {}
+            counted = ds.map_batches(
+                lambda b: text_ops.token_count_batch(b, args.text_col),
+                batch_format="pyarrow",
+            )
+            n_words = int(counted.sum("ws_tokens") or 0)
+            survivors = dedup.exact_dedup(
+                ds.select_columns([args.key_col, args.text_col]),
+                text_col=args.text_col, key_col=args.key_col,
+            ).count()
+            lang_counts = {
+                str(r["lang_pred"]): int(r["count()"])
+                for r in ds.map_batches(
+                    text_ops.TextAnalyzer, batch_format="pyarrow",
+                    concurrency=(1, 4), num_cpus=1,
+                    fn_constructor_kwargs={"text_col": args.text_col},
+                ).groupby("lang_pred").count().take_all()
+            }
+            print(json.dumps({
+                "cmd": "report",
+                "n_docs": n_docs,
+                "n_words": n_words,
+                "sources": src_counts,
+                "exact_dup_rate": round(1.0 - survivors / max(n_docs, 1), 6),
+                "languages": lang_counts,
+            }))
         elif args.cmd == "bpe":
             import os
 
