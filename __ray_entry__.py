@@ -878,13 +878,9 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms.cms_heavy_hitters(ds, "tokens", threshold=100, w=1 << 17)
 
 
-def _mod_split(b, *, mod: int, rem: int, keep: bool):
-    """Vectorized doc_id % mod == rem row split (pa.Table -> pa.Table)."""
-    import numpy as np
-    import pyarrow as pa
-
-    m = (b.column("doc_id").to_numpy(zero_copy_only=False) % mod) == rem
-    return b.filter(pa.array(m if keep else ~m))
+# doc_id % mod == rem row split: util.mod_split (the partials shipped to
+# workers must target the by-value-registered PACKAGE, not this driver
+# module — a foreign-cwd driver run cannot import __ray_entry__ on workers)
 
 
 def _q_bloom_registers(sf_dir: str):
@@ -895,13 +891,14 @@ def _q_bloom_registers(sf_dir: str):
     DuckDB HUGEINT arithmetic, so the packed bitmap value-checks."""
     import ray.data as rd
 
+    from duckdb_raquet_ray import util as _util_mod
     from duckdb_raquet_ray.pipelines import bloom
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     bench = ds.map_batches(
-        functools.partial(_mod_split, mod=50, rem=7, keep=True),
+        functools.partial(_util_mod.mod_split, mod=50, rem=7, keep=True),
         batch_format="pyarrow",
     )
     words = bloom.bloom_build(bench, n=5, m_bits=bloom.M_BITS_DEFAULT, k=4)
@@ -916,18 +913,19 @@ def _q_bloom_decontaminate(sf_dir: str):
     Bloom FALSE POSITIVES hash-match (pipelines/bloom.py)."""
     import ray.data as rd
 
+    from duckdb_raquet_ray import util as _util_mod
     from duckdb_raquet_ray.pipelines import bloom
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     bench = ds.map_batches(
-        functools.partial(_mod_split, mod=50, rem=7, keep=True),
+        functools.partial(_util_mod.mod_split, mod=50, rem=7, keep=True),
         batch_format="pyarrow",
     )
     words = bloom.bloom_build(bench, n=5, m_bits=bloom.M_BITS_DEFAULT, k=4)
     train = ds.map_batches(
-        functools.partial(_mod_split, mod=50, rem=7, keep=False),
+        functools.partial(_util_mod.mod_split, mod=50, rem=7, keep=False),
         batch_format="pyarrow",
     )
     return bloom.bloom_probe(train, words, n=5, concurrency=(1, 4)).select_columns(
@@ -1592,6 +1590,74 @@ def _q_classifier_score(sf_dir: str):
     return quality.classifier_score(ds, (wh, w), concurrency=(1, 4)).select_columns(
         ["doc_id", "n_cls_hits", "cls_score", "pred_pos"]
     )
+
+
+_DSIR_TARGET = ("src0", "src3", "src6")  # the "wanted" distribution
+
+
+def _dsir_weights(sf_dir: str):
+    """Compute-or-load the DSIR integer bucket-weight table for one sf
+    dir (cached in /tmp so the Ray scorer and the SQL oracle — which
+    inlines the weights as VALUES — use the SAME plan artifact within a
+    driver run, the _pq_codebook discipline)."""
+    import json
+
+    import numpy as np
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/raquet_dsir_{tag}_{ENGINE_TAG}.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            return np.asarray(json.load(f), np.int64)
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dsir
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    tgt = list(_DSIR_TARGET)
+    target = docs.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("source"), pa.array(tgt))),
+        batch_format="pyarrow",
+    )
+    w = dsir.dsir_weights(dsir.bucket_counts(target), dsir.bucket_counts(docs))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([int(x) for x in w], f)
+    os.replace(tmp, path)
+    return w
+
+
+def _q_dsir_score(sf_dir: str):
+    """DSIR hashed-n-gram importance scoring (Xie et al. 2023): integer
+    log-ratio bucket weights trained toward the _DSIR_TARGET sources at
+    plan time, broadcast once, one streaming gather+reduceat pass —
+    integer-exact, full SQL oracle with the weight table inlined
+    (pipelines/dsir.py)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dsir
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dsir.dsir_score(ds, _dsir_weights(sf_dir), concurrency=(1, 4))
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR top-k selection: keep the 50 most target-like docs
+    (score desc, doc_id asc — deterministic). Each block reduces to its
+    local top-k before the global sort, so the sorted stream is
+    O(blocks x k)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dsir
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dsir.dsir_select(ds, _dsir_weights(sf_dir), 50)
 
 
 def _q_doc_df_score(sf_dir: str):
@@ -2544,6 +2610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     guaranteeing each round's correctness file covers the newest ops."""
     _ensure_corpus()
     return {
+        # --- round-4, closing session ---------------------------------------
+        "dsir_score_docs": _q_dsir_score,
+        "dsir_select_docs": _q_dsir_select,
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
         "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
@@ -2712,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import contamination as _contamination
     from duckdb_raquet_ray.pipelines import pii as _pii
     from duckdb_raquet_ray.pipelines import dedup as _dedup
+    from duckdb_raquet_ray.pipelines import dsir as _dsir
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
     from duckdb_raquet_ray.pipelines import joins as _joins_mod
@@ -2739,6 +2809,15 @@ def oracle_sql() -> dict[str, str]:
     allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
+        # DSIR: the plan-time integer weight table (trained at sf0.01,
+        # /tmp-cached — the _pq_codebook discipline) inlined as VALUES;
+        # scoring is an int64 sum on both sides
+        "dsir_score_docs": _dsir.dsir_score_oracle_sql(
+            _dsir_weights("/root/testdata/sf0.01")
+        ),
+        "dsir_select_docs": _dsir.dsir_select_oracle_sql(
+            _dsir_weights("/root/testdata/sf0.01"), 50
+        ),
         # HLL registers: identical splitmix64 hash / register split / rank
         # rule on both sides (bin() length = exact integer bit_length)
         "hll_distinct_tokens": _stats.hll_oracle_sql(corpus, "tokens", p=_HLL_P),

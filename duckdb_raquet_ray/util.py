@@ -25,6 +25,17 @@ def clean_dataset(ds):
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 
+def mod_split(b, *, key_col: str = "doc_id", mod: int, rem: int, keep: bool):
+    """Vectorized `key % mod == rem` row split (pa.Table -> pa.Table) —
+    the deterministic benchmark/train carve used by the bloom queries.
+    Lives in the package (registered pickle-by-value) so shipping it to
+    workers never depends on the driver module being importable there."""
+    import pyarrow as pa
+
+    m = (b.column(key_col).to_numpy(zero_copy_only=False) % mod) == rem
+    return b.filter(pa.array(m if keep else ~m))
+
+
 DEFAULT_BUCKET_TARGET_BYTES = 32 << 20
 
 
