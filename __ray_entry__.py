@@ -1203,6 +1203,25 @@ def _q_normalize_docs(sf_dir: str):
     )
 
 
+def _q_html_strip(sf_dir: str):
+    """HTML boilerplate removal over deterministically HTML-WRAPPED docs
+    (page chrome + comment + script-with-bare-'<' + style + entities,
+    derived identically on both sides): comments/script/style/tags
+    dropped, entities decoded after tag removal, whitespace collapsed —
+    every regex step RE2 on both engines, byte parity by construction
+    (pipelines/text.py:html_strip / html_mangle_batch)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _text.html_strip(
+        ds.map_batches(_text.html_mangle_batch, batch_format="pyarrow")
+    )
+
+
 def _q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (RE2 split both sides,
     explicit trim set — pipelines/text.py:sentence_stats)."""
@@ -2613,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
+        "html_strip_docs": _q_html_strip,
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
         "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
@@ -2903,6 +2923,11 @@ def oracle_sql() -> dict[str, str]:
         # NFC + RE2 \s+ collapse on both sides)
         "normalize_docs": _text_ops.normalize_oracle_sql(
             _text_ops.mangle_unicode_sql("documents")
+        ),
+        # html strip over the identically-wrapped docs (RE2 step chain +
+        # entity replaces, same order both sides)
+        "html_strip_docs": _text_ops.html_strip_oracle_sql(
+            _text_ops.html_mangle_sql("documents")
         ),
         "length_buckets_docs": _sampling.length_buckets_oracle_sql(
             "documents", length_col="n_chars", boundaries=_LEN_BOUNDARIES

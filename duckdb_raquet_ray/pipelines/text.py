@@ -341,6 +341,130 @@ def normalize_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# HTML boilerplate strip (the web-extraction cleaning pass: drop
+# comments / script / style / tags, decode common entities, collapse
+# whitespace). Byte parity with DuckDB by construction: every regex step
+# runs on RE2 on BOTH sides (pyarrow replace_substring_regex == DuckDB
+# regexp_replace(..., 'g')), the entity decodes are plain substring
+# replaces — the pii.py discipline.
+# ---------------------------------------------------------------------------
+
+# order matters and is identical in SQL: blocks first (their bodies may
+# contain '<'), then comments, then tags; entities decode AFTER tag
+# removal (standard order — a decoded '&lt;b&gt;' must survive as literal
+# text, never be re-parsed as a tag), with '&amp;' LAST so '&amp;lt;'
+# decodes to the literal '&lt;', not to '<'.
+_HTML_REGEX_STEPS = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+_HTML_ENTITY_STEPS = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_strip_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One streaming pass: strip HTML boilerplate from `text_col` and
+    append `n_stripped` (code points removed, int64 — negative never:
+    every step only deletes or 1:1-replaces). Null text stays null on
+    both sides."""
+    batch = util.strip_schema_metadata(batch)
+    arr = batch.column(text_col)
+    orig_len = pa.compute.utf8_length(arr)
+    for pat, rep in _HTML_REGEX_STEPS:
+        arr = pa.compute.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    for pat, rep in _HTML_ENTITY_STEPS:
+        arr = pa.compute.replace_substring(arr, pattern=pat, replacement=rep)
+    arr = pa.compute.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    arr = pa.compute.utf8_trim(arr, characters=" ")
+    out = batch.set_column(batch.schema.get_field_index(text_col), text_col, arr)
+    stripped = pa.compute.subtract(
+        pa.compute.cast(orig_len, pa.int64()),
+        pa.compute.cast(pa.compute.utf8_length(arr), pa.int64()),
+    )
+    return out.append_column("n_stripped", stripped)
+
+
+def html_strip(ds, text_col: str = "text"):
+    """Streaming HTML boilerplate removal — stateless map_batches, no
+    shuffle, nothing on the driver."""
+    return ds.map_batches(
+        lambda b: html_strip_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_strip_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of html_strip: the identical RE2 step chain
+    (regexp_replace 'g' == replace_substring_regex), identical entity
+    replace order, identical collapse + space trim."""
+    expr = text_col
+    for pat, rep in _HTML_REGEX_STEPS:
+        expr = f"regexp_replace({expr}, {_sql_quote(pat)}, {_sql_quote(rep)}, 'g')"
+    for pat, rep in _HTML_ENTITY_STEPS:
+        expr = f"replace({expr}, {_sql_quote(pat)}, {_sql_quote(rep)})"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'), ' ')"
+    return (
+        f"SELECT {key_col}, {expr} AS {text_col}, "
+        f"(length({text_col}) - length({expr}))::BIGINT AS n_stripped "
+        f"FROM {table}"
+    )
+
+
+def html_mangle_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic HTML derivation for plain-text fixtures (the
+    mangle_unicode_batch pattern): wrap each doc in page chrome with a
+    comment, a script whose body contains a bare '<', a style block, and
+    entity-encode two substrings — identical to :func:`html_mangle_sql`."""
+    t = util.strip_schema_metadata(t)
+    arr = t.column(text_col)
+    arr = pa.compute.replace_substring(arr, pattern="x", replacement="&lt;x&gt;")
+    arr = pa.compute.replace_substring(arr, pattern="  ", replacement=" &nbsp; ")
+    pre = '<html><body><!-- hdr --><p class="m">'
+    post = (
+        "</p><script type=\"text/javascript\">var a = 1 < 2;</script>"
+        "<style>p { color: red }</style></body></html>"
+    )
+    wrapped = pa.compute.binary_join_element_wise(
+        pa.array([pre] * t.num_rows),
+        arr,
+        pa.array([post] * t.num_rows),
+        "",
+    )
+    return t.set_column(t.schema.get_field_index(text_col), text_col, wrapped)
+
+
+def html_mangle_sql(
+    table: str, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """Parenthesized subquery twin of :func:`html_mangle_batch`."""
+    pre = '<html><body><!-- hdr --><p class="m">'
+    post = (
+        "</p><script type=\"text/javascript\">var a = 1 < 2;</script>"
+        "<style>p { color: red }</style></body></html>"
+    )
+    inner = (
+        f"replace(replace({text_col}, 'x', '&lt;x&gt;'), '  ', ' &nbsp; ')"
+    )
+    return (
+        f"(SELECT {key_col}, {_sql_quote(pre)} || {inner} || {_sql_quote(post)} "
+        f"AS {text_col} FROM {table})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # hashed tokenization: text -> list<int32> token ids (the docs -> tokens
 # bridge; feature-hashing over whitespace words, fully SQL-replicable)
 # ---------------------------------------------------------------------------
