@@ -1222,6 +1222,28 @@ def _q_html_strip(sf_dir: str):
     )
 
 
+_URL_BLOCKLIST = ["site8.example.org", "site14.example.org", "spam.example.net"]
+
+
+def _q_url_blocklist(sf_dir: str):
+    """URL blocklist document filter (the C4/RefinedWeb URL-filter step)
+    over docs with deterministically SPLICED urls: one fused RE2
+    alternation (host = blocked domain or subdomain, boundary by
+    consumed char — RE2 has no lookaheads) on both engines
+    (pipelines/pii.py:url_blocklist_filter)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    synth = ds.map_batches(pii.synthesize_urls_batch, batch_format="pyarrow")
+    return pii.url_blocklist_filter(synth, _URL_BLOCKLIST).select_columns(
+        ["doc_id", "url_blocked"]
+    )
+
+
 def _q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (RE2 split both sides,
     explicit trim set — pipelines/text.py:sentence_stats)."""
@@ -2633,6 +2655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
         "html_strip_docs": _q_html_strip,
+        "url_blocklist_docs": _q_url_blocklist,
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
         "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
@@ -3245,6 +3268,13 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_docs": _pii.pii_scan_oracle_sql(_pii.synthesize_pii_sql()),
         "pii_redact_docs": _pii.pii_redact_oracle_sql(_pii.synthesize_pii_sql()),
         "url_scan_docs": _pii.url_scan_oracle_sql(_pii.synthesize_urls_sql()),
+        "url_blocklist_docs": (
+            "SELECT doc_id, url_blocked FROM ("
+            + _pii.url_blocklist_oracle_sql(
+                _URL_BLOCKLIST, _pii.synthesize_urls_sql()
+            )
+            + ")"
+        ),
         "domain_counts_docs": _pii.domain_counts_oracle_sql(
             _pii.synthesize_urls_sql()
         ),

@@ -225,6 +225,60 @@ def domain_counts_oracle_sql(
     )
 
 
+def _blocklist_pattern(blocked: list[str]) -> str:
+    """ONE RE2 alternation matching any url whose host IS a blocked
+    domain or a subdomain of one. RE2 has no lookaheads, so the
+    host-boundary is asserted by consuming one non-host char (or end).
+    Compiled once at plan time; O(1) regex passes per batch regardless
+    of blocklist length."""
+    import re as _re
+
+    if not blocked:
+        raise ValueError("empty blocklist")
+    alts = "|".join(_re.escape(d) for d in sorted(blocked))
+    return rf"https?://([A-Za-z0-9.-]+\.)?({alts})([^A-Za-z0-9.-]|$)"
+
+
+def url_blocklist_filter(
+    ds: rd.Dataset,
+    blocked: list[str],
+    *,
+    text_col: str = "text",
+    keep_blocked: bool = False,
+) -> rd.Dataset:
+    """Drop (or keep, for audit) docs containing a url on a blocked
+    domain — the C4/RefinedWeb URL-filter step. Appends `url_blocked`
+    (bool) and filters; null text is never blocked. Stateless
+    map_batches, the single fused regex broadcast in the task closure —
+    no shuffle, nothing corpus-sized anywhere."""
+    pat = _blocklist_pattern(blocked)
+
+    def f(batch: pa.Table) -> pa.Table:
+        arr = _text_array(batch, text_col)
+        m = pc.fill_null(pc.match_substring_regex(arr, pat), False)
+        out = batch.append_column("url_blocked", m)
+        return out.filter(m if keep_blocked else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def url_blocklist_oracle_sql(
+    blocked: list[str],
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    keep_blocked: bool = False,
+) -> str:
+    """DuckDB replica (regexp_matches — RE2, same pattern string)."""
+    pat = _blocklist_pattern(blocked).replace("'", "''")
+    cond = f"coalesce(regexp_matches({text_col}, '{pat}'), FALSE)"
+    want = cond if keep_blocked else f"NOT {cond}"
+    return (
+        f"SELECT *, {cond} AS url_blocked FROM {table} WHERE {want}"
+    )
+
+
 def synthesize_urls_batch(
     batch: pa.Table, *, key_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:

@@ -284,3 +284,86 @@ class TestTokenizeHashed:
         out = tx.tokenize_hashed(ds).take_all()
         assert len(out) == 500
         assert all(r["n_tok"] == len(r["tokens"]) for r in out[:20])
+
+
+URL_DOCS = [
+    (0, "see https://site8.example.org/page0 now"),          # exact blocked host
+    (1, "see https://a.b.site8.example.org/x deep subdomain"),  # subdomain of blocked
+    (2, "see https://site9.example.org/ok fine"),            # unblocked sibling
+    (3, "see https://notsite8.example.org/ok fine"),         # prefix must NOT match
+    (4, "see https://spam.example.net trailing-end"),        # blocked at end of text
+    (5, "mentions site8.example.org without scheme"),        # no url: not blocked
+    (6, None),
+    (7, ""),
+    (8, "two https://ok.example.com/x then https://site14.example.org/y"),
+]
+BLOCKED = ["site8.example.org", "site14.example.org", "spam.example.net"]
+
+
+def _url_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in URL_DOCS], pa.int64()),
+            "text": pa.array([s for _, s in URL_DOCS], pa.string()),
+        }
+    )
+
+
+def _url_values_src() -> str:
+    vals = ", ".join(
+        f"({i}, {'NULL' if s is None else repr(s)})" for i, s in URL_DOCS
+    )
+    return f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))"
+
+
+class TestUrlBlocklist:
+    def test_semantics(self, ray_session):
+        kept = (
+            pii.url_blocklist_filter(rd.from_arrow(_url_table()), BLOCKED)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        # 0: exact host, 1: subdomain, 4: end-of-text, 8: second url -> blocked
+        assert sorted(kept) == [2, 3, 5, 6, 7]
+
+    def test_keep_blocked_audit_side(self, ray_session):
+        blocked = (
+            pii.url_blocklist_filter(
+                rd.from_arrow(_url_table()), BLOCKED, keep_blocked=True
+            )
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert sorted(blocked) == [0, 1, 4, 8]
+
+    def test_oracle_parity(self, ray_session):
+        mine = (
+            pii.url_blocklist_filter(rd.from_arrow(_url_table()), BLOCKED)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ref = (
+            duckdb.sql(pii.url_blocklist_oracle_sql(BLOCKED, _url_values_src()))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert mine["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert mine["url_blocked"].tolist() == ref["url_blocked"].tolist()
+
+    def test_regex_metachars_escaped(self):
+        # a '.' in a blocked domain must not match an arbitrary char
+        pat = pii._blocklist_pattern(["a.com"])
+        import pyarrow.compute as pc
+
+        m = pc.match_substring_regex(
+            pa.array(["https://axcom/x", "https://a.com/x"]), pat
+        ).to_pylist()
+        assert m == [False, True]
+
+    def test_empty_blocklist_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="empty blocklist"):
+            pii._blocklist_pattern([])
