@@ -1992,6 +1992,29 @@ def _q_wav_stats(sf_dir: str):
     )
 
 
+def _q_wav_vad(sf_dir: str):
+    """Integer voice-activity segmentation over REAL WAV decode
+    (pipelines/multimodal.py:AudioVad): frame mean-|amplitude| gate,
+    maximal active runs, and a checksum pinning every segment boundary.
+    The SQL oracle regenerates the sample stream and replays the same
+    frame/run logic with window functions."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _wav_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.AudioVad,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(2048),
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+
 def _mjpeg_media_path(rows: int) -> str:
     """Persisted REAL MJPEG-AVI corpus with per-frame forced-decode pixel
     sums as an independent list<int64> column."""
@@ -2656,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_docs": _q_dsir_select,
         "html_strip_docs": _q_html_strip,
         "url_blocklist_docs": _q_url_blocklist,
+        "wav_vad_segments": _q_wav_vad,
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
         "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
@@ -3517,6 +3541,37 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_wav_media_path(MEDIA_FEAT_ROWS)}')), "
             "LATERAL (SELECT ((audio_key*7919 + i*i*31 + i*991) % 65536) - 32768 AS s) "
             "GROUP BY media_id, n_samples"
+        ),
+        # VAD twin: regenerate the exact sample stream, replay the frame
+        # gate (sum|s| >= T * frame_len) and the maximal-run fold with
+        # window functions; the checksum pins every segment boundary
+        "wav_vad_segments": (
+            "WITH base AS (SELECT media_id, audio_key, n_samples::BIGINT AS n_samples "
+            f"FROM read_parquet('{_wav_media_path(MEDIA_FEAT_ROWS)}')), "
+            "s AS (SELECT media_id, i, "
+            "((audio_key*7919 + i*i*31 + i*991) % 65536) - 32768 AS v "
+            "FROM (SELECT media_id, audio_key, "
+            "unnest(generate_series(0, n_samples::INT - 1)) AS i FROM base)), "
+            "f AS (SELECT media_id, i // 256 AS fi, "
+            "(sum(abs(v)) >= 16384 * count(*)) AS act FROM s GROUP BY media_id, i // 256), "
+            "r AS (SELECT media_id, fi, act, CASE WHEN act AND NOT "
+            "coalesce(lag(act) OVER (PARTITION BY media_id ORDER BY fi), FALSE) "
+            "THEN 1 ELSE 0 END AS st FROM f), "
+            "g AS (SELECT media_id, fi, act, "
+            "sum(st) OVER (PARTITION BY media_id ORDER BY fi) AS seg FROM r), "
+            "segs AS (SELECT media_id, seg, min(fi) AS s0, count(*)::BIGINT AS ln "
+            "FROM g WHERE act GROUP BY media_id, seg), "
+            "agg AS (SELECT media_id, count(*)::BIGINT AS n_segments, "
+            "sum((s0 + 1) * 1048573 + ln)::BIGINT AS vad_checksum FROM segs GROUP BY media_id), "
+            "acts AS (SELECT media_id, count(*)::BIGINT AS n_frames, "
+            "coalesce(sum(CASE WHEN act THEN 1 ELSE 0 END), 0)::BIGINT AS n_active "
+            "FROM f GROUP BY media_id) "
+            "SELECT b.media_id, coalesce(acts.n_frames, 0) AS n_frames, "
+            "coalesce(acts.n_active, 0) AS n_active, "
+            "coalesce(agg.n_segments, 0) AS n_segments, "
+            "coalesce(agg.vad_checksum, 0) AS vad_checksum "
+            "FROM base b LEFT JOIN acts ON acts.media_id = b.media_id "
+            "LEFT JOIN agg ON agg.media_id = b.media_id"
         ),
         "frame_sample": (
             "WITH m AS (SELECT media_id, decode(payload) AS p, n_frames, "

@@ -208,6 +208,82 @@ class AudioFeaturizer:
         )
 
 
+class AudioVad:
+    """audio payload -> integer voice-activity segmentation. REAL for WAV
+    (RIFF/PCM, codecs/audiocodec.py); other formats raise unless
+    ``fake=True`` (the AudioFeaturizer discipline). A frame of `frame`
+    samples is ACTIVE iff sum(|s|) >= threshold * frame_len (an integer
+    mean-|amplitude| gate that stays fair for the partial last frame);
+    segments are maximal runs of active frames. Outputs are
+    integer-exact and SQL-replicable:
+
+    - n_frames      ceil(n_samples / frame)
+    - n_active      active frame count
+    - n_segments    maximal active runs
+    - vad_checksum  sum over segments of ((start_frame+1)*1048573 + len)
+                    — pins every segment boundary, not just the counts.
+    """
+
+    def __init__(self, frame: int = 256, threshold: int = 16_384, fake: bool = False):
+        if frame < 1:
+            raise ValueError(f"frame must be >= 1, got {frame}")
+        self.frame = frame
+        self.threshold = int(threshold)
+        self.fake = fake
+
+    def _vad(self, data: bytes) -> tuple[int, int, int, int]:
+        if audiocodec.sniff(data):
+            s, _rate = audiocodec.wav_decode(data)
+            if s.ndim == 2:
+                s = s[:, 0]
+            a = np.abs(s.astype(np.int64))
+        elif self.fake:
+            a = np.abs(_stable_bytes_hash(data).astype(np.int64))
+        else:
+            raise NotImplementedError(
+                "non-WAV audio decode (mp3/ogg/aac) requires an audio "
+                "library not installed in this container; construct with "
+                "fake=True for the deterministic test double"
+            )
+        n = len(a)
+        if n == 0:
+            return 0, 0, 0, 0
+        starts = np.arange(0, n, self.frame, dtype=np.int64)
+        energy = np.add.reduceat(a, starts)
+        flen = np.minimum(starts + self.frame, n) - starts
+        active = energy >= self.threshold * flen
+        seg_start = active & ~np.concatenate(([False], active[:-1]))
+        s0 = np.flatnonzero(seg_start)
+        if len(s0):
+            # segment end = first inactive frame after the start, else EOF
+            inact = np.flatnonzero(~active)
+            if len(inact):
+                pos = np.searchsorted(inact, s0)
+                ends = np.where(
+                    pos < len(inact),
+                    inact[np.minimum(pos, len(inact) - 1)],
+                    len(active),
+                )
+            else:
+                ends = np.full(len(s0), len(active), dtype=np.int64)
+            seg_len = ends - s0
+            checksum = int(((s0 + 1) * 1048573 + seg_len).sum())
+        else:
+            checksum = 0
+        return len(starts), int(active.sum()), len(s0), checksum
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._vad(p or b"") for p in batch.column("payload").to_pylist()]
+        cols = list(zip(*feats)) if feats else ([], [], [], [])
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("n_frames", pa.array(cols[0], pa.int64()))
+            .append_column("n_active", pa.array(cols[1], pa.int64()))
+            .append_column("n_segments", pa.array(cols[2], pa.int64()))
+            .append_column("vad_checksum", pa.array(cols[3], pa.int64()))
+        )
+
+
 def synthesize_wav_media_table(rows: int, rate: int = 16_000) -> pa.Table:
     """Deterministic REAL WAV corpus: 16-bit mono PCM whose sample i of
     row k is the pure-integer formula

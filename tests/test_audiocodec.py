@@ -104,3 +104,82 @@ class TestAudioFeaturizer:
             mm.AudioFeaturizer()(t)
         out = mm.AudioFeaturizer(fake=True)(t)
         assert out.num_rows == 1
+
+
+class TestAudioVad:
+    def _vad(self, samples, frame=4, threshold=10):
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.codecs import audiocodec
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        payload = audiocodec.wav_encode(
+            np.asarray(samples, dtype=np.int64), 16_000
+        )
+        t = pa.table({"media_id": ["m"], "payload": pa.array([payload], pa.binary())})
+        out = mm.AudioVad(frame=frame, threshold=threshold)(t).to_pydict()
+        return (
+            out["n_frames"][0],
+            out["n_active"][0],
+            out["n_segments"][0],
+            out["vad_checksum"][0],
+        )
+
+    def test_all_quiet(self):
+        assert self._vad([1, 1, 1, 1, 1, 1, 1, 1]) == (2, 0, 0, 0)
+
+    def test_all_active_is_one_segment(self):
+        nf, na, ns, ck = self._vad([100] * 8)
+        assert (nf, na, ns) == (2, 2, 1)
+        assert ck == (0 + 1) * 1048573 + 2
+
+    def test_two_segments_and_eof_run(self):
+        # frames: [loud, quiet, loud] with the last frame PARTIAL (2
+        # samples) and active — a run ending at EOF
+        samples = [100] * 4 + [0] * 4 + [100] * 2
+        nf, na, ns, ck = self._vad(samples)
+        assert (nf, na, ns) == (3, 2, 2)
+        assert ck == ((0 + 1) * 1048573 + 1) + ((2 + 1) * 1048573 + 1)
+
+    def test_partial_frame_gate_is_mean_based(self):
+        # last frame has 1 sample of 15 >= 10*1 -> active; a sum-based
+        # gate (15 >= 10*4) would also pass here, so probe the converse:
+        # 1 sample of 5 < 10*1 -> inactive even though a full quiet
+        # frame of four 5s would sum to 20 >= ... mean rule holds
+        assert self._vad([0, 0, 0, 0, 15])[1] == 1
+        assert self._vad([0, 0, 0, 0, 5])[1] == 0
+
+    def test_empty_payload_zeroes(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = pa.table(
+            {"media_id": ["m"], "payload": pa.array([None], pa.binary())}
+        )
+        out = mm.AudioVad(fake=True)(t).to_pydict()
+        assert out["n_frames"][0] == 1  # 32-byte fake hash -> 1 frame
+        # and a truly empty real wav:
+        assert self._vad([]) == (0, 0, 0, 0)
+
+    def test_non_wav_raises_unless_fake(self):
+        import pyarrow as pa
+        import pytest
+
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = pa.table(
+            {"media_id": ["m"], "payload": pa.array([b"\xff\xd8junk"], pa.binary())}
+        )
+        with pytest.raises(NotImplementedError):
+            mm.AudioVad()(t)
+        mm.AudioVad(fake=True)(t)  # fake double ok
+
+    def test_frame_below_one_rejected(self):
+        import pytest
+
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        with pytest.raises(ValueError, match="frame must be"):
+            mm.AudioVad(frame=0)
