@@ -2352,6 +2352,23 @@ def _q_bm25(sf_dir: str):
     return retrieval.bm25_topk(ds, _BM25_TERMS, top=20)
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-20 and the cosine vector top-20 (retrieval.rrf_fuse) — integer
+    floor-division scoring so the FULL OUTER join twin replicates
+    exactly. The corpus-scale work is the two streaming retrievers; the
+    fuse itself touches 2k rows."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann, retrieval
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, top=20)
+    vec = ann.brute_force_topk(emb, _query_vec(), k=20)
+    return retrieval.rrf_fuse(lex, vec, k=10)
+
+
 def _q_cluster_sample(sf_dir: str):
     """Cluster-balanced sampling: k-means partition of the embedding
     space, then exactly 20 per-cluster smallest seeded key hashes — the
@@ -2680,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_strip_docs": _q_html_strip,
         "url_blocklist_docs": _q_url_blocklist,
         "wav_vad_segments": _q_wav_vad,
+        "hybrid_rrf_docs": _q_hybrid_rrf,
         # --- round-4 new ---------------------------------------------------
         "quantile_filter_ntok": _q_quantile_filter,
         "grouped_quantiles_cont_source": _q_grouped_quantiles_cont,
@@ -3333,6 +3351,18 @@ def oracle_sql() -> dict[str, str]:
         # double expression in matching association order on both sides
         "bm25_topk_docs": _retrieval.bm25_oracle_sql(
             "documents", terms=_BM25_TERMS, top=20
+        ),
+        # RRF = FULL OUTER join of the two ranked twins + integer // score
+        "hybrid_rrf_docs": _retrieval.rrf_oracle_sql(
+            _retrieval.bm25_oracle_sql("documents", terms=_BM25_TERMS, top=20),
+            (
+                "SELECT vec_id, CAST(row_number() OVER "
+                f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
+                "AS BIGINT) AS rank FROM embeddings "
+                f"ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, "
+                "vec_id LIMIT 20"
+            ),
+            k=10,
         ),
         # the indexed path must reproduce the direct pipeline exactly
         "bm25_indexed_docs": _retrieval.bm25_oracle_sql(

@@ -477,3 +477,79 @@ def append_text_index(
         _json.dumps(meta).encode(), _os.path.join(index_dir, "meta.json")
     )
     return meta
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+# vector (cosine top-k) candidate list — the standard hybrid-search
+# combiner (Cormack et al. 2009). Integer-exact by spec: the fused score
+# is sum over lists of scale // (rrf_k + rank) (floor division), so the
+# SQL twin replicates it with DuckDB's integer //.
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    lex: pa.Table,
+    vec: pa.Table,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    lex_key: str = "doc_id",
+    vec_key: str = "vec_id",
+) -> pa.Table:
+    """Fuse two ranked candidate tables (each carrying 1-based `rank`)
+    into (doc_id, rrf_micro, lex_rank, vec_rank), top-k by
+    (rrf_micro desc, key asc); a list the key is absent from contributes
+    0 and reports rank 0. Driver-side on two k-sized tables — the
+    corpus-scale work happened in the two retrievers."""
+    lk = lex.column(lex_key).to_numpy(zero_copy_only=False)
+    lr = lex.column("rank").to_numpy(zero_copy_only=False)
+    vk = vec.column(vec_key).to_numpy(zero_copy_only=False)
+    vr = vec.column("rank").to_numpy(zero_copy_only=False)
+    lex_of = dict(zip(lk.tolist(), lr.tolist()))
+    vec_of = dict(zip(vk.tolist(), vr.tolist()))
+    keys = sorted(set(lex_of) | set(vec_of))
+    lrank = np.array([lex_of.get(x, 0) for x in keys], np.int64)
+    vrank = np.array([vec_of.get(x, 0) for x in keys], np.int64)
+    score = np.where(lrank > 0, scale // (rrf_k + lrank), 0) + np.where(
+        vrank > 0, scale // (rrf_k + vrank), 0
+    )
+    karr = np.asarray(keys)
+    order = np.lexsort((karr, -score))[: min(k, len(keys))]
+    return pa.table(
+        {
+            "doc_id": pa.array(karr[order]),
+            "rrf_micro": pa.array(score[order]),
+            "lex_rank": pa.array(lrank[order]),
+            "vec_rank": pa.array(vrank[order]),
+        }
+    )
+
+
+def rrf_oracle_sql(
+    lex_sql: str,
+    vec_sql: str,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    lex_key: str = "doc_id",
+    vec_key: str = "vec_id",
+) -> str:
+    """DuckDB replica of rrf_fuse: FULL OUTER join of the two ranked
+    subqueries (each must expose a 1-based `rank`), identical integer
+    floor-division scoring, (score desc, key asc) LIMIT k."""
+    return f"""
+WITH lex AS ({lex_sql}), vec AS ({vec_sql}),
+fused AS (
+  SELECT coalesce(lex.{lex_key}, vec.{vec_key}) AS doc_id,
+    (CASE WHEN lex.rank IS NULL THEN 0 ELSE {scale} // ({rrf_k} + lex.rank) END
+     + CASE WHEN vec.rank IS NULL THEN 0 ELSE {scale} // ({rrf_k} + vec.rank) END
+    )::BIGINT AS rrf_micro,
+    coalesce(lex.rank, 0)::BIGINT AS lex_rank,
+    coalesce(vec.rank, 0)::BIGINT AS vec_rank
+  FROM lex FULL OUTER JOIN vec ON vec.{vec_key} = lex.{lex_key}
+)
+SELECT * FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {int(k)}
+"""

@@ -167,3 +167,61 @@ class TestAppendTextIndex:
         retrieval.append_text_index(rd.from_arrow(t.slice(50)), idx)
         for f, m in before.items():
             assert os.path.getmtime(f) == m  # never rewritten
+
+
+class TestRrfFuse:
+    def _t(self, keys, col="doc_id"):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                col: pa.array(keys, pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(keys) + 1), type=pa.int64()
+                ),
+            }
+        )
+
+    def test_overlap_scores_sum(self):
+        from duckdb_raquet_ray.pipelines import retrieval as R
+
+        out = R.rrf_fuse(self._t([5, 7]), self._t([7, 9], "vec_id"), k=10)
+        d = {
+            r["doc_id"]: (r["rrf_micro"], r["lex_rank"], r["vec_rank"])
+            for r in out.to_pylist()
+        }
+        s = 1_000_000
+        assert d[7] == (s // 62 + s // 61, 2, 1)  # both lists
+        assert d[5] == (s // 61, 1, 0)
+        assert d[9] == (s // 62, 0, 2)
+        # 7 fused highest
+        assert out.column("doc_id").to_pylist()[0] == 7
+
+    def test_tie_breaks_by_key(self):
+        from duckdb_raquet_ray.pipelines import retrieval as R
+
+        # 3 and 4 both rank 1 in exactly one list -> equal score, key asc
+        out = R.rrf_fuse(self._t([4]), self._t([3], "vec_id"), k=10)
+        assert out.column("doc_id").to_pylist() == [3, 4]
+
+    def test_matches_duckdb_full_outer(self):
+        import duckdb
+
+        from duckdb_raquet_ray.pipelines import retrieval as R
+
+        lex, vec = self._t([1, 2, 3]), self._t([3, 4], "vec_id")
+        mine = R.rrf_fuse(lex, vec, k=10).to_pandas()
+        lex_sql = "SELECT * FROM (VALUES (1,1),(2,2),(3,3)) l(doc_id, rank)"
+        vec_sql = "SELECT * FROM (VALUES (3,1),(4,2)) v(vec_id, rank)"
+        ref = duckdb.sql(R.rrf_oracle_sql(lex_sql, vec_sql, k=10)).df()
+        assert mine["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert mine["rrf_micro"].tolist() == ref["rrf_micro"].tolist()
+        assert mine["lex_rank"].tolist() == ref["lex_rank"].tolist()
+        assert mine["vec_rank"].tolist() == ref["vec_rank"].tolist()
+
+    def test_k_truncates(self):
+        from duckdb_raquet_ray.pipelines import retrieval as R
+
+        out = R.rrf_fuse(self._t([1, 2, 3]), self._t([4, 5], "vec_id"), k=2)
+        assert out.num_rows == 2
