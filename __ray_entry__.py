@@ -1701,6 +1701,23 @@ def _q_dsir_select(sf_dir: str):
     return dsir.dsir_select(ds, _dsir_weights(sf_dir), 50)
 
 
+def _q_pagerank(sf_dir: str):
+    """Domain link-graph PageRank (the CommonCrawl-style URL-quality
+    signal): deterministic multi-link splice -> first-host->outlink
+    edges -> 3 damped integer power-iteration rounds, all dataset-side
+    (one bucketed edge shuffle + per-round hash joins — pipelines/
+    graph.py). The oracle unrolls the same int64 floor-division
+    iterations as CTE chains, so (domain, rank) hash-match."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import graph
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(graph.synthesize_links_batch, batch_format="pyarrow")
+    return graph.domain_pagerank(graph.link_edges(ds), iters=3)
+
+
 def _q_doc_df_score(sf_dir: str):
     """Global document-frequency scoring (the CCNet-style commonness
     signal): vocab-sized partial dfs merged once, broadcast via ray.put,
@@ -2691,6 +2708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     guaranteeing each round's correctness file covers the newest ops."""
     _ensure_corpus()
     return {
+        # --- round-4, continuation session ----------------------------------
+        "pagerank_domains": _q_pagerank,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -2867,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
     from duckdb_raquet_ray.pipelines import pii as _pii
     from duckdb_raquet_ray.pipelines import dedup as _dedup
     from duckdb_raquet_ray.pipelines import dsir as _dsir
+    from duckdb_raquet_ray.pipelines import graph as _graph
     from duckdb_raquet_ray.pipelines import quality as _quality
     from duckdb_raquet_ray.pipelines import sampling as _sampling
     from duckdb_raquet_ray.pipelines import joins as _joins_mod
@@ -2894,6 +2914,11 @@ def oracle_sql() -> dict[str, str]:
     allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
+        # PageRank: link splice + edge extraction + unrolled integer
+        # power iteration, all replicated in SQL (pipelines/graph.py)
+        "pagerank_domains": _graph.pagerank_oracle_sql(
+            _graph.synthesize_links_sql("documents"), iters=3
+        ),
         # DSIR: the plan-time integer weight table (trained at sf0.01,
         # /tmp-cached — the _pq_codebook discipline) inlined as VALUES;
         # scoring is an int64 sum on both sides
