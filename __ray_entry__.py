@@ -1092,6 +1092,60 @@ def _q_incremental_dedup(sf_dir: str):
     )
 
 
+def _q_incremental_minhash(sf_dir: str):
+    """NEAR-dup daily append: the first half of the corpus's LSH band
+    cells are indexed once (12 B per (doc, band), hive-bucketed —
+    dedup.build_minhash_index); the 'new' batch — the second half plus
+    planted near-dup mangles of indexed docs (old-collision drops) and
+    of new docs (smaller-key drops) — dedups against the INDEX without
+    re-reading old text (only touched band buckets open). Text-level
+    SQL oracle recomputes band cells for both halves through the shared
+    suffixed CTE chain."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _half(lt: bool, cut: int = 250):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(k < cut if lt else k >= cut))
+
+        return f
+
+    def _mangle(lo: int, hi: int, offset: int, tail: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("doc_id").to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array((k >= lo) & (k < hi)))
+            ks = sub.column("doc_id").to_numpy(zero_copy_only=False) + offset
+            txt = sub.column("text").to_pandas().fillna("") + tail
+            return pa.table(
+                {"doc_id": pa.array(ks, pa.int64()), "text": pa.array(txt, pa.string())}
+            )
+
+        return f
+
+    old = docs.map_batches(_half(True), batch_format="pyarrow")
+    new = (
+        docs.map_batches(_half(False), batch_format="pyarrow")
+        .union(docs.map_batches(_mangle(0, 50, 1000, " x"), batch_format="pyarrow"))
+        .union(docs.map_batches(_mangle(250, 275, 3000, " y"), batch_format="pyarrow"))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_mhidx_{tag}_{ENGINE_TAG}"
+    # 8 bands x 8 rows: the no-verify tier needs a steep collision curve
+    # (P = j^8 per band) so the LSH decision alone approximates the
+    # verified tier's 0.8 threshold (j* = (1/8)^(1/8) ~ 0.77)
+    if not os.path.isdir(idx_dir):
+        dedup.build_minhash_index(old, idx_dir, bands=8)
+    return dedup.incremental_minhash_dedup(new, idx_dir, bands=8).select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def _q_clean_corpus(sf_dir: str):
     """The composed cleaning pipeline a training run actually executes:
     MinHash near-dup removal -> Gopher repetition drop (dup 2-gram mass
@@ -2710,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
+        "incremental_minhash_docs": _q_incremental_minhash,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3284,6 +3339,18 @@ def oracle_sql() -> dict[str, str]:
         # result (per-doc metrics commute with filtering, so stagewise
         # keep-set intersection == the pipelined order)
         "clean_corpus_docs": _clean_corpus_oracle_sql(),
+        # LSH band-index append: old = doc_id < 250 indexed; new = the
+        # rest + planted near-dup mangles of indexed docs (' x', must
+        # drop on old collision) and of new docs (' y', smaller key wins)
+        "incremental_minhash_docs": _dedup.incremental_minhash_oracle_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id >= 250 "
+            "UNION ALL SELECT doc_id + 1000 AS doc_id, text || ' x' AS text "
+            "FROM documents WHERE doc_id < 50 "
+            "UNION ALL SELECT doc_id + 3000 AS doc_id, text || ' y' AS text "
+            "FROM documents WHERE doc_id >= 250 AND doc_id < 275)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 250)",
+            bands=8,
+        ),
         # index halves: old = doc_id < 250; new = the rest + 50 planted
         # re-keyed copies of indexed texts (must all drop)
         "incremental_dedup_docs": _dedup.incremental_dedup_oracle_sql(

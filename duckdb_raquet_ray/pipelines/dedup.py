@@ -1358,6 +1358,69 @@ def embedding_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_perms_values(num_perm: int) -> str:
+    a, b = _perms(num_perm)
+    return ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
+    )
+
+
+def _minhash_cells_ctes(
+    table: str,
+    text_col: str,
+    key_col: str,
+    num_perm: int,
+    bands: int,
+    *,
+    suffix: str = "",
+) -> str:
+    """The shingle -> signature -> band-fold chain as suffixable CTEs
+    (`d{suffix}` .. `cells{suffix}`, plus `sh{suffix}` for Jaccard
+    consumers) so one query can compute band cells for TWO tables (the
+    incremental-index oracle). References the shared `perms` CTE; no
+    leading WITH."""
+    rows_per_band = num_perm // bands
+    T = 1 << 64
+    offset_basis = 1469598103934665603
+    prime = 1099511628211
+    c1 = (offset_basis * prime) % T
+
+    s_cols = ", ".join(
+        f"max(CASE WHEN p % {rows_per_band} = {r} THEN s END) AS s{r}"
+        for r in range(rows_per_band)
+    )
+    fnv = f"xor({c1}::UBIGINT, s0)"
+    for r in range(1, rows_per_band):
+        fnv = f"xor((({fnv}::HUGEINT * {prime}) % {T})::UBIGINT, s{r})"
+    x = suffix
+    return f"""d{x} AS (
+  SELECT {key_col} AS k, {text_col} AS t, greatest(length({text_col}), 5) - 4 AS n_grams
+  FROM {table}
+),
+ix{x} AS (SELECT k, t, unnest(generate_series(1, n_grams)) AS i FROM d{x}),
+sh{x} AS (
+  SELECT DISTINCT k,
+    ( (CASE WHEN i   <= length(t) THEN ascii(substr(t, i::INT,   1)) ELSE 0 END) * 4362470401
+    + (CASE WHEN i+1 <= length(t) THEN ascii(substr(t, i::INT+1, 1)) ELSE 0 END) * 16974593
+    + (CASE WHEN i+2 <= length(t) THEN ascii(substr(t, i::INT+2, 1)) ELSE 0 END) * 66049
+    + (CASE WHEN i+3 <= length(t) THEN ascii(substr(t, i::INT+3, 1)) ELSE 0 END) * 257
+    + (CASE WHEN i+4 <= length(t) THEN ascii(substr(t, i::INT+4, 1)) ELSE 0 END)
+    ) % {_MERSENNE} AS h
+  FROM ix{x}
+),
+sig{x} AS (
+  SELECT k, p, (min( ((h::HUGEINT * pa) % {T} + pb) % {T} % {_MERSENNE} ))::UBIGINT AS s
+  FROM sh{x} CROSS JOIN perms GROUP BY k, p
+),
+bandsig{x} AS (
+  SELECT k, (p // {rows_per_band})::INT AS band_id, {s_cols}
+  FROM sig{x} GROUP BY k, band_id
+),
+cells{x} AS (
+  SELECT k, band_id, (({fnv}) >> 1)::BIGINT AS band_hash FROM bandsig{x}
+)"""
+
+
 def _minhash_pair_ctes(
     table: str,
     text_col: str,
@@ -1371,53 +1434,11 @@ def _minhash_pair_ctes(
     minhash oracles — ends after `inter` so callers append their own
     verdict CTEs. `recursive=True` emits WITH RECURSIVE for callers whose
     continuation contains a recursive CTE."""
-    a, b = _perms(num_perm)
-    rows_per_band = num_perm // bands
-    T = 1 << 64
-    offset_basis = 1469598103934665603
-    prime = 1099511628211
-    c1 = (offset_basis * prime) % T
-
-    perm_vals = ", ".join(
-        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
-    )
-    s_cols = ", ".join(
-        f"max(CASE WHEN p % {rows_per_band} = {r} THEN s END) AS s{r}"
-        for r in range(rows_per_band)
-    )
-    fnv = f"xor({c1}::UBIGINT, s0)"
-    for r in range(1, rows_per_band):
-        fnv = f"xor((({fnv}::HUGEINT * {prime}) % {T})::UBIGINT, s{r})"
-
     with_kw = "WITH RECURSIVE" if recursive else "WITH"
+    cells = _minhash_cells_ctes(table, text_col, key_col, num_perm, bands)
     return f"""
-{with_kw} perms(p, pa, pb) AS (VALUES {perm_vals}),
-d AS (
-  SELECT {key_col} AS k, {text_col} AS t, greatest(length({text_col}), 5) - 4 AS n_grams
-  FROM {table}
-),
-ix AS (SELECT k, t, unnest(generate_series(1, n_grams)) AS i FROM d),
-sh AS (
-  SELECT DISTINCT k,
-    ( (CASE WHEN i   <= length(t) THEN ascii(substr(t, i::INT,   1)) ELSE 0 END) * 4362470401
-    + (CASE WHEN i+1 <= length(t) THEN ascii(substr(t, i::INT+1, 1)) ELSE 0 END) * 16974593
-    + (CASE WHEN i+2 <= length(t) THEN ascii(substr(t, i::INT+2, 1)) ELSE 0 END) * 66049
-    + (CASE WHEN i+3 <= length(t) THEN ascii(substr(t, i::INT+3, 1)) ELSE 0 END) * 257
-    + (CASE WHEN i+4 <= length(t) THEN ascii(substr(t, i::INT+4, 1)) ELSE 0 END)
-    ) % {_MERSENNE} AS h
-  FROM ix
-),
-sig AS (
-  SELECT k, p, (min( ((h::HUGEINT * pa) % {T} + pb) % {T} % {_MERSENNE} ))::UBIGINT AS s
-  FROM sh CROSS JOIN perms GROUP BY k, p
-),
-bandsig AS (
-  SELECT k, (p // {rows_per_band})::INT AS band_id, {s_cols}
-  FROM sig GROUP BY k, band_id
-),
-cells AS (
-  SELECT k, band_id, (({fnv}) >> 1)::BIGINT AS band_hash FROM bandsig
-),
+{with_kw} perms(p, pa, pb) AS (VALUES {_minhash_perms_values(num_perm)}),
+{cells},
 anchors AS (SELECT band_id, band_hash, min(k) AS a FROM cells GROUP BY 1, 2),
 pairs AS (
   SELECT DISTINCT an.a, c.k AS b
@@ -2176,6 +2197,244 @@ WITH fresh AS (
 )
 SELECT * FROM fresh WHERE {key_col} IN
   (SELECT MIN({key_col}) FROM fresh GROUP BY {text_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup dedup: persisted MinHash-LSH band index + append probe
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> int:
+    """Persist the corpus's LSH band cells as hive-bucketed Parquet
+    (`hb=<band_hash % 256>/`, columns (band_id, band_hash)) — ~12 B per
+    (doc, band) on disk, the near-dup sibling of `build_content_index`:
+    a future append probes ONLY the buckets its new docs' band hashes
+    land in, the old corpus text is never re-read.
+
+    This is the LSH-ONLY dedup tier (drop on band-cell collision, no
+    Jaccard verify): the index holds 8-byte folds, never text or shingle
+    sets, so a probe is a membership test. At the default 16-band/4-row
+    parameters a band collision implies Jaccard ~>= 0.5 with high
+    probability; batch-mode `minhash_dedup` remains the verified tier.
+    Duplicate index rows are harmless (membership semantics), which
+    makes `update_index` appends idempotent under kill/retry."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        b = util.strip_schema_metadata(b)
+        t = minhash_band_rows(b, text_col, key_col, num_perm, bands, shingle_k)
+        bh = t.column("band_hash").to_numpy()
+        return pa.table(
+            {
+                "band_id": t.column("band_id"),
+                "band_hash": t.column("band_hash"),
+                "hb": pa.array((bh % _INDEX_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    cells = util.clean_dataset(ds).map_batches(
+        rows, batch_format="pyarrow", batch_size=4096
+    )
+    cells.write_parquet(index_dir, partition_cols=["hb"])
+    return ds.count()
+
+
+class _BandProbe:
+    """Actor-pool stage: drop rows whose ANY band cell exists in the
+    index. Per-actor bucket cache (lexsorted (band_hash, band_id) pairs
+    for searchsorted membership — the content-index Probe's dual-column
+    discipline, exact, no combined-hash collision risk)."""
+
+    def __init__(self, index_dir: str, text_col: str, key_col: str,
+                 num_perm: int, bands: int, shingle_k: int):
+        self._dir = index_dir
+        self._text_col, self._key_col = text_col, key_col
+        self._num_perm, self._bands, self._k = num_perm, bands, shingle_k
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _bucket(self, b: int) -> np.ndarray:
+        got = self._cache.get(b)
+        if got is None:
+            files = sorted(glob.glob(os.path.join(self._dir, f"hb={b}", "*.parquet")))
+            if files:
+                t = pa.concat_tables(
+                    [pq.read_table(f, columns=["band_hash", "band_id"]) for f in files]
+                )
+                h = np.stack(
+                    [
+                        t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64),
+                        t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                    ],
+                    axis=1,
+                )
+                order = np.lexsort((h[:, 1], h[:, 0]))
+                got = h[order]
+            else:
+                got = np.zeros((0, 2), np.int64)
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        t = minhash_band_rows(
+            batch, self._text_col, self._key_col, self._num_perm,
+            self._bands, self._k,
+        )
+        bh = t.column("band_hash").to_numpy()
+        bid = t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = batch.num_rows
+        hit_row = np.zeros(len(bh), dtype=bool)
+        for b in np.unique(bh % _INDEX_BUCKETS).astype(int):
+            idx = self._bucket(int(b))
+            rows = np.flatnonzero((bh % _INDEX_BUCKETS) == b)
+            if len(idx) == 0 or len(rows) == 0:
+                continue
+            pos = np.searchsorted(idx[:, 0], bh[rows])
+            for i, p in zip(rows, pos):
+                q = p
+                while q < len(idx) and idx[q, 0] == bh[i]:
+                    if idx[q, 1] == bid[i]:
+                        hit_row[i] = True
+                        break
+                    q += 1
+        # band rows are emitted doc-major (`bands` consecutive rows/doc)
+        doc_hit = hit_row.reshape(n_docs, self._bands).any(axis=1)
+        return batch.filter(pa.array(~doc_hit))
+
+
+def incremental_minhash_dedup(
+    new_ds: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    update_index: bool = False,
+) -> rd.Dataset:
+    """Near-dup daily append against a `build_minhash_index` directory:
+
+    1. drop new docs sharing ANY (band_id, band_hash) cell with the
+       index (streaming actor probe; only touched hive buckets open);
+    2. among the fresh survivors, drop a doc when a SMALLER-key fresh
+       survivor shares a band cell (the pairwise first-wins rule —
+       deliberately not transitive-closure, matching the SQL-replicable
+       `incremental_minhash_oracle_sql`);
+    3. with `update_index=True`, append the KEPT docs' band cells into
+       the live hive buckets (new uniquely-named files; duplicates are
+       harmless under membership semantics, so a retried append is
+       idempotent in effect).
+
+    Scale shape: text never shuffles — the probe streams, step 2 moves
+    (band, hash, key) rows through one corpus-scaled bucket groupby, and
+    the drop-key set (O(result), not corpus) broadcasts once."""
+    clean = util.clean_dataset(new_ds)
+    fresh = clean.map_batches(
+        _BandProbe,
+        fn_constructor_args=(index_dir, text_col, key_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+
+    band = fresh.map_batches(
+        lambda t: minhash_band_rows(
+            util.strip_schema_metadata(t), text_col, key_col, num_perm, bands, shingle_k
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    nb = util.scaled_buckets(fresh)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = (t.column("band_hash").to_numpy() % nb).astype(np.int32)
+        return t.append_column("_b", pa.array(bucket))
+
+    def cell_drops(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key_col).type
+        if g.num_rows == 0:
+            return pa.table({"drop_key": pa.array([], kt)})
+        df = g.select(["band_id", "band_hash", key_col]).to_pandas()
+        anchors = df.groupby(["band_id", "band_hash"])[key_col].transform("min")
+        dropped = df.loc[(df[key_col] != anchors), key_col].drop_duplicates()
+        return pa.table({"drop_key": pa.array(dropped.to_numpy(), type=kt)})
+
+    drops = (
+        band.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(cell_drops, batch_format="pyarrow")
+    )
+    kept = _filter_drop_keys(fresh, drops, key_col).materialize()
+
+    if update_index:
+        def rows(b: pa.Table) -> pa.Table:
+            t = minhash_band_rows(
+                util.strip_schema_metadata(b), text_col, key_col,
+                num_perm, bands, shingle_k,
+            )
+            bh = t.column("band_hash").to_numpy()
+            return pa.table(
+                {
+                    "band_id": t.column("band_id"),
+                    "band_hash": t.column("band_hash"),
+                    "hb": pa.array((bh % _INDEX_BUCKETS).astype(np.int32)),
+                }
+            )
+
+        kept.map_batches(rows, batch_format="pyarrow", batch_size=4096).write_parquet(
+            index_dir, partition_cols=["hb"]
+        )
+    return kept
+
+
+def incremental_minhash_oracle_sql(
+    new_table: str,
+    old_table: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """Text-level DuckDB replica of incremental_minhash_dedup: band
+    cells recomputed for BOTH tables through the shared suffixed CTE
+    chain, old-collision anti-join, then the pairwise smaller-key rule
+    among the fresh survivors. ASCII corpora only (the shared gram-hash
+    caveat, see minhash_oracle_sql)."""
+    cells_old = _minhash_cells_ctes(
+        old_table, text_col, key_col, num_perm, bands, suffix="_o"
+    )
+    cells_new = _minhash_cells_ctes(
+        new_table, text_col, key_col, num_perm, bands, suffix="_n"
+    )
+    return f"""
+WITH perms(p, pa, pb) AS (VALUES {_minhash_perms_values(num_perm)}),
+{cells_old},
+{cells_new},
+oldhit AS (
+  SELECT DISTINCT n.k FROM cells_n n
+  JOIN cells_o o ON o.band_id = n.band_id AND o.band_hash = n.band_hash
+),
+freshcells AS (
+  SELECT * FROM cells_n WHERE k NOT IN (SELECT k FROM oldhit)
+),
+newdrop AS (
+  SELECT DISTINCT c.k FROM freshcells c
+  JOIN freshcells m
+    ON m.band_id = c.band_id AND m.band_hash = c.band_hash AND m.k < c.k
+)
+SELECT * FROM {new_table}
+WHERE {key_col} NOT IN (SELECT k FROM oldhit UNION ALL SELECT k FROM newdrop)
 """
 
 
