@@ -828,6 +828,35 @@ def _q_grouped_entropy(sf_dir: str):
     )
 
 
+def _q_grouped_kl(sf_dir: str):
+    """Per-source KL(P_source || P_corpus) token-distribution divergence
+    (stages/stats.grouped_kl_divergence): exact O(vocab) corpus histogram
+    broadcast once, the shared grouped partials folded in-bucket with
+    deterministic float order; DuckDB twin at %.9g tolerance."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    return _stats.grouped_kl_divergence(
+        rd.read_parquet(_ensure_corpus(), columns=["source", "tokens"])
+    )
+
+
+def _q_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss sparse random projection of the int8-
+    quantized embeddings to 8 dims (ann.random_projection_int8): exact
+    int64 matmul per batch, weights a pure function of (dim, out_dim,
+    seed) inlined into the SQL oracle as VALUES."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ann.random_projection_int8(ds, out_dim=8, seed=42)
+
+
 def _q_ordered_export(sf_dir: str):
     """Globally sorted decode-to-parquet export (decode.export_job
     order_by=doc_id — Ray's range-partitioned sort) followed by the
@@ -2765,6 +2794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
         "incremental_minhash_docs": _q_incremental_minhash,
+        "grouped_kl_source": _q_grouped_kl,
+        "random_projection_vecs": _q_random_projection,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3321,6 +3352,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_entropy_corpus": _stats.token_entropy_oracle_sql(corpus),
         "grouped_entropy_source": _stats.grouped_entropy_oracle_sql(corpus),
+        "grouped_kl_source": _stats.grouped_kl_oracle_sql(corpus),
+        # JL projection: weights inlined as VALUES (pure function of
+        # (dim=64, out_dim=8, seed)); quantize chain shared with PQ
+        "random_projection_vecs": _ann.random_projection_oracle_sql(
+            "embeddings", dim=64, out_dim=8, seed=42
+        ),
         "tokenize_docs": _text_ops.tokenize_oracle_sql("documents"),
         "grouped_quantiles_source": _stats.grouped_quantiles_oracle_sql(corpus),
         "token_budget_sample": _sampling.token_budget_oracle_sql(

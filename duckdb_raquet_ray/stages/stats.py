@@ -1233,6 +1233,52 @@ SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
 FROM c"""
 
 
+def _grouped_token_count_partials(
+    t: pa.Table, group_col: str, tokens_col: str, vocab_size: int, nb: int
+) -> pa.Table:
+    """Per-block (group, token, cnt, _b) rows via one dense group*vocab
+    pair-id unique — payload O(groups-in-block x vocab), never O(block
+    tokens); bucket = hash(group) so a group's whole distribution lands
+    in one bucket. Shared by grouped entropy / KL divergence."""
+    col = t.column(tokens_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # fill_null(0): a NULL list row has no elements (flatten drops it,
+    # SQL unnest emits no rows) — without the fill, to_numpy goes
+    # float64/NaN and np.repeat(codes, lens) raises
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "token": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int32()),
+            }
+        )
+    gser = t.column(group_col).to_pandas().fillna("")
+    codes, uniq = pd.factorize(gser, sort=False)
+    rep = np.repeat(codes.astype(np.int64), lens)
+    pair = rep * vocab_size + flat
+    u, c = np.unique(pair, return_counts=True)
+    gid, tok = u // vocab_size, u % vocab_size
+    groups = uniq.to_numpy(dtype=object)[gid]
+    bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "token": pa.array(tok),
+            "cnt": pa.array(c.astype(np.int64)),
+            "_b": pa.array(bucket),
+        }
+    )
+
+
 def grouped_token_entropy(
     ds: rd.Dataset,
     group_col: str = "source",
@@ -1259,43 +1305,7 @@ def grouped_token_entropy(
     )
 
     def partials(t: pa.Table) -> pa.Table:
-        col = t.column(tokens_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        # fill_null(0): a NULL list row has no elements (flatten drops it,
-        # SQL unnest emits no rows) — without the fill, to_numpy goes
-        # float64/NaN and np.repeat(codes, lens) raises
-        lens = (
-            pc.fill_null(pc.list_value_length(col), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(flat) == 0:
-            return pa.table(
-                {
-                    group_col: pa.array([], pa.string()),
-                    "token": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                    "_b": pa.array([], pa.int32()),
-                }
-            )
-        gser = t.column(group_col).to_pandas().fillna("")
-        codes, uniq = pd.factorize(gser, sort=False)
-        rep = np.repeat(codes.astype(np.int64), lens)
-        pair = rep * vocab_size + flat
-        u, c = np.unique(pair, return_counts=True)
-        gid, tok = u // vocab_size, u % vocab_size
-        groups = uniq.to_numpy(dtype=object)[gid]
-        bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
-        return pa.table(
-            {
-                group_col: pa.array(groups, pa.string()),
-                "token": pa.array(tok),
-                "cnt": pa.array(c.astype(np.int64)),
-                "_b": pa.array(bucket),
-            }
-        )
+        return _grouped_token_count_partials(t, group_col, tokens_col, vocab_size, nb)
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
         if g.num_columns == 0 or g.num_rows == 0:
@@ -1343,3 +1353,101 @@ SELECT {group_col}, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct
   log2(sum(cnt)::DOUBLE) - sum(cnt::DOUBLE * log2(cnt::DOUBLE)) / sum(cnt)::DOUBLE
     AS entropy_bits
 FROM c GROUP BY {group_col}"""
+
+
+def grouped_kl_divergence(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    vocab_size: int = 50_257,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-group KL(P_group || P_corpus) over the token distribution —
+    the quantitative domain-drift check next to grouped entropy: a
+    source whose KL climbs is diverging from the corpus mix.  Always
+    finite: every group's support is contained in the corpus's.
+
+    Two passes, both sketch-bounded: (1) the exact O(vocab) corpus
+    histogram (value_histogram partials), densified once on the driver
+    and ray.put-broadcast; (2) the shared grouped (group, token, cnt)
+    partials, folded in-bucket where each group's
+    sum cnt*(log2 cnt - log2 corpus_cnt) accumulates in sorted
+    (group, token) order — deterministic floats, DuckDB twin at the
+    driver's %.9g tolerance (the entropy precedent).
+
+      KL = log2(n_corpus) - log2(n_group)
+           + (1/n_group) * sum_t cnt_t * (log2 cnt_t - log2 corpus_t)
+    """
+    import ray
+
+    nb = n_buckets or util.scaled_buckets(ds)
+    hist = value_histogram(ds, tokens_col, vocab_size, flatten=True).to_pandas()
+    corpus = np.zeros(vocab_size, np.float64)
+    if len(hist):  # empty Dataset.to_pandas drops columns entirely
+        corpus[hist["value"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.float64)
+    n_corpus = float(corpus.sum())
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl_bits": pa.array([], pa.float64()),
+        }
+    )
+    if n_corpus == 0:
+        return rd.from_arrow(empty)
+    # zero cells are never indexed (a group's tokens all exist in the
+    # corpus) but must not hold uninitialized memory
+    log_corpus = np.zeros(vocab_size, np.float64)
+    np.log2(corpus, out=log_corpus, where=corpus > 0)
+    log_corpus_ref = ray.put(log_corpus)
+    log_nc = float(np.log2(n_corpus))
+
+    def partials(t: pa.Table) -> pa.Table:
+        return _grouped_token_count_partials(t, group_col, tokens_col, vocab_size, nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        logc = ray.get(log_corpus_ref)
+        df = g.select([group_col, "token", "cnt"]).to_pandas()
+        s = df.groupby([group_col, "token"], sort=True)["cnt"].sum().reset_index()
+        grp = s[group_col].to_numpy(dtype=object)
+        tok = s["token"].to_numpy(np.int64)
+        cnt = s["cnt"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        n = np.add.reduceat(cnt, starts)
+        contrib = np.add.reduceat(cnt * (np.log2(cnt) - logc[tok]), starts)
+        kl = log_nc - np.log2(n) + contrib / n
+        return pa.table(
+            {
+                group_col: pa.array(grp[starts], pa.string()),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "kl_bits": pa.array(kl, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_kl_oracle_sql(
+    corpus: str, group_col: str = "source", tokens_col: str = "tokens"
+) -> str:
+    """DuckDB twin of grouped_kl_divergence (%.9g float tolerance; the
+    engine groups NULL sources as '' -> coalesce keeps parity)."""
+    return f"""WITH f AS (
+  SELECT coalesce({group_col}, '') AS {group_col}, unnest({tokens_col}) AS t
+  FROM {corpus}
+),
+c AS (SELECT {group_col}, t, count(*)::BIGINT AS cnt FROM f GROUP BY {group_col}, t),
+g AS (SELECT t, sum(cnt)::BIGINT AS ct FROM c GROUP BY t),
+nc AS (SELECT sum(cnt)::DOUBLE AS n FROM c)
+SELECT {group_col}, sum(cnt)::BIGINT AS n_tokens,
+  log2((SELECT n FROM nc)) - log2(sum(cnt)::DOUBLE)
+  + sum(cnt::DOUBLE * (log2(cnt::DOUBLE) - log2(ct::DOUBLE))) / sum(cnt)::DOUBLE
+    AS kl_bits
+FROM c JOIN g USING (t)
+GROUP BY {group_col}"""

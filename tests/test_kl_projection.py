@@ -1,0 +1,146 @@
+"""Grouped KL divergence + JL random projection: brute-force parity,
+invariances, degenerate shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from duckdb_raquet_ray.pipelines import ann
+from duckdb_raquet_ray.stages import stats
+
+
+def _tok_table(rows: list[tuple[str, list[int]]]) -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int64())),
+        }
+    )
+
+
+def _brute_kl(rows: list[tuple[str, list[int]]]) -> dict[str, float]:
+    from collections import Counter
+
+    corpus = Counter()
+    per: dict[str, Counter] = {}
+    for s, ts in rows:
+        corpus.update(ts)
+        per.setdefault(s, Counter()).update(ts)
+    n_c = sum(corpus.values())
+    out = {}
+    for s, cnt in per.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * (np.log2(c / n_s) - np.log2(corpus[t] / n_c))
+            for t, c in cnt.items()
+        )
+        out[s] = kl
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedKL:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(5)
+        rows = [
+            (f"s{i % 3}", rng.integers(0, 50, size=20).tolist()) for i in range(60)
+        ]
+        got = stats.grouped_kl_divergence(
+            rd.from_arrow(_tok_table(rows)), vocab_size=64
+        ).to_pandas()
+        want = _brute_kl(rows)
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert r["kl_bits"] == pytest.approx(want[r["source"]], rel=1e-12)
+            assert r["kl_bits"] >= -1e-12  # KL is non-negative
+
+    def test_single_source_is_zero(self):
+        rows = [("only", [1, 2, 3, 1]), ("only", [2, 2, 4])]
+        got = stats.grouped_kl_divergence(
+            rd.from_arrow(_tok_table(rows)), vocab_size=8
+        ).to_pandas()
+        assert len(got) == 1
+        assert got["kl_bits"][0] == pytest.approx(0.0, abs=1e-12)
+        assert int(got["n_tokens"][0]) == 7
+
+    def test_bucket_invariance(self):
+        rng = np.random.default_rng(9)
+        rows = [
+            (f"s{i % 5}", rng.integers(0, 30, size=10).tolist()) for i in range(50)
+        ]
+        a = (
+            stats.grouped_kl_divergence(
+                rd.from_arrow(_tok_table(rows)), vocab_size=32, n_buckets=2
+            )
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        b = (
+            stats.grouped_kl_divergence(
+                rd.from_arrow(_tok_table(rows)), vocab_size=32, n_buckets=37
+            )
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        assert list(a["source"]) == list(b["source"])
+        assert np.allclose(a["kl_bits"], b["kl_bits"], rtol=0, atol=0)
+
+    def test_empty(self):
+        out = stats.grouped_kl_divergence(
+            rd.from_arrow(_tok_table([])), vocab_size=8
+        )
+        assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRandomProjection:
+    def _vecs(self, n: int, dim: int, seed: int) -> pa.Table:
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    list(rng.normal(size=(n, dim)).astype(np.float32)),
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    def test_matches_brute_force(self):
+        t = self._vecs(100, 16, seed=2)
+        out = (
+            ann.random_projection_int8(rd.from_arrow(t), out_dim=4, seed=7)
+            .to_pandas().sort_values(["vec_id", "d"]).reset_index(drop=True)
+        )
+        q = ann._int8_matrix(t, "embedding")
+        P = ann._jl_matrix(16, 4, 7)
+        want = q @ P
+        got = out["v"].to_numpy(np.int64).reshape(100, 4)
+        assert (got == want).all()
+
+    def test_projection_deterministic_and_sparse(self):
+        P1 = ann._jl_matrix(64, 8, 42)
+        P2 = ann._jl_matrix(64, 8, 42)
+        assert (P1 == P2).all()
+        assert set(np.unique(P1)) <= {-1, 0, 1}
+        # Achlioptas density: ~1/3 nonzero
+        frac = (P1 != 0).mean()
+        assert 0.15 < frac < 0.5
+        assert not (ann._jl_matrix(64, 8, 43) == P1).all()
+
+    def test_preserves_relative_distance_roughly(self):
+        # JL sanity: identical vectors project identically; a far vector
+        # stays far more often than not (statistical, fixed seed)
+        t = self._vecs(2, 32, seed=4)
+        base = ann._int8_matrix(t, "embedding")
+        q = np.vstack([base[0], base[0], base[1]])
+        P = ann._jl_matrix(32, 8, 42)
+        p = q @ P
+        assert (p[0] == p[1]).all()
+        assert not (p[0] == p[2]).all()
+
+    def test_empty(self):
+        t = self._vecs(0, 8, seed=1)
+        out = ann.random_projection_int8(rd.from_arrow(t), out_dim=4)
+        assert out.count() == 0
