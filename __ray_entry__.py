@@ -463,6 +463,29 @@ def _q_jsonl_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _jsonl_gz_dir() -> str:
+    """Gzip twin of _jsonl_dir (deterministic bytes, mtime=0)."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = f"/tmp/raquet_landing_jsonlgz_{_TEXTIO_ROWS}"
+    textio.write_jsonl_gz_corpus(d, _TEXTIO_ROWS, 4)
+    return d
+
+
+def _q_jsonl_gz_source_stats(sf_dir: str):
+    """Gzip JSONL ingest — the dominant web-corpus interchange form:
+    Ray's streaming JSON reader with in-stream gzip decompression per
+    task (sources/textio.py:read_jsonl), value-checked against DuckDB
+    read_json_auto over the SAME .jsonl.gz files."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = _jsonl_gz_dir()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl.gz")
+    )
+    return textio.source_stats(textio.read_jsonl(paths))
+
+
 def _q_jsonl_sink_stats(sf_dir: str):
     """Export-sink round trip: write the documents table out as JSONL
     shards (textio.write_jsonl), read the WRITTEN files back through the
@@ -2796,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash_docs": _q_incremental_minhash,
         "grouped_kl_source": _q_grouped_kl,
         "random_projection_vecs": _q_random_projection,
+        "jsonl_gz_source_stats": _q_jsonl_gz_source_stats,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3240,6 +3264,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(text))::BIGINT AS text_chars "
             f"FROM read_json_auto('{_jsonl_dir()}/*.jsonl') "
+            "GROUP BY source"
+        ),
+        "jsonl_gz_source_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(text))::BIGINT AS text_chars "
+            f"FROM read_json_auto('{_jsonl_gz_dir()}/*.jsonl.gz') "
             "GROUP BY source"
         ),
         "csv_source_stats": (

@@ -71,6 +71,29 @@ def write_jsonl_corpus(
     return paths
 
 
+def write_jsonl_gz_corpus(
+    out_dir: str, n_rows: int = 2_000, n_shards: int = 4, seed: int = 42
+) -> list[str]:
+    """Idempotent deterministic gzip JSONL shards (mtime=0 in the gzip
+    header, so the BYTES are a pure function of (rows, seed))."""
+    import gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [
+        os.path.join(out_dir, f"shard-{s:03d}.jsonl.gz") for s in range(n_shards)
+    ]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    rows = _rows(n_rows, seed)
+    per = -(-n_rows // n_shards)
+    for s, p in enumerate(paths):
+        with gzip.GzipFile(p + ".tmp", "wb", mtime=0) as f:
+            for r in rows[s * per : (s + 1) * per]:
+                f.write((json.dumps(r, separators=(",", ":")) + "\n").encode())
+        os.replace(p + ".tmp", p)
+    return paths
+
+
 def write_csv_corpus(
     out_dir: str, n_rows: int = 2_000, n_shards: int = 4, seed: int = 42
 ) -> list[str]:
@@ -91,11 +114,30 @@ def write_csv_corpus(
     return paths
 
 
-def read_jsonl(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
+def read_jsonl(
+    paths: list[str],
+    columns: list[str] | None = None,
+    compression: str | None = None,
+) -> rd.Dataset:
     """Landing-zone JSONL -> Dataset (Ray's streaming JSON reader; one
     task per file). JSON has no column projection at the byte level —
-    `columns` prunes immediately after parse so nothing wider flows on."""
-    ds = rd.read_json(paths)
+    `columns` prunes immediately after parse so nothing wider flows on.
+
+    `.gz` shards (the dominant web-corpus interchange form) decompress
+    in-stream per task — auto-detected by extension, or forced with
+    ``compression="gzip"``; mixing plain and .gz paths in one call is
+    rejected (one Arrow stream config per read)."""
+    gz = [str(p).endswith(".gz") for p in paths]
+    if compression is None and any(gz):
+        if not all(gz):
+            raise ValueError("mixing .gz and plain jsonl paths in one read")
+        compression = "gzip"
+    kw = (
+        {"arrow_open_stream_args": {"compression": compression}}
+        if compression
+        else {}
+    )
+    ds = rd.read_json(paths, **kw)
     return ds.select_columns(columns) if columns else ds
 
 

@@ -164,3 +164,37 @@ def test_write_ipc_roundtrip(ray_session, tmp_path):
     # idempotent sink: content-addressed names -> same files on re-write
     again = textio.write_ipc(rd.from_arrow(t), str(tmp_path / "ipc"))
     assert again == paths
+
+
+def test_jsonl_gz_reads_identical_to_plain(ray_session, tmp_path):
+    jd, gd = str(tmp_path / "j"), str(tmp_path / "g")
+    jp = textio.write_jsonl_corpus(jd, 200, 2, seed=3)
+    gp = textio.write_jsonl_gz_corpus(gd, 200, 2, seed=3)
+    assert all(p.endswith(".jsonl.gz") for p in gp)
+    a = (
+        textio.read_jsonl(jp, columns=["doc_id", "text", "source"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        textio.read_jsonl(gp, columns=["doc_id", "text", "source"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(b) == 200
+
+
+def test_jsonl_gz_deterministic_bytes(tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    p1 = textio.write_jsonl_gz_corpus(d1, 40, 2, seed=9)
+    p2 = textio.write_jsonl_gz_corpus(d2, 40, 2, seed=9)
+    for a, b in zip(p1, p2):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_jsonl_mixed_gz_and_plain_rejected(tmp_path):
+    import pytest
+
+    jp = textio.write_jsonl_corpus(str(tmp_path / "j"), 10, 1)
+    gp = textio.write_jsonl_gz_corpus(str(tmp_path / "g"), 10, 1)
+    with pytest.raises(ValueError):
+        textio.read_jsonl(jp + gp)
