@@ -152,6 +152,64 @@ def _q_roundtrip(sf_dir: str):
     return _token_stats_view(decode.read_encoded(_ensure_encoded()))
 
 
+def _q_roundtrip_vec_stats(sf_dir: str):
+    """FLOAT-PLANE encode/decode roundtrip: the embeddings table (int64
+    key + list<float32> + int32 label) through the FULL encode_job —
+    the planner picks for_bss for the float child (FoR over the uint32
+    bit patterns -> byte-stream split -> zstd, the BYTE_STREAM_SPLIT
+    family), decode is bit-identical (verify_job gates it in pytest).
+    The oracle re-derives per-row list aggregates from the raw table:
+    every decoded float flows into sum/min/max, so a corrupted plane
+    hash-mismatches at the driver's float tolerance."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import decode, encode
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    enc_dir = f"/tmp/raquet_encvec_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(enc_dir, "manifest.json")):
+        encode.encode_job([src], enc_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        child = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        ne = lens > 0
+        s = np.zeros(len(lens), np.float64)
+        mn = np.full(len(lens), np.nan)
+        mx = np.full(len(lens), np.nan)
+        if ne.any():
+            # reduceat, not cumsum-difference: the row sum must accumulate
+            # WITHIN the row in element order (the SQL list-sum order) —
+            # a running cumsum carries other rows' rounding into the diff
+            s[ne] = np.add.reduceat(child, offsets[:-1][ne])
+            mn[ne] = np.minimum.reduceat(child, offsets[:-1][ne])
+            mx[ne] = np.maximum.reduceat(child, offsets[:-1][ne])
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "label": t.column("label"),
+                "n_dim": pa.array(lens),
+                "v_sum": pa.array(s, pa.float64()),
+                "v_min": pa.array(mn, pa.float64()),
+                "v_max": pa.array(mx, pa.float64()),
+            }
+        )
+
+    return decode.read_encoded(enc_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def _q_roundtrip_stats_pushdown(sf_dir: str):
     """Per-row token stats computed FROM THE ENCODED FORM — aggregate
     pushdown into the codec (rowcodec.stats_child: per-row bases + narrow
@@ -2820,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_kl_source": _q_grouped_kl,
         "random_projection_vecs": _q_random_projection,
         "jsonl_gz_source_stats": _q_jsonl_gz_source_stats,
+        "roundtrip_vec_stats": _q_roundtrip_vec_stats,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3024,6 +3083,15 @@ def oracle_sql() -> dict[str, str]:
     allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
+        # float-plane roundtrip: every decoded embedding float flows into
+        # per-row sum/min/max vs the raw table (decode bit-gate in pytest)
+        "roundtrip_vec_stats": (
+            "SELECT vec_id, label, len(embedding)::BIGINT AS n_dim, "
+            "list_sum(list_transform(embedding, x -> x::DOUBLE)) AS v_sum, "
+            "list_min(list_transform(embedding, x -> x::DOUBLE)) AS v_min, "
+            "list_max(list_transform(embedding, x -> x::DOUBLE)) AS v_max "
+            "FROM embeddings"
+        ),
         # PageRank: link splice + edge extraction + unrolled integer
         # power iteration, all replicated in SQL (pipelines/graph.py)
         "pagerank_domains": _graph.pagerank_oracle_sql(

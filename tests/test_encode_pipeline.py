@@ -429,3 +429,40 @@ class TestAppendJob:
         assert meta["num_rows"] == 5000
         assert mf.load_metadata(out)["input_shards"] == grown
         assert dec.verify_encoded(out)["ok"]
+
+
+def test_float_plane_encode_bit_identical(ray_session, tmp_path):
+    """The embeddings shape (int64 key + list<float32> + int32 label)
+    through the full encode_job: planner picks a real codec for the
+    float child (for_bss = FoR over uint32 bit patterns -> byte-stream
+    split -> zstd) and decode is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray import blockcodec, planner
+    from duckdb_raquet_ray.pipelines import decode, encode
+
+    rng = np.random.default_rng(13)
+    n, dim = 400, 16
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                list(rng.normal(size=(n, dim)).astype(np.float32)),
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(rng.integers(0, 5, n).astype(np.int32)),
+        }
+    )
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    encode.encode_job([src], out)
+    assert decode.verify_job([src], out)["ok"]
+    # the float child must take a plane codec, not the raw fallback
+    choice = planner.plan_array(t.column("embedding").combine_chunks())
+    assert choice["codec"] == "list"
+    blob, desc = blockcodec.encode_array(t.column("embedding").combine_chunks(), choice)
+    back = blockcodec.decode_array(blob, desc)
+    assert back.equals(t.column("embedding").combine_chunks())
