@@ -1772,6 +1772,22 @@ def _q_bigram_lm(sf_dir: str):
     )
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Per-doc cross-entropy under the add-one-smoothed capped bigram LM
+    (stages/stats.bigram_perplexity): the CCNet-style perplexity filter —
+    capped LM table + exact unigram histogram broadcast once, one
+    streaming vectorized probe pass; DuckDB twin at %.9g tolerance."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as st
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "tokens"])
+    lm = st.bigram_topk(ds, k=_BIGRAM_LM_K)
+    return st.bigram_perplexity(ds, lm, concurrency=(1, 4)).select_columns(
+        ["doc_id", "n_bigrams", "h_bits"]
+    )
+
+
 # the fixture's "wiki-like" half: even-numbered sources (the classifier is
 # label-set-parameterized; this split populates both classes at every sf)
 _CLS_POSITIVE = tuple(f"src{i}" for i in range(0, 20, 2))
@@ -2879,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection_vecs": _q_random_projection,
         "jsonl_gz_source_stats": _q_jsonl_gz_source_stats,
         "roundtrip_vec_stats": _q_roundtrip_vec_stats,
+        "lm_perplexity_tokens": _q_lm_perplexity,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3324,6 +3341,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams, "
             "       coalesce(sc.n_hit, 0)::BIGINT AS n_hit, "
             "       coalesce(sc.hit_sum, 0)::BIGINT AS hit_sum "
+            f"FROM {corpus} c LEFT JOIN sc USING (doc_id)"
+        ),
+        # add-one-smoothed bigram cross-entropy: capped LM table + EXACT
+        # unigram counts; bits at the driver's %.9g float tolerance
+        "lm_perplexity_tokens": (
+            "WITH bg AS ("
+            "  SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, len(tokens) - 1),"
+            "    i -> tokens[i]::BIGINT * 4294967296 + tokens[i+1]::BIGINT"
+            "  )) AS key"
+            f"  FROM {corpus}"
+            "), lm AS ("
+            "  SELECT key, count(*)::BIGINT AS cnt FROM bg GROUP BY key "
+            f"  ORDER BY cnt DESC, key ASC LIMIT {_BIGRAM_LM_K}"
+            "), uni AS ("
+            "  SELECT t, count(*)::BIGINT AS cu FROM "
+            f"  (SELECT unnest(tokens) AS t FROM {corpus}) GROUP BY t"
+            "), sc AS ("
+            "  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "         -sum(log2((coalesce(lm.cnt, 0) + 1)::DOUBLE "
+            "              / (uni.cu + 50257)::DOUBLE)) / count(*) AS h_bits "
+            "  FROM bg LEFT JOIN lm USING (key) "
+            "  JOIN uni ON uni.t = bg.key // 4294967296 "
+            "  GROUP BY bg.doc_id"
+            ") "
+            "SELECT c.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams, "
+            "       coalesce(sc.h_bits, 0.0) AS h_bits "
             f"FROM {corpus} c LEFT JOIN sc USING (doc_id)"
         ),
         # landing-zone foreign-format reads: DuckDB parses the SAME jsonl/

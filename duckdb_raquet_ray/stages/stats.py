@@ -477,6 +477,88 @@ def bigram_lm_score(
     )
 
 
+class _BigramPerplexityProbe:
+    """Actor-pool stage: LM table + unigram histogram fetched once per
+    actor; per-batch vectorized searchsorted + gather + bincount."""
+
+    def __init__(self, lm_ref, uni_ref, vocab_size: int, tokens_col: str):
+        import ray
+
+        self.keys, self.cnts = (
+            ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        )
+        self.uni = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
+        self.vocab = int(vocab_size)
+        self.tokens_col = tokens_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        d_idx, keys, ndocs = _doc_bigrams(batch.column(self.tokens_col))
+        n_bigrams = np.bincount(d_idx, minlength=ndocs).astype(np.int64)
+        h = np.zeros(ndocs, np.float64)
+        if len(keys):
+            cnt = np.zeros(len(keys), np.int64)
+            if len(self.keys):
+                idx = np.searchsorted(self.keys, keys).clip(max=len(self.keys) - 1)
+                hit = self.keys[idx] == keys
+                cnt = np.where(hit, self.cnts[idx], 0)
+            a = keys >> np.int64(32)  # key = a * 2^32 + b, tokens < 2^32
+            cu = self.uni[a]
+            logp = np.log2((cnt + 1).astype(np.float64) / (cu + self.vocab))
+            s = np.bincount(d_idx, weights=logp, minlength=ndocs)
+            ne = n_bigrams > 0
+            h[ne] = -s[ne] / n_bigrams[ne]
+        return (
+            batch.append_column("n_bigrams", pa.array(n_bigrams))
+            .append_column("h_bits", pa.array(h, pa.float64()))
+        )
+
+
+def bigram_perplexity(
+    ds: rd.Dataset,
+    lm_table: tuple[np.ndarray, np.ndarray],
+    *,
+    tokens_col: str = "tokens",
+    vocab_size: int = 50_257,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Per-doc cross-entropy (bits/bigram) under an add-one-smoothed
+    bigram LM — the CCNet/Gopher perplexity-filter signal, fully
+    deterministic because the model is finite and integer:
+
+        p(w | v) = (c_lm(v, w) + 1) / (c_uni(v) + vocab_size)
+
+    where c_lm comes from the CAPPED `bigram_topk` table (0 when the
+    bigram fell below the cap — the capped-table semantics make the 100-TB
+    model a bounded broadcast instead of a corpus-sized join) and c_uni is
+    the EXACT unigram histogram (one O(vocab) value_histogram pass,
+    ray.put once). Perplexity = 2^h_bits; docs with < 2 tokens report 0.
+    DuckDB twin at the driver's %.9g float tolerance (the entropy
+    precedent)."""
+    import ray
+
+    keys, cnts = lm_table
+    lm_ref = ray.put(
+        (np.asarray(keys, dtype=np.int64), np.asarray(cnts, dtype=np.int64))
+    )
+    hist = value_histogram(ds, tokens_col, vocab_size, flatten=True).to_pandas()
+    uni = np.zeros(vocab_size, np.float64)
+    if len(hist):
+        uni[hist["value"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.float64)
+    uni_ref = ray.put(uni)
+    return ds.map_batches(
+        _BigramPerplexityProbe,
+        fn_constructor_kwargs={
+            "lm_ref": lm_ref,
+            "uni_ref": uni_ref,
+            "vocab_size": vocab_size,
+            "tokens_col": tokens_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def numeric_profile(
     ds: rd.Dataset, columns: list[str]
 ) -> rd.Dataset:

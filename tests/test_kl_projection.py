@@ -144,3 +144,79 @@ class TestRandomProjection:
         t = self._vecs(0, 8, seed=1)
         out = ann.random_projection_int8(rd.from_arrow(t), out_dim=4)
         assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigramPerplexity:
+    def _corpus(self):
+        rows = [
+            [1, 2, 3, 1, 2],     # common bigrams
+            [1, 2, 3, 1, 2, 3],
+            [7, 6, 5, 4],        # rare junk
+            [9],                 # < 2 tokens: no bigrams
+            [],
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+                "tokens": pa.array(rows, pa.list_(pa.int64())),
+            }
+        )
+
+    def test_matches_brute_force(self):
+        t = self._corpus()
+        ds = rd.from_arrow(t)
+        V = 16
+        lm = stats.bigram_topk(ds, k=100)
+        out = (
+            stats.bigram_perplexity(ds, lm, vocab_size=V)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # brute force
+        from collections import Counter
+
+        rows = t.column("tokens").to_pylist()
+        bi = Counter()
+        uni = Counter()
+        for r in rows:
+            uni.update(r)
+            bi.update(zip(r, r[1:]))
+        for i, r in enumerate(rows):
+            pairs = list(zip(r, r[1:]))
+            want_n = len(pairs)
+            assert int(out["n_bigrams"][i]) == want_n
+            if want_n:
+                h = -sum(
+                    np.log2((bi[p] + 1) / (uni[p[0]] + V)) for p in pairs
+                ) / want_n
+                assert out["h_bits"][i] == pytest.approx(h, rel=1e-12)
+            else:
+                assert out["h_bits"][i] == 0.0
+
+    def test_rare_doc_scores_higher(self):
+        t = self._corpus()
+        ds = rd.from_arrow(t)
+        lm = stats.bigram_topk(ds, k=100)
+        out = (
+            stats.bigram_perplexity(ds, lm, vocab_size=16)
+            .to_pandas().set_index("doc_id")
+        )
+        assert out.loc[2, "h_bits"] > out.loc[0, "h_bits"]
+
+    def test_capped_table_raises_entropy(self):
+        # with the LM capped to 1 entry, unseen bigrams fall back to the
+        # +1 smoothing floor -> higher cross-entropy than the full table
+        t = self._corpus()
+        ds = rd.from_arrow(t)
+        full = stats.bigram_topk(ds, k=100)
+        tiny = stats.bigram_topk(ds, k=1)
+        hf = (
+            stats.bigram_perplexity(ds, full, vocab_size=16)
+            .to_pandas().set_index("doc_id")["h_bits"]
+        )
+        ht = (
+            stats.bigram_perplexity(ds, tiny, vocab_size=16)
+            .to_pandas().set_index("doc_id")["h_bits"]
+        )
+        assert (ht >= hf - 1e-12).all()
+        assert ht[0] > hf[0]
