@@ -2062,6 +2062,39 @@ def _q_ivf_topk(sf_dir: str):
     return t.select(["vec_id", "rank"])
 
 
+def _q_ivf_append_topk(sf_dir: str):
+    """Incremental IVF ingest (ann.append_ivf_index): the index is built
+    on the first half of the embeddings, the second half appends under
+    the FROZEN centroids (staged write + deterministic rename + marker —
+    killed/re-run appends never duplicate vectors); a full-probe query
+    then equals exact brute force over the UNION, which the SQL cosine
+    oracle checks."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_ivfapp_{tag}_{ENGINE_TAG}"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(os.path.join(idx_dir, "centroids.json")):
+        ds = rd.read_parquet(src)
+
+        def _half(lt: bool, cut: int = 250):
+            def f(t: pa.Table) -> pa.Table:
+                k = t.column("vec_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(k < cut if lt else k >= cut))
+
+            return f
+
+        ann.build_ivf_index(ds.map_batches(_half(True), batch_format="pyarrow"), idx_dir)
+        ann.append_ivf_index(
+            ds.map_batches(_half(False), batch_format="pyarrow"), idx_dir,
+            append_id="second-half",
+        )
+    t = ann.ivf_topk_indexed(idx_dir, _query_vec(), k=10, n_probe=16)
+    return t.select(["vec_id", "rank"])
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
 
@@ -2896,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_source_stats": _q_jsonl_gz_source_stats,
         "roundtrip_vec_stats": _q_roundtrip_vec_stats,
         "lm_perplexity_tokens": _q_lm_perplexity,
+        "ivf_append_topk": _q_ivf_append_topk,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3603,6 +3637,13 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF over the persisted bucket layout is exact, so the
         # brute-force ranking is its oracle (rank-match per VERDICT r1 #5)
         "ivf_topk_similar": (
+            "SELECT vec_id, CAST(row_number() OVER "
+            f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
+            "AS BIGINT) AS rank FROM embeddings "
+            f"ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id LIMIT 10"
+        ),
+        # append path probes the SAME union the one-shot index holds
+        "ivf_append_topk": (
             "SELECT vec_id, CAST(row_number() OVER "
             f"(ORDER BY list_cosine_similarity(embedding, {ones}::DOUBLE[]) DESC, vec_id) "
             "AS BIGINT) AS rank FROM embeddings "

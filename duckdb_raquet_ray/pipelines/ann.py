@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -205,6 +206,67 @@ def load_ivf_index(index_dir: str) -> IvfIndex:
     with open(os.path.join(index_dir, _CENTROIDS_JSON)) as f:
         payload = json.load(f)
     return IvfIndex(np.asarray(payload["centroids"], dtype=np.float64))
+
+
+def append_ivf_index(
+    new_ds: rd.Dataset,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    append_id: str = "a0",
+) -> int:
+    """Grow a persisted IVF layout with new vectors under the FROZEN
+    centroids — the standard incremental-ingest contract (FAISS
+    IndexIVF.add): assignment is a pure function of the persisted
+    centroids, new rows land as new files inside their `ivf_bucket=`
+    hive dirs, existing files are never touched, and probes see the
+    union immediately.  Quality note (documented, not hidden): centroids
+    are NOT retrained, so a drifting vector distribution degrades bucket
+    balance — rebuild when imbalance grows.
+
+    Idempotence (the fsio staging discipline): the append writes to a
+    private staging dir, removes any `append-<id>-*` files a previously
+    KILLED attempt left in the live buckets, then renames staged files
+    to deterministic `append-<id>-<k>` names and records a marker LAST —
+    so a completed re-run is a no-op and a killed run's retry replaces
+    its own partial output instead of duplicating vectors.  Returns the
+    number of appended rows (0 for a skipped re-run)."""
+    import glob as _glob
+    import shutil
+
+    marker = os.path.join(index_dir, f"append-{append_id}.done.json")
+    if os.path.exists(marker):
+        return 0
+    index = load_ivf_index(index_dir)
+    staging = os.path.join(index_dir, f"_staging_append_{append_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    index.add_buckets(new_ds, vec_col).write_parquet(
+        staging, partition_cols=["ivf_bucket"]
+    )
+    # clean a prior killed attempt's partial move, then publish by rename
+    for f in _glob.glob(
+        os.path.join(index_dir, "ivf_bucket=*", f"append-{append_id}-*.parquet")
+    ):
+        os.remove(f)
+    n = 0
+    for bdir in sorted(_glob.glob(os.path.join(staging, "ivf_bucket=*"))):
+        dest_dir = os.path.join(index_dir, os.path.basename(bdir))
+        os.makedirs(dest_dir, exist_ok=True)
+        for k, f in enumerate(sorted(os.listdir(bdir))):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(bdir, f)
+            n += pq.ParquetFile(src).metadata.num_rows
+            os.replace(
+                src,
+                os.path.join(dest_dir, f"append-{append_id}-{k:06}.parquet"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"append_id": str(append_id), "rows": int(n)}, f)
+    os.replace(tmp, marker)
+    return int(n)
 
 
 def ivf_topk_indexed(

@@ -220,3 +220,61 @@ class TestBigramPerplexity:
         )
         assert (ht >= hf - 1e-12).all()
         assert ht[0] > hf[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfAppend:
+    def _vecs(self, ids, dim=8, seed=0):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(ids, np.int64)),
+                "embedding": pa.array(
+                    list(rng.normal(size=(len(ids), dim)).astype(np.float32)),
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    def test_append_equivalent_to_full_probe(self, tmp_path):
+        a = self._vecs(range(100), seed=1)
+        b = self._vecs(range(100, 150), seed=2)
+        idx = str(tmp_path / "ivf")
+        ann.build_ivf_index(rd.from_arrow(a), idx, n_centroids=4)
+        n = ann.append_ivf_index(rd.from_arrow(b), idx, append_id="day1")
+        assert n == 50
+        q = np.asarray(a.column("embedding")[0].as_py(), np.float64)
+        got = ann.ivf_topk_indexed(idx, q, k=10, n_probe=4)
+        both = pa.concat_tables([a, b])
+        want = ann.brute_force_topk(rd.from_arrow(both), q, 10)
+        assert got.column("vec_id").to_pylist() == want.column("vec_id").to_pylist()
+
+    def test_append_idempotent(self, tmp_path):
+        a = self._vecs(range(60), seed=3)
+        b = self._vecs(range(60, 90), seed=4)
+        idx = str(tmp_path / "ivf")
+        ann.build_ivf_index(rd.from_arrow(a), idx, n_centroids=4)
+        assert ann.append_ivf_index(rd.from_arrow(b), idx, append_id="x") == 30
+        # completed re-run: no-op, no duplicate vectors
+        assert ann.append_ivf_index(rd.from_arrow(b), idx, append_id="x") == 0
+        import glob as g
+
+        files = g.glob(str(tmp_path / "ivf" / "ivf_bucket=*" / "*.parquet"))
+        import pyarrow.parquet as pq
+
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert total == 90
+
+    def test_append_files_deterministic_names(self, tmp_path):
+        a = self._vecs(range(40), seed=5)
+        b = self._vecs(range(40, 60), seed=6)
+        idx = str(tmp_path / "ivf")
+        ann.build_ivf_index(rd.from_arrow(a), idx, n_centroids=2)
+        ann.append_ivf_index(rd.from_arrow(b), idx, append_id="z9")
+        import glob as g
+
+        names = [
+            f.split("/")[-1]
+            for f in g.glob(str(tmp_path / "ivf" / "ivf_bucket=*" / "*.parquet"))
+        ]
+        assert any(n.startswith("append-z9-") for n in names)
