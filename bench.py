@@ -478,6 +478,30 @@ def bench_tables_phase(cpus: int) -> dict:
         bpe_ds, bpe_merges
     ).count())), 3)
 
+    # PageRank: edge build (one bucketed shuffle) + 3 power-iteration
+    # rounds (hash join + groupby-sum + left join each)
+    from duckdb_raquet_ray.pipelines import graph as graph_mod
+
+    def pagerank_run():
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+            graph_mod.synthesize_links_batch, batch_format="pyarrow"
+        )
+        return graph_mod.domain_pagerank(graph_mod.link_edges(ds), iters=3).count()
+
+    queries["pagerank"] = round(min(best_of(pagerank_run)), 3)
+
+    # incremental near-dup probe: LSH band index built once (an index
+    # build, the PQ-train precedent); timed work = probe + new-new dedup
+    import shutil as _sh
+
+    mh_idx = "/tmp/raquet_bench_mhidx"
+    _sh.rmtree(mh_idx, ignore_errors=True)
+    half = rd.read_parquet(docs, columns=["doc_id", "text"])
+    dedup.build_minhash_index(half, mh_idx, bands=8)
+    queries["inc_minhash"] = round(min(best_of(lambda: dedup.incremental_minhash_dedup(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), mh_idx, bands=8
+    ).count())), 3)
+
     return {"queries": queries, "extra": {}}
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -140,6 +141,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--clusters", action="store_true",
                    help="minhash only: annotate cluster_id (connected "
                         "components over verified pairs) instead of dropping")
+    p.add_argument("--index", default=None, metavar="DIR",
+                   help="incremental mode: dedup the input against a persisted "
+                        "MinHash-LSH band index (built on first use), appending "
+                        "the kept docs' cells back into it")
+
+    p = sub.add_parser("pagerank", help="domain link-graph PageRank over a "
+                       "documents table: first extracted host -> outlink hosts, "
+                       "damped integer power iteration -> (domain, rank) parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--iters", type=int, default=3)
 
     p = sub.add_parser("pii", help="scan for (or redact) emails/IPv4/phones -> parquet")
     p.add_argument("--input", required=True, help="glob of input parquet shards")
@@ -334,7 +347,21 @@ def main(argv: list[str] | None = None) -> None:
             from .pipelines import dedup as dd
 
             ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
-            if args.clusters:
+            if getattr(args, "index", None):
+                if args.method != "minhash":
+                    raise SystemExit("--index requires --method minhash")
+                if not os.path.isdir(args.index) or not os.listdir(args.index):
+                    dd.build_minhash_index(
+                        ds, args.index, text_col=args.text_col,
+                        key_col=args.key_col, bands=8,
+                    )
+                    out = ds  # first run indexes the corpus; nothing to drop
+                else:
+                    out = dd.incremental_minhash_dedup(
+                        ds, args.index, text_col=args.text_col,
+                        key_col=args.key_col, bands=8, update_index=True,
+                    )
+            elif args.clusters:
                 if args.method != "minhash":
                     raise SystemExit("--clusters requires --method minhash")
                 out = dd.minhash_clusters(
@@ -380,6 +407,20 @@ def main(argv: list[str] | None = None) -> None:
             out.write_parquet(args.dest)
             print(json.dumps({"cmd": "chunk", "size": args.size,
                               "stride": args.stride, "dest": args.dest}))
+        elif args.cmd == "pagerank":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import graph as graph_ops
+
+            ds = util.clean_dataset(rd.read_parquet(_inputs(args.input)))
+            out = graph_ops.domain_pagerank(
+                graph_ops.link_edges(ds, text_col=args.text_col),
+                iters=args.iters,
+            )
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "pagerank", "iters": args.iters,
+                              "dest": args.dest}))
         elif args.cmd == "bigram-score":
             import ray.data as rd
 
@@ -451,8 +492,6 @@ def main(argv: list[str] | None = None) -> None:
                 "languages": lang_counts,
             }))
         elif args.cmd == "bpe":
-            import os
-
             import ray.data as rd
 
             from . import util

@@ -167,6 +167,39 @@ def _pair_partial(t: pa.Table) -> pa.Table:
     )
 
 
+def _pagerank_folded(
+    ew: rd.Dataset, iters: int, scale: int, num: int, den: int
+) -> rd.Dataset:
+    """Driver-side numpy iteration over the FOLDED (src, dst, w, ww)
+    edge table (gated by edge_driver_limit): pandas factorize to integer
+    codes, np.add.at for exact int64 contribution sums — the identical
+    fixed-point spec, zero per-round shuffles."""
+    import pandas as pd
+
+    df = ew.select_columns(["src", "dst", "w", "ww"]).to_pandas()
+    both = pd.concat([df["src"], df["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(both, sort=False)
+    n = len(df)
+    s_codes, d_codes = codes[:n], codes[n:]
+    w = df["w"].to_numpy(np.int64)
+    ww = df["ww"].to_numpy(np.int64)
+    n_nodes = len(uniq)
+    r = np.full(n_nodes, scale // n_nodes, np.int64)
+    tele = ((den - num) * scale) // (den * n_nodes)
+    for _ in range(iters):
+        contrib = np.zeros(n_nodes, np.int64)
+        np.add.at(contrib, d_codes, (r[s_codes] * w) // ww)
+        r = tele + (num * contrib) // den
+    return rd.from_arrow(
+        pa.table(
+            {
+                "domain": pa.array(uniq.to_numpy(dtype=object), pa.string()),
+                "rank": pa.array(r),
+            }
+        )
+    )
+
+
 def domain_pagerank(
     edges: rd.Dataset,
     *,
@@ -174,13 +207,25 @@ def domain_pagerank(
     scale: int = PR_SCALE,
     damping: tuple[int, int] = (85, 100),
     n_buckets: int | None = None,
+    edge_driver_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """`iters` damped power-iteration rounds over an (src, dst) string
     edge Dataset -> (domain, rank) with rank in integer `scale` units.
 
-    Every stage is dataset-side (see module docstring for the shuffle
-    shape and the int64 overflow bound); the driver holds only the node
-    COUNT.  Empty edge sets return an empty typed frame."""
+    The edge stream folds to DISTINCT weighted (src, dst, w) pairs
+    through one corpus-scaled bucket shuffle; everything after runs on
+    that folded table, which is node-pair-bounded, not corpus-bounded.
+    When it fits under `edge_driver_limit` rows (domain graphs usually
+    do: ~10^6 registrable domains cover most corpora) the iteration loop
+    runs as driver-side numpy over integer codes — identical arithmetic,
+    zero per-round shuffles.  Above the limit the loop stays fully
+    dataset-side (per round: one bucketed hash join of ranks onto edges,
+    one contribution groupby, one left join back onto nodes) and the
+    driver holds only the node COUNT.  Both paths are the same integer
+    fixed-point spec, so results are bit-equal (pinned by the
+    bucket-invariance test that forces the distributed path).
+
+    Empty edge sets return an empty typed frame."""
     num, den = int(damping[0]), int(damping[1])
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
@@ -224,6 +269,15 @@ def domain_pagerank(
         .materialize()
     )
 
+    empty = pa.table(
+        {"domain": pa.array([], pa.string()), "rank": pa.array([], pa.int64())}
+    )
+    n_edges = ew.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges <= int(edge_driver_limit):
+        return _pagerank_folded(ew, int(iters), scale, num, den)
+
     def node_rows(t: pa.Table) -> pa.Table:
         vs = pa.concat_arrays(
             [
@@ -244,9 +298,6 @@ def domain_pagerank(
         .materialize()
     )
     n_nodes = nodes.count()
-    empty = pa.table(
-        {"domain": pa.array([], pa.string()), "rank": pa.array([], pa.int64())}
-    )
     if n_nodes == 0:
         return rd.from_arrow(empty)
 

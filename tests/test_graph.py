@@ -89,15 +89,27 @@ class TestPagerank:
         assert max(got, key=got.get) == "hub"
 
     def test_bucket_invariance(self):
+        # edge_driver_limit=0 forces the DISTRIBUTED iteration path
         rng = np.random.default_rng(11)
         nodes = [f"n{i}" for i in range(17)]
         edges = [
             (nodes[int(a)], nodes[int(b)])
             for a, b in rng.integers(0, len(nodes), size=(150, 2))
         ]
-        a = _run(edges, n_buckets=3)
-        b = _run(edges, n_buckets=61)
-        assert a == b
+        a = _run(edges, n_buckets=3, edge_driver_limit=0)
+        b = _run(edges, n_buckets=61, edge_driver_limit=0)
+        assert a == b == _brute_pagerank(edges)
+
+    def test_driver_and_distributed_paths_bit_equal(self):
+        rng = np.random.default_rng(21)
+        nodes = [f"m{i}" for i in range(29)]
+        edges = [
+            (nodes[int(a)], nodes[int(b)])
+            for a, b in rng.integers(0, len(nodes), size=(300, 2))
+        ]
+        fast = _run(edges)  # folded-table driver path (default gate)
+        dist = _run(edges, edge_driver_limit=0)
+        assert fast == dist
 
     def test_mass_bound(self):
         # total rank never exceeds SCALE (mass is conserved or lost)
