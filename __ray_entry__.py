@@ -755,6 +755,47 @@ def _q_mixture_sample(sf_dir: str):
     return sampling.source_mixture_sample(ds, _MIXTURE_RATES, seed=_MIXTURE_SEED)
 
 
+_TEMPERATURE_TAU = 0.5
+_TEMPERATURE_SEED = 11
+
+
+def _temperature_rates_corpus() -> dict[str, float]:
+    """Plan-time temperature keep-rates from the corpus's EXACT source
+    counts (pure function — pyarrow read, no Ray; the DSIR plan-time-
+    weights precedent). Shared by the query and the oracle so the
+    inlined thresholds are identical."""
+    import pyarrow.parquet as _pq
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    counts: dict[str, int] = {}
+    for p in _ensure_corpus():
+        col = _pq.read_table(p, columns=["source"]).column("source")
+        import pyarrow.compute as _pc
+
+        vc = _pc.value_counts(col.combine_chunks())
+        for row in vc.to_pylist():
+            s = row["values"] or ""
+            counts[s] = counts.get(s, 0) + int(row["counts"])
+    return sampling.temperature_rates_from_counts(counts, _TEMPERATURE_TAU)
+
+
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-scaled mixture sampling (the Pile/UniMax tau rule):
+    keep-rate_s = n_s^(tau-1) normalized to max 1 over the corpus's
+    naturally skewed source counts, then the deterministic per-row
+    hash-threshold filter (pipelines/sampling.py:temperature_rates_from_
+    counts + source_mixture_sample). tau=0.5 flattens the web-heavy mix;
+    the oracle inlines the identical integer thresholds."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    rates = _temperature_rates_corpus()
+    ds = rd.read_parquet(_ensure_corpus(), columns=["doc_id", "source", "n_tok"])
+    return sampling.source_mixture_sample(ds, rates, seed=_TEMPERATURE_SEED)
+
+
 def _q_tokenize_encode_roundtrip(sf_dir: str):
     """FLAGSHIP composition: raw documents -> tokenize_hashed -> full
     columnar encode_job (planner, FoR/RLE/dict/bitpack codecs, lineage
@@ -2930,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_vec_stats": _q_roundtrip_vec_stats,
         "lm_perplexity_tokens": _q_lm_perplexity,
         "ivf_append_topk": _q_ivf_append_topk,
+        "temperature_sample": _q_temperature_sample,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3474,6 +3516,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mixture_sample": _sampling.mixture_oracle_sql(
             corpus_cols, _MIXTURE_RATES, seed=_MIXTURE_SEED
+        ),
+        # temperature rates from EXACT corpus counts, thresholds inlined
+        "temperature_sample": _sampling.mixture_oracle_sql(
+            corpus_cols, _temperature_rates_corpus(), seed=_TEMPERATURE_SEED
         ),
         "tokenize_encode_roundtrip": _text_ops.tokenize_stats_oracle_sql(
             "documents"

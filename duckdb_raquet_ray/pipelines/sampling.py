@@ -80,6 +80,42 @@ def source_mixture_sample(
     return ds.map_batches(keep_batch, batch_format="pyarrow")
 
 
+def temperature_rates_from_counts(
+    counts: dict[str, int], tau: float
+) -> dict[str, float]:
+    """Temperature re-weighting (the Pile / UniMax / mT5 mixture rule):
+    target source proportions p_s proportional to n_s^tau, realized as
+    per-source keep rates w_s = n_s^(tau-1) normalized so the LARGEST
+    weight keeps everything (tau < 1 downsamples big sources toward a
+    flatter mix; tau = 1 is identity, tau = 0 targets a uniform source
+    mix). Pure float64 function of the exact integer counts — the same
+    rates dict feeds the engine filter and the SQL oracle's inlined
+    thresholds (the DSIR plan-time-weights precedent)."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    pos = {s: int(n) for s, n in counts.items() if int(n) > 0}
+    if not pos:
+        return {}
+    w = {s: float(n) ** (tau - 1.0) for s, n in pos.items()}
+    mx = max(w.values())
+    return {s: v / mx for s, v in w.items()}
+
+
+def temperature_rates(
+    ds: rd.Dataset, tau: float, source_col: str = "source"
+) -> dict[str, float]:
+    """Distributed twin: one skinny groupby-count over the source column
+    (O(sources) rows reach the driver), then the shared rule."""
+    rows = (
+        ds.select_columns([source_col]).groupby(source_col).count().take_all()
+    )
+    counts = {
+        ("" if r[source_col] is None else r[source_col]): int(r["count()"])
+        for r in rows
+    }
+    return temperature_rates_from_counts(counts, tau)
+
+
 def epoch_order(
     ds: rd.Dataset, key_col: str = "doc_id", seed: int = 0
 ) -> rd.Dataset:

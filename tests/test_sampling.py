@@ -326,3 +326,64 @@ class TestQuantileFilter:
         )
         out = smp.quantile_filter(rd.from_arrow(t), p=0.5).to_pandas()
         assert "b" not in set(out["doc_id"])
+
+
+def test_temperature_rates_rule():
+    from duckdb_raquet_ray.pipelines import sampling
+
+    counts = {"web": 8000, "books": 1000, "tiny": 10}
+    r = sampling.temperature_rates_from_counts(counts, 0.5)
+    # smallest source keeps everything; bigger sources downsample as
+    # sqrt(n_small / n_big)
+    assert r["tiny"] == 1.0
+    assert r["web"] == pytest.approx((10 / 8000) ** 0.5)
+    assert r["books"] == pytest.approx((10 / 1000) ** 0.5)
+    # tau = 1 is identity
+    r1 = sampling.temperature_rates_from_counts(counts, 1.0)
+    assert all(v == 1.0 for v in r1.values())
+    # tau = 0 targets uniform: rate inversely proportional to n
+    r0 = sampling.temperature_rates_from_counts(counts, 0.0)
+    assert r0["web"] == pytest.approx(10 / 8000)
+    # zero-count sources dropped; bad tau rejected
+    assert sampling.temperature_rates_from_counts({"a": 0}, 0.5) == {}
+    with pytest.raises(ValueError):
+        sampling.temperature_rates_from_counts(counts, 1.5)
+
+
+def test_temperature_rates_distributed_matches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    srcs = ["a"] * 90 + ["b"] * 9 + ["c"]
+    ds = rd.from_arrow(pa.table({"source": pa.array(srcs)}))
+    got = sampling.temperature_rates(ds, 0.5)
+    want = sampling.temperature_rates_from_counts({"a": 90, "b": 9, "c": 1}, 0.5)
+    assert got == want
+
+
+def test_temperature_sample_flattens_mix(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    n = 4000
+    srcs = np.where(np.arange(n) % 10 < 9, "big", "small")
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "source": pa.array(srcs.tolist()),
+        }
+    )
+    rates = sampling.temperature_rates(rd.from_arrow(t), 0.5)
+    out = sampling.source_mixture_sample(
+        rd.from_arrow(t), rates, seed=3
+    ).to_pandas()
+    kept = out["source"].value_counts()
+    # small kept fully; big downsampled toward sqrt ratio
+    assert kept["small"] == 400
+    frac_big = kept["big"] / 3600
+    assert abs(frac_big - rates["big"]) < 0.05
