@@ -950,6 +950,23 @@ def _q_grouped_entropy(sf_dir: str):
     )
 
 
+def _q_script_mix(sf_dir: str):
+    """Per-doc Unicode-script character counts over deterministically
+    spliced Cyrillic/Han/Greek snippets (pipelines/text.py:script_mix —
+    RE2 \\p{Script} classes, pyarrow = DuckDB's engine so counts are
+    parity-by-construction)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_text.synthesize_scripts_batch, batch_format="pyarrow")
+    return _text.script_mix(ds).select_columns(
+        ["doc_id", "n_latin", "n_cyrillic", "n_han", "n_greek", "n_arabic"]
+    )
+
+
 def _q_grouped_kl(sf_dir: str):
     """Per-source KL(P_source || P_corpus) token-distribution divergence
     (stages/stats.grouped_kl_divergence): exact O(vocab) corpus histogram
@@ -2972,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_tokens": _q_lm_perplexity,
         "ivf_append_topk": _q_ivf_append_topk,
         "temperature_sample": _q_temperature_sample,
+        "script_mix_docs": _q_script_mix,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3284,6 +3302,10 @@ def oracle_sql() -> dict[str, str]:
         # NFC + RE2 \s+ collapse on both sides)
         "normalize_docs": _text_ops.normalize_oracle_sql(
             _text_ops.mangle_unicode_sql("documents")
+        ),
+        # script mix over the identically-spliced docs (RE2 \p{Script})
+        "script_mix_docs": _text_ops.script_mix_oracle_sql(
+            _text_ops.synthesize_scripts_sql("documents")
         ),
         # html strip over the identically-wrapped docs (RE2 step chain +
         # entity replaces, same order both sides)

@@ -279,6 +279,87 @@ def mangle_unicode_sql(table: str, text_col: str = "text", key_col: str = "doc_i
     )
 
 
+_SCRIPTS = (
+    ("n_latin", r"\p{Latin}"),
+    ("n_cyrillic", r"\p{Cyrillic}"),
+    ("n_han", r"\p{Han}"),
+    ("n_greek", r"\p{Greek}"),
+    ("n_arabic", r"\p{Arabic}"),
+)
+
+
+def synthesize_scripts_batch(
+    batch: pa.Table, *, key_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Splice a deterministic non-Latin snippet into each row by key % 4
+    (Cyrillic / Han / Greek / none) — the script-mix fixture for ASCII
+    corpora. SQL twin: synthesize_scripts_sql."""
+    import pandas as pd
+
+    ids = pd.Series(batch.column(key_col).to_numpy(zero_copy_only=False))
+    txt = batch.column(text_col).to_pandas().fillna("").reset_index(drop=True)
+    snippets = pd.Series(
+        np.select(
+            [ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+            [" привет мир", " 世界你好", " αβγδ"],
+            default="",
+        )
+    )
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col,
+        pa.array(txt + snippets, pa.string()),
+    )
+
+
+def synthesize_scripts_sql(
+    table: str = "documents", *, key_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """SQL twin of synthesize_scripts_batch, as a subquery."""
+    return (
+        f"(SELECT {key_col}, coalesce({text_col}, '') || "
+        f"CASE {key_col} % 4 WHEN 0 THEN ' привет мир' "
+        f"WHEN 1 THEN ' 世界你好' WHEN 2 THEN ' αβγδ' ELSE '' END "
+        f"AS {text_col} FROM {table})"
+    )
+
+
+def script_mix_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc Unicode-script character counts (Latin / Cyrillic / Han /
+    Greek / Arabic) — the charset-profiling step of a web pipeline (mixed
+    or unexpected scripts flag mojibake, spam and wrong-language docs).
+    One RE2 \\p{Script} pass per class (pyarrow = DuckDB's regex engine,
+    parity by construction)."""
+    import pyarrow.compute as pc
+
+    arr = batch.column(text_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = batch
+    for name, pat in _SCRIPTS:
+        out = out.append_column(
+            name, pc.count_substring_regex(arr, pat).cast(pa.int64())
+        )
+    return out
+
+
+def script_mix(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: script_mix_batch(util.strip_schema_metadata(b), text_col),
+        batch_format="pyarrow",
+    )
+
+
+def script_mix_oracle_sql(
+    table: str = "documents", *, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of script_mix (RE2 \\p{Script} both sides)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS {name}"
+        for name, pat in _SCRIPTS
+    )
+    return f"SELECT {key_col}, {counts} FROM {table}"
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """One streaming pass: utf8proc lowercase (pyarrow kernel — the SAME
     library DuckDB's lower() uses), NFC composition, RE2 whitespace

@@ -278,3 +278,39 @@ class TestIvfAppend:
             for f in g.glob(str(tmp_path / "ivf" / "ivf_bucket=*" / "*.parquet"))
         ]
         assert any(n.startswith("append-z9-") for n in names)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScriptMix:
+    def test_counts(self):
+        from duckdb_raquet_ray.pipelines import text as text_ops
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["hello привет 世界 αβγ", "plain ascii", None]
+                ),
+            }
+        )
+        out = text_ops.script_mix_batch(t)
+        assert out.column("n_latin").to_pylist() == [5, 10, None]
+        assert out.column("n_cyrillic").to_pylist() == [6, 0, None]
+        assert out.column("n_han").to_pylist() == [2, 0, None]
+        assert out.column("n_greek").to_pylist() == [3, 0, None]
+        assert out.column("n_arabic").to_pylist() == [0, 0, None]
+
+    def test_fixture_splice_deterministic(self):
+        from duckdb_raquet_ray.pipelines import text as text_ops
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["x"] * 4),
+            }
+        )
+        out = text_ops.synthesize_scripts_batch(t).column("text").to_pylist()
+        assert out[0].endswith("привет мир")
+        assert out[1].endswith("世界你好")
+        assert out[2].endswith("αβγδ")
+        assert out[3] == "x"
