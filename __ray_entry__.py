@@ -896,6 +896,23 @@ def _q_cumulative_window(sf_dir: str):
     return _joins.cumulative_window(ds, "user_id", "ts", "event_id", "value")
 
 
+def _q_rolling_window(sf_dir: str):
+    """Per-user trailing 5-row sum over events — the ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW moving-average surface
+    (pipelines/joins.rolling_window): one bucket shuffle, lexsort +
+    cumsum-difference trailing frames, integer micro-units so the
+    compare is exact."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins as _joins
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return _joins.rolling_window(ds, "user_id", "ts", "event_id", "value", window_rows=5)
+
+
 def _q_lag_gap(sf_dir: str):
     """Per-user inter-event gaps — lag() OVER in epoch µs, NULL on each
     key's first row (pipelines/joins.lag_gap_window); integer-exact."""
@@ -2990,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_append_topk": _q_ivf_append_topk,
         "temperature_sample": _q_temperature_sample,
         "script_mix_docs": _q_script_mix,
+        "rolling_window_events": _q_rolling_window,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3823,6 +3841,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY 1, 2"
         ),
         "cumulative_window_events": _joins_mod.cumulative_window_oracle_sql("events"),
+        "rolling_window_events": _joins_mod.rolling_window_oracle_sql(
+            "events", window_rows=5
+        ),
         "lag_gap_events": _joins_mod.lag_gap_oracle_sql("events"),
         # ROLLUP: leaf + per-type totals + grand total, NULL = rolled level
         "events_rollup": (

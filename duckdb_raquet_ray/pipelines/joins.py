@@ -860,6 +860,101 @@ WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+def rolling_window(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    value_col: str,
+    window_rows: int = 5,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Per-key TRAILING-window aggregates — the ``SUM(...) OVER
+    (PARTITION BY key ORDER BY ts, tie ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)`` surface (moving averages / rate smoothing): one row
+    per input row with the in-frame row count (`roll_n`, < k near each
+    key's start) and the trailing sum in integer MICRO-units
+    (`roll_value_micro` — the cumulative_window fixed-point rationale).
+
+    Same shape as cumulative_window: one coarse bucket shuffle, one
+    lexsort + global-cumsum per bucket; the trailing frame is cumsum[i] -
+    cumsum[start-1] with start = max(key's first row, i - k + 1) — no
+    per-key or per-frame Python."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    k_rows = int(window_rows)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        cols = pa.table({
+            key_col: b.column(key_col),
+            "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
+            "_tie": b.column(order_tie_col),
+            "_v": pa.array(
+                _round_half_away(
+                    pc.fill_null(b.column(value_col), 0.0)
+                    .cast(pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                    * 1e6
+                )
+            ),
+        })
+        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def accumulate(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                order_tie_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "roll_n": pa.array([], pa.int64()),
+                "roll_value_micro": pa.array([], pa.int64()),
+            })
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        t = g.column("_ts").to_numpy(zero_copy_only=False)
+        tie = g.column("_tie").to_numpy(zero_copy_only=False)
+        v = g.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ties, vs = k[order], tie[order], v[order]
+        new_key = np.empty(len(ks), np.bool_)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(len(ks), dtype=np.int64)
+        key_first = np.maximum.accumulate(np.where(new_key, idx, 0))
+        start = np.maximum(key_first, idx - k_rows + 1)
+        cs0 = np.zeros(len(ks) + 1, np.int64)
+        np.cumsum(vs, out=cs0[1:])
+        return pa.table({
+            order_tie_col: pa.array(ties),
+            key_col: pa.array(ks),
+            "roll_n": pa.array(idx - start + 1, type=pa.int64()),
+            "roll_value_micro": pa.array(cs0[idx + 1] - cs0[start], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(accumulate, batch_format="pyarrow")
+    )
+
+
+def rolling_window_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+) -> str:
+    """DuckDB twin of rolling_window (explicit trailing ROWS frame)."""
+    return f"""SELECT {order_tie_col}, {key_col},
+  (count(*) OVER w)::BIGINT AS roll_n,
+  sum(round(coalesce({value_col}, 0) * 1000000)::BIGINT) OVER w::BIGINT
+    AS roll_value_micro
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col}
+             ROWS BETWEEN {int(window_rows) - 1} PRECEDING AND CURRENT ROW)"""
+
+
 def lag_gap_window(
     ds: rd.Dataset,
     key_col: str,

@@ -668,3 +668,103 @@ class TestLagGapWindow:
         pdt.assert_frame_equal(got, want, check_dtype=False)
         # exactly one NULL gap per key (the first event)
         assert int(got["gap_us"].isna().sum()) == got["user_id"].nunique()
+
+
+class TestRollingWindow:
+    def _events(self, n=400, keys=7, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 40, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, keys, n), pa.int64()),
+            "value": pa.array(
+                [None if i % 9 == 0 else round(float(rng.normal()), 6)
+                 for i in range(n)],
+                pa.float64(),
+            ),
+        })
+
+    def test_matches_sql_and_bucket_invariant(self, ray_session):
+        import duckdb
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = self._events()
+        got = (
+            J.rolling_window(
+                rd.from_arrow(t).repartition(6), "user_id", "ts", "event_id",
+                "value", window_rows=5, n_buckets=3,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        got2 = (
+            J.rolling_window(
+                rd.from_arrow(t).repartition(1), "user_id", "ts", "event_id",
+                "value", window_rows=5, n_buckets=64,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        pdt.assert_frame_equal(got, got2)
+        con = duckdb.connect()
+        con.register("events", t)
+        want = (
+            con.execute(J.rolling_window_oracle_sql(window_rows=5))
+            .df().sort_values("event_id").reset_index(drop=True)
+        )
+        assert got["roll_n"].tolist() == want["roll_n"].tolist()
+        assert got["roll_value_micro"].tolist() == want["roll_value_micro"].tolist()
+
+    def test_window_one_equals_value(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = self._events(n=60, keys=3)
+        got = (
+            J.rolling_window(
+                rd.from_arrow(t), "user_id", "ts", "event_id", "value",
+                window_rows=1,
+            )
+            .to_pandas()
+        )
+        assert (got["roll_n"] == 1).all()
+
+    def test_window_huge_equals_cumulative(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = self._events(n=100, keys=4)
+        roll = (
+            J.rolling_window(
+                rd.from_arrow(t), "user_id", "ts", "event_id", "value",
+                window_rows=10_000,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        cum = (
+            J.cumulative_window(
+                rd.from_arrow(t), "user_id", "ts", "event_id", "value"
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert roll["roll_n"].tolist() == cum["cum_n"].tolist()
+        assert roll["roll_value_micro"].tolist() == cum["cum_value_micro"].tolist()
+
+    def test_bad_window_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        with _pytest.raises(ValueError):
+            J.rolling_window(
+                rd.from_arrow(self._events(10)), "user_id", "ts", "event_id",
+                "value", window_rows=0,
+            )
