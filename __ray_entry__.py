@@ -1331,6 +1331,38 @@ def _q_incremental_minhash(sf_dir: str):
     )
 
 
+def _q_containment_dedup(sf_dir: str):
+    """Asymmetric containment dedup (dedup.containment_dedup): planted
+    60-char prefixes of every 7th doc are fully CONTAINED in their
+    source (tiny Jaccard, containment ~1) and must drop; rare-gram
+    candidates + the shared distributed verify with
+    metric='containment'. Full SQL value oracle."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _plant(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(k % 7 == 0))
+        ks = sub.column("doc_id").to_numpy(zero_copy_only=False) + 5000
+        # middle slice, not prefix: the synthetic docs share openings, so
+        # prefix grams are corpus-common (df > max_df) and carry no
+        # rare-gram witness; mid-doc content is doc-specific
+        txt = sub.column("text").to_pandas().fillna("").str.slice(20, 80)
+        return pa.table(
+            {"doc_id": pa.array(ks, pa.int64()), "text": pa.array(txt, pa.string())}
+        )
+
+    both = docs.union(docs.map_batches(_plant, batch_format="pyarrow"))
+    return dedup.containment_dedup(both, threshold=0.9).select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def _q_clean_corpus(sf_dir: str):
     """The composed cleaning pipeline a training run actually executes:
     MinHash near-dup removal -> Gopher repetition drop (dup 2-gram mass
@@ -3008,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "script_mix_docs": _q_script_mix,
         "rolling_window_events": _q_rolling_window,
+        "containment_dedup_docs": _q_containment_dedup,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3638,6 +3671,14 @@ def oracle_sql() -> dict[str, str]:
         # result (per-doc metrics commute with filtering, so stagewise
         # keep-set intersection == the pipelined order)
         "clean_corpus_docs": _clean_corpus_oracle_sql(),
+        # containment over docs + planted 60-char prefixes of every 7th
+        "containment_dedup_docs": _dedup.containment_oracle_sql(
+            "(SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 5000 AS doc_id, "
+            "substr(coalesce(text, ''), 21, 60) AS text "
+            "FROM documents WHERE doc_id % 7 = 0)",
+            threshold=0.9,
+        ),
         # LSH band-index append: old = doc_id < 250 indexed; new = the
         # rest + planted near-dup mangles of indexed docs (' x', must
         # drop on old collision) and of new docs (' y', smaller key wins)

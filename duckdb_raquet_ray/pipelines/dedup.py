@@ -321,9 +321,16 @@ def _minhash_verified_edges_ds(
     bands: int = 16,
     shingle_k: int = 5,
     pairs_override: rd.Dataset | None = None,
+    metric: str = "jaccard",
 ) -> tuple[rd.Dataset | None, pa.DataType | None]:
     """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
     near-dup edges as a DATASET of (a, b), a < b, Jaccard >= threshold —
+
+    ``metric="containment"`` verifies |A∩B| / min(|A|, |B|) instead (the
+    asymmetric quote/partial-duplication signal Jaccard misses when one
+    doc is much longer) and emits edges as (a=KEPT, b=DROPPED): the doc
+    with the smaller gram set is the contained one and drops, ties drop
+    the larger key —
     nothing corpus- or candidate-sized ever lands on the driver. Returns
     (None, None) when LSH yields zero candidate pairs. The shared engine
     behind :func:`_minhash_verified_pairs` (driver edge list, bounded) and
@@ -505,12 +512,26 @@ def _minhash_verified_edges_ds(
             sa, sb = shingles(a), shingles(b)
             if len(sa) == 0 and len(sb) == 0:
                 sim = 1.0
+                inter = 0
             else:
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                sim = inter / (len(sa) + len(sb) - inter)
+                if metric == "containment":
+                    sim = inter / min(len(sa), len(sb))
+                else:
+                    sim = inter / (len(sa) + len(sb) - inter)
             if sim >= threshold:
-                ea.append(min(a, b))
-                eb.append(max(a, b))
+                if metric == "containment":
+                    # the smaller gram set is the contained doc: drop it;
+                    # ties drop the larger key
+                    if len(sa) < len(sb) or (len(sa) == len(sb) and a > b):
+                        keep, drop = b, a
+                    else:
+                        keep, drop = a, b
+                    ea.append(keep)
+                    eb.append(drop)
+                else:
+                    ea.append(min(a, b))
+                    eb.append(max(a, b))
         return pa.table({"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)})
 
     verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
@@ -533,6 +554,7 @@ def _minhash_verified_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     pairs_override: rd.Dataset | None = None,
+    metric: str = "jaccard",
 ) -> list[tuple]:
     """The verified near-dup EDGE LIST on the driver — keys only, orders
     of magnitude below candidate pairs at any realistic precision, and
@@ -543,7 +565,7 @@ def _minhash_verified_pairs(
     global LAST_DRIVER_EDGES
     verified, _ = _minhash_verified_edges_ds(
         ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
-        pairs_override=pairs_override,
+        pairs_override=pairs_override, metric=metric,
     )
     if verified is None:
         LAST_DRIVER_EDGES = 0
@@ -793,6 +815,97 @@ drops AS (
   WHERE i.ni::DOUBLE / (za.ns + zb.ns - i.ni) >= {threshold}
 )
 SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT b FROM drops)
+"""
+
+
+def containment_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_k: int = 5,
+    max_df: int = 8,
+) -> rd.Dataset:
+    """Asymmetric CONTAINMENT near-dup removal: drop a doc when
+    |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) >= threshold for
+    some candidate pair — the quote / boilerplate-embedding /
+    partial-duplication case Jaccard structurally misses (a short doc
+    fully quoted inside a long one has tiny Jaccard but containment 1).
+    The CONTAINED doc (smaller gram set) drops; ties drop the larger
+    key. Candidates come from the shared-rare-gram witness
+    (:func:`ngram_candidate_pairs`); the verify runs through the same
+    distributed pair->text fetch as MinHash/Jaccard with
+    ``metric="containment"``."""
+    import ray
+    import pyarrow.compute as pc
+
+    pairs = ngram_candidate_pairs(ds, text_col, key_col, shingle_k, max_df)
+    edges = _minhash_verified_pairs(
+        ds, text_col, key_col, threshold, shingle_k=shingle_k,
+        pairs_override=pairs, metric="containment",
+    )
+    drop_keys = sorted({b for _, b in edges})
+    if not drop_keys:
+        return ds
+    drop_ref = ray.put(pa.array(drop_keys))
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def containment_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_df: int = 8,
+) -> str:
+    """DuckDB replica of :func:`containment_dedup`: the jaccard oracle's
+    rare-gram CTE chain with sim = ni / least(ns_a, ns_b) and the
+    contained-doc drop rule (smaller gram set drops; ties drop the
+    larger key — pairs have a < b, so the tie drop is b)."""
+    return f"""
+WITH d AS (
+  SELECT {key_col} AS k, {text_col} AS t,
+         greatest(length({text_col}), 5) - 4 AS n_grams
+  FROM {table}
+),
+ix AS (SELECT k, t, unnest(generate_series(1, n_grams)) AS i FROM d),
+sh AS (
+  SELECT DISTINCT k,
+    ( (CASE WHEN i   <= length(t) THEN ascii(substr(t, i::INT,   1)) ELSE 0 END) * 4362470401
+    + (CASE WHEN i+1 <= length(t) THEN ascii(substr(t, i::INT+1, 1)) ELSE 0 END) * 16974593
+    + (CASE WHEN i+2 <= length(t) THEN ascii(substr(t, i::INT+2, 1)) ELSE 0 END) * 66049
+    + (CASE WHEN i+3 <= length(t) THEN ascii(substr(t, i::INT+3, 1)) ELSE 0 END) * 257
+    + (CASE WHEN i+4 <= length(t) THEN ascii(substr(t, i::INT+4, 1)) ELSE 0 END)
+    ) % {_MERSENNE} AS h
+  FROM ix
+),
+rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND {max_df}),
+pairs AS (
+  SELECT DISTINCT sa.k AS a, sb.k AS b
+  FROM rare r JOIN sh sa ON sa.h = r.h JOIN sh sb ON sb.h = r.h AND sa.k < sb.k
+),
+sizes AS (SELECT k, count(*) AS ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p JOIN sh sa ON sa.k = p.a JOIN sh sb ON sb.k = p.b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT CASE WHEN za.ns < zb.ns THEN p.a
+                       WHEN zb.ns < za.ns THEN p.b
+                       ELSE p.b END AS dk
+  FROM pairs p
+  JOIN sizes za ON za.k = p.a
+  JOIN sizes zb ON zb.k = p.b
+  JOIN inter i ON i.a = p.a AND i.b = p.b
+  WHERE i.ni::DOUBLE / least(za.ns, zb.ns) >= {threshold}
+)
+SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT dk FROM drops)
 """
 
 

@@ -156,3 +156,68 @@ class TestIncrementalMinhash:
         )
         assert list(eng["doc_id"]) == list(ora["doc_id"])
         assert list(eng["text"]) == list(ora["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentDedup:
+    def test_quote_case_jaccard_misses_containment_catches(self):
+        long = (
+            "a very long unique document zqxwv about container ships and "
+            "ports kjhgf with plenty of extra prose mnbvc that dilutes any "
+            "jaccard overlap far below threshold while the quote survives"
+        )
+        quote = "unique document zqxwv about container ships"
+        t = _docs([(1, long), (2, quote), (3, "completely unrelated text")])
+        kept_j = sorted(
+            dedup.jaccard_dedup(rd.from_arrow(t), threshold=0.9)
+            .to_pandas()["doc_id"]
+        )
+        kept_c = sorted(
+            dedup.containment_dedup(rd.from_arrow(t), threshold=0.9)
+            .to_pandas()["doc_id"]
+        )
+        assert kept_j == [1, 2, 3]  # jaccard blind to the quote
+        assert kept_c == [1, 3]     # containment drops the contained quote
+
+    def test_contained_doc_drops_not_container(self):
+        long = "the quick brown fox jumps over the lazy dog again and again"
+        sub = "brown fox jumps over the lazy"
+        t = _docs([(10, sub), (11, long)])  # contained doc has SMALLER key
+        kept = sorted(
+            dedup.containment_dedup(rd.from_arrow(t), threshold=0.9)
+            .to_pandas()["doc_id"]
+        )
+        assert kept == [11]  # the smaller-gram-set doc drops regardless of key
+
+    def test_tie_drops_larger_key(self):
+        text = "identical text shared by two docs exactly the same way"
+        t = _docs([(5, text), (6, text)])
+        kept = sorted(
+            dedup.containment_dedup(rd.from_arrow(t), threshold=0.9)
+            .to_pandas()["doc_id"]
+        )
+        assert kept == [5]
+
+    def test_oracle_parity(self, tmp_path):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog near the river"),
+            (1, "brown fox jumps over the lazy"),          # contained in 0
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "box with five dozen"),                    # contained in 2
+            (4, "sphinx of black quartz judge my vow tonight"),
+        ]
+        t = _docs(rows)
+        pq.write_table(t, tmp_path / "c.parquet")
+        eng = (
+            dedup.containment_dedup(rd.from_arrow(t), threshold=0.9)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW cdocs AS SELECT * FROM read_parquet('{tmp_path}/c.parquet')"
+        )
+        ora = (
+            con.execute(dedup.containment_oracle_sql("cdocs", threshold=0.9))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(eng["doc_id"]) == list(ora["doc_id"]) == [0, 2, 4]
