@@ -2782,6 +2782,19 @@ def _q_bm25_append(sf_dir: str):
     return retrieval.bm25_topk_indexed(idx_dir, _BM25_TERMS, top=20)
 
 
+def _q_grouped_centroid(sf_dir: str):
+    """Per-label embedding centroid (cluster.grouped_centroid_int8):
+    floor-mean of the int8 plane per (label, dim) via reduceat partials
+    + an O(labels x dim) groupby — the domain-embedding-drift profile.
+    Shared quantize chain with the PQ/kmeans oracles."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import cluster as _cluster
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _cluster.grouped_centroid_int8(ds)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table, integer-exact
     end-to-end (int8 quantize -> exact int64 L2 argmin -> floor-mean
@@ -3041,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix_docs": _q_script_mix,
         "rolling_window_events": _q_rolling_window,
         "containment_dedup_docs": _q_containment_dedup,
+        "grouped_centroid_vecs": _q_grouped_centroid,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3813,6 +3827,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # unrolled Lloyd iterations as CTE chains; integer-exact past the
         # shared int8 quantization rule
+        "grouped_centroid_vecs": _cluster.grouped_centroid_oracle_sql(
+            "embeddings"
+        ),
         "kmeans_assign_vecs": _cluster.kmeans_oracle_sql(
             "embeddings", k=8, iters=2
         ),

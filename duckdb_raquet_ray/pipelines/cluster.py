@@ -169,6 +169,104 @@ def kmeans_int8(
     return ds.map_batches(final, batch_format="pyarrow")
 
 
+def grouped_centroid_int8(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Per-GROUP embedding centroid over the int8-quantized plane ->
+    (group, d, cv, n): cv = floor(sum::DOUBLE / n) per dimension (the
+    kmeans update rule, bit-identical across engines while |sum| < 2^53)
+    — the domain-embedding-drift profile: a source whose centroid moves
+    between snapshots is changing character.
+
+    Scale shape: per-block (group, dim, sum) + (group, count) partials
+    via one sort + reduceat, folded through a groupby whose key domain
+    is O(groups x dim) — never row-scaled; the driver holds only the
+    folded result (the kmeans take_all precedent)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = ann_int8(batch, vec_col)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        dd = x.shape[1]
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sums = np.add.reduceat(x[order], starts, axis=0)
+        labels = gs[starts]
+        cnt = np.diff(np.r_[starts, len(gs)]).astype(np.int64)
+        k = len(labels)
+        gg = np.repeat(labels, dd + 1)
+        ii = np.tile(np.r_[np.arange(dd, dtype=np.int64), dd], k)
+        ss = np.concatenate([sums, cnt[:, None]], axis=1).reshape(-1)
+        return pa.table(
+            {"g": pa.array(gg), "i": pa.array(ii), "s": pa.array(ss)}
+        )
+
+    folded = (
+        ds.select_columns([group_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "i"])
+        .sum("s")
+        .to_pandas()  # O(groups x (dim + 1)) rows — the kmeans take_all precedent
+    )
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "cv": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(folded) == 0:
+        return empty
+    dim = int(folded["i"].max())  # every group's count row rides at i == dim
+    cnts = folded[folded["i"] == dim].set_index("g")["sum(s)"]
+    vals = folded[folded["i"] < dim].sort_values(["g", "i"])
+    n = cnts.loc[vals["g"]].to_numpy(np.float64)
+    cv = np.floor(vals["sum(s)"].to_numpy(np.float64) / n).astype(np.int64)
+    return pa.table(
+        {
+            group_col: pa.array(vals["g"].to_numpy(np.int64)),
+            "d": pa.array(vals["i"].to_numpy(np.int64)),
+            "cv": pa.array(cv),
+            "n": pa.array(cnts.loc[vals["g"]].to_numpy(np.int64)),
+        }
+    )
+
+
+def grouped_centroid_oracle_sql(
+    table: str = "embeddings",
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of grouped_centroid_int8: the shared int8
+    quantization chain, then floor(sum/count) per (group, dim)."""
+    return f"""
+WITH e AS (SELECT {group_col} AS g, {vec_col} AS v,
+  list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale FROM {table}),
+t AS (SELECT g, scale, unnest(v) AS x,
+  unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT g, i - 1 AS d,
+  CASE WHEN scale > 0 THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv
+  FROM t)
+SELECT g::BIGINT AS {group_col}, d::BIGINT AS d,
+  CAST(floor(sum(qv)::DOUBLE / count(*)) AS BIGINT) AS cv,
+  count(*)::BIGINT AS n
+FROM q GROUP BY g, d"""
+
+
 def _kmeans_ctes(
     table: str, vec_col: str, key_col: str, k: int, iters: int
 ) -> str:

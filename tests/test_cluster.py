@@ -169,3 +169,46 @@ class TestClusterBalancedSample:
             cluster.cluster_balanced_sample(
                 rd.from_arrow(t), k=2, iters=1, per_cluster=3
             ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCentroid:
+    def test_matches_brute_force(self):
+        t = _vec_table(200, 8, seed=6)
+        labels = np.arange(200, dtype=np.int64) % 4
+        t = t.append_column("label", pa.array(labels.astype(np.int32)))
+        out = (
+            cluster.grouped_centroid_int8(rd.from_arrow(t))
+            .to_pandas().sort_values(["label", "d"]).reset_index(drop=True)
+        )
+        q = _int8_matrix(t, "embedding")
+        for g in range(4):
+            m = labels == g
+            want = np.floor(
+                q[m].sum(axis=0).astype(np.float64) / m.sum()
+            ).astype(np.int64)
+            got = out[out["label"] == g].sort_values("d")["cv"].to_numpy(np.int64)
+            assert (got == want).all()
+            assert (out[out["label"] == g]["n"] == m.sum()).all()
+
+    def test_partition_invariant(self):
+        t = _vec_table(120, 6, seed=7)
+        t = t.append_column(
+            "label", pa.array((np.arange(120) % 3).astype(np.int32))
+        )
+        a = (
+            cluster.grouped_centroid_int8(rd.from_arrow(t).repartition(1))
+            .to_pandas().sort_values(["label", "d"]).reset_index(drop=True)
+        )
+        b = (
+            cluster.grouped_centroid_int8(rd.from_arrow(t).repartition(7))
+            .to_pandas().sort_values(["label", "d"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_empty(self):
+        t = _vec_table(0, 4, seed=1).append_column(
+            "label", pa.array([], pa.int32())
+        )
+        out = cluster.grouped_centroid_int8(rd.from_arrow(t))
+        assert out.num_rows == 0
