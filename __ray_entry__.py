@@ -544,6 +544,28 @@ def _q_jsonl_gz_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _csv_gz_dir() -> str:
+    """Gzip twin of _csv_dir (deterministic bytes, mtime=0)."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = f"/tmp/raquet_landing_csvgz_{_TEXTIO_ROWS}"
+    textio.write_csv_gz_corpus(d, _TEXTIO_ROWS, 4)
+    return d
+
+
+def _q_csv_gz_source_stats(sf_dir: str):
+    """Gzip CSV ingest: Arrow CSV parser with in-stream gzip
+    decompression per task (sources/textio.py:read_csv), value-checked
+    against DuckDB read_csv_auto over the SAME .csv.gz files."""
+    from duckdb_raquet_ray.sources import textio
+
+    d = _csv_gz_dir()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".csv.gz")
+    )
+    return textio.source_stats(textio.read_csv(paths))
+
+
 def _q_jsonl_sink_stats(sf_dir: str):
     """Export-sink round trip: write the documents table out as JSONL
     shards (textio.write_jsonl), read the WRITTEN files back through the
@@ -3055,6 +3077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_events": _q_rolling_window,
         "containment_dedup_docs": _q_containment_dedup,
         "grouped_centroid_vecs": _q_grouped_centroid,
+        "csv_gz_source_stats": _q_csv_gz_source_stats,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3551,6 +3574,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(text))::BIGINT AS text_chars "
             f"FROM read_csv_auto('{_csv_dir()}/*.csv') "
+            "GROUP BY source"
+        ),
+        "csv_gz_source_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(text))::BIGINT AS text_chars "
+            f"FROM read_csv_auto('{_csv_gz_dir()}/*.csv.gz') "
             "GROUP BY source"
         ),
         # export-sink round trip: the engine wrote documents out as JSONL

@@ -141,10 +141,50 @@ def read_jsonl(
     return ds.select_columns(columns) if columns else ds
 
 
-def read_csv(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
-    """Landing-zone CSV -> Dataset (Arrow CSV parser under Ray's reader)."""
-    ds = rd.read_csv(paths)
+def read_csv(
+    paths: list[str],
+    columns: list[str] | None = None,
+    compression: str | None = None,
+) -> rd.Dataset:
+    """Landing-zone CSV -> Dataset (Arrow CSV parser under Ray's reader).
+    `.gz` shards decompress in-stream per task — auto-detected by
+    extension (mixed plain/gz path lists rejected, same contract as
+    read_jsonl)."""
+    gz = [str(p).endswith(".gz") for p in paths]
+    if compression is None and any(gz):
+        if not all(gz):
+            raise ValueError("mixing .gz and plain csv paths in one read")
+        compression = "gzip"
+    kw = (
+        {"arrow_open_stream_args": {"compression": compression}}
+        if compression
+        else {}
+    )
+    ds = rd.read_csv(paths, **kw)
     return ds.select_columns(columns) if columns else ds
+
+
+def write_csv_gz_corpus(
+    out_dir: str, n_rows: int = 2_000, n_shards: int = 4, seed: int = 42
+) -> list[str]:
+    """Idempotent deterministic gzip CSV shards (mtime=0 header)."""
+    import gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [
+        os.path.join(out_dir, f"shard-{s:03d}.csv.gz") for s in range(n_shards)
+    ]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    rows = _rows(n_rows, seed)
+    per = -(-n_rows // n_shards)
+    for s, p in enumerate(paths):
+        with gzip.GzipFile(p + ".tmp", "wb", mtime=0) as f:
+            f.write(b"doc_id,text,source\n")
+            for r in rows[s * per : (s + 1) * per]:
+                f.write(f"{r['doc_id']},{r['text']},{r['source']}\n".encode())
+        os.replace(p + ".tmp", p)
+    return paths
 
 
 def to_parquet_shards(ds: rd.Dataset, out_dir: str) -> list[str]:

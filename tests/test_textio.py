@@ -198,3 +198,19 @@ def test_jsonl_mixed_gz_and_plain_rejected(tmp_path):
     gp = textio.write_jsonl_gz_corpus(str(tmp_path / "g"), 10, 1)
     with pytest.raises(ValueError):
         textio.read_jsonl(jp + gp)
+
+
+def test_csv_gz_reads_identical_to_plain(ray_session, tmp_path):
+    cd, gd = str(tmp_path / "c"), str(tmp_path / "g")
+    cp = textio.write_csv_corpus(cd, 200, 2, seed=3)
+    gp = textio.write_csv_gz_corpus(gd, 200, 2, seed=3)
+    a = (
+        textio.read_csv(cp, columns=["doc_id", "text", "source"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        textio.read_csv(gp, columns=["doc_id", "text", "source"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(b) == 200
