@@ -210,6 +210,59 @@ def _q_roundtrip_vec_stats(sf_dir: str):
     return decode.read_encoded(enc_dir).map_batches(stats, batch_format="pyarrow")
 
 
+def _q_roundtrip_doc_stats(sf_dir: str):
+    """STRING-PLANE encode/decode roundtrip: the documents table (two
+    string columns incl. free text + ints) through the full encode_job —
+    the planner's string path (dict / FSST symbol tables / plain, by
+    cost model) under a driver oracle. Per-row char stats re-derived
+    from the raw table pin every decoded string byte-for-byte at the
+    aggregate level (verify_job bit-gates it in pytest)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import decode, encode
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    enc_dir = f"/tmp/raquet_encdoc_{tag}_{ENGINE_TAG}"
+    if not os.path.exists(os.path.join(enc_dir, "manifest.json")):
+        encode.encode_job([src], enc_dir)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        # position-weighted byte checksum: pins content AND order of
+        # every decoded text, not just its length
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        s = txt.to_pandas().fillna("")
+        joined = "".join(s.tolist()).encode("utf-8")
+        data = np.frombuffer(joined, dtype=np.uint8).astype(np.int64)
+        lens = s.str.len().to_numpy(np.int64)
+        blens = np.fromiter(
+            (len(x.encode("utf-8")) for x in s), np.int64, count=len(s)
+        )
+        offsets = np.zeros(len(s) + 1, np.int64)
+        np.cumsum(blens, out=offsets[1:])
+        pos = np.arange(len(data), dtype=np.int64) - np.repeat(
+            offsets[:-1], blens
+        )
+        cs = np.zeros(len(data) + 1, np.int64)
+        np.cumsum(data * (pos + 1), out=cs[1:])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars_col": t.column("n_chars"),
+                "text_len": pa.array(lens),
+                "text_checksum": pa.array(cs[offsets[1:]] - cs[offsets[:-1]]),
+            }
+        )
+
+    return decode.read_encoded(enc_dir).map_batches(
+        checksum, batch_format="pyarrow"
+    )
+
+
 def _q_roundtrip_stats_pushdown(sf_dir: str):
     """Per-row token stats computed FROM THE ENCODED FORM — aggregate
     pushdown into the codec (rowcodec.stats_child: per-row bases + narrow
@@ -3078,6 +3131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup_docs": _q_containment_dedup,
         "grouped_centroid_vecs": _q_grouped_centroid,
         "csv_gz_source_stats": _q_csv_gz_source_stats,
+        "roundtrip_doc_stats": _q_roundtrip_doc_stats,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3282,6 +3336,22 @@ def oracle_sql() -> dict[str, str]:
     allowed_lit = "[" + ",".join(str(v) for v in ALLOWED) + "]"
     ones = "[" + ",".join(["1.0"] * 64) + "]"
     return {
+        # string-plane roundtrip: position-weighted byte checksum of every
+        # decoded text vs the raw table (ASCII fixture: ascii() == byte)
+        "roundtrip_doc_stats": (
+            "WITH d AS (SELECT doc_id, lang, source, n_chars, "
+            "coalesce(text, '') AS t FROM documents), "
+            "ix AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, length(t))) AS i "
+            "FROM d WHERE length(t) > 0), "
+            "cs AS (SELECT doc_id, "
+            "sum(ascii(substr(t, i::INT, 1))::BIGINT * i)::BIGINT AS c "
+            "FROM ix GROUP BY doc_id) "
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars AS n_chars_col, "
+            "length(d.t)::BIGINT AS text_len, "
+            "coalesce(cs.c, 0)::BIGINT AS text_checksum "
+            "FROM d LEFT JOIN cs USING (doc_id)"
+        ),
         # float-plane roundtrip: every decoded embedding float flows into
         # per-row sum/min/max vs the raw table (decode bit-gate in pytest)
         "roundtrip_vec_stats": (

@@ -466,3 +466,35 @@ def test_float_plane_encode_bit_identical(ray_session, tmp_path):
     blob, desc = blockcodec.encode_array(t.column("embedding").combine_chunks(), choice)
     back = blockcodec.decode_array(blob, desc)
     assert back.equals(t.column("embedding").combine_chunks())
+
+
+def test_string_plane_encode_bit_identical(ray_session, tmp_path):
+    """The documents shape (free text + low-cardinality strings + ints)
+    through the full encode_job: string-path codecs under the cost
+    model, decode bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.pipelines import decode, encode
+
+    rng = np.random.default_rng(17)
+    n = 500
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    " ".join(rng.choice(words, size=int(rng.integers(3, 30))))
+                    for _ in range(n)
+                ]
+            ),
+            "source": pa.array([f"src{i % 5}" for i in range(n)]),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    encode.encode_job([src], out)
+    assert decode.verify_job([src], out)["ok"]
