@@ -1059,6 +1059,44 @@ def _q_script_mix(sf_dir: str):
     )
 
 
+_PHRASE = ["the", "stream"]
+
+
+def _q_phrase_count(sf_dir: str):
+    """Exact phrase (word-sequence) counts per doc — the retrieval
+    feature bag-of-words BM25 misses (retrieval.phrase_count): one
+    streaming pass, m shifted equality masks over the exploded word
+    array; list_filter-over-start-positions SQL twin."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return retrieval.phrase_count(ds, _PHRASE)
+
+
+def _q_phrase_indexed(sf_dir: str):
+    """The same phrase off the PERSISTED positional index
+    (retrieval.build_positional_index / phrase_search_indexed): only the
+    phrase terms' hive buckets open; the result must hash-match the
+    direct path's nonzero rows — here pinned directly against the SQL
+    oracle."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/raquet_posidx_{tag}_{ENGINE_TAG}"
+    if not os.path.isdir(os.path.join(idx_dir, "positions")):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        retrieval.build_positional_index(ds, idx_dir)
+    return retrieval.phrase_search_indexed(idx_dir, _PHRASE)
+
+
 def _q_grouped_kl(sf_dir: str):
     """Per-source KL(P_source || P_corpus) token-distribution divergence
     (stages/stats.grouped_kl_divergence): exact O(vocab) corpus histogram
@@ -3132,6 +3170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_centroid_vecs": _q_grouped_centroid,
         "csv_gz_source_stats": _q_csv_gz_source_stats,
         "roundtrip_doc_stats": _q_roundtrip_doc_stats,
+        "phrase_count_docs": _q_phrase_count,
+        "phrase_indexed_docs": _q_phrase_indexed,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3901,6 +3941,15 @@ def oracle_sql() -> dict[str, str]:
         "bpe_roundtrip_docs": "SELECT doc_id, text FROM documents",
         # log-free rational-idf BM25: per-(doc,term) score is one IEEE
         # double expression in matching association order on both sides
+        "phrase_count_docs": _retrieval.phrase_oracle_sql(
+            "documents", phrase=_PHRASE
+        ),
+        # indexed path returns matching docs only
+        "phrase_indexed_docs": (
+            "SELECT * FROM ("
+            + _retrieval.phrase_oracle_sql("documents", phrase=_PHRASE)
+            + ") WHERE n_phrase > 0"
+        ),
         "bm25_topk_docs": _retrieval.bm25_oracle_sql(
             "documents", terms=_BM25_TERMS, top=20
         ),

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from duckdb_raquet_ray import util
@@ -553,3 +554,203 @@ fused AS (
 )
 SELECT * FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search (the retrieval feature BM25's bag-of-words misses:
+# "new york times" as a SEQUENCE) — a streaming direct path with a full SQL
+# oracle, plus a positional-index path that opens only the phrase terms'
+# hive buckets and must agree with the direct path exactly
+# ---------------------------------------------------------------------------
+
+
+def phrase_count(
+    ds: rd.Dataset,
+    phrase: list[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-doc count of exact word-sequence occurrences (corpus word
+    convention: lowercase, whitespace split) -> (key, n_phrase). One
+    streaming vectorized pass: words explode to a flat array with doc
+    ids; an m-word match at flat position i is the AND of m shifted
+    equality masks plus a same-doc span check — no per-doc Python."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    pw = [w.lower() for w in phrase]
+    m = len(pw)
+
+    def count(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        wl = _word_lists(batch, text_col)
+        lens = wl.map(len).to_numpy(np.int64)
+        keys = batch.column(key_col)
+        n_docs = len(lens)
+        out = np.zeros(n_docs, np.int64)
+        total = int(lens.sum())
+        if total >= m:
+            exploded = wl.explode()
+            flat = exploded[exploded.notna()].to_numpy(dtype=object)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            match = flat[: total - m + 1] == pw[0]
+            for j in range(1, m):
+                match &= flat[j : total - m + 1 + j] == pw[j]
+            match &= doc_of[: total - m + 1] == doc_of[m - 1 :]
+            if match.any():
+                out = np.bincount(
+                    doc_of[: total - m + 1][match], minlength=n_docs
+                ).astype(np.int64)
+        return pa.table({key_col: keys, "n_phrase": pa.array(out)})
+
+    return util.clean_dataset(ds).map_batches(count, batch_format="pyarrow")
+
+
+def phrase_oracle_sql(
+    table: str = "documents",
+    *,
+    phrase: list[str],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB replica of phrase_count: same word split, list_filter over
+    start positions with per-offset word equality."""
+    pw = [w.lower().replace("'", "''") for w in phrase]
+    m = len(pw)
+    conds = " AND ".join(f"wl[i + {j}] = '{pw[j]}'" for j in range(m))
+    return f"""
+WITH w AS (
+  SELECT {key_col} AS k,
+    list_filter(regexp_split_to_array(lower(coalesce({text_col}, '')), '{_WS}'),
+                x -> x <> '') AS wl
+  FROM {table}
+)
+SELECT k AS {key_col},
+  CASE WHEN len(wl) >= {m} THEN
+    len(list_filter(generate_series(1, len(wl) - {m - 1}), i -> {conds}))
+  ELSE 0 END::BIGINT AS n_phrase
+FROM w"""
+
+
+def build_positional_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> int:
+    """Persist positional postings (term, doc, pos) hive-bucketed by term
+    hash under ``positions/tb=<b>/`` — the phrase-search sibling of
+    build_text_index's tf postings (positions cost one row per word
+    OCCURRENCE, not per distinct word: the standard positional-index
+    bound). A phrase query opens only its terms' buckets."""
+    import os as _os
+
+    ds = util.clean_dataset(ds).select_columns([key_col, text_col])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        wl = _word_lists(batch, text_col)
+        lens = wl.map(len).to_numpy(np.int64)
+        keys = batch.column(key_col)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc": keys.slice(0, 0),
+                    "pos": pa.array([], pa.int64()),
+                    "tb": pa.array([], pa.int32()),
+                }
+            )
+        exploded = wl.explode()
+        flat = exploded[exploded.notna()].to_numpy(dtype=object)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        return pa.table(
+            {
+                "term": pa.array(flat, pa.string()),
+                "doc": keys.take(pa.array(doc_of)),
+                "pos": pa.array(pos),
+                "tb": pa.array(_term_bucket(flat)),
+            }
+        )
+
+    _os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "positions"), partition_cols=["tb"]
+    )
+    return ds.count()
+
+
+def phrase_search_indexed(
+    index_dir: str,
+    phrase: list[str],
+    *,
+    key_col: str = "doc_id",
+) -> pa.Table:
+    """Exact phrase counts off the positional index -> (key, n_phrase),
+    matching docs only, EQUAL to phrase_count's nonzero rows on the
+    indexed corpus (pinned by test). Opens only the phrase terms'
+    buckets; the m-term intersection walks (doc, pos) pairs with
+    searchsorted — candidate set shrinks at every step.
+
+    Driver bound (stated): the phrase terms' postings live on the
+    driver — O(occurrences of the rarest-first intersection), the same
+    bound as bm25_topk_indexed's query-term postings."""
+    import glob as _glob
+    import os as _os
+
+    if not phrase:
+        raise ValueError("empty phrase")
+    pw = [w.lower() for w in phrase]
+
+    def term_postings(term: str) -> tuple[np.ndarray, np.ndarray]:
+        b = int(_term_bucket(np.asarray([term], dtype=object))[0])
+        files = sorted(
+            _glob.glob(_os.path.join(index_dir, "positions", f"tb={b}", "*.parquet"))
+        )
+        docs, poss = [], []
+        for f in files:
+            t = pq.read_table(f, columns=["term", "doc", "pos"])
+            mask = pc.equal(t.column("term"), term)
+            sub = t.filter(mask)
+            docs.append(sub.column("doc").to_numpy(zero_copy_only=False))
+            poss.append(sub.column("pos").to_numpy(zero_copy_only=False))
+        if not docs:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (
+            np.concatenate(docs).astype(np.int64),
+            np.concatenate(poss).astype(np.int64),
+        )
+
+    # current match set: (doc, pos of the phrase START)
+    d, p = term_postings(pw[0])
+    for j in range(1, len(pw)):
+        if len(d) == 0:
+            break
+        dj, pj = term_postings(pw[j])
+        # membership of (d, p + j) in (dj, pj): lexsort + searchsorted
+        order = np.lexsort((pj, dj))
+        dj, pj = dj[order], pj[order]
+        want = p + j
+        lo = np.searchsorted(dj, d, side="left")
+        hi = np.searchsorted(dj, d, side="right")
+        keep = np.zeros(len(d), bool)
+        # within each doc run, positions are sorted: one searchsorted
+        for i in range(len(d)):  # bounded by the SHRINKING candidate set
+            if lo[i] < hi[i]:
+                q = np.searchsorted(pj[lo[i] : hi[i]], want[i])
+                keep[i] = (
+                    q < hi[i] - lo[i] and pj[lo[i] + q] == want[i]
+                )
+        d, p = d[keep], p[keep]
+    if len(d) == 0:
+        return pa.table(
+            {key_col: pa.array([], pa.int64()), "n_phrase": pa.array([], pa.int64())}
+        )
+    uniq, cnt = np.unique(d, return_counts=True)
+    return pa.table(
+        {key_col: pa.array(uniq), "n_phrase": pa.array(cnt.astype(np.int64))}
+    )

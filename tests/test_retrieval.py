@@ -225,3 +225,101 @@ class TestRrfFuse:
 
         out = R.rrf_fuse(self._t([1, 2, 3]), self._t([4, 5], "vec_id"), k=2)
         assert out.num_rows == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhraseSearch:
+    def _docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick fox and the quick fox again",
+                        "quick the fox",          # words present, order wrong
+                        "THE QUICK fox",          # case-insensitive match
+                        None,
+                    ]
+                ),
+            }
+        )
+
+    def test_direct_counts(self):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        out = (
+            retrieval.phrase_count(rd.from_arrow(self._docs()), ["the", "quick", "fox"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["n_phrase"].tolist() == [2, 0, 1, 0]
+
+    def test_overlapping_occurrences(self):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["a a a a"]),
+            }
+        )
+        out = retrieval.phrase_count(rd.from_arrow(t), ["a", "a"]).to_pandas()
+        assert out["n_phrase"].tolist() == [3]  # overlapping starts count
+
+    def test_no_cross_doc_match(self):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["ends with alpha", "beta starts here"]),
+            }
+        )
+        out = (
+            retrieval.phrase_count(rd.from_arrow(t), ["alpha", "beta"])
+            .to_pandas()
+        )
+        assert out["n_phrase"].sum() == 0
+
+    def test_indexed_equals_direct(self, tmp_path):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = self._docs()
+        idx = str(tmp_path / "pos")
+        retrieval.build_positional_index(rd.from_arrow(t), idx)
+        for phrase in (["the", "quick"], ["quick", "fox"], ["fox"], ["zzz"]):
+            direct = (
+                retrieval.phrase_count(rd.from_arrow(t), phrase)
+                .to_pandas()
+            )
+            dmap = {
+                int(r.doc_id): int(r.n_phrase)
+                for r in direct.itertuples()
+                if r.n_phrase > 0
+            }
+            it = retrieval.phrase_search_indexed(idx, phrase)
+            imap = dict(
+                zip(it.column("doc_id").to_pylist(), it.column("n_phrase").to_pylist())
+            )
+            assert imap == dmap, phrase
+
+    def test_oracle_parity(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = self._docs()
+        pq.write_table(t, tmp_path / "d.parquet")
+        eng = (
+            retrieval.phrase_count(rd.from_arrow(t), ["the", "quick"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW pd AS SELECT * FROM read_parquet('{tmp_path}/d.parquet')"
+        )
+        ora = (
+            con.execute(retrieval.phrase_oracle_sql("pd", phrase=["the", "quick"]))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert eng["n_phrase"].tolist() == ora["n_phrase"].tolist()
