@@ -731,20 +731,31 @@ def phrase_search_indexed(
         if len(d) == 0:
             break
         dj, pj = term_postings(pw[j])
-        # membership of (d, p + j) in (dj, pj): lexsort + searchsorted
-        order = np.lexsort((pj, dj))
-        dj, pj = dj[order], pj[order]
-        want = p + j
-        lo = np.searchsorted(dj, d, side="left")
-        hi = np.searchsorted(dj, d, side="right")
-        keep = np.zeros(len(d), bool)
-        # within each doc run, positions are sorted: one searchsorted
-        for i in range(len(d)):  # bounded by the SHRINKING candidate set
-            if lo[i] < hi[i]:
-                q = np.searchsorted(pj[lo[i] : hi[i]], want[i])
-                keep[i] = (
-                    q < hi[i] - lo[i] and pj[lo[i] + q] == want[i]
-                )
+        if len(dj) == 0:
+            d = d[:0]
+            break
+        # membership of (d, p + j) in (dj, pj), fully vectorized:
+        # factorize the next term's docs to dense codes, fuse (code, pos)
+        # into one int64 key, one sorted searchsorted — no Python loop
+        # over candidates (the first term may be a stopword with millions
+        # of occurrences)
+        uniq = np.unique(dj)
+        code_j = np.searchsorted(uniq, dj)
+        cand_code = np.searchsorted(uniq, d)
+        present = (cand_code < len(uniq)) & (
+            uniq[np.minimum(cand_code, len(uniq) - 1)] == d
+        )
+        stride = np.int64(max(int(pj.max()), int(p.max()) + j) + 1)
+        if (len(uniq) + 1) * int(stride) >= 1 << 62:  # fused-key headroom
+            raise RuntimeError(
+                "phrase_search_indexed: doc-count x max-position exceeds "
+                "the fused int64 key range — shard the query"
+            )
+        key_j = np.sort(code_j * stride + pj)
+        want = cand_code * stride + (p + j)
+        qpos = np.searchsorted(key_j, want)
+        keep = present & (qpos < len(key_j))
+        keep[keep] = key_j[qpos[keep]] == want[keep]
         d, p = d[keep], p[keep]
     if len(d) == 0:
         return pa.table(
