@@ -2118,6 +2118,21 @@ def _q_pagerank(sf_dir: str):
     return graph.domain_pagerank(graph.link_edges(ds), iters=3)
 
 
+def _q_domain_components(sf_dir: str):
+    """Weakly-connected components of the domain link graph (graph.
+    domain_components -> the shared distributed label-propagation
+    kernel): the site-family grouping next to PageRank; recursive
+    min-label CTE oracle."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import graph
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(graph.synthesize_links_batch, batch_format="pyarrow")
+    return graph.domain_components(graph.link_edges(ds))
+
+
 def _q_doc_df_score(sf_dir: str):
     """Global document-frequency scoring (the CCNet-style commonness
     signal): vocab-sized partial dfs merged once, broadcast via ray.put,
@@ -3172,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_doc_stats": _q_roundtrip_doc_stats,
         "phrase_count_docs": _q_phrase_count,
         "phrase_indexed_docs": _q_phrase_indexed,
+        "domain_components": _q_domain_components,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3400,6 +3416,10 @@ def oracle_sql() -> dict[str, str]:
             "list_min(list_transform(embedding, x -> x::DOUBLE)) AS v_min, "
             "list_max(list_transform(embedding, x -> x::DOUBLE)) AS v_max "
             "FROM embeddings"
+        ),
+        # link-graph components: recursive min-label closure
+        "domain_components": _graph.components_oracle_sql(
+            _graph.synthesize_links_sql("documents")
         ),
         # PageRank: link splice + edge extraction + unrolled integer
         # power iteration, all replicated in SQL (pipelines/graph.py)

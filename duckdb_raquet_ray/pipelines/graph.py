@@ -442,3 +442,64 @@ r{t} AS (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS domain, r AS rank FROM {prev}"
     )
+
+
+def domain_components(
+    edges: rd.Dataset, *, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Weakly-connected components of the domain link graph ->
+    (domain, component) with component = the lexicographically smallest
+    domain reachable from it — the "site family" grouping a link-graph
+    audit wants next to PageRank (mirror networks, link farms).
+
+    A thin composition: (src, dst) edges feed the shared distributed
+    min-label-propagation kernel (dedup.label_propagate_min — pointer
+    jumping, fingerprint fixed point, nothing driver-sized)."""
+    from duckdb_raquet_ray.pipelines.dedup import label_propagate_min
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t.column("src").combine_chunks().cast(pa.string())
+                if isinstance(t.column("src"), pa.ChunkedArray)
+                else t.column("src").cast(pa.string()),
+                "b": t.column("dst").combine_chunks().cast(pa.string())
+                if isinstance(t.column("dst"), pa.ChunkedArray)
+                else t.column("dst").cast(pa.string()),
+            }
+        )
+
+    labels = label_propagate_min(
+        edges.map_batches(to_ab, batch_format="pyarrow"),
+        pa.string(),
+        n_buckets=n_buckets,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"domain": t.column("node"), "component": t.column("lab")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def components_oracle_sql(
+    source_sql: str, *, text_col: str = "text"
+) -> str:
+    """DuckDB replica of link_edges + domain_components: recursive
+    min-label closure over the bidirectional edge set."""
+    return f"""
+WITH RECURSIVE hosts AS (
+  SELECT regexp_extract_all({text_col}, '{URL_HOST_PATTERN}', 1) AS hs
+  FROM {source_sql}
+),
+e0 AS (SELECT hs[1] AS s, unnest(hs[2:]) AS d FROM hosts WHERE len(hs) >= 2),
+bidir AS (SELECT s AS a, d AS b FROM e0 UNION SELECT d, s FROM e0),
+nodes AS (SELECT a AS v FROM bidir GROUP BY 1),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b AS v, reach.r FROM reach JOIN bidir e ON e.a = reach.v
+)
+SELECT v AS domain, min(r) AS component FROM reach GROUP BY v
+"""

@@ -184,3 +184,32 @@ class TestPagerank:
         assert len(eng) == len(ora) == 37
         assert list(eng["domain"]) == list(ora["domain"])
         assert [int(x) for x in eng["rank"]] == [int(x) for x in ora["rank"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDomainComponents:
+    def test_multi_component(self):
+        edges = [
+            ("a.org", "b.org"), ("b.org", "c.org"),     # family 1
+            ("x.net", "y.net"),                           # family 2
+            ("solo1.io", "solo2.io"),                     # family 3
+        ]
+        out = graph.domain_components(_edge_ds(edges)).to_pandas()
+        comp = dict(zip(out["domain"], out["component"]))
+        assert comp["a.org"] == comp["b.org"] == comp["c.org"] == "a.org"
+        assert comp["x.net"] == comp["y.net"] == "x.net"
+        assert comp["solo1.io"] == comp["solo2.io"] == "solo1.io"
+
+    def test_direction_irrelevant(self):
+        # components are over the UNDIRECTED graph
+        out = graph.domain_components(
+            _edge_ds([("z.org", "a.org")])
+        ).to_pandas()
+        comp = dict(zip(out["domain"], out["component"]))
+        assert comp["z.org"] == comp["a.org"] == "a.org"
+
+    def test_chain_collapses(self):
+        chain = [(f"n{i:02d}.x", f"n{i+1:02d}.x") for i in range(12)]
+        out = graph.domain_components(_edge_ds(chain)).to_pandas()
+        assert set(out["component"]) == {"n00.x"}
+        assert len(out) == 13
