@@ -2118,6 +2118,40 @@ def _q_pagerank(sf_dir: str):
     return graph.domain_pagerank(graph.link_edges(ds), iters=3)
 
 
+def _q_grouped_corr(sf_dir: str):
+    """Per-event-type Pearson correlation of value vs epoch-day ts
+    (stages/stats.grouped_corr): six float64 power-sum partials per
+    group per block, one tiny groupby fold; the oracle shares the SAME
+    power-sum formula (the rule-is-the-spec precedent) at %.9g."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value", "ts"]
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        # epoch DAYS, not µs: corr is shift-invariant in exact math but
+        # power sums over ~1.7e15 magnitudes cancel catastrophically and
+        # the engines' different add orders then differ inside %.9g
+        days = pc.divide(us, 86_400_000_000)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "ts_day": days,
+            }
+        )
+
+    return _stats.grouped_corr(
+        ds.map_batches(to_us, batch_format="pyarrow"), "event_type", "value", "ts_day"
+    )
+
+
 def _q_domain_components(sf_dir: str):
     """Weakly-connected components of the domain link graph (graph.
     domain_components -> the shared distributed label-propagation
@@ -3188,6 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_count_docs": _q_phrase_count,
         "phrase_indexed_docs": _q_phrase_indexed,
         "domain_components": _q_domain_components,
+        "grouped_corr_events": _q_grouped_corr,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3416,6 +3451,12 @@ def oracle_sql() -> dict[str, str]:
             "list_min(list_transform(embedding, x -> x::DOUBLE)) AS v_min, "
             "list_max(list_transform(embedding, x -> x::DOUBLE)) AS v_max "
             "FROM embeddings"
+        ),
+        # grouped correlation: the SAME power-sum formula on both sides
+        "grouped_corr_events": _stats.grouped_corr_oracle_sql(
+            "(SELECT event_type, value, epoch_us(ts) // 86400000000 AS ts_day "
+            "FROM events)",
+            "event_type", "value", "ts_day",
         ),
         # link-graph components: recursive min-label closure
         "domain_components": _graph.components_oracle_sql(

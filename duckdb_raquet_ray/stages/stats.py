@@ -559,6 +559,168 @@ def bigram_perplexity(
     )
 
 
+def grouped_corr(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1000,
+    y_scale: int = 1,
+) -> rd.Dataset:
+    """Per-group Pearson correlation of two numeric columns — the
+    drift/diagnostic stat next to the Welford family (does doc length
+    still track token count per source? does value drift with time per
+    event type?).
+
+    INTEGER-EXACT by spec (the cumulative_window fixed-point rationale —
+    a near-zero correlation is a catastrophic cancellation, so a float
+    power-sum pipeline is not order-hash-stable at ANY tolerance):
+    inputs quantize to integer units (x * x_scale, y * y_scale,
+    round-half-away like SQL round()), the six power sums (n, sx, sy,
+    sxx, syy, sxy) accumulate as EXACT int64, and the final
+        r = D(n*sxy - sx*sy) / sqrt(D(n*sxx - sx^2) * D(n*syy - sy^2))
+    evaluates each D() cast on an exact integer — one double expression
+    in a fixed association order, bit-identical across engines (the
+    BM25-rational-idf precedent). Correlation is computed on the
+    QUANTIZED values; pick scales so the quantization step is far below
+    each column's spread.
+
+    Overflow bound (loud, not silent): per-group sums must satisfy
+    n * max(|x|*x_scale)^2 < 2^63 — the partial stage raises if a block
+    exceeds it. NULL pairs are excluded (SQL corr semantics); groups
+    with < 2 rows or zero variance emit NULL."""
+    import pyarrow.compute as pc
+
+    from duckdb_raquet_ray.pipelines.joins import _round_half_away
+
+    def partials(t: pa.Table) -> pa.Table:
+        gser = t.column(group_col).to_pandas().fillna("")
+        x = pc.cast(t.column(x_col), pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t.column(y_col), pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        codes, uniq = pd.factorize(gser, sort=False)
+        k = len(uniq)
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+            }
+        )
+        if k == 0:
+            return empty
+        c = codes[ok]
+        xi = _round_half_away(x[ok] * x_scale)
+        yi = _round_half_away(y[ok] * y_scale)
+        # Python ints: np.int64 products would overflow silently here
+        mx = int(np.abs(xi).max()) if len(xi) else 0
+        my = int(np.abs(yi).max()) if len(yi) else 0
+        if len(xi) and max(mx * mx, my * my, mx * my) * len(xi) >= 1 << 62:
+            raise OverflowError(
+                "grouped_corr: quantized power sums would exceed int64 — "
+                "lower x_scale/y_scale or pre-shift the columns"
+            )
+        out = {group_col: pa.array(uniq.to_numpy(dtype=object), pa.string())}
+        out["n"] = pa.array(np.bincount(c, minlength=k).astype(np.int64))
+        for name, w in (
+            ("sx", xi), ("sy", yi), ("sxx", xi * xi), ("syy", yi * yi),
+            ("sxy", xi * yi),
+        ):
+            acc = np.zeros(k, np.int64)
+            np.add.at(acc, c, w)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy")
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "corr_xy": pa.array([], pa.float64()),
+                }
+            )
+        rows = []
+        for i in range(t.num_rows):
+            # Python ints: the num/var products overflow int64 but stay
+            # EXACT here; each D() cast below rounds an exact integer
+            n = int(t.column("sum(n)")[i].as_py())
+            sx = int(t.column("sum(sx)")[i].as_py())
+            sy = int(t.column("sum(sy)")[i].as_py())
+            sxx = int(t.column("sum(sxx)")[i].as_py())
+            syy = int(t.column("sum(syy)")[i].as_py())
+            sxy = int(t.column("sum(sxy)")[i].as_py())
+            va, vb = n * sxx - sx * sx, n * syy - sy * sy
+            if n < 2 or va <= 0 or vb <= 0:
+                rows.append(None)
+            else:
+                rows.append(
+                    np.float64(n * sxy - sx * sy)
+                    / np.sqrt(np.float64(va) * np.float64(vb))
+                )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n": t.column("sum(n)"),
+                "corr_xy": pa.array(rows, pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_corr_oracle_sql(
+    table: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1000,
+    y_scale: int = 1,
+) -> str:
+    """DuckDB twin of grouped_corr: the SAME integer quantization (SQL
+    round() = round-half-away), EXACT HUGEINT power sums, and the
+    identical double expression in the same association order — the
+    quotient is bit-identical, not merely tolerant. Approximate
+    agreement with the builtin corr() is cross-validated in pytest."""
+    qx = f"round({x_col}::DOUBLE * {x_scale})::HUGEINT"
+    qy = f"round({y_col}::DOUBLE * {y_scale})::HUGEINT"
+    nn = f"count(*) FILTER ({x_col} IS NOT NULL AND {y_col} IS NOT NULL)"
+    return f"""WITH s AS (
+  SELECT coalesce({group_col}, '') AS g,
+    {nn}::HUGEINT AS n,
+    coalesce(sum({qx}) FILTER ({y_col} IS NOT NULL), 0) AS sx,
+    coalesce(sum({qy}) FILTER ({x_col} IS NOT NULL), 0) AS sy,
+    coalesce(sum({qx} * {qx}) FILTER ({y_col} IS NOT NULL), 0) AS sxx,
+    coalesce(sum({qy} * {qy}) FILTER ({x_col} IS NOT NULL), 0) AS syy,
+    coalesce(sum({qx} * {qy}), 0) AS sxy
+  FROM {table} GROUP BY coalesce({group_col}, '')
+)
+SELECT g AS {group_col}, n::BIGINT AS n,
+  CASE WHEN n >= 2
+        AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN (n * sxy - sx * sy)::DOUBLE
+            / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+  END AS corr_xy
+FROM s"""
+
+
 def numeric_profile(
     ds: rd.Dataset, columns: list[str]
 ) -> rd.Dataset:

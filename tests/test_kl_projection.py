@@ -314,3 +314,93 @@ class TestScriptMix:
         assert out[1].endswith("世界你好")
         assert out[2].endswith("αβγδ")
         assert out[3] == "x"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCorr:
+    def _events(self, n=300, seed=8):
+        rng = np.random.default_rng(seed)
+        g = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+        x = rng.normal(10, 3, n)
+        y = 2.0 * x + rng.normal(0, 1, n)  # strongly correlated
+        return pa.table(
+            {
+                "g": pa.array(g.tolist()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    def test_close_to_builtin_corr(self):
+        import duckdb
+
+        t = self._events()
+        got = (
+            stats.grouped_corr(rd.from_arrow(t), "g", "x", "y",
+                               x_scale=10**6, y_scale=10**6)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("ev", t)
+        want = (
+            con.execute("SELECT g, corr(x, y) AS c FROM ev GROUP BY g ORDER BY g")
+            .df()
+        )
+        for a, b in zip(got["corr_xy"], want["c"]):
+            assert a == pytest.approx(b, abs=1e-6)
+        assert (got["corr_xy"] > 0.9).all()
+
+    def test_oracle_bit_identical(self):
+        import duckdb
+
+        t = self._events(seed=9)
+        got = (
+            stats.grouped_corr(rd.from_arrow(t), "g", "x", "y",
+                               x_scale=1000, y_scale=1000)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("ev", t)
+        ora = (
+            con.execute(
+                stats.grouped_corr_oracle_sql(
+                    "ev", "g", "x", "y", x_scale=1000, y_scale=1000
+                )
+            )
+            .df().sort_values("g").reset_index(drop=True)
+        )
+        # bit-identical, not merely close: exact integer sums + one
+        # shared double expression
+        assert got["corr_xy"].tolist() == ora["corr_xy"].tolist()
+        assert got["n"].tolist() == ora["n"].tolist()
+
+    def test_null_pairs_and_degenerate(self):
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", "a", "b", "c", "c"]),
+                "x": pa.array([1.0, 2.0, None, 5.0, 1.0, 1.0], pa.float64()),
+                "y": pa.array([2.0, 4.0, 9.0, 1.0, 3.0, 4.0], pa.float64()),
+            }
+        )
+        got = (
+            stats.grouped_corr(rd.from_arrow(t), "g", "x", "y")
+            .to_pandas().set_index("g")
+        )
+        assert int(got.loc["a", "n"]) == 2          # null pair excluded
+        assert got.loc["a", "corr_xy"] == pytest.approx(1.0)
+        assert int(got.loc["b", "n"]) == 1
+        assert np.isnan(got.loc["b", "corr_xy"])     # < 2 rows
+        assert np.isnan(got.loc["c", "corr_xy"])     # zero x-variance
+
+    def test_overflow_guard(self):
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 4),
+                "x": pa.array([1e9] * 4, pa.float64()),
+                "y": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            }
+        )
+        with pytest.raises(Exception):
+            stats.grouped_corr(
+                rd.from_arrow(t), "g", "x", "y", x_scale=10**6
+            ).to_pandas()
