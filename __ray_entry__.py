@@ -2152,6 +2152,21 @@ def _q_grouped_corr(sf_dir: str):
     )
 
 
+def _q_minhash_pairs(sf_dir: str):
+    """Near-dup similarity REPORT (dedup.minhash_pairs_scored): every
+    verified pair with its exact Jaccard in integer micro-units — the
+    audit surface behind the dedup keep/drop decisions. sim_micro =
+    (|A∩B| * 1e6) // |A∪B|, pure integer floor, replicated in SQL."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.minhash_pairs_scored(ds)
+
+
 def _q_domain_components(sf_dir: str):
     """Weakly-connected components of the domain link graph (graph.
     domain_components -> the shared distributed label-propagation
@@ -3223,6 +3238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_indexed_docs": _q_phrase_indexed,
         "domain_components": _q_domain_components,
         "grouped_corr_events": _q_grouped_corr,
+        "minhash_pairs_docs": _q_minhash_pairs,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3452,6 +3468,8 @@ def oracle_sql() -> dict[str, str]:
             "list_max(list_transform(embedding, x -> x::DOUBLE)) AS v_max "
             "FROM embeddings"
         ),
+        # near-dup pair report: qualifying pairs + integer-floor Jaccard
+        "minhash_pairs_docs": _dedup.minhash_pairs_oracle_sql("documents"),
         # grouped correlation: the SAME power-sum formula on both sides
         "grouped_corr_events": _stats.grouped_corr_oracle_sql(
             "(SELECT event_type, value, epoch_us(ts) // 86400000000 AS ts_day "

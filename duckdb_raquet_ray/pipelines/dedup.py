@@ -322,6 +322,7 @@ def _minhash_verified_edges_ds(
     shingle_k: int = 5,
     pairs_override: rd.Dataset | None = None,
     metric: str = "jaccard",
+    emit_score: bool = False,
 ) -> tuple[rd.Dataset | None, pa.DataType | None]:
     """LSH candidates -> DISTRIBUTED exact-Jaccard verify -> the verified
     near-dup edges as a DATASET of (a, b), a < b, Jaccard >= threshold —
@@ -507,18 +508,20 @@ def _minhash_verified_edges_ds(
                 sh[k] = v
             return v
 
-        ea, eb = [], []
+        ea, eb, sc = [], [], []
         for a, b in zip(prows.column("a").to_pylist(), prows.column("b").to_pylist()):
             sa, sb = shingles(a), shingles(b)
             if len(sa) == 0 and len(sb) == 0:
                 sim = 1.0
                 inter = 0
+                union = 0
             else:
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
                 if metric == "containment":
                     sim = inter / min(len(sa), len(sb))
                 else:
-                    sim = inter / (len(sa) + len(sb) - inter)
+                    sim = inter / union
             if sim >= threshold:
                 if metric == "containment":
                     # the smaller gram set is the contained doc: drop it;
@@ -532,14 +535,27 @@ def _minhash_verified_edges_ds(
                 else:
                     ea.append(min(a, b))
                     eb.append(max(a, b))
-        return pa.table({"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)})
+                if emit_score:
+                    # pure INTEGER floor — exactly replicable in SQL
+                    # ((ni * 1e6) // union), never derived from the float
+                    sc.append(
+                        1_000_000 if union == 0
+                        else (inter * 1_000_000) // union
+                    )
+        cols = {"a": pa.array(ea, type=kt), "b": pa.array(eb, type=kt)}
+        if emit_score:
+            cols["sim_micro"] = pa.array(sc, pa.int64())
+        return pa.table(cols)
 
     verified = tagged.groupby("_vb").map_groups(verify_group, batch_format="pyarrow")
 
     def norm_edges(t: pa.Table) -> pa.Table:
         # empty groupby partitions emit 0-col blocks; pin the edge schema
         if not t.num_columns:
-            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt)})
+            cols = {"a": pa.array([], kt), "b": pa.array([], kt)}
+            if emit_score:
+                cols["sim_micro"] = pa.array([], pa.int64())
+            return pa.table(cols)
         return t
 
     return verified.map_batches(norm_edges, batch_format="pyarrow"), kt
@@ -906,6 +922,87 @@ drops AS (
   WHERE i.ni::DOUBLE / least(za.ns, zb.ns) >= {threshold}
 )
 SELECT * FROM {table} WHERE {key_col} NOT IN (SELECT dk FROM drops)
+"""
+
+
+def minhash_pairs_scored(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> rd.Dataset:
+    """The near-dup SIMILARITY REPORT: verified pairs WITH their exact
+    Jaccard as integer micro-units — (a, b, sim_micro), a < b,
+    sim_micro = (|A∩B| * 1e6) // |A∪B| (pure integer floor, never the
+    float). The audit surface behind dedup decisions: threshold tuning,
+    duplicate-cluster inspection, per-pair evidence. Distributed shape =
+    the shared verify engine; the result is edge-sized."""
+    verified, kt = _minhash_verified_edges_ds(
+        ds, text_col, key_col, threshold, num_perm, bands, shingle_k,
+        emit_score=True,
+    )
+    if verified is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def dedup_rows(t: pa.Table) -> pa.Table:
+        # the same (a, b) can verify in multiple buckets; scores agree,
+        # keep one
+        df = t.to_pandas().drop_duplicates(subset=["a", "b"])
+        return pa.table(
+            {
+                "a": pa.array(df["a"].to_numpy(), type=kt),
+                "b": pa.array(df["b"].to_numpy(), type=kt),
+                "sim_micro": pa.array(df["sim_micro"].to_numpy(np.int64)),
+            }
+        )
+
+    # global dedup of cross-bucket repeats: bucket by hash(a) so equal
+    # pairs co-locate
+    nb = util.scaled_buckets(ds)
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(joins._bucket_ids(t.column("a"), nb))
+        )
+
+    return (
+        verified.map_batches(add_b, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dedup_rows, batch_format="pyarrow")
+    )
+
+
+def minhash_pairs_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """DuckDB replica of minhash_pairs_scored: the shared pair CTE
+    chain, qualifying pairs with (ni * 1e6) // union."""
+    prefix = _minhash_pair_ctes(table, text_col, key_col, num_perm, bands)
+    return f"""{prefix}
+SELECT p.a, p.b,
+  ((coalesce(i.ni, 0) * 1000000) // (za.ns + zb.ns - coalesce(i.ni, 0)))::BIGINT
+    AS sim_micro
+FROM pairs p
+JOIN sizes za ON za.k = p.a
+JOIN sizes zb ON zb.k = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+WHERE coalesce(i.ni, 0)::DOUBLE / (za.ns + zb.ns - coalesce(i.ni, 0)) >= {threshold}
 """
 
 
