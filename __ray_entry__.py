@@ -2152,6 +2152,29 @@ def _q_grouped_corr(sf_dir: str):
     )
 
 
+_BM25_QUERIES = {
+    "q_dedup": ["dup", "vector"],
+    "q_merge": ["merge", "query", "table"],
+    "q_stream": ["stream", "window"],
+}
+
+
+def _q_bm25_multi(sf_dir: str):
+    """Batch BM25 (retrieval.bm25_multi): a query SET shares one
+    tokenize pass + the skinny (dl, tf) table + the global folds;
+    per-(query, doc) scores are byte-identical to the single-query
+    path's (shared expression). Oracle = the per-query oracle UNION
+    ALLed with a qid literal."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return retrieval.bm25_multi(ds, _BM25_QUERIES, top=15)
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Near-dup similarity REPORT (dedup.minhash_pairs_scored): every
     verified pair with its exact Jaccard in integer micro-units — the
@@ -3239,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_components": _q_domain_components,
         "grouped_corr_events": _q_grouped_corr,
         "minhash_pairs_docs": _q_minhash_pairs,
+        "bm25_multi_docs": _q_bm25_multi,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -4020,6 +4044,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_roundtrip_docs": "SELECT doc_id, text FROM documents",
         # log-free rational-idf BM25: per-(doc,term) score is one IEEE
         # double expression in matching association order on both sides
+        "bm25_multi_docs": _retrieval.bm25_multi_oracle_sql(
+            "documents", queries=_BM25_QUERIES, top=15
+        ),
         "phrase_count_docs": _retrieval.phrase_oracle_sql(
             "documents", phrase=_PHRASE
         ),

@@ -765,3 +765,140 @@ def phrase_search_indexed(
     return pa.table(
         {key_col: pa.array(uniq), "n_phrase": pa.array(cnt.astype(np.int64))}
     )
+
+
+def bm25_multi(
+    ds: rd.Dataset,
+    queries: dict[str, list[str]],
+    *,
+    top: int = 10,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> pa.Table:
+    """Batch BM25: score EVERY query in one corpus pass ->
+    (qid, key_col, score_micro, rank). The production retrieval shape —
+    a query batch shares the tokenize pass, the (dl, tf) skinny table
+    and the global folds; per-query scoring then runs over the skinny
+    stats, never re-reading text. Per-(query, doc) scores are identical
+    to bm25_topk's (same expression, same dfs), pinned by test.
+
+    Driver state: O(queries x blocks x top) candidate rows."""
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("queries must be a non-empty dict of non-empty term lists")
+    all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+    q_terms = {q: [t_idx[t.lower()] for t in ts] for q, ts in queries.items()}
+
+    ds = util.clean_dataset(ds).select_columns([key_col, text_col])
+    stats = _term_stats(ds, all_terms, text_col, key_col).materialize()
+    m = len(all_terms)
+    sums = stats.sum(["dl"] + [f"tf{i}" for i in range(m)], ignore_nulls=True)
+    big_l = int(sums["sum(dl)"] or 0) if sums else 0
+    n_docs = stats.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        cols = {}
+        for i in range(m):
+            tf = b.column(f"tf{i}").to_numpy(zero_copy_only=False)
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    empty = pa.table(
+        {
+            "qid": pa.array([], pa.string()),
+            key_col: pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if big_l == 0 or n_docs == 0:
+        return empty
+    dfs_fold = stats.map_batches(df_partial, batch_format="pyarrow").sum(
+        [f"df{i}" for i in range(m)]
+    )
+    if m == 1:
+        dfs_fold = {"sum(df0)": dfs_fold}
+    dfs = np.array([int(dfs_fold[f"sum(df{i})"] or 0) for i in range(m)], np.float64)
+    nd, ll = float(n_docs), float(big_l)
+    ridf = (2.0 * nd - 2.0 * dfs + 1.0) / (2.0 * dfs + 1.0)
+    qids = sorted(q_terms)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        kn = batch.column(key_col).to_numpy(zero_copy_only=False)
+        sat = {}
+        out_q, out_k, out_s = [], [], []
+        for q in qids:
+            total = np.zeros(len(dl), np.int64)
+            for i in q_terms[q]:
+                s = sat.get(i)
+                if s is None:
+                    tf = batch.column(f"tf{i}").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64)
+                    s = np.floor(
+                        ridf[i]
+                        * ((44.0 * tf * ll)
+                           / (20.0 * tf * ll + 6.0 * ll + 18.0 * dl * nd))
+                        * 1000000.0
+                    ).astype(np.int64)
+                    sat[i] = s
+                total += s
+            keep = total > 0
+            sck, sc = kn[keep], total[keep]
+            take = min(top, len(sc))
+            idx = np.lexsort((sck, -sc))[:take] if take else np.array([], int)
+            out_q.extend([q] * take)
+            out_k.append(sck[idx])
+            out_s.append(sc[idx])
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.string()),
+                key_col: pa.array(
+                    np.concatenate(out_k) if out_k else np.zeros(0, np.int64)
+                ),
+                "score_micro": pa.array(
+                    np.concatenate(out_s) if out_s else np.zeros(0, np.int64)
+                ),
+            }
+        )
+
+    cands = pa.Table.from_pylist(
+        stats.map_batches(score, batch_format="pyarrow", batch_size=65536).take_all()
+    )
+    if cands.num_rows == 0:
+        return empty
+    df = cands.to_pandas().sort_values(
+        ["qid", "score_micro", key_col], ascending=[True, False, True]
+    )
+    df = df.groupby("qid", sort=True).head(top)
+    df["rank"] = df.groupby("qid", sort=False).cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(df["qid"], pa.string()),
+            key_col: pa.array(df[key_col].to_numpy()),
+            "score_micro": pa.array(df["score_micro"].to_numpy(np.int64)),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def bm25_multi_oracle_sql(
+    table: str = "documents",
+    *,
+    queries: dict[str, list[str]],
+    top: int = 10,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB replica of bm25_multi: the per-query oracle UNION ALLed
+    with a qid literal (scores identical by the shared expression)."""
+    parts = [
+        f"SELECT '{q}' AS qid, * FROM ("
+        + bm25_oracle_sql(
+            table, terms=queries[q], top=top, text_col=text_col, key_col=key_col
+        )
+        + ")"
+        for q in sorted(queries)
+    ]
+    return " UNION ALL ".join(parts)

@@ -323,3 +323,58 @@ class TestPhraseSearch:
             .df().sort_values("doc_id").reset_index(drop=True)
         )
         assert eng["n_phrase"].tolist() == ora["n_phrase"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25Multi:
+    def _docs(self):
+        texts = [
+            "vector merge dup stream table",
+            "dup dup vector table query",
+            "stream window stream window merge",
+            "nothing relevant here at all",
+            "query table merge dup",
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+
+    def test_matches_single_query_path(self):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = self._docs()
+        qs = {"a": ["dup", "vector"], "b": ["stream", "window"]}
+        multi = retrieval.bm25_multi(rd.from_arrow(t), qs, top=5).to_pandas()
+        for q, terms in qs.items():
+            single = retrieval.bm25_topk(
+                rd.from_arrow(t), terms, top=5
+            ).to_pandas()
+            sub = multi[multi["qid"] == q].reset_index(drop=True)
+            assert sub["doc_id"].tolist() == single["doc_id"].tolist()
+            assert sub["score_micro"].tolist() == single["score_micro"].tolist()
+            assert sub["rank"].tolist() == single["rank"].tolist()
+
+    def test_shared_terms_share_stats(self):
+        # overlapping queries must not perturb each other's scores
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = self._docs()
+        solo = retrieval.bm25_multi(
+            rd.from_arrow(t), {"x": ["merge"]}, top=5
+        ).to_pandas()
+        joint = retrieval.bm25_multi(
+            rd.from_arrow(t), {"x": ["merge"], "y": ["merge", "table"]}, top=5
+        ).to_pandas()
+        jx = joint[joint["qid"] == "x"].reset_index(drop=True)
+        assert jx["score_micro"].tolist() == solo["score_micro"].tolist()
+
+    def test_validation(self):
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        with pytest.raises(ValueError):
+            retrieval.bm25_multi(rd.from_arrow(self._docs()), {})
+        with pytest.raises(ValueError):
+            retrieval.bm25_multi(rd.from_arrow(self._docs()), {"q": []})
