@@ -641,6 +641,28 @@ def _q_jsonl_sink_stats(sf_dir: str):
     return textio.source_stats(textio.read_jsonl(paths))
 
 
+def _q_jsonl_gz_sink_stats(sf_dir: str):
+    """Gzip export-sink round trip (textio.write_jsonl_gz): the engine
+    writes .jsonl.gz shards with in-stream per-task compression, reads
+    its OWN files back through the gz read path, aggregates; oracle
+    aggregates the parquet view — compression must be lossless or the
+    hash mismatches."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_jsonlgz_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_jsonl_gz(ds, out)
+    return textio.source_stats(textio.read_jsonl(paths))
+
+
 def _q_ipc_sink_stats(sf_dir: str):
     """Arrow IPC (Feather v2) export-sink round trip: write the documents
     table as IPC shards (textio.write_ipc — per-task tmp->rename publish,
@@ -3263,6 +3285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr_events": _q_grouped_corr,
         "minhash_pairs_docs": _q_minhash_pairs,
         "bm25_multi_docs": _q_bm25_multi,
+        "jsonl_gz_sink_stats": _q_jsonl_gz_sink_stats,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3799,6 +3822,11 @@ def oracle_sql() -> dict[str, str]:
         # and read its own files back; the oracle aggregates the parquet
         # view directly - any row the sink mangles hash-mismatches
         "jsonl_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "jsonl_gz_sink_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
             "FROM documents GROUP BY source"

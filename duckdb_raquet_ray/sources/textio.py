@@ -214,6 +214,32 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> list[str]:
     )
 
 
+class _GzJsonlNames:
+    """`.jsonl.gz` filenames for the compressed JSON sink (plain class —
+    picklable by value; write_uuid keeps concurrent writers disjoint)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        return f"shard-{write_uuid}-{task_index:06}-{block_index:06}.jsonl.gz"
+
+
+def write_jsonl_gz(ds: rd.Dataset, out_dir: str) -> list[str]:
+    """Export sink: Dataset -> gzip JSONL shards (Ray's streaming JSON
+    writer with in-stream gzip compression per task) — the interchange
+    twin of the `.gz` read path: what a downstream non-Parquet consumer
+    actually ingests."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(
+        out_dir,
+        arrow_open_stream_args={"compression": "gzip"},
+        filename_provider=_GzJsonlNames(),
+    )
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".jsonl.gz")
+    )
+
+
 def write_csv(ds: rd.Dataset, out_dir: str) -> list[str]:
     """Export sink: Dataset -> CSV shard files (Arrow CSV writer under
     Ray's sink, one file per block). CSV quoting round-trips embedded

@@ -214,3 +214,24 @@ def test_csv_gz_reads_identical_to_plain(ray_session, tmp_path):
     )
     assert a.equals(b)
     assert len(b) == 200
+
+
+def test_jsonl_gz_sink_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type="int64"),
+            "text": pa.array(['quote " and \\ slash', "unicode é€", None]),
+        }
+    )
+    out = str(tmp_path / "gz")
+    paths = textio.write_jsonl_gz(rd.from_arrow(t), out)
+    assert paths and all(p.endswith(".jsonl.gz") for p in paths)
+    back = (
+        textio.read_jsonl(paths)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert back["text"].tolist()[:2] == t.column("text").to_pylist()[:2]
+    assert len(back) == 3
