@@ -19,6 +19,7 @@ deterministic, so results are stable across topologies.
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 
@@ -762,14 +763,21 @@ def jaccard_dedup(
     verify kernel — only candidate generation differs, so the two
     pipelines' precision is identical and recall differs exactly by
     (LSH collision probability) vs (shared-rare-gram witness)."""
-    import ray
-    import pyarrow.compute as pc
-
     pairs = ngram_candidate_pairs(ds, text_col, key_col, shingle_k, max_df)
     edges = _minhash_verified_pairs(
         ds, text_col, key_col, threshold, shingle_k=shingle_k,
         pairs_override=pairs,
     )
+    return _drop_edge_b(ds, edges, key_col)
+
+
+def _drop_edge_b(ds: rd.Dataset, edges: list[tuple], key_col: str) -> rd.Dataset:
+    """Drop every edge's `b` key (the dedup keep-rule's loser side) via
+    one ray.put broadcast + streaming anti-filter — shared by the
+    jaccard and containment paths."""
+    import ray
+    import pyarrow.compute as pc
+
     drop_keys = sorted({b for _, b in edges})
     if not drop_keys:
         return ds
@@ -852,24 +860,13 @@ def containment_dedup(
     (:func:`ngram_candidate_pairs`); the verify runs through the same
     distributed pair->text fetch as MinHash/Jaccard with
     ``metric="containment"``."""
-    import ray
-    import pyarrow.compute as pc
-
     pairs = ngram_candidate_pairs(ds, text_col, key_col, shingle_k, max_df)
     edges = _minhash_verified_pairs(
         ds, text_col, key_col, threshold, shingle_k=shingle_k,
         pairs_override=pairs, metric="containment",
     )
-    drop_keys = sorted({b for _, b in edges})
-    if not drop_keys:
-        return ds
-    drop_ref = ray.put(pa.array(drop_keys))
-
-    def filter_batch(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
-
-    return ds.map_batches(filter_batch, batch_format="pyarrow")
+    # containment edges are (kept, dropped): b is the contained doc
+    return _drop_edge_b(ds, edges, key_col)
 
 
 def containment_oracle_sql(
@@ -945,11 +942,13 @@ def minhash_pairs_scored(
         emit_score=True,
     )
     if verified is None:
+        # keep the corpus's key type even on the empty path
+        ekt = ds.schema().base_schema.field(key_col).type
         return rd.from_arrow(
             pa.table(
                 {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
+                    "a": pa.array([], ekt),
+                    "b": pa.array([], ekt),
                     "sim_micro": pa.array([], pa.int64()),
                 }
             )
@@ -957,7 +956,16 @@ def minhash_pairs_scored(
 
     def dedup_rows(t: pa.Table) -> pa.Table:
         # the same (a, b) can verify in multiple buckets; scores agree,
-        # keep one
+        # keep one. Empty groupby partitions emit 0-col blocks: pin the
+        # schema (the norm_edges discipline).
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], kt),
+                    "b": pa.array([], kt),
+                    "sim_micro": pa.array([], pa.int64()),
+                }
+            )
         df = t.to_pandas().drop_duplicates(subset=["a", "b"])
         return pa.table(
             {
@@ -2415,6 +2423,31 @@ SELECT * FROM fresh WHERE {key_col} IN
 # ---------------------------------------------------------------------------
 
 
+def _band_index_rows(
+    b: pa.Table,
+    *,
+    text_col: str,
+    key_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> pa.Table:
+    """(band_id, band_hash, hb) index rows for one batch — the single
+    source of the index layout, shared by the fresh build and the
+    `update_index` append (a drifted copy would write files the
+    _BandProbe reader mismatches)."""
+    b = util.strip_schema_metadata(b)
+    t = minhash_band_rows(b, text_col, key_col, num_perm, bands, shingle_k)
+    bh = t.column("band_hash").to_numpy()
+    return pa.table(
+        {
+            "band_id": t.column("band_id"),
+            "band_hash": t.column("band_hash"),
+            "hb": pa.array((bh % _INDEX_BUCKETS).astype(np.int32)),
+        }
+    )
+
+
 def build_minhash_index(
     ds: rd.Dataset,
     index_dir: str,
@@ -2438,25 +2471,22 @@ def build_minhash_index(
     probability; batch-mode `minhash_dedup` remains the verified tier.
     Duplicate index rows are harmless (membership semantics), which
     makes `update_index` appends idempotent under kill/retry."""
-
-    def rows(b: pa.Table) -> pa.Table:
-        b = util.strip_schema_metadata(b)
-        t = minhash_band_rows(b, text_col, key_col, num_perm, bands, shingle_k)
-        bh = t.column("band_hash").to_numpy()
-        return pa.table(
-            {
-                "band_id": t.column("band_id"),
-                "band_hash": t.column("band_hash"),
-                "hb": pa.array((bh % _INDEX_BUCKETS).astype(np.int32)),
-            }
-        )
-
     os.makedirs(index_dir, exist_ok=True)
     cells = util.clean_dataset(ds).map_batches(
-        rows, batch_format="pyarrow", batch_size=4096
+        functools.partial(
+            _band_index_rows, text_col=text_col, key_col=key_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow", batch_size=4096,
     )
     cells.write_parquet(index_dir, partition_cols=["hb"])
-    return ds.count()
+    # indexed DOC count from the written footers (cells = docs x bands) —
+    # a ds.count() here would re-execute the whole input pipeline
+    total_cells = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(index_dir, "hb=*", "*.parquet"))
+    )
+    return total_cells // bands
 
 
 class _BandProbe:
@@ -2565,15 +2595,18 @@ def incremental_minhash_dedup(
         batch_size=4096,
     )
     nb = util.scaled_buckets(fresh)
+    fresh_kt = fresh.schema().base_schema.field(key_col).type
 
     def add_bucket(t: pa.Table) -> pa.Table:
         bucket = (t.column("band_hash").to_numpy() % nb).astype(np.int32)
         return t.append_column("_b", pa.array(bucket))
 
     def cell_drops(g: pa.Table) -> pa.Table:
+        # guard FIRST: an empty groupby partition arrives as a 0-column
+        # block, where g.schema.field(key_col) itself raises
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({"drop_key": pa.array([], fresh_kt)})
         kt = g.schema.field(key_col).type
-        if g.num_rows == 0:
-            return pa.table({"drop_key": pa.array([], kt)})
         df = g.select(["band_id", "band_hash", key_col]).to_pandas()
         anchors = df.groupby(["band_id", "band_hash"])[key_col].transform("min")
         dropped = df.loc[(df[key_col] != anchors), key_col].drop_duplicates()
@@ -2587,23 +2620,13 @@ def incremental_minhash_dedup(
     kept = _filter_drop_keys(fresh, drops, key_col).materialize()
 
     if update_index:
-        def rows(b: pa.Table) -> pa.Table:
-            t = minhash_band_rows(
-                util.strip_schema_metadata(b), text_col, key_col,
-                num_perm, bands, shingle_k,
-            )
-            bh = t.column("band_hash").to_numpy()
-            return pa.table(
-                {
-                    "band_id": t.column("band_id"),
-                    "band_hash": t.column("band_hash"),
-                    "hb": pa.array((bh % _INDEX_BUCKETS).astype(np.int32)),
-                }
-            )
-
-        kept.map_batches(rows, batch_format="pyarrow", batch_size=4096).write_parquet(
-            index_dir, partition_cols=["hb"]
-        )
+        kept.map_batches(
+            functools.partial(
+                _band_index_rows, text_col=text_col, key_col=key_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            ),
+            batch_format="pyarrow", batch_size=4096,
+        ).write_parquet(index_dir, partition_cols=["hb"])
     return kept
 
 

@@ -681,7 +681,16 @@ def build_positional_index(
     ds.map_batches(explode, batch_format="pyarrow").write_parquet(
         _os.path.join(index_dir, "positions"), partition_cols=["tb"]
     )
-    return ds.count()
+    # indexed POSITION-row count from the written footers — a ds.count()
+    # here would re-execute the whole input pipeline a second time
+    import glob as _glob
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(
+            _os.path.join(index_dir, "positions", "tb=*", "*.parquet")
+        )
+    )
 
 
 def phrase_search_indexed(

@@ -587,9 +587,12 @@ def grouped_corr(
     each column's spread.
 
     Overflow bound (loud, not silent): per-group sums must satisfy
-    n * max(|x|*x_scale)^2 < 2^63 — the partial stage raises if a block
-    exceeds it. NULL pairs are excluded (SQL corr semantics); groups
-    with < 2 rows or zero variance emit NULL."""
+    n * max(|x|*x_scale)^2 < 2^62. Enforced twice — per block at the
+    partial stage AND per GROUP at finalize (per-group max magnitudes
+    ride the fold as Max aggregates, since a group spread across many
+    blocks can wrap the folded int64 sums without any single block
+    tripping the block check). NULL pairs are excluded (SQL corr
+    semantics); groups with < 2 rows or zero variance emit NULL."""
     import pyarrow.compute as pc
 
     from duckdb_raquet_ray.pipelines.joins import _round_half_away
@@ -610,6 +613,8 @@ def grouped_corr(
                 "sxx": pa.array([], pa.int64()),
                 "syy": pa.array([], pa.int64()),
                 "sxy": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+                "my": pa.array([], pa.int64()),
             }
         )
         if k == 0:
@@ -634,16 +639,24 @@ def grouped_corr(
             acc = np.zeros(k, np.int64)
             np.add.at(acc, c, w)
             out[name] = pa.array(acc)
+        # per-group max magnitudes ride the fold (Max) so finalize can
+        # assert the PER-GROUP bound — the per-block check alone cannot
+        # see a group spread across many blocks whose folded sums wrap
+        for name, w in (("mx", np.abs(xi)), ("my", np.abs(yi))):
+            acc = np.zeros(k, np.int64)
+            np.maximum.at(acc, c, w)
+            out[name] = pa.array(acc)
         return pa.table(out)
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     folded = (
         ds.select_columns([group_col, x_col, y_col])
         .map_batches(partials, batch_format="pyarrow")
         .groupby(group_col)
         .aggregate(
-            Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy")
+            Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy"),
+            Max("mx"), Max("my"),
         )
     )
 
@@ -666,6 +679,14 @@ def grouped_corr(
             sxx = int(t.column("sum(sxx)")[i].as_py())
             syy = int(t.column("sum(syy)")[i].as_py())
             sxy = int(t.column("sum(sxy)")[i].as_py())
+            mx = int(t.column("max(mx)")[i].as_py() or 0)
+            my = int(t.column("max(my)")[i].as_py() or 0)
+            if max(mx * mx, my * my, mx * my) * n >= 1 << 62:
+                raise OverflowError(
+                    "grouped_corr: a group's folded power sums exceeded the "
+                    "int64 bound (per-block checks cannot see cross-block "
+                    "growth) — lower x_scale/y_scale or pre-shift the columns"
+                )
             va, vb = n * sxx - sx * sx, n * syy - sy * sy
             if n < 2 or va <= 0 or vb <= 0:
                 rows.append(None)
