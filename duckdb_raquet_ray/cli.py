@@ -146,6 +146,15 @@ def main(argv: list[str] | None = None) -> None:
                         "MinHash-LSH band index (built on first use), appending "
                         "the kept docs' cells back into it")
 
+    p = sub.add_parser("phrase", help="exact word-sequence counts per doc "
+                       "(streaming direct path) -> parquet (key, n_phrase)")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--phrase", required=True,
+                   help="space-separated phrase, e.g. 'new york times'")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+
     p = sub.add_parser("pagerank", help="domain link-graph PageRank over a "
                        "documents table: first extracted host -> outlink hosts, "
                        "damped integer power iteration -> (domain, rank) parquet")
@@ -407,6 +416,19 @@ def main(argv: list[str] | None = None) -> None:
             out.write_parquet(args.dest)
             print(json.dumps({"cmd": "chunk", "size": args.size,
                               "stride": args.stride, "dest": args.dest}))
+        elif args.cmd == "phrase":
+            import ray.data as rd
+
+            from .pipelines import retrieval as retrieval_ops
+
+            ds = rd.read_parquet(_inputs(args.input))
+            out = retrieval_ops.phrase_count(
+                ds, args.phrase.split(),
+                text_col=args.text_col, key_col=args.key_col,
+            )
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "phrase", "phrase": args.phrase,
+                              "dest": args.dest}))
         elif args.cmd == "pagerank":
             import ray.data as rd
 
