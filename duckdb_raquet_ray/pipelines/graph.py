@@ -48,6 +48,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines.dedup import label_propagate_min
 from duckdb_raquet_ray.pipelines.joins import hash_join
 
 URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
@@ -455,7 +456,6 @@ def domain_components(
     A thin composition: (src, dst) edges feed the shared distributed
     min-label-propagation kernel (dedup.label_propagate_min — pointer
     jumping, fingerprint fixed point, nothing driver-sized)."""
-    from duckdb_raquet_ray.pipelines.dedup import label_propagate_min
 
     def to_ab(t: pa.Table) -> pa.Table:
         return pa.table(

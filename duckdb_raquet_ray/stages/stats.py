@@ -21,6 +21,7 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.pipelines.joins import _round_half_away
 
 
 def welford_partials(batch: pa.Table, key: str, value: str) -> pa.Table:
@@ -594,8 +595,6 @@ def grouped_corr(
     tripping the block check). NULL pairs are excluded (SQL corr
     semantics); groups with < 2 rows or zero variance emit NULL."""
     import pyarrow.compute as pc
-
-    from duckdb_raquet_ray.pipelines.joins import _round_half_away
 
     def partials(t: pa.Table) -> pa.Table:
         gser = t.column(group_col).to_pandas().fillna("")
