@@ -830,6 +830,51 @@ def _q_packed_windows(sf_dir: str):
     return packing.packed_window_stats(_ensure_corpus(), window=2048)
 
 
+def _q_packed_spans(sf_dir: str):
+    """Per-window document-segment lengths (packing.window_doc_spans):
+    the attention-mask boundary metadata next to the packed token
+    windows, derived from the offset plan + the skinny n_tok column
+    only — the token plane is never read. Scalar view: (window_id,
+    n_segs, sum of seg lens, rank-weighted checksum)."""
+    from duckdb_raquet_ray.pipelines import packing
+
+    ds = packing.window_doc_spans(_ensure_corpus(), window=2048)
+
+    def scalarize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "window_id": pa.array([], pa.int64()),
+                    "n_segs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "spans_checksum": pa.array([], pa.int64()),
+                }
+            )
+        col = t.column("seg_lens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = (
+            pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        csum = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(flat, out=csum[1:])
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.table(
+            {
+                "window_id": t.column("window_id"),
+                "n_segs": t.column("n_segs"),
+                "n_tokens": pa.array(csum[offsets[1:]] - csum[offsets[:-1]]),
+                "spans_checksum": t.column("spans_checksum"),
+            }
+        )
+
+    return ds.map_batches(scalarize, batch_format="pyarrow")
+
+
 _MIXTURE_RATES = {"web": 0.25, "code": 0.5, "wiki": 0.9, "books": 1.0}
 # per-source token budgets (web gets ~100k tokens, code ~55k, misc an
 # impossible 1 -> zero kept); every other source gets the 30k default
@@ -3286,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": _q_minhash_pairs,
         "bm25_multi_docs": _q_bm25_multi,
         "jsonl_gz_sink_stats": _q_jsonl_gz_sink_stats,
+        "packed_spans": _q_packed_spans,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3987,6 +4033,26 @@ def oracle_sql() -> dict[str, str]:
         # each doc contributes its tokens + ONE separator (50256), the
         # stream is cut every 2048, and the per-window checksum weights
         # each token by (1 + position inside the window)
+        # window doc-segment spans: blocks (n_tok + 1) intersected with
+        # 2048-windows; rank-weighted checksum pins order AND lengths
+        "packed_spans": (
+            "WITH d AS (SELECT n_tok, "
+            "CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) AS idx "
+            f"FROM {corpus}), "
+            "o AS (SELECT n_tok + 1 AS blk, coalesce(sum(n_tok + 1) OVER ("
+            "ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s "
+            "FROM d), "
+            "seg AS (SELECT unnest(generate_series((s // 2048)::BIGINT, "
+            "((s + blk - 1) // 2048)::BIGINT)) AS w, s, blk FROM o), "
+            "sl AS (SELECT w, greatest(s, w * 2048) AS lo, "
+            "least(s + blk, (w + 1) * 2048) - greatest(s, w * 2048) AS seg_len FROM seg), "
+            "r AS (SELECT w, seg_len, "
+            "row_number() OVER (PARTITION BY w ORDER BY lo) AS rn FROM sl) "
+            "SELECT w::BIGINT AS window_id, count(*)::BIGINT AS n_segs, "
+            "sum(seg_len)::BIGINT AS n_tokens, "
+            "sum(seg_len * rn)::BIGINT AS spans_checksum "
+            "FROM r GROUP BY w"
+        ),
         "packed_windows": (
             "WITH d AS (SELECT tokens, n_tok, "
             "CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) AS idx "

@@ -454,3 +454,113 @@ def pack_windows(
         .map_batches(norm_empty, batch_format="pyarrow")
     )
     return complete.union(stitched)
+
+
+def window_doc_spans(
+    paths: list[str],
+    window: int = DEFAULT_WINDOW,
+    length_column: str = "n_tok",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """-> (window_id, n_segs, seg_lens large_list<int32>, spans_checksum):
+    each packed window's DOCUMENT-SEGMENT lengths in stream order — the
+    attention-mask boundary metadata a trainer needs next to
+    pack_windows' token windows (zip by window_id; a mask resets at each
+    segment boundary so attention never crosses documents). A doc's
+    stream block is n_tok + 1 (its separator rides with it); a window's
+    segments are its intersections with the blocks it overlaps, so
+    sum(seg_lens) == the window's token count.
+
+    Cost shape: derived from the pass-1 offset plan plus ONE pruned read
+    of the skinny length column per shard — the token plane is never
+    touched. Segments shuffle as (window_id, seg_start, seg_len) rows
+    (one per doc plus one per window-crossing) through a corpus-scaled
+    bucket groupby: ~24 B per document, negligible next to the token
+    stream pack_windows moves. `spans_checksum` = sum(seg_len * rank)
+    pins both the lengths and their order scalar-wise."""
+    plan = plan_offsets(paths, length_column)
+    W = int(window)
+    nb = n_buckets or max(32, min(4093, len(plan)))
+
+    items = rd.from_items(
+        [{"path": e["path"], "base": e["base"]} for e in plan],
+        override_num_blocks=len(plan),
+    )
+
+    def shard_segs(batch: pa.Table) -> pa.Table:
+        util.retain_heap()
+        wids, slos, lens_out = [], [], []
+        for path, base in zip(
+            batch.column("path").to_pylist(), batch.column("base").to_pylist()
+        ):
+            t = pq.read_table(path, columns=[length_column])
+            blk = np.asarray(t.column(length_column)).astype(np.int64) + 1
+            ends = base + np.cumsum(blk)
+            starts = ends - blk
+            wlo = starts // W
+            whi = (ends - 1) // W
+            cnt = (whi - wlo + 1).astype(np.int64)
+            rep = np.repeat(np.arange(len(blk), dtype=np.int64), cnt)
+            offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            w = wlo[rep] + offs
+            lo = np.maximum(starts[rep], w * W)
+            hi = np.minimum(ends[rep], (w + 1) * W)
+            wids.append(w)
+            slos.append(lo)
+            lens_out.append((hi - lo).astype(np.int64))
+        w = np.concatenate(wids) if wids else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "window_id": pa.array(w),
+                "seg_start": pa.array(
+                    np.concatenate(slos) if slos else np.zeros(0, np.int64)
+                ),
+                "seg_len": pa.array(
+                    np.concatenate(lens_out) if lens_out else np.zeros(0, np.int64)
+                ),
+                "_b": pa.array((w % nb).astype(np.int32)),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_id": pa.array([], pa.int64()),
+                "n_segs": pa.array([], pa.int64()),
+                "seg_lens": pa.array([], pa.large_list(pa.int32())),
+                "spans_checksum": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        w = g.column("window_id").to_numpy(zero_copy_only=False)
+        lo = g.column("seg_start").to_numpy(zero_copy_only=False)
+        ln = g.column("seg_len").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo, w))
+        ws, lns = w[order], ln[order]
+        starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        sizes = np.diff(np.r_[starts, len(ws)]).astype(np.int64)
+        rank = np.arange(len(ws), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        csum = np.zeros(len(ws) + 1, np.int64)
+        np.cumsum(lns * rank, out=csum[1:])
+        bounds = np.r_[starts, len(ws)]
+        offsets = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        return pa.table(
+            {
+                "window_id": pa.array(ws[starts]),
+                "n_segs": pa.array(sizes),
+                "seg_lens": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(lns.astype(np.int32))
+                ),
+                "spans_checksum": pa.array(csum[bounds[1:]] - csum[bounds[:-1]]),
+            }
+        )
+
+    return (
+        items.map_batches(shard_segs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

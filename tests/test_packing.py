@@ -187,3 +187,80 @@ def test_pack_windows_emits_int32_token_plane(ray_session, tmp_path):
     paths, _ = _write_shards(str(tmp_path), rng, n_shards=4, rows_per=10)
     ds = packing.pack_windows(paths, window=64)
     assert ds.schema().base_schema.field("tokens").type == pa.large_list(pa.int32())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowDocSpans:
+    def _shards(self, tmp_path, lens_per_shard):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = []
+        did = 0
+        for si, lens in enumerate(lens_per_shard):
+            rows = {
+                "doc_id": [f"doc-{did + i:06d}" for i in range(len(lens))],
+                "tokens": [list(range(n)) for n in lens],
+                "n_tok": lens,
+            }
+            did += len(lens)
+            p = str(tmp_path / f"s{si}.parquet")
+            pq.write_table(pa.table(rows), p)
+            paths.append(p)
+        return paths
+
+    def _brute(self, all_lens, W):
+        spans = {}
+        pos = 0
+        for n in all_lens:
+            blk = n + 1
+            s, e = pos, pos + blk
+            w = s // W
+            while w * W < e:
+                lo, hi = max(s, w * W), min(e, (w + 1) * W)
+                spans.setdefault(w, []).append(hi - lo)
+                w += 1
+            pos = e
+        return spans
+
+    def test_matches_brute_force(self, tmp_path):
+        from duckdb_raquet_ray.pipelines import packing
+
+        lens = [[5, 3, 9], [20, 1], [2, 2, 2, 2]]
+        paths = self._shards(tmp_path, lens)
+        W = 8
+        out = (
+            packing.window_doc_spans(paths, window=W)
+            .to_pandas().sort_values("window_id").reset_index(drop=True)
+        )
+        want = self._brute([n for shard in lens for n in shard], W)
+        assert len(out) == len(want)
+        for _, r in out.iterrows():
+            segs = list(r["seg_lens"])
+            assert segs == want[int(r["window_id"])]
+            assert int(r["n_segs"]) == len(segs)
+            assert int(r["spans_checksum"]) == sum(
+                s * (i + 1) for i, s in enumerate(segs)
+            )
+
+    def test_spans_sum_to_window(self, tmp_path):
+        from duckdb_raquet_ray.pipelines import packing
+
+        paths = self._shards(tmp_path, [[7, 7, 7, 7, 7, 7]])
+        W = 16
+        out = packing.window_doc_spans(paths, window=W).to_pandas()
+        total = (6 * 8)
+        full = out[out["window_id"] < total // W]
+        assert all(sum(r) == W for r in full["seg_lens"])
+
+    def test_doc_longer_than_window(self, tmp_path):
+        from duckdb_raquet_ray.pipelines import packing
+
+        paths = self._shards(tmp_path, [[50]])
+        out = (
+            packing.window_doc_spans(paths, window=8)
+            .to_pandas().sort_values("window_id")
+        )
+        # one 51-token block -> six full windows of one segment + a tail
+        assert out["n_segs"].tolist() == [1] * 7
+        assert [s[0] for s in out["seg_lens"]] == [8, 8, 8, 8, 8, 8, 3]
