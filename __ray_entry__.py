@@ -2059,6 +2059,19 @@ def _q_bigram_lm(sf_dir: str):
     )
 
 
+def _q_pmi_topk(sf_dir: str):
+    """Collocation extraction (stages/stats.pmi_topk): top-50 within-doc
+    token bigrams annotated with pointwise mutual information — per-row
+    pure double expressions over exact integer folds (no float sums),
+    %.9g-stable by construction."""
+    from duckdb_raquet_ray.stages import stats as st
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_ensure_corpus(), columns=["tokens"])
+    return st.pmi_topk(ds, k_table=_BIGRAM_LM_K, top=50)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Per-doc cross-entropy under the add-one-smoothed capped bigram LM
     (stages/stats.bigram_perplexity): the CCNet-style perplexity filter —
@@ -3332,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi_docs": _q_bm25_multi,
         "jsonl_gz_sink_stats": _q_jsonl_gz_sink_stats,
         "packed_spans": _q_packed_spans,
+        "pmi_topk_tokens": _q_pmi_topk,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3810,6 +3824,10 @@ def oracle_sql() -> dict[str, str]:
             "       coalesce(sc.n_hit, 0)::BIGINT AS n_hit, "
             "       coalesce(sc.hit_sum, 0)::BIGINT AS hit_sum "
             f"FROM {corpus} c LEFT JOIN sc USING (doc_id)"
+        ),
+        # PMI collocations: capped bigram table + exact unigram/total folds
+        "pmi_topk_tokens": _stats.pmi_oracle_sql(
+            corpus, k_table=_BIGRAM_LM_K, top=50
         ),
         # add-one-smoothed bigram cross-entropy: capped LM table + EXACT
         # unigram counts; bits at the driver's %.9g float tolerance

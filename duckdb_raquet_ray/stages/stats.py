@@ -478,6 +478,124 @@ def bigram_lm_score(
     )
 
 
+def pmi_topk(
+    ds: rd.Dataset,
+    *,
+    tokens_col: str = "tokens",
+    k_table: int = 10_000,
+    top: int = 50,
+    vocab_size: int = 50_257,
+) -> pa.Table:
+    """Collocation extraction: the `top` most frequent within-doc token
+    bigrams annotated with pointwise mutual information ->
+    (tok_a, tok_b, cnt, pmi_bits). PMI = log2(p(ab) / (p(a) p(b))) over
+    p(ab) = c_ab / T_bigrams and p(x) = c_x / T_tokens — high-PMI pairs
+    are multiword constructions, low-PMI frequent pairs are boilerplate
+    glue. The classic collocation measure (Church & Hanks 1990) on the
+    engine's existing exact folds.
+
+    Scale shape: the capped bigram table (bounded bucket shuffle), the
+    exact O(vocab) unigram histogram, and two scalar totals — the PMI
+    itself is a per-row pure double expression over exact integers,
+    evaluated in one association order on both engines (%.9g-stable by
+    construction: no sums of floats anywhere)."""
+    keys, cnts = bigram_topk(ds, tokens_col, k=k_table)
+    hist = value_histogram(ds, tokens_col, vocab_size, flatten=True).to_pandas()
+    uni = np.zeros(vocab_size, np.int64)
+    if len(hist):
+        uni[hist["value"].to_numpy(np.int64)] = hist["cnt"].to_numpy(np.int64)
+    t_uni = int(uni.sum())
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {"tb": pa.array([int(np.maximum(lens - 1, 0).sum())], pa.int64())}
+        )
+
+    t_bi = int(
+        ds.map_batches(bi_partial, batch_format="pyarrow").sum("tb") or 0
+    )
+    empty = pa.table(
+        {
+            "tok_a": pa.array([], pa.int64()),
+            "tok_b": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi_bits": pa.array([], pa.float64()),
+        }
+    )
+    if len(keys) == 0 or t_bi == 0 or t_uni == 0:
+        return empty
+    take = min(int(top), len(keys))
+    # bigram_topk returns keys SORTED ascending for the probe path; the
+    # top-`top` cut is (cnt desc, key asc) — re-derive it here
+    order = np.lexsort((keys, -cnts))[:take]
+    ks, cs = keys[order], cnts[order]
+    a = (ks >> np.int64(32)).astype(np.int64)
+    b = (ks & np.int64(0xFFFFFFFF)).astype(np.int64)
+    ca = uni[a].astype(np.float64)
+    cb = uni[b].astype(np.float64)
+    # one fixed association order — mirrored token-for-token in SQL
+    pmi = np.log2(
+        (cs.astype(np.float64) * float(t_uni) * float(t_uni))
+        / (float(t_bi) * ca * cb)
+    )
+    out = pa.table(
+        {
+            "tok_a": pa.array(a),
+            "tok_b": pa.array(b),
+            "cnt": pa.array(cs.astype(np.int64)),
+            "pmi_bits": pa.array(pmi, pa.float64()),
+        }
+    )
+    return out
+
+
+def pmi_oracle_sql(
+    corpus: str,
+    *,
+    tokens_col: str = "tokens",
+    k_table: int = 10_000,
+    top: int = 50,
+) -> str:
+    """DuckDB twin of pmi_topk: the shared capped-bigram CTE, unigram
+    counts, the same totals, the same double expression."""
+    return f"""WITH bg AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len({tokens_col}) - 1),
+    i -> {tokens_col}[i]::BIGINT * 4294967296 + {tokens_col}[i+1]::BIGINT
+  )) AS key
+  FROM {corpus}
+),
+lm AS (
+  SELECT key, count(*)::BIGINT AS cnt FROM bg GROUP BY key
+  ORDER BY cnt DESC, key ASC LIMIT {int(k_table)}
+),
+topk AS (SELECT key, cnt FROM lm ORDER BY cnt DESC, key ASC LIMIT {int(top)}),
+uni AS (
+  SELECT t, count(*)::BIGINT AS cu
+  FROM (SELECT unnest({tokens_col}) AS t FROM {corpus}) GROUP BY t
+),
+tot AS (
+  SELECT (SELECT sum(cu) FROM uni)::BIGINT AS t_uni,
+         (SELECT sum(greatest(len({tokens_col}) - 1, 0)) FROM {corpus})::BIGINT AS t_bi
+)
+SELECT (key // 4294967296)::BIGINT AS tok_a,
+       (key % 4294967296)::BIGINT AS tok_b,
+       cnt,
+       log2((cnt::DOUBLE * t_uni * t_uni) / (t_bi::DOUBLE * ua.cu * ub.cu))
+         AS pmi_bits
+FROM topk CROSS JOIN tot
+JOIN uni ua ON ua.t = key // 4294967296
+JOIN uni ub ON ub.t = key % 4294967296"""
+
+
 class _BigramPerplexityProbe:
     """Actor-pool stage: LM table + unigram histogram fetched once per
     actor; per-batch vectorized searchsorted + gather + bincount."""

@@ -404,3 +404,48 @@ class TestGroupedCorr:
             stats.grouped_corr(
                 rd.from_arrow(t), "g", "x", "y", x_scale=10**6
             ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPmiTopk:
+    def test_matches_brute_force(self):
+        rows = [
+            [1, 2, 1, 2, 1, 2],   # (1,2) strongly associated
+            [3, 4, 5, 6],
+            [1, 2, 7, 8],
+            [5, 6, 5, 6],
+        ]
+        t = pa.table({"tokens": pa.array(rows, pa.list_(pa.int64()))})
+        out = stats.pmi_topk(
+            rd.from_arrow(t), k_table=100, top=10, vocab_size=16
+        ).to_pandas()
+        from collections import Counter
+
+        bi = Counter()
+        uni = Counter()
+        t_bi = 0
+        for r in rows:
+            uni.update(r)
+            bi.update(zip(r, r[1:]))
+            t_bi += max(len(r) - 1, 0)
+        t_uni = sum(uni.values())
+        for _, row in out.iterrows():
+            a, b, c = int(row.tok_a), int(row.tok_b), int(row.cnt)
+            assert bi[(a, b)] == c
+            want = np.log2((c * t_uni * t_uni) / (t_bi * uni[a] * uni[b]))
+            assert row.pmi_bits == pytest.approx(want, rel=1e-12)
+        # the rare exclusive pair (7,8) — both tokens occur once, always
+        # together — has the maximal PMI; the boilerplate-glue pair (2,1)
+        # scores below the association pair (1,2)
+        top_pair = out.sort_values("pmi_bits", ascending=False).iloc[0]
+        assert (int(top_pair.tok_a), int(top_pair.tok_b)) == (7, 8)
+        bypair = {
+            (int(r.tok_a), int(r.tok_b)): float(r.pmi_bits)
+            for _, r in out.iterrows()
+        }
+        assert bypair[(1, 2)] > bypair[(2, 1)]
+
+    def test_empty(self):
+        t = pa.table({"tokens": pa.array([], pa.list_(pa.int64()))})
+        out = stats.pmi_topk(rd.from_arrow(t), vocab_size=8)
+        assert out.num_rows == 0
