@@ -579,31 +579,42 @@ def phrase_count(
     if not phrase:
         raise ValueError("empty phrase")
     pw = [w.lower() for w in phrase]
-    m = len(pw)
+    return util.clean_dataset(ds).map_batches(
+        lambda b: phrase_count_batch(b, pw, text_col=text_col, key_col=key_col),
+        batch_format="pyarrow",
+    )
 
-    def count(batch: pa.Table) -> pa.Table:
-        batch = util.strip_schema_metadata(batch)
-        wl = _word_lists(batch, text_col)
-        lens = wl.map(len).to_numpy(np.int64)
-        keys = batch.column(key_col)
-        n_docs = len(lens)
-        out = np.zeros(n_docs, np.int64)
-        total = int(lens.sum())
-        if total >= m:
-            exploded = wl.explode()
-            flat = exploded[exploded.notna()].to_numpy(dtype=object)
-            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            match = flat[: total - m + 1] == pw[0]
-            for j in range(1, m):
-                match &= flat[j : total - m + 1 + j] == pw[j]
-            match &= doc_of[: total - m + 1] == doc_of[m - 1 :]
-            if match.any():
-                out = np.bincount(
-                    doc_of[: total - m + 1][match], minlength=n_docs
-                ).astype(np.int64)
-        return pa.table({key_col: keys, "n_phrase": pa.array(out)})
 
-    return util.clean_dataset(ds).map_batches(count, batch_format="pyarrow")
+def phrase_count_batch(
+    batch: pa.Table,
+    phrase: list[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> pa.Table:
+    """The per-batch phrase kernel (module-level so property tests can
+    drive it without a Ray session)."""
+    m = len(phrase)
+    batch = util.strip_schema_metadata(batch)
+    wl = _word_lists(batch, text_col)
+    lens = wl.map(len).to_numpy(np.int64)
+    keys = batch.column(key_col)
+    n_docs = len(lens)
+    out = np.zeros(n_docs, np.int64)
+    total = int(lens.sum())
+    if total >= m:
+        exploded = wl.explode()
+        flat = exploded[exploded.notna()].to_numpy(dtype=object)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        match = flat[: total - m + 1] == phrase[0]
+        for j in range(1, m):
+            match &= flat[j : total - m + 1 + j] == phrase[j]
+        match &= doc_of[: total - m + 1] == doc_of[m - 1 :]
+        if match.any():
+            out = np.bincount(
+                doc_of[: total - m + 1][match], minlength=n_docs
+            ).astype(np.int64)
+    return pa.table({key_col: keys, "n_phrase": pa.array(out)})
 
 
 def phrase_oracle_sql(
