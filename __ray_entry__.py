@@ -2059,6 +2059,21 @@ def _q_bigram_lm(sf_dir: str):
     )
 
 
+def _q_uniform_sample(sf_dir: str):
+    """Exactly-100 uniform corpus sample (sampling.uniform_sample): keep
+    the 100 smallest seeded key hashes — deterministic, partition-
+    independent, per-block partial top-k then one dataset-side
+    sort+limit; same splitmix chain as the stratified oracle."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import sampling
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return sampling.uniform_sample(ds, 100, seed=7)
+
+
 def _q_pmi_topk(sf_dir: str):
     """Collocation extraction (stages/stats.pmi_topk): top-50 within-doc
     token bigrams annotated with pointwise mutual information — per-row
@@ -3346,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_sink_stats": _q_jsonl_gz_sink_stats,
         "packed_spans": _q_packed_spans,
         "pmi_topk_tokens": _q_pmi_topk,
+        "uniform_sample_docs": _q_uniform_sample,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -3824,6 +3840,11 @@ def oracle_sql() -> dict[str, str]:
             "       coalesce(sc.n_hit, 0)::BIGINT AS n_hit, "
             "       coalesce(sc.hit_sum, 0)::BIGINT AS hit_sum "
             f"FROM {corpus} c LEFT JOIN sc USING (doc_id)"
+        ),
+        # exact-k uniform sample: k smallest seeded hashes, ties by key
+        "uniform_sample_docs": _sampling.uniform_sample_oracle_sql(
+            "(SELECT doc_id, source FROM documents)", 100, seed=7,
+            columns="doc_id, source",
         ),
         # PMI collocations: capped bigram table + exact unigram/total folds
         "pmi_topk_tokens": _stats.pmi_oracle_sql(

@@ -80,6 +80,62 @@ def source_mixture_sample(
     return ds.map_batches(keep_batch, batch_format="pyarrow")
 
 
+def uniform_sample(
+    ds: rd.Dataset,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """Exactly `k` rows drawn uniformly (without replacement) from the
+    whole corpus — the eval-subset / spot-check selection: keep the k
+    SMALLEST seeded key hashes, ties broken by key. Deterministic,
+    partition-independent, stable under resume (membership is an order
+    statistic of a pure row function, the stratified_sample rule with a
+    single implicit stratum).
+
+    Non-negative INTEGER keys only (the stratified_sample hash rule and
+    its SQL twin). Scale shape: each block reduces to its local k
+    smallest (u, key) rows, the global cap is one dataset-side
+    sort+limit over O(blocks x k) candidate rows — the corpus never
+    concentrates anywhere."""
+    seed = int(seed)
+    kk = int(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) and keys.min() < 0:
+            raise ValueError("uniform_sample requires non-negative keys")
+        u = detmix.seeded_mix(detmix.splitmix64(keys.astype(np.uint64)), seed)
+        order = np.lexsort((keys, u))[:kk]
+        take = np.sort(order)
+        sub = t.take(pa.array(take))
+        return sub.append_column(
+            "_u", pa.array((u[take] >> np.uint64(1)).astype(np.int64))
+        )
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    return cands.sort(["_u", key_col]).limit(kk)
+
+
+def uniform_sample_oracle_sql(
+    table: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """SQL replica of :func:`uniform_sample` (same splitmix64 chain as
+    the stratified oracle; `_u` included so the engine's carried column
+    compares)."""
+    seed_mix = int(detmix.splitmix64(int(seed) % U64))
+    u_expr = detmix.sql_splitmix64(
+        f"xor({detmix.sql_splitmix64(key_col)}, {seed_mix}::UBIGINT)"
+    )
+    return f"""
+SELECT {columns}, ({u_expr} >> 1)::BIGINT AS _u FROM {table}
+ORDER BY _u, {key_col} LIMIT {int(k)}"""
+
+
 def temperature_rates_from_counts(
     counts: dict[str, int], tau: float
 ) -> dict[str, float]:

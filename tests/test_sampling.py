@@ -387,3 +387,39 @@ def test_temperature_sample_flattens_mix(ray_session):
     assert kept["small"] == 400
     frac_big = kept["big"] / 3600
     assert abs(frac_big - rates["big"]) < 0.05
+
+
+def test_uniform_sample_exact_k_and_partition_invariant(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+            "v": pa.array(np.arange(1000, dtype=np.int64) * 2),
+        }
+    )
+    a = (
+        sampling.uniform_sample(rd.from_arrow(t).repartition(1), 50, seed=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        sampling.uniform_sample(rd.from_arrow(t).repartition(13), 50, seed=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == 50
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # carried columns survive
+    assert (a["v"] == a["doc_id"] * 2).all()
+    # different seed -> (overwhelmingly) different membership
+    c = sampling.uniform_sample(rd.from_arrow(t), 50, seed=4).to_pandas()
+    assert set(c["doc_id"]) != set(a["doc_id"])
+
+
+def test_uniform_sample_k_exceeds_corpus(ray_session):
+    t = pa.table({"doc_id": pa.array(np.arange(7, dtype=np.int64))})
+    out = sampling.uniform_sample(rd.from_arrow(t), 50, seed=0).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(7))
+
+
+def test_uniform_sample_negative_keys_rejected(ray_session):
+    t = pa.table({"doc_id": pa.array([-1, 2], type=pa.int64())})
+    with pytest.raises(Exception):
+        sampling.uniform_sample(rd.from_arrow(t), 1).to_pandas()
