@@ -515,6 +515,20 @@ def bench_tables_phase(cpus: int) -> dict:
         rd.read_parquet(docs, columns=["doc_id", "text"]), mh_idx, bands=8
     ).count())), 3)
 
+    # phrase search: one streaming pass, m shifted equality masks
+    from duckdb_raquet_ray.pipelines import retrieval as retr_mod
+
+    queries["phrase"] = round(min(best_of(lambda: retr_mod.phrase_count(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), ["the", "stream"]
+    ).count())), 3)
+
+    # batch BM25: 3 queries off one tokenize pass + shared folds
+    queries["bm25_multi"] = round(min(best_of(lambda: retr_mod.bm25_multi(
+        rd.read_parquet(docs, columns=["doc_id", "text"]),
+        {"q1": ["dup", "vector"], "q2": ["merge", "table"], "q3": ["stream"]},
+        top=20,
+    ).num_rows)), 3)
+
     return {"queries": queries, "extra": {}}
 
 
