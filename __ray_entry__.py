@@ -1055,6 +1055,24 @@ def _q_rolling_window(sf_dir: str):
     return _joins.rolling_window(ds, "user_id", "ts", "event_id", "value", window_rows=5)
 
 
+def _q_rolling_time_window(sf_dir: str):
+    """Per-user trailing 5-second RANGE window over events
+    (pipelines/joins.rolling_time_window): frame bounded by TIMESTAMP
+    (equal-ts peers all in frame, SQL RANGE semantics), count +
+    fixed-point micro sum, exact compare."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import joins as _joins
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return _joins.rolling_time_window(
+        ds, "user_id", "ts", "event_id", "value", range_us=5_000_000
+    )
+
+
 def _q_lag_gap(sf_dir: str):
     """Per-user inter-event gaps — lag() OVER in epoch µs, NULL on each
     key's first row (pipelines/joins.lag_gap_window); integer-exact."""
@@ -3362,6 +3380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_spans": _q_packed_spans,
         "pmi_topk_tokens": _q_pmi_topk,
         "uniform_sample_docs": _q_uniform_sample,
+        "rolling_time_events": _q_rolling_time_window,
         # --- round-4, closing session ---------------------------------------
         "dsir_score_docs": _q_dsir_score,
         "dsir_select_docs": _q_dsir_select,
@@ -4288,6 +4307,9 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_window_events": _joins_mod.cumulative_window_oracle_sql("events"),
         "rolling_window_events": _joins_mod.rolling_window_oracle_sql(
             "events", window_rows=5
+        ),
+        "rolling_time_events": _joins_mod.rolling_time_oracle_sql(
+            "events", range_us=5_000_000
         ),
         "lag_gap_events": _joins_mod.lag_gap_oracle_sql("events"),
         # ROLLUP: leaf + per-type totals + grand total, NULL = rolled level

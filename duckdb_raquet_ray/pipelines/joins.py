@@ -955,6 +955,117 @@ WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_tie_col}
              ROWS BETWEEN {int(window_rows) - 1} PRECEDING AND CURRENT ROW)"""
 
 
+def rolling_time_window(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    value_col: str,
+    range_us: int = 5_000_000,
+    n_buckets: int = N_JOIN_BUCKETS,
+) -> rd.Dataset:
+    """Per-key trailing TIME-range aggregates — the ``RANGE BETWEEN
+    INTERVAL t PRECEDING AND CURRENT ROW`` surface (rate limiting,
+    rolling event rates): one row per input row with the count and
+    fixed-point micro-unit sum of the key's rows in [ts - range_us, ts].
+
+    RANGE semantics (matching SQL): the frame is bounded by TIMESTAMP,
+    so rows sharing the current row's exact ts are ALL in frame
+    regardless of tie order — the frame end is the last peer of ts_i,
+    found with one searchsorted(right) next to the searchsorted(left)
+    for the start; same bucket + lexsort + cumsum-difference shape as
+    rolling_window, still no per-frame work."""
+    if range_us < 0:
+        raise ValueError(f"range_us must be >= 0, got {range_us}")
+    r_us = int(range_us)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        cols = pa.table({
+            key_col: b.column(key_col),
+            "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
+            "_tie": b.column(order_tie_col),
+            "_v": pa.array(
+                _round_half_away(
+                    pc.fill_null(b.column(value_col), 0.0)
+                    .cast(pa.float64())
+                    .to_numpy(zero_copy_only=False)
+                    * 1e6
+                )
+            ),
+        })
+        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+
+    def accumulate(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                order_tie_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "range_n": pa.array([], pa.int64()),
+                "range_value_micro": pa.array([], pa.int64()),
+            })
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        t = g.column("_ts").to_numpy(zero_copy_only=False)
+        tie = g.column("_tie").to_numpy(zero_copy_only=False)
+        v = g.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_, ties, vs = k[order], t[order], tie[order], v[order]
+        n = len(ks)
+        new_key = np.empty(n, np.bool_)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        key_first = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # per-key searchsorted via a fused (key-run-id, ts) int key: runs
+        # are contiguous after the lexsort, so (run base offset subtracted)
+        run_id = np.cumsum(new_key) - 1
+        # frame start: first index in this key's run with ts >= ts_i - r
+        # frame end: last peer of ts_i (RANGE includes all equal-ts rows)
+        starts = np.empty(n, np.int64)
+        ends = np.empty(n, np.int64)
+        run_bounds = np.flatnonzero(new_key)
+        run_ends = np.r_[run_bounds[1:], n]
+        for b0, b1 in zip(run_bounds, run_ends):  # per KEY-run, C inside
+            seg = ts_[b0:b1]
+            starts[b0:b1] = b0 + np.searchsorted(seg, seg - r_us, side="left")
+            ends[b0:b1] = b0 + np.searchsorted(seg, seg, side="right")
+        cs0 = np.zeros(n + 1, np.int64)
+        np.cumsum(vs, out=cs0[1:])
+        return pa.table({
+            order_tie_col: pa.array(ties),
+            key_col: pa.array(ks),
+            "range_n": pa.array(ends - starts, type=pa.int64()),
+            "range_value_micro": pa.array(
+                cs0[ends] - cs0[starts], type=pa.int64()
+            ),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(accumulate, batch_format="pyarrow")
+    )
+
+
+def rolling_time_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie_col: str = "event_id",
+    value_col: str = "value",
+    range_us: int = 5_000_000,
+) -> str:
+    """DuckDB twin of rolling_time_window (explicit RANGE frame over the
+    epoch-µs ordering)."""
+    return f"""SELECT {order_tie_col}, {key_col},
+  (count(*) OVER w)::BIGINT AS range_n,
+  sum(round(coalesce({value_col}, 0) * 1000000)::BIGINT) OVER w::BIGINT
+    AS range_value_micro
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY epoch_us({ts_col})
+             RANGE BETWEEN {int(range_us)} PRECEDING AND CURRENT ROW)"""
+
+
 def lag_gap_window(
     ds: rd.Dataset,
     key_col: str,

@@ -768,3 +768,97 @@ class TestRollingWindow:
                 rd.from_arrow(self._events(10)), "user_id", "ts", "event_id",
                 "value", window_rows=0,
             )
+
+
+class TestRollingTimeWindow:
+    def _events(self, n=300, keys=5, seed=6):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 30, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, keys, n), pa.int64()),
+            "value": pa.array(
+                [None if i % 7 == 0 else round(float(rng.normal()), 6)
+                 for i in range(n)],
+                pa.float64(),
+            ),
+        })
+
+    def test_matches_sql_and_bucket_invariant(self, ray_session):
+        import duckdb
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = self._events()
+        got = (
+            J.rolling_time_window(
+                rd.from_arrow(t).repartition(5), "user_id", "ts", "event_id",
+                "value", range_us=5_000_000, n_buckets=3,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        got2 = (
+            J.rolling_time_window(
+                rd.from_arrow(t).repartition(1), "user_id", "ts", "event_id",
+                "value", range_us=5_000_000, n_buckets=64,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        pdt.assert_frame_equal(got, got2)
+        con = duckdb.connect()
+        con.register("events", t)
+        want = (
+            con.execute(J.rolling_time_oracle_sql(range_us=5_000_000))
+            .df().sort_values("event_id").reset_index(drop=True)
+        )
+        assert got["range_n"].tolist() == want["range_n"].tolist()
+        assert got["range_value_micro"].tolist() == want["range_value_micro"].tolist()
+
+    def test_equal_ts_peers_all_in_frame(self, ray_session):
+        # RANGE includes every row sharing the current ts, whatever the
+        # tie order — both peers must see n = 2
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = pa.table({
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([1_000_000, 1_000_000], pa.timestamp("us")),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        })
+        got = (
+            J.rolling_time_window(
+                rd.from_arrow(t), "user_id", "ts", "event_id", "value",
+                range_us=0,
+            )
+            .to_pandas()
+        )
+        assert got["range_n"].tolist() == [2, 2]
+        assert got["range_value_micro"].tolist() == [3_000_000, 3_000_000]
+
+    def test_zero_range_is_peers_only(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins as J
+
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([0, 1_000_000, 2_000_000], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        })
+        got = (
+            J.rolling_time_window(
+                rd.from_arrow(t), "user_id", "ts", "event_id", "value",
+                range_us=0,
+            )
+            .to_pandas().sort_values("event_id")
+        )
+        assert got["range_n"].tolist() == [1, 1, 1]
