@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="source=rate (repeatable), e.g. --rate web=0.25")
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--uniform", type=int, default=None, metavar="K",
+                   help="instead of rates: exactly K rows drawn uniformly "
+                        "(k smallest seeded key hashes)")
+    p.add_argument("--tau", type=float, default=None,
+                   help="instead of rates: temperature re-weighting "
+                        "(keep-rate n^(tau-1) per source, normalized)")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--source-col", default="source")
 
     p = sub.add_parser("quality", help="annotate docs with repetition metrics; "
                        "optional Gopher-style repetition drop -> parquet")
@@ -295,6 +303,26 @@ def main(argv: list[str] | None = None) -> None:
 
             from .pipelines import sampling
 
+            if args.uniform is not None:
+                out = sampling.uniform_sample(
+                    rd.read_parquet(_inputs(args.input)), args.uniform,
+                    key_col=args.key_col, seed=args.seed,
+                )
+                out.write_parquet(args.dest)
+                print(json.dumps({"cmd": "sample", "uniform": args.uniform,
+                                  "dest": args.dest}))
+                return
+            if args.tau is not None:
+                src_ds = rd.read_parquet(_inputs(args.input))
+                rates = sampling.temperature_rates(
+                    src_ds, args.tau, source_col=args.source_col
+                )
+                sampling.source_mixture_sample(
+                    src_ds, rates, seed=args.seed, source_col=args.source_col,
+                ).write_parquet(args.dest)
+                print(json.dumps({"cmd": "sample", "tau": args.tau,
+                                  "rates": rates, "dest": args.dest}))
+                return
             rates = {}
             for spec in args.rate:
                 src, sep, r = spec.partition("=")

@@ -58,7 +58,14 @@ def source_mixture_sample(
     seed = int(seed)
 
     def keep_batch(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        kcol = t.column(key_col)
+        if not (
+            pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type)
+        ):
+            # integer keys hash via their decimal text — pure, and exactly
+            # the SQL twin's key::VARCHAR under the byte-hash CTE
+            kcol = pa.compute.cast(kcol, pa.string())
+        keys = kcol.to_numpy(zero_copy_only=False)
         u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
         # dictionary-encode the (low-cardinality) source column, resolve
         # thresholds per UNIQUE source, then gather per row — no per-row
