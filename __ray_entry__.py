@@ -2008,6 +2008,29 @@ def _q_events_rollup(sf_dir: str):
     return out[["event_type", "y", "cnt"]]
 
 
+def _q_semantic_decontaminate(sf_dir: str):
+    """Semantic (embedding-cosine) decontamination — the embedding
+    analogue of the n-gram rule: corpus vectors are flagged when their
+    cosine vs ANY benchmark vector passes the exact rational int8 test.
+    The sf embeddings have no natural near-dups, so the benchmark side
+    is the planted +eps copies (synthesize_near_dups_batch): every 10th
+    corpus vector must hit its copy. Broadcast-once benchmark matrix,
+    one streaming int64 matmul per batch — no shuffle (pipelines/
+    contamination.py:semantic_decontaminate)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import contamination as cont
+    from duckdb_raquet_ray.pipelines import dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(dedup.synthesize_near_dups_batch, batch_format="pyarrow")
+    bench = ds.filter(expr="vec_id >= 100000")
+    corpus = ds.filter(expr="vec_id < 100000")
+    out = cont.semantic_decontaminate(corpus, bench, concurrency=(1, 4))
+    return out.select_columns(["vec_id", "sem_hits", "contaminated"])
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the public GPT-3 appendix-C n-gram
     overlap rule): docs with doc_id % 50 == 7 stand in for the eval
@@ -3354,6 +3377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     guaranteeing each round's correctness file covers the newest ops."""
     _ensure_corpus()
     return {
+        # --- round-4, final continuation session ----------------------------
+        "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
         "incremental_minhash_docs": _q_incremental_minhash,
@@ -3818,6 +3843,11 @@ def oracle_sql() -> dict[str, str]:
             _dedup.synthesize_near_dups_sql("embeddings")
         ),
         "decontaminate_docs": _contamination.contamination_oracle_sql("documents"),
+        # embedding analogue: benchmark = the planted +eps copies, exact
+        # rational int8 cosine test replicated over the same quantization
+        "semantic_decontaminate_vecs": _contamination.semantic_oracle_sql(
+            _dedup.synthesize_near_dups_sql("embeddings")
+        ),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
         # build + score replicated end-to-end: same detmix word hashes,

@@ -27,6 +27,10 @@ import ray.data as rd
 from .. import util
 from ..functions import detmix
 
+# module-level, not lazy-in-method: a lazy package-internal import inside a
+# class shipped to workers breaks by-value pickling under a foreign cwd
+from duckdb_raquet_ray.pipelines.ann import _int8_matrix as ann_int8
+
 # FNV-1a 64-bit prime (~2^40): small enough that HUGEINT (int128) holds
 # acc * P without overflow in the SQL replica (2^64 * 2^40 < 2^127)
 NGRAM_P = np.uint64(1099511628211)
@@ -214,4 +218,147 @@ SELECT d.{key_col} AS doc_id,
 FROM {table} d
 LEFT JOIN hits h ON h.k = d.{key_col}
 WHERE d.{key_col} % {bench_mod} <> {bench_rem}
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cosine) decontamination: the embedding analogue of
+# the n-gram rule above — flag training items whose embedding is
+# near-identical to ANY benchmark embedding (paraphrased/translated eval
+# leakage the n-gram probe structurally misses).
+# ---------------------------------------------------------------------------
+
+
+def benchmark_int8_set(
+    bench_ds: rd.Dataset, *, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Int8-quantize the benchmark embeddings -> ((K, dim) int64 matrix,
+    (K,) squared norms) — the small broadcast side. Quantization is
+    ann._int8_matrix's rule (per-vector max|x| scale, round-half-away),
+    the one already replicated in SQL by the embedding-dedup oracles, so
+    the whole operator stays value-checkable. Eval suites are megabytes
+    by definition: only the quantized matrix ever reaches the driver."""
+    mats = []
+    for b in bench_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        m = ann_int8(util.strip_schema_metadata(b), vec_col)
+        if m.size:
+            mats.append(m)
+    if not mats:
+        return np.zeros((0, 0), np.int64), np.zeros(0, np.int64)
+    dims = {m.shape[1] for m in mats}
+    if len(dims) > 1:
+        raise ValueError(f"benchmark embedding dims differ across batches: {sorted(dims)}")
+    B = np.concatenate(mats)
+    return B, (B * B).sum(axis=1)
+
+
+class _SemanticProbe:
+    """Actor-pool stage: quantized benchmark matrix fetched ONCE per actor
+    in __init__ (ray.put broadcast); per-batch one int64 matmul + the
+    exact rational cosine test (dot > 0 AND dot^2 * 10^4 >= pct^2 *
+    |a|^2 |b|^2 — no floats past quantization, same rule as
+    dedup._int8_drop_keys). Int64-safe to dim ~2000."""
+
+    def __init__(self, bench_ref, vec_col: str, threshold_pct: int):
+        self.B, self.n2b = (
+            ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        )
+        self.vec_col, self.pct = vec_col, int(threshold_pct)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if batch.num_rows and self.B.shape[0]:
+            Q = ann_int8(batch, self.vec_col)
+            if Q.shape[1] != self.B.shape[1]:
+                raise ValueError(
+                    f"corpus embedding dim {Q.shape[1]} != benchmark dim {self.B.shape[1]}"
+                )
+            D = Q @ self.B.T  # (n, K) int64
+            n2 = (Q * Q).sum(axis=1)
+            ok = (D > 0) & (D * D * 10000 >= self.pct * self.pct * np.outer(n2, self.n2b))
+            hits = ok.sum(axis=1).astype(np.int64)
+        return batch.append_column("sem_hits", pa.array(hits)).append_column(
+            "contaminated", pa.array((hits > 0).astype(np.int32))
+        )
+
+
+def semantic_decontaminate(
+    ds: rd.Dataset,
+    bench_ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    threshold_pct: int = 99,
+    drop: bool = False,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Annotate (or drop) corpus rows whose embedding has cosine >=
+    threshold_pct/100 against ANY benchmark embedding. `sem_hits` = how
+    many benchmark vectors match; `contaminated` = hits > 0.
+
+    Scale contract (100 TB): identical to `decontaminate` — the benchmark
+    side is small by definition, quantized once and broadcast via
+    ray.put; the corpus streams through one actor-pool map_batches whose
+    per-batch work is a single int64 matmul. No shuffle, no driver pass
+    over the corpus. SQL twin: `semantic_oracle_sql`."""
+    ref = ray.put(benchmark_int8_set(bench_ds, vec_col=vec_col))
+    out = util.clean_dataset(ds).map_batches(
+        _SemanticProbe,
+        fn_constructor_kwargs={
+            "bench_ref": ref,
+            "vec_col": vec_col,
+            "threshold_pct": threshold_pct,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if drop:
+        out = out.filter(expr="contaminated == 0")
+    return out
+
+
+def semantic_oracle_sql(
+    src: str,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold_pct: int = 99,
+    bench_pred: str = ">= 100000",
+    corpus_pred: str = "< 100000",
+) -> str:
+    """DuckDB replica of semantic_decontaminate over `src` (a table name
+    or parenthesized subquery) with benchmark/corpus sides split by a
+    key predicate: int8 quantization (the SQL-replicated
+    embedding_quantize rule), integer dot products, the exact rational
+    cosine test, LEFT-JOINed hit counts per corpus row."""
+    pct = int(threshold_pct)
+    return f"""
+WITH e AS (SELECT {key_col} AS k, {vec_col} AS v,
+  list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) AS scale FROM {src} AS s),
+t AS (SELECT k, scale, unnest(v) AS x,
+  unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT k, i - 1 AS d,
+  CASE WHEN scale > 0 THEN round(x::DOUBLE / scale * 127)::BIGINT ELSE 0 END AS qv
+  FROM t),
+n2 AS (SELECT k, sum(qv * qv)::BIGINT AS n2 FROM q GROUP BY k),
+dots AS (
+  SELECT qa.k AS a, qb.k AS b, sum(qa.qv * qb.qv)::BIGINT AS dp
+  FROM q qa JOIN q qb ON qb.d = qa.d
+  WHERE qa.k {corpus_pred} AND qb.k {bench_pred}
+  GROUP BY qa.k, qb.k
+),
+hits AS (
+  SELECT a AS k, count(*)::BIGINT AS sem_hits
+  FROM dots
+  JOIN n2 na ON na.k = dots.a
+  JOIN n2 nb ON nb.k = dots.b
+  WHERE dp > 0
+    AND dp::HUGEINT * dp * 10000 >= {pct}::HUGEINT * {pct} * na.n2 * nb.n2
+  GROUP BY a
+)
+SELECT e.k AS {key_col},
+       coalesce(h.sem_hits, 0)::BIGINT AS sem_hits,
+       (coalesce(h.sem_hits, 0) > 0)::INT AS contaminated
+FROM e LEFT JOIN hits h ON h.k = e.k
+WHERE e.k {corpus_pred}
 """

@@ -166,3 +166,84 @@ class TestSchemaMetadataHygiene:
         ):
             assert out.schema.metadata is None
             hash(out.schema)
+
+
+class TestSemanticDecontaminate:
+    """Embedding-cosine decontamination: brute-force float parity on the
+    integer rational test, planted-copy hits, dim-mismatch guard, empty
+    benchmark, and drop mode."""
+
+    def _vecs(self, n=20, dim=8, seed=3):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, dim)).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(x), pa.list_(pa.float32())),
+            }
+        )
+
+    def test_planted_copies_hit(self, ray_session):
+        import ray.data as rd
+
+        t = self._vecs()
+        # benchmark = exact copies of vecs 0..4 — cosine 1.0, always >= pct
+        bench = t.slice(0, 5)
+        out = cont.semantic_decontaminate(
+            rd.from_arrow(t), rd.from_arrow(bench), threshold_pct=99, concurrency=1
+        ).to_pandas()
+        out = out.sort_values("vec_id").reset_index(drop=True)
+        assert (out.loc[:4, "contaminated"] == 1).all()
+        assert (out.loc[:4, "sem_hits"] >= 1).all()
+
+    def test_matches_bruteforce_rational_test(self, ray_session):
+        import ray.data as rd
+        from duckdb_raquet_ray.pipelines.ann import _int8_matrix
+
+        t = self._vecs(n=30)
+        bench = t.slice(20, 10)
+        corpus = t.slice(0, 20)
+        pct = 35  # low threshold so random vectors produce real hits
+        out = (
+            cont.semantic_decontaminate(
+                rd.from_arrow(corpus), rd.from_arrow(bench),
+                threshold_pct=pct, concurrency=1,
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        Q = _int8_matrix(corpus, "embedding")
+        B = _int8_matrix(bench, "embedding")
+        D = Q @ B.T
+        n2q = (Q * Q).sum(axis=1)
+        n2b = (B * B).sum(axis=1)
+        ok = (D > 0) & (D * D * 10000 >= pct * pct * np.outer(n2q, n2b))
+        exp = ok.sum(axis=1)
+        assert out["sem_hits"].to_numpy().tolist() == exp.tolist()
+        assert exp.max() >= 1  # the threshold actually exercises hits
+
+    def test_drop_mode_and_empty_bench(self, ray_session):
+        import ray.data as rd
+
+        t = self._vecs()
+        bench = t.slice(0, 3)
+        kept = cont.semantic_decontaminate(
+            rd.from_arrow(t), rd.from_arrow(bench), drop=True, concurrency=1
+        ).to_pandas()
+        assert set(kept["vec_id"]) >= set(range(3, 20)) - set(kept[kept.contaminated > 0]["vec_id"])
+        assert not (kept["contaminated"] > 0).any()
+        # empty benchmark: nothing flagged
+        empty = t.slice(0, 0)
+        out = cont.semantic_decontaminate(
+            rd.from_arrow(t), rd.from_arrow(empty), concurrency=1
+        ).to_pandas()
+        assert (out["contaminated"] == 0).all()
+
+    def test_dim_mismatch_raises(self, ray_session):
+        import ray.data as rd
+
+        t = self._vecs(dim=8)
+        bench = self._vecs(n=4, dim=16)
+        with pytest.raises(Exception, match="dim"):
+            cont.semantic_decontaminate(
+                rd.from_arrow(t), rd.from_arrow(bench), concurrency=1
+            ).materialize()
