@@ -2008,6 +2008,23 @@ def _q_events_rollup(sf_dir: str):
     return out[["event_type", "y", "cnt"]]
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr rewrite):
+    cross-doc duplicated word 8-grams are cut from every doc except the
+    gram's min-key keeper; text is rebuilt from surviving words. Two
+    bounded shuffles: gram-occurrence stream through a corpus-scaled
+    bucket groupby (emits only covered positions), then one doc-bucketed
+    rewrite join (pipelines/quality.py:remove_dup_spans)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import quality
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality.remove_dup_spans(ds, n=8)
+
+
 def _q_semantic_decontaminate(sf_dir: str):
     """Semantic (embedding-cosine) decontamination — the embedding
     analogue of the n-gram rule: corpus vectors are flagged when their
@@ -3378,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-4, final continuation session ----------------------------
+        "remove_dup_spans_docs": _q_remove_dup_spans,
         "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
@@ -3848,6 +3866,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate_vecs": _contamination.semantic_oracle_sql(
             _dedup.synthesize_near_dups_sql("embeddings")
         ),
+        # the rewrite form of crossdoc_dup_docs: same gram fold, min-key
+        # keeper rule, covered positions cut, text rebuilt word-joined
+        "remove_dup_spans_docs": _quality.remove_dup_spans_oracle_sql("documents"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
         # build + score replicated end-to-end: same detmix word hashes,

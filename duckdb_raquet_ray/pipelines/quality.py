@@ -30,6 +30,7 @@ full DuckDB value oracles.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -974,4 +975,285 @@ SELECT ng.k AS {key_col},
        count(*) FILTER (WHERE gdf.df >= 2)::BIGINT AS dup_grams
 FROM ng JOIN gdf USING (g)
 GROUP BY ng.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span REMOVAL — the rewrite form of the exact-substring dup
+# signal above (Lee et al. 2022, ExactSubstr): crossdoc_ngram_dup COUNTS
+# duplicated grams; this operator CUTS them out of the text.
+# ---------------------------------------------------------------------------
+
+
+def _orig_word_lists(batch: pa.Table, text_col: str):
+    """ORIGINAL-case whitespace-split word lists — the rewrite must keep
+    the surviving words' case, so the split runs on the raw text and the
+    lowercase happens per word at hash time (identical order of
+    operations to the SQL twin: split original, hash lower(word))."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    return s.str.split()
+
+
+def ngram_start_hashes(
+    batch: pa.Table, *, text_col: str = "text", n: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_index int64, start int64 0-based word position, g uint64):
+    one row per n-gram OCCURRENCE — NOT distinct, removal needs every
+    position. Same word hash (detmix on lower(word)) and Horner fold
+    (NGRAM_P mod 2^64) as ngram_doc_hashes, so grams here equal the
+    counting operator's grams."""
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
+    word_lists = _orig_word_lists(batch, text_col)
+    lens = word_lists.map(len).to_numpy(np.int64)
+    total = int(lens.sum())
+    if total < n:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    exploded = word_lists.explode()
+    flat = exploded[exploded.notna()].astype(str).str.lower().to_numpy(dtype=object)
+    wh = detmix.string_hash64(flat)
+    n_pos = total - n + 1
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
+        acc = wh[:n_pos].copy()
+        for j in range(1, n):
+            acc *= NGRAM_P
+            acc += wh[j : j + n_pos]
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    valid = doc_of[:n_pos] == doc_of[n - 1 : total]
+    d = doc_of[:n_pos][valid]
+    s = np.arange(n_pos, dtype=np.int64)[valid] - off[d]
+    return d, s, acc[valid]
+
+
+def remove_dup_spans(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Rewrite every document with its cross-document duplicated word
+    n-gram spans REMOVED: for each gram occurring in more than one doc,
+    the doc with the SMALLEST key keeps its occurrences (the canonical
+    copy); every other doc's occurrence is cut (all n covered word
+    positions). Output: (key, text rebuilt from surviving words
+    space-joined, n_removed = covered word count). Docs shorter than n
+    words pass through (whitespace-normalized, as all docs are).
+
+    The drop rule is order-independent (min key per gram — not
+    first-seen), so partitioning cannot change the result; intra-doc
+    repeats inside the keeper doc are kept.
+
+    Scale shape (100 TB): two shuffles, both bounded —
+    1. the gram-occurrence stream through a CORPUS-SCALED hash bucket
+       groupby (a gram's global occurrence set resolves inside one
+       bucket; payload ~3x text bytes, the crossdoc_ngram_dup bound),
+       emitting only COVERED (key, start) rows — O(duplicated
+       occurrences), not O(grams);
+    2. one doc-bucketed rewrite join (union-tag + groupby on a key-hash
+       bucket, the PairVerifier fetch shape) where the text payload
+       moves once.
+    Nothing corpus-sized touches the driver. SQL twin:
+    `remove_dup_spans_oracle_sql` (ASCII + int-key caveats as the other
+    text oracles; min over string keys would compare bytes vs collation).
+    """
+    nb = n_buckets or util.scaled_buckets(ds, bytes_per_bucket=8 << 20)
+    nb2 = util.scaled_buckets(ds)
+    kt = ds.schema().base_schema.field(key_col).type
+
+    def _empty_cov() -> pa.Table:
+        return pa.table(
+            {
+                "_db": pa.array([], pa.int32()),
+                "k": pa.array([], kt),
+                "txt": pa.array([], pa.string()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        d, s, g = ngram_start_hashes(batch, text_col=text_col, n=n)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((g % np.uint64(nb)).astype(np.int32)),
+                "h": pa.array(g.view(np.int64)),
+                "k": pa.array(keys[d], type=kt),
+                "s": pa.array(s),
+            }
+        )
+
+    def covered_starts(g: pa.Table) -> pa.Table:
+        # every occurrence of a gram lands in THIS bucket: the keeper
+        # (min key over its docs) resolves here, and each occurrence in
+        # any OTHER doc emits one covered (key, start) row
+        if g.num_columns == 0 or g.num_rows == 0:
+            return _empty_cov()
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h))
+        h, k, s = h[order], k[order], s[order]
+        new_h = np.r_[True, h[1:] != h[:-1]]
+        run_id = np.cumsum(new_h) - 1
+        keeper = k[new_h][run_id]  # min key of each gram's run (k sorted within)
+        cut = k != keeper
+        if not cut.any():
+            return _empty_cov()
+        kc, sc = k[cut], s[cut]
+        return pa.table(
+            {
+                "_db": pa.array(_key_hash_buckets(kc, nb2)),
+                "k": pa.array(kc, type=kt),
+                "txt": pa.nulls(len(kc), pa.string()),
+                "s": pa.array(sc),
+            }
+        )
+
+    def pad_docs(t: pa.Table) -> pa.Table:
+        t = util.strip_schema_metadata(t)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_db": pa.array(_key_hash_buckets(keys, nb2)),
+                "k": t.column(key_col),
+                "txt": t.column(text_col).cast(pa.string()),
+                "s": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    def norm_empty(t: pa.Table) -> pa.Table:
+        return _empty_cov() if t.num_columns == 0 else t
+
+    cov = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(covered_starts, batch_format="pyarrow")
+        .map_batches(norm_empty, batch_format="pyarrow")
+    )
+    unioned = ds.map_batches(pad_docs, batch_format="pyarrow").union(cov)
+
+    def rewrite_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], kt),
+                    text_col: pa.array([], pa.string()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        sarr = g.column("s").to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(sarr == -1))
+        covs = g.filter(pa.array(sarr >= 0))
+        word_lists = _orig_word_lists(docs, "txt")
+        lens = word_lists.map(len).to_numpy(np.int64)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        dk = docs.column("k").to_numpy(zero_copy_only=False)
+        covered = np.zeros(total, dtype=bool)
+        if covs.num_rows and total:
+            dorder = np.argsort(dk, kind="stable")
+            ck = covs.column("k").to_numpy(zero_copy_only=False)
+            cs = covs.column("s").to_numpy(zero_copy_only=False)
+            di = dorder[np.searchsorted(dk[dorder], ck)]
+            start = off[di] + cs
+            end = off[di] + np.minimum(cs + n, lens[di])
+            diff = np.zeros(total + 1, np.int64)
+            np.add.at(diff, start, 1)
+            np.add.at(diff, end, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+        if total:
+            flat = word_lists.explode()
+            flat = flat[flat.notna()].to_numpy(dtype=object)
+        else:
+            flat = np.zeros(0, object)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = ~covered
+        texts = np.full(len(lens), "", dtype=object)
+        if keep.any():
+            s_kept = pd.Series(flat[keep]).groupby(doc_of[keep]).agg(" ".join)
+            texts[s_kept.index.to_numpy()] = s_kept.to_numpy(dtype=object)
+        n_removed = np.bincount(doc_of[covered], minlength=len(lens)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(dk, type=kt),
+                text_col: pa.array(texts, pa.string()),
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    return unioned.groupby("_db").map_groups(rewrite_bucket, batch_format="pyarrow")
+
+
+def _key_hash_buckets(keys: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic doc-bucket id per key (int keys: splitmix64 pre-mix so
+    sequential ids spread; strings: detmix hash)."""
+    if keys.dtype.kind in "iu":
+        return (detmix.splitmix64(keys.astype(np.uint64)) % np.uint64(nb)).astype(
+            np.int32
+        )
+    s = pd.Series(keys).fillna("").to_numpy(dtype=object)
+    return (detmix.string_hash64(s) % np.uint64(nb)).astype(np.int32)
+
+
+def remove_dup_spans_oracle_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+) -> str:
+    """DuckDB replica of remove_dup_spans: split original text, hash
+    lower(word) via the detmix CTEs, Horner-fold n-gram occurrences with
+    positions, keeper = min key per gram, covered = positions under any
+    non-keeper occurrence, rebuilt text = space-joined surviving words."""
+    ws = r"[ \t\n\r\x0b\x0c]+"
+    return f"""
+WITH pow257_64(j, v) AS (VALUES {detmix.sql_pow257_64_values()}),
+d0 AS (SELECT {key_col} AS k, coalesce({text_col}, '') AS txt FROM {table}),
+wl AS (
+  SELECT k, list_filter(regexp_split_to_array(txt, '{ws}'), x -> x <> '') AS wl
+  FROM d0
+),
+w AS (
+  SELECT k, unnest(wl) AS word, unnest(generate_series(1, len(wl))) AS wi FROM wl
+),
+lw AS (SELECT k, wi, word, lower(word) AS lword FROM w),
+{detmix.sql_string_hash_ctes("lw", "lword")},
+hl AS (
+  SELECT lw.k, list(kh.h ORDER BY lw.wi) AS hl
+  FROM lw JOIN kh ON kh.k = lw.lword
+  GROUP BY lw.k
+),
+ng AS (
+  SELECT k, i AS s, ({_sql_fold(n)})::UBIGINT AS g
+  FROM (
+    SELECT k, hl, unnest(generate_series(1, len(hl) - {n} + 1)) AS i
+    FROM hl WHERE len(hl) >= {n}
+  )
+),
+keeper AS (SELECT g, min(k) AS kk FROM ng GROUP BY g),
+cov AS (
+  SELECT DISTINCT ng.k, p.wi AS p
+  FROM ng
+  JOIN keeper ON keeper.g = ng.g AND keeper.kk <> ng.k
+  JOIN lw p ON p.k = ng.k AND p.wi BETWEEN ng.s AND ng.s + {n} - 1
+),
+kept AS (
+  SELECT lw.k,
+    coalesce(string_agg(lw.word, ' ' ORDER BY lw.wi)
+             FILTER (WHERE cov.p IS NULL), '') AS txt,
+    count(cov.p)::BIGINT AS n_removed
+  FROM lw LEFT JOIN cov ON cov.k = lw.k AND cov.p = lw.wi
+  GROUP BY lw.k
+)
+SELECT d0.k AS {key_col},
+       coalesce(kept.txt, '') AS {text_col},
+       coalesce(kept.n_removed, 0)::BIGINT AS n_removed
+FROM d0 LEFT JOIN kept ON kept.k = d0.k
 """

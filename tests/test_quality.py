@@ -556,3 +556,104 @@ class TestDocKeywords:
         d5 = out[out.doc_id == 5]
         assert d5.iloc[0]["tf"] == 2  # zebra twice, then quark
         assert d5.iloc[1]["tf"] == 1
+
+
+class TestRemoveDupSpans:
+    """Duplicate-span removal: goldens on a crafted fixture (keeper rule,
+    overlap union, intra-doc repeats kept), bucket invariance, string
+    keys, SQL-oracle parity."""
+
+    def _table(self) -> pa.Table:
+        shared = "the quick brown fox jumps over the lazy dog near river bank today yes"
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(
+                    [
+                        "Alpha beta " + shared + " gamma delta epsilon zeta eta theta",
+                        "One two three " + shared + " four five six seven eight nine",
+                        "no overlap here with anything else in this corpus at all today ok",
+                        "tiny doc",
+                        "",
+                        shared,  # fully covered -> empty rewrite
+                    ]
+                ),
+            }
+        )
+
+    def test_golden_keeper_and_coverage(self, ray_session):
+        import ray.data as rd
+
+        out = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in q.remove_dup_spans(rd.from_arrow(self._table()), n=8).take_all()
+        }
+        # doc 1 is the min-key keeper: nothing removed, whitespace-normalized
+        assert out[1][1] == 0 and "quick brown fox" in out[1][0]
+        # docs 2 and 6 lose the 14 shared words
+        assert out[2] == ("One two three four five six seven eight nine", 14)
+        assert out[6] == ("", 14)
+        assert out[3][1] == 0 and out[4] == ("tiny doc", 0)
+        assert out[5] == ("", 0)
+
+    def test_bucket_invariance(self, ray_session):
+        import ray.data as rd
+
+        t = self._table()
+        a = sorted(
+            (r["doc_id"], r["text"], r["n_removed"])
+            for r in q.remove_dup_spans(rd.from_arrow(t), n=8, n_buckets=2).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["text"], r["n_removed"])
+            for r in q.remove_dup_spans(rd.from_arrow(t), n=8, n_buckets=31).take_all()
+        )
+        assert a == b
+
+    def test_sql_oracle_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        t = self._table()
+        eng = (
+            q.remove_dup_spans(rd.from_arrow(t), n=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        ora = (
+            con.execute(q.remove_dup_spans_oracle_sql("documents", n=8))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert eng["text"].tolist() == ora["text"].tolist()
+        assert eng["n_removed"].tolist() == ora["n_removed"].tolist()
+
+    def test_string_keys(self, ray_session):
+        import ray.data as rd
+
+        shared = "a b c d e f g h i j"  # 10 words: 3 grams at n=8
+        t = pa.table(
+            {
+                "doc_id": pa.array(["zz", "aa"]),  # keeper = 'aa' (min string)
+                "text": pa.array([shared + " tail words", shared + " more stuff"]),
+            }
+        )
+        out = {
+            r["doc_id"]: r["n_removed"]
+            for r in q.remove_dup_spans(rd.from_arrow(t), n=8).take_all()
+        }
+        assert out["aa"] == 0 and out["zz"] == 10
+
+    def test_intra_doc_repeat_in_keeper_kept(self, ray_session):
+        import ray.data as rd
+
+        span = "p q r s t u v w"  # one 8-gram
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array([span + " mid " + span]),
+            }
+        )
+        out = q.remove_dup_spans(rd.from_arrow(t), n=8).take_all()
+        # sole doc is its own keeper: intra-doc repetition is NOT removed
+        assert out[0]["n_removed"] == 0
