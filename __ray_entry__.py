@@ -2008,6 +2008,21 @@ def _q_events_rollup(sf_dir: str):
     return out[["event_type", "y", "cnt"]]
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Per-source robust (median/MAD) length-outlier statistics in exact
+    integer fixed point (med2 = 2*median, mad4 = 4*MAD): one dense-
+    histogram partial per block, one hash(source) bucket shuffle, each
+    source's median/MAD/outlier-count resolved from its histogram
+    in-bucket (stages/stats.grouped_mad_outliers)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    return _stats.grouped_mad_outliers(
+        rd.read_parquet(_ensure_corpus(), columns=["source", "n_tok"])
+    )
+
+
 def _q_remove_dup_spans(sf_dir: str):
     """Duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr rewrite):
     cross-doc duplicated word 8-grams are cut from every doc except the
@@ -3396,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4, final continuation session ----------------------------
         "remove_dup_spans_docs": _q_remove_dup_spans,
+        "mad_outliers_source": _q_mad_outliers,
         "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
@@ -3869,6 +3885,9 @@ def oracle_sql() -> dict[str, str]:
         # the rewrite form of crossdoc_dup_docs: same gram fold, min-key
         # keeper rule, covered positions cut, text rebuilt word-joined
         "remove_dup_spans_docs": _quality.remove_dup_spans_oracle_sql("documents"),
+        # robust per-source outlier stats: DuckDB median() doubled into
+        # exact integers, same pure-integer outlier comparison
+        "mad_outliers_source": _stats.grouped_mad_oracle_sql(f"({stats_sql})"),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
         # build + score replicated end-to-end: same detmix word hashes,

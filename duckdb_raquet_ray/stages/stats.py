@@ -1833,3 +1833,186 @@ SELECT {group_col}, sum(cnt)::BIGINT AS n_tokens,
     AS kl_bits
 FROM c JOIN g USING (t)
 GROUP BY {group_col}"""
+
+
+# ---------------------------------------------------------------------------
+# grouped robust (median / MAD) outlier statistics — the standard robust
+# length-filter rule (|x - median| > k * MAD flags a doc as anomalous for
+# its source), exact in integer fixed point so the SQL twin hash-matches.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_value_hist_partials(
+    t: pa.Table, group_col: str, value_col: str, max_value: int, nb: int
+) -> pa.Table:
+    """Per-block (group, value, cnt, _b) dense-histogram partials over a
+    SCALAR integer column (the scalar twin of
+    _grouped_token_count_partials): payload O(groups-in-block x distinct
+    values), never O(rows). Null values are dropped (SQL median
+    semantics); null groups fold into ''. Values outside [0, max_value)
+    raise loudly — the dense pair-id encoding must never wrap."""
+    t = util.strip_schema_metadata(t)
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "value": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "_b": pa.array([], pa.int32()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    col = t.column(value_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = ~np.asarray(col.is_null())
+    if not valid.any():
+        return empty
+    x = col.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+    if x.min() < 0 or x.max() >= max_value:
+        raise ValueError(
+            f"{value_col} outside [0, {max_value}): "
+            f"range [{x.min()}, {x.max()}] — raise max_value"
+        )
+    gser = t.column(group_col).to_pandas().fillna("")[valid]
+    codes, uniq = pd.factorize(gser, sort=False)
+    pair = codes.astype(np.int64) * max_value + x
+    u, c = np.unique(pair, return_counts=True)
+    gid, val = u // max_value, u % max_value
+    groups = uniq.to_numpy(dtype=object)[gid]
+    bucket = (detmix.string_hash64(groups) % np.uint64(nb)).astype(np.int32)
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "value": pa.array(val),
+            "cnt": pa.array(c.astype(np.int64)),
+            "_b": pa.array(bucket),
+        }
+    )
+
+
+def _median2_from_hist(v: np.ndarray, c: np.ndarray) -> int:
+    """2x the continuous median (percentile_cont 0.5 — DuckDB median())
+    of the multiset {v repeated c}, from a VALUE-SORTED histogram: the
+    sum of the two central order statistics (equal when n is odd), an
+    exact integer."""
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    lo = (n + 1) // 2
+    hi = n // 2 + 1
+    return int(v[np.searchsorted(cum, lo)] + v[np.searchsorted(cum, hi)])
+
+
+def grouped_mad_outliers(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    k: int = 3,
+    max_value: int = 1 << 20,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP robust outlier statistics over an integer column:
+    med2 = 2*median, mad4 = 4*MAD (both exact integers — median of an
+    int multiset is at worst a half-integer, so doubling is lossless),
+    and n_outliers = rows with |x - median| > k * MAD, tested in pure
+    integer arithmetic as 2*|2x - med2| > k*mad4. A group whose MAD is 0
+    (constant-length boilerplate) flags every deviating row — the
+    desired behavior for that degenerate case.
+
+    Scale shape: one dense-histogram partial per block (payload
+    O(groups x distinct values), independent of rows), one hash(group)
+    bucket shuffle; each group's full histogram lands in one bucket
+    where median, MAD and the outlier count all resolve exactly from
+    the histogram — no second pass over the data, nothing row-sized on
+    the driver. Output: one row per group. SQL twin:
+    `grouped_mad_oracle_sql` (DuckDB median() = percentile_cont(0.5),
+    doubled into exact integers)."""
+    nb = n_buckets or util.scaled_buckets(ds)
+    kk = int(k)
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "med2": pa.array([], pa.int64()),
+            "mad4": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_outliers": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        return _grouped_value_hist_partials(t, group_col, value_col, max_value, nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        s = (
+            g.select([group_col, "value", "cnt"])
+            .to_pandas()
+            .groupby([group_col, "value"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        grp = s[group_col].to_numpy(dtype=object)
+        val = s["value"].to_numpy(np.int64)
+        cnt = s["cnt"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        ends = np.r_[starts[1:], len(grp)]
+        out_g, out_med2, out_mad4, out_n, out_out = [], [], [], [], []
+        for a, b in zip(starts, ends):
+            v, c = val[a:b], cnt[a:b]  # value-sorted within the group
+            med2 = _median2_from_hist(v, c)
+            dev2 = np.abs(2 * v - med2)
+            order = np.argsort(dev2, kind="stable")
+            d, dc = dev2[order], c[order]
+            # merge equal deviations (values symmetric around the median)
+            du, inv = np.unique(d, return_inverse=True)
+            dcu = np.bincount(inv, weights=dc).astype(np.int64)
+            mad4 = _median2_from_hist(du, dcu)
+            out_g.append(grp[a])
+            out_med2.append(med2)
+            out_mad4.append(mad4)
+            out_n.append(int(c.sum()))
+            out_out.append(int(c[2 * dev2 > kk * mad4].sum()))
+        return pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "med2": pa.array(out_med2, pa.int64()),
+                "mad4": pa.array(out_mad4, pa.int64()),
+                "n_rows": pa.array(out_n, pa.int64()),
+                "n_outliers": pa.array(out_out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_mad_oracle_sql(
+    corpus: str,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of grouped_mad_outliers: median() is
+    percentile_cont(0.5) (exact half-integers on int input), doubled
+    into exact BIGINTs; the outlier test is the same pure-integer
+    comparison."""
+    return f"""WITH v AS (
+  SELECT coalesce({group_col}, '') AS g, {value_col}::BIGINT AS x
+  FROM {corpus} WHERE {value_col} IS NOT NULL
+),
+m AS (SELECT g, round(2 * median(x))::BIGINT AS med2 FROM v GROUP BY g),
+d AS (
+  SELECT v.g, abs(2 * v.x - m.med2)::BIGINT AS dev2, m.med2
+  FROM v JOIN m ON m.g = v.g
+),
+mm AS (SELECT g, round(2 * median(dev2))::BIGINT AS mad4 FROM d GROUP BY g)
+SELECT d.g AS {group_col}, any_value(d.med2) AS med2, any_value(mm.mad4) AS mad4,
+  count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN 2 * d.dev2 > {int(k)} * mm.mad4 THEN 1 ELSE 0 END)::BIGINT
+    AS n_outliers
+FROM d JOIN mm ON mm.g = d.g
+GROUP BY d.g"""

@@ -512,3 +512,82 @@ def test_numeric_profile_with_nulls(ray_session):
     )
     assert out.loc["a"].tolist() == [4, 2, 1.0, 3.0, 4.0]
     assert out.loc["b"].tolist() == [4, 1, 0.5, 4.0, 7.0]
+
+
+class TestGroupedMadOutliers:
+    """Robust per-group median/MAD outlier stats: exact-integer goldens,
+    SQL parity, bucket invariance, null handling, domain guard."""
+
+    def _table(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "source": pa.array(["a"] * 5 + ["b"] * 4 + [None, "a"]),
+                "n_tok": pa.array([1, 2, 3, 4, 100, 7, 7, 7, 7, 9, None], pa.int64()),
+            }
+        )
+
+    def test_goldens(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        out = {
+            r["source"]: (r["med2"], r["mad4"], r["n_rows"], r["n_outliers"])
+            for r in stats.grouped_mad_outliers(rd.from_arrow(self._table())).take_all()
+        }
+        # a: values 1,2,3,4,100 (null dropped) -> median 3, MAD 1, outlier 100
+        assert out["a"] == (6, 4, 5, 1)
+        # b: constant 7s -> MAD 0, no deviation, no outliers
+        assert out["b"] == (14, 0, 4, 0)
+        # null group folds to '': single value 9
+        assert out[""] == (18, 0, 1, 0)
+
+    def test_sql_parity_and_bucket_invariance(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        t = pa.table(
+            {
+                "source": pa.array(rng.choice(["w", "c", "b"], n)),
+                "n_tok": pa.array(rng.integers(0, 900, n), pa.int64()),
+            }
+        )
+        key = ["med2", "mad4", "n_rows", "n_outliers"]
+        eng = (
+            stats.grouped_mad_outliers(rd.from_arrow(t))
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        e2 = (
+            stats.grouped_mad_outliers(rd.from_arrow(t), n_buckets=3)
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        assert eng[key].equals(e2[key])
+        con = duckdb.connect()
+        con.register("corpus", t)
+        ora = (
+            con.execute(stats.grouped_mad_oracle_sql("corpus"))
+            .df().sort_values("source").reset_index(drop=True)
+        )
+        for c in key:
+            assert eng[c].astype("int64").tolist() == ora[c].astype("int64").tolist(), c
+
+    def test_domain_guard(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        t = pa.table(
+            {"source": pa.array(["a"]), "n_tok": pa.array([-1], pa.int64())}
+        )
+        with _pytest.raises(Exception, match="outside"):
+            stats.grouped_mad_outliers(rd.from_arrow(t)).take_all()
