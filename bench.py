@@ -529,6 +529,32 @@ def bench_tables_phase(cpus: int) -> dict:
         top=20,
     ).num_rows)), 3)
 
+    # duplicate-span removal: gram-occurrence shuffle + doc-bucketed rewrite
+    queries["dup_span_removal"] = round(min(best_of(lambda: quality.remove_dup_spans(
+        rd.read_parquet(docs, columns=["doc_id", "text"])
+    ).count())), 3)
+
+    # semantic decontamination: broadcast bench matrix, one int64 matmul/batch
+    from duckdb_raquet_ray.pipelines import contamination as cont_mod
+
+    def semantic_decon_run():
+        ds = rd.read_parquet(emb, columns=["vec_id", "embedding"]).map_batches(
+            dedup.synthesize_near_dups_batch, batch_format="pyarrow"
+        )
+        cont_mod.semantic_decontaminate(
+            ds.filter(expr="vec_id < 100000"), ds.filter(expr="vec_id >= 100000")
+        ).count()
+
+    queries["semantic_decon"] = round(min(best_of(semantic_decon_run)), 3)
+
+    # robust per-source MAD outlier stats: one histogram-partial shuffle
+    from duckdb_raquet_ray.stages import stats as stats_mod
+
+    queries["mad_outliers"] = round(min(best_of(lambda: stats_mod.grouped_mad_outliers(
+        util.clean_dataset(rd.read_parquet(docs, columns=["source", "n_chars"])),
+        value_col="n_chars", max_value=1 << 24,
+    ).count())), 3)
+
     return {"queries": queries, "extra": {}}
 
 
