@@ -2008,6 +2008,32 @@ def _q_events_rollup(sf_dir: str):
     return out[["event_type", "y", "cnt"]]
 
 
+def _multi_query_vecs():
+    """Three deterministic 64-dim query vectors, all exactly-representable
+    doubles (ones; alternating +-1; (i+1)/64 ramp — binary fractions), so
+    the SQL literal parse is bit-exact."""
+    import numpy as np
+
+    ones = np.ones(64)
+    alt = np.where(np.arange(64) % 2 == 0, 1.0, -1.0)
+    ramp = (np.arange(64) + 1) / 64.0
+    return {"ones": ones, "alt": alt, "ramp": ramp}
+
+
+def _q_topk_multi(sf_dir: str):
+    """Batch ANN: three query vectors scored in ONE corpus pass — per
+    batch a single (n, dim) @ (dim, 3) matmul, per-query partial top-k,
+    driver merge over O(blocks x 3 x k) candidates
+    (pipelines/ann.py:brute_force_topk_multi)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import ann
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ann.brute_force_topk_multi(ds, _multi_query_vecs(), k=10)
+    return t.select(["qid", "vec_id", "rank"])
+
+
 def _q_mad_outliers(sf_dir: str):
     """Per-source robust (median/MAD) length-outlier statistics in exact
     integer fixed point (med2 = 2*median, mad4 = 4*MAD): one dense-
@@ -3412,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4, final continuation session ----------------------------
         "remove_dup_spans_docs": _q_remove_dup_spans,
         "mad_outliers_source": _q_mad_outliers,
+        "topk_multi_similar": _q_topk_multi,
         "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
@@ -3888,6 +3915,8 @@ def oracle_sql() -> dict[str, str]:
         # robust per-source outlier stats: DuckDB median() doubled into
         # exact integers, same pure-integer outlier comparison
         "mad_outliers_source": _stats.grouped_mad_oracle_sql(f"({stats_sql})"),
+        # batch ANN: ranks only (same float policy as topk_similar)
+        "topk_multi_similar": _ann.brute_multi_oracle_sql(_multi_query_vecs(), k=10),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),
         "doc_df_score": _quality.df_score_oracle_sql("documents"),
         # build + score replicated end-to-end: same detmix word hashes,

@@ -847,3 +847,110 @@ grid AS (
 SELECT g.k AS {key_col}, g.j::BIGINT AS d, coalesce(c.v, 0)::BIGINT AS v
 FROM grid g LEFT JOIN contrib c ON c.k = g.k AND c.j = g.j
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-query brute-force top-k: a QUERY SET scored in ONE corpus pass
+# (the ANN twin of retrieval.bm25_multi — per-batch work is a single
+# matmul against the whole query matrix, not one pass per query)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk_multi(
+    ds: rd.Dataset,
+    queries: dict[str, np.ndarray],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k for every query in `queries` (qid -> vector) in
+    a single streaming pass: per batch ONE (n, dim) @ (dim, nq) matmul,
+    per-query per-batch partial top-k with the global (sim desc, key asc)
+    tie rule, driver merge over O(blocks x nq x k) candidate rows.
+    -> (qid, key, sim, rank), rank 1-based per qid."""
+    names = sorted(queries)
+    if not names:
+        raise ValueError("queries must be non-empty")
+    Q = _normalize(np.stack([np.asarray(queries[n], np.float64) for n in names]))
+    q_ref = ray.put(Q)
+    kk = int(k)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_matrix(batch.column(vec_col), dim=qm.shape[1]))
+        S = m @ qm.T  # (n, nq)
+        kn = batch.column(key_col).to_numpy(zero_copy_only=False)
+        take = min(kk, len(kn))
+        outs = []
+        for j, name in enumerate(names):
+            sims = S[:, j]
+            idx = (
+                np.lexsort((kn, -sims))[:take] if take else np.array([], dtype=int)
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "qid": pa.array([name] * len(idx), pa.string()),
+                        key_col: batch.column(key_col).take(pa.array(idx)),
+                        "sim": pa.array(sims[idx], type=pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    cands = (
+        util.clean_dataset(ds)
+        .map_batches(batch_topk, batch_format="pyarrow", batch_size=65536)
+        .take_all()
+    )
+    try:
+        key_type = ds.schema().base_schema.field(key_col).type
+    except Exception:
+        key_type = pa.int64()
+    if not cands:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.string()),
+                key_col: pa.array([], key_type),
+                "sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    df = pa.Table.from_pylist(cands).to_pandas()
+    df = df.sort_values(
+        ["qid", "sim", key_col], ascending=[True, False, True], kind="stable"
+    )
+    df = df.groupby("qid", sort=True).head(kk)
+    df["rank"] = df.groupby("qid", sort=True).cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(df["qid"].to_numpy(dtype=object), pa.string()),
+            key_col: pa.array(df[key_col].to_numpy(), type=key_type),
+            "sim": pa.array(df["sim"].to_numpy(np.float64)),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def brute_multi_oracle_sql(
+    queries: dict[str, "np.ndarray | list"],
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of brute_force_topk_multi (ranks only — same float
+    policy as the single-query topk_similar oracle: the ordering key is
+    cosine similarity, the EMITTED values are integers): one ranked
+    SELECT per query, UNION ALL. Query vectors must be exactly
+    representable doubles (the engine inlines them as literals)."""
+    parts = []
+    for name in sorted(queries):
+        vec = "[" + ",".join(repr(float(x)) for x in np.asarray(queries[name])) + "]"
+        parts.append(
+            f"SELECT '{name}' AS qid, {key_col}, CAST(row_number() OVER "
+            f"(ORDER BY list_cosine_similarity({vec_col}, {vec}::DOUBLE[]) DESC, {key_col}) "
+            f"AS BIGINT) AS rank FROM {table} "
+            f"QUALIFY rank <= {int(k)}"
+        )
+    return " UNION ALL ".join(parts)

@@ -293,6 +293,43 @@ class TestAnn:
         assert len(set(part) & set(exact)) >= 6
 
 
+class TestBruteForceMulti:
+    def test_multi_matches_single(self, ray_session, emb_ds):
+        rows = emb_ds.take_all()
+        m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        qs = {"a": m[0], "b": m[7], "c": np.ones(m.shape[1])}
+        multi = ann.brute_force_topk_multi(emb_ds, qs, k=5)
+        for name, q in qs.items():
+            single = ann.brute_force_topk(emb_ds, q, k=5)
+            sub = multi.filter(
+                __import__("pyarrow").compute.equal(multi.column("qid"), name)
+            )
+            assert sub.column("vec_id").to_pylist() == single.column("vec_id").to_pylist()
+            assert sub.column("rank").to_pylist() == single.column("rank").to_pylist()
+
+    def test_empty_queries_rejected(self, ray_session, emb_ds):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-empty"):
+            ann.brute_force_topk_multi(emb_ds, {}, k=5)
+
+    def test_sql_oracle_parity(self, ray_session, emb_ds):
+        import duckdb
+
+        qs = {"ones": np.ones(64), "alt": np.where(np.arange(64) % 2 == 0, 1.0, -1.0)}
+        got = ann.brute_force_topk_multi(emb_ds, qs, k=6).select(
+            ["qid", "vec_id", "rank"]
+        ).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        t = emb_ds.to_pandas()
+        con = duckdb.connect()
+        con.register("embeddings", t)
+        ora = con.execute(
+            ann.brute_multi_oracle_sql(qs, k=6)
+        ).df().sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert got["vec_id"].tolist() == ora["vec_id"].tolist()
+        assert got["rank"].tolist() == ora["rank"].tolist()
+
+
 class TestMultimodal:
     def test_stub_raises_without_fake(self):
         dec = multimodal.ImageDecoder(fake=False)
