@@ -619,6 +619,30 @@ def _q_csv_gz_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_csv(paths))
 
 
+def _q_wds_sink_stats(sf_dir: str):
+    """WebDataset tar export-sink round trip: write the documents table
+    as deterministic tar shards ({key}.txt + {key}.json members,
+    content-addressed names), read the WRITTEN tars back through the
+    engine's own wds source, aggregate per source — the oracle computes
+    the same aggregate over the parquet view, so a dropped/mangled
+    member or a mis-grouped sample hash-mismatches
+    (sources/textio.py:write_wds/read_wds)."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_wds_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_wds(ds, out)
+    return textio.source_stats(textio.read_wds(paths))
+
+
 def _q_jsonl_sink_stats(sf_dir: str):
     """Export-sink round trip: write the documents table out as JSONL
     shards (textio.write_jsonl), read the WRITTEN files back through the
@@ -3439,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": _q_remove_dup_spans,
         "mad_outliers_source": _q_mad_outliers,
         "topk_multi_similar": _q_topk_multi,
+        "wds_sink_stats": _q_wds_sink_stats,
         "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
@@ -4025,6 +4050,11 @@ def oracle_sql() -> dict[str, str]:
         # and read its own files back; the oracle aggregates the parquet
         # view directly - any row the sink mangles hash-mismatches
         "jsonl_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "wds_sink_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
             "FROM documents GROUP BY source"

@@ -351,3 +351,131 @@ def read_ipc(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_binary_files(paths).map_batches(
         decode_file, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards — the de-facto training-shard format for
+# multimodal loaders (tar of {key}.{ext} member files, consecutive members
+# with one key = one sample). Export sink + landing-zone source.
+# ---------------------------------------------------------------------------
+
+
+def write_wds(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("source",),
+    payload_col: str | None = None,
+    rows_per_file: int = 65_536,
+) -> list[str]:
+    """Export sink: Dataset -> WebDataset-style `.tar` shards. Each row
+    becomes `{key}.txt` (utf-8 text bytes; null -> empty) plus
+    `{key}.json` (compact sorted-key metadata), plus `{key}.bin` when
+    `payload_col` names a binary column — members in row order with
+    zeroed tar metadata (mtime 0, mode 0644), so shard bytes are a pure
+    function of content. Shard names are content-addressed by the tar
+    bytes (idempotent re-runs, the write_ipc rule) and published
+    tmp -> rename. Each write task owns one shard; nothing centralizes."""
+    import hashlib
+    import io
+    import json
+    import tarfile
+
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    empty = pa.table(
+        {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
+    )
+
+    def _member(tf: "tarfile.TarFile", name: str, data: bytes) -> None:
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        info.mtime = 0
+        info.mode = 0o644
+        info.uname = info.gname = ""
+        tf.addfile(info, io.BytesIO(data))
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keys = t.column(key_col).cast(pa.string()).to_pylist()
+        texts = pc.coalesce(
+            t.column(text_col).cast(pa.string()), pa.scalar("")
+        ).to_pylist()
+        metas = {c: t.column(c).to_pylist() for c in meta_cols}
+        payloads = (
+            t.column(payload_col).to_pylist() if payload_col is not None else None
+        )
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i, k in enumerate(keys):
+                _member(tf, f"{k}.txt", texts[i].encode())
+                if payloads is not None:
+                    _member(tf, f"{k}.bin", payloads[i] or b"")
+                meta = json.dumps(
+                    {c: metas[c][i] for c in meta_cols},
+                    sort_keys=True,
+                    separators=(",", ":"),
+                ).encode()
+                _member(tf, f"{k}.json", meta)
+        data = buf.getvalue()
+        name = f"shard-{hashlib.sha256(data).hexdigest()[:16]}.tar"
+        path = os.path.join(out_dir, name)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=rows_per_file
+    ).take_all()
+    return sorted(r["path"] for r in manifest)
+
+
+def read_wds(paths: list[str], *, key_col: str = "doc_id") -> rd.Dataset:
+    """Landing-zone WebDataset tar -> Dataset: `read_binary_files` ships
+    each shard's bytes as one block; a map_batches decode walks the tar
+    sequentially and groups CONSECUTIVE members sharing a key stem into
+    one sample row (the WebDataset convention). `.txt` -> `text`,
+    `.json` -> its metadata fields, `.bin` -> `payload` (binary). The
+    key column comes back as STRING (tar member names are strings —
+    callers cast as needed)."""
+    import io
+    import json
+    import tarfile
+
+    def decode_file(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for blob in t.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                cur_key, cur = None, None
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    stem, _, ext = m.name.rpartition(".")
+                    if stem != cur_key:
+                        if cur is not None:
+                            rows.append(cur)
+                        cur_key, cur = stem, {key_col: stem}
+                    data = tf.extractfile(m).read()
+                    if ext == "txt":
+                        cur["text"] = data.decode()
+                    elif ext == "json":
+                        cur.update(json.loads(data))
+                    elif ext == "bin":
+                        cur["payload"] = data
+                if cur is not None:
+                    rows.append(cur)
+        if not rows:
+            return pa.table({key_col: pa.array([], pa.string())})
+        return pa.Table.from_pylist(rows)
+
+    return rd.read_binary_files(paths).map_batches(
+        decode_file, batch_format="pyarrow", batch_size=None
+    )
