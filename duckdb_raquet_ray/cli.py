@@ -227,6 +227,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sample-mod", type=int, default=16,
                    help="train on docs with hash(key) %% mod == 0")
 
+    p = sub.add_parser("despan", help="duplicate-span removal: cut cross-doc "
+                       "duplicated word n-grams (min-key keeper survives) -> parquet")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--ngram", type=int, default=8)
+
+    p = sub.add_parser("wds", help="export docs as WebDataset-style tar shards "
+                       "({key}.txt + {key}.json members, content-addressed names)")
+    p.add_argument("--input", required=True, help="glob of input parquet shards")
+    p.add_argument("--dest", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--payload-col", default=None,
+                   help="optional binary column -> {key}.bin members")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -359,6 +376,32 @@ def main(argv: list[str] | None = None) -> None:
             ds.write_parquet(args.dest)
             print(json.dumps({"cmd": "quality", "ngram": args.ngram,
                               "filtered": filtered, "dest": args.dest}))
+        elif args.cmd == "despan":
+            import ray.data as rd
+
+            from . import util
+            from .pipelines import quality
+
+            out = quality.remove_dup_spans(
+                util.clean_dataset(rd.read_parquet(_inputs(args.input))),
+                text_col=args.text_col, key_col=args.key_col, n=args.ngram,
+            )
+            out.write_parquet(args.dest)
+            print(json.dumps({"cmd": "despan", "ngram": args.ngram,
+                              "dest": args.dest}))
+        elif args.cmd == "wds":
+            import ray.data as rd
+
+            from . import util
+            from .sources import textio
+
+            paths = textio.write_wds(
+                util.clean_dataset(rd.read_parquet(_inputs(args.input))),
+                args.dest, key_col=args.key_col, text_col=args.text_col,
+                payload_col=args.payload_col,
+            )
+            print(json.dumps({"cmd": "wds", "shards": len(paths),
+                              "dest": args.dest}))
         elif args.cmd == "decontaminate":
             import ray.data as rd
 

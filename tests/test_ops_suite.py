@@ -1388,3 +1388,40 @@ class TestSemanticDedup:
         all_keys = sorted(t.column("vec_id").to_pylist())
         assert keys.tolist() == all_keys[:6]
         assert C.shape == (6, 64)
+
+
+class TestDespanWdsCli:
+    def test_cli_despan_and_wds(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray import cli
+
+        # 12-word span + a shared following word ("tail") -> the last
+        # shared gram reaches position 12, so 13 words are covered
+        span = "a b c d e f g h i j k l"
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "source": pa.array(["w", "c"]),
+                "text": pa.array([span + " tail one", span + " tail two"]),
+            }
+        )
+        src = tmp_path / "docs.parquet"
+        pq.write_table(t, src)
+        dest = tmp_path / "despan"
+        cli.main(["despan", "--input", str(src), "--dest", str(dest)])
+        out = pq.read_table(str(dest)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_removed"] == 0  # keeper
+        assert out.loc[2, "n_removed"] == 13
+        assert out.loc[2, "text"] == "two"
+
+        wdest = tmp_path / "wds"
+        cli.main(["wds", "--input", str(src), "--dest", str(wdest)])
+        import os
+
+        tars = [f for f in os.listdir(wdest) if f.endswith(".tar")]
+        assert tars
+        from duckdb_raquet_ray.sources import textio
+
+        back = textio.read_wds([str(wdest / f) for f in tars]).take_all()
+        assert sorted(r["doc_id"] for r in back) == ["1", "2"]
