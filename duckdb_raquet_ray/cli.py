@@ -243,6 +243,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--payload-col", default=None,
                    help="optional binary column -> {key}.bin members")
+    p.add_argument("--meta-cols", default="source",
+                   help="comma-separated metadata columns -> {key}.json "
+                        "(empty string = none)")
 
     args = ap.parse_args(argv)
 
@@ -395,10 +398,11 @@ def main(argv: list[str] | None = None) -> None:
             from . import util
             from .sources import textio
 
+            meta = tuple(c for c in args.meta_cols.split(",") if c)
             paths = textio.write_wds(
                 util.clean_dataset(rd.read_parquet(_inputs(args.input))),
                 args.dest, key_col=args.key_col, text_col=args.text_col,
-                payload_col=args.payload_col,
+                payload_col=args.payload_col, meta_cols=meta,
             )
             print(json.dumps({"cmd": "wds", "shards": len(paths),
                               "dest": args.dest}))

@@ -944,9 +944,17 @@ def brute_multi_oracle_sql(
     cosine similarity, the EMITTED values are integers): one ranked
     SELECT per query, UNION ALL. Query vectors must be exactly
     representable doubles (the engine inlines them as literals)."""
+    import re
+
     parts = []
     for name in sorted(queries):
-        vec = "[" + ",".join(repr(float(x)) for x in np.asarray(queries[name])) + "]"
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"query id {name!r} must be [A-Za-z0-9_.-]+ (it is "
+                             "interpolated into SQL as a literal)")
+        v = np.asarray(queries[name], dtype=np.float64)
+        if not np.isfinite(v).all():
+            raise ValueError(f"query {name!r} has non-finite components")
+        vec = "[" + ",".join(repr(float(x)) for x in v) + "]"
         parts.append(
             f"SELECT '{name}' AS qid, {key_col}, CAST(row_number() OVER "
             f"(ORDER BY list_cosine_similarity({vec_col}, {vec}::DOUBLE[]) DESC, {key_col}) "

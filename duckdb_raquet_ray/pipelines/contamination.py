@@ -257,7 +257,8 @@ class _SemanticProbe:
     in __init__ (ray.put broadcast); per-batch one int64 matmul + the
     exact rational cosine test (dot > 0 AND dot^2 * 10^4 >= pct^2 *
     |a|^2 |b|^2 — no floats past quantization, same rule as
-    dedup._int8_drop_keys). Int64-safe to dim ~2000."""
+    dedup._int8_drop_keys). Int64-safe to dim 1880 (127^4 * dim^2 * 10^4
+    must stay under 2^63); larger dims raise loudly rather than wrap."""
 
     def __init__(self, bench_ref, vec_col: str, threshold_pct: int):
         self.B, self.n2b = (
@@ -273,6 +274,11 @@ class _SemanticProbe:
             if Q.shape[1] != self.B.shape[1]:
                 raise ValueError(
                     f"corpus embedding dim {Q.shape[1]} != benchmark dim {self.B.shape[1]}"
+                )
+            if Q.shape[1] > 1880:
+                raise ValueError(
+                    f"dim {Q.shape[1]} > 1880: dot^2 * 10^4 would overflow "
+                    "int64 and silently diverge from the HUGEINT SQL oracle"
                 )
             D = Q @ self.B.T  # (n, K) int64
             n2 = (Q * Q).sum(axis=1)

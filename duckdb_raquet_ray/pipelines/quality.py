@@ -1149,6 +1149,15 @@ def remove_dup_spans(
         sarr = g.column("s").to_numpy(zero_copy_only=False)
         docs = g.filter(pa.array(sarr == -1))
         covs = g.filter(pa.array(sarr >= 0))
+        dk_check = docs.column("k").to_numpy(zero_copy_only=False)
+        if len(np.unique(dk_check)) != len(dk_check):
+            # every row of a key hashes to THIS bucket, so the check is
+            # exact corpus-wide; silent searchsorted misattribution of
+            # covered positions would otherwise corrupt neighboring docs
+            raise ValueError(
+                f"remove_dup_spans: duplicate {key_col} in input — keys must "
+                "be unique (run exact_dedup first)"
+            )
         word_lists = _orig_word_lists(docs, "txt")
         lens = word_lists.map(len).to_numpy(np.int64)
         off = np.zeros(len(lens) + 1, np.int64)

@@ -401,7 +401,17 @@ def write_wds(
     def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        keys = t.column(key_col).cast(pa.string()).to_pylist()
+        kc = t.column(key_col)
+        if kc.null_count:
+            raise ValueError(
+                f"write_wds: null {key_col} — tar member stems cannot encode null keys"
+            )
+        keys = kc.cast(pa.string()).to_pylist()
+        if len(set(keys)) != len(keys):
+            raise ValueError(
+                f"write_wds: duplicate {key_col} within a shard — consecutive "
+                "same-key members would merge into one sample on read"
+            )
         texts = pc.coalesce(
             t.column(text_col).cast(pa.string()), pa.scalar("")
         ).to_pylist()

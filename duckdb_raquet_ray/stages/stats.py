@@ -1962,11 +1962,10 @@ def grouped_mad_outliers(
             v, c = val[a:b], cnt[a:b]  # value-sorted within the group
             med2 = _median2_from_hist(v, c)
             dev2 = np.abs(2 * v - med2)
-            order = np.argsort(dev2, kind="stable")
-            d, dc = dev2[order], c[order]
-            # merge equal deviations (values symmetric around the median)
-            du, inv = np.unique(d, return_inverse=True)
-            dcu = np.bincount(inv, weights=dc).astype(np.int64)
+            # merge equal deviations (values symmetric around the median);
+            # np.unique sorts, so du is deviation-ordered
+            du, inv = np.unique(dev2, return_inverse=True)
+            dcu = np.bincount(inv, weights=c).astype(np.int64)
             mad4 = _median2_from_hist(du, dcu)
             out_g.append(grp[a])
             out_med2.append(med2)

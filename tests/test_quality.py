@@ -657,3 +657,17 @@ class TestRemoveDupSpans:
         out = q.remove_dup_spans(rd.from_arrow(t), n=8).take_all()
         # sole doc is its own keeper: intra-doc repetition is NOT removed
         assert out[0]["n_removed"] == 0
+
+
+def test_remove_dup_spans_duplicate_keys_raise(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 5], pa.int64()),
+            "text": pa.array(["a b c d e f g h i", "a b c d e f g h j"]),
+        }
+    )
+    with _pytest.raises(Exception, match="duplicate"):
+        q.remove_dup_spans(rd.from_arrow(t), n=8).take_all()

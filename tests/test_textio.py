@@ -307,3 +307,31 @@ class TestWebDatasetSink:
         # re-run into the same dir: same content-addressed names, no dupes
         p3 = textio.write_wds(rd.from_arrow(self._docs()), d1)
         assert p3 == p1 and sorted(os.listdir(d1)) == [os.path.basename(p) for p in p1]
+
+
+class TestWdsKeyGuards:
+    def test_null_and_duplicate_keys_raise(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.sources import textio
+
+        dup = pa.table(
+            {
+                "doc_id": pa.array([1, 1], pa.int64()),
+                "source": pa.array(["a", "b"]),
+                "text": pa.array(["x", "y"]),
+            }
+        )
+        with _pytest.raises(Exception, match="duplicate"):
+            textio.write_wds(rd.from_arrow(dup), str(tmp_path / "d"))
+        nul = pa.table(
+            {
+                "doc_id": pa.array([None], pa.int64()),
+                "source": pa.array(["a"]),
+                "text": pa.array(["x"]),
+            }
+        )
+        with _pytest.raises(Exception, match="null"):
+            textio.write_wds(rd.from_arrow(nul), str(tmp_path / "n"))
