@@ -247,6 +247,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma-separated metadata columns -> {key}.json "
                         "(empty string = none)")
 
+    p = sub.add_parser("prepare", help="staged resumable training-data recipe: "
+                       "dedup -> quality -> [decontaminate] -> [despan] -> "
+                       "tokenize -> pack -> [encode]; per-stage _DONE markers")
+    p.add_argument("--input", required=True, help="glob of documents parquet shards")
+    p.add_argument("--workdir", required=True, help="stage dirs + markers live here")
+    p.add_argument("--benchmark", default=None, help="glob of benchmark shards (enables decontaminate)")
+    p.add_argument("--despan", type=int, default=None, metavar="N",
+                   help="enable duplicate-span removal at word n-gram order N")
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--vocab", type=int, default=50_257)
+    p.add_argument("--encode", action="store_true", help="columnar-encode the packed windows")
+    p.add_argument("--force", action="store_true", help="rebuild stages whose config changed")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":  # no Ray needed
@@ -379,6 +392,15 @@ def main(argv: list[str] | None = None) -> None:
             ds.write_parquet(args.dest)
             print(json.dumps({"cmd": "quality", "ngram": args.ngram,
                               "filtered": filtered, "dest": args.dest}))
+        elif args.cmd == "prepare":
+            from .pipelines import prepare as prep
+
+            s = prep.run_prepare(
+                args.input, args.workdir, benchmark_glob=args.benchmark,
+                despan_n=args.despan, window=args.window, vocab=args.vocab,
+                encode=args.encode, force=args.force,
+            )
+            print(json.dumps({"cmd": "prepare", **s}))
         elif args.cmd == "despan":
             import ray.data as rd
 
