@@ -37,8 +37,6 @@ import shutil
 
 __all__ = ["run_prepare"]
 
-_STAGES = ("dedup", "quality", "decontam", "despan", "tokenize", "pack", "encode")
-
 
 def _done_path(d: str) -> str:
     return os.path.join(d, "_DONE.json")
