@@ -619,6 +619,27 @@ def _q_csv_gz_source_stats(sf_dir: str):
     return textio.source_stats(textio.read_csv(paths))
 
 
+def _q_orc_sink_stats(sf_dir: str):
+    """ORC export-sink round trip (the ipc_sink_stats twin for the
+    Hive/Trino interchange format): engine writes zstd ORC shards,
+    reads its OWN files back column-pruned, aggregates; oracle
+    aggregates the parquet view (sources/textio.py:write_orc/read_orc)."""
+    import shutil
+
+    import ray.data as rd
+
+    from duckdb_raquet_ray.sources import textio
+
+    out = "/tmp/raquet_orc_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    paths = textio.write_orc(ds, out)
+    return textio.source_stats(textio.read_orc(paths, columns=["source", "text"]))
+
+
 def _q_wds_sink_stats(sf_dir: str):
     """WebDataset tar export-sink round trip: write the documents table
     as deterministic tar shards ({key}.txt + {key}.json members,
@@ -3464,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_source": _q_mad_outliers,
         "topk_multi_similar": _q_topk_multi,
         "wds_sink_stats": _q_wds_sink_stats,
+        "orc_sink_stats": _q_orc_sink_stats,
         "semantic_decontaminate_vecs": _q_semantic_decontaminate,
         # --- round-4, continuation session ----------------------------------
         "pagerank_domains": _q_pagerank,
@@ -4055,6 +4077,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "wds_sink_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "orc_sink_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(len(coalesce(text, '')))::BIGINT AS text_chars "
             "FROM documents GROUP BY source"

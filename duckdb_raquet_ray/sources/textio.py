@@ -489,3 +489,67 @@ def read_wds(paths: list[str], *, key_col: str = "doc_id") -> rd.Dataset:
     return rd.read_binary_files(paths).map_batches(
         decode_file, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC shards — the other columnar interchange format Hadoop-side pipelines
+# hand over (Hive/Trino landing zones). Export sink + landing-zone source,
+# same discipline as the IPC pair: per-task shards, content-addressed
+# names, tmp -> rename publish, column-pruned reads.
+# ---------------------------------------------------------------------------
+
+
+def write_orc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list[str]:
+    """Export sink: Dataset -> ORC shard files (zstd-compressed). Each
+    write task streams its batch to its own shard; shard names are
+    content-addressed by the block's Arrow buffer hash (idempotent
+    re-runs, the write_ipc rule)."""
+    import hashlib
+
+    import pyarrow.orc as orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
+            )
+        h = hashlib.sha256()
+        for c in t.columns:
+            for chunk in c.chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        name = f"shard-{h.hexdigest()[:16]}.orc"
+        path = os.path.join(out_dir, name)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        orc.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=rows_per_file
+    ).take_all()
+    return sorted(r["path"] for r in manifest)
+
+
+def read_orc(paths: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Landing-zone ORC -> Dataset: each shard's bytes ship as one block;
+    the decode opens the ORC footer and materializes ONLY the projected
+    columns (ORC is columnar with per-stripe metadata — the projection
+    skips untouched column streams, the prune-at-the-read rule)."""
+    import pyarrow.orc as orc
+
+    def decode_file(t: pa.Table) -> pa.Table:
+        out = []
+        for blob in t.column("bytes").to_pylist():
+            f = orc.ORCFile(pa.BufferReader(blob))
+            out.append(f.read(columns=columns))
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return rd.read_binary_files(paths).map_batches(
+        decode_file, batch_format="pyarrow", batch_size=None
+    )

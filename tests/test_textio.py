@@ -335,3 +335,43 @@ class TestWdsKeyGuards:
         )
         with _pytest.raises(Exception, match="null"):
             textio.write_wds(rd.from_arrow(nul), str(tmp_path / "n"))
+
+
+class TestOrcSink:
+    def test_roundtrip_and_projection(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.sources import textio
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", None, "b"]),
+                "text": pa.array(["hello", "", None]),
+                "n": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+        paths = textio.write_orc(rd.from_arrow(t), str(tmp_path / "o"))
+        assert paths and all(p.endswith(".orc") for p in paths)
+        back = textio.read_orc(paths).to_pandas().sort_values("doc_id")
+        assert back["doc_id"].tolist() == [1, 2, 3]
+        assert back["n"].tolist() == [7, 8, 9]
+        assert back["text"].tolist()[0] == "hello"
+        # projection: only requested columns come back
+        proj = textio.read_orc(paths, columns=["doc_id"]).to_pandas()
+        assert list(proj.columns) == ["doc_id"]
+
+    def test_idempotent_rerun(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.sources import textio
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x"]})
+        d = str(tmp_path / "o2")
+        p1 = textio.write_orc(rd.from_arrow(t), d)
+        p2 = textio.write_orc(rd.from_arrow(t), d)
+        assert p1 == p2 and len(os.listdir(d)) == 1
