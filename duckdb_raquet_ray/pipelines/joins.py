@@ -67,6 +67,12 @@ class BroadcastJoiner:
             raise ValueError(f"right key {right_key!r} is not unique")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        clash = set(self.payload.column_names) & set(batch.column_names)
+        if clash:
+            raise ValueError(
+                f"broadcast-join payload column(s) {sorted(clash)} already "
+                "exist on the left side — project or rename before joining"
+            )
         idx = pc.index_in(batch.column(self.left_key), value_set=self.keys)
         if self.how == "inner":
             keep = pc.is_valid(idx)
@@ -193,6 +199,12 @@ class AsofJoiner:
         self.payload = right.select(keep)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        clash = set(self.payload.column_names) & set(batch.column_names)
+        if clash:
+            raise ValueError(
+                f"as-of-join payload column(s) {sorted(clash)} already exist "
+                "on the left side — pass right_cols excluding or renaming them"
+            )
         l_key = batch.column(self.left_key).to_numpy(zero_copy_only=False)
         l_ts = _ts_i64(batch.column(self.left_ts))
         match = _asof_merge_indices(l_key, l_ts, self.r_key, self.r_ts, self.r_tie)
@@ -268,6 +280,8 @@ class RangeJoiner:
         payload_cols: list[str] | None = None,
         how: str = "inner",
     ):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner|left, got {how!r}")
         iv = intervals.combine_chunks()
         lo = _ts_i64(iv.column(lo_col))
         hi = _ts_i64(iv.column(hi_col))
@@ -375,12 +389,10 @@ def asof_join(
     out_names = l_cols + [c for c in r_payload if c not in l_cols]
 
     def tag_left(b: pa.Table) -> pa.Table:
-        k = b.column(left_key).to_numpy(zero_copy_only=False)
-        return b.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return b.append_column("_b", pa.array(_bucket_ids(b.column(left_key), n_buckets)))
 
     def tag_right(b: pa.Table) -> pa.Table:
-        k = b.column(right_key).to_numpy(zero_copy_only=False)
-        return b.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return b.append_column("_b", pa.array(_bucket_ids(b.column(right_key), n_buckets)))
 
     # union needs one schema: null-pad each side to the combined layout
     def pad(b: pa.Table, names: list[str], side: int) -> pa.Table:
@@ -409,6 +421,8 @@ def asof_join(
         lambda b: pad(b, all_names + ["_b"], 0), batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({n: pa.nulls(0, type=_SCHEMA_CACHE[n]) for n in out_names})
         side = g.column("_side").to_numpy(zero_copy_only=False)
         lmask, rmask = side == 1, side == 0
         lg = g.filter(pa.array(lmask))
@@ -431,7 +445,18 @@ def asof_join(
                 cols[n] = rg.column(n).take(idx)
         return pa.table(cols)
 
-    return lt.union(rt).groupby("_b").map_groups(merge, batch_format="pyarrow")
+    def norm_empty(t: pa.Table) -> pa.Table:
+        # empty groupby partitions emit 0-col blocks; pin the join schema
+        if t.num_columns == 0:
+            return pa.table({n: pa.nulls(0, type=_SCHEMA_CACHE[n]) for n in out_names})
+        return t
+
+    return (
+        lt.union(rt)
+        .groupby("_b")
+        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(norm_empty, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +530,14 @@ def hash_join(
     with key cardinality), and per-bucket state is O(corpus / n_buckets)
     plus the expanded matches. NULL join keys follow SQL semantics: never
     equal (inner/semi drop them; left/anti keep the left row unmatched;
-    full keeps null-key rows of BOTH sides unmatched)."""
+    full keeps null-key rows of BOTH sides unmatched).
+
+    FULL-outer key semantics are SQL ``SELECT l.k``: right-only rows 
+    carry NULL in the (left-named) key column, exactly like the oracle.
+    To RETAIN unmatched right keys, use differently-named keys and list
+    ``right_key`` in ``right_cols`` — with a shared key name the right
+    key of an unmatched row is not representable in this layout.
+    """
     if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"how must be inner|left|semi|anti|full, got {how!r}")
     r_payload = right_cols if right_cols is not None else [
@@ -550,6 +582,8 @@ def hash_join(
     rt = right.map_batches(lambda b: pad(b, 0), batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({n: pa.nulls(0, type=schema_types[n]) for n in out_names})
         side = g.column("_side").to_numpy(zero_copy_only=False)
         lg = g.filter(pa.array(side == 1))
         rg = g.filter(pa.array(side == 0))
@@ -675,6 +709,11 @@ def window_agg(
         t = _ts_i64(b.column(ts_col))
         if nwin == 1:
             w = (t // every_us) * every_us
+            if size_us < every_us:
+                # hopping sample: only rows inside [w, w + size) belong
+                keep = (t - w) < size_us
+                b = b.filter(pa.array(keep))
+                w = w[keep]
             return b.append_column("w_us", pa.array(w, type=pa.int64()))
         # windows k*every covering t: k_max = t//every, back nwin-1 steps,
         # keep those with k*every > t - size
@@ -715,15 +754,24 @@ def session_windows(
     boundaries are deterministic (and SQL-oracle-checkable)."""
 
     def bucket(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
         cols = pa.table({
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
             "_tie": b.column(order_tie_col),
         })
-        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return cols.append_column("_b", pa.array(_bucket_ids(b.column(key_col), n_buckets)))
+
+    kt = ds.schema().base_schema.field(key_col).type
 
     def sessionize(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], kt),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+            })
         k = g.column(key_col).to_numpy(zero_copy_only=False)
         t = g.column("_ts").to_numpy(zero_copy_only=False)
         tie = g.column("_tie").to_numpy(zero_copy_only=False)
@@ -785,7 +833,6 @@ def cumulative_window(
     bucket — no per-key Python."""
 
     def bucket(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
         cols = pa.table({
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
@@ -802,7 +849,7 @@ def cumulative_window(
                 )
             ),
         })
-        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return cols.append_column("_b", pa.array(_bucket_ids(b.column(key_col), n_buckets)))
 
     def accumulate(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -885,7 +932,6 @@ def rolling_window(
     k_rows = int(window_rows)
 
     def bucket(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
         cols = pa.table({
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
@@ -899,7 +945,7 @@ def rolling_window(
                 )
             ),
         })
-        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return cols.append_column("_b", pa.array(_bucket_ids(b.column(key_col), n_buckets)))
 
     def accumulate(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -980,7 +1026,6 @@ def rolling_time_window(
     r_us = int(range_us)
 
     def bucket(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
         cols = pa.table({
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
@@ -994,7 +1039,7 @@ def rolling_time_window(
                 )
             ),
         })
-        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return cols.append_column("_b", pa.array(_bucket_ids(b.column(key_col), n_buckets)))
 
     def accumulate(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -1080,13 +1125,12 @@ def lag_gap_window(
     integer µs end-to-end, so the oracle compare is exact."""
 
     def bucket(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
         cols = pa.table({
             key_col: b.column(key_col),
             "_ts": pa.array(_ts_i64(b.column(ts_col)), type=pa.int64()),
             "_tie": b.column(order_tie_col),
         })
-        return cols.append_column("_b", pa.array((k % n_buckets).astype(np.int32)))
+        return cols.append_column("_b", pa.array(_bucket_ids(b.column(key_col), n_buckets)))
 
     def gaps(g: pa.Table) -> pa.Table:
         empty = pa.table({

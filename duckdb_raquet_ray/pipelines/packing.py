@@ -169,6 +169,15 @@ def packed_window_stats(
     items = rd.from_items(plan, override_num_blocks=max(len(plan), 1))
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            # empty groupby partitions emit 0-col blocks; pin the schema
+            return pa.table(
+                {
+                    "window_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "checksum": pa.array([], pa.int64()),
+                }
+            )
         # Arrow out (see stages/stats.py._combine_and_finalize)
         df = group.select(["window_id", "n_tokens", "checksum"]).to_pandas()
         g = df.groupby("window_id", sort=True).sum()

@@ -11,7 +11,7 @@ reference leans on the same store semantics for its GCS path
 
 `publish_table` / `publish_bytes` route every output through this module:
 
-  LocalFileSystem         -> write `<path>.tmp-<pid>`, fsync-free rename
+  LocalFileSystem         -> write `<path>.tmp-<pid>-<uuid>`, fsync-free rename
   any other pyarrow fs    -> direct `open_output_stream` (atomic-on-close
                              by store semantics; aborted uploads never
                              become visible objects)
@@ -31,6 +31,7 @@ end-to-end (tests/test_fsio.py).
 from __future__ import annotations
 
 import os
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -55,7 +56,11 @@ def publish_bytes(data: bytes, path: str, filesystem: pafs.FileSystem | None = N
     """Write `data` so the object at `path` is absent-or-complete."""
     fsys, p = (filesystem, path) if filesystem is not None else resolve(path)
     if _is_local(fsys):
-        tmp = p + f".tmp-{os.getpid()}"
+        # pid alone collides across NODES (containerized workers commonly
+        # share pid numbers on a shared filesystem) — a uuid component keeps
+        # two retried writers of the same partition from interleaving one
+        # tmp file and renaming corrupt bytes into place
+        tmp = p + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)
@@ -73,7 +78,11 @@ def publish_table(
     """Write a Parquet file so the object at `path` is absent-or-complete."""
     fsys, p = (filesystem, path) if filesystem is not None else resolve(path)
     if _is_local(fsys):
-        tmp = p + f".tmp-{os.getpid()}"
+        # pid alone collides across NODES (containerized workers commonly
+        # share pid numbers on a shared filesystem) — a uuid component keeps
+        # two retried writers of the same partition from interleaving one
+        # tmp file and renaming corrupt bytes into place
+        tmp = p + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         pq.write_table(table, tmp, **write_kwargs)
         os.replace(tmp, p)
         return

@@ -37,7 +37,8 @@ JOB_JSON = "job.json"
 FORMAT_VERSION = "0.1.0"
 
 KNOWN_CODECS = {
-    "for_bitpack", "for_bss", "for_rows", "rle", "dict", "plain", "general", "fsst", "list",
+    "for_bitpack", "for_bss", "for_rows", "rle", "dict", "plain", "general",
+    "fsst", "list", "delta_bitpack",
 }
 
 REQUIRED_ENTRY_FIELDS = (

@@ -357,3 +357,99 @@ class TestHashJoinCollision:
         r = rd.from_arrow(pa.table({"rk": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())}))
         with pytest.raises(ValueError, match="collide"):
             joins.hash_join(l, r, left_key="k", right_key="rk", right_cols=["v"])
+
+
+class TestJoinsStateReviewFixes:
+    """Round-4 final-session review fixes: delta_bitpack in KNOWN_CODECS,
+    hopping window_agg span, string/nullable keys through the window
+    bucket fns, broadcast/as-of payload collision guards, RangeJoiner
+    how validation, empty-group guards."""
+
+    def test_delta_bitpack_manifest_validates(self):
+        from duckdb_raquet_ray.state import manifest as mf
+
+        entry = {
+            "partition_id": 0,
+            "input_shard": "s0",
+            "n_rows": 4,
+            "codecs": {"tokens": {"codec": "list<delta_bitpack>"}},
+            "row_range": [0, 4],
+            "checksum": 1,
+            "fsst_symbol_table_hash": "",
+        }
+        res = mf.validate_entries([entry])
+        assert not [e for e in res["errors"] if "unknown codec" in e], res
+
+    def test_window_agg_hopping_span(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins
+
+        # every=10s, size=5s: t=7s lies OUTSIDE window [0, 5s)
+        t = pa.table(
+            {
+                "ts": pa.array([1_000_000, 7_000_000, 11_000_000], pa.int64()),
+                "v": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        out = joins.window_agg(
+            rd.from_arrow(t), "ts", every_us=10_000_000, value_col="v",
+            size_us=5_000_000,
+        ).to_pandas().set_index("w_us")
+        assert out.loc[0, "count()"] == 1  # only t=1s
+        assert out.loc[10_000_000, "count()"] == 1  # only t=11s
+        assert 7_000_000 not in out.index
+
+    def test_session_windows_string_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins
+
+        t = pa.table(
+            {
+                "user": pa.array(["alice", "alice", "bob"]),
+                "ts": pa.array([0, 1_000_000, 5_000_000], pa.int64()),
+                "eid": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        out = joins.session_windows(
+            rd.from_arrow(t), key_col="user", ts_col="ts",
+            order_tie_col="eid", gap_us=2_000_000,
+        ).to_pandas()
+        got = {(r.user, r.session_id): r.n_events for r in out.itertuples()}
+        assert got == {("alice", 1): 2, ("bob", 1): 1}
+
+    def test_broadcast_join_payload_collision_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import joins
+
+        left = pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "v": pa.array([1, 2], pa.int64())}
+        )
+        small = pa.table(
+            {"k": pa.array([1], pa.int64()), "v": pa.array([9], pa.int64())}
+        )
+        with _pytest.raises(Exception, match="already"):
+            joins.broadcast_join(
+                rd.from_arrow(left), small, left_key="k", right_key="k"
+            ).materialize()
+
+    def test_range_joiner_bad_how_raises(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.pipelines import joins
+
+        iv = pa.table(
+            {
+                "lo": pa.array([0], pa.int64()),
+                "hi": pa.array([10], pa.int64()),
+            }
+        )
+        with _pytest.raises(ValueError, match="inner|left"):
+            joins.RangeJoiner(iv, left_val="x", lo_col="lo", hi_col="hi", how="outer")
