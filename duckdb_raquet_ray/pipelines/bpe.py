@@ -62,14 +62,14 @@ def _doc_bytes(batch: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
 
 def _apply_one(
     flat: np.ndarray, doc_of: np.ndarray, lens: np.ndarray, a: int, b: int, t: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Apply one merge (a,b)->t greedily left-to-right over the flat token
-    stream (doc boundaries never pair). -> (flat, doc_of, lens, kept_pos)."""
+    stream (doc boundaries never pair). -> (flat, doc_of, lens)."""
     if len(flat) < 2:
-        return flat, doc_of, lens, None
+        return flat, doc_of, lens
     mask = (flat[:-1] == a) & (flat[1:] == b) & (doc_of[1:] == doc_of[:-1])
     if not mask.any():
-        return flat, doc_of, lens, None
+        return flat, doc_of, lens
     idx = np.flatnonzero(mask)
     # runs of CONSECUTIVE matches overlap (share a token): greedy keeps
     # every other one starting at the run head
@@ -82,7 +82,7 @@ def _apply_one(
     delete = np.zeros(len(flat), bool)
     delete[p + 1] = True
     lens = lens - np.bincount(doc_of[p], minlength=len(lens))
-    return flat[~delete], doc_of[~delete], lens, p
+    return flat[~delete], doc_of[~delete], lens
 
 
 def apply_merges(
@@ -92,7 +92,7 @@ def apply_merges(
     doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     flat = flat.astype(np.int32, copy=True)
     for a, b, t in merges:
-        flat, doc_of, lens, _ = _apply_one(
+        flat, doc_of, lens = _apply_one(
             flat, doc_of, lens, int(a), int(b), int(t)
         )
     return lens, flat
@@ -149,7 +149,7 @@ def bpe_train(
         a, b = best // int(K), best % int(K)
         t = 256 + r
         merges.append((a, b, t))
-        flat, doc_of, lens, _ = _apply_one(flat, doc_of, lens, a, b, t)
+        flat, doc_of, lens = _apply_one(flat, doc_of, lens, a, b, t)
     return np.array(merges, np.int32).reshape(-1, 3)
 
 

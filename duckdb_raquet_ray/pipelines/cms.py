@@ -156,7 +156,7 @@ def cms_registers(
         return _sum_by_key(g, "cell", "cnt")
 
     return (
-        ds.map_batches(parts, batch_format="pyarrow", batch_size=16384)
+        util.clean_dataset(ds).map_batches(parts, batch_format="pyarrow", batch_size=16384)
         .groupby("_b")
         .map_groups(reduce_bucket, batch_format="pyarrow")
     )
@@ -266,7 +266,7 @@ def cms_heavy_hitters(
         # same large-batch rule: candidate rows per batch saturate at the
         # sketch-pruned candidate count, so bigger batches shrink the
         # verify shuffle too
-        ds.map_batches(cand_bucketed, batch_format="pyarrow", batch_size=16384)
+        util.clean_dataset(ds).map_batches(cand_bucketed, batch_format="pyarrow", batch_size=16384)
         .groupby("_b")
         .map_groups(verify_bucket, batch_format="pyarrow")
     )

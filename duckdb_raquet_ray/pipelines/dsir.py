@@ -141,7 +141,7 @@ def dsir_score(
     if concurrency is None:
         concurrency = (1, util.default_concurrency())
     w_ref = ray.put(np.asarray(weights, np.int64))
-    return ds.map_batches(
+    return util.clean_dataset(ds).map_batches(
         _DsirScorer,
         fn_constructor_kwargs=dict(w_ref=w_ref, text_col=text_col, key_col=key_col),
         batch_format="pyarrow",

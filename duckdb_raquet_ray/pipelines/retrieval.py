@@ -19,7 +19,12 @@ corpus words, N = docs. Every per-(doc, term) score is ONE double
 expression over exact-integer operands, evaluated in the same
 association order on both sides — bit-identical by IEEE determinism —
 then SUMMED as int64 (order-free). Word split = the corpus-wide
-convention (lowercase, whitespace split, empties dropped).
+convention (lowercase, whitespace split, empties dropped). Split-parity
+caveat (shared by every text oracle in this repo): the engine splits on
+Python's full whitespace set while the SQL twins split on
+[ \t\n\r\x0b\x0c] — texts containing exotic separators (\x1c-\x1f,
+\x85, \xa0, Unicode spaces) tokenize differently on the two sides.
+ASCII corpora with standard whitespace (every fixture here) are exact.
 
 Scale shape: ONE tokenize pass materializes a skinny per-doc stats
 dataset (doc key, dl, one tf column per query term — ~8(m+2) B/doc);
@@ -98,6 +103,24 @@ def bm25_topk(
     # Dataset.sum returns None on an empty dataset
     big_l = int(sums["sum(dl)"] or 0) if sums else 0
     n_docs = stats.count()
+    if big_l == 0 or n_docs == 0:
+        # guard BEFORE the df fold: the fold's Dataset.sum also returns
+        # None on an empty corpus and would TypeError below. An empty
+        # materialized dataset can be schemaless -> fall back to the input
+        try:
+            key_type = stats.schema().base_schema.field(key_col).type
+        except Exception:
+            try:
+                key_type = ds.schema().base_schema.field(key_col).type
+            except Exception:
+                key_type = pa.int64()
+        return pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "score_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
 
     def df_partial(b: pa.Table) -> pa.Table:
         cols = {}
@@ -112,16 +135,6 @@ def bm25_topk(
     if m == 1:  # Dataset.sum over ONE column returns the bare scalar
         dfs_fold = {"sum(df0)": dfs_fold}
     dfs = np.array([int(dfs_fold[f"sum(df{i})"] or 0) for i in range(m)], np.float64)
-
-    if big_l == 0 or n_docs == 0:
-        key_type = stats.schema().base_schema.field(key_col).type
-        return pa.table(
-            {
-                key_col: pa.array([], key_type),
-                "score_micro": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-            }
-        )
 
     nd = float(n_docs)
     ll = float(big_l)
@@ -248,6 +261,17 @@ def build_text_index(
     import json as _json
     import os as _os
 
+    import pyarrow.types as _patypes
+
+    kt = ds.schema().base_schema.field(key_col).type
+    if not (_patypes.is_integer(kt)):
+        # the query paths fold postings through int64 numpy (np.concatenate
+        # + astype) and type their empty results int64 — enforce the
+        # contract at BUILD time instead of crashing at query time
+        raise ValueError(
+            f"{key_col} must be an integer column for the persisted index "
+            f"(got {kt}); map string keys to ids first"
+        )
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -404,9 +428,7 @@ def bm25_topk_indexed(
         idx = np.lexsort((kk, -sc))[:take] if take else np.array([], dtype=int)
         return pa.table({key_col: pa.array(kk[idx]), "score_micro": pa.array(sc[idx])})
 
-    import os as _os2
-
-    dls = rd.read_parquet(_os2.path.join(index_dir, "doclens"))
+    dls = rd.read_parquet(_os.path.join(index_dir, "doclens"))
     cands = pa.Table.from_pylist(
         dls.map_batches(score, batch_format="pyarrow", batch_size=65536).take_all()
     )
@@ -657,6 +679,17 @@ def build_positional_index(
     bound). A phrase query opens only its terms' buckets."""
     import os as _os
 
+    import pyarrow.types as _patypes
+
+    kt = ds.schema().base_schema.field(key_col).type
+    if not (_patypes.is_integer(kt)):
+        # the query paths fold postings through int64 numpy (np.concatenate
+        # + astype) and type their empty results int64 — enforce the
+        # contract at BUILD time instead of crashing at query time
+        raise ValueError(
+            f"{key_col} must be an integer column for the persisted index "
+            f"(got {kt}); map string keys to ids first"
+        )
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -807,7 +840,13 @@ def bm25_multi(
         raise ValueError("queries must be a non-empty dict of non-empty term lists")
     all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
     t_idx = {t: i for i, t in enumerate(all_terms)}
-    q_terms = {q: [t_idx[t.lower()] for t in ts] for q, ts in queries.items()}
+    # dict.fromkeys: collapse duplicate (and case-duplicate) terms within a
+    # query — bm25_topk and the IN-list SQL oracle count a term ONCE; the
+    # raw list would double-add its score
+    q_terms = {
+        q: list(dict.fromkeys(t_idx[t.lower()] for t in ts))
+        for q, ts in queries.items()
+    }
 
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
     stats = _term_stats(ds, all_terms, text_col, key_col).materialize()

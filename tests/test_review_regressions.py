@@ -453,3 +453,53 @@ class TestJoinsStateReviewFixes:
         )
         with _pytest.raises(ValueError, match="inner|left"):
             joins.RangeJoiner(iv, left_val="x", lo_col="lo", hi_col="hi", how="outer")
+
+
+class TestRetrievalReviewFixes:
+    def test_bm25_topk_empty_corpus_multi_term(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        out = retrieval.bm25_topk(rd.from_arrow(empty), ["alpha", "beta"])
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "score_micro", "rank"]
+
+    def test_bm25_multi_duplicate_terms_single_count(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["apple pie and apple cake", "banana bread"]),
+            }
+        )
+        once = retrieval.bm25_multi(rd.from_arrow(t), {"q": ["apple"]})
+        twice = retrieval.bm25_multi(
+            rd.from_arrow(t), {"q": ["apple", "apple", "Apple"]}
+        )
+        assert once.column("score_micro").to_pylist() == twice.column(
+            "score_micro"
+        ).to_pylist()
+
+    def test_index_build_rejects_string_keys(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import retrieval
+
+        t = pa.table(
+            {"doc_id": pa.array(["a", "b"]), "text": pa.array(["x y", "y z"])}
+        )
+        with _pytest.raises(ValueError, match="integer"):
+            retrieval.build_text_index(rd.from_arrow(t), str(tmp_path / "ti"))
+        with _pytest.raises(ValueError, match="integer"):
+            retrieval.build_positional_index(rd.from_arrow(t), str(tmp_path / "pi"))
