@@ -235,8 +235,12 @@ def _blocklist_pattern(blocked: list[str]) -> str:
 
     if not blocked:
         raise ValueError("empty blocklist")
-    alts = "|".join(_re.escape(d) for d in sorted(blocked))
-    return rf"https?://([A-Za-z0-9.-]+\.)?({alts})([^A-Za-z0-9.-]|$)"
+    # (?i): schemes and hostnames are case-insensitive in practice —
+    # without it 'https://EVIL.com' bypasses a lowercase blocklist. RE2
+    # supports the inline flag identically in pyarrow and DuckDB, so the
+    # SQL twin stays pattern-identical.
+    alts = "|".join(_re.escape(d.lower()) for d in sorted(blocked))
+    return rf"(?i)https?://([A-Za-z0-9.-]+\.)?({alts})([^A-Za-z0-9.-]|$)"
 
 
 def url_blocklist_filter(

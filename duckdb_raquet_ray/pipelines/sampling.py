@@ -42,6 +42,19 @@ def rate_thresholds(rates: dict[str, float]) -> dict[str, int]:
     return out
 
 
+def _seeded_key_hash(kcol, seed: int) -> np.ndarray:
+    """uint64 seeded hash of a key COLUMN. Non-string keys hash via their
+    decimal text — pure, and exactly the SQL twins' key::VARCHAR under
+    the byte-hash CTE (the source_mixture_sample rule, shared so every
+    sampler accepts integer keys instead of crashing in string_hash64)."""
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    if not (pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type)):
+        kcol = pa.compute.cast(kcol, pa.string())
+    keys = kcol.to_numpy(zero_copy_only=False)
+    return detmix.seeded_mix(detmix.string_hash64(keys), seed)
+
+
 def source_mixture_sample(
     ds: rd.Dataset,
     rates: dict[str, float],
@@ -58,21 +71,13 @@ def source_mixture_sample(
     seed = int(seed)
 
     def keep_batch(t: pa.Table) -> pa.Table:
-        kcol = t.column(key_col)
-        if not (
-            pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type)
-        ):
-            # integer keys hash via their decimal text — pure, and exactly
-            # the SQL twin's key::VARCHAR under the byte-hash CTE
-            kcol = pa.compute.cast(kcol, pa.string())
-        keys = kcol.to_numpy(zero_copy_only=False)
-        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        u = _seeded_key_hash(t.column(key_col), seed)
         # dictionary-encode the (low-cardinality) source column, resolve
         # thresholds per UNIQUE source, then gather per row — no per-row
         # Python. A threshold of 2^64 (rate 1.0) overflows uint64, so
         # full-keep sources get a flag and the rest compare in uint64.
         enc = pa.compute.dictionary_encode(
-            t.column(source_col).combine_chunks()
+            pa.compute.fill_null(t.column(source_col).combine_chunks(), "")
         )
         uniq = enc.dictionary.to_pylist()
         vals = [thr.get(s, default_thr) for s in uniq] + [default_thr]
@@ -113,7 +118,9 @@ def uniform_sample(
         if len(keys) and keys.min() < 0:
             raise ValueError("uniform_sample requires non-negative keys")
         u = detmix.seeded_mix(detmix.splitmix64(keys.astype(np.uint64)), seed)
-        order = np.lexsort((keys, u))[:kk]
+        # cut by the GLOBAL rule (_u = u >> 1, then key): ordering by the
+        # full-width u here could keep the wrong row of a (u >> 1) tie
+        order = np.lexsort((keys, u >> np.uint64(1)))[:kk]
         take = np.sort(order)
         sub = t.take(pa.array(take))
         return sub.append_column(
@@ -189,8 +196,7 @@ def epoch_order(
     seed = int(seed)
 
     def add_rank(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        u = _seeded_key_hash(t.column(key_col), seed)
         return t.append_column(
             "epoch_rank", pa.array((u >> np.uint64(1)).astype(np.int64))
         )
@@ -225,9 +231,15 @@ def stratified_sample(
     nb = n_buckets if n_buckets is not None else util.scaled_buckets(ds)
 
     def partials(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        # keys flow through as STRINGS (int keys -> decimal text, the same
+        # coercion their hash uses); tie-order on u collisions is over the
+        # decimal text, stated and ~impossible at uint64 width
+        keys = (
+            pa.compute.cast(t.column(key_col), pa.string())
+            .to_numpy(zero_copy_only=False)
+        )
         grp = t.column(group_col).to_numpy(zero_copy_only=False)
-        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+        u = _seeded_key_hash(t.column(key_col), seed)
         df = pd.DataFrame({"g": grp, "k": keys, "u": u})
         df = df.sort_values(["u", "k"]).groupby("g", sort=False).head(k)
         b = (
@@ -298,7 +310,7 @@ def mixture_oracle_sql(
     default_case = "TRUE" if default_thr >= U64 else f"mx.u < {default_thr}::UBIGINT"
     return f"""{_mix_ctes(table, key_col, seed)}
 SELECT d.* FROM {table} d JOIN mx ON mx.k = d.{key_col}
-WHERE CASE d.{source_col} {cases} ELSE {default_case} END"""
+WHERE CASE coalesce(d.{source_col}, '') {cases} ELSE {default_case} END"""
 
 
 def epoch_order_oracle_sql(
@@ -510,10 +522,11 @@ def _tb_hist_partial(
     level 0 (full range, every source). Integer-exact sums (np.add.at on
     int64, never float bincount weights — token totals at corpus scale
     exceed float64's exact-integer range)."""
-    keys = t.column(key_col).to_numpy(zero_copy_only=False)
-    u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+    u = _seeded_key_hash(t.column(key_col), seed)
     ntok = t.column(ntok_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    enc = pa.compute.dictionary_encode(t.column(source_col).combine_chunks())
+    enc = pa.compute.dictionary_encode(
+        pa.compute.fill_null(t.column(source_col).combine_chunks(), "")
+    )
     uniq = enc.dictionary.to_pylist()
     codes = enc.indices.to_numpy(zero_copy_only=False)
     out_s: list[str] = []
@@ -668,12 +681,12 @@ def token_budget_sample(
 
         def collect(t: pa.Table) -> pa.Table:
             keys = t.column(key_col).to_numpy(zero_copy_only=False)
-            u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
+            u = _seeded_key_hash(t.column(key_col), seed)
             ntok = (
                 t.column(ntok_col).to_numpy(zero_copy_only=False).astype(np.int64)
             )
             enc = pa.compute.dictionary_encode(
-                t.column(source_col).combine_chunks()
+                pa.compute.fill_null(t.column(source_col).combine_chunks(), "")
             )
             uniq = enc.dictionary.to_pylist()
             codes = enc.indices.to_numpy(zero_copy_only=False)
@@ -717,8 +730,10 @@ def token_budget_sample(
 
     def keep_batch(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        u = detmix.seeded_mix(detmix.string_hash64(keys), seed)
-        enc = pa.compute.dictionary_encode(t.column(source_col).combine_chunks())
+        u = _seeded_key_hash(t.column(key_col), seed)
+        enc = pa.compute.dictionary_encode(
+            pa.compute.fill_null(t.column(source_col).combine_chunks(), "")
+        )
         uniq = enc.dictionary.to_pylist()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         keep = np.zeros(len(t), bool)
@@ -768,12 +783,12 @@ def token_budget_oracle_sql(
 c AS (
   SELECT d.{key_col}, d.{source_col}, d.{ntok_col},
          sum(d.{ntok_col}) OVER (
-           PARTITION BY d.{source_col} ORDER BY mx.u, d.{key_col}
+           PARTITION BY coalesce(d.{source_col}, '') ORDER BY mx.u, d.{key_col}
          ) AS cum
   FROM {table} d JOIN mx ON mx.k = d.{key_col}
 )
 SELECT c.{key_col}, c.{source_col}, c.{ntok_col}::BIGINT AS {ntok_col} FROM c
-WHERE CASE c.{source_col} {cases} ELSE {default_case} END"""
+WHERE CASE coalesce(c.{source_col}, '') {cases} ELSE {default_case} END"""
 
 
 # ---------------------------------------------------------------------------

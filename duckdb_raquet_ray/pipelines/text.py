@@ -58,10 +58,11 @@ class TextAnalyzer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # counter columns come from the SAME standalone stage functions the
-        # SQL oracles check — one implementation, no drift
-        out = token_count_batch(batch, self.text_col)
-        out = quality_metrics_batch(out, self.text_col)
+        # SQL oracles check — one implementation, no drift; the text
+        # column converts to pandas ONCE and is shared across all passes
         s = batch.column(self.text_col).to_pandas().fillna("")
+        out = token_count_batch(batch, self.text_col, _s=s)
+        out = quality_metrics_batch(out, self.text_col, _s=s)
         bpe_tokens = s.str.count(self.bpe)
         langs, stop_ratio = self._langid(s)
         fp = fingerprint_series(s)
@@ -153,17 +154,23 @@ def winnow_long_batch(
     return pa.table({"doc_id": doc_ids, "fp": pa.array(flat.astype(np.int64))})
 
 
-def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count only (the cheap, oracle-checkable subset)."""
+def token_count_batch(
+    batch: pa.Table, text_col: str = "text", _s: "pd.Series | None" = None
+) -> pa.Table:
+    """Whitespace token count only (the cheap, oracle-checkable subset).
+    `_s`: optional precomputed filled text series (the TextAnalyzer hot
+    path converts the column once and shares it)."""
     batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
-    s = batch.column(text_col).to_pandas().fillna("")
+    s = batch.column(text_col).to_pandas().fillna("") if _s is None else _s
     return batch.append_column("ws_tokens", pa.array(s.str.count(_WS_RE).to_numpy(np.int64)))
 
 
-def quality_metrics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_metrics_batch(
+    batch: pa.Table, text_col: str = "text", _s: "pd.Series | None" = None
+) -> pa.Table:
     """Integer quality counters (chars/punct/digits/uppercase) — exact,
     SQL-replicable components; ratios derive downstream."""
-    s = batch.column(text_col).to_pandas().fillna("")
+    s = batch.column(text_col).to_pandas().fillna("") if _s is None else _s
     out = batch
     for name, rx in (
         ("n_chars_m", None),
@@ -585,6 +592,13 @@ def tokenize_hashed_batch(
         ids = np.array([], np.int32)
     csum = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=csum[1:])
+    if csum[-1] > np.iinfo(np.int32).max:
+        # silent int32 offset wrap would assemble a corrupt ListArray
+        # (the chunk_batch rule): fail loudly, the caller lowers batch_size
+        raise ValueError(
+            f"batch holds {int(csum[-1])} tokens — int32 list offsets "
+            "overflow; lower the stage batch_size"
+        )
     tokens = pa.ListArray.from_arrays(
         pa.array(csum.astype(np.int32), pa.int32()), pa.array(ids, pa.int32())
     )

@@ -189,7 +189,11 @@ def seqlen_quantiles(
     rows — small — so the final cumulative scan runs on the driver;
     percentile semantics match SQL percentile_disc: the value whose
     1-indexed rank is ceil(p * n)."""
-    hist = value_histogram(ds, column, max_len).to_pandas().sort_values("value")
+    hist = value_histogram(ds, column, max_len).to_pandas()
+    if "value" not in hist.columns:
+        # Ray's to_pandas drops the schema when every block is empty
+        return pd.DataFrame([{f"p{int(p * 100)}": 0 for p in ps}])
+    hist = hist.sort_values("value")
     counts = hist["cnt"].to_numpy(np.int64)
     values = hist["value"].to_numpy(np.int64)
     cum = np.cumsum(counts)
@@ -243,6 +247,12 @@ def grouped_topk(
             .astype(np.int64)
         )
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) and (flat.min() < 0 or flat.max() >= vocab_size):
+            # dense pair-id must never wrap (see _grouped_token_count_partials)
+            raise ValueError(
+                f"{tokens_col} outside [0, {vocab_size}): range "
+                f"[{flat.min()}, {flat.max()}] — raise vocab_size"
+            )
         if len(flat) == 0:
             return empty.append_column("_b", pa.array([], pa.int32()))
         gser = t.column(group_col).to_pandas().fillna("")
@@ -388,7 +398,8 @@ def bigram_topk(
         h = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         u, inv = np.unique(h, return_inverse=True)
-        cnt = np.bincount(inv, weights=c).astype(np.int64)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(cnt, inv, c)  # exact int64 (float bincount weights lose bits past 2^53)
         if len(u) > k:
             order = np.lexsort((u, -cnt))[:k]  # cnt desc, key asc
             keep = np.sort(order)
@@ -1634,6 +1645,13 @@ def _grouped_token_count_partials(
         .astype(np.int64)
     )
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) and (flat.min() < 0 or flat.max() >= vocab_size):
+        # the dense pair-id encoding must never wrap: an out-of-range token
+        # would land its count in ANOTHER group's cell silently
+        raise ValueError(
+            f"{tokens_col} outside [0, {vocab_size}): range "
+            f"[{flat.min()}, {flat.max()}] — raise vocab_size"
+        )
     if len(flat) == 0:
         return pa.table(
             {
@@ -1965,7 +1983,8 @@ def grouped_mad_outliers(
             # merge equal deviations (values symmetric around the median);
             # np.unique sorts, so du is deviation-ordered
             du, inv = np.unique(dev2, return_inverse=True)
-            dcu = np.bincount(inv, weights=c).astype(np.int64)
+            dcu = np.zeros(len(du), np.int64)
+            np.add.at(dcu, inv, c)  # exact int64 fold
             mad4 = _median2_from_hist(du, dcu)
             out_g.append(grp[a])
             out_med2.append(med2)

@@ -503,3 +503,110 @@ class TestRetrievalReviewFixes:
             retrieval.build_text_index(rd.from_arrow(t), str(tmp_path / "ti"))
         with _pytest.raises(ValueError, match="integer"):
             retrieval.build_positional_index(rd.from_arrow(t), str(tmp_path / "pi"))
+
+
+class TestSamplingStatsReviewFixes:
+    def test_null_source_rows_budgeted_and_kept(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c"]),
+                "source": pa.array(["web", None, None]),
+                "n_tok": pa.array([5, 5, 5], pa.int64()),
+            }
+        )
+        # default budget None: every row (incl. NULL source) must survive
+        out = sampling.token_budget_sample(
+            rd.from_arrow(t), budgets={"web": 100}
+        ).to_pandas()
+        assert len(out) == 3
+
+    def test_null_source_takes_empty_string_rate(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in range(200)]),
+                "source": pa.array([None] * 200, pa.string()),
+            }
+        )
+        # NULL folds to '': rate 0 under '' must drop everything
+        out = sampling.source_mixture_sample(
+            rd.from_arrow(t), {"": 0.0}, seed=1
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_int_keys_accepted_by_all_samplers(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import sampling
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(50), pa.int64()),
+                "source": pa.array(["a", "b"] * 25),
+                "n_tok": pa.array([3] * 50, pa.int64()),
+            }
+        )
+        assert sampling.epoch_order(rd.from_arrow(t)).count() == 50
+        assert sampling.stratified_sample(rd.from_arrow(t), k=5).count() == 10
+        assert (
+            sampling.token_budget_sample(
+                rd.from_arrow(t), budgets={"a": 9}
+            ).count() > 0
+        )
+
+    def test_seqlen_quantiles_empty_corpus(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        empty = pa.table({"n_tok": pa.array([], pa.int64())})
+        out = stats.seqlen_quantiles(rd.from_arrow(empty))
+        assert (out.iloc[0] == 0).all()
+
+    def test_token_out_of_vocab_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        t = pa.table(
+            {
+                "source": pa.array(["a"]),
+                "tokens": pa.array([[1, 99]], pa.list_(pa.int64())),
+            }
+        )
+        with _pytest.raises(Exception, match="outside"):
+            stats.grouped_token_entropy(
+                rd.from_arrow(t), vocab_size=50
+            ).take_all()
+
+    def test_blocklist_case_insensitive(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import pii
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["see HTTPS://EVIL.com/x now", "https://good.org fine"]
+                ),
+            }
+        )
+        kept = pii.url_blocklist_filter(
+            rd.from_arrow(t), ["evil.com"]
+        ).to_pandas()
+        assert kept["doc_id"].tolist() == [2]
