@@ -76,6 +76,8 @@ def exact_dedup(
     nb = n_buckets or util.scaled_buckets(ds)
 
     def keep_first(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return g  # empty groupby partition: 0-col block, consumer skips it
         df = g.select([text_col, key_col]).to_pandas()
         # dropna=False: null-text rows form their own group and are kept —
         # pandas' default silently DELETED every null-text document
@@ -178,9 +180,16 @@ def minhash_band_rows(
     for r in range(rows_per_band):
         h = (h * prime) ^ sig_b[:, :, r]
     band_hash = (h >> np.uint64(1)).astype(np.int64)  # non-negative
+    kcol = batch.column(key_col)
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    rep_idx = pa.array(np.repeat(np.arange(n_docs, dtype=np.int64), bands))
     return pa.table(
         {
-            key_col: pa.array(np.repeat(np.asarray(keys, dtype=object), bands)),
+            # take() keeps the corpus key TYPE (int32 stays int32; a 0-row
+            # batch keeps a typed empty) — an object-array rebuild would
+            # widen to int64 / null and break the verify engine's union
+            key_col: kcol.take(rep_idx),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs)),
             "band_hash": pa.array(band_hash.reshape(-1)),
         }
@@ -214,6 +223,8 @@ def minhash_candidate_pairs(
     def pairs(g: pa.Table) -> pa.Table:
         # vectorized within the bucket: anchor = min key per LSH cell;
         # every other member pairs with its anchor
+        if g.num_columns == 0 or g.num_rows == 0:
+            return g  # empty groupby partition: 0-col block, consumer skips it
         df = g.to_pandas()
         anchors = df.groupby(["band_id", "band_hash"])[key_col].transform("min")
         mask = (df[key_col] != anchors).to_numpy()
@@ -363,6 +374,8 @@ def _minhash_verified_edges_ds(
     )
 
     def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t  # empty candidate-bucket block passes through harmlessly
         keep = pc.not_equal(t.column("a"), t.column("b"))
         return t.filter(keep)
 
@@ -494,6 +507,8 @@ def _minhash_verified_edges_ds(
         """One verify bucket: exact n-gram Jaccard of its pairs against its
         (bucket-local) text slice; shingle sets memoized per bucket since
         LSH pairs share anchors."""
+        if g.num_columns == 0 or g.num_rows == 0:
+            return _empty_verify_table(kt)
         kinds = np.asarray(g.column("kind"))
         trows = g.filter(pa.array(kinds == 1))
         prows = g.filter(pa.array(kinds == 0))
@@ -651,16 +666,7 @@ def minhash_dedup(
     edges = _minhash_verified_pairs(
         ds, text_col, key_col, threshold, num_perm, bands, shingle_k
     )
-    drop_keys = sorted({b for _, b in edges})
-    if not drop_keys:
-        return ds
-    drop_ref = ray.put(pa.array(drop_keys))
-
-    def filter_batch(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        return t.filter(pc.invert(pc.is_in(t.column(key_col), d)))
-
-    return ds.map_batches(filter_batch, batch_format="pyarrow")
+    return _drop_edge_b(ds, edges, key_col)
 
 
 # ---------------------------------------------------------------------------
@@ -1449,6 +1455,8 @@ def simhash_dedup(
         return t.append_column("_b", pa.array(bucket))
 
     def keep_first(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return g  # empty groupby partition: 0-col block, consumer skips it
         df = g.select(["simhash", key_col]).to_pandas()
         idx = df.groupby("simhash", sort=True)[key_col].idxmin()
         keep = np.sort(idx.to_numpy())
@@ -1523,6 +1531,8 @@ def embedding_dedup(
     def dedup_shuffle_bucket(part: pa.Table) -> pa.Table:
         # one coarse shuffle bucket may hold many LSH cells; dedup each
         # cell independently (identical semantics to per-cell map_groups)
+        if part.num_columns == 0 or part.num_rows == 0:
+            return part  # empty groupby partition: 0-col block
         df = pd.DataFrame(
             {
                 "_bucket": part.column("_bucket").to_pandas(),
@@ -1909,7 +1919,8 @@ def _int8_drop_keys(g: pa.Table, key_col: str, pct: int) -> pa.Table:
     dropped because some SMALLER key in the group passes the exact
     rational cosine test (dot > 0 AND dot^2 * 10^4 >= pct^2 * |a|^2|b|^2)
     — order-independent, so partitioning cannot change the result.
-    Integer bound: dim <= ~2000 keeps dot^2 * 10^4 inside int64."""
+    Integer bound: dim <= 1880 keeps dot^2 * 10^4 inside int64
+    (127^4 * dim^2 * 10^4 < 2^63); larger dims raise loudly below."""
     if g.num_columns == 0:
         return g  # empty groupby partition: 0-col block, consumer skips it
     k = g.column(key_col).to_numpy(zero_copy_only=False)
@@ -1925,6 +1936,11 @@ def _int8_drop_keys(g: pa.Table, key_col: str, pct: int) -> pa.Table:
         q_col.flatten().to_numpy(zero_copy_only=False)
         .astype(np.int64).reshape(len(g), -1)[order]
     )
+    if Q.shape[1] > 1880:
+        raise ValueError(
+            f"dim {Q.shape[1]} > 1880: dot^2 * 10^4 would overflow int64 "
+            "and silently diverge from the HUGEINT SQL oracle"
+        )
     G = Q @ Q.T
     ok = (G > 0) & (G * G * 10000 >= pct * pct * np.outer(n2, n2))
     ok &= np.tri(len(k), k=-1, dtype=bool).T  # strictly upper: i < j
@@ -2316,9 +2332,16 @@ def build_content_index(
         )
 
     os.makedirs(index_dir, exist_ok=True)
+    pre = set(glob.glob(os.path.join(index_dir, "hb=*", "*.parquet")))
     hds = util.clean_dataset(ds).map_batches(hashes, batch_format="pyarrow")
     hds.write_parquet(index_dir, partition_cols=["hb"])
-    return ds.count()
+    # indexed row count from the footers written THIS call (pre/post set
+    # diff) — a ds.count() would re-execute the whole input pipeline, and
+    # counting every file would over-count a dir holding a prior build
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in set(glob.glob(os.path.join(index_dir, "hb=*", "*.parquet"))) - pre
+    )
 
 
 def incremental_exact_dedup(
@@ -2472,6 +2495,7 @@ def build_minhash_index(
     Duplicate index rows are harmless (membership semantics), which
     makes `update_index` appends idempotent under kill/retry."""
     os.makedirs(index_dir, exist_ok=True)
+    pre = set(glob.glob(os.path.join(index_dir, "hb=*", "*.parquet")))
     cells = util.clean_dataset(ds).map_batches(
         functools.partial(
             _band_index_rows, text_col=text_col, key_col=key_col,
@@ -2480,11 +2504,12 @@ def build_minhash_index(
         batch_format="pyarrow", batch_size=4096,
     )
     cells.write_parquet(index_dir, partition_cols=["hb"])
-    # indexed DOC count from the written footers (cells = docs x bands) —
-    # a ds.count() here would re-execute the whole input pipeline
+    # indexed DOC count from the footers written THIS call (pre/post set
+    # diff; cells = docs x bands) — ds.count() would re-execute the input
+    # pipeline, and counting every file over-counts a pre-populated dir
     total_cells = sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(index_dir, "hb=*", "*.parquet"))
+        for f in set(glob.glob(os.path.join(index_dir, "hb=*", "*.parquet"))) - pre
     )
     return total_cells // bands
 
@@ -2863,24 +2888,25 @@ def corpus_diff(
         util.scaled_buckets(ds_old), util.scaled_buckets(ds_new)
     )
 
+    kt = ds_new.schema().base_schema.field(key_col).type
+
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
             b = util.strip_schema_metadata(b)
             h = _dual_hash(b, text_col)
-            k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            kcol = b.column(key_col)
             return pa.table(
                 {
-                    key_col: pa.array(k),
+                    key_col: kcol,
                     "_h1": pa.array(h[:, 0].view(np.int64)),
                     "_h2": pa.array(h[:, 1].view(np.int64)),
                     "_side": pa.array(
-                        np.full(len(k), side, np.int8), pa.int8()
+                        np.full(b.num_rows, side, np.int8), pa.int8()
                     ),
-                    "_b": pa.array(
-                        (detmix.splitmix64(k.view(np.uint64)) % np.uint64(nb)).astype(
-                            np.int32
-                        )
-                    ),
+                    # _verify_buckets: string/int generic (int keys hash
+                    # their decimal text) — corpus_diff supports string
+                    # doc ids like the rest of the module
+                    "_b": pa.array(_verify_buckets(kcol, nb)),
                 }
             )
 
@@ -2892,7 +2918,7 @@ def corpus_diff(
 
     def classify(g: pa.Table) -> pa.Table:
         empty = pa.table(
-            {key_col: pa.array([], pa.int64()), "status": pa.array([], pa.string())}
+            {key_col: pa.array([], kt), "status": pa.array([], pa.string())}
         )
         if g.num_rows == 0:
             return empty
@@ -2926,7 +2952,7 @@ def corpus_diff(
         status[pair & same] = "unchanged"
         status[pair & ~same] = "changed"
         return pa.table(
-            {key_col: pa.array(keys), "status": pa.array(status, pa.string())}
+            {key_col: pa.array(keys, type=kt), "status": pa.array(status, pa.string())}
         )
 
     return both.groupby("_b").map_groups(classify, batch_format="pyarrow")

@@ -84,7 +84,17 @@ class ImageDecoder:
 
     def _decode_payload(self, data: bytes, width: int, height: int) -> np.ndarray:
         if imagecodec.sniff(data) is not None:
-            flat = imagecodec.decode(data).reshape(-1).astype(np.float64)
+            try:
+                flat = imagecodec.decode(data).reshape(-1).astype(np.float64)
+            except NotImplementedError:
+                # sniffed but undecodable on this host (lossy VP8 without
+                # system libwebp): honor the fake contract, else re-raise
+                if not self.fake:
+                    raise
+                h = _stable_bytes_hash(data)
+                return (
+                    np.resize(h, self.feature_dim).astype(np.float32) / 255.0
+                )
             d = self.feature_dim
             ids = (np.arange(len(flat)) * d) // max(len(flat), 1)
             sums = np.bincount(ids, weights=flat, minlength=d)

@@ -610,3 +610,95 @@ class TestSamplingStatsReviewFixes:
             rd.from_arrow(t), ["evil.com"]
         ).to_pandas()
         assert kept["doc_id"].tolist() == [2]
+
+
+class TestDedupMultimodalReviewFixes:
+    def test_corpus_diff_string_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import dedup
+
+        old = pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c"]),
+                "text": pa.array(["one", "two", "three"]),
+            }
+        )
+        new = pa.table(
+            {
+                "doc_id": pa.array(["b", "c", "d"]),
+                "text": pa.array(["two", "CHANGED", "four"]),
+            }
+        )
+        out = {
+            r["doc_id"]: r["status"]
+            for r in dedup.corpus_diff(
+                rd.from_arrow(old), rd.from_arrow(new)
+            ).take_all()
+        }
+        assert out == {
+            "a": "removed", "b": "unchanged", "c": "changed", "d": "added",
+        }
+
+    def test_band_rows_preserve_key_type(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int32()),
+                "text": pa.array(["hello world text", "other body here"]),
+            }
+        )
+        rows = dedup.minhash_band_rows(t)
+        assert rows.schema.field("doc_id").type == pa.int32()
+        empty = dedup.minhash_band_rows(t.slice(0, 0))
+        assert empty.schema.field("doc_id").type == pa.int32()
+
+    def test_index_builder_counts_only_new_files(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["aa bb cc dd ee", "ff gg hh ii jj", "kk ll mm nn oo"]),
+            }
+        )
+        d = str(tmp_path / "mhidx")
+        n1 = dedup.build_minhash_index(rd.from_arrow(t), d)
+        assert n1 == 3
+        # second build into the SAME dir must not double-count the first
+        n2 = dedup.build_minhash_index(rd.from_arrow(t), d)
+        assert n2 == 3
+        d2 = str(tmp_path / "cidx")
+        assert dedup.build_content_index(rd.from_arrow(t), d2) == 3
+        assert dedup.build_content_index(rd.from_arrow(t), d2) == 3
+
+    def test_fake_covers_sniffed_undecodable(self):
+        from unittest import mock
+
+        import numpy as np
+
+        from duckdb_raquet_ray.codecs import imagecodec
+        from duckdb_raquet_ray.pipelines import multimodal
+
+        dec = multimodal.ImageDecoder(fake=True)
+        payload = b"RIFF\x00\x00\x00\x00WEBPVP8 fakebytes"
+        with mock.patch.object(
+            imagecodec, "decode", side_effect=NotImplementedError("no libwebp")
+        ):
+            f = dec._decode_payload(payload, 4, 4)
+            assert f.shape == (32,) and f.dtype == np.float32
+        strict = multimodal.ImageDecoder(fake=False)
+        with mock.patch.object(
+            imagecodec, "decode", side_effect=NotImplementedError("no libwebp")
+        ):
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError):
+                strict._decode_payload(payload, 4, 4)
