@@ -323,7 +323,7 @@ def main(argv: list[str] | None = None) -> None:
             from .pipelines import decode
 
             n = decode.export_job(args.out, args.dest, order_by=args.order_by)
-            print(json.dumps({"cmd": "export", "files": n,
+            print(json.dumps({"cmd": "export", "rows": n,
                               "order_by": args.order_by}))
         elif args.cmd == "pack":
             from .pipelines import packing

@@ -193,6 +193,7 @@ def build_ivf_index(
     own batch across bucket subdirectories)."""
     index = IvfIndex.train(ds, vec_col, n_centroids=n_centroids, **train_kw)
     os.makedirs(out_dir, exist_ok=True)
+    _clean_index_dir(out_dir)  # a killed prior build must not leave files a probe would double-read
     index.add_buckets(ds, vec_col).write_parquet(out_dir, partition_cols=["ivf_bucket"])
     payload = {"centroids": index.centroids.tolist(), "n_centroids": len(index.centroids)}
     tmp = os.path.join(out_dir, _CENTROIDS_JSON + ".tmp")
@@ -200,6 +201,56 @@ def build_ivf_index(
         json.dump(payload, f)
     os.replace(tmp, os.path.join(out_dir, _CENTROIDS_JSON))
     return index
+
+
+def _probed_files(index_dir: str, buckets) -> list[str]:
+    """Explicit parquet file list of the probed hive buckets (ray.data's
+    multi-path read_parquet expects files) — shared by the IVF and IVF-PQ
+    probes so the listing discipline cannot drift."""
+    files: list[str] = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"ivf_bucket={b}")
+        if os.path.isdir(d):
+            files += sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    return files
+
+
+def _index_key_type(index_dir: str, key_col: str, files: list[str]) -> pa.DataType:
+    """Key type of an on-disk index (from any data file footer; int64 when
+    the probed set is empty and no file exists to consult)."""
+    import glob as _glob
+
+    probe = files or sorted(
+        _glob.glob(os.path.join(index_dir, "ivf_bucket=*", "*.parquet"))
+    )
+    if probe:
+        try:
+            import pyarrow.parquet as _pq
+
+            return _pq.read_schema(probe[0]).field(key_col).type
+        except Exception:
+            pass
+    return pa.int64()
+
+
+def _clean_index_dir(out_dir: str) -> None:
+    """Reset an index dir before a (re)build: remove the completion marker
+    FIRST (probes refuse a marker-less dir), then stale bucket dirs — a
+    rebuild into a dir holding a prior/partial run would otherwise append
+    a second copy of every vector (Ray's write_parquet never overwrites)
+    and probes would return duplicate keys."""
+    import shutil as _shutil
+
+    for name in (_CENTROIDS_JSON, _PQ_JSON):
+        try:
+            os.remove(os.path.join(out_dir, name))
+        except FileNotFoundError:
+            pass
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("ivf_bucket="):
+            _shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
 
 def load_ivf_index(index_dir: str) -> IvfIndex:
@@ -285,17 +336,11 @@ def ivf_topk_indexed(
     property-tested instead (data-dependent)."""
     index = load_ivf_index(index_dir)
     buckets = index.probe_buckets(query, n_probe)
-    # explicit file list: ray.data's multi-path read_parquet expects files
-    files = []
-    for b in buckets:
-        d = os.path.join(index_dir, f"ivf_bucket={b}")
-        if os.path.isdir(d):
-            files += sorted(
-                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-            )
+    files = _probed_files(index_dir, buckets)
     if not files:
+        kt = _index_key_type(index_dir, key_col, files)
         return pa.table(
-            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64()),
+            {key_col: pa.array([], kt), "sim": pa.array([], pa.float64()),
              "rank": pa.array([], pa.int64())}
         )
     ds = rd.read_parquet(files)
@@ -345,6 +390,16 @@ class PqCodebook:
         self.centroids = c
         self.m, self.ksub, self.dsub = c.shape
         self.dim = self.m * self.dsub
+        if self.ksub > 256:
+            raise ValueError(
+                f"ksub {self.ksub} > 256: codes are stored as uint8 — a "
+                "larger alphabet would silently wrap on encode"
+            )
+        if self.ksub ** self.m >= 1 << 63:
+            raise ValueError(
+                f"ksub^m = {self.ksub}^{self.m} overflows the int64 "
+                "base-ksub checksum fold — lower m or ksub"
+            )
 
     def to_json(self) -> dict:
         return {"centroids": self.centroids.tolist()}
@@ -358,6 +413,8 @@ class PqCodebook:
         distance, argmin (first occurrence = lowest code on ties)."""
         n = q8.shape[0]
         codes = np.zeros((n, self.m), np.int64)
+        if n == 0:
+            return codes  # zero-row batch: (0,0) @ centroids would raise
         for s in range(self.m):
             xs = q8[:, s * self.dsub : (s + 1) * self.dsub]
             c = self.centroids[s]
@@ -512,8 +569,12 @@ def pq_topk(
     ).take_all()
     t = pa.Table.from_pylist(cands)
     if t.num_rows == 0:
+        try:
+            kt = ds.schema().base_schema.field(key_col).type
+        except Exception:
+            kt = pa.int64()
         return pa.table(
-            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.int64()),
+            {key_col: pa.array([], kt), "sim": pa.array([], pa.int64()),
              "rank": pa.array([], pa.int64())}
         )
     t = t.sort_by([("sim", "descending"), (key_col, "ascending")]).slice(0, k)
@@ -685,6 +746,7 @@ def build_ivfpq_index(
     if codebook is None:
         codebook = train_pq(ds, vec_col, m=m, ksub=ksub, **train_kw)
     os.makedirs(out_dir, exist_ok=True)
+    _clean_index_dir(out_dir)  # see build_ivf_index: no double-read after a rebuild
     with_codes = pq_encode(index.add_buckets(ds, vec_col), codebook, vec_col)
     with_codes.write_parquet(out_dir, partition_cols=["ivf_bucket"])
     for name, payload in (
@@ -718,16 +780,11 @@ def ivfpq_topk(
     index = load_ivf_index(index_dir)
     codebook = load_pq_codebook(index_dir)
     buckets = index.probe_buckets(query, n_probe)
-    files = []
-    for b in buckets:
-        d = os.path.join(index_dir, f"ivf_bucket={b}")
-        if os.path.isdir(d):
-            files += sorted(
-                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-            )
+    files = _probed_files(index_dir, buckets)
     if not files:
+        kt = _index_key_type(index_dir, key_col, files)
         return pa.table(
-            {key_col: pa.array([], pa.int64()), "sim": pa.array([], pa.int64()),
+            {key_col: pa.array([], kt), "sim": pa.array([], pa.int64()),
              "rank": pa.array([], pa.int64())}
         )
     ds = rd.read_parquet(files, columns=[key_col, "pq_code"])

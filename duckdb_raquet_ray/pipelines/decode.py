@@ -204,7 +204,6 @@ def read_encoded_range(
         pids = prune_partitions_parquet(out_dir, column, lo, hi)
     else:
         pids = mf.prune_partitions(out_dir, column, lo, hi)
-    ds = read_encoded(out_dir, partition_ids=pids, **kw)
 
     def residual(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
@@ -215,6 +214,17 @@ def read_encoded_range(
             keep = pc.and_(keep, pc.less_equal(col, pa.scalar(hi)))
         return batch.filter(keep)
 
+    user_transform = kw.pop("transform", None)
+    if user_transform is not None:
+        # fuse: the residual filter must run BEFORE a pushed-down
+        # transform — otherwise the transform sees out-of-range straggler
+        # rows, and the residual would then filter the transform's OUTPUT
+        # (which may not even carry `column`)
+        def fused(batch: pa.Table) -> pa.Table:
+            return user_transform(residual(batch))
+
+        return read_encoded(out_dir, partition_ids=pids, transform=fused, **kw)
+    ds = read_encoded(out_dir, partition_ids=pids, **kw)
     return ds.map_batches(residual, batch_format="pyarrow")
 
 
@@ -345,7 +355,10 @@ def export_job(
     columns: list[str] | None = None,
     order_by: str | list[str] | None = None,
 ) -> int:
-    """Decode an encoded dir back to PLAIN partitioned Parquet — the export
+    """-> exported ROW count (both branches — the sorted path once
+    returned rows while the unsorted path returned file count, an
+    ambiguous unit for callers). Decode an encoded dir back to PLAIN
+    partitioned Parquet — the export
     sink (the reference's ST_AsPNG / COPY TO export path, SURVEY.md §2.1-2.2).
     One output file per encoded partition (same lineage file name), written
     tmp→rename, so a failed export resumes by skipping existing files —
@@ -382,8 +395,8 @@ def export_job(
         return pa.Table.from_pylist(done, schema=pa.schema([("file", pa.string())]))
 
     ds = rd.from_items([{"path": f} for f in files], override_num_blocks=max(len(files), 1))
-    n = ds.map_batches(export_one, batch_size=1, batch_format="pyarrow", num_cpus=1).count()
-    return n
+    ds.map_batches(export_one, batch_size=1, batch_format="pyarrow", num_cpus=1).count()
+    return int(mf.load_metadata(out_dir)["num_rows"])
 
 
 def _tables_bitexact(a: pa.Table, b: pa.Table) -> bool:
@@ -508,7 +521,20 @@ def _row_fingerprints(batch: pa.Table) -> np.ndarray:
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             lengths = pc.fill_null(pc.list_value_length(col), -1).to_numpy(zero_copy_only=False)
             flat = col.flatten()
-            child = _fixed_width_plane_u64(flat)
+            ct = flat.type
+            if (
+                pa.types.is_string(ct)
+                or pa.types.is_large_string(ct)
+                or pa.types.is_binary(ct)
+                or pa.types.is_large_binary(ct)
+            ):
+                # list<string>/list<binary>: siphash the children — the
+                # fixed-width plane path would crash on object dtype
+                child = pd.util.hash_pandas_object(
+                    flat.to_pandas(), index=False
+                ).to_numpy().astype(np.uint64)
+            else:
+                child = _fixed_width_plane_u64(flat)
             if flat.null_count:  # null element != literal zero
                 child = child + (~np.asarray(flat.is_valid())).astype(np.uint64) * null_bit
             offs = np.zeros(n + 1, dtype=np.int64)

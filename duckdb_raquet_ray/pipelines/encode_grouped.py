@@ -71,7 +71,16 @@ def _salts(batch: pa.Table, salt_map: dict[str, int], key: str = "doc_id") -> pa
 
     h = pd.util.hash_pandas_object(batch.column(key).to_pandas(), index=False).to_numpy()
     src = batch.column("source").to_pandas().fillna(NULL_SOURCE_KEY)
-    mods = src.map(salt_map).fillna(1).to_numpy(dtype=np.uint64)
+    mapped = src.map(salt_map)
+    if mapped.isna().any():
+        missing = sorted(src[mapped.isna()].unique())
+        raise ValueError(
+            f"sources {missing} absent from the job's salt_map — encoding "
+            "them under a default salt would make read_encoded_source "
+            "return empty for them (the manifest records the planned map); "
+            "re-plan with resume=False or extend the input at plan time"
+        )
+    mods = mapped.to_numpy(dtype=np.uint64)
     salts = (h % mods).astype(np.int32)
     # group key column with nulls replaced: Ray's sort shuffle cannot
     # compare None with str; the real (nullable) source column rides along
@@ -168,8 +177,14 @@ def encode_job_grouped(
     )
     if prior is not None:
         target_group_rows = prior["target_group_rows"]
-        if salt_map is None:
-            salt_map = prior["salt_map"]
+        if salt_map is not None and salt_map != prior["salt_map"]:
+            raise ValueError(
+                "encode_job_grouped resume: explicit salt_map conflicts with "
+                f"the persisted one ({salt_map} != {prior['salt_map']}) — "
+                "partition ids are functions of the salt map; pass "
+                "resume=False (fresh dir) to re-plan"
+            )
+        salt_map = prior["salt_map"]
     if target_group_rows is None:
         target_group_rows = DEFAULT_GROUP_ROWS
     ds = rd.read_parquet(sorted(input_paths))

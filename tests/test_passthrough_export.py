@@ -108,7 +108,7 @@ class TestExport:
         dest = str(tmp_path / "plain")
         n = decode.export_job(out, dest)
         meta = mf.load_metadata(out)
-        assert n == len(meta["partition_ids"])
+        assert n == meta["num_rows"]  # ROW count on both branches
         got = pq.read_table(dest).sort_by("doc_id")
         want = pq.read_table(paths).sort_by("doc_id")
         assert got.equals(want)
@@ -227,7 +227,7 @@ class TestOrderedExport:
         dest = str(tmp_path / "cli_sorted")
         cli.main(["export", "--out", out, "--dest", dest, "--order-by", "n_tok"])
         line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        assert line["order_by"] == "n_tok" and line["files"] == 2000
+        assert line["order_by"] == "n_tok" and line["rows"] == 2000
         got = pa.concat_tables(
             [pq.read_table(f) for f in sorted(glob.glob(os.path.join(dest, "*.parquet")))]
         )

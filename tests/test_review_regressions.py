@@ -702,3 +702,107 @@ class TestDedupMultimodalReviewFixes:
 
             with _pytest.raises(NotImplementedError):
                 strict._decode_payload(payload, 4, 4)
+
+
+class TestAnnEncodeDecodeReviewFixes:
+    def test_pq_encode_empty_batch(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(20, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float32())),
+            }
+        )
+        cb = ann.train_pq(rd.from_arrow(t), m=4, ksub=4)
+        assert cb.encode_matrix(np.zeros((0, 0), np.int64)).shape == (0, 4)
+        out = ann.pq_encode(rd.from_arrow(t.slice(0, 0)), cb)
+        assert out.count() == 0
+
+    def test_pq_codebook_validation(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        with _pytest.raises(ValueError, match="256"):
+            ann.PqCodebook(np.zeros((2, 300, 4), np.int64))
+        with _pytest.raises(ValueError, match="overflow"):
+            ann.PqCodebook(np.zeros((9, 256, 4), np.int64))
+
+    def test_ivf_rebuild_no_duplicates(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import ann
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(60, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float32())),
+            }
+        )
+        d = str(tmp_path / "ivf")
+        ann.build_ivf_index(rd.from_arrow(t), d, n_centroids=4)
+        ann.build_ivf_index(rd.from_arrow(t), d, n_centroids=4)  # rebuild
+        got = ann.ivf_topk_indexed(d, x[0], k=10, n_probe=4)
+        keys = got.column("vec_id").to_pylist()
+        assert len(keys) == len(set(keys)), "rebuild duplicated vectors"
+
+    def test_grouped_resume_salt_map_conflict_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.pipelines import encode_grouped
+        from duckdb_raquet_ray.sources import tokens as tok
+
+        paths = tok.write_corpus(str(tmp_path / "c"), 1000, 2, row_group_rows=256)
+        out = str(tmp_path / "g")
+        encode_grouped.encode_job_grouped(paths, out, target_group_rows=400)
+        with _pytest.raises(ValueError, match="salt_map"):
+            encode_grouped.encode_job_grouped(
+                paths, out, target_group_rows=400, salt_map={"zzz": 99}
+            )
+
+    def test_export_job_returns_rows_both_branches(self, ray_session, tmp_path):
+        import glob as _glob
+
+        from duckdb_raquet_ray.pipelines import decode, encode
+        from duckdb_raquet_ray.sources import tokens as tok
+
+        paths = tok.write_corpus(str(tmp_path / "c"), 1000, 2, row_group_rows=256)
+        out = str(tmp_path / "e")
+        encode.encode_job(paths, out, target_part_bytes=1 << 19)
+        n1 = decode.export_job(out, str(tmp_path / "p1"))
+        n2 = decode.export_job(out, str(tmp_path / "p2"), order_by="doc_id")
+        assert n1 == n2 == 1000
+
+    def test_fingerprints_list_string_column(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines.decode import _row_fingerprints
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "tags": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+            }
+        )
+        f1 = _row_fingerprints(t)
+        assert len(f1) == 2
+        t2 = pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "tags": pa.array([["a", "b"], ["DIFF"]], pa.list_(pa.string())),
+            }
+        )
+        f2 = _row_fingerprints(t2)
+        assert f1[0] == f2[0] and f1[1] != f2[1]
