@@ -35,6 +35,17 @@ import json
 import os
 import shutil
 
+# module-level, never lazy-in-function: package-relative imports inside
+# function bodies break by-value pickling of worker-shipped closures
+# (enforced by tests/test_by_value_pickling.py)
+from duckdb_raquet_ray import util
+from duckdb_raquet_ray.pipelines import contamination as _cont
+from duckdb_raquet_ray.pipelines import dedup as _dedup
+from duckdb_raquet_ray.pipelines import encode as _encode
+from duckdb_raquet_ray.pipelines import packing as _packing
+from duckdb_raquet_ray.pipelines import quality as _quality
+from duckdb_raquet_ray.pipelines import text as _text
+
 __all__ = ["run_prepare"]
 
 
@@ -114,12 +125,6 @@ def run_prepare(
     the packed windows."""
     import ray.data as rd
 
-    from .. import util
-    from . import dedup as _dedup
-    from . import packing as _packing
-    from . import quality as _quality
-    from . import text as _text
-
     os.makedirs(workdir, exist_ok=True)
     in_paths = (
         sorted(_glob.glob(docs_glob)) if isinstance(docs_glob, str) else list(docs_glob)
@@ -196,8 +201,6 @@ def run_prepare(
         cfg = chained({"stage": "decontam", "n": decontam_ngram, "bench": bench_paths})
 
         def build_decontam(dest: str) -> int:
-            from . import contamination as _cont
-
             bench = _cont.benchmark_ngram_set(
                 util.clean_dataset(rd.read_parquet(bench_paths)),
                 text_col=text_col,
@@ -273,8 +276,6 @@ def run_prepare(
 
     # -- encode (optional) -----------------------------------------------------
     if encode:
-        from . import encode as _encode
-
         d_enc = os.path.join(workdir, "encode")
         cfg = chained({"stage": "encode"})
 
