@@ -59,8 +59,17 @@ def _child_and_rebuild(batch: pa.Table, column: str):
     if child_valid is not None:
         child_arr = pc.fill_null(child_arr, 0)
     child = child_arr.to_numpy(zero_copy_only=False)
-    offsets = np.zeros(len(arr) + 1, dtype=np.int32)
+    # int64 accumulation ALWAYS (an int32 in-place cumsum wraps silently
+    # past 2^31 child elements); the rebuild keeps the INPUT list width —
+    # a large_list input must not silently downgrade to list
+    large = pa.types.is_large_list(arr.type)
+    offsets = np.zeros(len(arr) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    if not large and offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"{column}: {int(offsets[-1])} child elements overflow int32 "
+            "list offsets — use large_list or a smaller batch_size"
+        )
     valid = np.asarray(arr.is_valid()) if arr.null_count else None
 
     def rebuild(new_child: np.ndarray) -> pa.Array:
@@ -68,12 +77,29 @@ def _child_and_rebuild(batch: pa.Table, column: str):
         values = pa.array(
             new_child.astype(child_type.to_pandas_dtype()), type=child_type, mask=mask
         )
-        out = pa.ListArray.from_arrays(pa.array(offsets), values)
+        if large:
+            out = pa.LargeListArray.from_arrays(pa.array(offsets), values)
+        else:
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()), values
+            )
         if valid is not None:
             out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
         return out
 
     return child, offsets, rebuild, child_valid
+
+
+def _check_sentinel(child: np.ndarray, sentinel: int) -> None:
+    """A sentinel the child dtype cannot represent would WRAP silently
+    (-1 on uint32 becomes 4294967295 — a legal in-domain value no
+    downstream `== sentinel` check can find): raise instead."""
+    info = np.iinfo(child.dtype) if child.dtype.kind in "iu" else None
+    if info is not None and not (info.min <= sentinel <= info.max):
+        raise ValueError(
+            f"sentinel {sentinel} is not representable in {child.dtype} — "
+            "pass an in-domain sentinel for unsigned token columns"
+        )
 
 
 def mask_tokens_range(
@@ -86,6 +112,7 @@ def mask_tokens_range(
     """Values outside [low, high] -> sentinel; None bound = open
     (ST_MaskBandValuesRange semantics, st_value_mask.cpp:176-236)."""
     child, _, rebuild, _ = _child_and_rebuild(batch, column)
+    _check_sentinel(child, sentinel)
     keep = np.ones(len(child), dtype=bool)
     if low is not None:
         keep &= child >= low
@@ -104,6 +131,7 @@ def mask_tokens_list(
     """Values not in the whitelist -> sentinel (ST_MaskBandValuesList,
     st_value_mask.cpp:116-171). Lookup via sorted searchsorted."""
     child, _, rebuild, _ = _child_and_rebuild(batch, column)
+    _check_sentinel(child, sentinel)
     table = np.asarray(sorted(set(allowed)), dtype=child.dtype)
     if len(table) == 0:  # empty whitelist -> everything masked
         out = np.full(len(child), sentinel, dtype=child.dtype)
@@ -122,6 +150,7 @@ def mask_tokens_eq(
 ) -> pa.Table:
     """Values != v -> sentinel (ST_MaskBandValuesEq, st_value_mask.cpp:240-280)."""
     child, _, rebuild, _ = _child_and_rebuild(batch, column)
+    _check_sentinel(child, sentinel)
     out = np.where(child == value, child, sentinel)
     return batch.set_column(batch.schema.get_field_index(column), column, rebuild(out))
 
@@ -321,18 +350,22 @@ def explode_tokens(batch: pa.Table, column: str = "tokens", key: str = "doc_id")
     read_raster.cpp:524-531; here the in-row offset math is surfaced as a
     first-class column so token-level analytics can address order).
     Fully vectorized: repeat for keys, arange-minus-starts for positions."""
-    child, offsets, _, _ = _child_and_rebuild(batch, column)
+    child, offsets, _, child_valid = _child_and_rebuild(batch, column)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
     idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
     pos = np.arange(len(child), dtype=np.int64) - np.repeat(
         offsets[:-1].astype(np.int64), lengths
     )
     keys = batch.column(key).take(pa.array(idx))
+    # null elements stay NULL in the long view — filling them with 0 would
+    # make them indistinguishable from real token id 0 (token_stats skips
+    # them; the explode must agree)
+    mask = None if child_valid is None else ~child_valid
     return pa.table(
         {
             key: keys,
             "pos": pa.array(pos.astype(np.int32), type=pa.int32()),
-            "token": pa.array(child.astype(np.int64), type=pa.int64()),
+            "token": pa.array(child.astype(np.int64), type=pa.int64(), mask=mask),
         }
     )
 

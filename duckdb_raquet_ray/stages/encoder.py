@@ -113,11 +113,21 @@ def column_stats(table: pa.Table) -> dict[str, dict]:
             stats[name] = {"count": 0, "min": None, "max": None, "sum": 0}
             continue
         mm = pc.min_max(col)
+        if pa.types.is_uint64(t):
+            # arrow's unsigned sum wraps mod 2^64 silently; split into
+            # 32-bit halves summed in int64 (exact for < 2^31 rows)
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            total = int(
+                int((v >> np.uint64(32)).astype(np.int64).sum()) * (1 << 32)
+                + int((v & np.uint64(0xFFFFFFFF)).astype(np.int64).sum())
+            )
+        else:
+            total = int(pc.sum(col).as_py())
         s = {
             "count": n_valid,
             "min": mm["min"].as_py(),
             "max": mm["max"].as_py(),
-            "sum": int(pc.sum(col).as_py()),
+            "sum": total,
         }
         # deterministic stride sample -> top-10 values + decile quantiles,
         # the reference's approx per-band sample statistics
@@ -210,11 +220,18 @@ def encode_table(
     # reference's band_N_* stats columns (read_raster.cpp:1079-1090): any
     # plain Parquet engine gets zone-map pruning and the summary-stats
     # passthrough without our manifest
+    I64_MAX = (1 << 63) - 1
+
+    def _clamp(v):
+        # uint64 values above int64 max clamp (bounds only get WIDER, so
+        # zone-map pruning stays conservative instead of crashing)
+        return None if v is None else min(int(v), I64_MAX)
+
     for name in _stat_col_names(table.schema):
         s = stats.get(name, {})
         cols[f"stat_{name}_count"] = pa.array([s.get("count", 0)], type=pa.int64())
-        cols[f"stat_{name}_min"] = pa.array([s.get("min")], type=pa.int64())
-        cols[f"stat_{name}_max"] = pa.array([s.get("max")], type=pa.int64())
+        cols[f"stat_{name}_min"] = pa.array([_clamp(s.get("min"))], type=pa.int64())
+        cols[f"stat_{name}_max"] = pa.array([_clamp(s.get("max"))], type=pa.int64())
     encoded = pa.table(cols)
 
     checksum = hashlib.sha256()
@@ -253,6 +270,10 @@ def decode_rows(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
             cols[name] = bc.decode_array(blob, descs[name])
         out.append(pa.table(cols))
     if not out:
+        # an empty encoded batch carries no codec_meta to derive decoded
+        # types from — callers feeding mixed empty/non-empty blocks should
+        # filter empties (stated limitation; the partition readers never
+        # produce empty encoded batches)
         return pa.table({})
     return pa.concat_tables(out)
 
@@ -269,8 +290,16 @@ def encode_batch(batch: pa.Table, key_column: str | None = None) -> pa.Table:
         return encoded_schema(batch.schema).empty_table()
     key_col = key_column or batch.column_names[0]
     first = str(batch.column(key_col)[0].as_py())
-    h = hashlib.sha256(f"{first}:{batch.num_rows}".encode()).digest()
-    pid = int.from_bytes(h[:8], "little") >> 1  # keep mode bit clear
+    h = hashlib.sha256(f"{first}:{batch.num_rows}".encode())
+    # content-fold: with Ray's fixed batch_size every batch has the same
+    # row count, so (first key, rows) alone collides whenever a key
+    # repeats at batch heads — hash every buffer of every column too
+    for c in batch.columns:
+        for chunk in (c.chunks if isinstance(c, pa.ChunkedArray) else [c]):
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    pid = int.from_bytes(h.digest()[:8], "little") >> 1  # keep mode bit clear
     encoded, _ = encode_table(batch, pid, input_shard="<stream>")
     return encoded
 

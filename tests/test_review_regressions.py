@@ -806,3 +806,75 @@ class TestAnnEncodeDecodeReviewFixes:
         )
         f2 = _row_fingerprints(t2)
         assert f1[0] == f2[0] and f1[1] != f2[1]
+
+
+class TestCodecStageReviewFixes:
+    def test_uint64_stats_exact_and_no_crash(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.stages import encoder
+
+        t = pa.table({"h": pa.array([2**64 - 1, 5], pa.uint64())})
+        s = encoder.column_stats(t)["h"]
+        assert s["sum"] == 2**64 - 1 + 5  # no mod-2^64 wrap
+        enc, entry = encoder.encode_table(t, 7, input_shard="s")
+        # stat columns clamp instead of OverflowError
+        assert enc.column("stat_h_max")[0].as_py() == (1 << 63) - 1
+
+    def test_encode_batch_pid_content_sensitive(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.stages import encoder
+
+        a = pa.table({"doc_id": ["k", "x"], "v": pa.array([1, 2], pa.int64())})
+        b = pa.table({"doc_id": ["k", "y"], "v": pa.array([9, 9], pa.int64())})
+        pa_id = encoder.encode_batch(a).column("partition_id")[0].as_py()
+        pb_id = encoder.encode_batch(b).column("partition_id")[0].as_py()
+        assert pa_id != pb_id
+        # deterministic: same content -> same id
+        assert pa_id == encoder.encode_batch(a).column("partition_id")[0].as_py()
+
+    def test_explode_tokens_preserves_null_elements(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import transforms
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "tokens": pa.array([[1, None, 3]], pa.list_(pa.int64())),
+            }
+        )
+        out = transforms.explode_tokens(t)
+        assert out.column("token").null_count == 1
+        assert out.column("token").to_pylist() == [1, None, 3]
+
+    def test_large_list_width_preserved(self):
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import transforms
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "tokens": pa.array([[5, 300]], pa.large_list(pa.int32())),
+            }
+        )
+        out = transforms.mask_tokens_range(t, low=0, high=100)
+        assert pa.types.is_large_list(out.column("tokens").type)
+        assert out.column("tokens").to_pylist() == [[5, -1]]
+
+    def test_unsigned_sentinel_raises(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.pipelines import transforms
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "tokens": pa.array([[5, 300]], pa.list_(pa.uint32())),
+            }
+        )
+        with _pytest.raises(ValueError, match="sentinel"):
+            transforms.mask_tokens_range(t, low=0, high=100)
