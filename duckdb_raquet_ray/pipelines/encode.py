@@ -58,9 +58,26 @@ TASKS_PER_CPU = 4  # target work-items per core, for pipelining + stragglers
 ENCODER_NUM_CPUS = 2
 
 
-def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = None) -> int:
+def _footer_md(path: str, md_cache: dict | None):
+    """Parquet footer metadata with a per-job cache: planning consults
+    every shard's footer up to three times (auto-sizing, partition plan,
+    schema) — at 10^5-10^6 shards the duplicate reads dominate the
+    driver-side planning phase, so one read per shard per job."""
+    if md_cache is None:
+        return pq.ParquetFile(path).metadata
+    md = md_cache.get(path)
+    if md is None:
+        md = md_cache[path] = pq.ParquetFile(path).metadata
+    return md
+
+
+def auto_target_part_bytes(
+    input_paths: list[str],
+    cluster_cpus: int | None = None,
+    md_cache: dict | None = None,
+) -> int:
     """Pick a partition size so the job yields ~TASKS_PER_CPU work items
-    per core, clamped to [16 MB, 256 MB] — the reference's auto resolution
+    per core, clamped to [8 MB, 256 MB] — the reference's auto resolution
     selection (ST_RegionStats picks the zoom whose tile count stays under
     a target, /root/reference/src/st_region_stats.cpp:255-324), inverted
     for a fixed-size cluster: enough partitions to pipeline and absorb
@@ -71,7 +88,7 @@ def auto_target_part_bytes(input_paths: list[str], cluster_cpus: int | None = No
         cluster_cpus = default_concurrency()
     total = 0
     for path in input_paths:
-        md = pq.ParquetFile(path).metadata
+        md = _footer_md(path, md_cache)
         total += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
     target = total // max(cluster_cpus * TASKS_PER_CPU, 1)
     return max(MIN_PART_BYTES, min(MAX_PART_BYTES, target))
@@ -83,6 +100,7 @@ def plan_partitions(
     *,
     shard_order: list[str] | None = None,
     first_shard_index: int = 0,
+    md_cache: dict | None = None,
 ) -> list[dict]:
     """Enumerate deterministic work items from Parquet metadata only.
 
@@ -101,7 +119,7 @@ def plan_partitions(
     ordered = list(shard_order) if shard_order is not None else sorted(input_paths)
     items: list[dict] = []
     for shard_idx, path in enumerate(ordered, start=first_shard_index):
-        md = pq.ParquetFile(path).metadata
+        md = _footer_md(path, md_cache)
         groups: list[list[int]] = []
         cur: list[int] = []
         cur_bytes = 0
@@ -195,12 +213,36 @@ def encode_job(
     a resume reuses the persisted value (partition ids are functions of the
     plan — re-planning with a different target under the same ids would
     silently skip rows) and an explicit conflicting value raises."""
+    if not resume and os.path.isdir(out_dir):
+        # fresh re-encode requested: stale journal/manifest/part files from
+        # a prior plan must not leak into finalize (overlapping row ranges)
+        for pat in ("manifest.jsonl", "manifest.json", "job.json"):
+            try:
+                os.remove(os.path.join(out_dir, pat))
+            except FileNotFoundError:
+                pass
+        for f in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+            os.remove(f)
+    md_cache: dict = {}  # one footer read per shard per job (see _footer_md)
     prior = mf.resolve_job_config(
         out_dir, "lineage", {"target_part_bytes": target_part_bytes}, resume
     )
     if prior is not None:
         target_part_bytes = prior["target_part_bytes"]
-        shard_order = prior.get("shard_order") or sorted(input_paths)
+        shard_order = prior.get("shard_order")
+        if not shard_order:
+            # legacy job.json without shard_order: recover the original
+            # roster from the journal's input_shard fields — falling back
+            # to sorted(input_paths) would make the mismatch guard below a
+            # tautology and let a grown list silently remap shard indices
+            recorded = sorted(
+                {
+                    e.get("input_shard")
+                    for e in mf.load_entries(out_dir).values()
+                    if e.get("input_shard") and e.get("input_shard") != "<stream>"
+                }
+            )
+            shard_order = recorded or sorted(input_paths)
         if set(shard_order) != set(input_paths):
             # grown input list: safe ONLY if sorting it leaves every
             # existing shard at its original index (new names all sort
@@ -225,7 +267,9 @@ def encode_job(
         if target_part_bytes is None:
             # auto-size from input volume and cluster width; persisted below
             # so a resume on a different-width cluster re-plans identically
-            target_part_bytes = auto_target_part_bytes(input_paths)
+            target_part_bytes = auto_target_part_bytes(
+                input_paths, md_cache=md_cache
+            )
         shard_order = sorted(input_paths)
         mf.persist_job_config(
             out_dir,
@@ -236,7 +280,8 @@ def encode_job(
             },
         )
     return _encode_ordered(
-        shard_order, out_dir, target_part_bytes, resume=resume, concurrency=concurrency
+        shard_order, out_dir, target_part_bytes, resume=resume,
+        concurrency=concurrency, md_cache=md_cache,
     )
 
 
@@ -248,6 +293,7 @@ def _encode_ordered(
     resume: bool,
     concurrency: int | tuple[int, int] | None,
     plan_from: int = 0,
+    md_cache: dict | None = None,
 ) -> dict:
     """Shared encode body (encode_job + append_job): plan over an explicit
     shard order, skip done partitions, encode, finalize from the journal.
@@ -269,8 +315,10 @@ def _encode_ordered(
         target_part_bytes,
         shard_order=shard_order[plan_from:],
         first_shard_index=plan_from,
+        md_cache=md_cache,
     )
-    schema_arrow = pq.ParquetFile(shard_order[0]).schema_arrow
+    md0 = _footer_md(shard_order[0], md_cache)
+    schema_arrow = md0.schema.to_arrow_schema()
     schema_str = str(schema_arrow)
     done = mf.done_partition_ids(out_dir) if resume else set()
     todo = [it for it in items if it["partition_id"] not in done]
@@ -348,7 +396,10 @@ def append_job(
         )
     order = cfg.get("shard_order")
     if not order:
-        meta = mf.load_metadata(out_dir)
+        try:
+            meta = mf.load_metadata(out_dir)
+        except FileNotFoundError:
+            meta = {}  # initial encode died before finalize: no manifest yet
         order = meta.get("input_shards")  # pre-append-feature dirs: sorted
     if not order:
         raise ValueError(f"cannot append to {out_dir}: no shard order recorded")
@@ -361,7 +412,10 @@ def append_job(
     # job.json is written before encoding, so it can't prove completion):
     # appends cost O(new shards) in footer reads, and a killed append
     # resumes because its shards sit past the last finalized prefix
-    finalized = mf.load_metadata(out_dir).get("input_shards") or []
+    try:
+        finalized = mf.load_metadata(out_dir).get("input_shards") or []
+    except FileNotFoundError:
+        finalized = []  # never finalized: plan from 0, resume skips done pids
     plan_from = (
         len(finalized)
         if shard_order[: len(finalized)] == list(finalized)

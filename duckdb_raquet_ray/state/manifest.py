@@ -59,9 +59,31 @@ class ManifestWriter:
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
+        if "://" in out_dir:
+            # journal-based resume needs a filesystem with append + rename
+            # (local or shared POSIX); silently writing to a literal
+            # './s3:/...' dir would break resume invisibly
+            raise NotImplementedError(
+                "object-store out_dir for the manifest/journal layer is not "
+                "supported — point out_dir at a local/shared filesystem "
+                "(part files may still target an object store via fsio)"
+            )
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, MANIFEST_JSONL)
+        # repair a torn tail before appending: a crash mid-append can leave
+        # a final line with no newline — appending onto it would glue the
+        # resume run's FIRST entry to the torn prefix, and load_entries
+        # would drop both (a silently missing partition at decode)
+        try:
+            with open(self.path, "rb") as rf:
+                rf.seek(-1, 2)
+                torn = rf.read(1) != b"\n"
+        except (FileNotFoundError, OSError):
+            torn = False
         self._fh = open(self.path, "a", encoding="utf-8")
+        if torn:
+            self._fh.write("\n")
+            self._fh.flush()
 
     def append(self, entry: dict) -> None:
         self._fh.write(json.dumps(entry, sort_keys=True) + "\n")
@@ -394,17 +416,23 @@ def validate_entries(entries: list[dict]) -> dict:
             warnings.append(
                 f"shard {shard!r}: coverage starts at row {ranges[0][0]}, not 0"
             )
+        # running max-hi: a range nested inside an earlier larger one must
+        # not produce a phantom "gap" against its adjacent sibling
+        max_hi = ranges[0][1]
+        max_i = ranges[0][2]
         for (a_lo, a_hi, ai), (b_lo, b_hi, bi) in zip(ranges, ranges[1:]):
-            if b_lo < a_hi:
+            if b_lo < max_hi:
                 errors.append(
-                    f"shard {shard!r}: entries {ai} and {bi} overlap "
-                    f"(rows [{a_lo},{a_hi}) vs [{b_lo},{b_hi})) — mixed plans?"
+                    f"shard {shard!r}: entries {max_i} and {bi} overlap "
+                    f"(rows up to {max_hi} vs [{b_lo},{b_hi})) — mixed plans?"
                 )
-            elif b_lo > a_hi:
+            elif b_lo > max_hi:
                 errors.append(
-                    f"shard {shard!r}: coverage gap between rows {a_hi} and "
+                    f"shard {shard!r}: coverage gap between rows {max_hi} and "
                     f"{b_lo} — rows never encoded (mixed plans?)"
                 )
+            if b_hi > max_hi:
+                max_hi, max_i = b_hi, bi
     return {
         "is_valid": not errors,
         "errors": errors,

@@ -95,7 +95,9 @@ def scaled_buckets(
     else:
         n = max(lo, min(cap, -(-int(nbytes) // bytes_per_bucket)))
     if n > 1 and n & (n - 1) == 0:
-        n += 1  # keep low-entropy keys from collapsing on a 2^k modulus
+        # keep low-entropy keys from collapsing on a 2^k modulus; nudge
+        # DOWN when at the caller's cap (n+1 would exceed the contract)
+        n = n - 1 if n >= cap else n + 1
     return int(n)
 
 

@@ -878,3 +878,69 @@ class TestCodecStageReviewFixes:
         )
         with _pytest.raises(ValueError, match="sentinel"):
             transforms.mask_tokens_range(t, low=0, high=100)
+
+
+class TestEncodeStateReviewFixes:
+    def test_torn_journal_tail_repaired_on_resume(self, tmp_path):
+        import json
+        import os
+
+        from duckdb_raquet_ray.state import manifest as mf
+
+        d = str(tmp_path / "m")
+        os.makedirs(d)
+        good = json.dumps({"partition_id": 1, "status": "done", "n_rows": 5,
+                           "input_bytes": 1, "encoded_bytes": 1,
+                           "input_shard": "s", "codecs": {}})
+        with open(os.path.join(d, "manifest.jsonl"), "w") as f:
+            f.write(good + "\n")
+            f.write('{"partition_id": 2, "status": "do')  # torn, no newline
+        w = mf.ManifestWriter(d)
+        w.append({"partition_id": 3, "status": "done", "n_rows": 7,
+                  "input_bytes": 1, "encoded_bytes": 1,
+                  "input_shard": "s", "codecs": {}})
+        w.close()
+        ids = sorted(mf.load_entries(d))
+        assert 1 in ids and 3 in ids  # entry 3 must NOT be glued to the torn tail
+
+    def test_object_store_out_dir_refused(self):
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.state import manifest as mf
+
+        with _pytest.raises(NotImplementedError, match="object-store"):
+            mf.ManifestWriter("s3://bucket/enc")
+
+    def test_resume_false_clears_stale_plan(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray.pipelines import decode, encode
+        from duckdb_raquet_ray.sources import tokens as tok
+        from duckdb_raquet_ray.state import manifest as mf
+
+        paths = tok.write_corpus(str(tmp_path / "c"), 1000, 2, row_group_rows=128)
+        out = str(tmp_path / "e")
+        encode.encode_job(paths, out, target_part_bytes=1 << 17)  # many parts
+        encode.encode_job(paths, out, target_part_bytes=1 << 20, resume=False)
+        meta = mf.load_metadata(out)
+        assert meta["num_rows"] == 1000  # no stale-plan double counting
+        res = decode.verify_job(paths, out, target_part_bytes=1 << 20)
+        assert res["ok"]
+
+    def test_validate_entries_nested_range_no_phantom_gap(self):
+        from duckdb_raquet_ray.state import manifest as mf
+
+        def e(pid, lo, hi):
+            return {"partition_id": pid, "input_shard": "s", "n_rows": hi - lo,
+                    "row_range": [lo, hi], "codecs": {}, "status": "done",
+                    "checksum": "x", "fsst_symbol_table_hash": ""}
+        res = mf.validate_entries([e(1, 0, 100), e(2, 10, 20), e(3, 50, 60)])
+        # overlaps ARE errors, but no phantom 'gap between 20 and 50'
+        assert not any("gap" in x for x in res["errors"])
+        assert any("overlap" in x for x in res["errors"])
+
+    def test_scaled_buckets_honors_cap(self):
+        from duckdb_raquet_ray import util
+
+        n = util.scaled_buckets(1 << 60, bytes_per_bucket=1, cap=4096)
+        assert n <= 4096
