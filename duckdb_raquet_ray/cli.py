@@ -351,7 +351,8 @@ def main(argv: list[str] | None = None) -> None:
                     src_ds, args.tau, source_col=args.source_col
                 )
                 sampling.source_mixture_sample(
-                    src_ds, rates, seed=args.seed, source_col=args.source_col,
+                    src_ds, rates, seed=args.seed, key_col=args.key_col,
+                    source_col=args.source_col,
                 ).write_parquet(args.dest)
                 print(json.dumps({"cmd": "sample", "tau": args.tau,
                                   "rates": rates, "dest": args.dest}))
@@ -369,6 +370,7 @@ def main(argv: list[str] | None = None) -> None:
                     )
             ds = sampling.source_mixture_sample(
                 rd.read_parquet(_inputs(args.input)), rates,
+                key_col=args.key_col, source_col=args.source_col,
                 seed=args.seed, default_rate=args.default_rate,
             )
             ds.write_parquet(args.dest)
@@ -624,11 +626,13 @@ def main(argv: list[str] | None = None) -> None:
             bpe_ops.bpe_encode(
                 ds, merges, text_col=args.text_col, key_col=args.key_col
             ).write_parquet(args.dest)
-            os.makedirs(args.dest, exist_ok=True)
-            with open(os.path.join(args.dest, "merges.json"), "w") as f:
+            # sibling file, NOT inside the dataset dir: a directory read
+            # (read_parquet(dest)) must never trip over a json member
+            merges_path = args.dest.rstrip("/") + ".merges.json"
+            with open(merges_path, "w") as f:
                 json.dump({"merges": merges.tolist()}, f)
             print(json.dumps({"cmd": "bpe", "merges": int(len(merges)),
-                              "dest": args.dest}))
+                              "merges_path": merges_path, "dest": args.dest}))
         elif args.cmd == "info":
             from .state import manifest as mf
 

@@ -38,8 +38,15 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + clen > len(data):
+            raise ValueError(
+                f"corrupt WAV: chunk {cid!r} claims {clen} bytes but only "
+                f"{len(data) - pos - 8} remain (truncated download?)"
+            )
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"corrupt WAV: fmt chunk is {clen} bytes (< 16)")
             tag, channels, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -81,12 +88,17 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def wav_encode(samples: np.ndarray, rate: int) -> bytes:
-    """int 16-bit PCM WAV bytes from (n,) or (n, channels) samples
-    (values clipped to int16)."""
+    """int 16-bit PCM WAV bytes from (n,) or (n, channels) samples.
+    Integer input clips to int16; FLOATING input follows the [-1, 1]
+    convention (what wav_decode returns for format-3 WAVs) and scales by
+    32767 — clipping floats directly would silently flatten real audio
+    to {-1, 0, 1}."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     channels = s.shape[1]
+    if s.dtype.kind == "f":
+        s = np.round(np.clip(s, -1.0, 1.0) * 32767.0)
     pcm = np.clip(s, -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, int(rate), int(rate) * channels * 2,
                       channels * 2, 16)

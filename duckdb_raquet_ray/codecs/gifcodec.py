@@ -234,8 +234,10 @@ def gif_frames(data: bytes) -> list[dict]:
         gct, pos = _read_color_table(data, pos, packed & 0x07)
 
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    if gct is not None and not (packed & 0x80 and bg_idx >= len(gct)):
-        canvas[:] = gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
+    # gct is only ever set under packed & 0x80, so the fill condition
+    # reduces to a single bounds check
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
     background = canvas.copy()
 
     frames: list[dict] = []
@@ -372,18 +374,19 @@ def gif_encode_frames(
             f = np.stack([f, f, f], axis=-1)
         norm.append(f)
     h, w = norm[0].shape[:2]
+    if len(delays_cs) != len(norm):
+        # zip would TRUNCATE to the shorter list and silently drop frames
+        raise ValueError(
+            f"gif_encode_frames: {len(norm)} frames but {len(delays_cs)} delays"
+        )
     stacked = np.concatenate([f.reshape(-1, 3) for f in norm], axis=0).reshape(-1, 1, 3)
-    palette, _ = _palettize(stacked)
+    palette, all_idx = _palettize(stacked)
+    all_idx = np.asarray(all_idx, dtype=np.uint8).reshape(len(norm), h, w)
     n = len(palette)
     size_field = max(int(np.ceil(np.log2(max(n, 2)))) - 1, 0)
     table_n = 2 << size_field
     full_palette = np.zeros((table_n, 3), dtype=np.uint8)
     full_palette[:n] = palette
-    # color -> index lookup
-    lut = {
-        (int(r) << 16) | (int(g) << 8) | int(b): i
-        for i, (r, g, b) in enumerate(palette)
-    }
 
     out = bytearray()
     out += _GIF89
@@ -393,17 +396,13 @@ def gif_encode_frames(
         # NETSCAPE loop extension (loop forever) — standard for animation
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     min_code = max(size_field + 1, 2)
-    for f, delay in zip(norm, delays_cs):
+    for fi, (f, delay) in enumerate(zip(norm, delays_cs)):
         if f.shape[:2] != (h, w):
             raise ValueError("gif_encode_frames: frames must share one size")
-        flat = f.reshape(-1, 3)
-        key = (
-            flat[:, 0].astype(np.uint32) << 16
-            | flat[:, 1].astype(np.uint32) << 8
-            | flat[:, 2].astype(np.uint32)
-        )
-        idx = np.fromiter((lut[int(kk)] for kk in key), dtype=np.uint8, count=len(key))
-        idx = idx.reshape(h, w)
+        # _palettize already produced the per-pixel indices vectorized —
+        # re-deriving them via a per-pixel Python lut loop was the encode
+        # hot path's dominant cost
+        idx = all_idx[fi]
         # graphic control (always emitted: delay + optional transparency)
         flags = 0x04  # disposal 1 (draw over)
         tr = 0

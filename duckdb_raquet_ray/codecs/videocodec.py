@@ -81,7 +81,16 @@ def avi_encode_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10
         0, 0, 0x10,  # maxbytes/sec, padding, flags (HASINDEX)
         n, 0, 1, max_len, width, height, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_len, 0xFFFFFFFF, 0, 0)
+    # full 56-byte AVISTREAMHEADER: ...dwSampleSize + rcFrame as 4 int16
+    # (the earlier trailing I emitted only half of rcFrame — strict
+    # DirectShow-style parsers validate the struct size)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_len, 0xFFFFFFFF, 0
+        )
+        + struct.pack("<4h", 0, 0, width, height)
+    )
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D, width * height * 3, 0, 0, 0, 0)
     hdrl = _list(
         b"hdrl",

@@ -217,10 +217,38 @@ def write_corpus(
 ) -> list[str]:
     """Materialize a corpus as Parquet shards (idempotent: existing complete
     shards are kept — the generator is deterministic so re-use is safe).
+    Reuse is gated on a `_params.json` fingerprint: re-running into the
+    same dir with DIFFERENT generation parameters regenerates from
+    scratch instead of silently keeping stale shards (rows/seed/skew
+    would otherwise diverge from what the caller was told).
     ``processes > 1`` fans shard generation out over a process pool (each
     shard is a pure function of (seed, shard), so parallel generation is
     bit-identical to sequential)."""
+    import glob as _glob
+    import json as _json
+
     os.makedirs(out_dir, exist_ok=True)
+    params = {
+        "rows": rows, "shards": shards, "seed": seed, "vocab": vocab,
+        "skew_head": skew_head, "row_group_rows": row_group_rows,
+        "source_coherent": source_coherent,
+    }
+    ppath = os.path.join(out_dir, "_params.json")
+    prior = None
+    if os.path.exists(ppath):
+        try:
+            with open(ppath) as f:
+                prior = _json.load(f)
+        except Exception:
+            prior = None
+    if prior != params:
+        if prior is not None or _glob.glob(os.path.join(out_dir, "shard-*.parquet")):
+            for f in _glob.glob(os.path.join(out_dir, "shard-*.parquet")):
+                os.remove(f)
+        tmp = ppath + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(params, f)
+        os.replace(tmp, ppath)
     per = rows // shards
     jobs = []
     for k in range(shards):

@@ -944,3 +944,86 @@ class TestEncodeStateReviewFixes:
 
         n = util.scaled_buckets(1 << 60, bytes_per_bucket=1, cap=4096)
         assert n <= 4096
+
+
+class TestCliSourceCodecReviewFixes:
+    def test_sample_rate_path_honors_cols(self, ray_session, tmp_path):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray import cli
+
+        t = pa.table(
+            {
+                "id": pa.array([str(i) for i in range(100)]),
+                "domain": pa.array(["w", "c"] * 50),
+            }
+        )
+        src = tmp_path / "d.parquet"
+        pq.write_table(t, src)
+        dest = str(tmp_path / "out")
+        cli.main([
+            "sample", "--input", str(src), "--dest", dest,
+            "--rate", "w=0.0", "--key-col", "id", "--source-col", "domain",
+        ])
+        got = pq.read_table(dest)
+        assert set(got.column("domain").to_pylist()) == {"c"}
+
+    def test_write_corpus_param_change_regenerates(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from duckdb_raquet_ray.sources import tokens
+
+        d = str(tmp_path / "c")
+        p1 = tokens.write_corpus(d, 400, 2)
+        assert sum(pq.read_metadata(p).num_rows for p in p1) == 400
+        p2 = tokens.write_corpus(d, 800, 2)
+        assert sum(pq.read_metadata(p).num_rows for p in p2) == 800
+
+    def test_gif_delay_mismatch_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.codecs import gifcodec
+
+        f = np.zeros((4, 4, 3), np.uint8)
+        with _pytest.raises(ValueError, match="delays"):
+            gifcodec.gif_encode_frames([f, f, f], delays_cs=[10])
+
+    def test_gif_animated_roundtrip_still_exact(self):
+        import numpy as np
+
+        from duckdb_raquet_ray.codecs import gifcodec
+
+        rng = np.random.default_rng(3)
+        frames = [
+            (rng.integers(0, 4, (6, 5, 3)) * 80).astype(np.uint8) for _ in range(3)
+        ]
+        data = gifcodec.gif_encode_frames(frames, delays_cs=[5, 5, 5])
+        back = gifcodec.gif_frames(data)
+        assert len(back) == 3
+        np.testing.assert_array_equal(back[0]["rgb"], frames[0])
+
+    def test_wav_float_roundtrip(self):
+        import numpy as np
+
+        from duckdb_raquet_ray.codecs import audiocodec as ac
+
+        x = (np.sin(np.linspace(0, 20, 1000)) * 0.5).astype(np.float32)
+        data = ac.wav_encode(x, 8000)
+        s, r = ac.wav_decode(data)
+        assert r == 8000
+        # scaled to int16, not flattened to {-1, 0, 1}
+        assert np.abs(s).max() > 10000
+
+    def test_wav_truncated_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.codecs import audiocodec as ac
+
+        data = ac.wav_encode(np.ones(100, np.int16) * 5, 8000)
+        with _pytest.raises(ValueError, match="truncated|claims"):
+            ac.wav_decode(data[:-20])
