@@ -2079,6 +2079,23 @@ def _q_topk_multi(sf_dir: str):
     return t.select(["qid", "vec_id", "rank"])
 
 
+def _q_grouped_topk_rows(sf_dir: str):
+    """Generic per-group top-k ROWS (top-3 longest docs per source by
+    n_chars): per-block per-group pre-cut (union-of-partials superset
+    property), hash(group) bucket groupby applies the exact cap — SQL's
+    QUALIFY row_number() OVER (PARTITION BY ... ) <= k
+    (stages/stats.grouped_topk_rows)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return _stats.grouped_topk_rows(ds, "source", "n_chars", k=3)
+
+
 def _q_mad_outliers(sf_dir: str):
     """Per-source robust (median/MAD) length-outlier statistics in exact
     integer fixed point (med2 = 2*median, mad4 = 4*MAD): one dense-
@@ -3483,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4, final continuation session ----------------------------
         "remove_dup_spans_docs": _q_remove_dup_spans,
         "mad_outliers_source": _q_mad_outliers,
+        "grouped_topk_docs": _q_grouped_topk_rows,
         "topk_multi_similar": _q_topk_multi,
         "wds_sink_stats": _q_wds_sink_stats,
         "orc_sink_stats": _q_orc_sink_stats,
@@ -3962,6 +3980,9 @@ def oracle_sql() -> dict[str, str]:
         # robust per-source outlier stats: DuckDB median() doubled into
         # exact integers, same pure-integer outlier comparison
         "mad_outliers_source": _stats.grouped_mad_oracle_sql(f"({stats_sql})"),
+        "grouped_topk_docs": _stats.grouped_topk_rows_oracle_sql(
+            "documents", "source", "n_chars", k=3
+        ),
         # batch ANN: ranks only (same float policy as topk_similar)
         "topk_multi_similar": _ann.brute_multi_oracle_sql(_multi_query_vecs(), k=10),
         "repetition_docs": _quality.repetition_oracle_sql("documents"),

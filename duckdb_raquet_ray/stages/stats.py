@@ -2034,3 +2034,134 @@ SELECT d.g AS {group_col}, any_value(d.med2) AS med2, any_value(mm.mad4) AS mad4
     AS n_outliers
 FROM d JOIN mm ON mm.g = d.g
 GROUP BY d.g"""
+
+
+# ---------------------------------------------------------------------------
+# generic grouped top-k ROWS — the ROW_NUMBER() OVER (PARTITION BY g
+# ORDER BY v DESC, key) <= k relational shape (top-N documents per source
+# by any score column), the row-level sibling of grouped_topk's
+# token-histogram top-k.
+# ---------------------------------------------------------------------------
+
+
+def grouped_topk_rows(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    descending: bool = True,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Top `k` rows per group by `order_col` (ties -> key ascending, the
+    deterministic rule every ranked operator here uses), with a 1-based
+    `rank` column. Exactly SQL's QUALIFY row_number() OVER (PARTITION BY
+    group ORDER BY v [DESC], key) <= k.
+
+    Scale shape (the stratified_sample discipline): each block pre-cuts
+    every group to its local k best — the global top-k of a group is a
+    subset of the union of per-block top-ks — so at most
+    O(groups-in-block x k) rows leave any block; a hash(group) bucket
+    groupby then applies the exact cap in-bucket. NULL order values sort
+    last (never rank); NULL groups fold to ''."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nb = n_buckets or util.scaled_buckets(ds)
+    base = ds.schema().base_schema
+    kt = base.field(key_col).type
+    vt = base.field(order_col).type
+    keep_cols = [group_col, key_col, order_col]
+
+    def _cut(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["_g", "_v", key_col],
+            ascending=[True, not descending, True],
+            kind="mergesort",
+        )
+        return df.groupby("_g", sort=False).head(kk)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = util.strip_schema_metadata(t).select(keep_cols)
+        g = t.column(group_col).to_pandas().fillna("")
+        v = t.column(order_col)
+        valid = ~np.asarray(v.combine_chunks().is_null()) if v.null_count else None
+        df = pd.DataFrame(
+            {
+                "_g": g.to_numpy(dtype=object),
+                "_v": v.to_pandas(),
+                key_col: t.column(key_col).to_pandas(),
+            }
+        )
+        if valid is not None:
+            df = df[valid]  # NULL order values never rank
+        df = _cut(df)
+        b = (
+            detmix.string_hash64(df["_g"].to_numpy(dtype=object))
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                group_col: pa.array(df["_g"].to_numpy(dtype=object), pa.string()),
+                order_col: pa.array(df["_v"].to_numpy(), type=vt),
+                key_col: pa.array(df[key_col].to_numpy(), type=kt),
+                "_b": pa.array(b),
+            }
+        )
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            key_col: pa.array([], kt),
+            order_col: pa.array([], vt),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "_g": t.column(group_col).to_pandas().to_numpy(dtype=object),
+                "_v": t.column(order_col).to_pandas(),
+                key_col: t.column(key_col).to_pandas(),
+            }
+        )
+        df = _cut(df)
+        rank = df.groupby("_g", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                group_col: pa.array(df["_g"].to_numpy(dtype=object), pa.string()),
+                key_col: pa.array(df[key_col].to_numpy(), type=kt),
+                order_col: pa.array(df["_v"].to_numpy(), type=vt),
+                "rank": pa.array(rank.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_topk_rows_oracle_sql(
+    table: str,
+    group_col: str,
+    order_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    descending: bool = True,
+) -> str:
+    """DuckDB twin of grouped_topk_rows (NULL groups coalesce to '',
+    NULL order values excluded, same tie rule)."""
+    direction = "DESC" if descending else "ASC"
+    return f"""
+SELECT coalesce({group_col}, '') AS {group_col}, {key_col}, {order_col},
+  CAST(row_number() OVER (
+    PARTITION BY coalesce({group_col}, '')
+    ORDER BY {order_col} {direction}, {key_col}
+  ) AS BIGINT) AS rank
+FROM {table} WHERE {order_col} IS NOT NULL
+QUALIFY rank <= {int(k)}"""

@@ -591,3 +591,84 @@ class TestGroupedMadOutliers:
         )
         with _pytest.raises(Exception, match="outside"):
             stats.grouped_mad_outliers(rd.from_arrow(t)).take_all()
+
+
+class TestGroupedTopkRows:
+    def _t(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "source": pa.array(["a", "a", "a", "b", "b", None, "a"]),
+                "n_chars": pa.array([10, 30, 20, 5, 5, 9, None], pa.int64()),
+            }
+        )
+
+    def test_goldens_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        out = {
+            (r["source"], r["rank"]): r["doc_id"]
+            for r in stats.grouped_topk_rows(
+                rd.from_arrow(self._t()), "source", "n_chars", k=2
+            ).take_all()
+        }
+        # a: 30 (doc 2), 20 (doc 3); null order value (doc 7) never ranks
+        assert out[("a", 1)] == 2 and out[("a", 2)] == 3
+        # b: tie at 5 -> key ascending
+        assert out[("b", 1)] == 4 and out[("b", 2)] == 5
+        # null group folds to ''
+        assert out[("", 1)] == 6
+
+    def test_sql_parity_and_partition_invariance(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "source": pa.array(rng.choice(["x", "y", "z"], n)),
+                "n_chars": pa.array(rng.integers(0, 50, n), pa.int64()),
+            }
+        )
+        key = ["source", "doc_id", "n_chars", "rank"]
+        eng = (
+            stats.grouped_topk_rows(rd.from_arrow(t), "source", "n_chars", k=5)
+            .to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+        )
+        e2 = (
+            stats.grouped_topk_rows(
+                rd.from_arrow(t).repartition(7), "source", "n_chars", k=5
+            )
+            .to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+        )
+        assert eng[key].equals(e2[key])
+        con = duckdb.connect()
+        con.register("documents", t)
+        ora = (
+            con.execute(
+                stats.grouped_topk_rows_oracle_sql("documents", "source", "n_chars", k=5)
+            )
+            .df().sort_values(["source", "rank"]).reset_index(drop=True)
+        )
+        for c in key:
+            assert eng[c].tolist() == ora[c].tolist(), c
+
+    def test_ascending_mode(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        out = stats.grouped_topk_rows(
+            rd.from_arrow(self._t()), "source", "n_chars", k=1, descending=False
+        ).to_pandas().set_index("source")
+        assert out.loc["a", "doc_id"] == 1  # smallest n_chars in group a
