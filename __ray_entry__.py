@@ -2079,6 +2079,22 @@ def _q_topk_multi(sf_dir: str):
     return t.select(["qid", "vec_id", "rank"])
 
 
+def _q_grouped_distinct(sf_dir: str):
+    """Exact per-event-type distinct user count (COUNT(DISTINCT) GROUP
+    BY, the exact twin of the grouped HLL sketch): distinct (group,
+    value) pairs per block, ONE pair-hash bucket shuffle counting each
+    pair exactly once, per-group partials folded by a tiny groupby-sum
+    (stages/stats.grouped_count_distinct)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.stages import stats as _stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return _stats.grouped_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_grouped_topk_rows(sf_dir: str):
     """Generic per-group top-k ROWS (top-3 longest docs per source by
     n_chars): per-block per-group pre-cut (union-of-partials superset
@@ -3501,6 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": _q_remove_dup_spans,
         "mad_outliers_source": _q_mad_outliers,
         "grouped_topk_docs": _q_grouped_topk_rows,
+        "grouped_distinct_events": _q_grouped_distinct,
         "topk_multi_similar": _q_topk_multi,
         "wds_sink_stats": _q_wds_sink_stats,
         "orc_sink_stats": _q_orc_sink_stats,
@@ -3982,6 +3999,9 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_source": _stats.grouped_mad_oracle_sql(f"({stats_sql})"),
         "grouped_topk_docs": _stats.grouped_topk_rows_oracle_sql(
             "documents", "source", "n_chars", k=3
+        ),
+        "grouped_distinct_events": _stats.grouped_count_distinct_oracle_sql(
+            "events", "event_type", "user_id"
         ),
         # batch ANN: ranks only (same float policy as topk_similar)
         "topk_multi_similar": _ann.brute_multi_oracle_sql(_multi_query_vecs(), k=10),

@@ -2165,3 +2165,118 @@ SELECT coalesce({group_col}, '') AS {group_col}, {key_col}, {order_col},
   ) AS BIGINT) AS rank
 FROM {table} WHERE {order_col} IS NOT NULL
 QUALIFY rank <= {int(k)}"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped COUNT(DISTINCT value) — the exact twin of the grouped HLL
+# sketch (use this when the distinct set is shuffle-affordable, the sketch
+# when it is not).
+# ---------------------------------------------------------------------------
+
+
+def grouped_count_distinct(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact per-group distinct-value count -> (group, n_distinct).
+
+    Scale shape: each block reduces to its DISTINCT (group, value) pairs
+    (np.unique over a composite key — payload bounded by the block's
+    distinct pairs, never its rows); pairs shuffle ONCE through a
+    corpus-scaled bucket groupby keyed on hash(group, value), so each
+    pair is counted exactly once globally; buckets emit per-group
+    partial counts (O(groups) rows) folded by a tiny groupby-sum. NULL
+    groups fold to ''; NULL values are ignored (SQL COUNT(DISTINCT)
+    semantics)."""
+    nb = n_buckets or util.scaled_buckets(ds)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = util.strip_schema_metadata(t)
+        g = t.column(group_col).to_pandas().fillna("").to_numpy(dtype=object)
+        v = t.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if v.null_count:
+            ok = np.asarray(v.is_valid())
+            g, v = g[ok], v.filter(pa.array(ok))
+        vs = v.cast(pa.string()).to_pandas().to_numpy(dtype=object)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "vh": pa.array([], pa.uint64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        # composite 128-bit-ish identity: group hash mixed with value
+        # hash; distinct within the block via np.unique on the pair
+        gh = detmix.string_hash64(g)
+        vh = detmix.string_hash64(vs)
+        pair = detmix.splitmix64(gh ^ detmix.splitmix64(vh))
+        order = np.lexsort((pair, gh))
+        keep = np.r_[True, (gh[order][1:] != gh[order][:-1])
+                     | (pair[order][1:] != pair[order][:-1])]
+        sel = order[keep]
+        return pa.table(
+            {
+                group_col: pa.array(g[sel], pa.string()),
+                "vh": pa.array(pair[sel]),
+                "_b": pa.array((pair[sel] % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    empty = pa.table(
+        {group_col: pa.array([], pa.string()), "nd": pa.array([], pa.int64())}
+    )
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        # a (group, value) pair's hash lands in exactly one bucket, so the
+        # in-bucket distinct count per group is a disjoint global partial
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas().to_numpy(dtype=object),
+                "vh": t.column("vh").to_numpy(zero_copy_only=False),
+            }
+        )
+        s = df.drop_duplicates().groupby("g", sort=False).size()
+        return pa.table(
+            {
+                group_col: pa.array(s.index.to_numpy(dtype=object), pa.string()),
+                "nd": pa.array(s.to_numpy(np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(in_bucket, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("nd")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_distinct": t.column("sum(nd)").cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(rename, batch_format="pyarrow")
+
+
+def grouped_count_distinct_oracle_sql(
+    table: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB twin (hash collisions are the only divergence risk —
+    ~10^-19 per pair at 64-bit splitmix width, stated like the other
+    hash-identity oracles)."""
+    return f"""
+SELECT coalesce({group_col}, '') AS {group_col},
+       count(DISTINCT {value_col})::BIGINT AS n_distinct
+FROM {table} WHERE {value_col} IS NOT NULL
+GROUP BY coalesce({group_col}, '')"""

@@ -672,3 +672,41 @@ class TestGroupedTopkRows:
             rd.from_arrow(self._t()), "source", "n_chars", k=1, descending=False
         ).to_pandas().set_index("source")
         assert out.loc["a", "doc_id"] == 1  # smallest n_chars in group a
+
+
+class TestGroupedCountDistinct:
+    def test_goldens_nulls_and_bucket_invariance(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", "a", "b", None, "b"]),
+                "v": pa.array([1, 1, 2, 7, 9, None], pa.int64()),
+            }
+        )
+        out = {
+            r["g"]: r["n_distinct"]
+            for r in stats.grouped_count_distinct(
+                rd.from_arrow(t), "g", "v"
+            ).take_all()
+        }
+        assert out == {"a": 2, "b": 1, "": 1}  # null v ignored, null g -> ''
+        o2 = {
+            r["g"]: r["n_distinct"]
+            for r in stats.grouped_count_distinct(
+                rd.from_arrow(t).repartition(3), "g", "v", n_buckets=2
+            ).take_all()
+        }
+        assert o2 == out
+        con = duckdb.connect()
+        con.register("t", t)
+        ora = dict(
+            con.execute(
+                stats.grouped_count_distinct_oracle_sql("t", "g", "v")
+            ).fetchall()
+        )
+        assert ora == out
