@@ -2079,6 +2079,23 @@ def _q_topk_multi(sf_dir: str):
     return t.select(["qid", "vec_id", "rank"])
 
 
+def _q_regex_extract(sf_dir: str):
+    """Regex named-group extraction over the events props JSON strings
+    (the log-parsing map): one vectorized RE2 pass per batch — pyarrow's
+    regex engine IS DuckDB's, so extraction is engine-identical by
+    construction (pipelines/text.py:regex_extract)."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import text as _text
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    return _text.regex_extract(
+        ds, r'"k":\s*(?P<kval>\d+)', text_col="props", keep_cols=("event_id",)
+    )
+
+
 def _q_grouped_distinct(sf_dir: str):
     """Exact per-event-type distinct user count (COUNT(DISTINCT) GROUP
     BY, the exact twin of the grouped HLL sketch): distinct (group,
@@ -3518,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_source": _q_mad_outliers,
         "grouped_topk_docs": _q_grouped_topk_rows,
         "grouped_distinct_events": _q_grouped_distinct,
+        "regex_extract_events": _q_regex_extract,
         "topk_multi_similar": _q_topk_multi,
         "wds_sink_stats": _q_wds_sink_stats,
         "orc_sink_stats": _q_orc_sink_stats,
@@ -4002,6 +4020,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_distinct_events": _stats.grouped_count_distinct_oracle_sql(
             "events", "event_type", "user_id"
+        ),
+        "regex_extract_events": _text_ops.regex_extract_oracle_sql(
+            "events", r'"k":\s*(?P<kval>\d+)', text_col="props",
+            select_cols="event_id",
         ),
         # batch ANN: ranks only (same float policy as topk_similar)
         "topk_multi_similar": _ann.brute_multi_oracle_sql(_multi_query_vecs(), k=10),

@@ -16,6 +16,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import util
 from ..functions import detmix as _detmix
@@ -812,3 +813,70 @@ SELECT {key_col},
   (st - 1)::BIGINT AS chunk_start,
   substring(t, st::INT, {size}) AS chunk
 FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# regex named-group extraction — the log/JSON-field parsing map (pyarrow's
+# regex engine IS RE2, DuckDB's engine, so extraction is engine-identical
+# by construction — the pii.py parity argument applied to user patterns).
+# ---------------------------------------------------------------------------
+
+
+def regex_extract(
+    ds,
+    pattern: str,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+):
+    """Append one column per NAMED GROUP in `pattern`, extracted from the
+    FIRST match in `text_col` (null when the row does not match — SQL
+    regexp_extract semantics). One vectorized RE2 pass per batch; no
+    shuffle. SQL twin: `regex_extract_oracle_sql`."""
+    import re as _re
+
+    names = list(_re.compile(pattern).groupindex)
+    if not names:
+        raise ValueError(
+            "pattern has no named groups — use (?P<name>...) so the output "
+            "columns have deterministic names"
+        )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        batch = util.strip_schema_metadata(batch)
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.coalesce(arr.cast(pa.string()), pa.scalar(""))
+        structs = pc.extract_regex(arr, pattern)
+        out = batch
+        if keep_cols:
+            out = batch.select([c for c in keep_cols])
+        for n in names:
+            out = out.append_column(n, pc.struct_field(structs, n))
+        return out
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def regex_extract_oracle_sql(
+    table: str,
+    pattern: str,
+    text_col: str = "text",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin: regexp_extract with the named-group list form returns
+    a STRUCT (RE2, same pattern string); non-matching rows yield NULL
+    fields like the engine. The pattern is embedded single-quoted —
+    callers with quotes in the pattern must escape them."""
+    import re as _re
+
+    names = list(_re.compile(pattern).groupindex)
+    name_list = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    pat = pattern.replace("'", "''")
+    fields = ", ".join(
+        f"CASE WHEN regexp_matches(coalesce({text_col}, ''), '{pat}') "
+        f"THEN regexp_extract(coalesce({text_col}, ''), '{pat}', {name_list}).{n} "
+        f"END AS {n}"
+        for n in names
+    )
+    return f"SELECT {select_cols}, {fields} FROM {table}"

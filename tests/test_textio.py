@@ -375,3 +375,47 @@ class TestOrcSink:
         p1 = textio.write_orc(rd.from_arrow(t), d)
         p2 = textio.write_orc(rd.from_arrow(t), d)
         assert p1 == p2 and len(os.listdir(d)) == 1
+
+
+class TestRegexExtract:
+    def test_extract_and_oracle_parity(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "props": pa.array(
+                    ['{"k": 87, "u": "ann"}', "no match", None, '{"k": 0}']
+                ),
+            }
+        )
+        pat = r'"k":\s*(?P<kval>\d+)'
+        out = (
+            tx.regex_extract(rd.from_arrow(t), pat, text_col="props",
+                             keep_cols=("event_id",))
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert out["kval"].tolist() == ["87", None, None, "0"]
+        con = duckdb.connect()
+        con.register("events", t)
+        ora = (
+            con.execute(tx.regex_extract_oracle_sql(
+                "events", pat, text_col="props", select_cols="event_id"))
+            .df().sort_values("event_id").reset_index(drop=True)
+        )
+        assert out["kval"].tolist() == ora["kval"].tolist()
+
+    def test_unnamed_groups_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        t = pa.table({"text": pa.array(["x"])})
+        with _pytest.raises(ValueError, match="named"):
+            tx.regex_extract(rd.from_arrow(t), r"(\d+)")
