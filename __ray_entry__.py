@@ -1630,16 +1630,18 @@ def _q_clean_corpus(sf_dir: str):
     # bench docs themselves leave the training set before the probe (the
     # contamination oracle's output domain). Ray's expr filter can't
     # parse a modulo, so these are vectorized pyarrow masks.
-    def _mod_filter(rem_eq: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = (t.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
-            return t.filter(pa.array(m if rem_eq else ~m))
+    import functools as _ft
 
-        return f
+    from duckdb_raquet_ray.util import mod_split
 
-    out = out.map_batches(_mod_filter(False), batch_format="pyarrow")
+    out = out.map_batches(
+        _ft.partial(mod_split, mod=50, rem=7, keep=False), batch_format="pyarrow"
+    )
     bench = cont.benchmark_ngram_set(
-        docs.map_batches(_mod_filter(True), batch_format="pyarrow"), n=5
+        docs.map_batches(
+            _ft.partial(mod_split, mod=50, rem=7, keep=True), batch_format="pyarrow"
+        ),
+        n=5,
     )
     out = cont.decontaminate(out, bench, n=5, drop=True, concurrency=(1, 4))
     return out.select_columns(["doc_id"])
@@ -2196,16 +2198,21 @@ def _q_decontaminate(sf_dir: str):
 
     from duckdb_raquet_ray.pipelines import contamination as cont
 
-    def split(b: pa.Table, keep_bench: bool) -> pa.Table:
-        m = (b.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
-        return b.filter(pa.array(m if keep_bench else ~m))
+    import functools as _ft
+
+    from duckdb_raquet_ray.util import mod_split
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     bench = cont.benchmark_ngram_set(
-        ds.map_batches(lambda b: split(b, True), batch_format="pyarrow"), n=5
+        ds.map_batches(
+            _ft.partial(mod_split, mod=50, rem=7, keep=True), batch_format="pyarrow"
+        ),
+        n=5,
     )
-    train = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    train = ds.map_batches(
+        _ft.partial(mod_split, mod=50, rem=7, keep=False), batch_format="pyarrow"
+    )
     out = cont.decontaminate(train, bench, n=5, concurrency=(1, 4))
     return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
 

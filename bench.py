@@ -136,10 +136,16 @@ def fault_probe(procs: int = 2) -> float:
     return round(total, 2)
 
 
+RUNS_OVERRIDE: int | None = None  # set from --runs; None keeps per-site defaults
+
+
 def best_of(fn, runs: int = 2) -> list[float]:
     """Times of `runs` calls of fn() — callers take min(). One shared
     helper: host-neighbor contention swings single runs 4-5x, and every
-    phase needs the same best-of-N guard."""
+    phase needs the same best-of-N guard. `--runs N` overrides every
+    site's default via RUNS_OVERRIDE."""
+    if RUNS_OVERRIDE is not None:
+        runs = RUNS_OVERRIDE
     times = []
     for _ in range(runs):
         t0 = time.time()
@@ -369,15 +375,21 @@ def bench_tables_phase(cpus: int) -> dict:
 
         ds = rd.read_parquet(docs, columns=["doc_id", "text"])
 
-        def split(b, keep):
-            m = (b.column("doc_id").to_numpy(zero_copy_only=False) % 50) == 7
-            return b.filter(pa.array(m if keep else ~m))
+        import functools as _ft
+
+        from duckdb_raquet_ray.util import mod_split
 
         words = bloom.bloom_build(
-            ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+            ds.map_batches(
+                _ft.partial(mod_split, mod=50, rem=7, keep=True),
+                batch_format="pyarrow",
+            )
         )
         return bloom.bloom_probe(
-            ds.map_batches(lambda b: split(b, False), batch_format="pyarrow"),
+            ds.map_batches(
+                _ft.partial(mod_split, mod=50, rem=7, keep=False),
+                batch_format="pyarrow",
+            ),
             words,
             concurrency=(1, min(cpus, 8)),
         ).count()
@@ -567,6 +579,10 @@ def main() -> None:
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
+    global RUNS_OVERRIDE
+    if args.runs != 3:
+        RUNS_OVERRIDE = max(1, args.runs)
+
     if args.scaling:
         # N -> 4N evidence, two pairs on the same input, fresh processes:
         #   2 -> 8 cpus : the node-scaling proxy. Neither level saturates
@@ -612,11 +628,17 @@ def main() -> None:
                 out = f"/tmp/raquet_scaling_{cpus}.json"
                 # capture child stdout: the harness contract is ONE JSON
                 # line on OUR stdout; children persist via --json-out
-                subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--encode-only",
-                     "--cpus", str(cpus), "--runs", "2", "--json-out", out],
-                    check=True, cwd=REPO, capture_output=True, env=child_env,
-                )
+                try:
+                    subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), "--encode-only",
+                         "--cpus", str(cpus), "--runs", "2", "--json-out", out],
+                        check=True, cwd=REPO, capture_output=True, env=child_env,
+                    )
+                except subprocess.CalledProcessError as e:
+                    # surface the child's traceback — a captured-and-dropped
+                    # stderr turns a multi-minute failure into a blind exit
+                    sys.stderr.write(e.stderr.decode(errors="replace")[-4000:])
+                    raise
                 enc = json.load(open(out))["encode"]
                 rlevels[str(cpus)] = enc
                 cur = levels.get(str(cpus))

@@ -14,7 +14,6 @@ import json
 import sys
 
 import duckdb
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -54,15 +53,18 @@ def canon(df: pd.DataFrame) -> tuple[int, list, str]:
 
 
 def main():
+    # Ray FIRST: oracle_sql()'s fixture synthesis (PQ codebook / DSIR
+    # weights) runs Ray Data jobs on a cache-miss, which would auto-init
+    # Ray and make the explicit init below raise
+    ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
     spec = importlib.util.spec_from_file_location("re_", "/root/repo/__ray_entry__.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     q = m.queries()
     o = m.oracle_sql()
     names = sys.argv[1:] or list(q)
-    ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
 
     con = duckdb.connect()
     for t in TABLES:
@@ -83,8 +85,11 @@ def main():
             ora = con.execute(o[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE ERR {e!r:.200}"); fails.append(name); continue
-        rn, cn, hn = canon(res)
-        ro, co, ho = canon(ora)
+        try:
+            rn, cn, hn = canon(res)
+            ro, co, ho = canon(ora)
+        except Exception as e:
+            print(f"{name}: CANON ERR {e!r:.200}"); fails.append(name); continue
         ok = (rn == ro) and (cn == co) and (hn == ho)
         print(f"{name}: {'OK' if ok else 'FAIL'} rows={rn}/{ro} cols={'=' if cn==co else (cn,co)} hash={'=' if hn==ho else (hn,ho)}")
         if not ok:
