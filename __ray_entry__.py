@@ -1478,6 +1478,22 @@ def _q_pq_codes(sf_dir: str):
     return out.select_columns(["vec_id", "pq_checksum"])
 
 
+_APPEND_CUT = 250  # key split shared by every incremental-append query
+                   # AND its oracle SQL (WHERE key </>= _APPEND_CUT)
+
+
+def _key_half(lt: bool, key: str = "doc_id", cut: int = _APPEND_CUT):
+    """pa.Table filter: keys below (lt=True) / at-or-above `cut`."""
+
+    def f(t):
+        import pyarrow as _pa
+
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(k < cut if lt else k >= cut))
+
+    return f
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Daily-append workflow: the first half of the corpus is indexed once
     (16 B/doc hive-bucketed content hashes, dedup.build_content_index);
@@ -1492,13 +1508,6 @@ def _q_incremental_dedup(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def _half(lt: bool, cut: int = 250):
-        def f(t: pa.Table) -> pa.Table:
-            k = t.column("doc_id").to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(k < cut if lt else k >= cut))
-
-        return f
-
     def _replant(t: pa.Table) -> pa.Table:
         k = t.column("doc_id").to_numpy(zero_copy_only=False)
         sub = t.filter(pa.array(k < 50))
@@ -1507,8 +1516,8 @@ def _q_incremental_dedup(sf_dir: str):
             pa.array(sub.column("doc_id").to_numpy(zero_copy_only=False) + 1000),
         )
 
-    old = docs.map_batches(_half(True), batch_format="pyarrow")
-    new = docs.map_batches(_half(False), batch_format="pyarrow").union(
+    old = docs.map_batches(_key_half(True), batch_format="pyarrow")
+    new = docs.map_batches(_key_half(False), batch_format="pyarrow").union(
         docs.map_batches(_replant, batch_format="pyarrow")
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -1537,13 +1546,6 @@ def _q_incremental_minhash(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def _half(lt: bool, cut: int = 250):
-        def f(t: pa.Table) -> pa.Table:
-            k = t.column("doc_id").to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(k < cut if lt else k >= cut))
-
-        return f
-
     def _mangle(lo: int, hi: int, offset: int, tail: str):
         def f(t: pa.Table) -> pa.Table:
             k = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1556,9 +1558,9 @@ def _q_incremental_minhash(sf_dir: str):
 
         return f
 
-    old = docs.map_batches(_half(True), batch_format="pyarrow")
+    old = docs.map_batches(_key_half(True), batch_format="pyarrow")
     new = (
-        docs.map_batches(_half(False), batch_format="pyarrow")
+        docs.map_batches(_key_half(False), batch_format="pyarrow")
         .union(docs.map_batches(_mangle(0, 50, 1000, " x"), batch_format="pyarrow"))
         .union(docs.map_batches(_mangle(250, 275, 3000, " y"), batch_format="pyarrow"))
     )
@@ -2682,16 +2684,13 @@ def _q_ivf_append_topk(sf_dir: str):
     if not os.path.exists(os.path.join(idx_dir, "centroids.json")):
         ds = rd.read_parquet(src)
 
-        def _half(lt: bool, cut: int = 250):
-            def f(t: pa.Table) -> pa.Table:
-                k = t.column("vec_id").to_numpy(zero_copy_only=False)
-                return t.filter(pa.array(k < cut if lt else k >= cut))
-
-            return f
-
-        ann.build_ivf_index(ds.map_batches(_half(True), batch_format="pyarrow"), idx_dir)
+        ann.build_ivf_index(
+            ds.map_batches(_key_half(True, key="vec_id"), batch_format="pyarrow"),
+            idx_dir,
+        )
         ann.append_ivf_index(
-            ds.map_batches(_half(False), batch_format="pyarrow"), idx_dir,
+            ds.map_batches(_key_half(False, key="vec_id"), batch_format="pyarrow"),
+            idx_dir,
             append_id="second-half",
         )
     t = ann.ivf_topk_indexed(idx_dir, _query_vec(), k=10, n_probe=16)
