@@ -33,7 +33,7 @@ _CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def sniff(data: bytes) -> str | None:
-    """'png' | 'jpeg' | 'gif' | 'ppm' | 'pgm' | None from magic bytes."""
+    """'png' | 'jpeg' | 'gif' | 'webp' | 'ppm' | 'pgm' | None from magic bytes."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:3] == b"\xff\xd8\xff":

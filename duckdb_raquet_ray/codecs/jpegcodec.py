@@ -278,6 +278,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -335,10 +338,25 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a spec-valid multi-scan (non-interleaved) baseline file:
+                # decoding only the first scan would silently return a
+                # Y-only image for a color photo
+                raise NotImplementedError(
+                    f"multi-scan baseline JPEG ({ns} of "
+                    f"{len(frame['comps'])} components in the first scan) "
+                    "is not supported — re-encode interleaved"
+                )
             scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"corrupt JPEG: scan component id {cs} not in SOF"
+                    )
                 scan_comps.append((comp, tdta >> 4, tdta & 0xF))
             scan_start = pos + seglen
             return _decode_scan(
@@ -363,6 +381,23 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
         if nxt == 0x00:
             pos += 2
             continue
+        if nxt == 0xFF:
+            # T.81 B.1.1.2 fill run: the segment ends at the FIRST 0xFF;
+            # the fills belong to the following marker's prefix (naively
+            # skipping them one by one would leak 0xFF bytes into the
+            # entropy bits)
+            q = pos + 1
+            while q < n and data[q] == 0xFF:
+                q += 1
+            if q >= n:
+                break
+            m = data[q]
+            segs.append(data[cur:pos].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= m <= 0xD7:  # RSTn after fills
+                pos = q + 1
+                cur = pos
+                continue
+            return segs
         segs.append(data[cur:pos].replace(b"\xff\x00", b"\xff"))
         if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary, keep scanning
             pos += 2

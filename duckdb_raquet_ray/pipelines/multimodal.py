@@ -82,7 +82,7 @@ class ImageDecoder:
         self.fake = fake
         self.feature_dim = feature_dim
 
-    def _decode_payload(self, data: bytes, width: int, height: int) -> np.ndarray:
+    def _decode_payload(self, data: bytes) -> np.ndarray:
         if imagecodec.sniff(data) is not None:
             try:
                 flat = imagecodec.decode(data).reshape(-1).astype(np.float64)
@@ -112,9 +112,7 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        widths = batch.column("width").to_pylist()
-        heights = batch.column("height").to_pylist()
-        feats = [self._decode_payload(p or b"", w, h) for p, w, h in zip(payloads, widths, heights)]
+        feats = [self._decode_payload(p or b"") for p in payloads]
         flat = np.concatenate(feats) if feats else np.zeros(0, dtype=np.float32)
         offsets = np.arange(0, (len(feats) + 1) * self.feature_dim, self.feature_dim, dtype=np.int32)
         col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.float32()))
@@ -132,10 +130,39 @@ class ImageResizer:
         self.target_h = target_h
         self.fake = fake
 
+    def _fake_resize(self, p: bytes, w, h) -> bytes:
+        # deterministic fake: truncated bytes proportional to the target
+        # area; NULL source dims (nullable int32 columns) count as 0
+        area = int(w or 0) * int(h or 0)
+        scale = (self.target_w * self.target_h) / max(area, 1)
+        return p[: max(1, int(len(p) * min(scale, 1.0)))]
+
     def _resize_payload(self, p: bytes, w: int, h: int) -> bytes:
         kind = imagecodec.sniff(p)
         if kind is not None:
-            img = imagecodec.decode(p)
+            if kind == "gif":
+                frames = gifcodec.gif_frames(p)
+                if len(frames) > 1:
+                    # resize EVERY frame — a single-frame re-encode would
+                    # silently drop the animation's tail
+                    resized = [
+                        imagecodec.resize_nearest(
+                            f["rgb"], self.target_w, self.target_h
+                        )
+                        for f in frames
+                    ]
+                    return gifcodec.gif_encode_frames(
+                        resized, delays_cs=[f["delay_cs"] for f in frames]
+                    )
+            try:
+                img = imagecodec.decode(p)
+            except NotImplementedError:
+                # sniffed but undecodable here (lossy VP8 without system
+                # libwebp): honor the fake contract, else re-raise — the
+                # ImageDecoder rule
+                if not self.fake:
+                    raise
+                return self._fake_resize(p, w, h)
             resized = imagecodec.resize_nearest(img, self.target_w, self.target_h)
             if kind == "png":
                 return imagecodec.png_encode(resized)
@@ -155,8 +182,7 @@ class ImageResizer:
             raise NotImplementedError(
                 "non-PNG/JPEG/PPM resize requires an imaging library; use fake=True"
             )
-        scale = (self.target_w * self.target_h) / max(int(w) * int(h), 1)
-        return p[: max(1, int(len(p) * min(scale, 1.0)))]
+        return self._fake_resize(p, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -448,16 +474,24 @@ def synthesize_webp_media_table(rows: int, seed: int = 46, max_side: int = 32) -
     )
 
 
-def persist_webp_media_table(rows: int, path: str, seed: int = 46) -> str:
+def _persist_once(path: str, build) -> str:
+    """Write-once fixture publish (tmp -> rename): both the Ray pipeline
+    and the SQL oracle read the SAME rows from disk. One helper for all
+    nine persisted media tables — a concurrency/naming fix must not need
+    nine synchronized edits."""
     import os
 
     import pyarrow.parquet as pq
 
     if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_webp_media_table(rows, seed), tmp)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(build(), tmp)
         os.replace(tmp, path)
     return path
+
+
+def persist_webp_media_table(rows: int, path: str, seed: int = 46) -> str:
+    return _persist_once(path, lambda: synthesize_webp_media_table(rows, seed))
 
 
 def synthesize_webp_lossy_media_table(
@@ -528,55 +562,23 @@ def synthesize_webp_lossy_media_table(
 
 
 def persist_webp_lossy_media_table(rows: int, path: str, seed: int = 47) -> str:
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_webp_lossy_media_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_webp_lossy_media_table(rows, seed))
 
 
 def persist_gif_anim_table(rows: int, path: str, seed: int = 45) -> str:
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_gif_anim_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_gif_anim_table(rows, seed))
 
 
 def persist_mjpeg_media_table(rows: int, path: str, seed: int = 44) -> str:
     """Write (once) the MJPEG-AVI corpus so both the Ray pipeline and the
     SQL oracle read the SAME rows from disk."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_mjpeg_media_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_mjpeg_media_table(rows, seed))
 
 
 def persist_wav_media_table(rows: int, path: str) -> str:
     """Write (once) the WAV corpus so both the Ray pipeline and the SQL
     oracle read the SAME rows from disk."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_wav_media_table(rows), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_wav_media_table(rows))
 
 
 class VideoFrameFeatures:
@@ -690,15 +692,7 @@ def synthesize_media_table(rows: int, seed: int = 42, payload_bytes: int = 4096)
 def persist_media_table(rows: int, path: str, seed: int = 42, payload_bytes: int = 4096) -> str:
     """Write (once) the synthesized media corpus to Parquet so both the Ray
     pipeline and a SQL oracle read the SAME rows from disk."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_media_table(rows, seed, payload_bytes), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_media_table(rows, seed, payload_bytes))
 
 
 def synthesize_png_media_table(rows: int, seed: int = 42, max_side: int = 48) -> pa.Table:
@@ -780,15 +774,7 @@ def synthesize_jpeg_media_table(rows: int, seed: int = 43, max_side: int = 40) -
 def persist_jpeg_media_table(rows: int, path: str, seed: int = 43) -> str:
     """Write (once) the real-JPEG corpus so both the Ray pipeline and the
     SQL oracle read the SAME rows from disk."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_jpeg_media_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_jpeg_media_table(rows, seed))
 
 
 def synthesize_gif_media_table(rows: int, seed: int = 44, max_side: int = 40) -> pa.Table:
@@ -853,29 +839,13 @@ def synthesize_gif_media_table(rows: int, seed: int = 44, max_side: int = 40) ->
 
 
 def persist_gif_media_table(rows: int, path: str, seed: int = 44) -> str:
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_gif_media_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_gif_media_table(rows, seed))
 
 
 def persist_png_media_table(rows: int, path: str, seed: int = 42) -> str:
     """Write (once) the real-format image corpus so both the Ray pipeline
     and the SQL oracle read the SAME rows from disk."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        pq.write_table(synthesize_png_media_table(rows, seed), tmp)
-        os.replace(tmp, path)
-    return path
+    return _persist_once(path, lambda: synthesize_png_media_table(rows, seed))
 
 
 def strip_sums_batch(batch: pa.Table, feature_dim: int = 16) -> pa.Table:

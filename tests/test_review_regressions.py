@@ -692,7 +692,7 @@ class TestDedupMultimodalReviewFixes:
         with mock.patch.object(
             imagecodec, "decode", side_effect=NotImplementedError("no libwebp")
         ):
-            f = dec._decode_payload(payload, 4, 4)
+            f = dec._decode_payload(payload)
             assert f.shape == (32,) and f.dtype == np.float32
         strict = multimodal.ImageDecoder(fake=False)
         with mock.patch.object(
@@ -701,7 +701,7 @@ class TestDedupMultimodalReviewFixes:
             import pytest as _pytest
 
             with _pytest.raises(NotImplementedError):
-                strict._decode_payload(payload, 4, 4)
+                strict._decode_payload(payload)
 
 
 class TestAnnEncodeDecodeReviewFixes:
@@ -1027,3 +1027,57 @@ class TestCliSourceCodecReviewFixes:
         data = ac.wav_encode(np.ones(100, np.int16) * 5, 8000)
         with _pytest.raises(ValueError, match="truncated|claims"):
             ac.wav_decode(data[:-20])
+
+
+class TestMediaReviewFixes:
+    def test_resizer_preserves_animation(self, ray_session):
+        import numpy as np
+
+        from duckdb_raquet_ray.codecs import gifcodec
+        from duckdb_raquet_ray.pipelines import multimodal
+
+        rng = np.random.default_rng(6)
+        frames = [
+            (rng.integers(0, 3, (8, 8, 3)) * 90).astype(np.uint8) for _ in range(3)
+        ]
+        payload = gifcodec.gif_encode_frames(frames, delays_cs=[7, 7, 7])
+        rz = multimodal.ImageResizer(4, 4)
+        out = rz._resize_payload(payload, 8, 8)
+        back = gifcodec.gif_frames(out)
+        assert len(back) == 3  # animation tail must survive the resize
+        assert back[0]["rgb"].shape == (4, 4, 3)
+        assert back[1]["delay_cs"] == 7
+
+    def test_resizer_fake_covers_undecodable_and_null_dims(self):
+        from unittest import mock
+
+        from duckdb_raquet_ray.codecs import imagecodec
+        from duckdb_raquet_ray.pipelines import multimodal
+
+        rz = multimodal.ImageResizer(4, 4, fake=True)
+        payload = b"RIFF\x00\x00\x00\x00WEBPVP8 bytesbytes"
+        with mock.patch.object(
+            imagecodec, "decode", side_effect=NotImplementedError("no libwebp")
+        ):
+            out = rz._resize_payload(payload, 8, 8)
+            assert isinstance(out, bytes) and out
+        # null dims on the fake path must not TypeError
+        assert rz._resize_payload(b"not an image", None, None)
+
+    def test_jpeg_multiscan_raises_not_grayscale(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from duckdb_raquet_ray.codecs import jpegcodec as jc
+
+        img = (np.arange(8 * 8 * 3).reshape(8, 8, 3) % 251).astype(np.uint8)
+        data = bytearray(jc.jpeg_encode(img, quality=90))
+        # find SOS and rewrite its component count to 1 (Y-only scan) —
+        # a crude stand-in for a multi-scan file's first scan
+        i = bytes(data).find(b"\xff\xda")
+        ns_pos = i + 4
+        data[ns_pos] = 1
+        # shrink the SOS segment length accordingly: 6 + 2*ns
+        data[i + 2 : i + 4] = (6 + 2).to_bytes(2, "big")
+        with _pytest.raises((NotImplementedError, ValueError)):
+            jc.jpeg_decode(bytes(data))
