@@ -53,6 +53,18 @@ def _done_path(d: str) -> str:
     return os.path.join(d, "_DONE.json")
 
 
+def _fingerprint(paths: list[str]) -> list[list]:
+    """Cheap content fingerprint of EXTERNAL input files: per-file
+    (path, size, mtime_ns). Folded into the stage config (and therefore
+    the downstream chain hash) so a file regenerated IN PLACE with
+    different content invalidates the stage marker — path-only configs
+    would silently skip the stage and propagate stale outputs. Only
+    external inputs are fingerprinted: intermediate stage outputs are
+    covered by the upstream config chain, and their mtimes change on
+    every (deterministic) rebuild, which would defeat skipping."""
+    return [[p, os.path.getsize(p), os.stat(p).st_mtime_ns] for p in paths]
+
+
 def _read_marker(d: str):
     p = _done_path(d)
     if not os.path.exists(p):
@@ -150,7 +162,13 @@ def run_prepare(
 
     # -- dedup ---------------------------------------------------------------
     d_dedup = os.path.join(workdir, "dedup")
-    cfg = chained({"stage": "dedup", "threshold": minhash_threshold, "in": in_paths})
+    cfg = chained(
+        {
+            "stage": "dedup",
+            "threshold": minhash_threshold,
+            "in": _fingerprint(in_paths),
+        }
+    )
 
     def build_dedup(dest: str) -> int:
         out = _dedup.minhash_dedup(
@@ -198,7 +216,13 @@ def run_prepare(
             if isinstance(benchmark_glob, str)
             else list(benchmark_glob)
         )
-        cfg = chained({"stage": "decontam", "n": decontam_ngram, "bench": bench_paths})
+        cfg = chained(
+            {
+                "stage": "decontam",
+                "n": decontam_ngram,
+                "bench": _fingerprint(bench_paths),
+            }
+        )
 
         def build_decontam(dest: str) -> int:
             bench = _cont.benchmark_ngram_set(

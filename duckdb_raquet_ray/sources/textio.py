@@ -306,20 +306,25 @@ def write_ipc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        h = hashlib.sha256()
-        for c in t.columns:
-            for chunk in c.chunks:
-                for buf in chunk.buffers():
-                    if buf is not None:
-                        h.update(buf)
-        name = f"shard-{h.hexdigest()[:16]}.arrow"
+        # Serialize ONCE to memory, then hash the serialized bytes. Hashing
+        # the raw Arrow buffers is wrong here: zero-copy slices of one
+        # parent block (what Ray's Batcher yields when a block exceeds
+        # batch_size) share the parent's buffers verbatim, so every slice
+        # would hash — and content-address — identically, and the later
+        # rename would silently overwrite the earlier shard. IPC
+        # serialization truncates to the slice, so the hash is logical.
+        sink = pa.BufferOutputStream()
+        with ipc.new_file(sink, t.schema) as w:
+            w.write_table(t, max_chunksize=rows_per_file)
+        payload = sink.getvalue()
+        name = f"shard-{hashlib.sha256(payload).hexdigest()[:16]}.arrow"
         path = os.path.join(out_dir, name)
         # pid-unique tmp (the fsio publish discipline): two tasks writing
         # byte-identical blocks share the SAME content-addressed name, and
         # a shared '.tmp' would let one truncate the other mid-write
         tmp = f"{path}.tmp-{os.getpid()}"
-        with ipc.new_file(tmp, t.schema) as w:
-            w.write_table(t, max_chunksize=rows_per_file)
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, path)
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], pa.int64())})
@@ -502,8 +507,11 @@ def read_wds(paths: list[str], *, key_col: str = "doc_id") -> rd.Dataset:
 def write_orc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list[str]:
     """Export sink: Dataset -> ORC shard files (zstd-compressed). Each
     write task streams its batch to its own shard; shard names are
-    content-addressed by the block's Arrow buffer hash (idempotent
-    re-runs, the write_ipc rule)."""
+    content-addressed by the hash of the serialized ORC bytes (idempotent
+    re-runs, the write_ipc rule). Serialized bytes — not raw Arrow
+    buffers — because zero-copy slices of one parent block share the
+    parent's buffers, and buffer-hashing would name every slice of a
+    large block identically (silent shard overwrite at scale)."""
     import hashlib
 
     import pyarrow.orc as orc
@@ -515,16 +523,14 @@ def write_orc(ds: rd.Dataset, out_dir: str, rows_per_file: int = 65_536) -> list
             return pa.table(
                 {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
             )
-        h = hashlib.sha256()
-        for c in t.columns:
-            for chunk in c.chunks:
-                for buf in chunk.buffers():
-                    if buf is not None:
-                        h.update(buf)
-        name = f"shard-{h.hexdigest()[:16]}.orc"
+        sink = pa.BufferOutputStream()
+        orc.write_table(t, sink, compression="zstd")
+        payload = sink.getvalue()
+        name = f"shard-{hashlib.sha256(payload).hexdigest()[:16]}.orc"
         path = os.path.join(out_dir, name)
         tmp = f"{path}.tmp-{os.getpid()}"
-        orc.write_table(t, tmp, compression="zstd")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, path)
         return pa.table(
             {"path": pa.array([path]), "rows": pa.array([t.num_rows], pa.int64())}

@@ -293,12 +293,16 @@ def encode_batch(batch: pa.Table, key_column: str | None = None) -> pa.Table:
     h = hashlib.sha256(f"{first}:{batch.num_rows}".encode())
     # content-fold: with Ray's fixed batch_size every batch has the same
     # row count, so (first key, rows) alone collides whenever a key
-    # repeats at batch heads — hash every buffer of every column too
-    for c in batch.columns:
-        for chunk in (c.chunks if isinstance(c, pa.ChunkedArray) else [c]):
-            for buf in chunk.buffers():
-                if buf is not None:
-                    h.update(buf)
+    # repeats at batch heads. Fold the IPC-serialized batch bytes — NOT
+    # the raw Arrow buffers: Ray's Batcher slices oversized blocks with
+    # copy=False, and zero-copy slices share the parent block's buffers
+    # verbatim, so buffer-hashing would fold identical bytes for every
+    # slice and the collision would survive. IPC serialization truncates
+    # to the slice, making the fold slice-respecting.
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_table(batch)
+    h.update(sink.getvalue())
     pid = int.from_bytes(h.digest()[:8], "little") >> 1  # keep mode bit clear
     encoded, _ = encode_table(batch, pid, input_shard="<stream>")
     return encoded

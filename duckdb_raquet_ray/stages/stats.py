@@ -2189,7 +2189,29 @@ def grouped_count_distinct(
     pair is counted exactly once globally; buckets emit per-group
     partial counts (O(groups) rows) folded by a tiny groupby-sum. NULL
     groups fold to ''; NULL values are ignored (SQL COUNT(DISTINCT)
-    semantics)."""
+    semantics).
+
+    Value-type contract: integer / string / boolean only, enforced loudly
+    at plan time (the build_text_index pattern). The distinct identity is
+    a 64-bit hash of the value's STRING rendering; for float / decimal /
+    binary columns textual rendering can merge values COUNT(DISTINCT)
+    separates (or split ones it merges — '1.0' vs '1'), so those types
+    are refused rather than silently drifting from SQL semantics."""
+    import pyarrow.types as _patypes
+
+    vt = ds.schema().base_schema.field(value_col).type
+    if not (
+        _patypes.is_integer(vt)
+        or _patypes.is_string(vt)
+        or _patypes.is_large_string(vt)
+        or _patypes.is_boolean(vt)
+    ):
+        raise ValueError(
+            f"{value_col} must be an integer/string/boolean column for "
+            f"grouped_count_distinct (got {vt}); distinctness is computed "
+            "on the value's string rendering, which is only faithful for "
+            "those types — cast or hash the column explicitly first"
+        )
     nb = n_buckets or util.scaled_buckets(ds)
 
     def pairs(t: pa.Table) -> pa.Table:

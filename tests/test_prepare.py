@@ -100,6 +100,21 @@ class TestPrepare:
         # tokenize config unchanged -> still skipped
         assert s["stages"]["tokenize"]["skipped"] is True
 
+    def test_input_regenerated_in_place_invalidates(self, ray_session, tmp_path):
+        # same PATH, different CONTENT: the per-file (size, mtime_ns)
+        # fingerprint in the dedup stage config must invalidate the marker
+        # (path-only configs would silently reuse stale outputs)
+        docs = _docs_fixture(tmp_path)
+        wd = str(tmp_path / "wd")
+        prepare.run_prepare(docs, wd, window=64)
+        t = pq.read_table(docs)
+        pq.write_table(t.slice(0, 20), docs)  # regenerate in place
+        with pytest.raises(ValueError, match="_DONE.json config"):
+            prepare.run_prepare(docs, wd, window=64)
+        s = prepare.run_prepare(docs, wd, window=64, force=True)
+        assert s["stages"]["dedup"]["skipped"] is False
+        assert s["stages"]["dedup"]["rows"] <= 20
+
     def test_zero_row_stage_fails_loudly(self, ray_session, tmp_path):
         docs = _docs_fixture(tmp_path)
         wd = str(tmp_path / "wd0")

@@ -834,6 +834,27 @@ class TestCodecStageReviewFixes:
         # deterministic: same content -> same id
         assert pa_id == encoder.encode_batch(a).column("partition_id")[0].as_py()
 
+    def test_encode_batch_pid_slice_sensitive(self):
+        # zero-copy slices of ONE parent block share the parent's raw
+        # Arrow buffers (Ray's Batcher slices oversized blocks with
+        # copy=False). With a repeating key at batch heads + equal row
+        # counts, a buffer-level content fold hashes identically for
+        # every slice; the IPC-serialized fold must keep them distinct.
+        import pyarrow as pa
+
+        from duckdb_raquet_ray.stages import encoder
+
+        parent = pa.table(
+            {
+                "doc_id": ["k", "a", "k", "b"],
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+        s1, s2 = parent.slice(0, 2), parent.slice(2, 2)
+        p1 = encoder.encode_batch(s1).column("partition_id")[0].as_py()
+        p2 = encoder.encode_batch(s2).column("partition_id")[0].as_py()
+        assert p1 != p2
+
     def test_explode_tokens_preserves_null_elements(self):
         import pyarrow as pa
 

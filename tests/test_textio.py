@@ -166,6 +166,37 @@ def test_write_ipc_roundtrip(ray_session, tmp_path):
     assert again == paths
 
 
+def test_sliced_block_shards_do_not_collide(ray_session, tmp_path):
+    """Regression: a single input block larger than rows_per_file is
+    handed to the write tasks as ZERO-COPY SLICES of one parent block;
+    those slices share the parent's raw Arrow buffers, so the old
+    buffer-hash naming gave every slice the SAME content-addressed shard
+    name and the later rename silently overwrote the earlier shard. The
+    serialized-bytes hash must keep each slice a distinct shard and
+    preserve every row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 10_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"row {i}" for i in range(n)]),
+        }
+    )
+    for writer, reader, sub in (
+        (textio.write_ipc, textio.read_ipc, "ipc"),
+        (textio.write_orc, textio.read_orc, "orc"),
+    ):
+        paths = writer(
+            rd.from_arrow(t), str(tmp_path / sub), rows_per_file=4_096
+        )
+        assert len(paths) == len(set(paths)) >= 2, sub
+        back = reader(paths).to_pandas()
+        assert len(back) == n, sub
+        assert sorted(back["doc_id"]) == list(range(n)), sub
+
+
 def test_jsonl_gz_reads_identical_to_plain(ray_session, tmp_path):
     jd, gd = str(tmp_path / "j"), str(tmp_path / "g")
     jp = textio.write_jsonl_corpus(jd, 200, 2, seed=3)

@@ -710,3 +710,18 @@ class TestGroupedCountDistinct:
             ).fetchall()
         )
         assert ora == out
+
+    def test_non_hashable_value_type_refused_loudly(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        t = pa.table(
+            {"g": pa.array(["a", "b"]), "v": pa.array([1.0, 2.5], pa.float64())}
+        )
+        # distinctness is computed on string renderings; float/decimal/
+        # binary renderings can diverge from COUNT(DISTINCT) -> loud refusal
+        with pytest.raises(ValueError, match="integer/string/boolean"):
+            stats.grouped_count_distinct(rd.from_arrow(t), "g", "v")
