@@ -36,7 +36,10 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
 def string_hash64(flat: np.ndarray) -> np.ndarray:
     """uint64 hash per string: byte-polynomial base 257 (Horner, mod 2^64)
     + splitmix64. One encode of the whole stream, one table-gathered
-    multiply, one segment reduceat — no per-string Python loop."""
+    multiply, one segment reduceat — no per-string Python loop. (For
+    strings already in an Arrow array, functions/words.hash_string_array
+    computes the identical hash on the array's own UTF-8 buffers with no
+    object round trip.)"""
     joined = "".join(flat.tolist())
     data = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
     lens = np.fromiter((len(w) for w in flat), np.int64, count=len(flat))
@@ -44,8 +47,16 @@ def string_hash64(flat: np.ndarray) -> np.ndarray:
         lens = np.fromiter(
             (len(w.encode("utf-8")) for w in flat), np.int64, count=len(flat)
         )
+    return hash_utf8_segments(data, lens)
+
+
+def hash_utf8_segments(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """The string_hash64 core over a flat UTF-8 byte stream: `data` is
+    the concatenated bytes, `lens` the per-string byte lengths (sum ==
+    len(data)). Shared by the object-array entry above and the
+    zero-copy Arrow-buffer entry (functions/words.hash_string_array)."""
     if len(data) == 0:
-        return splitmix64(np.zeros(len(flat), dtype=np.uint64))
+        return splitmix64(np.zeros(len(lens), dtype=np.uint64))
     ends = np.cumsum(lens)
     # exponent of 257 for each byte: position from its string's END
     wend = np.repeat(ends, lens)
@@ -54,7 +65,7 @@ def string_hash64(flat: np.ndarray) -> np.ndarray:
     powers[1:] = 257
     np.multiply.accumulate(powers, out=powers)  # 257^j mod 2^64 (wraps)
     terms = data.astype(np.uint64) * powers[exp]
-    h = np.zeros(len(flat), dtype=np.uint64)
+    h = np.zeros(len(lens), dtype=np.uint64)
     ne = lens > 0  # empty strings hash as 0 before the finalizer
     if ne.any():
         h[ne] = np.add.reduceat(terms, (ends - lens)[ne])

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from duckdb_raquet_ray import util
-from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.functions import detmix, words
 
 # training-sample driver budget: fail loudly, never silently truncate
 MAX_SAMPLE_BYTES = 256 << 20
@@ -120,8 +120,10 @@ def bpe_train(
             )
             h = detmix.splitmix64(kv.view(np.uint64))
         else:
-            s = keys.cast(pa.string()).to_pandas().fillna("").to_numpy(dtype=object)
-            h = detmix.string_hash64(s)
+            karr = pc.fill_null(keys.cast(pa.string()), "")
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
+            h = words.hash_string_array(karr)
         return batch.filter(pa.array(h % np.uint64(sample_mod) == 0))
 
     sampled = ds.map_batches(pick, batch_format="pyarrow").take_all()

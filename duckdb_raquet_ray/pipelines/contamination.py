@@ -26,6 +26,7 @@ import ray.data as rd
 
 from .. import util
 from ..functions import detmix
+from ..functions import words as _words
 
 # module-level, not lazy-in-method: a lazy package-internal import inside a
 # class shipped to workers breaks by-value pickling under a foreign cwd
@@ -37,31 +38,23 @@ NGRAM_P = np.uint64(1099511628211)
 U64 = 1 << 64
 
 
-def _word_lists(batch: pa.Table, text_col: str):
-    """lowercase whitespace-split word lists (identical split semantics to
-    the SQL oracle's regexp_split_to_array + list_filter non-empty)."""
-    s = batch.column(text_col).to_pandas().fillna("")
-    return s.str.lower().str.split()
-
-
 def ngram_doc_hashes(
     batch: pa.Table, *, text_col: str = "text", n: int = 5
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (doc_index int64, g uint64): one row per DISTINCT word-n-gram
-    hash per document in the batch. Fully vectorized: all words of all
-    docs hashed in one string_hash64 call, the n-fold Horner combine is
-    n-1 vectorized multiply-adds over shifted slices, doc boundaries are
-    masked (a window never crosses documents), distinctness via lexsort."""
+    hash per document in the batch. Fully vectorized: the lowercase
+    whitespace split + word hashing is the shared Arrow-buffer kernel
+    (functions/words.split_ws_hashes — identical split semantics to the
+    SQL oracle's regexp_split_to_array + list_filter non-empty, no
+    per-doc pandas pass), the n-fold Horner combine is n-1 vectorized
+    multiply-adds over shifted slices, doc boundaries are masked (a
+    window never crosses documents), distinctness via lexsort."""
     if n < 1:
         raise ValueError(f"n-gram order must be >= 1, got {n}")
-    word_lists = _word_lists(batch, text_col)
-    lens = word_lists.map(len).to_numpy(np.int64)
+    lens, wh = _words.split_ws_hashes(batch.column(text_col))
     total = int(lens.sum())
     if total < n:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    exploded = word_lists.explode()
-    flat = exploded[exploded.notna()].to_numpy(dtype=object)
-    wh = detmix.string_hash64(flat)
     n_pos = total - n + 1
     with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
         acc = wh[:n_pos].copy()

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from duckdb_raquet_ray import util
-from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.functions import detmix, words
 from duckdb_raquet_ray.pipelines import joins
 from duckdb_raquet_ray.pipelines.ann import _int8_matrix as ann_int8
 
@@ -152,6 +152,89 @@ def _perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _batch_minhash_sigs(
+    texts: pa.Array | pa.ChunkedArray,
+    shingle_k: int,
+    perms_a: np.ndarray,
+    perms_b: np.ndarray,
+) -> np.ndarray:
+    """MinHash signatures for EVERY doc of a batch -> (n_docs, num_perm)
+    uint64, bit-identical to `_minhash_sig(_shingle_hashes(text, k), a,
+    b)` per doc (pinned by property test). Two regimes, measured at the
+    ~256-windows/doc crossover:
+
+    - SHORT docs (the per-call-overhead regime the per-doc loop loses
+      2-3x): one flattened pass — zero-copy UTF-8 stream
+      (functions/words.flat_utf8), short docs zero-padded to k in
+      place, ONE rolling-hash pass with cross-doc windows masked, the
+      num_perm minima via minimum.reduceat over doc runs (shingle
+      multiplicity is irrelevant to a min, so no dedup/sort), modulus
+      via the Mersenne fold.
+    - LONG docs: the per-doc loop — its np.unique dedup shrinks the
+      (num_perm, shingles) matrices and keeps them cache-resident,
+      which beats the flattened DRAM-streaming passes there.
+    """
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+        "",
+    )
+    data, lens = words.flat_utf8(filled)
+    n_docs = len(lens)
+    num_perm = len(perms_a)
+    if n_docs == 0:
+        return np.empty((0, num_perm), np.uint64)
+    k = shingle_k
+    if float(np.mean(np.maximum(lens, k) - k + 1)) > 256.0:
+        texts_py = filled.to_pylist()
+        sigs = np.empty((n_docs, num_perm), np.uint64)
+        for i, txt in enumerate(texts_py):
+            sigs[i] = _minhash_sig(_shingle_hashes(txt or "", k), perms_a, perms_b)
+        return sigs
+    # zero-pad each short doc to k bytes IN the flat stream (the
+    # _shingle_hashes_ordered pad rule), via one scatter copy
+    pad_lens = np.maximum(lens, k)
+    in_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=in_off[1:])
+    out_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(pad_lens, out=out_off[1:])
+    padded = np.zeros(int(out_off[-1]), np.uint64)
+    if len(data):
+        shift = np.repeat(out_off[:-1] - in_off[:-1], lens)
+        padded[np.arange(len(data), dtype=np.int64) + shift] = data
+    powers = _shingle_powers(k)
+    n_win = pad_lens - k + 1  # >= 1 per doc (padding guarantees it)
+    total_win = int(out_off[-1]) - k + 1
+    h = np.zeros(total_win, np.uint64)
+    for i in range(k):  # k is tiny (5); inner ops vectorized over windows
+        h = (h + (padded[i : total_win + i] * powers[i]) % _MERSENNE) % _MERSENNE
+    # keep only windows fully inside one doc — stream order IS doc order,
+    # so no sort is needed, and shingle MULTIPLICITY is irrelevant to a
+    # min (the scalar path's np.unique only shrank its matrix): the
+    # num_perm minima run straight over the doc-ordered window hashes
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), pad_lens)[:total_win]
+    pos_in_doc = np.arange(total_win, dtype=np.int64) - out_off[doc_of_pos]
+    valid = pos_in_doc < n_win[doc_of_pos]
+    h, d = h[valid], doc_of_pos[valid]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    # every doc contributes >= 1 window, so doc runs are 1:1 with docs
+    sigs = np.empty((n_docs, num_perm), np.uint64)
+    M = np.uint64(_MERSENNE)
+    sh = np.uint64(61)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap matches the scalar path
+        for j in range(num_perm):
+            v = h * perms_a[j] + perms_b[j]
+            # v % (2^61-1) via the Mersenne fold (v = hi*2^61 + lo ==
+            # hi + lo mod M; hi <= 7 so ONE conditional subtract
+            # finishes) — ~2x cheaper than the hardware modulo and
+            # bit-identical to `% M`
+            r = (v & M) + (v >> sh)
+            r -= np.where(r >= M, M, np.uint64(0))
+            sigs[:, j] = np.minimum.reduceat(r, starts)
+    return sigs
+
+
 def minhash_band_rows(
     batch: pa.Table,
     text_col: str = "text",
@@ -166,12 +249,8 @@ def minhash_band_rows(
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     a, b = _perms(num_perm)
     rows_per_band = num_perm // bands
-    keys = batch.column(key_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    n_docs = len(keys)
-    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
-    for i, text in enumerate(texts):  # shingle sets vary per doc; sig math vectorized
-        sigs[i] = _minhash_sig(_shingle_hashes(text or "", shingle_k), a, b)
+    n_docs = batch.num_rows
+    sigs = _batch_minhash_sigs(batch.column(text_col), shingle_k, a, b)
     # band hash: FNV-style fold over the band's signature rows — one
     # vectorized pass over (docs, bands) instead of a pandas hash per band
     sig_b = sigs.reshape(n_docs, bands, rows_per_band)
@@ -1411,16 +1490,11 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     bit's +1/-1 vote is segment-summed per document with a cumsum
     difference — 64 C passes instead of a Python loop per doc."""
     batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
-    s = batch.column(text_col).to_pandas().fillna("")
-    word_lists = s.str.lower().str.split()
-    lens = word_lists.map(len).to_numpy(np.int64)
-    n_docs = len(s)
+    lens, hs = words.split_ws_hashes(batch.column(text_col))
+    n_docs = batch.num_rows
     fps = np.zeros(n_docs, dtype=np.uint64)
     total = int(lens.sum())
     if total:
-        exploded = word_lists.explode()
-        flat = exploded[exploded.notna()].to_numpy(dtype=object)
-        hs = _word_hashes(flat)
         offsets = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         ne = lens > 0
@@ -2707,14 +2781,20 @@ def _explode_lines(t: pa.Table, text_col: str, key_col: str, nb: int) -> pa.Tabl
     one reduce task. Null-text docs are dropped (the SQL twin's
     string_split(NULL) path). The key column keeps its incoming Arrow
     type (int64 doc ids and string ids both work)."""
+    import pyarrow.compute as pc
+
     t = util.strip_schema_metadata(t)
     kt = t.schema.field(key_col).type
-    s = t.column(text_col).to_pandas()
-    keys = t.column(key_col).to_pandas()
-    ok = s.notna()
-    s, keys = s[ok], keys[ok]
-    parts = s.str.split("\n")
-    lens = parts.str.len().to_numpy(np.int64)
+    col = t.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    kept = t.filter(pc.is_valid(arr))
+    valid = arr.drop_null()
+    # Arrow split keeps empty segments ('a\n\nb' -> 3 lines) — identical
+    # to the SQL twin's string_split; flat lines + per-doc counts come
+    # out of ONE C pass, and the line hash runs on the flat array's own
+    # UTF-8 buffers (no object round trip)
+    parts = pc.split_pattern(valid, "\n")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     if not len(lens) or int(lens.sum()) == 0:
         return pa.table(
             {
@@ -2724,16 +2804,21 @@ def _explode_lines(t: pa.Table, text_col: str, key_col: str, nb: int) -> pa.Tabl
                 "_b": pa.array([], pa.int32()),
             }
         )
-    flat = np.concatenate([np.asarray(p, dtype=object) for p in parts.to_numpy()])
-    rep_keys = np.repeat(keys.to_numpy(object), lens)
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    keycol = kept.column(key_col)
+    keyarr = (
+        keycol.combine_chunks() if isinstance(keycol, pa.ChunkedArray) else keycol
+    )
+    rep_keys = keyarr.take(parent)
     ends = np.cumsum(lens)
     idx = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - lens, lens) + 1
-    b = (detmix.string_hash64(flat) % np.uint64(nb)).astype(np.int32)
+    b = (words.hash_string_array(flat) % np.uint64(nb)).astype(np.int32)
     return pa.table(
         {
-            "k": pa.array(rep_keys, kt),
+            "k": rep_keys,
             "i": pa.array(idx),
-            "line": pa.array(flat, pa.string()),
+            "line": flat,
             "_b": pa.array(b),
         }
     )

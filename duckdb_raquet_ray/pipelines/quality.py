@@ -37,7 +37,8 @@ import ray.data as rd
 
 from .. import util
 from ..functions import detmix
-from .contamination import NGRAM_P, _sql_fold, _word_lists, ngram_doc_hashes
+from ..functions import words as _words
+from .contamination import NGRAM_P, _sql_fold, ngram_doc_hashes
 
 # ---------------------------------------------------------------------------
 # shared kernel: flat word-hash stream with per-doc lengths
@@ -46,15 +47,10 @@ from .contamination import NGRAM_P, _sql_fold, _word_lists, ngram_doc_hashes
 
 def _flat_word_hashes(batch: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
     """-> (lens int64 per doc, wh uint64 flat word hashes): lowercase
-    whitespace-split words of every doc in the batch, hashed in ONE
-    string_hash64 call (same split semantics as the SQL oracles)."""
-    word_lists = _word_lists(batch, text_col)
-    lens = word_lists.map(len).to_numpy(np.int64)
-    if int(lens.sum()) == 0:
-        return lens, np.zeros(0, np.uint64)
-    exploded = word_lists.explode()
-    flat = exploded[exploded.notna()].to_numpy(dtype=object)
-    return lens, detmix.string_hash64(flat)
+    whitespace-split words of every doc in the batch, split + hashed by
+    the shared Arrow-buffer kernel (functions/words — same split
+    semantics as the SQL oracles, no per-doc pandas pass)."""
+    return _words.split_ws_hashes(batch.column(text_col))
 
 
 def _distinct_doc_words(
@@ -985,13 +981,13 @@ GROUP BY ng.k
 # ---------------------------------------------------------------------------
 
 
-def _orig_word_lists(batch: pa.Table, text_col: str):
-    """ORIGINAL-case whitespace-split word lists — the rewrite must keep
-    the surviving words' case, so the split runs on the raw text and the
-    lowercase happens per word at hash time (identical order of
-    operations to the SQL twin: split original, hash lower(word))."""
-    s = batch.column(text_col).to_pandas().fillna("")
-    return s.str.split()
+def _orig_words(batch: pa.Table, text_col: str) -> tuple[np.ndarray, pa.Array]:
+    """ORIGINAL-case whitespace split -> (lens, flat words) — the rewrite
+    must keep the surviving words' case, so the split runs on the raw
+    text and the lowercase happens per word at hash time (identical
+    order of operations to the SQL twin: split original, hash
+    lower(word))."""
+    return _words.split_ws(batch.column(text_col))
 
 
 def ngram_start_hashes(
@@ -1002,16 +998,15 @@ def ngram_start_hashes(
     position. Same word hash (detmix on lower(word)) and Horner fold
     (NGRAM_P mod 2^64) as ngram_doc_hashes, so grams here equal the
     counting operator's grams."""
+    import pyarrow.compute as pc
+
     if n < 1:
         raise ValueError(f"n-gram order must be >= 1, got {n}")
-    word_lists = _orig_word_lists(batch, text_col)
-    lens = word_lists.map(len).to_numpy(np.int64)
+    lens, flat_words = _orig_words(batch, text_col)
     total = int(lens.sum())
     if total < n:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    exploded = word_lists.explode()
-    flat = exploded[exploded.notna()].astype(str).str.lower().to_numpy(dtype=object)
-    wh = detmix.string_hash64(flat)
+    wh = _words.hash_string_array(pc.utf8_lower(flat_words))
     n_pos = total - n + 1
     with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
         acc = wh[:n_pos].copy()
@@ -1158,8 +1153,7 @@ def remove_dup_spans(
                 f"remove_dup_spans: duplicate {key_col} in input — keys must "
                 "be unique (run exact_dedup first)"
             )
-        word_lists = _orig_word_lists(docs, "txt")
-        lens = word_lists.map(len).to_numpy(np.int64)
+        lens, flat_words = _orig_words(docs, "txt")
         off = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=off[1:])
         total = int(off[-1])
@@ -1176,22 +1170,28 @@ def remove_dup_spans(
             np.add.at(diff, start, 1)
             np.add.at(diff, end, -1)
             covered = np.cumsum(diff[:-1]) > 0
-        if total:
-            flat = word_lists.explode()
-            flat = flat[flat.notna()].to_numpy(dtype=object)
-        else:
-            flat = np.zeros(0, object)
+        import pyarrow.compute as pc
+
         doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         keep = ~covered
-        texts = np.full(len(lens), "", dtype=object)
-        if keep.any():
-            s_kept = pd.Series(flat[keep]).groupby(doc_of[keep]).agg(" ".join)
-            texts[s_kept.index.to_numpy()] = s_kept.to_numpy(dtype=object)
+        # rebuild each doc from its surviving words with ONE C join:
+        # filter the flat word array, regroup by per-doc survivor counts,
+        # binary_join with ' ' (replaces the per-doc pandas ' '.join)
+        kept_counts = np.bincount(doc_of[keep], minlength=len(lens)).astype(np.int64)
+        koff = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(kept_counts, out=koff[1:])
+        kept_words = (
+            flat_words.filter(pa.array(keep))
+            if total
+            else pa.array([], pa.string())
+        )
+        lists = pa.LargeListArray.from_arrays(pa.array(koff), kept_words)
+        texts = pc.binary_join(lists, " ")
         n_removed = np.bincount(doc_of[covered], minlength=len(lens)).astype(np.int64)
         return pa.table(
             {
                 key_col: pa.array(dk, type=kt),
-                text_col: pa.array(texts, pa.string()),
+                text_col: texts.cast(pa.string()),
                 "n_removed": pa.array(n_removed),
             }
         )

@@ -44,8 +44,8 @@ import ray.data as rd
 
 from duckdb_raquet_ray import util
 from duckdb_raquet_ray.functions import detmix
+from duckdb_raquet_ray.functions import words as _wk
 from duckdb_raquet_ray.state import fsio
-from duckdb_raquet_ray.pipelines.quality import _word_lists
 
 _WS = r"[ \t\n\r\x0b\x0c]+"
 
@@ -57,20 +57,17 @@ def _term_stats(
     tset = [t.lower() for t in terms]
 
     def stats(batch: pa.Table) -> pa.Table:
-        wl = _word_lists(batch, text_col)
-        lens = wl.map(len).to_numpy(np.int64)
+        lens, flat = _wk.split_ws(batch.column(text_col), lower=True)
         cols = {key_col: batch.column(key_col), "dl": pa.array(lens)}
         n = len(lens)
         if int(lens.sum()) == 0:
             for i in range(len(tset)):
                 cols[f"tf{i}"] = pa.array(np.zeros(n, np.int64))
             return pa.table(cols)
-        flat = wl.explode()
-        flat = flat[flat.notna()].to_numpy(dtype=object)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
         # one index_in over the flat word array against the m query terms
         hit = pc.index_in(
-            pa.array(flat, pa.string()), value_set=pa.array(tset, pa.string())
+            flat, value_set=pa.array(tset, pa.string())
         ).to_numpy(zero_copy_only=False)
         for i in range(len(tset)):
             m = hit == i
@@ -236,14 +233,16 @@ ORDER BY score_micro DESC, k LIMIT {int(top)}
 TEXT_INDEX_BUCKETS = 64
 
 
-def _term_bucket(terms: np.ndarray) -> np.ndarray:
-    # NOTE: detmix is imported at module top — a lazy package-internal
-    # import here breaks cloudpickled-by-value workers (no package on
-    # their sys.path)
-    return (
-        detmix.string_hash64(np.asarray(terms, dtype=object))
-        % np.uint64(TEXT_INDEX_BUCKETS)
-    ).astype(np.int32)
+def _term_bucket(terms) -> np.ndarray:
+    # NOTE: detmix/words are imported at module top — a lazy
+    # package-internal import here breaks cloudpickled-by-value workers
+    # (no package on their sys.path). Accepts an Arrow string array
+    # (hashed on its own buffers) or a numpy object array.
+    if isinstance(terms, (pa.Array, pa.ChunkedArray)):
+        h = _wk.hash_string_array(terms)
+    else:
+        h = detmix.string_hash64(np.asarray(terms, dtype=object))
+    return (h % np.uint64(TEXT_INDEX_BUCKETS)).astype(np.int32)
 
 
 def build_text_index(
@@ -275,8 +274,7 @@ def build_text_index(
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
-        wl = _word_lists(batch, text_col)
-        lens = wl.map(len).to_numpy(np.int64)
+        lens, flat = _wk.split_ws(batch.column(text_col), lower=True)
         keys = batch.column(key_col)
         if int(lens.sum()) == 0:
             return pa.table(
@@ -287,13 +285,11 @@ def build_text_index(
                     "tb": pa.array([], pa.int32()),
                 }
             )
-        flat = wl.explode()
-        flat = flat[flat.notna()].to_numpy(dtype=object)
         doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        # per-(doc, word) counts: factorize words, lexsort, run lengths
-        import pandas as pd
-
-        codes, uniq = pd.factorize(flat, sort=False)
+        # per-(doc, word) counts: dictionary-encode words (C factorize),
+        # lexsort, run lengths — no pandas object pass
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((codes, doc_of))
         ds_, cs_ = doc_of[order], codes[order]
         new = np.r_[True, (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])]
@@ -301,10 +297,10 @@ def build_text_index(
         tf = np.bincount(run_id)
         d_idx = ds_[new]
         w_idx = cs_[new]
-        terms = np.asarray(uniq, dtype=object)[w_idx]
+        terms = de.dictionary.take(pa.array(w_idx))
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
+                "term": terms,
                 "doc": keys.take(pa.array(d_idx)),
                 "tf": pa.array(tf.astype(np.int64)),
                 "tb": pa.array(_term_bucket(terms)),
@@ -317,12 +313,9 @@ def build_text_index(
     )
 
     def dl(batch: pa.Table) -> pa.Table:
-        wl = _word_lists(batch, text_col)
+        lens, _ = _wk.split_ws(batch.column(text_col), lower=True)
         return pa.table(
-            {
-                "doc": batch.column(key_col),
-                "dl": pa.array(wl.map(len).to_numpy(np.int64)),
-            }
+            {"doc": batch.column(key_col), "dl": pa.array(lens)}
         )
 
     dls = ds.map_batches(dl, batch_format="pyarrow").materialize()
@@ -618,19 +611,28 @@ def phrase_count_batch(
     drive it without a Ray session)."""
     m = len(phrase)
     batch = util.strip_schema_metadata(batch)
-    wl = _word_lists(batch, text_col)
-    lens = wl.map(len).to_numpy(np.int64)
+    lens, flat = _wk.split_ws(batch.column(text_col), lower=True)
     keys = batch.column(key_col)
     n_docs = len(lens)
     out = np.zeros(n_docs, np.int64)
     total = int(lens.sum())
     if total >= m:
-        exploded = wl.explode()
-        flat = exploded[exploded.notna()].to_numpy(dtype=object)
+        # exact (collision-free) word equality: one index_in of the flat
+        # word array against the DISTINCT phrase terms, then
+        # shifted-slice comparisons on the small int codes. index_in
+        # resolves duplicates in value_set to the FIRST index, so a
+        # repeated phrase word must compare against its first
+        # occurrence's code (code_of), and absent words fill to -1
+        # (never a valid code).
+        uniq = list(dict.fromkeys(phrase))
+        code_of = [uniq.index(w) for w in phrase]
+        codes = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(uniq, pa.string())), -1
+        ).to_numpy(zero_copy_only=False)
         doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        match = flat[: total - m + 1] == phrase[0]
+        match = codes[: total - m + 1] == code_of[0]
         for j in range(1, m):
-            match &= flat[j : total - m + 1 + j] == phrase[j]
+            match &= codes[j : total - m + 1 + j] == code_of[j]
         match &= doc_of[: total - m + 1] == doc_of[m - 1 :]
         if match.any():
             out = np.bincount(
@@ -693,8 +695,7 @@ def build_positional_index(
     ds = util.clean_dataset(ds).select_columns([key_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
-        wl = _word_lists(batch, text_col)
-        lens = wl.map(len).to_numpy(np.int64)
+        lens, flat = _wk.split_ws(batch.column(text_col), lower=True)
         keys = batch.column(key_col)
         total = int(lens.sum())
         if total == 0:
@@ -706,15 +707,13 @@ def build_positional_index(
                     "tb": pa.array([], pa.int32()),
                 }
             )
-        exploded = wl.explode()
-        flat = exploded[exploded.notna()].to_numpy(dtype=object)
         doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         offsets = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offsets[1:])
         pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
         return pa.table(
             {
-                "term": pa.array(flat, pa.string()),
+                "term": flat,
                 "doc": keys.take(pa.array(doc_of)),
                 "pos": pa.array(pos),
                 "tb": pa.array(_term_bucket(flat)),

@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 
 from .. import util
 from ..functions import detmix as _detmix
+from ..functions import words as _words
 from .dedup import _shingle_hashes_ordered
 
 # small per-language stopword tables for the n-gram/stopword heuristic
@@ -30,13 +31,13 @@ _STOPWORDS = {
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
 }
 
-_WS_RE = re.compile(r"\S+")
 # GPT-2-ish BPE pre-tokenizer pattern (public regex from the GPT-2 paper's
-# released tokenizer), simplified to ASCII classes
+# released tokenizer), simplified to ASCII classes. Python sre, not RE2:
+# the (?!\S) lookahead is not RE2-expressible — the one regex in this
+# module that still needs a pandas pass (see TextAnalyzer.__call__); the
+# ws/punct/digit/upper counters run as RE2 class counts in
+# token_count_batch / quality_metrics_batch.
 _BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
-_DIGIT_RE = re.compile(r"[0-9]")
-_UPPER_RE = re.compile(r"[A-Z]")
 
 
 class TextAnalyzer:
@@ -44,53 +45,70 @@ class TextAnalyzer:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.ws = _WS_RE
         self.bpe = _BPE_RE
-        # per-language stopword-token regex: (?<!\S)word(?!\S) matches a
-        # whole whitespace-delimited token, which is EXACTLY equality
-        # against an element of text.lower().split() — so the count is
-        # SQL-replicable (list_filter over regexp_split_to_array) and the
-        # per-row Python word loop is gone (one C regex pass per language)
+        # per-language SORTED stopword hash tables: a stopword hit is
+        # EXACTLY equality against an element of text.lower().split()
+        # (the oracle's IN-list filter over regexp_split_to_array), so
+        # counting runs as one shared split+hash pass (functions/words,
+        # Arrow C kernels) plus a searchsorted membership probe per
+        # language — no Python-regex pass per language per doc. 64-bit
+        # hash equality stands in for string equality (the house
+        # hash-identity rule; collision odds ~1e-19 per word).
         self.langs = sorted(_STOPWORDS)
-        self.stop_re = {
-            lang: re.compile(r"(?<!\S)(?:" + "|".join(sorted(ws)) + r")(?!\S)")
+        self.stop_hashes = {
+            lang: np.sort(
+                _detmix.string_hash64(np.array(sorted(ws), dtype=object))
+            )
             for lang, ws in _STOPWORDS.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # counter columns come from the SAME standalone stage functions the
-        # SQL oracles check — one implementation, no drift; the text
-        # column converts to pandas ONCE and is shared across all passes
-        s = batch.column(self.text_col).to_pandas().fillna("")
-        out = token_count_batch(batch, self.text_col, _s=s)
-        out = quality_metrics_batch(out, self.text_col, _s=s)
+        # SQL oracles check — one implementation, no drift; the filled
+        # Arrow text array is computed ONCE and shared across the Arrow
+        # passes, the pandas series only feeds the two kernels that
+        # genuinely need Python sre / siphash (bpe lookahead regex,
+        # content fingerprint)
+        col = batch.column(self.text_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        filled = pc.fill_null(arr, "")
+        out = token_count_batch(batch, self.text_col, _arr=filled)
+        out = quality_metrics_batch(out, self.text_col, _arr=filled)
+        s = filled.to_pandas()
         bpe_tokens = s.str.count(self.bpe)
-        langs, stop_ratio = self._langid(s)
+        langs, stop_ratio = self._langid(filled)
         fp = fingerprint_series(s)
-        for name, arr in (
+        for name, arr_ in (
             ("bpe_tokens", pa.array(bpe_tokens.to_numpy(np.int64))),
             ("lang_pred", pa.array(langs)),
             ("stop_ratio", pa.array(stop_ratio, type=pa.float64())),
             ("fingerprint", pa.array(fp.astype(np.int64))),
         ):
-            out = out.append_column(name, arr)
+            out = out.append_column(name, arr_)
         return out
 
-    def _langid(self, s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-        """Stopword-hit language ID, fully vectorized: one str.count pass
-        per language over the lowercased text. Ties break to the first
-        language in sorted order (argmax returns the first maximum), the
-        same rule as the scalar max-over-sorted-keys it replaced."""
-        lowered = s.str.lower()
-        n_words = s.str.count(self.ws).to_numpy(np.int64)
-        hits = np.stack(
-            [lowered.str.count(self.stop_re[lang]).to_numpy(np.int64) for lang in self.langs]
-        )
+    def _langid(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """Stopword-hit language ID: one shared split+hash pass, then a
+        sorted-table membership probe + bincount per language. Ties
+        break to the first language in sorted order (argmax returns the
+        first maximum), the same rule as the regex counter it replaced."""
+        lens, wh = _words.split_ws_hashes(arr)
+        n_docs = len(lens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        hits = np.zeros((len(self.langs), n_docs), np.int64)
+        if len(wh):
+            for i, lang in enumerate(self.langs):
+                sh = self.stop_hashes[lang]
+                idx = np.searchsorted(sh, wh).clip(max=len(sh) - 1)
+                m = sh[idx] == wh
+                hits[i] = np.bincount(doc_of[m], minlength=n_docs)
         best_idx = hits.argmax(axis=0)
-        best_hits = hits[best_idx, np.arange(len(s))]
-        langs = np.where(best_hits > 0, np.array(self.langs, dtype=object)[best_idx], "und")
+        best_hits = hits[best_idx, np.arange(n_docs)]
+        langs = np.where(
+            best_hits > 0, np.array(self.langs, dtype=object)[best_idx], "und"
+        )
         ratios = np.divide(
-            best_hits, n_words, out=np.zeros(len(s), dtype=np.float64), where=n_words > 0
+            best_hits, lens, out=np.zeros(n_docs, dtype=np.float64), where=lens > 0
         )
         return langs, ratios
 
@@ -155,32 +173,46 @@ def winnow_long_batch(
     return pa.table({"doc_id": doc_ids, "fp": pa.array(flat.astype(np.int64))})
 
 
+def _filled_text(batch: pa.Table, text_col: str) -> pa.Array:
+    col = batch.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.fill_null(arr, "")
+
+
 def token_count_batch(
-    batch: pa.Table, text_col: str = "text", _s: "pd.Series | None" = None
+    batch: pa.Table, text_col: str = "text", _arr: "pa.Array | None" = None
 ) -> pa.Table:
     """Whitespace token count only (the cheap, oracle-checkable subset).
-    `_s`: optional precomputed filled text series (the TextAnalyzer hot
-    path converts the column once and shares it)."""
+    One RE2 `\\S+` count pass (pc.count_substring_regex) — the SAME
+    regex engine as the DuckDB oracle's regexp_extract_all, so the
+    count is engine-identical by construction. `_arr`: optional
+    precomputed filled Arrow array (the TextAnalyzer hot path fills the
+    column once and shares it)."""
     batch = util.strip_schema_metadata(batch)  # pandas-written parquet input
-    s = batch.column(text_col).to_pandas().fillna("") if _s is None else _s
-    return batch.append_column("ws_tokens", pa.array(s.str.count(_WS_RE).to_numpy(np.int64)))
+    arr = _filled_text(batch, text_col) if _arr is None else _arr
+    n = pc.count_substring_regex(arr, r"\S+").cast(pa.int64())
+    return batch.append_column("ws_tokens", n)
 
 
 def quality_metrics_batch(
-    batch: pa.Table, text_col: str = "text", _s: "pd.Series | None" = None
+    batch: pa.Table, text_col: str = "text", _arr: "pa.Array | None" = None
 ) -> pa.Table:
     """Integer quality counters (chars/punct/digits/uppercase) — exact,
-    SQL-replicable components; ratios derive downstream."""
-    s = batch.column(text_col).to_pandas().fillna("") if _s is None else _s
+    SQL-replicable components (RE2 class counts + utf8_length, the
+    DuckDB oracle's own engine and semantics); ratios derive
+    downstream."""
+    arr = _filled_text(batch, text_col) if _arr is None else _arr
     out = batch
     for name, rx in (
         ("n_chars_m", None),
-        ("n_punct", _PUNCT_RE),
-        ("n_digit", _DIGIT_RE),
-        ("n_upper", _UPPER_RE),
+        ("n_punct", r"[^\w\s]"),
+        ("n_digit", r"[0-9]"),
+        ("n_upper", r"[A-Z]"),
     ):
-        vals = s.str.len() if rx is None else s.str.count(rx)
-        out = out.append_column(name, pa.array(vals.to_numpy(np.int64)))
+        vals = (
+            pc.utf8_length(arr) if rx is None else pc.count_substring_regex(arr, rx)
+        ).cast(pa.int64())
+        out = out.append_column(name, vals)
     return out
 
 
@@ -574,21 +606,18 @@ def tokenize_hashed_batch(
     input shape BASELINE.json's corpus carries, so the whole encode /
     pack / stats surface runs downstream of raw documents."""
     t = util.strip_schema_metadata(t)
-    s = t.column(text_col).to_pandas()
-    ok = s.notna().to_numpy()
-    kept = t.filter(pa.array(ok))
-    s = s[s.notna()]
-    parts = s.str.split(" ")
-    lens = (
-        parts.str.len().to_numpy(np.int64)
-        if len(parts)
-        else np.array([], np.int64)
-    )
+    col = t.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    kept = t.filter(pc.is_valid(arr))
+    # Arrow single-space split keeps empty segments ('a  b' -> 3 words,
+    # one empty) — byte-identical to the SQL twin's string_split(text,
+    # ' '); the word hash runs on the flat array's own UTF-8 buffers
+    # (functions/words), no pandas object pass
+    parts = pc.split_pattern(arr.drop_null(), " ")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(lens) and int(lens.sum()):
-        flat = np.concatenate(
-            [np.asarray(p, dtype=object) for p in parts.to_numpy()]
-        )
-        ids = (_detmix.string_hash64(flat) % np.uint64(vocab)).astype(np.int32)
+        flat = pc.list_flatten(parts)
+        ids = (_words.hash_string_array(flat) % np.uint64(vocab)).astype(np.int32)
     else:
         ids = np.array([], np.int32)
     csum = np.zeros(len(lens) + 1, np.int64)

@@ -2280,7 +2280,13 @@ def grouped_count_distinct(
         .sum("nd")
     )
 
+    out_empty = pa.table(
+        {group_col: pa.array([], pa.string()), "n_distinct": pa.array([], pa.int64())}
+    )
+
     def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_empty
         return pa.table(
             {
                 group_col: t.column(group_col),

@@ -46,6 +46,21 @@ class TestMinhash:
         np.testing.assert_array_equal(a, b)
         assert len(a) > 0
 
+    def test_batch_sigs_match_scalar_path(self):
+        # the flattened batch kernel must be BIT-identical to the per-doc
+        # scalar path (incl. empty text, sub-k text, unicode, repeats —
+        # the zero-pad + cross-doc window masking edges)
+        texts = [
+            "hello world hello", "", "ab", "x" * 4, "x" * 5,
+            "the quick brown fox " * 3, "café ☃ unicode", None,
+            "hello world hello",
+        ]
+        a, b = dedup._perms(16)
+        got = dedup._batch_minhash_sigs(pa.array(texts, pa.string()), 5, a, b)
+        for i, t in enumerate(texts):
+            want = dedup._minhash_sig(dedup._shingle_hashes(t or "", 5), a, b)
+            np.testing.assert_array_equal(got[i], want, err_msg=f"doc {i}")
+
     def test_jaccard_bounds(self):
         assert dedup.jaccard("abcdefgh", "abcdefgh") == 1.0
         assert dedup.jaccard("abcdefgh", "zyxwvuts") == 0.0

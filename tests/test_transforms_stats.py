@@ -725,3 +725,64 @@ class TestGroupedCountDistinct:
         # binary renderings can diverge from COUNT(DISTINCT) -> loud refusal
         with pytest.raises(ValueError, match="integer/string/boolean"):
             stats.grouped_count_distinct(rd.from_arrow(t), "g", "v")
+
+
+class TestEmptyGroupSchemaPinning:
+    """0-COLUMN blocks in grouped-stats output streams: provenance test.
+
+    Ray's sort machinery emits `pyarrow_table_from_pydict({})` — a
+    0-column, 0-row block — for every EMPTY sort partition
+    (ray/data/_internal/arrow_block.py:394, Ray 2.49), and Ray's map
+    operators SKIP 0-row blocks without calling the UDF, so no
+    user-level stage can normalize them away (verified: a trailing
+    `map_batches(norm)` after map_groups is never invoked on them).
+    That is the entire source of the cosmetic `streaming_executor_state`
+    "different schema … new schema: ." warnings in the bench tail.
+
+    What this repo guarantees instead, pinned here: every block our
+    group UDFs actually PRODUCE carries the operator's full typed
+    schema; the only schema-less blocks in the stream are Ray's own
+    zero-row empties, which no downstream consumer ever reads rows
+    from."""
+
+    def test_grouped_stats_block_schemas(self, ray_session):
+        import ray
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from duckdb_raquet_ray.stages import stats
+
+        # 2 groups through MANY buckets -> most sort partitions are
+        # empty -> Ray emits 0-column empties alongside our real blocks
+        t = pa.table(
+            {
+                "g": pa.array(["a", "b"] * 20),
+                "v": pa.array(list(range(40)), pa.int64()),
+                "k": pa.array(list(range(40)), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(4)
+        for name, build, want_cols in (
+            ("mad", lambda: stats.grouped_mad_outliers(ds, "g", "v", n_buckets=16),
+             {"g", "med2", "mad4", "n_rows", "n_outliers"}),
+            ("distinct", lambda: stats.grouped_count_distinct(ds, "g", "v", n_buckets=16),
+             {"g", "n_distinct"}),
+            ("topk", lambda: stats.grouped_topk_rows(ds, "g", "v", k=2, key_col="k", n_buckets=16),
+             {"g", "v", "k", "rank"}),
+        ):
+            out = build().materialize()
+            real, ray_empties = [], 0
+            for bundle in out.iter_internal_ref_bundles():
+                for ref, _meta in bundle.blocks:
+                    blk = ray.get(ref)
+                    if blk.num_columns == 0:
+                        # Ray-internal empty-sort-partition block: must
+                        # carry no rows (harmless by construction)
+                        assert blk.num_rows == 0, name
+                        ray_empties += 1
+                    else:
+                        real.append(blk)
+            assert real, name
+            for blk in real:
+                assert set(blk.schema.names) == want_cols, (name, blk.schema.names)
