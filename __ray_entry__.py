@@ -2148,6 +2148,85 @@ def _q_mad_outliers(sf_dir: str):
     )
 
 
+def _q_objectstore_publish_stats(sf_dir: str):
+    """Encode -> publish -> read-back -> decode -> stats with every
+    partition published through the NON-RENAME (object-store) fsio
+    branch: the write stage hands fsio.publish_table a
+    SubTreeFileSystem wrapper — which state/fsio.py deliberately does
+    NOT treat as local — so each partition takes the
+    `open_output_stream` atomic-on-close path the S3/GCS deployment
+    uses, end-to-end inside a Ray pipeline. The read-back decodes the
+    persisted partitions and re-derives per-source doc/char stats; the
+    oracle computes the same stats off the raw table."""
+    import functools as _ft
+    import glob as _glob
+    import shutil
+
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    from duckdb_raquet_ray import util
+    from duckdb_raquet_ray.stages import encoder
+    from duckdb_raquet_ray.state import fsio
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/raquet_objstore_{tag}_{ENGINE_TAG}"
+    # batch boundaries are not topology-deterministic: stale partitions
+    # from a previous run's batching would double rows on read-back
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def publish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        enc = encoder.encode_batch(batch, key_column="doc_id")
+        pid = enc.column("partition_id")[0].as_py()
+        fsys = pafs.SubTreeFileSystem(out, pafs.LocalFileSystem())
+        name = f"part-{pid:016x}.parquet"
+        fsio.publish_table(enc, name, filesystem=fsys)
+        return pa.table({"path": pa.array([name])})
+
+    util.clean_dataset(
+        rd.read_parquet(src, columns=["doc_id", "source", "text"])
+    ).map_batches(publish, batch_format="pyarrow", batch_size=256).count()
+
+    parts = sorted(_glob.glob(os.path.join(out, "part-*.parquet")))
+    back = rd.read_parquet(parts).map_batches(
+        _ft.partial(encoder.decode_batch, columns=["source", "text"]),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_chars = pc.utf8_length(pc.fill_null(t.column("text"), "")).cast(pa.int64())
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_chars": n_chars,
+            }
+        )
+
+    agg = (
+        back.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "n_chars"])
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("sum(n_docs)").cast(pa.int64()),
+                "n_chars": t.column("sum(n_chars)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_remove_dup_spans(sf_dir: str):
     """Duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr rewrite):
     cross-doc duplicated word 8-grams are cut from every doc except the
@@ -2772,6 +2851,39 @@ def _jpeg_media_path(rows: int) -> str:
     from duckdb_raquet_ray.pipelines import multimodal as mm
 
     return mm.persist_jpeg_media_table(rows, f"/tmp/raquet_media_jpeg_{rows}.parquet")
+
+
+def _pjpeg_media_path(rows: int) -> str:
+    """Persisted PROGRESSIVE-JPEG corpus (SOF2 spectral-selection +
+    successive-approximation scans, plus multi-scan sequential SOF0
+    rows), each with the forced decode of its exact coefficients as the
+    independent `pixels` column."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_progressive_jpeg_media_table(
+        rows, f"/tmp/raquet_media_pjpeg_{rows}.parquet"
+    )
+
+
+def _q_jpeg_progressive_sums(sf_dir: str):
+    """Value-checked PROGRESSIVE-JPEG decode (codecs/jpegcodec.py, T.81
+    Annex G: DC/AC first + refinement scans, EOB runs, non-interleaved
+    per-component grids; every 4th payload is a multi-scan sequential
+    stream): per-image integer strip sums from decode(payload) must
+    equal the SQL oracle's sums over the independently persisted
+    forced-decode pixels."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _pjpeg_media_path(MEDIA_FEAT_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.strip_sums_batch,
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(4096),
+    )
 
 
 def _q_jpeg_strip_sums(sf_dir: str):
@@ -3536,6 +3648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     guaranteeing each round's correctness file covers the newest ops."""
     _ensure_corpus()
     return {
+        # --- round-5 --------------------------------------------------------
+        "jpeg_progressive_sums": _q_jpeg_progressive_sums,
+        "objectstore_publish_stats": _q_objectstore_publish_stats,
         # --- round-4, final continuation session ----------------------------
         "remove_dup_spans_docs": _q_remove_dup_spans,
         "mad_outliers_source": _q_mad_outliers,
@@ -4014,6 +4129,14 @@ def oracle_sql() -> dict[str, str]:
         # rational int8 cosine test replicated over the same quantization
         "semantic_decontaminate_vecs": _contamination.semantic_oracle_sql(
             _dedup.synthesize_near_dups_sql("embeddings")
+        ),
+        # encode -> object-store-branch publish -> read-back -> decode:
+        # the decoded partitions must reproduce the raw table's per-source
+        # doc/char stats exactly
+        "objectstore_publish_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "coalesce(sum(length(text)), 0)::BIGINT AS n_chars "
+            "FROM documents GROUP BY source"
         ),
         # the rewrite form of crossdoc_dup_docs: same gram fold, min-key
         # keeper rule, covered positions cut, text rebuilt word-joined
@@ -4610,6 +4733,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT media_id, unnest(pixels) AS val, "
             "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
             f"FROM read_parquet('{_jpeg_media_path(MEDIA_FEAT_ROWS)}')) "
+            "GROUP BY media_id, strip"
+        ),
+        # progressive (SOF2) + multi-scan sequential decode against the
+        # independently persisted forced-decode pixels
+        "jpeg_progressive_sums": (
+            "SELECT media_id, CAST(((ord-1)*16)//L AS INTEGER) AS strip, "
+            "CAST(SUM(val) AS BIGINT) AS strip_sum "
+            "FROM (SELECT media_id, unnest(pixels) AS val, "
+            "generate_subscripts(pixels,1) AS ord, len(pixels) AS L "
+            f"FROM read_parquet('{_pjpeg_media_path(MEDIA_FEAT_ROWS)}')) "
             "GROUP BY media_id, strip"
         ),
         # REAL MJPEG-AVI decode oracle: every 2nd frame's pixel sum from

@@ -266,7 +266,16 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H, W) gray or (H, W, 3) RGB."""
+    """JPEG bytes -> uint8 (H, W) gray or (H, W, 3) RGB.
+
+    Supports baseline/extended sequential Huffman (SOF0/SOF1) —
+    single-scan interleaved via the fast path, multi-scan
+    (non-interleaved) via the coefficient accumulator — and
+    PROGRESSIVE Huffman (SOF2, T.81 Annex G: spectral selection +
+    successive approximation, DC/AC first and refinement scans,
+    EOB-run decoding). The reference gates its real codec behind a
+    compile-time option (band_decoder.cpp:85-154); here the whole
+    decode is dependency-free."""
     if not sniff(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -274,6 +283,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    progressive = False
+    scans: list[dict] = []
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -301,7 +312,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.int64)
                 q[ZIGZAG] = tab
                 qtabs[tq] = q.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -317,10 +329,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     raise ValueError(f"unsupported sampling factors {fh}x{fv}")
                 comps.append({"id": cid, "h": fh, "v": fv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(only baseline/extended sequential Huffman is supported)"
+                "(only sequential/progressive Huffman is supported)"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -338,15 +350,6 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # a spec-valid multi-scan (non-interleaved) baseline file:
-                # decoding only the first scan would silently return a
-                # Y-only image for a color photo
-                raise NotImplementedError(
-                    f"multi-scan baseline JPEG ({ns} of "
-                    f"{len(frame['comps'])} components in the first scan) "
-                    "is not supported — re-encode interleaved"
-                )
             scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
@@ -359,16 +362,45 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     )
                 scan_comps.append((comp, tdta >> 4, tdta & 0xF))
             scan_start = pos + seglen
-            return _decode_scan(
-                data, scan_start, frame, scan_comps, qtabs, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive and not scans and ns == len(frame["comps"]):
+                # single interleaved sequential scan: the common case,
+                # decoded by the one-pass fast path
+                segs, _end = _scan_segments(data, scan_start)
+                return _decode_scan(
+                    segs, frame, scan_comps, qtabs, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive (SOF2) or multi-scan sequential: accumulate
+            # coefficients across scans. Huffman tables are snapshotted
+            # PER SCAN (DHT between scans redefines table slots).
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            segs, end = _scan_segments(data, scan_start)
+            scans.append(
+                {
+                    "comps": [
+                        (comp, huff_dc.get(td), huff_ac.get(ta))
+                        for comp, td, ta in scan_comps
+                    ],
+                    "ss": ss,
+                    "se": se,
+                    "ah": ah_al >> 4,
+                    "al": ah_al & 0xF,
+                    "segs": segs,
+                    "dri": restart_interval,
+                }
             )
+            pos = end
+            continue
         pos += seglen
+    if scans:
+        return _decode_multiscan(frame, qtabs, scans, progressive)
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
-def _scan_segments(data: bytes, start: int) -> list[bytes]:
-    """Entropy-coded segments between restart markers, FF00-unstuffed."""
+def _scan_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """-> (entropy-coded segments between restart markers, FF00-unstuffed;
+    position of the 0xFF opening the scan-terminating marker)."""
     segs = []
     cur = start
     pos = start
@@ -397,18 +429,18 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
                 pos = q + 1
                 cur = pos
                 continue
-            return segs
+            return segs, q - 1
         segs.append(data[cur:pos].replace(b"\xff\x00", b"\xff"))
         if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary, keep scanning
             pos += 2
             cur = pos
             continue
-        return segs  # EOI or any other marker ends the scan
+        return segs, pos  # EOI or any other marker ends the scan
     segs.append(data[cur:n].replace(b"\xff\x00", b"\xff"))
-    return segs
+    return segs, n
 
 
-def _decode_scan(data, start, frame, scan_comps, qtabs, huff_dc, huff_ac, dri):
+def _decode_scan(segments, frame, scan_comps, qtabs, huff_dc, huff_ac, dri):
     h, w = frame["h"], frame["w"]
     if len(scan_comps) == 1:
         # non-interleaved single-component scan: MCU = one block, the
@@ -426,7 +458,6 @@ def _decode_scan(data, start, frame, scan_comps, qtabs, huff_dc, huff_ac, dri):
         ph = mcus_y * 8 * comp["v"]
         planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
 
-    segments = _scan_segments(data, start)
     seg_idx = 0
     br = _BitReader(segments[0])
     pred = {comp["id"]: 0 for comp, _, _ in scan_comps}
@@ -471,6 +502,203 @@ def _decode_scan(data, start, frame, scan_comps, qtabs, huff_dc, huff_ac, dri):
     out_planes = []
     for comp, _, _ in scan_comps:
         p = np.clip(np.rint(planes[comp["id"]] + 128.0), 0, 255)
+        p = _upsample(p, max_h // comp["h"], max_v // comp["v"])
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)
+    return _ycbcr_to_rgb(*out_planes)
+
+
+# ---------------------------------------------------------------------------
+# multi-scan decode: coefficient accumulator shared by progressive (SOF2,
+# T.81 Annex G) and multi-scan sequential (non-interleaved SOF0/1) files.
+# Every scan writes into per-component zigzag coefficient arrays; the
+# final assemble dequantizes + IDCTs all blocks at once.
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_dims(frame, comp) -> tuple[int, int]:
+    """Block grid of a NON-interleaved scan for `comp` (T.81 A.2.2): the
+    component's own sampled dimensions, NOT padded to the MCU grid."""
+    max_h = max(c["h"] for c in frame["comps"])
+    max_v = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // max_h)
+    ch = -(-frame["h"] * comp["v"] // max_v)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_seq_block(br, dtab, atab, blk, pred: int) -> int:
+    """Full sequential block decode (DC diff + AC run-length) into blk."""
+    t = dtab.decode(br)
+    pred += _extend(br.receive(t), t)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = atab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        blk[k] = _extend(br.receive(s), s)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(br, atab, blk, ss, se, al, eobrun: int) -> int:
+    """Progressive AC 'first' scan for one block (G.2.2); -> new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = atab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            # EOB run: this block is the first of (1<<r)+receive(r)
+            return (1 << r) - 1 + (br.receive(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(br, atab, blk, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (G.2.2 successive
+    approximation correction algorithm, the libjpeg shape); -> eobrun."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = atab.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.receive(r) if r else 0)
+                    break
+                val = 0  # ZRL in a refinement scan: 16 zero-history coefs
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refinement size != 1")
+                val = p1 if br.read_bit() else m1
+            # advance over r zero-HISTORY coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # the EOB run still corrects every remaining nonzero coefficient
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_multiscan(frame, qtabs, scans, progressive) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in frame["comps"])
+    max_v = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        for c in frame["comps"]
+    }
+
+    for scan in scans:
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        dri = scan["dri"]
+        segs = scan["segs"]
+        interleaved = len(scan["comps"]) > 1
+        if progressive and interleaved and not (ss == 0 and se == 0):
+            raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+        br = _BitReader(segs[0])
+        seg_idx = 0
+        pred = {comp["id"]: 0 for comp, _, _ in scan["comps"]}
+        eobrun = 0
+        if interleaved:
+            units = mcus_x * mcus_y
+        else:
+            comp = scan["comps"][0][0]
+            nby, nbx = _comp_block_dims(frame, comp)
+            units = nby * nbx
+        for m in range(units):
+            if dri and m and m % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("corrupt JPEG: missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                pred = {k: 0 for k in pred}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(m, mcus_x)
+                for comp, dtab, atab in scan["comps"]:
+                    arr = coefs[comp["id"]]
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            blk = arr[my * comp["v"] + bv, mx * comp["h"] + bh]
+                            if not progressive:
+                                pred[comp["id"]] = _decode_seq_block(
+                                    br, dtab, atab, blk, pred[comp["id"]]
+                                )
+                            elif ah == 0:  # DC first
+                                t = dtab.decode(br)
+                                pred[comp["id"]] += _extend(br.receive(t), t)
+                                blk[0] = pred[comp["id"]] << al
+                            else:  # DC refinement: one bit per block
+                                if br.read_bit():
+                                    blk[0] = int(blk[0]) | (1 << al)
+            else:
+                comp, dtab, atab = scan["comps"][0]
+                by, bx = divmod(m, nbx)
+                blk = coefs[comp["id"]][by, bx]
+                if not progressive:
+                    pred[comp["id"]] = _decode_seq_block(
+                        br, dtab, atab, blk, pred[comp["id"]]
+                    )
+                elif ss == 0:
+                    if ah == 0:
+                        t = dtab.decode(br)
+                        pred[comp["id"]] += _extend(br.receive(t), t)
+                        blk[0] = pred[comp["id"]] << al
+                    else:
+                        if br.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _decode_ac_first(br, atab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _decode_ac_refine(br, atab, blk, ss, se, al, eobrun)
+
+    out_planes = []
+    for comp in frame["comps"]:
+        p = np.clip(
+            np.rint(_decode_coefs_to_plane(coefs[comp["id"]], qtabs[comp["tq"]])),
+            0,
+            255,
+        )
         p = _upsample(p, max_h // comp["h"], max_v // comp["v"])
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
@@ -621,17 +849,10 @@ def _dht_segment() -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def jpeg_encode(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    return_expected: bool = False,
-):
-    """uint8 gray (H, W) or RGB (H, W, 3) -> baseline JPEG bytes.
-    `subsample=True` writes 4:2:0 chroma (RGB only). With
-    `return_expected=True` also returns the mathematically-forced decode
-    of the exact coefficients written (what any correct baseline decoder
-    must output, given this module's float64 IDCT + JFIF color math)."""
+def _prepare_components(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: pixels -> quantized per-component
+    coefficient blocks + layout. -> (comp_blocks, factors, tclasses,
+    qmap, mcus_x, mcus_y, gray, h, w, qy, qc)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -675,6 +896,35 @@ def jpeg_encode(
             else p
         )
         comp_blocks.append(_encode_plane_blocks(padded, q))
+    return comp_blocks, factors, tclasses, qmap, mcus_x, mcus_y, gray, h, w, qy, qc
+
+
+def _expected_decode(comp_blocks, factors, qmap, gray, h, w):
+    """The mathematically-forced decode of the exact coefficients."""
+    max_h = max(f[0] for f in factors)
+    max_v = max(f[1] for f in factors)
+    rec = []
+    for coefs, (fh, fv), q in zip(comp_blocks, factors, qmap):
+        p = np.clip(np.rint(_decode_coefs_to_plane(coefs, q)), 0, 255)
+        rec.append(_upsample(p, max_h // fh, max_v // fv)[:h, :w])
+    if gray:
+        return rec[0].astype(np.uint8)
+    return _ycbcr_to_rgb(*rec)
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    return_expected: bool = False,
+):
+    """uint8 gray (H, W) or RGB (H, W, 3) -> baseline JPEG bytes.
+    `subsample=True` writes 4:2:0 chroma (RGB only). With
+    `return_expected=True` also returns the mathematically-forced decode
+    of the exact coefficients written (what any correct baseline decoder
+    must output, given this module's float64 IDCT + JFIF color math)."""
+    (comp_blocks, factors, tclasses, qmap, mcus_x, mcus_y, gray, h, w,
+     qy, qc) = _prepare_components(img, quality, subsample)
 
     scan = _entropy_encode(
         list(zip(comp_blocks, tclasses)), mcus_x, mcus_y, factors
@@ -713,14 +963,320 @@ def jpeg_encode(
 
     if not return_expected:
         return blob
+    return blob, _expected_decode(comp_blocks, factors, qmap, gray, h, w)
 
-    # --- forced decode of the coefficients just written ---------------------
-    rec = []
-    for coefs, (fh, fv), q in zip(comp_blocks, factors, qmap):
-        p = np.clip(np.rint(_decode_coefs_to_plane(coefs, q)), 0, 255)
-        rec.append(_upsample(p, max_h // fh, max_v // fv)[:h, :w])
-    if gray:
-        expected = rec[0].astype(np.uint8)
-    else:
-        expected = _ycbcr_to_rgb(*rec)
-    return blob, expected
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture-grade, T.81 Annex G): DC + per-component AC
+# scans with ONE successive-approximation level (Al=1 first scans, Ah=1
+# Al=0 refinement scans) — exercises all four progressive decode modes.
+# Emits the SAME quantized coefficients as jpeg_encode, so the progressive
+# stream's decode is bit-identical to the baseline stream's.
+# ---------------------------------------------------------------------------
+
+# custom AC table for progressive scans: the Annex K tables lack the
+# EOB-run symbols (r<<4 for r=1..14), so a flat 8-bit canonical table
+# carrying ALL 176 AC symbols (EOBn, ZRL, every (run, size)) is emitted
+# instead — poor compression, complete coverage (fixtures are tiny)
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _emit_eobrun(bw, ac_codes, eobrun: int, bits: list[int]) -> tuple[int, list[int]]:
+    """Flush a pending EOB run + its buffered correction bits."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        hc, hl = ac_codes[nbits << 4]
+        bw.write(hc, hl)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+        for b in bits:
+            bw.write(b, 1)
+        return 0, []
+    return eobrun, bits
+
+
+def _encode_dc_scan(comp_blocks, factors, mcus_x, mcus_y, tclasses, al, refine):
+    dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0] * len(comp_blocks)
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci, coefs in enumerate(comp_blocks):
+            fh, fv = factors[ci]
+            for bv in range(fv):
+                for bh in range(fh):
+                    dc = int(coefs[my * fv + bv, mx * fh + bh, 0])
+                    if refine:
+                        bw.write((dc >> al) & 1, 1)
+                        continue
+                    v = dc >> al  # arithmetic shift (G.1.2.1 point transform)
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t, code = _magnitude(diff)
+                    hc, hl = dc_codes[tclasses[ci]][t]
+                    bw.write(hc, hl)
+                    if t:
+                        bw.write(code, t)
+    return bw.flush()
+
+
+def _encode_ac_first_scan(coefs, ac_codes, ss, se, al) -> bytes:
+    bw = _BitWriter()
+    by, bx, _ = coefs.shape
+    eobrun = 0
+    for b in range(by * bx):
+        blk = coefs[b // bx, b % bx]
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            mag = (abs(v) >> al)  # AC point transform: magnitude shift
+            if mag == 0:
+                r += 1
+                continue
+            eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun, [])
+            while r > 15:
+                hc, hl = ac_codes[0xF0]
+                bw.write(hc, hl)
+                r -= 16
+            t = mag.bit_length()
+            code = mag if v > 0 else (1 << t) - 1 - mag
+            hc, hl = ac_codes[(r << 4) | t]
+            bw.write(hc, hl)
+            bw.write(code, t)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun, [])
+    _emit_eobrun(bw, ac_codes, eobrun, [])
+    return bw.flush()
+
+
+def _encode_ac_refine_scan(coefs, ac_codes, ss, se, al) -> bytes:
+    """G.2.2 successive-approximation AC refinement (the libjpeg
+    encode_mcu_AC_refine shape: buffered correction bits attach to the
+    next emitted symbol or ride the EOB run)."""
+    bw = _BitWriter()
+    by, bx, _ = coefs.shape
+    eobrun = 0
+    ebits: list[int] = []  # correction bits buffered onto the EOB run
+    for b in range(by * bx):
+        blk = coefs[b // bx, b % bx]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = 0  # 1-based position (in ss..se) of last NEWLY-nonzero coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        brbits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                eobrun, ebits = _emit_eobrun(bw, ac_codes, eobrun, ebits)
+                hc, hl = ac_codes[0xF0]
+                bw.write(hc, hl)
+                r -= 16
+                for bit in brbits:
+                    bw.write(bit, 1)
+                brbits = []
+            if t > 1:
+                # history coefficient: just a correction bit
+                brbits.append(t & 1)
+                continue
+            eobrun, ebits = _emit_eobrun(bw, ac_codes, eobrun, ebits)
+            hc, hl = ac_codes[(r << 4) | 1]
+            bw.write(hc, hl)
+            bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for bit in brbits:
+                bw.write(bit, 1)
+            brbits = []
+            r = 0
+        if r > 0 or brbits:
+            eobrun += 1
+            ebits.extend(brbits)
+            if eobrun == 0x7FFF or len(ebits) > 900:
+                eobrun, ebits = _emit_eobrun(bw, ac_codes, eobrun, ebits)
+    _emit_eobrun(bw, ac_codes, eobrun, ebits)
+    return bw.flush()
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    return_expected: bool = False,
+):
+    """uint8 gray/RGB -> PROGRESSIVE JPEG bytes (SOF2), same quantized
+    coefficients as `jpeg_encode` — a correct progressive decoder must
+    produce EXACTLY the baseline stream's decode. Scan script: DC first
+    (interleaved, Al=1), per-component AC first (1..63, Al=1), DC
+    refinement (Ah=1), per-component AC refinement (Ah=1) — all four
+    Annex G decode modes."""
+    (comp_blocks, factors, tclasses, qmap, mcus_x, mcus_y, gray, h, w,
+     qy, qc) = _prepare_components(img, quality, subsample)
+    ncomp = 1 if gray else 3
+    ac_codes = _build_codes(*_AC_PROG)
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        zz = tab.reshape(-1)[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+
+    sof = b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, tclasses[ci]])
+
+    # DHT: standard DC tables + the flat progressive AC table in both slots
+    dht = b""
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 0, _AC_PROG),
+        (1, 1, _AC_PROG),
+    ):
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        dht += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = tclasses[cid - 1]
+            ta = tclasses[cid - 1]
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8" + dqt(0, qy))
+    if not gray:
+        out += dqt(1, qc)
+    out += sof + dht
+    all_ids = list(range(1, ncomp + 1))
+    # scan 1: DC first, Al=1, interleaved
+    out += sos(all_ids, 0, 0, 0, 1)
+    out += _encode_dc_scan(comp_blocks, factors, mcus_x, mcus_y, tclasses, 1, False)
+    # scans 2..: AC first per component, Al=1
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        out += _encode_ac_first_scan(
+            _noninterleaved_blocks(comp_blocks[ci], factors[ci], factors, h, w),
+            ac_codes, 1, 63, 1,
+        )
+    # DC refinement, Ah=1 Al=0
+    out += sos(all_ids, 0, 0, 1, 0)
+    out += _encode_dc_scan(comp_blocks, factors, mcus_x, mcus_y, tclasses, 0, True)
+    # AC refinement per component, Ah=1 Al=0
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        out += _encode_ac_refine_scan(
+            _noninterleaved_blocks(comp_blocks[ci], factors[ci], factors, h, w),
+            ac_codes, 1, 63, 0,
+        )
+    out += b"\xff\xd9"
+    blob = bytes(out)
+    if not return_expected:
+        return blob
+    return blob, _expected_decode(comp_blocks, factors, qmap, gray, h, w)
+
+
+def jpeg_encode_multiscan(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    return_expected: bool = False,
+):
+    """uint8 gray/RGB -> MULTI-SCAN SEQUENTIAL JPEG (SOF0, one
+    non-interleaved scan per component, T.81 A.2.2) — the spec-valid
+    layout the decoder previously refused. Same quantized coefficients
+    as `jpeg_encode`; decode must be bit-identical to the interleaved
+    stream's (up to the MCU-padding blocks, which only cover cropped
+    pixels)."""
+    (comp_blocks, factors, tclasses, qmap, mcus_x, mcus_y, gray, h, w,
+     qy, qc) = _prepare_components(img, quality, subsample)
+    ncomp = 1 if gray else 3
+    dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
+    ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        zz = tab.reshape(-1)[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, tclasses[ci]])
+    out = bytearray(b"\xff\xd8" + dqt(0, qy))
+    if not gray:
+        out += dqt(1, qc)
+    out += sof + _dht_segment()
+    for ci in range(ncomp):
+        tclass = tclasses[ci]
+        coefs = _noninterleaved_blocks(comp_blocks[ci], factors[ci], factors, h, w)
+        bw = _BitWriter()
+        pred = 0
+        by, bx, _ = coefs.shape
+        for b in range(by * bx):
+            blk = coefs[b // bx, b % bx]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[tclass][t]
+            bw.write(hc, hl)
+            if t:
+                bw.write(code, t)
+            run = 0
+            nz = np.flatnonzero(blk[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[tclass][0xF0]
+                    bw.write(hc, hl)
+                    run -= 16
+                t, code = _magnitude(v)
+                hc, hl = ac_codes[tclass][(run << 4) | t]
+                bw.write(hc, hl)
+                bw.write(code, t)
+                run = 0
+            if last < 63:
+                hc, hl = ac_codes[tclass][0x00]
+                bw.write(hc, hl)
+        td = ta = tclass
+        out += (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([ci + 1, (td << 4) | ta])
+            + b"\x00\x3f\x00"
+        )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    blob = bytes(out)
+    if not return_expected:
+        return blob
+    return blob, _expected_decode(comp_blocks, factors, qmap, gray, h, w)
+
+
+def _noninterleaved_blocks(coefs, factor, factors, h, w):
+    """Trim a component's MCU-padded block array to its NON-interleaved
+    scan grid (T.81 A.2.2: ceil of the component's own sampled dims)."""
+    fh, fv = factor
+    max_h = max(f[0] for f in factors)
+    max_v = max(f[1] for f in factors)
+    nbx = -(-(-(-w * fh // max_h)) // 8)
+    nby = -(-(-(-h * fv // max_v)) // 8)
+    return coefs[:nby, :nbx]

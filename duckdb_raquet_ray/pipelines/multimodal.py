@@ -777,6 +777,64 @@ def persist_jpeg_media_table(rows: int, path: str, seed: int = 43) -> str:
     return _persist_once(path, lambda: synthesize_jpeg_media_table(rows, seed))
 
 
+def synthesize_progressive_jpeg_media_table(
+    rows: int, seed: int = 47, max_side: int = 40
+) -> pa.Table:
+    """Deterministic PROGRESSIVE-JPEG corpus (SOF2 spectral-selection +
+    successive-approximation scans, with every 4th row a MULTI-SCAN
+    sequential SOF0 stream — the two layouts the baseline-only decoder
+    previously refused). Payloads carry the SAME quantized coefficients
+    a baseline encode of the image would, so `pixels` (the forced decode
+    of those coefficients) value-checks the full Annex G scan machinery:
+    DC/AC first + refinement, EOB runs, per-component non-interleaved
+    block grids."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, pixels, widths, heights, mimes = [], [], [], [], [], []
+    for i in range(rows):
+        w = int(rng.integers(8, max_side + 1))
+        h = int(rng.integers(8, max_side + 1))
+        quality = int(rng.integers(60, 96))
+        if i % 6 == 5:
+            # sparse image: long EOB runs through the eobrun decode paths
+            img = np.zeros((h, w), dtype=np.uint8)
+            img[rng.integers(0, h), rng.integers(0, w)] = 255
+        elif i % 3 == 0:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        enc = (
+            jpegcodec.jpeg_encode_multiscan
+            if i % 4 == 3
+            else jpegcodec.jpeg_encode_progressive
+        )
+        blob, exp = enc(
+            img, quality, subsample=(img.ndim == 3 and i % 3 == 2),
+            return_expected=True,
+        )
+        ids.append(f"pjp-{i:08d}")
+        payloads.append(blob)
+        pixels.append(exp.reshape(-1).astype(np.int32))
+        widths.append(w)
+        heights.append(h)
+        mimes.append("image/jpeg")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pixels], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def persist_progressive_jpeg_media_table(rows: int, path: str, seed: int = 47) -> str:
+    return _persist_once(
+        path, lambda: synthesize_progressive_jpeg_media_table(rows, seed)
+    )
+
+
 def synthesize_gif_media_table(rows: int, seed: int = 44, max_side: int = 40) -> pa.Table:
     """Deterministic REAL-GIF corpus (no external data): palette images
     mixing plain, interlaced, transparent and ANIMATED (first-frame

@@ -83,12 +83,12 @@ class TestMarkers:
         spliced = blob[:2] + app0 + blob[2:]
         np.testing.assert_array_equal(J.jpeg_decode(spliced), J.jpeg_decode(blob))
 
-    def test_progressive_raises_named_error(self):
+    def test_arithmetic_sof_raises_named_error(self):
         img = np.zeros((8, 8), np.uint8)
         blob = bytearray(J.jpeg_encode(img, 90))
         i = bytes(blob).find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF2"):
+        blob[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+        with pytest.raises(ValueError, match="SOF9"):
             J.jpeg_decode(bytes(blob))
 
     def test_truncated_scan_raises(self):
@@ -103,8 +103,9 @@ class TestMarkers:
 
     def test_scan_segments_unstuff_and_split(self):
         data = b"\xaa\xff\x00\xbb" + b"\xff\xd0" + b"\xcc" + b"\xff\xd9"
-        segs = J._scan_segments(data, 0)
+        segs, end = J._scan_segments(data, 0)
         assert segs == [b"\xaa\xff\xbb", b"\xcc"]
+        assert data[end : end + 2] == b"\xff\xd9"  # terminating marker pos
 
 
 class TestStageWiring:
@@ -145,3 +146,58 @@ class TestStageWiring:
         for p in out.column("payload").to_pylist():
             assert ic.sniff(p) == "jpeg"
             assert ic.decode(p).shape[:2] == (6, 10)
+
+
+class TestProgressive:
+    """Progressive (SOF2, Annex G) and multi-scan sequential decode: both
+    streams carry the SAME quantized coefficients as the interleaved
+    baseline encode, so their decodes must be bit-identical to the
+    baseline stream's decode — the strongest dependency-free invariant
+    (any asymmetric bug in the scan packaging or the four progressive
+    decode modes breaks the equality)."""
+
+    def _imgs(self):
+        rng = np.random.default_rng(77)
+        return [
+            (rng.integers(0, 256, (16, 24), np.uint8), False),
+            (rng.integers(0, 256, (13, 9), np.uint8), False),
+            (rng.integers(0, 256, (23, 37, 3), np.uint8), False),
+            (rng.integers(0, 256, (23, 37, 3), np.uint8), True),
+            (rng.integers(0, 256, (8, 8, 3), np.uint8), True),
+        ]
+
+    def test_progressive_matches_baseline_decode(self):
+        for img, sub in self._imgs():
+            for q in (60, 85, 95):
+                blob, exp = J.jpeg_encode_progressive(
+                    img, q, subsample=sub, return_expected=True
+                )
+                got = J.jpeg_decode(blob)
+                np.testing.assert_array_equal(got, exp)
+                base = J.jpeg_decode(J.jpeg_encode(img, q, subsample=sub))
+                np.testing.assert_array_equal(got, base)
+
+    def test_multiscan_sequential_matches_baseline_decode(self):
+        for img, sub in self._imgs():
+            blob, exp = J.jpeg_encode_multiscan(
+                img, 85, subsample=sub, return_expected=True
+            )
+            np.testing.assert_array_equal(J.jpeg_decode(blob), exp)
+
+    def test_long_eob_runs(self):
+        # flat / sparse images drive EOBRUN > 1 through both the AC-first
+        # and AC-refinement eob paths
+        flat = np.full((64, 64), 128, np.uint8)
+        blob, exp = J.jpeg_encode_progressive(flat, 85, return_expected=True)
+        np.testing.assert_array_equal(J.jpeg_decode(blob), exp)
+        sparse = np.zeros((48, 48), np.uint8)
+        sparse[7, 11] = 255
+        sparse[33, 40] = 200
+        blob, exp = J.jpeg_encode_progressive(sparse, 85, return_expected=True)
+        np.testing.assert_array_equal(J.jpeg_decode(blob), exp)
+
+    def test_sof2_sniffs_and_dispatches(self):
+        img = np.random.default_rng(3).integers(0, 256, (12, 12), np.uint8)
+        blob = J.jpeg_encode_progressive(img, 85)
+        assert ic.sniff(blob) == "jpeg"
+        assert ic.decode(blob).shape == (12, 12)
