@@ -3032,6 +3032,38 @@ def _gif_anim_path(rows: int) -> str:
     return mm.persist_gif_anim_table(rows, f"/tmp/raquet_media_gifanim_{rows}.parquet")
 
 
+def _webp_anim_path(rows: int) -> str:
+    """Persisted animated-WebP corpus (VP8X/ANMF dirty-rect VP8L frames)
+    with independently computed per-frame expected pixel sums
+    (multimodal.synthesize_webp_anim_table)."""
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    return mm.persist_webp_anim_table(
+        rows, f"/tmp/raquet_media_webpanim_{rows}.parquet"
+    )
+
+
+def _q_webp_frame_sums(sf_dir: str):
+    """Value-checked ANIMATED-WebP frame sampling: every 2nd composited
+    canvas's pixel sum from the VP8X container walk + VP8L decode +
+    dirty-rect compositing (real inter-frame deltas) vs the SQL oracle
+    over persisted expected sums."""
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import multimodal as mm
+
+    ds = rd.read_parquet(
+        _webp_anim_path(MEDIA_FRAME_ROWS), columns=["media_id", "payload"]
+    )
+    return ds.map_batches(
+        mm.VideoFrameFeatures,
+        fn_constructor_kwargs={"every_k": 2},
+        batch_format="pyarrow",
+        batch_size=mm.suggest_batch_size(8192),
+        concurrency=(1, 2),
+    )
+
+
 def _q_gif_frame_sums(sf_dir: str):
     """Value-checked ANIMATED-GIF frame sampling: every 2nd composited
     frame's pixel sum from the container walk + LZW decode + disposal
@@ -3649,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-5 --------------------------------------------------------
+        "webp_frame_sums": _q_webp_frame_sums,
         "jpeg_progressive_sums": _q_jpeg_progressive_sums,
         "objectstore_publish_stats": _q_objectstore_publish_stats,
         # --- round-4, final continuation session ----------------------------
@@ -4782,6 +4815,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT media_id, unnest(frame_sums) AS fsum, "
             "generate_subscripts(frame_sums, 1) AS ord "
             f"FROM read_parquet('{_gif_anim_path(MEDIA_FRAME_ROWS)}')) "
+            "WHERE (ord - 1) % 2 = 0"
+        ),
+        # ANIMATED-WebP compositing oracle: VP8L is lossless and frames
+        # replace in place, so composited canvas i == source frame i
+        "webp_frame_sums": (
+            "SELECT media_id, CAST(ord - 1 AS INTEGER) AS frame_index, "
+            "fsum AS frame_pixel_sum "
+            "FROM (SELECT media_id, unnest(frame_sums) AS fsum, "
+            "generate_subscripts(frame_sums, 1) AS ord "
+            f"FROM read_parquet('{_webp_anim_path(MEDIA_FRAME_ROWS)}')) "
             "WHERE (ord - 1) % 2 = 0"
         ),
         # REAL WAV decode oracle: the SQL side regenerates the exact

@@ -1131,3 +1131,143 @@ def webp_encode_transformed(
     out = b"RIFF" + struct.pack("<I", riff_len) + b"WEBP"
     out += b"VP8L" + struct.pack("<I", len(payload)) + padded
     return out
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (extended VP8X container: ANIM + ANMF chunks, lossless
+# VP8L frames) — the dependency-free inter-frame format this engine can
+# own end-to-end: later frames ship only their DIRTY RECT (the bounding
+# box of pixels that changed vs the previous canvas) and the decoder
+# composites them back, the same frame-delta mechanism real animation
+# codecs use. Spec: WebP Container Specification (developers.google.com/
+# speed/webp/docs/riff_container), mirrored by the reference's
+# compile-time-optional codec stance (band_decoder.cpp:85-154).
+# Scope (stated): opaque lossless frames, no-blend (replace) + disposal
+# none — the subset the encoder below emits; alpha blending raises.
+# ---------------------------------------------------------------------------
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", int(v))[:3]
+
+
+def webp_encode_frames(
+    frames: list[np.ndarray],
+    durations_ms: list[int] | None = None,
+    loop: int = 0,
+    **enc_kwargs,
+) -> bytes:
+    """Encode opaque RGB frames as an ANIMATED lossless WebP. Frame 0 is
+    the full canvas; each later frame carries only the even-aligned
+    bounding box of pixels differing from the previous frame (no-blend /
+    replace, disposal none), so a correct decoder's composited canvas i
+    equals source frame i exactly (VP8L is lossless)."""
+    if not frames:
+        raise ValueError("webp_encode_frames: need at least one frame")
+    imgs = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a, a, a], axis=-1)
+        imgs.append(a)
+    h, w = imgs[0].shape[:2]
+    if any(i.shape[:2] != (h, w) for i in imgs):
+        raise ValueError("webp_encode_frames: all frames must share one size")
+    durs = durations_ms or [100] * len(imgs)
+    chunks = b""
+    prev = None
+    for i, img in enumerate(imgs):
+        if prev is None:
+            x0 = y0 = 0
+            rect = img
+        else:
+            diff = np.any(img != prev, axis=-1)
+            ys, xs = np.nonzero(diff)
+            if len(ys) == 0:
+                x0 = y0 = 0
+                rect = img[:1, :1]  # 1x1 no-op patch (identical frame)
+            else:
+                y0, y1 = int(ys.min()), int(ys.max()) + 1
+                x0, x1 = int(xs.min()), int(xs.max()) + 1
+                x0 &= ~1  # ANMF offsets are stored /2 -> even-align
+                y0 &= ~1
+                rect = img[y0:y1, x0:x1]
+        sub = webp_encode(rect, **enc_kwargs)[12:]  # the VP8L chunk itself
+        hdr = (
+            _u24(x0 // 2)
+            + _u24(y0 // 2)
+            + _u24(rect.shape[1] - 1)
+            + _u24(rect.shape[0] - 1)
+            + _u24(durs[i])
+            + bytes([0x02])  # blending: DO NOT blend (replace); disposal none
+        )
+        payload = hdr + sub
+        chunks += (
+            b"ANMF"
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        prev = img
+    vp8x = (
+        b"VP8X"
+        + struct.pack("<I", 10)
+        + bytes([0x02, 0, 0, 0])  # flags: Animation
+        + _u24(w - 1)
+        + _u24(h - 1)
+    )
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00\x00\x00\x00" + struct.pack("<H", loop)
+    body = vp8x + anim + chunks
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def webp_frames(data: bytes) -> list[np.ndarray]:
+    """Animated (VP8X) WebP -> list of COMPOSITED (h, w, 3) RGB canvases,
+    one per ANMF frame: each frame's VP8L rect decodes independently and
+    pastes at its offset (no-blend replace; disposal none/background per
+    the frame flags). Frames requiring true alpha BLENDING raise — the
+    encoder above never emits them (stated scope)."""
+    if sniff_webp(data) != "vp8x":
+        raise ValueError("not an extended (VP8X) WebP")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    n = min(len(data), 8 + riff_len)
+    pos = 12
+    canvas = None
+    frames: list[np.ndarray] = []
+    while pos + 8 <= n:
+        fourcc = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+        if fourcc == b"VP8X":
+            cw = 1 + int.from_bytes(payload[4:7], "little")
+            ch = 1 + int.from_bytes(payload[7:10], "little")
+            canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("corrupt animated WebP: ANMF before VP8X")
+            x0 = 2 * int.from_bytes(payload[0:3], "little")
+            y0 = 2 * int.from_bytes(payload[3:6], "little")
+            fw = 1 + int.from_bytes(payload[6:9], "little")
+            fh = 1 + int.from_bytes(payload[9:12], "little")
+            flags = payload[15]
+            blob = (
+                b"RIFF"
+                + struct.pack("<I", 4 + len(payload[16:]))
+                + b"WEBP"
+                + payload[16:]
+            )
+            px = webp_decode(blob)
+            if px.ndim == 3 and px.shape[2] == 4:
+                if not (flags & 0x02) and not (px[:, :, 3] == 255).all():
+                    raise NotImplementedError(
+                        "animated WebP alpha BLENDING is out of scope "
+                        "(this engine's encoder emits no-blend frames)"
+                    )
+                px = px[:, :, :3]
+            px = px[:fh, :fw]
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = px
+            frames.append(canvas.copy())
+            if flags & 0x01:  # disposal: restore background (transparent black)
+                canvas[y0 : y0 + fh, x0 : x0 + fw] = 0
+    return frames

@@ -414,6 +414,54 @@ def synthesize_gif_anim_table(rows: int, seed: int = 45, side: int = 16) -> pa.T
     )
 
 
+def synthesize_webp_anim_table(rows: int, seed: int = 48, side: int = 16) -> pa.Table:
+    """Deterministic ANIMATED-WebP corpus: each row is a multi-frame
+    VP8X/ANMF stream whose later frames carry only their dirty rect
+    (real inter-frame deltas), with `frame_sums` persisting each source
+    frame's expected RGB pixel sum — VP8L is lossless and the frames
+    replace in place, so composited canvas i must equal source frame i
+    exactly, independent of the container/entropy parse under test."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, sums, nframes = [], [], [], []
+    for i in range(rows):
+        n = int(rng.integers(3, 10))
+        ncol = int(rng.integers(2, 24))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames, fsums = [], []
+        cur = pal[rng.integers(0, ncol, size=(side, side))]
+        for f in range(n):
+            if f and f % 2 == 1:
+                # delta frame: mutate a small random patch only (small
+                # dirty rect through the even-align + offset paths)
+                cur = cur.copy()
+                y = int(rng.integers(0, side - 4))
+                x = int(rng.integers(0, side - 4))
+                cur[y : y + 4, x : x + 4] = pal[
+                    rng.integers(0, ncol, size=(4, 4))
+                ]
+            elif f:
+                cur = pal[rng.integers(0, ncol, size=(side, side))]
+            frames.append(cur)
+            fsums.append(int(cur.astype(np.int64).sum()))
+        ids.append(f"awebp-{i:08d}")
+        payloads.append(webpcodec.webp_encode_frames(frames, durations_ms=[40] * n))
+        sums.append(fsums)
+        nframes.append(n)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/webp"] * rows),
+            "n_frames": pa.array(nframes, pa.int32()),
+            "frame_sums": pa.array(sums, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def persist_webp_anim_table(rows: int, path: str, seed: int = 48) -> str:
+    return _persist_once(path, lambda: synthesize_webp_anim_table(rows, seed))
+
+
 def synthesize_webp_media_table(rows: int, seed: int = 46, max_side: int = 32) -> pa.Table:
     """Deterministic REAL WebP-VP8L corpus cycling every decode path the
     spec has: literal-only, subtract-green + color cache + LZ77 runs,
@@ -584,10 +632,12 @@ def persist_wav_media_table(rows: int, path: str) -> str:
 class VideoFrameFeatures:
     """Motion-image payload -> every k-th frame's integer feature row
     (flat_map shape: one input row -> ceil(n_frames/k) output rows).
-    REAL for two containers, dispatched by magic bytes:
+    REAL for three containers, dispatched by magic bytes:
     MJPEG-AVI (codecs/videocodec.py walks the RIFF 'movi' list,
-    codecs/jpegcodec.py decodes each sampled frame) and ANIMATED GIF
-    (codecs/gifcodec.py composites every frame honoring disposal).
+    codecs/jpegcodec.py decodes each sampled frame), ANIMATED GIF
+    (codecs/gifcodec.py composites every frame honoring disposal), and
+    ANIMATED WebP (codecs/webpcodec.py composites VP8L dirty-rect
+    frames — a real inter-frame delta format, dependency-free).
     Feature: frame_pixel_sum (sum of the frame's decoded/composited
     uint8 pixels), integer-exact and SQL-replicable against a persisted
     expected column. Inter-frame codecs (H.264/...) raise from the
@@ -609,6 +659,13 @@ class VideoFrameFeatures:
                     ids.append(mid)
                     fidx.append(f)
                     fsum.append(int(comp[f]["rgb"].astype(np.int64).sum()))
+                continue
+            if webpcodec.sniff_webp(payload) == "vp8x":
+                comp = webpcodec.webp_frames(payload)
+                for f in range(0, len(comp), self.every_k):
+                    ids.append(mid)
+                    fidx.append(f)
+                    fsum.append(int(comp[f].astype(np.int64).sum()))
                 continue
             frames = videocodec.avi_frames(payload)
             for f in range(0, len(frames), self.every_k):

@@ -33,10 +33,12 @@ _STOPWORDS = {
 
 # GPT-2-ish BPE pre-tokenizer pattern (public regex from the GPT-2 paper's
 # released tokenizer), simplified to ASCII classes. Python sre, not RE2:
-# the (?!\S) lookahead is not RE2-expressible — the one regex in this
-# module that still needs a pandas pass (see TextAnalyzer.__call__); the
-# ws/punct/digit/upper counters run as RE2 class counts in
-# token_count_batch / quality_metrics_batch.
+# the `\s+(?!\S)` lookahead is not RE2-expressible AND is load-bearing
+# for the match COUNT (a run like ' \t' splits into two sre matches where
+# a plain `\s+` union yields one — verified by enumeration), so this is
+# the one deliberate sre pass left in the analyzer; the ws/punct/digit/
+# upper counters run as RE2 class counts in token_count_batch /
+# quality_metrics_batch.
 _BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
 
 
@@ -75,11 +77,11 @@ class TextAnalyzer:
         out = token_count_batch(batch, self.text_col, _arr=filled)
         out = quality_metrics_batch(out, self.text_col, _arr=filled)
         s = filled.to_pandas()
-        bpe_tokens = s.str.count(self.bpe)
+        bpe_tokens = pa.array(s.str.count(self.bpe).to_numpy(np.int64))
         langs, stop_ratio = self._langid(filled)
         fp = fingerprint_series(s)
         for name, arr_ in (
-            ("bpe_tokens", pa.array(bpe_tokens.to_numpy(np.int64))),
+            ("bpe_tokens", bpe_tokens),
             ("lang_pred", pa.array(langs)),
             ("stop_ratio", pa.array(stop_ratio, type=pa.float64())),
             ("fingerprint", pa.array(fp.astype(np.int64))),

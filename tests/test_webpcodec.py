@@ -260,3 +260,74 @@ class TestLossyVP8SystemPath:
         ):
             got = imagecodec.decode(payload).reshape(-1).astype(np.int32)
             assert got.tolist() == pix
+
+
+class TestAnimatedWebp:
+    """VP8X/ANIM/ANMF container: dirty-rect lossless frames must
+    composite back to the exact source frames (VP8L lossless + replace
+    semantics), including even-alignment of patch offsets, identical
+    frames (1x1 no-op patch), and the sampler stage wiring."""
+
+    def _frames(self, seed=9, n=5, side=17):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        out = [pal[rng.integers(0, 8, size=(side, side + 4))]]
+        for f in range(1, n):
+            if f % 2:
+                nxt = out[-1].copy()
+                nxt[3:8, 5:11] = pal[rng.integers(0, 8, size=(5, 6))]
+                out.append(nxt)
+            else:
+                out.append(pal[rng.integers(0, 8, size=(side, side + 4))])
+        return out
+
+    def test_composited_roundtrip_exact(self):
+        frames = self._frames()
+        frames.append(frames[-1].copy())  # identical -> 1x1 no-op patch
+        blob = wp.webp_encode_frames(frames, durations_ms=[40] * len(frames))
+        got = wp.webp_frames(blob)
+        assert len(got) == len(frames)
+        for i, (g, f) in enumerate(zip(got, frames)):
+            np.testing.assert_array_equal(g, f, err_msg=f"frame {i}")
+
+    def test_sniff_is_vp8x(self):
+        blob = wp.webp_encode_frames(self._frames(n=2))
+        assert wp.sniff_webp(blob) == "vp8x"
+
+    def test_odd_offset_patch_even_aligns(self):
+        base = np.zeros((12, 12, 3), np.uint8)
+        nxt = base.copy()
+        nxt[5, 7] = [9, 8, 7]  # odd x/y dirty rect -> encoder must align
+        blob = wp.webp_encode_frames([base, nxt])
+        got = wp.webp_frames(blob)
+        np.testing.assert_array_equal(got[1], nxt)
+
+    def test_video_frame_features_dispatches_webp(self, ray_session):
+        import ray.data as rd
+
+        from duckdb_raquet_ray.pipelines import multimodal as mm
+
+        t = mm.synthesize_webp_anim_table(6)
+        out = (
+            rd.from_arrow(t.select(["media_id", "payload"]))
+            .map_batches(
+                mm.VideoFrameFeatures,
+                fn_constructor_kwargs={"every_k": 2},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        want = {
+            (mid, i): s
+            for mid, sums in zip(
+                t.column("media_id").to_pylist(), t.column("frame_sums").to_pylist()
+            )
+            for i, s in enumerate(sums)
+            if i % 2 == 0
+        }
+        got = {
+            (r.media_id, r.frame_index): r.frame_pixel_sum
+            for r in out.itertuples()
+        }
+        assert got == want
