@@ -3675,8 +3675,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered NEWEST/LEAST-DRIVEN FIRST: the driver samples a prefix of
-    this dict per round, so round-4 additions lead, then every query the
-    round-3 driver did not sample, then the thrice-driven veterans —
+    this dict per round, so round-5 additions lead, then round-4's, then
+    every query earlier drivers did not sample, then the veterans —
     guaranteeing each round's correctness file covers the newest ops."""
     _ensure_corpus()
     return {
