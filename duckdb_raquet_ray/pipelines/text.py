@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from .. import util
 from ..functions import detmix as _detmix
 from ..functions import words as _words
+from . import dedup as _ddp
 from .dedup import _shingle_hashes_ordered
 
 # small per-language stopword tables for the n-gram/stopword heuristic
@@ -143,16 +144,90 @@ def winnow_fingerprints(
     return np.unique(windows.min(axis=1))
 
 
+def _batch_winnow(
+    col: "pa.Array | pa.ChunkedArray", k: int, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints for EVERY doc of a batch in one flattened
+    pass -> (counts int64 per doc, flat fps uint64 doc-major, sorted
+    ascending within each doc). Bit-identical to per-doc
+    `winnow_fingerprints` (pinned by test): one zero-copy UTF-8 stream,
+    short docs zero-padded to k in place (the _shingle_hashes_ordered
+    pad rule), ONE rolling-hash pass with cross-doc windows masked, one
+    C sliding-window min over the whole stream, per-doc dedup via
+    lexsort — no per-document Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    filled = pc.fill_null(arr, "")
+    data, lens = _words.flat_utf8(filled)
+    n_docs = len(lens)
+    if n_docs == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    pad_lens = np.maximum(lens, k)
+    in_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=in_off[1:])
+    out_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(pad_lens, out=out_off[1:])
+    padded = np.zeros(int(out_off[-1]), np.uint64)
+    if len(data):
+        shift = np.repeat(out_off[:-1] - in_off[:-1], lens)
+        padded[np.arange(len(data), dtype=np.int64) + shift] = data
+    powers = _ddp._shingle_powers(k)
+    M = _ddp._MERSENNE
+    n_sh = pad_lens - k + 1  # >= 1 shingle per doc
+    total_sh = int(out_off[-1]) - k + 1
+    h = np.zeros(total_sh, np.uint64)
+    for i in range(k):
+        h = (h + (padded[i : total_sh + i] * powers[i]) % M) % M
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), pad_lens)[:total_sh]
+    pos = np.arange(total_sh, dtype=np.int64) - out_off[doc_of_pos]
+    valid = pos < n_sh[doc_of_pos]
+    h, d = h[valid], doc_of_pos[valid]  # doc-ordered shingle stream
+    sh_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(n_sh, out=sh_off[1:])
+    # window minima: docs with n_sh <= window take ONE min over all
+    # their shingles; longer docs take every width-`window` sliding min
+    n_win = np.where(n_sh <= window, 1, n_sh - window + 1)
+    short = n_sh <= window
+    mins_parts: list[np.ndarray] = []
+    docs_parts: list[np.ndarray] = []
+    if short.any():
+        short_min = np.minimum.reduceat(h, sh_off[:-1])[short]
+        mins_parts.append(short_min)
+        docs_parts.append(np.flatnonzero(short))
+    if (~short).any() and len(h) >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        # a global window at shingle-stream position p is a doc window
+        # iff it lies fully inside its doc's shingle run
+        p = np.arange(len(sw), dtype=np.int64)
+        dd = d[p]
+        inside = (p - sh_off[dd] + window) <= n_sh[dd]
+        keep = inside & ~short[dd]
+        mins_parts.append(sw[keep])
+        docs_parts.append(dd[keep])
+    mins = np.concatenate(mins_parts) if mins_parts else np.zeros(0, np.uint64)
+    docs = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.int64)
+    # per-doc unique, ascending (np.unique parity with the scalar path)
+    order = np.lexsort((mins, docs))
+    mins, docs = mins[order], docs[order]
+    if len(mins):
+        keep2 = np.empty(len(mins), dtype=bool)
+        keep2[0] = True
+        np.logical_or(
+            docs[1:] != docs[:-1], mins[1:] != mins[:-1], out=keep2[1:]
+        )
+        mins, docs = mins[keep2], docs[keep2]
+    counts = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    return counts, mins
+
+
 def winnow_batch(
     batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4
 ) -> pa.Table:
-    """Per-document winnowed fingerprint sets as list<uint64> (stage form)."""
+    """Per-document winnowed fingerprint sets as list<uint64> (stage
+    form, the flattened _batch_winnow kernel — no per-doc Python)."""
     batch = util.strip_schema_metadata(batch)
-    texts = batch.column(text_col).to_pylist()
-    fps = [winnow_fingerprints(t or "", k, window) for t in texts]
-    offsets = np.zeros(len(fps) + 1, dtype=np.int64)
-    np.cumsum([len(f) for f in fps], out=offsets[1:])
-    flat = np.concatenate(fps) if fps else np.zeros(0, dtype=np.uint64)
+    counts, flat = _batch_winnow(batch.column(text_col), k, window)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
     col = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.uint64()))
     return batch.append_column("winnow_fp", col)
 
@@ -165,10 +240,7 @@ def winnow_long_batch(
     columns stay rows-only by harness convention; the base-257 mod 2^61-1
     k-gram hash is small enough that every term fits plain BIGINT, so the
     whole selection is replicable in ANSI SQL)."""
-    texts = batch.column(text_col).to_pylist()
-    fps = [winnow_fingerprints(t or "", k, window) for t in texts]
-    counts = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
-    flat = np.concatenate(fps) if fps else np.zeros(0, dtype=np.uint64)
+    counts, flat = _batch_winnow(batch.column(text_col), k, window)
     doc_ids = pa.array(
         np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), counts)
     )

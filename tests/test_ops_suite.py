@@ -395,6 +395,26 @@ class TestWinnowing:
         overlap = len(np.intersect1d(a, c)) / len(a)
         assert overlap > 0.6
 
+    def test_batch_winnow_matches_scalar_path(self):
+        # the flattened batch kernel must be BIT-identical to per-doc
+        # winnow_fingerprints (incl. empty/sub-k text, the zero-pad rule,
+        # short-doc single-min, cross-doc window masking, per-doc unique)
+        from duckdb_raquet_ray.pipelines import text as tx
+
+        texts = [
+            "", "ab", "abcd", "abcde", "the quick brown fox " * 5,
+            None, "aaaaaaaaaaaa", "café ☃ unicode text here",
+        ]
+        arr = pa.array(texts, pa.string())
+        for k, w in [(5, 4), (3, 2), (5, 1)]:
+            counts, flat = tx._batch_winnow(arr, k, w)
+            off = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=off[1:])
+            for i, t in enumerate(texts):
+                want = tx.winnow_fingerprints(t or "", k, w)
+                got = flat[off[i] : off[i + 1]]
+                np.testing.assert_array_equal(got, want, err_msg=f"{k},{w},{i}")
+
     def test_batch_stage(self, ray_session):
         import pyarrow as pa
         import ray.data as rd
