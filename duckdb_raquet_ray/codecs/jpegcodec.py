@@ -1273,10 +1273,14 @@ def jpeg_encode_multiscan(
 
 def _noninterleaved_blocks(coefs, factor, factors, h, w):
     """Trim a component's MCU-padded block array to its NON-interleaved
-    scan grid (T.81 A.2.2: ceil of the component's own sampled dims)."""
+    scan grid — computed by the SAME `_comp_block_dims` the decoder uses
+    (T.81 A.2.2: ceil of the component's own sampled dims), so the
+    encoder/decoder grids cannot drift apart."""
     fh, fv = factor
-    max_h = max(f[0] for f in factors)
-    max_v = max(f[1] for f in factors)
-    nbx = -(-(-(-w * fh // max_h)) // 8)
-    nby = -(-(-(-h * fv // max_v)) // 8)
+    frame = {
+        "h": h,
+        "w": w,
+        "comps": [{"h": a, "v": b} for a, b in factors],
+    }
+    nby, nbx = _comp_block_dims(frame, {"h": fh, "v": fv})
     return coefs[:nby, :nbx]

@@ -1173,7 +1173,13 @@ def webp_encode_frames(
     h, w = imgs[0].shape[:2]
     if any(i.shape[:2] != (h, w) for i in imgs):
         raise ValueError("webp_encode_frames: all frames must share one size")
-    durs = durations_ms or [100] * len(imgs)
+    durs = [100] * len(imgs) if durations_ms is None else list(durations_ms)
+    if len(durs) != len(imgs):
+        # fail loudly up front — an IndexError mid-encode would leave the
+        # caller with a half-built chunk list and no named cause
+        raise ValueError(
+            f"webp_encode_frames: {len(durs)} durations for {len(imgs)} frames"
+        )
     chunks = b""
     prev = None
     for i, img in enumerate(imgs):

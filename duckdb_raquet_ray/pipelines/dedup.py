@@ -152,6 +152,48 @@ def _perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _flat_shingle_stream(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling char-k-gram hashes of EVERY doc of a batch in one
+    flattened pass -> (h uint64 doc-ordered window hashes, d int64 doc
+    index per window, n_sh int64 windows per doc, >= 1 each). The
+    shared scaffold under _batch_minhash_sigs and text._batch_winnow:
+    one zero-copy UTF-8 stream (functions/words.flat_utf8), sub-k docs
+    zero-padded to k IN the flat stream (the _shingle_hashes_ordered
+    pad rule, so per-doc parity with the scalar kernel is exact), one
+    rolling-hash pass, cross-doc windows masked. Nulls hash as ''."""
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+        "",
+    )
+    data, lens = words.flat_utf8(filled)
+    n_docs = len(lens)
+    if n_docs == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pad_lens = np.maximum(lens, k)
+    in_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=in_off[1:])
+    out_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(pad_lens, out=out_off[1:])
+    padded = np.zeros(int(out_off[-1]), np.uint64)
+    if len(data):
+        shift = np.repeat(out_off[:-1] - in_off[:-1], lens)
+        padded[np.arange(len(data), dtype=np.int64) + shift] = data
+    powers = _shingle_powers(k)
+    n_sh = pad_lens - k + 1  # >= 1 per doc (padding guarantees it)
+    total = int(out_off[-1]) - k + 1
+    h = np.zeros(total, np.uint64)
+    for i in range(k):  # k is tiny (5); inner ops vectorized over windows
+        h = (h + (padded[i : total + i] * powers[i]) % _MERSENNE) % _MERSENNE
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), pad_lens)[:total]
+    pos_in_doc = np.arange(total, dtype=np.int64) - out_off[doc_of_pos]
+    valid = pos_in_doc < n_sh[doc_of_pos]
+    return h[valid], doc_of_pos[valid], n_sh
+
+
 def _batch_minhash_sigs(
     texts: pa.Array | pa.ChunkedArray,
     shingle_k: int,
@@ -180,43 +222,23 @@ def _batch_minhash_sigs(
         texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
         "",
     )
-    data, lens = words.flat_utf8(filled)
-    n_docs = len(lens)
+    n_docs = len(filled)
     num_perm = len(perms_a)
     if n_docs == 0:
         return np.empty((0, num_perm), np.uint64)
     k = shingle_k
+    lens = pc.binary_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
     if float(np.mean(np.maximum(lens, k) - k + 1)) > 256.0:
         texts_py = filled.to_pylist()
         sigs = np.empty((n_docs, num_perm), np.uint64)
         for i, txt in enumerate(texts_py):
             sigs[i] = _minhash_sig(_shingle_hashes(txt or "", k), perms_a, perms_b)
         return sigs
-    # zero-pad each short doc to k bytes IN the flat stream (the
-    # _shingle_hashes_ordered pad rule), via one scatter copy
-    pad_lens = np.maximum(lens, k)
-    in_off = np.zeros(n_docs + 1, np.int64)
-    np.cumsum(lens, out=in_off[1:])
-    out_off = np.zeros(n_docs + 1, np.int64)
-    np.cumsum(pad_lens, out=out_off[1:])
-    padded = np.zeros(int(out_off[-1]), np.uint64)
-    if len(data):
-        shift = np.repeat(out_off[:-1] - in_off[:-1], lens)
-        padded[np.arange(len(data), dtype=np.int64) + shift] = data
-    powers = _shingle_powers(k)
-    n_win = pad_lens - k + 1  # >= 1 per doc (padding guarantees it)
-    total_win = int(out_off[-1]) - k + 1
-    h = np.zeros(total_win, np.uint64)
-    for i in range(k):  # k is tiny (5); inner ops vectorized over windows
-        h = (h + (padded[i : total_win + i] * powers[i]) % _MERSENNE) % _MERSENNE
-    # keep only windows fully inside one doc — stream order IS doc order,
-    # so no sort is needed, and shingle MULTIPLICITY is irrelevant to a
-    # min (the scalar path's np.unique only shrank its matrix): the
-    # num_perm minima run straight over the doc-ordered window hashes
-    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), pad_lens)[:total_win]
-    pos_in_doc = np.arange(total_win, dtype=np.int64) - out_off[doc_of_pos]
-    valid = pos_in_doc < n_win[doc_of_pos]
-    h, d = h[valid], doc_of_pos[valid]
+    # stream order IS doc order, so no sort is needed, and shingle
+    # MULTIPLICITY is irrelevant to a min (the scalar path's np.unique
+    # only shrank its matrix): the num_perm minima run straight over the
+    # doc-ordered window hashes
+    h, d, _n_sh = _flat_shingle_stream(filled, k)
     starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
     # every doc contributes >= 1 window, so doc runs are 1:1 with docs
     sigs = np.empty((n_docs, num_perm), np.uint64)

@@ -61,8 +61,14 @@ def _fingerprint(paths: list[str]) -> list[list]:
     would silently skip the stage and propagate stale outputs. Only
     external inputs are fingerprinted: intermediate stage outputs are
     covered by the upstream config chain, and their mtimes change on
-    every (deterministic) rebuild, which would defeat skipping."""
-    return [[p, os.path.getsize(p), os.stat(p).st_mtime_ns] for p in paths]
+    every (deterministic) rebuild, which would defeat skipping. One
+    os.stat per file (size and mtime from the SAME stat — no TOCTOU
+    window between two syscalls)."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append([p, st.st_size, st.st_mtime_ns])
+    return out
 
 
 def _read_marker(d: str):

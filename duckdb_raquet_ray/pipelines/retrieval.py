@@ -50,11 +50,21 @@ from duckdb_raquet_ray.state import fsio
 _WS = r"[ \t\n\r\x0b\x0c]+"
 
 
+def _lower(s: str) -> str:
+    """Arrow simple-case-mapping lowercase — the SAME mapping the
+    document side uses (functions/words.split_ws(lower=True)) and the
+    SAME mapping DuckDB's lower() applies in every oracle. Python's
+    str.lower() is the FULL mapping ('İ' grows a combining dot), so
+    lowering query terms with it would make them unmatchable against
+    Arrow-lowered corpus words."""
+    return pc.utf8_lower(pa.scalar(s, pa.string())).as_py()
+
+
 def _term_stats(
     ds: rd.Dataset, terms: list[str], text_col: str, key_col: str
 ) -> rd.Dataset:
     """One streaming tokenize pass -> (key, dl, tf_0..tf_{m-1})."""
-    tset = [t.lower() for t in terms]
+    tset = [_lower(t) for t in terms]
 
     def stats(batch: pa.Table) -> pa.Table:
         lens, flat = _wk.split_ws(batch.column(text_col), lower=True)
@@ -191,7 +201,7 @@ def bm25_oracle_sql(
     """DuckDB replica of bm25_topk: same word split, same rational-idf
     spec, the per-(doc, term) double expression written in the SAME
     association order so floor() lands identically."""
-    tlits = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in terms)
+    tlits = ", ".join("'" + _lower(t).replace("'", "''") + "'" for t in terms)
     return f"""
 WITH wl AS (
   SELECT {key_col} AS k,
@@ -357,7 +367,7 @@ def bm25_topk_indexed(
         raise ValueError("terms must be non-empty")
     meta = _json.load(open(_os.path.join(index_dir, "meta.json")))
     key_col = meta["key_col"]
-    tset = [t.lower() for t in terms]
+    tset = [_lower(t) for t in terms]
     m = len(tset)
     nd = float(meta["n_docs"])
     ll = float(meta["total_words"])
@@ -593,7 +603,7 @@ def phrase_count(
     equality masks plus a same-doc span check — no per-doc Python."""
     if not phrase:
         raise ValueError("empty phrase")
-    pw = [w.lower() for w in phrase]
+    pw = [_lower(w) for w in phrase]
     return util.clean_dataset(ds).map_batches(
         lambda b: phrase_count_batch(b, pw, text_col=text_col, key_col=key_col),
         batch_format="pyarrow",
@@ -650,7 +660,7 @@ def phrase_oracle_sql(
 ) -> str:
     """DuckDB replica of phrase_count: same word split, list_filter over
     start positions with per-offset word equality."""
-    pw = [w.lower().replace("'", "''") for w in phrase]
+    pw = [_lower(w).replace("'", "''") for w in phrase]
     m = len(pw)
     conds = " AND ".join(f"wl[i + {j}] = '{pw[j]}'" for j in range(m))
     return f"""
@@ -756,7 +766,7 @@ def phrase_search_indexed(
 
     if not phrase:
         raise ValueError("empty phrase")
-    pw = [w.lower() for w in phrase]
+    pw = [_lower(w) for w in phrase]
 
     def term_postings(term: str) -> tuple[np.ndarray, np.ndarray]:
         b = int(_term_bucket(np.asarray([term], dtype=object))[0])
@@ -837,13 +847,13 @@ def bm25_multi(
     Driver state: O(queries x blocks x top) candidate rows."""
     if not queries or any(not ts for ts in queries.values()):
         raise ValueError("queries must be a non-empty dict of non-empty term lists")
-    all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    all_terms = sorted({_lower(t) for ts in queries.values() for t in ts})
     t_idx = {t: i for i, t in enumerate(all_terms)}
     # dict.fromkeys: collapse duplicate (and case-duplicate) terms within a
     # query — bm25_topk and the IN-list SQL oracle count a term ONCE; the
     # raw list would double-add its score
     q_terms = {
-        q: list(dict.fromkeys(t_idx[t.lower()] for t in ts))
+        q: list(dict.fromkeys(t_idx[_lower(t)] for t in ts))
         for q, ts in queries.items()
     }
 

@@ -157,30 +157,12 @@ def _batch_winnow(
     lexsort — no per-document Python."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     filled = pc.fill_null(arr, "")
-    data, lens = _words.flat_utf8(filled)
-    n_docs = len(lens)
+    n_docs = len(filled)
     if n_docs == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    pad_lens = np.maximum(lens, k)
-    in_off = np.zeros(n_docs + 1, np.int64)
-    np.cumsum(lens, out=in_off[1:])
-    out_off = np.zeros(n_docs + 1, np.int64)
-    np.cumsum(pad_lens, out=out_off[1:])
-    padded = np.zeros(int(out_off[-1]), np.uint64)
-    if len(data):
-        shift = np.repeat(out_off[:-1] - in_off[:-1], lens)
-        padded[np.arange(len(data), dtype=np.int64) + shift] = data
-    powers = _ddp._shingle_powers(k)
-    M = _ddp._MERSENNE
-    n_sh = pad_lens - k + 1  # >= 1 shingle per doc
-    total_sh = int(out_off[-1]) - k + 1
-    h = np.zeros(total_sh, np.uint64)
-    for i in range(k):
-        h = (h + (padded[i : total_sh + i] * powers[i]) % M) % M
-    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), pad_lens)[:total_sh]
-    pos = np.arange(total_sh, dtype=np.int64) - out_off[doc_of_pos]
-    valid = pos < n_sh[doc_of_pos]
-    h, d = h[valid], doc_of_pos[valid]  # doc-ordered shingle stream
+    # doc-ordered shingle stream (the shared scaffold with
+    # dedup._batch_minhash_sigs — pad rule + cross-doc masking live ONCE)
+    h, d, n_sh = _ddp._flat_shingle_stream(filled, k)
     sh_off = np.zeros(n_docs + 1, np.int64)
     np.cumsum(n_sh, out=sh_off[1:])
     # window minima: docs with n_sh <= window take ONE min over all

@@ -378,3 +378,33 @@ class TestBm25Multi:
             retrieval.bm25_multi(rd.from_arrow(self._docs()), {})
         with pytest.raises(ValueError):
             retrieval.bm25_multi(rd.from_arrow(self._docs()), {"q": []})
+
+
+def test_query_terms_lower_with_simple_mapping(ray_session):
+    # query-side lowercase must use the SAME simple case mapping as the
+    # document-side split (Arrow utf8_lower == DuckDB lower): Python's
+    # full mapping turns 'İ' into 'i'+combining-dot, which would never
+    # match the corpus word and silently score 0
+    import pyarrow as pa
+    import ray.data as rd
+
+    from duckdb_raquet_ray.pipelines import retrieval
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["İSTANBUL is a big city", "nothing relevant here"]),
+        }
+    )
+    out = retrieval.bm25_topk(rd.from_arrow(t), ["İSTANBUL"], top=2)
+    assert out.num_rows == 1
+    assert out.column("doc_id")[0].as_py() == 1
+    # public phrase API lowers the phrase (the kernel itself takes it
+    # pre-lowered — callers own the lowering)
+    cnt = {
+        r["doc_id"]: r["n_phrase"]
+        for r in retrieval.phrase_count(
+            rd.from_arrow(t), ["İSTANBUL", "is"]
+        ).take_all()
+    }
+    assert cnt == {1: 1, 2: 0}

@@ -80,10 +80,12 @@ def two_node_run(rows: int, runs: int) -> dict:
         # single-node 8-cpu baseline (bench.py --encode-only contract)
         paths = bench.ensure_corpus(rows)
         out_dir = "/tmp/raquet_2node_out"
-        samples: list = []
         best = None
         for _ in range(runs):
             shutil.rmtree(out_dir, ignore_errors=True)
+            # per-RUN sample list: the busy-node evidence must come from
+            # the SAME run whose timing is reported, not a sibling run
+            samples: list = []
             stop = threading.Event()
             th = threading.Thread(target=_sample_nodes, args=(stop, samples))
             th.start()
@@ -93,8 +95,8 @@ def two_node_run(rows: int, runs: int) -> dict:
             stop.set()
             th.join()
             if best is None or dt < best[0]:
-                best = (dt, meta)
-        dt, meta = best
+                best = (dt, meta, samples)
+        dt, meta, samples = best
         # per-node evidence: min available CPU seen on each node mid-run
         per_node_min_cpu: dict[str, float] = {}
         per_node_min_objstore: dict[str, float] = {}
@@ -120,7 +122,9 @@ def two_node_run(rows: int, runs: int) -> dict:
             "nodes": len(per_node_min_cpu),
             "per_node_min_available_cpu": per_node_min_cpu,
             "per_node_peak_objstore_used_bytes": {
-                nid: int(totals.get(nid, 0.0) - v)
+                # clamp: a node present mid-run but absent from the final
+                # totals snapshot (raylet exit) must not read negative
+                nid: max(0, int(totals.get(nid, 0.0) - v))
                 for nid, v in per_node_min_objstore.items()
             },
             "n_samples": len(samples),
