@@ -114,6 +114,31 @@ def _ensure_encoded() -> str:
     return ENC_DIR
 
 
+def _ensure_compacted() -> str:
+    """Compacted twin of the check encode dir: the many small partitions
+    (PART_BYTES target) merged into ~4x-larger ones by
+    encode.compact_job — reading ONLY the encoded part files, never the
+    original corpus shards (the 100-TB compaction contract)."""
+    from duckdb_raquet_ray.pipelines import encode
+
+    src = _ensure_encoded()
+    out = ENC_DIR + "_compacted"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        encode.compact_job(src, out, target_part_bytes=PART_BYTES * 4)
+    return out
+
+
+def _q_compacted_roundtrip(sf_dir: str):
+    """Compaction value gate: per-row token stats read from the
+    COMPACTED dir must equal the oracle over the raw corpus — the
+    decode -> concat -> re-encode cycle preserved every row, every list
+    element, and the stats pushdown surface (same oracle as
+    roundtrip_stats, different physical layout underneath)."""
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded(_ensure_compacted()))
+
+
 def _ensure_encoded_grouped() -> str:
     from duckdb_raquet_ray.pipelines import encode_grouped
 
@@ -3681,6 +3706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-5 --------------------------------------------------------
+        "compacted_roundtrip_stats": _q_compacted_roundtrip,
         "webp_frame_sums": _q_webp_frame_sums,
         "jpeg_progressive_sums": _q_jpeg_progressive_sums,
         "objectstore_publish_stats": _q_objectstore_publish_stats,
@@ -3998,6 +4024,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice"
         ),
         "roundtrip_stats": stats_sql,
+        # compaction: same stats oracle over the SAME raw corpus — the
+        # compacted dir must reproduce it through a different layout
+        "compacted_roundtrip_stats": stats_sql,
         "roundtrip_stats_pushdown": stats_sql,
         "roundtrip_grouped_stats": stats_sql,
         # append-then-read must equal one-shot encode-then-read

@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="glob of the NEW parquet shards")
     p.add_argument("--out", required=True, help="existing encoded dir")
 
+    p = sub.add_parser("compact", help="merge an encoded dir's partitions into "
+                       "right-sized ones (reads ONLY part files — original "
+                       "shards may be gone); resumable, logical table unchanged")
+    p.add_argument("--src", required=True, help="source encoded dir")
+    p.add_argument("--out", required=True, help="fresh compacted dir")
+    p.add_argument("--target-part-bytes", type=int, default=None)
+
     p = sub.add_parser("verify", help="bit-identity gate: decode vs input, per row "
                        "(partitioning read from the manifest)")
     p.add_argument("--out", required=True)
@@ -310,6 +317,15 @@ def main(argv: list[str] | None = None) -> None:
 
             meta = encode.append_job(_inputs(args.input), args.out)
             print(json.dumps({"cmd": "append", "rows": meta["num_rows"],
+                              "partitions": meta["num_partitions"],
+                              "out": args.out}))
+        elif args.cmd == "compact":
+            from .pipelines import encode
+
+            meta = encode.compact_job(
+                args.src, args.out, target_part_bytes=args.target_part_bytes
+            )
+            print(json.dumps({"cmd": "compact", "rows": meta["num_rows"],
                               "partitions": meta["num_partitions"],
                               "out": args.out}))
         elif args.cmd == "verify":

@@ -429,3 +429,169 @@ def append_job(
         concurrency=concurrency,
         plan_from=plan_from,
     )
+
+
+class GroupCompactor:
+    """Actor-pool stage for compact_job: one work item = one GROUP of
+    source partitions -> decode each part file, concat in partition-id
+    order, re-encode as ONE right-sized partition. Per-actor scratch
+    state in __init__ (the PartitionEncoder discipline)."""
+
+    def __init__(self, src_dir: str, out_dir: str):
+        self.src_dir = src_dir
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        retain_heap()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        entries = []
+        for item in batch.to_pylist():
+            new_pid = int(item["new_pid"])
+            tables = []
+            for pid in item["src_pids"]:
+                path = os.path.join(self.src_dir, pk.part_file_name(int(pid)))
+                tables.append(
+                    enc.decode_rows(
+                        pq.read_table(path, use_threads=False)
+                    )
+                )
+            table = pa.concat_tables(tables).combine_chunks()
+            encoded, entry = enc.encode_table(
+                table, new_pid, input_shard=f"compact:{self.src_dir}"
+            )
+            fsio.publish_table(
+                encoded,
+                os.path.join(self.out_dir, pk.part_file_name(new_pid)),
+                compression="none",
+                write_statistics=False,
+            )
+            entries.append({"entry_json": json.dumps(entry)})
+        return pa.Table.from_pylist(
+            entries, schema=pa.schema([("entry_json", pa.string())])
+        )
+
+
+def compact_job(
+    src_dir: str,
+    out_dir: str,
+    *,
+    target_part_bytes: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Merge an encoded dir's partitions into right-sized ones — the LSM
+    compaction step an append-heavy 100-TB corpus needs: each append_job
+    tail-encodes its own shards, so partition sizes drift small over many
+    appends; compaction re-encodes GROUPS of consecutive partitions
+    (partition-id order == row order, so the logical table is unchanged)
+    into fresh partitions near ``target_part_bytes`` decoded bytes,
+    WITHOUT touching the original input shards (they may be gone — the
+    group decode reads only the encoded part files).
+
+    Scale shape: planning is O(partitions) manifest rows on the driver
+    (the same order as resume's done-set); the decode+re-encode fans out
+    one task per GROUP through an actor pool, each task reading only its
+    own group's part files; entries stream back and the manifest
+    finalizes from the journal. Output ids are ``pack(group_index, 0)``
+    — valid lineage ids, so every decode/stats/rollup path reads the
+    compacted dir with no special case. Resumable: a killed compaction
+    re-run skips groups whose id is already journaled 'done'
+    (``resolve_job_config`` pins the target across resumes; a different
+    explicit target raises rather than silently re-grouping)."""
+    src_meta = mf.load_metadata(src_dir)
+    entries = mf.load_entries(src_dir)
+    done_src = {
+        p: e for p, e in entries.items() if e.get("status") == "done"
+    }
+    if not done_src:
+        raise ValueError(f"{src_dir}: no completed partitions to compact")
+    if os.path.abspath(src_dir) == os.path.abspath(out_dir):
+        raise ValueError("compact_job: out_dir must differ from src_dir")
+    src_cfg = mf.load_job_config(src_dir) or {}
+    tgt = int(
+        target_part_bytes
+        or src_cfg.get("target_part_bytes")
+        or DEFAULT_PART_BYTES
+    )
+    prior = mf.resolve_job_config(
+        out_dir,
+        "lineage",
+        {"target_part_bytes": tgt, "compacted_from": os.path.abspath(src_dir)},
+        resume=True,
+    )
+    if prior is not None:
+        tgt = int(prior["target_part_bytes"])
+    else:
+        mf.persist_job_config(
+            out_dir,
+            {
+                "mode": "lineage",
+                "target_part_bytes": tgt,
+                "compacted_from": os.path.abspath(src_dir),
+            },
+        )
+
+    # group CONSECUTIVE partition ids (id order == row order) to ~tgt
+    # decoded bytes per group; a single oversized partition stays its own
+    # group (splitting would need a row-range re-plan — out of scope)
+    pids = sorted(done_src)
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_b = 0
+    for pid in pids:
+        b = int(done_src[pid]["input_bytes"])
+        if cur and cur_b + b > tgt:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(pid)
+        cur_b += b
+    if cur:
+        groups.append(cur)
+
+    for stale in glob.glob(os.path.join(out_dir, "*.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    done_out = mf.done_partition_ids(out_dir)
+    todo = [
+        {
+            "new_pid": pk.pack(gi, 0),
+            "src_pids": g,
+            "decoded_bytes": sum(int(done_src[p]["input_bytes"]) for p in g),
+        }
+        for gi, g in enumerate(groups)
+        if pk.pack(gi, 0) not in done_out
+    ]
+
+    writer = mf.ManifestWriter(out_dir)
+    try:
+        if todo:
+            if concurrency is None:
+                concurrency = default_concurrency()
+            if isinstance(concurrency, int):
+                n_actors = max(1, min(concurrency // ENCODER_NUM_CPUS, len(todo)))
+            else:
+                n_actors = concurrency
+            todo = sorted(todo, key=lambda it: it["decoded_bytes"], reverse=True)
+            ds = rd.from_items(todo, override_num_blocks=len(todo))
+            results = ds.map_batches(
+                GroupCompactor,
+                fn_constructor_kwargs={"src_dir": src_dir, "out_dir": out_dir},
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=n_actors,
+                num_cpus=ENCODER_NUM_CPUS,
+            )
+            for row in results.iter_rows():
+                writer.append(json.loads(row["entry_json"]))
+        meta = writer.finalize(
+            src_meta["schema"],
+            extra={
+                "input_shards": src_meta.get("input_shards", []),
+                "schema_ipc": src_meta.get("schema_ipc"),
+                "compacted_from": os.path.abspath(src_dir),
+            },
+        )
+    finally:
+        writer.close()
+    return meta
