@@ -228,6 +228,24 @@ def bench_corpus_phase(cpus: int) -> dict:
         "cold_sec": round(times[0], 3),
     }
 
+    # compaction: the operational decode->concat->re-encode cycle over
+    # the freshly encoded dir (groups of partitions into 4x-larger ones,
+    # reading only part files — the append-heavy-corpus maintenance job)
+    def compact_run():
+        from duckdb_raquet_ray.pipelines import encode as _enc2
+
+        shutil.rmtree("/tmp/raquet_bench_compact", ignore_errors=True)
+        meta = _enc2.compact_job(
+            enc_out, "/tmp/raquet_bench_compact",
+            target_part_bytes=4 * 64 * 1024 * 1024,
+        )
+        extra["compact"] = {
+            "partitions_in": enc_stats["partitions"],
+            "partitions_out": meta["num_partitions"],
+        }
+
+    queries["compact"] = round(min(best_of(compact_run)), 3)
+
     # aggregate pushdown INTO the codec: per-row stats straight off the
     # encoded representation (rowcodec.stats_child) — no token-plane
     # materialization; same output as decode_stats minus the mean column
