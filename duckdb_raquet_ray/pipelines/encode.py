@@ -320,6 +320,25 @@ def _encode_ordered(
     md0 = _footer_md(shard_order[0], md_cache)
     schema_arrow = md0.schema.to_arrow_schema()
     schema_str = str(schema_arrow)
+    # schema-drift gate: a shard whose columns/types differ from shard 0
+    # would encode partitions with a DIFFERENT schema into the same dir,
+    # and decode would silently union them into a null-filled mixed
+    # frame — the corrupted-table failure mode an append-heavy corpus
+    # hits first. Footers are already read for planning (md_cache), so
+    # the check is free; field metadata (pandas etc.) is ignored.
+    ref_fields = [
+        (f.name, f.type) for f in schema_arrow
+    ]
+    for shard in shard_order[plan_from:]:
+        s = _footer_md(shard, md_cache).schema.to_arrow_schema()
+        if [(f.name, f.type) for f in s] != ref_fields:
+            raise ValueError(
+                f"schema drift: {shard} has schema "
+                f"{[(f.name, str(f.type)) for f in s]} but this encode dir's "
+                f"schema is {[(n, str(t)) for n, t in ref_fields]} — encode "
+                "drifted shards to their own directory (or align the schema "
+                "first); appending them here would corrupt decode"
+            )
     done = mf.done_partition_ids(out_dir) if resume else set()
     todo = [it for it in items if it["partition_id"] not in done]
 

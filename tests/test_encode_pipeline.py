@@ -498,3 +498,33 @@ def test_string_plane_encode_bit_identical(ray_session, tmp_path):
     out = str(tmp_path / "enc")
     encode.encode_job([src], out)
     assert decode.verify_job([src], out)["ok"]
+
+
+def test_schema_drift_append_refused(ray_session, tmp_path):
+    """A shard whose columns/types differ from the dir's schema must be
+    refused LOUDLY at plan time — silently encoding it would make decode
+    union mixed schemas into a null-filled frame (the corrupted-table
+    failure mode an append-heavy corpus hits first)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_raquet_ray.pipelines import encode
+    from duckdb_raquet_ray.sources import tokens
+
+    paths = tokens.write_corpus(str(tmp_path / "c"), 2000, 1, row_group_rows=512)
+    enc_dir = str(tmp_path / "enc")
+    encode.encode_job(paths, enc_dir, target_part_bytes=1 << 20)
+    drift = pa.table(
+        {
+            "doc_id": pa.array(["x/doc-0"]),
+            "tokens": pa.array([[1, 2]], pa.list_(pa.int32())),
+            "lang": pa.array(["en"]),  # extra col, missing n_tok/source
+        }
+    )
+    p = str(tmp_path / "drift.parquet")
+    pq.write_table(drift, p)
+    with pytest.raises(ValueError, match="schema drift"):
+        encode.append_job([p], enc_dir)
+    # and at initial-encode time with mixed shards
+    with pytest.raises(ValueError, match="schema drift"):
+        encode.encode_job([paths[0], p], str(tmp_path / "enc2"))
