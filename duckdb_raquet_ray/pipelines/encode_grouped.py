@@ -190,6 +190,18 @@ def encode_job_grouped(
     ds = rd.read_parquet(sorted(input_paths))
     schema_arrow = pq.ParquetFile(sorted(input_paths)[0]).schema_arrow
     schema_str = str(schema_arrow)
+    # schema-drift gate (the lineage-mode _encode_ordered rule): mixed
+    # shard schemas would concat into null-filled grouped partitions
+    ref_fields = [(f.name, f.type) for f in schema_arrow]
+    for p in sorted(input_paths)[1:]:
+        s = pq.ParquetFile(p).schema_arrow
+        if [(f.name, f.type) for f in s] != ref_fields:
+            raise ValueError(
+                f"schema drift: {p} has schema "
+                f"{[(f.name, str(f.type)) for f in s]} but the first shard's "
+                f"is {[(n, str(t)) for n, t in ref_fields]} — align shard "
+                "schemas before a grouped encode"
+            )
     if salt_map is None:
         # count from a source-column-only read: the driver-side salt map
         # needs one tiny column, not a shuffle of the whole table
