@@ -413,6 +413,20 @@ def append_job(
             f"{out_dir} is not a resumable lineage-mode encode dir "
             f"(job.json missing or mode={cfg.get('mode') if cfg else None!r})"
         )
+    if cfg.get("compacted_from"):
+        # compacted dirs are append-CLOSED: their partition ids are
+        # pack(group_index, 0), and an appended shard takes the next
+        # SHARD index — if compaction produced >= as many groups as the
+        # source had shards, the two id namespaces collide and resume
+        # would silently skip the appended shard's partitions (data
+        # loss). Append to the SOURCE dir and re-compact, or encode the
+        # new shards to a fresh dir.
+        raise ValueError(
+            f"{out_dir} is a compacted dir (compact_job output) and is "
+            "append-closed — append to its source dir "
+            f"({cfg['compacted_from']}) and re-compact, or encode the new "
+            "shards to a fresh directory"
+        )
     order = cfg.get("shard_order")
     if not order:
         try:

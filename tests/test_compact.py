@@ -97,3 +97,12 @@ class TestCompact:
         cli.main(["compact", "--src", encoded_dir, "--out", out,
                   "--target-part-bytes", str(8 << 20)])
         assert os.path.exists(os.path.join(out, "manifest.json"))
+
+    def test_compacted_dir_is_append_closed(self, encoded_dir, tmp_path):
+        # group pids and shard pids share the pack() namespace: an append
+        # to a compacted dir can silently collide ids -> loud refusal
+        out = str(tmp_path / "cmp")
+        encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        extra = tokens.write_corpus(str(tmp_path / "c3"), 1000, 1, row_group_rows=512)
+        with pytest.raises(ValueError, match="append-closed"):
+            encode.append_job(extra, out)
