@@ -540,6 +540,14 @@ def compact_job(
     if os.path.abspath(src_dir) == os.path.abspath(out_dir):
         raise ValueError("compact_job: out_dir must differ from src_dir")
     src_cfg = mf.load_job_config(src_dir) or {}
+    if src_cfg.get("mode") not in (None, "lineage"):
+        # grouped-mode partition ids carry (source, salt) semantics that
+        # read_encoded_source unpacks — re-keying them to pack(group, 0)
+        # would silently break every grouped read path
+        raise ValueError(
+            f"compact_job supports lineage-mode dirs only; {src_dir} is "
+            f"{src_cfg.get('mode')!r}-mode"
+        )
     tgt = int(
         target_part_bytes
         or src_cfg.get("target_part_bytes")
