@@ -139,6 +139,45 @@ def _q_compacted_roundtrip(sf_dir: str):
     return _token_stats_view(decode.read_encoded(_ensure_compacted()))
 
 
+def _ensure_deleted() -> str:
+    """Deleted twin of the check encode dir: a copy of the encoded dir
+    with every doc whose id ends in '7' erased via encode.delete_job
+    (partition-granular in-place rewrite) — the retention/erasure
+    operator under a full-corpus value oracle."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from duckdb_raquet_ray.pipelines import encode
+
+    src = _ensure_encoded()
+    out = ENC_DIR + "_deleted"
+    if not os.path.exists(os.path.join(out, "manifest.json")) or not os.path.exists(
+        os.path.join(out, "_DELETED_OK")
+    ):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        keys = [
+            k
+            for p in _ensure_corpus()
+            for k in pq_.read_table(p, columns=["doc_id"]).column("doc_id").to_pylist()
+            if k.endswith("7")
+        ]
+        encode.delete_job(out, keys)
+        open(os.path.join(out, "_DELETED_OK"), "w").write("ok")
+    return out
+
+
+def _q_deleted_roundtrip(sf_dir: str):
+    """Deletion value gate: per-row token stats read from the dir AFTER
+    delete_job must equal the oracle over the raw corpus MINUS the
+    deleted keys — every surviving row intact, every deleted row gone,
+    stats/rollup surface consistent."""
+    from duckdb_raquet_ray.pipelines import decode
+
+    return _token_stats_view(decode.read_encoded(_ensure_deleted()))
+
+
 def _ensure_encoded_grouped() -> str:
     from duckdb_raquet_ray.pipelines import encode_grouped
 
@@ -3706,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_corpus()
     return {
         # --- round-5 --------------------------------------------------------
+        "deleted_roundtrip_stats": _q_deleted_roundtrip,
         "compacted_roundtrip_stats": _q_compacted_roundtrip,
         "webp_frame_sums": _q_webp_frame_sums,
         "jpeg_progressive_sums": _q_jpeg_progressive_sums,
@@ -4027,6 +4067,11 @@ def oracle_sql() -> dict[str, str]:
         # compaction: same stats oracle over the SAME raw corpus — the
         # compacted dir must reproduce it through a different layout
         "compacted_roundtrip_stats": stats_sql,
+        # deletion: the raw-corpus oracle minus the deleted key set (the
+        # engine deleted every doc_id ending in '7')
+        "deleted_roundtrip_stats": (
+            f"SELECT * FROM ({stats_sql}) WHERE NOT ends_with(doc_id, '7')"
+        ),
         "roundtrip_stats_pushdown": stats_sql,
         "roundtrip_grouped_stats": stats_sql,
         # append-then-read must equal one-shot encode-then-read

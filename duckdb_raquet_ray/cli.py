@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True, help="fresh compacted dir")
     p.add_argument("--target-part-bytes", type=int, default=None)
 
+    p = sub.add_parser("delete", help="erase rows by key from an encoded dir IN "
+                       "PLACE (partition-granular rewrite; retention/erasure)")
+    p.add_argument("--out", required=True, help="encoded dir to delete from")
+    p.add_argument("--keys-file", required=True,
+                   help="text file with one key per line")
+    p.add_argument("--key-column", default=None)
+
     p = sub.add_parser("verify", help="bit-identity gate: decode vs input, per row "
                        "(partitioning read from the manifest)")
     p.add_argument("--out", required=True)
@@ -326,6 +333,15 @@ def main(argv: list[str] | None = None) -> None:
                 args.src, args.out, target_part_bytes=args.target_part_bytes
             )
             print(json.dumps({"cmd": "compact", "rows": meta["num_rows"],
+                              "partitions": meta["num_partitions"],
+                              "out": args.out}))
+        elif args.cmd == "delete":
+            from .pipelines import encode
+
+            with open(args.keys_file) as f:
+                keys = [ln.rstrip("\n") for ln in f if ln.strip()]
+            meta = encode.delete_job(args.out, keys, key_column=args.key_column)
+            print(json.dumps({"cmd": "delete", "rows": meta["num_rows"],
                               "partitions": meta["num_partitions"],
                               "out": args.out}))
         elif args.cmd == "verify":

@@ -636,3 +636,178 @@ def compact_job(
     finally:
         writer.close()
     return meta
+
+
+class PartitionDeleter:
+    """Actor-pool stage for delete_job: one work item = one AFFECTED
+    partition -> decode, drop the targeted keys, re-encode under the
+    SAME partition id (tmp -> rename over the same file name, so readers
+    see the old or the new partition, never a torn one). A partition
+    whose every row is deleted removes its file and journals a
+    'deleted' entry instead."""
+
+    def __init__(self, out_dir: str, keys_ref):
+        import ray as _ray
+
+        self.out_dir = out_dir
+        self.keys = (
+            _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        )
+        retain_heap()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        entries = []
+        for item in batch.to_pylist():
+            pid = int(item["pid"])
+            key_col = item["key_column"]
+            path = os.path.join(self.out_dir, pk.part_file_name(pid))
+            table = enc.decode_rows(pq.read_table(path, use_threads=False))
+            col = table.column(key_col)
+            keep = pc.invert(
+                pc.is_in(col, value_set=pa.array(self.keys, type=col.type))
+            )
+            kept = table.filter(keep)
+            if kept.num_rows == table.num_rows:
+                continue  # planner false positive: nothing to rewrite
+            if kept.num_rows == 0:
+                os.remove(path)
+                entries.append(
+                    {
+                        "entry_json": json.dumps(
+                            {
+                                "partition_id": pid,
+                                "status": "deleted",
+                                "input_shard": f"delete:{self.out_dir}",
+                                "n_rows": 0,
+                                "codecs": {},
+                                "input_bytes": 0,
+                                "encoded_bytes": 0,
+                            }
+                        )
+                    }
+                )
+                continue
+            encoded, entry = enc.encode_table(
+                kept, pid, input_shard=f"delete:{self.out_dir}"
+            )
+            fsio.publish_table(
+                encoded, path, compression="none", write_statistics=False
+            )
+            entries.append({"entry_json": json.dumps(entry)})
+        return pa.Table.from_pylist(
+            entries, schema=pa.schema([("entry_json", pa.string())])
+        )
+
+
+def delete_job(
+    out_dir: str,
+    keys,
+    *,
+    key_column: str | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Delete rows by key from an encoded dir IN PLACE — the data-subject
+    erasure / retention operator the ingest->append->compact lifecycle
+    needs. Partition-granular: a distributed KEY-PLANE scan (decoding
+    ONLY the key column of every partition) finds the affected
+    partitions; each one decodes, drops its targeted rows, and
+    re-encodes under the SAME partition id (tmp -> rename over the same
+    file, so concurrent readers see old-or-new, never torn); fully
+    emptied partitions drop their file and journal a 'deleted' entry.
+    The manifest re-finalizes from the journal, so counts/rollups/stat
+    pushdown reflect the deletion.
+
+    Idempotent / crash-safe: re-running with the same keys rewrites
+    nothing (the scan finds no hits) and re-finalizes; a kill between a
+    partition publish and its journal append is healed by the re-run.
+    Stated consequence: verify_job against the ORIGINAL inputs reports
+    the deleted rows as mismatches — deletion rewrites history by
+    design; `compacted_from`-style lineage is recorded per entry as
+    `delete:<dir>`.
+
+    Scale shape: keys broadcast once (ray.put) and probed inside tasks;
+    the scan is column-pruned to the key plane; only affected partitions
+    pay a rewrite. Driver state is O(partitions + affected)."""
+    import ray as _ray
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("delete_job: empty key list")
+    meta0 = mf.load_metadata(out_dir)
+    cfg = mf.load_job_config(out_dir) or {}
+    if cfg.get("mode") not in (None, "lineage"):
+        raise ValueError(
+            f"delete_job supports lineage-mode dirs only; {out_dir} is "
+            f"{cfg.get('mode')!r}-mode"
+        )
+    schema = mf.schema_from_b64(meta0["schema_ipc"])
+    key_col = key_column or schema.names[0]
+    if key_col not in schema.names:
+        raise ValueError(f"{key_col!r} not in schema {schema.names}")
+    keys_ref = _ray.put(keys)
+    pids = sorted(mf.done_partition_ids(out_dir))
+
+    # pass 1: column-pruned key-plane scan -> affected partition ids
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hits = []
+        kset = _ray.get(keys_ref)
+        for item in batch.to_pylist():
+            path = os.path.join(out_dir, pk.part_file_name(int(item["pid"])))
+            t = enc.decode_rows(
+                pq.read_table(path, use_threads=False), columns=[key_col]
+            )
+            col = t.column(key_col)
+            if pc.any(
+                pc.is_in(col, value_set=pa.array(kset, type=col.type))
+            ).as_py():
+                hits.append({"pid": int(item["pid"])})
+        return pa.Table.from_pylist(
+            hits, schema=pa.schema([("pid", pa.int64())])
+        )
+
+    items = [{"pid": p} for p in pids]
+    affected = [
+        int(r["pid"])
+        for r in rd.from_items(items, override_num_blocks=max(len(items), 1))
+        .map_batches(probe, batch_format="pyarrow", batch_size=8, num_cpus=1)
+        .take_all()
+    ]
+
+    writer = mf.ManifestWriter(out_dir)
+    try:
+        if affected:
+            if concurrency is None:
+                concurrency = default_concurrency()
+            if isinstance(concurrency, int):
+                n_actors = max(
+                    1, min(concurrency // ENCODER_NUM_CPUS, len(affected))
+                )
+            else:
+                n_actors = concurrency
+            work = [{"pid": p, "key_column": key_col} for p in affected]
+            results = rd.from_items(
+                work, override_num_blocks=len(work)
+            ).map_batches(
+                PartitionDeleter,
+                fn_constructor_kwargs={"out_dir": out_dir, "keys_ref": keys_ref},
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=n_actors,
+                num_cpus=ENCODER_NUM_CPUS,
+            )
+            for row in results.iter_rows():
+                writer.append(json.loads(row["entry_json"]))
+        meta = writer.finalize(
+            meta0["schema"],
+            extra={
+                "input_shards": meta0.get("input_shards", []),
+                "schema_ipc": meta0.get("schema_ipc"),
+            },
+        )
+    finally:
+        writer.close()
+    return meta

@@ -1,0 +1,100 @@
+"""delete_job: in-place key deletion from an encoded dir — row removal,
+partition-granular rewrite, full-partition drop, idempotence, loud
+guards, and manifest/rollup consistency."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_raquet_ray.pipelines import decode, encode
+from duckdb_raquet_ray.sources import tokens
+from duckdb_raquet_ray.state import manifest as mf
+
+
+@pytest.fixture()
+def enc_dir(ray_session, tmp_path):
+    paths = tokens.write_corpus(str(tmp_path / "c"), 6_000, 3, row_group_rows=1024)
+    d = str(tmp_path / "enc")
+    encode.encode_job(paths, d, target_part_bytes=1 << 20)
+    return d, paths
+
+
+class TestDelete:
+    def test_rows_removed_counts_and_contents(self, enc_dir):
+        d, paths = enc_dir
+        meta0 = mf.load_metadata(d)
+        keys = [
+            k
+            for p in paths
+            for k in pq.read_table(p, columns=["doc_id"]).column("doc_id").to_pylist()
+            if k.endswith("3")
+        ]
+        meta = encode.delete_job(d, keys)
+        assert meta["num_rows"] == meta0["num_rows"] - len(keys)
+        back = decode.read_encoded(d).to_pandas()
+        assert len(back) == meta["num_rows"]
+        assert not back["doc_id"].str.endswith("3").any()
+        # idempotent: nothing left to delete
+        meta2 = encode.delete_job(d, keys)
+        assert meta2["num_rows"] == meta["num_rows"]
+
+    def test_full_partition_drop(self, enc_dir):
+        d, paths = enc_dir
+        meta0 = mf.load_metadata(d)
+        # delete EVERY key -> every partition file drops, manifest empties
+        keys = [
+            k
+            for p in paths
+            for k in pq.read_table(p, columns=["doc_id"]).column("doc_id").to_pylist()
+        ]
+        meta = encode.delete_job(d, keys)
+        assert meta["num_rows"] == 0
+        assert meta["num_partitions"] == 0
+        import glob as g
+
+        assert not g.glob(os.path.join(d, "part-*.parquet"))
+        assert meta0["num_partitions"] > 0
+
+    def test_empty_keys_refused(self, enc_dir):
+        d, _ = enc_dir
+        with pytest.raises(ValueError, match="empty key list"):
+            encode.delete_job(d, [])
+
+    def test_unknown_key_column_refused(self, enc_dir):
+        d, _ = enc_dir
+        with pytest.raises(ValueError, match="not in schema"):
+            encode.delete_job(d, ["x"], key_column="nope")
+
+    def test_rollups_reflect_deletion(self, enc_dir):
+        d, paths = enc_dir
+        t = pq.read_table(paths[0], columns=["doc_id", "source"])
+        src0 = t.column("source")[0].as_py()
+        keys = [
+            k
+            for k, s in zip(
+                t.column("doc_id").to_pylist(), t.column("source").to_pylist()
+            )
+            if s == src0
+        ][:50]
+        def src_count(meta):
+            rows = meta["rollups"]["n_tok_by_source"]
+            return next(r["count"] for r in rows if r["source"] == src0)
+
+        before = src_count(mf.load_metadata(d))
+        meta = encode.delete_job(d, keys)
+        assert src_count(meta) == before - len(keys)
+
+    def test_cli_surface(self, enc_dir, tmp_path):
+        from duckdb_raquet_ray import cli
+
+        d, paths = enc_dir
+        keys = [
+            k
+            for k in pq.read_table(paths[0], columns=["doc_id"]).column("doc_id").to_pylist()
+        ][:10]
+        kf = str(tmp_path / "keys.txt")
+        open(kf, "w").write("\n".join(keys) + "\n")
+        cli.main(["delete", "--out", d, "--keys-file", kf])
+        back = decode.read_encoded(d).to_pandas()
+        assert not set(keys) & set(back["doc_id"])
