@@ -339,7 +339,10 @@ def main(argv: list[str] | None = None) -> None:
             from .pipelines import encode
 
             with open(args.keys_file) as f:
-                keys = [ln.rstrip("\n") for ln in f if ln.strip()]
+                # strip(), not rstrip('\n'): a CRLF keys file would yield
+                # 'key\r' entries that match nothing — for an erasure
+                # operator a silent no-op is the worst failure mode
+                keys = [ln.strip() for ln in f if ln.strip()]
             meta = encode.delete_job(args.out, keys, key_column=args.key_column)
             print(json.dumps({"cmd": "delete", "rows": meta["num_rows"],
                               "partitions": meta["num_partitions"],

@@ -58,6 +58,20 @@ TASKS_PER_CPU = 4  # target work-items per core, for pipelining + stragglers
 ENCODER_NUM_CPUS = 2
 
 
+def _pool_size(
+    concurrency: int | tuple[int, int] | None, n_items: int
+) -> int | tuple[int, int]:
+    """Actor-pool sizing shared by every encoder-family job (encode /
+    compact / delete): a CPU budget becomes half-density actor slots
+    (ENCODER_NUM_CPUS rationale above), capped by the work-item count;
+    a tuple passes through as an explicit (min, max) pool."""
+    if concurrency is None:
+        concurrency = default_concurrency()
+    if isinstance(concurrency, int):
+        return max(1, min(concurrency // ENCODER_NUM_CPUS, max(n_items, 1)))
+    return concurrency
+
+
 def _footer_md(path: str, md_cache: dict | None):
     """Parquet footer metadata with a per-job cache: planning consults
     every shard's footer up to three times (auto-sizing, partition plan,
@@ -345,15 +359,7 @@ def _encode_ordered(
     writer = mf.ManifestWriter(out_dir)
     try:
         if todo:
-            if concurrency is None:
-                concurrency = default_concurrency()
-            # `concurrency` is a CPU budget; encoder actors are half-density
-            # (ENCODER_NUM_CPUS) because the kernel saturates memory
-            # bandwidth before core count — see the constant's rationale
-            if isinstance(concurrency, int):
-                n_actors = max(1, min(concurrency // ENCODER_NUM_CPUS, len(todo)))
-            else:
-                n_actors = concurrency
+            n_actors = _pool_size(concurrency, len(todo))
             # one block per work item: map_batches parallelism is per-BLOCK
             # (batch_size only slices batches within a task), so without
             # this the whole work list can serialize onto one actor.
@@ -461,6 +467,7 @@ def append_job(
         resume=True,
         concurrency=concurrency,
         plan_from=plan_from,
+        md_cache={},  # one footer read per shard: planning + drift gate share it
     )
 
 
@@ -548,26 +555,45 @@ def compact_job(
             f"compact_job supports lineage-mode dirs only; {src_dir} is "
             f"{src_cfg.get('mode')!r}-mode"
         )
-    tgt = int(
-        target_part_bytes
-        or src_cfg.get("target_part_bytes")
-        or DEFAULT_PART_BYTES
-    )
+    # pin the SOURCE PARTITION ROSTER, not just the target: group ids are
+    # consecutive indices over the source done-set, so a resume after the
+    # source changed (append/delete) would re-group and silently skip a
+    # grown last group under an already-done id — roster drift must raise
+    import hashlib as _hashlib
+
+    roster = _hashlib.sha256(
+        json.dumps(
+            sorted([int(p), int(e["input_bytes"])] for p, e in done_src.items())
+        ).encode()
+    ).hexdigest()[:16]
     prior = mf.resolve_job_config(
         out_dir,
         "lineage",
-        {"target_part_bytes": tgt, "compacted_from": os.path.abspath(src_dir)},
+        {
+            # pass the CALLER'S value (None = no opinion): pre-resolving
+            # the default here would make a flag-less resume of an
+            # explicit-target run raise a spurious mismatch
+            "target_part_bytes": target_part_bytes,
+            "compacted_from": os.path.abspath(src_dir),
+            "src_roster_sha": roster,
+        },
         resume=True,
     )
     if prior is not None:
         tgt = int(prior["target_part_bytes"])
     else:
+        tgt = int(
+            target_part_bytes
+            or src_cfg.get("target_part_bytes")
+            or DEFAULT_PART_BYTES
+        )
         mf.persist_job_config(
             out_dir,
             {
                 "mode": "lineage",
                 "target_part_bytes": tgt,
                 "compacted_from": os.path.abspath(src_dir),
+                "src_roster_sha": roster,
             },
         )
 
@@ -607,12 +633,7 @@ def compact_job(
     writer = mf.ManifestWriter(out_dir)
     try:
         if todo:
-            if concurrency is None:
-                concurrency = default_concurrency()
-            if isinstance(concurrency, int):
-                n_actors = max(1, min(concurrency // ENCODER_NUM_CPUS, len(todo)))
-            else:
-                n_actors = concurrency
+            n_actors = _pool_size(concurrency, len(todo))
             todo = sorted(todo, key=lambda it: it["decoded_bytes"], reverse=True)
             ds = rd.from_items(todo, override_num_blocks=len(todo))
             results = ds.map_batches(
@@ -640,11 +661,15 @@ def compact_job(
 
 class PartitionDeleter:
     """Actor-pool stage for delete_job: one work item = one AFFECTED
-    partition -> decode, drop the targeted keys, re-encode under the
-    SAME partition id (tmp -> rename over the same file name, so readers
-    see the old or the new partition, never a torn one). A partition
-    whose every row is deleted removes its file and journals a
-    'deleted' entry instead."""
+    partition -> decode, drop the targeted keys, re-encode, and STAGE
+    the result under a tmp name. Nothing destructive happens in the
+    actor: the DRIVER journals each entry and only then replaces (or
+    removes) the live file — so a kill at any point leaves a journal
+    that is either consistent with the files or strictly behind them,
+    and a re-run's key-plane probe heals the difference (see
+    delete_job's crash-safety contract). The typed Arrow key set is
+    built once per actor per key type (large retention key lists must
+    not re-materialize per partition)."""
 
     def __init__(self, out_dir: str, keys_ref):
         import ray as _ray
@@ -653,9 +678,18 @@ class PartitionDeleter:
         self.keys = (
             _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
         )
+        self._vsets: dict = {}
         retain_heap()
 
+    def _value_set(self, typ: pa.DataType) -> pa.Array:
+        vs = self._vsets.get(typ)
+        if vs is None:
+            vs = self._vsets[typ] = pa.array(self.keys, type=typ)
+        return vs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid as _uuid
+
         import pyarrow.compute as pc
 
         entries = []
@@ -665,39 +699,53 @@ class PartitionDeleter:
             path = os.path.join(self.out_dir, pk.part_file_name(pid))
             table = enc.decode_rows(pq.read_table(path, use_threads=False))
             col = table.column(key_col)
-            keep = pc.invert(
-                pc.is_in(col, value_set=pa.array(self.keys, type=col.type))
-            )
+            keep = pc.invert(pc.is_in(col, value_set=self._value_set(col.type)))
             kept = table.filter(keep)
             if kept.num_rows == table.num_rows:
                 continue  # planner false positive: nothing to rewrite
+            dropped = table.num_rows - kept.num_rows
+            rr = item.get("row_range")
+            shard = item.get("input_shard") or f"delete:{self.out_dir}"
+            prior_del = int(item.get("prior_deleted") or 0)
             if kept.num_rows == 0:
-                os.remove(path)
-                entries.append(
-                    {
-                        "entry_json": json.dumps(
-                            {
-                                "partition_id": pid,
-                                "status": "deleted",
-                                "input_shard": f"delete:{self.out_dir}",
-                                "n_rows": 0,
-                                "codecs": {},
-                                "input_bytes": 0,
-                                "encoded_bytes": 0,
-                            }
-                        )
-                    }
+                # full drop: the DRIVER removes the file after journaling
+                entry = {
+                    "partition_id": pid,
+                    "status": "deleted",
+                    "input_shard": shard,
+                    "n_rows": 0,
+                    "codecs": {},
+                    "input_bytes": 0,
+                    "encoded_bytes": 0,
+                    # every original row is now gone: span when known,
+                    # else the running count
+                    "deleted_rows": (
+                        int(rr[1] - rr[0]) if rr is not None
+                        else int(dropped) + prior_del
+                    ),
+                }
+                if rr is not None:
+                    entry["row_range"] = list(rr)
+                staged = None
+            else:
+                encoded, entry = enc.encode_table(
+                    kept,
+                    pid,
+                    input_shard=shard,
+                    row_range=tuple(rr) if rr is not None else None,
                 )
-                continue
-            encoded, entry = enc.encode_table(
-                kept, pid, input_shard=f"delete:{self.out_dir}"
+                entry["deleted_rows"] = int(dropped) + prior_del
+                entry["rewritten_by"] = "delete"
+                staged = path + f".tmp-delete-{_uuid.uuid4().hex[:8]}"
+                pq.write_table(
+                    encoded, staged, compression="none", write_statistics=False
+                )
+            entries.append(
+                {"entry_json": json.dumps(entry), "staged": staged or ""}
             )
-            fsio.publish_table(
-                encoded, path, compression="none", write_statistics=False
-            )
-            entries.append({"entry_json": json.dumps(entry)})
         return pa.Table.from_pylist(
-            entries, schema=pa.schema([("entry_json", pa.string())])
+            entries,
+            schema=pa.schema([("entry_json", pa.string()), ("staged", pa.string())]),
         )
 
 
@@ -712,24 +760,34 @@ def delete_job(
     erasure / retention operator the ingest->append->compact lifecycle
     needs. Partition-granular: a distributed KEY-PLANE scan (decoding
     ONLY the key column of every partition) finds the affected
-    partitions; each one decodes, drops its targeted rows, and
-    re-encodes under the SAME partition id (tmp -> rename over the same
-    file, so concurrent readers see old-or-new, never torn); fully
-    emptied partitions drop their file and journal a 'deleted' entry.
-    The manifest re-finalizes from the journal, so counts/rollups/stat
-    pushdown reflect the deletion.
+    partitions; each one decodes, drops its targeted rows, re-encodes
+    and STAGES the result; the driver then journals the updated entry
+    and swaps the staged file in (or removes the file, for a fully
+    emptied partition). Entries keep their ORIGINAL input_shard and
+    row_range plus a ``deleted_rows`` count, so lineage validation
+    still tiles every shard (validate_entries understands the
+    deletion); the manifest re-finalizes, so counts/rollups/stat
+    pushdown reflect the erasure.
 
-    Idempotent / crash-safe: re-running with the same keys rewrites
-    nothing (the scan finds no hits) and re-finalizes; a kill between a
-    partition publish and its journal append is healed by the re-run.
+    Crash-safety contract (every window heals on re-run):
+    - kill before a journal append: the live file is untouched (staged
+      tmps are swept at start); the re-run's probe finds the keys again
+      and redoes the partition;
+    - kill between a journal append and the file swap: the journal is
+      AHEAD of the file; the re-run's probe still finds the keys in the
+      live file (rewrite case) or the start-of-run sweep removes the
+      file of a 'deleted'-journaled partition, converging both;
+    - kill before finalize: the re-run re-finalizes from the journal.
+    Idempotent: re-running with the same keys scans to zero hits.
+
     Stated consequence: verify_job against the ORIGINAL inputs reports
     the deleted rows as mismatches — deletion rewrites history by
-    design; `compacted_from`-style lineage is recorded per entry as
-    `delete:<dir>`.
+    design.
 
-    Scale shape: keys broadcast once (ray.put) and probed inside tasks;
+    Scale shape: keys broadcast once (ray.put) and typed once per actor;
     the scan is column-pruned to the key plane; only affected partitions
     pay a rewrite. Driver state is O(partitions + affected)."""
+    import pyarrow.compute as _pc  # noqa: F401 (probe closure ships it)
     import ray as _ray
 
     keys = list(keys)
@@ -746,6 +804,21 @@ def delete_job(
     key_col = key_column or schema.names[0]
     if key_col not in schema.names:
         raise ValueError(f"{key_col!r} not in schema {schema.names}")
+    # heal a killed prior delete: sweep staged tmps, and remove the live
+    # file of any partition whose LATEST journal entry says 'deleted'
+    # (the journal-ahead-of-files window)
+    for stale in glob.glob(os.path.join(out_dir, "*.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    all_entries = mf.load_entries(out_dir)
+    for pid, e in all_entries.items():
+        if e.get("status") == "deleted":
+            try:
+                os.remove(os.path.join(out_dir, pk.part_file_name(pid)))
+            except FileNotFoundError:
+                pass
     keys_ref = _ray.put(keys)
     pids = sorted(mf.done_partition_ids(out_dir))
 
@@ -755,15 +828,17 @@ def delete_job(
 
         hits = []
         kset = _ray.get(keys_ref)
+        vsets: dict = {}
         for item in batch.to_pylist():
             path = os.path.join(out_dir, pk.part_file_name(int(item["pid"])))
             t = enc.decode_rows(
                 pq.read_table(path, use_threads=False), columns=[key_col]
             )
             col = t.column(key_col)
-            if pc.any(
-                pc.is_in(col, value_set=pa.array(kset, type=col.type))
-            ).as_py():
+            vs = vsets.get(col.type)
+            if vs is None:
+                vs = vsets[col.type] = pa.array(kset, type=col.type)
+            if pc.any(pc.is_in(col, value_set=vs)).as_py():
                 hits.append({"pid": int(item["pid"])})
         return pa.Table.from_pylist(
             hits, schema=pa.schema([("pid", pa.int64())])
@@ -780,15 +855,16 @@ def delete_job(
     writer = mf.ManifestWriter(out_dir)
     try:
         if affected:
-            if concurrency is None:
-                concurrency = default_concurrency()
-            if isinstance(concurrency, int):
-                n_actors = max(
-                    1, min(concurrency // ENCODER_NUM_CPUS, len(affected))
-                )
-            else:
-                n_actors = concurrency
-            work = [{"pid": p, "key_column": key_col} for p in affected]
+            work = [
+                {
+                    "pid": p,
+                    "key_column": key_col,
+                    "row_range": all_entries.get(p, {}).get("row_range"),
+                    "input_shard": all_entries.get(p, {}).get("input_shard"),
+                    "prior_deleted": all_entries.get(p, {}).get("deleted_rows", 0),
+                }
+                for p in affected
+            ]
             results = rd.from_items(
                 work, override_num_blocks=len(work)
             ).map_batches(
@@ -796,11 +872,25 @@ def delete_job(
                 fn_constructor_kwargs={"out_dir": out_dir, "keys_ref": keys_ref},
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=n_actors,
+                concurrency=_pool_size(concurrency, len(work)),
                 num_cpus=ENCODER_NUM_CPUS,
             )
+            # journal FIRST, then make the destructive move — the window
+            # between the two is the journal-ahead state the next run's
+            # start-of-run sweep converges
             for row in results.iter_rows():
-                writer.append(json.loads(row["entry_json"]))
+                entry = json.loads(row["entry_json"])
+                writer.append(entry)
+                final = os.path.join(
+                    out_dir, pk.part_file_name(entry["partition_id"])
+                )
+                if row["staged"]:
+                    os.replace(row["staged"], final)
+                else:
+                    try:
+                        os.remove(final)
+                    except FileNotFoundError:
+                        pass
         meta = writer.finalize(
             meta0["schema"],
             extra={

@@ -390,8 +390,15 @@ def validate_entries(entries: list[dict]) -> dict:
                 errors.append(f"entry {i}: unknown codec {name!r} for column {col!r}")
         n = e.get("n_rows")
         rr = e.get("row_range")
-        if n is not None and rr is not None and rr[1] - rr[0] != n:
-            errors.append(f"entry {i}: n_rows {n} != row_range span {rr}")
+        # a delete_job rewrite keeps the ORIGINAL row_range (lineage
+        # provenance — the shard coverage check below must still tile)
+        # and records how many of the span's rows were erased
+        ndel = int(e.get("deleted_rows") or 0)
+        if n is not None and rr is not None and rr[1] - rr[0] != n + ndel:
+            errors.append(
+                f"entry {i}: n_rows {n} + deleted_rows {ndel} != "
+                f"row_range span {rr}"
+            )
         if n is not None:
             num_rows += n
         if "checksum" not in e:

@@ -106,3 +106,22 @@ class TestCompact:
         extra = tokens.write_corpus(str(tmp_path / "c3"), 1000, 1, row_group_rows=512)
         with pytest.raises(ValueError, match="append-closed"):
             encode.append_job(extra, out)
+
+    def test_source_roster_drift_refused(self, encoded_dir, tmp_path):
+        # re-running a compaction after the SOURCE dir changed would
+        # re-group under already-done ids (silent row loss) -> the pinned
+        # roster hash must refuse
+        out = str(tmp_path / "cmp")
+        encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        extra = tokens.write_corpus(str(tmp_path / "c4"), 2000, 1, row_group_rows=512)
+        encode.append_job(extra, encoded_dir)
+        with pytest.raises(ValueError, match="src_roster_sha"):
+            encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+
+    def test_flagless_resume_after_explicit_target(self, encoded_dir, tmp_path):
+        # resume without --target-part-bytes must reuse the pinned value,
+        # not raise a spurious mismatch from a pre-resolved default
+        out = str(tmp_path / "cmp")
+        m1 = encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        m2 = encode.compact_job(encoded_dir, out)  # no target flag
+        assert m2["num_partitions"] == m1["num_partitions"]

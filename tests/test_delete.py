@@ -98,3 +98,50 @@ class TestDelete:
         cli.main(["delete", "--out", d, "--keys-file", kf])
         back = decode.read_encoded(d).to_pandas()
         assert not set(keys) & set(back["doc_id"])
+
+    def test_validator_accepts_post_delete_manifest(self, enc_dir):
+        # rewritten entries keep the original row_range + deleted_rows:
+        # validate_entries must still tile every shard and accept
+        # n_rows + deleted_rows == span (no false corruption alarms)
+        d, paths = enc_dir
+        keys = [
+            k
+            for k in pq.read_table(paths[0], columns=["doc_id"]).column("doc_id").to_pylist()
+        ][:40]
+        encode.delete_job(d, keys)
+        res = mf.validate_entries(list(mf.load_entries(d).values()))
+        assert res["errors"] == [], res["errors"]
+
+    def test_journal_ahead_of_files_heals(self, enc_dir):
+        # crash window: entry journaled 'deleted' but the file removal
+        # never happened -> the next delete_job run's start-of-run sweep
+        # removes the orphan and finalize stays consistent
+        import json as _json
+
+        d, paths = enc_dir
+        from duckdb_raquet_ray.functions import partition_keys as pk
+
+        pids = sorted(mf.done_partition_ids(d))
+        victim = pids[0]
+        e = dict(mf.load_entries(d)[victim])
+        span = e["row_range"][1] - e["row_range"][0]
+        fake = {
+            "partition_id": victim,
+            "status": "deleted",
+            "input_shard": e["input_shard"],
+            "n_rows": 0,
+            "codecs": {},
+            "input_bytes": 0,
+            "encoded_bytes": 0,
+            "deleted_rows": span,
+            "row_range": e["row_range"],
+        }
+        with open(os.path.join(d, "manifest.jsonl"), "a") as f:
+            f.write(_json.dumps(fake) + "\n")
+        # file still exists (the crash window) — a fresh delete run heals
+        assert os.path.exists(os.path.join(d, pk.part_file_name(victim)))
+        meta = encode.delete_job(d, ["no-such-key"])
+        assert not os.path.exists(os.path.join(d, pk.part_file_name(victim)))
+        assert victim not in meta["partition_ids"]
+        back = decode.read_encoded(d).to_pandas()
+        assert len(back) == meta["num_rows"]
