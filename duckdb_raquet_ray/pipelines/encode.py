@@ -72,6 +72,15 @@ def _pool_size(
     return concurrency
 
 
+def _typed_value_set(cache: dict, keys: list, typ: pa.DataType) -> pa.Array:
+    """Memoized typed Arrow array of a key list (keyed by target type):
+    large retention key sets must not re-materialize per partition."""
+    vs = cache.get(typ)
+    if vs is None:
+        vs = cache[typ] = pa.array(keys, type=typ)
+    return vs
+
+
 def _footer_md(path: str, md_cache: dict | None):
     """Parquet footer metadata with a per-job cache: planning consults
     every shard's footer up to three times (auto-sizing, partition plan,
@@ -353,7 +362,7 @@ def _encode_ordered(
                 "drifted shards to their own directory (or align the schema "
                 "first); appending them here would corrupt decode"
             )
-    done = mf.done_partition_ids(out_dir) if resume else set()
+    done = mf.resume_skip_ids(out_dir) if resume else set()
     todo = [it for it in items if it["partition_id"] not in done]
 
     writer = mf.ManifestWriter(out_dir)
@@ -580,6 +589,22 @@ def compact_job(
         resume=True,
     )
     if prior is not None:
+        # resolve_job_config only compares keys PRESENT in the prior
+        # config, so a job.json without the compact keys (a plain encode
+        # dir used as out_dir, or a pre-roster compacted dir) would
+        # silently bypass both gates — refuse those explicitly
+        if prior.get("compacted_from") != os.path.abspath(src_dir):
+            raise ValueError(
+                f"{out_dir} is not a compaction of {src_dir} "
+                f"(job.json compacted_from={prior.get('compacted_from')!r}) "
+                "— compact into a FRESH directory"
+            )
+        if "src_roster_sha" not in prior:
+            raise ValueError(
+                f"{out_dir} predates roster pinning — its resume cannot be "
+                "proven safe against source changes; compact into a fresh "
+                "directory"
+            )
         tgt = int(prior["target_part_bytes"])
     else:
         tgt = int(
@@ -619,7 +644,7 @@ def compact_job(
             os.remove(stale)
         except OSError:
             pass
-    done_out = mf.done_partition_ids(out_dir)
+    done_out = mf.resume_skip_ids(out_dir)
     todo = [
         {
             "new_pid": pk.pack(gi, 0),
@@ -682,10 +707,7 @@ class PartitionDeleter:
         retain_heap()
 
     def _value_set(self, typ: pa.DataType) -> pa.Array:
-        vs = self._vsets.get(typ)
-        if vs is None:
-            vs = self._vsets[typ] = pa.array(self.keys, type=typ)
-        return vs
+        return _typed_value_set(self._vsets, self.keys, typ)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import uuid as _uuid
@@ -734,7 +756,14 @@ class PartitionDeleter:
                     input_shard=shard,
                     row_range=tuple(rr) if rr is not None else None,
                 )
-                entry["deleted_rows"] = int(dropped) + prior_del
+                # span-derived when the range is known: self-healing across
+                # the journal-ahead crash window (a stale prior entry's
+                # deleted_rows would double-count the re-dropped rows)
+                entry["deleted_rows"] = (
+                    int(rr[1] - rr[0]) - kept.num_rows
+                    if rr is not None
+                    else int(dropped) + prior_del
+                )
                 entry["rewritten_by"] = "delete"
                 staged = path + f".tmp-delete-{_uuid.uuid4().hex[:8]}"
                 pq.write_table(
@@ -787,7 +816,6 @@ def delete_job(
     Scale shape: keys broadcast once (ray.put) and typed once per actor;
     the scan is column-pruned to the key plane; only affected partitions
     pay a rewrite. Driver state is O(partitions + affected)."""
-    import pyarrow.compute as _pc  # noqa: F401 (probe closure ships it)
     import ray as _ray
 
     keys = list(keys)
@@ -804,6 +832,30 @@ def delete_job(
     key_col = key_column or schema.names[0]
     if key_col not in schema.names:
         raise ValueError(f"{key_col!r} not in schema {schema.names}")
+    # interrupted-delete marker: the journal-ahead REWRITE window only
+    # heals on a SAME-KEYS re-run (the probe must find the original keys
+    # again); a different delete would finalize a manifest inconsistent
+    # with a half-swapped file. The marker makes that loud: it is written
+    # before any destructive step and removed only after finalize, and a
+    # run with DIFFERENT keys refuses while it exists.
+    import hashlib as _hashlib
+
+    keys_sha = _hashlib.sha256(
+        "\n".join(sorted(str(k) for k in keys)).encode()
+    ).hexdigest()[:16]
+    marker = os.path.join(out_dir, "_DELETE_INPROGRESS.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            rec = json.load(f)
+        if rec.get("keys_sha") != keys_sha:
+            raise ValueError(
+                f"{out_dir}: a previous delete_job (keys_sha="
+                f"{rec.get('keys_sha')}) was interrupted before finalize — "
+                "re-run THAT delete to convergence first (only a same-keys "
+                "re-run heals its rewrite windows), then retry this one"
+            )
+    else:
+        fsio.publish_bytes(json.dumps({"keys_sha": keys_sha}).encode(), marker)
     # heal a killed prior delete: sweep staged tmps, and remove the live
     # file of any partition whose LATEST journal entry says 'deleted'
     # (the journal-ahead-of-files window)
@@ -820,7 +872,14 @@ def delete_job(
             except FileNotFoundError:
                 pass
     keys_ref = _ray.put(keys)
-    pids = sorted(mf.done_partition_ids(out_dir))
+    # the scan list derives from the ALREADY-loaded journal (one parse):
+    # done + file-exists, never 'deleted' pids
+    pids = sorted(
+        p
+        for p, e in all_entries.items()
+        if e.get("status") == "done"
+        and os.path.exists(os.path.join(out_dir, pk.part_file_name(p)))
+    )
 
     # pass 1: column-pruned key-plane scan -> affected partition ids
     def probe(batch: pa.Table) -> pa.Table:
@@ -835,9 +894,7 @@ def delete_job(
                 pq.read_table(path, use_threads=False), columns=[key_col]
             )
             col = t.column(key_col)
-            vs = vsets.get(col.type)
-            if vs is None:
-                vs = vsets[col.type] = pa.array(kset, type=col.type)
+            vs = _typed_value_set(vsets, kset, col.type)
             if pc.any(pc.is_in(col, value_set=vs)).as_py():
                 hits.append({"pid": int(item["pid"])})
         return pa.Table.from_pylist(
@@ -898,6 +955,7 @@ def delete_job(
                 "schema_ipc": meta0.get("schema_ipc"),
             },
         )
+        os.remove(marker)  # the delete is now journal- AND file-consistent
     finally:
         writer.close()
     return meta

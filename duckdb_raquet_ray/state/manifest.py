@@ -212,7 +212,7 @@ def load_entries(out_dir: str) -> dict[int, dict]:
 
 
 def done_partition_ids(out_dir: str) -> set[int]:
-    """Partition ids safe to skip on resume: recorded done AND the output
+    """Partition ids with READABLE output: recorded done AND the output
     file actually exists."""
 
     done = set()
@@ -221,6 +221,24 @@ def done_partition_ids(out_dir: str) -> set[int]:
             if os.path.exists(os.path.join(out_dir, pk.part_file_name(pid))):
                 done.add(pid)
     return done
+
+
+def resume_skip_ids(out_dir: str) -> set[int]:
+    """Partition ids a RESUMING job must NOT re-produce: readable 'done'
+    partitions PLUS 'deleted' ones. Deletion is TERMINAL for resume —
+    treating a deleted pid as never-encoded would let a compact/encode
+    re-run silently RESURRECT erased rows from the source (the
+    data-subject-erasure failure mode)."""
+    skip = set()
+    for pid, e in load_entries(out_dir).items():
+        st = e.get("status")
+        if st == "deleted":
+            skip.add(pid)
+        elif st == "done" and os.path.exists(
+            os.path.join(out_dir, pk.part_file_name(pid))
+        ):
+            skip.add(pid)
+    return skip
 
 
 def load_metadata(out_dir: str) -> dict:

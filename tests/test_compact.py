@@ -110,13 +110,16 @@ class TestCompact:
     def test_source_roster_drift_refused(self, encoded_dir, tmp_path):
         # re-running a compaction after the SOURCE dir changed would
         # re-group under already-done ids (silent row loss) -> the pinned
-        # roster hash must refuse
+        # roster hash must refuse. Append to a COPY — the module fixture
+        # is shared and must stay unmutated for later tests.
+        src = str(tmp_path / "src_copy")
+        shutil.copytree(encoded_dir, src)
         out = str(tmp_path / "cmp")
-        encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        encode.compact_job(src, out, target_part_bytes=8 << 20)
         extra = tokens.write_corpus(str(tmp_path / "c4"), 2000, 1, row_group_rows=512)
-        encode.append_job(extra, encoded_dir)
+        encode.append_job(extra, src)
         with pytest.raises(ValueError, match="src_roster_sha"):
-            encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+            encode.compact_job(src, out, target_part_bytes=8 << 20)
 
     def test_flagless_resume_after_explicit_target(self, encoded_dir, tmp_path):
         # resume without --target-part-bytes must reuse the pinned value,
@@ -125,3 +128,41 @@ class TestCompact:
         m1 = encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
         m2 = encode.compact_job(encoded_dir, out)  # no target flag
         assert m2["num_partitions"] == m1["num_partitions"]
+
+    def test_delete_then_compact_rerun_does_not_resurrect(self, encoded_dir, tmp_path):
+        # deletion must be TERMINAL for resume: a compact re-run must not
+        # re-encode a deleted group from the (unchanged) source
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "cmp")
+        m1 = encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        # erase one whole group's worth of rows from the compacted dir
+        first_pid = sorted(m1["partition_ids"])[0]
+        from duckdb_raquet_ray.functions import partition_keys as pk
+
+        part = os.path.join(out, pk.part_file_name(first_pid))
+        victim_keys = (
+            decode.read_encoded(out, partition_ids=[first_pid])
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        # the appended fixture corpus REUSES doc_id values, so the victim
+        # keys also match rows in other partitions — expect the
+        # corpus-wide match count, not just the victim partition's rows
+        all_ids = decode.read_encoded(out).to_pandas()["doc_id"]
+        n_matching = int(all_ids.isin(set(victim_keys)).sum())
+        m2 = encode.delete_job(out, victim_keys)
+        assert m2["num_rows"] == m1["num_rows"] - n_matching
+        # re-run the compaction with identical args: must NOT resurrect
+        m3 = encode.compact_job(encoded_dir, out, target_part_bytes=8 << 20)
+        assert m3["num_rows"] == m2["num_rows"]
+        assert first_pid not in m3["partition_ids"]
+
+    def test_compact_into_existing_encode_dir_refused(self, encoded_dir, tmp_path):
+        # an out_dir that is itself an encode dir has no compacted_from:
+        # its shard-0 partitions would collide with group ids
+        src2 = tokens.write_corpus(str(tmp_path / "c5"), 2000, 1, row_group_rows=512)
+        other = str(tmp_path / "other_enc")
+        encode.encode_job(src2, other, target_part_bytes=1 << 20)
+        with pytest.raises(ValueError, match="not a compaction"):
+            encode.compact_job(encoded_dir, other)

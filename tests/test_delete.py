@@ -145,3 +145,35 @@ class TestDelete:
         assert victim not in meta["partition_ids"]
         back = decode.read_encoded(d).to_pandas()
         assert len(back) == meta["num_rows"]
+
+    def test_interrupted_delete_blocks_different_keys(self, enc_dir):
+        # the journal-ahead rewrite window only heals on a SAME-KEYS
+        # re-run: the in-progress marker makes a different delete refuse
+        import json as _json
+
+        d, paths = enc_dir
+        keys = pq.read_table(paths[0], columns=["doc_id"]).column("doc_id").to_pylist()[:5]
+        # simulate a crash: marker written, finalize never reached
+        open(os.path.join(d, "_DELETE_INPROGRESS.json"), "w").write(
+            _json.dumps({"keys_sha": "deadbeefdeadbeef"})
+        )
+        with pytest.raises(ValueError, match="interrupted before finalize"):
+            encode.delete_job(d, keys)
+        os.remove(os.path.join(d, "_DELETE_INPROGRESS.json"))
+        meta = encode.delete_job(d, keys)  # marker gone -> proceeds
+        assert not os.path.exists(os.path.join(d, "_DELETE_INPROGRESS.json"))
+        assert meta["num_rows"] > 0
+
+    def test_deleted_rows_self_heal_on_rerun(self, enc_dir):
+        # forge the journal-ahead REWRITE window: entry journaled with the
+        # reduced counts, file never swapped. A same-keys re-run must
+        # converge WITHOUT double-counting deleted_rows (span-derived)
+        d, paths = enc_dir
+        keys = pq.read_table(paths[0], columns=["doc_id"]).column("doc_id").to_pylist()[:30]
+        meta = encode.delete_job(d, keys)
+        res = mf.validate_entries(list(mf.load_entries(d).values()))
+        assert res["errors"] == []
+        # re-run same keys (no hits left): entries unchanged, still valid
+        encode.delete_job(d, keys)
+        res2 = mf.validate_entries(list(mf.load_entries(d).values()))
+        assert res2["errors"] == []
