@@ -798,20 +798,27 @@ def delete_job(
     deletion); the manifest re-finalizes, so counts/rollups/stat
     pushdown reflect the erasure.
 
-    Crash-safety contract (every window heals on re-run):
+    Crash-safety contract (every window heals on a SAME-KEYS re-run,
+    and the in-progress marker makes any OTHER delete refuse until that
+    re-run happened — the journal-ahead rewrite window is only
+    detectable by re-finding the original keys):
     - kill before a journal append: the live file is untouched (staged
       tmps are swept at start); the re-run's probe finds the keys again
       and redoes the partition;
     - kill between a journal append and the file swap: the journal is
       AHEAD of the file; the re-run's probe still finds the keys in the
-      live file (rewrite case) or the start-of-run sweep removes the
-      file of a 'deleted'-journaled partition, converging both;
-    - kill before finalize: the re-run re-finalizes from the journal.
+      live file (rewrite case — deleted_rows is span-derived, so the
+      re-drop cannot double-count) or the start-of-run sweep removes
+      the file of a 'deleted'-journaled partition, converging both;
+    - kill before finalize: the re-run re-finalizes from the journal
+      and clears the marker.
     Idempotent: re-running with the same keys scans to zero hits.
 
-    Stated consequence: verify_job against the ORIGINAL inputs reports
+    Stated consequences: verify_job against the ORIGINAL inputs reports
     the deleted rows as mismatches — deletion rewrites history by
-    design.
+    design; and deletion is TERMINAL for resume (manifest
+    resume_skip_ids), so a later encode/compact re-run over this dir
+    can never resurrect the erased rows from its inputs.
 
     Scale shape: keys broadcast once (ray.put) and typed once per actor;
     the scan is column-pruned to the key plane; only affected partitions
