@@ -246,6 +246,28 @@ def bench_corpus_phase(cpus: int) -> dict:
 
     queries["compact"] = round(min(best_of(compact_run)), 3)
 
+    # deletion: key-plane scan + partition-granular rewrite over the
+    # COMPACTED dir left by the last compact_run iteration (nothing
+    # downstream reads it; deleting from enc_out would corrupt the later
+    # stage assertions). ~1% of one shard's keys — spread across the 13
+    # merged partitions, so several pay a full rewrite.
+    def delete_run():
+        import pyarrow.parquet as _pq
+
+        from duckdb_raquet_ray.pipelines import encode as _enc3
+
+        ids = _pq.read_table(paths[0], columns=["doc_id"]).column("doc_id")
+        keys = ids.to_pylist()[::100]
+        t0 = time.time()
+        meta = _enc3.delete_job("/tmp/raquet_bench_compact", keys)
+        extra["delete"] = {
+            "keys": len(keys),
+            "rows_after": meta["num_rows"],
+        }
+        return time.time() - t0
+
+    queries["delete"] = round(delete_run(), 3)  # single run: mutates in place
+
     # aggregate pushdown INTO the codec: per-row stats straight off the
     # encoded representation (rowcodec.stats_child) — no token-plane
     # materialization; same output as decode_stats minus the mean column
