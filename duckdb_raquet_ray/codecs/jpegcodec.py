@@ -275,7 +275,25 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     successive approximation, DC/AC first and refinement scans,
     EOB-run decoding). The reference gates its real codec behind a
     compile-time option (band_decoder.cpp:85-154); here the whole
-    decode is dependency-free."""
+    decode is dependency-free.
+
+    Corrupt input raises ValueError (fuzz-hardened: raw
+    IndexError/struct.error from truncated or bit-flipped streams are
+    converted at this boundary). A progressive stream truncated at a
+    SCAN boundary decodes to the coarser partial render — that is the
+    format's own incremental-refinement semantics, the same behavior
+    browsers exhibit on partial progressive downloads."""
+    try:
+        return _jpeg_decode_inner(data)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        # slicing/unpacking past the end of a truncated stream, a
+        # reference to an undefined quant/huffman table slot, or
+        # header fields flipped to absurd magnitudes — surface every
+        # parse-corruption manifestation as the codec's named error
+        raise ValueError(f"corrupt JPEG: {type(e).__name__} during parse") from e
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if not sniff(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -635,6 +653,16 @@ def _decode_multiscan(frame, qtabs, scans, progressive) -> np.ndarray:
         interleaved = len(scan["comps"]) > 1
         if progressive and interleaved and not (ss == 0 and se == 0):
             raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+        # table snapshots may be None when a (corrupt) scan header
+        # references a table slot no DHT defined — fail loudly here
+        # instead of AttributeError-ing mid-block
+        need_dc = (not progressive) or (ss == 0 and ah == 0)
+        need_ac = (not progressive) or ss > 0
+        for comp, dtab, atab in scan["comps"]:
+            if (need_dc and dtab is None) or (need_ac and atab is None):
+                raise ValueError(
+                    "corrupt JPEG: scan references an undefined Huffman table"
+                )
         br = _BitReader(segs[0])
         seg_idx = 0
         pred = {comp["id"]: 0 for comp, _, _ in scan["comps"]}

@@ -201,3 +201,37 @@ class TestProgressive:
         blob = J.jpeg_encode_progressive(img, 85)
         assert ic.sniff(blob) == "jpeg"
         assert ic.decode(blob).shape == (12, 12)
+
+
+class TestCorruptStreams:
+    def test_corrupt_streams_raise_valueerror_only(self):
+        """Fuzz gate: truncations and bit flips over all three stream
+        layouts must surface as ValueError/NotImplementedError — never a
+        raw IndexError/KeyError/OverflowError/AttributeError from deep
+        in the parse (the jpeg_decode boundary converts them)."""
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        for enc in (J.jpeg_encode, J.jpeg_encode_progressive, J.jpeg_encode_multiscan):
+            blob = enc(img, 85)
+            for cut in range(40, len(blob), max(1, len(blob) // 25)):
+                try:
+                    J.jpeg_decode(blob[:cut])
+                except (ValueError, NotImplementedError):
+                    pass
+            for _ in range(150):
+                b = bytearray(blob)
+                b[int(rng.integers(2, len(b)))] ^= int(rng.integers(1, 256))
+                try:
+                    J.jpeg_decode(bytes(b))
+                except (ValueError, NotImplementedError):
+                    pass
+
+    def test_undefined_table_reference_named_error(self):
+        # a scan whose header points at a Huffman slot no DHT defined
+        img = np.zeros((8, 8), np.uint8)
+        blob = bytearray(J.jpeg_encode_progressive(img, 85))
+        i = bytes(blob).find(b"\xff\xda")
+        # component's Td/Ta byte sits 4 bytes into the SOS payload
+        blob[i + 6] = 0x33  # table id 3/3: never defined
+        with pytest.raises(ValueError, match="corrupt JPEG"):
+            J.jpeg_decode(bytes(blob))
