@@ -206,3 +206,54 @@ class TestRowcodecDictBucket:
         assert all(b["code"] != rowcodec.DICT_CODE for b in desc["buckets"])
         out = rowcodec.decode_child(b"".join(secs), desc, np.diff(offsets))
         np.testing.assert_array_equal(out, plane)
+
+
+class TestCorruptStreamBoundaries:
+    def test_all_decoders_raise_valueerror_only(self):
+        """Fuzz gate across every from-scratch codec: truncations and
+        bit flips surface as ValueError/NotImplementedError — the
+        _corrupt_boundary wrappers convert raw IndexError/KeyError/
+        OverflowError/struct.error/zlib.error at each decode entry."""
+        import numpy as np
+
+        from duckdb_raquet_ray.codecs import audiocodec as A
+        from duckdb_raquet_ray.codecs import gifcodec as G
+        from duckdb_raquet_ray.codecs import imagecodec as I
+        from duckdb_raquet_ray.codecs import jpegcodec as J
+        from duckdb_raquet_ray.codecs import videocodec as V
+        from duckdb_raquet_ray.codecs import webpcodec as W
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (8, 3), np.uint8)
+        rgb = pal[rng.integers(0, 8, (16, 16))]
+        gray = rng.integers(0, 256, (16, 16), np.uint8)
+        samples = [
+            (G.gif_encode(rgb), G.gif_decode),
+            (G.gif_encode_frames([rgb, rgb], delays_cs=[4, 4]), G.gif_frames),
+            (W.webp_encode(rgb), W.webp_decode),
+            (W.webp_encode_frames([rgb, rgb]), W.webp_frames),
+            (I.png_encode(gray), I.png_decode),
+            (
+                A.wav_encode(
+                    rng.integers(-1000, 1000, 300, np.int64).astype(np.int16), 16000
+                ),
+                A.wav_decode,
+            ),
+            (
+                V.avi_encode_mjpeg([J.jpeg_encode(gray, 85)] * 2, 16, 16, fps=5),
+                V.avi_frames,
+            ),
+        ]
+        for blob, dec in samples:
+            for cut in range(10, len(blob), max(1, len(blob) // 15)):
+                try:
+                    dec(blob[:cut])
+                except (ValueError, NotImplementedError, EOFError):
+                    pass
+            for _ in range(60):
+                b = bytearray(blob)
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+                try:
+                    dec(bytes(b))
+                except (ValueError, NotImplementedError, EOFError):
+                    pass
